@@ -1,0 +1,226 @@
+"""DuckDB oracle SQL for the declared suite (SURVEY.md §2.3).
+
+One ANSI-SQL string per query in ros_sql_spark.plans.queries, runnable by
+DuckDB 1.0.0 over the driver-registered parquet views.  Column aliases
+match the Spark side exactly (the driver's value-hash sorts by name).
+
+Parity rules applied throughout (SURVEY.md §1.3):
+- events.ts is ns-resolution → always exposed via epoch_us(ts) or
+  timestamp range predicates at µs-aligned bounds, never selected raw;
+- money through CAST(... AS DECIMAL(18,2)) before SUM (exact);
+- float-derived scalars rounded to 6 dp;
+- embedding float32 elements cast to DOUBLE before any arithmetic
+  (without the cast DuckDB computes in float32 and the rounded value
+  carries float noise);
+- integer-typed outputs cast to BIGINT where DuckDB would widen to
+  HUGEINT (sum of BIGINT).
+
+q26_dedup_minhash intentionally has no oracle (xxhash64-based LSH is not
+SQL-expressible in DuckDB) — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ORACLES"]
+
+ORACLES: dict[str, str] = {
+    "q01_scan_project": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "q02_time_split": """
+        SELECT event_id,
+               epoch_us(ts) // 1000000 AS secs,
+               epoch_us(ts) % 1000000 AS usecs
+        FROM events
+    """,
+    "q03_time_range": """
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+    "q04_ordered_replay": """
+        SELECT event_id, epoch_us(ts) AS tus
+        FROM events
+        ORDER BY ts, event_id
+        LIMIT 50
+    """,
+    "q05_topic_partition": """
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    "q06_array_shred": """
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS idx,
+               round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+        FROM embeddings
+        WHERE vec_id < 50
+    """,
+    "q07_child_reassemble": """
+        SELECT o_orderkey,
+               count(*) AS n_items,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+    """,
+    "q08_fk_join_chain": """
+        SELECT r_name, n_name, count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q09_blob_fidelity": """
+        SELECT doc_id, md5(text) AS text_md5 FROM documents
+    """,
+    "q10_json_extract": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """,
+    "q11_pricing_summary": """
+        SELECT l_returnflag,
+               l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                   AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q12_distinct_agg": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    "q13_rollup": """
+        SELECT lang, source,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+    """,
+    "q14_window_rank": """
+        SELECT user_id, event_id, event_type
+        FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    "q15_window_lag": """
+        SELECT user_id, event_id, gap_us
+        FROM (
+            SELECT user_id, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        WHERE gap_us IS NOT NULL
+    """,
+    "q16_sessionize": """
+        SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+    "q17_topk": """
+        SELECT o_custkey AS c_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_price DESC, c_custkey
+        LIMIT 10
+    """,
+    "q18_except": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "q19_semijoin": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q20_antijoin": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q21_text_stats": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    """,
+    "q22_date_trunc": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1
+    """,
+    "q23_union_all": """
+        SELECT event_id, user_id, 'click' AS src
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id, user_id, 'view' AS src
+        FROM events WHERE event_type = 'view'
+    """,
+    "q24_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "q25_dedup_exact": """
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    # q26_dedup_minhash: intentionally absent (rows-only check).
+    "q27_knn_cosine": """
+        SELECT b.vec_id,
+               round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+               ), 6) AS sim
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id = 0
+        ORDER BY sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    "q28_lang_matrix": """
+        SELECT lang, source, count(*) AS n
+        FROM documents
+        GROUP BY lang, source
+    """,
+    "q29_embedding_norm": """
+        SELECT vec_id,
+               round(sqrt(list_sum(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               )), 6) AS l2norm
+        FROM embeddings
+    """,
+    "q30_multimodal_join": """
+        SELECT doc_id, lang, label
+        FROM documents
+        JOIN embeddings ON vec_id = doc_id
+    """,
+}

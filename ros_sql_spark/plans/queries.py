@@ -1,0 +1,444 @@
+"""The declared query suite (SURVEY.md §2.3) — Spark implementations.
+
+Each ``qNN_*`` takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
+Every computed column is aliased to the exact name used by the matching
+DuckDB oracle in ros_sql_spark.plans.oracles (the driver's value-hash
+sorts columns by name).
+
+Reference parity map (strawlab/ros_sql capability each query exercises)
+is given per-function; R-numbers refer to SURVEY.md §2.1.
+
+Scale discipline:
+- filters/projections first, so Catalyst pushes them into the parquet scan;
+- dimension joins (region/nation/customer at TPC-H scale) use
+  ``F.broadcast`` hints;
+- money aggregates go through DECIMAL(18,2) (exact + associative —
+  partition-order independent, see functions/parity.py);
+- no collect(), no Python row loops, no row-at-a-time UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ros_sql_spark.functions.parity import money, r6, tus
+from ros_sql_spark.sources.io import load_table
+
+__all__ = ["QUERIES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Scan / projection / time handling (reference R7/R8/R12/R13/R14 twins)
+# --------------------------------------------------------------------------
+
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + projection (R12→R7 batch twin). Column pruning reaches the
+    parquet scan — ReadSchema carries only the four columns."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def q02_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 secs/nsecs time split, µs-truncated for oracle parity.
+
+    Integer `div` throughout — ns epochs overflow double's mantissa."""
+    ev = _t(spark, sf_dir, "events")
+    us = tus("ts_ns")
+    return ev.select(
+        "event_id",
+        F.expr("(ts_ns div 1000) div 1000000").alias("secs"),
+        (us % F.lit(1000000)).alias("usecs"),
+    )
+
+
+def q03_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 time-range partial replay. The ts predicate is pushed to the
+    scan (row-group min/max pruning; partition pruning when events is
+    date-partitioned at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    ).select("event_id", "event_type", "value")
+
+
+def q04_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 ordered replay head: first 50 messages in (time, id) order.
+    Ordering uses the exact ns key (ts_ns) so ties resolve identically
+    to the ns-resolution oracle; Spark executes this as a TakeOrdered
+    (top-k per partition + merge), not a full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy("ts_ns", "event_id")
+        .limit(50)
+        .select("event_id", tus("ts_ns").alias("tus"))
+    )
+
+
+def q05_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 demux-by-topic twin: hash aggregate per event_type.
+    Partial (map-side) aggregation is automatic; avg is rounded per the
+    float parity rule."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shredding / reassembly (reference R1/R4/R5/R10/R11 twins)
+# --------------------------------------------------------------------------
+
+def q06_array_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 array shredding: posexplode keeps the element index, exactly as
+    the reference's child tables carry (parent_id, idx, value)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("embedding").alias("idx", "val"))
+        .select(
+            "vec_id",
+            F.col("idx").cast("bigint").alias("idx"),
+            r6(F.col("val").cast("double")).alias("val"),
+        )
+    )
+
+
+def q07_child_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 reassembly statistics: one shuffle join + aggregate replaces the
+    reference's N+1 per-parent child SELECTs (SURVEY.md §4.1)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+def q08_fk_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10/R11 FK-graph walk: customer→nation→region. Both dimensions are
+    broadcast — no shuffle of the fact side at any scale."""
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def q09_blob_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 blob passthrough fidelity proxy: content digest must be identical
+    across engines (the reference's contract is byte-identical replay)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+def q10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON scalar extraction (not in the ROS model; engine extension).
+    Same regex on both engines so '' vs NULL edge cases align."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation / windows / sort (delegated by the reference to its SQL
+# backend — SURVEY.md §2.2; first-class here)
+# --------------------------------------------------------------------------
+
+def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship. Filter pushed to scan; DECIMAL(18,2)
+    casts *before* sum make the distributed aggregation exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    # disc price is computed entirely in decimal arithmetic (cast each
+    # operand FIRST, then multiply): exact on both engines, so the
+    # distributed sum matches DuckDB digit-for-digit. Casting the double
+    # *product* instead would round differently per engine.
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).alias("sum_qty"),
+            F.sum(money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase partial dedup in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(lang, source) with subtotal NULLs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: first event per user. Deterministic order key
+    (ts_ns, event_id) — exact ns resolution for tie parity."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q15_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: inter-event gap per user in exact µs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    us = tus("ts_ns")
+    return (
+        ev.select("user_id", "event_id", "ts_ns", us.alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", "event_id", "gap_us")
+    )
+
+
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — the batch twin of the streaming
+    session_window operator (ros_sql_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    us = tus("ts_ns")
+    gap = F.col("us") - F.lag("us").over(w)
+    brk = F.when(gap > F.lit(1_800_000_000), 1).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", "ts_ns", us.alias("us"))
+        .withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("brk")).cast("bigint").alias("n_sessions"))
+    )
+
+
+def q17_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: executes as TakeOrdered after an exact decimal aggregate."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(money("o_totalprice")).alias("total_price"))
+        .orderBy(F.desc("total_price"), "c_custkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / semi-anti joins
+# --------------------------------------------------------------------------
+
+def q18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): purchasers who never errored."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would be bag semantics and leave duplicate survivors.
+    return purch.subtract(err)
+
+
+def q19_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having orders (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+
+
+def q20_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Strings / dates / text analysis
+# --------------------------------------------------------------------------
+
+def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions / basic text analysis on documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+
+
+def q22_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: monthly order counts (cast to DATE for parity)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.count("*").alias("n"))
+
+
+def q23_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with a source-tag literal."""
+    ev = _t(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.lit("click").alias("src")
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.lit("view").alias("src")
+    )
+    return click.unionByName(view)
+
+
+def q24_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): users who both clicked and purchased."""
+    ev = _t(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return click.intersect(purch)
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators (dedup / similarity / multimodal — SURVEY.md §2.3
+# q25-q30; operator-level implementations live in ros_sql_spark.operators)
+# --------------------------------------------------------------------------
+
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per content hash (keep min doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def q26_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup banding (rows-only check — no SQL oracle).
+
+    Fully JVM-side (xxhash64 + groupBy min), no Python UDF; see
+    ros_sql_spark.operators.dedup for the pair-generation operator."""
+    from ros_sql_spark.operators.dedup import minhash_bands
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_bands(docs, id_col="doc_id", text_col="text")
+
+
+def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector.
+
+    The 1-row query side is broadcast; dot/norms run as higher-order
+    functions (zip_with + aggregate) in double precision, JVM-side.
+    Ordering is on the *rounded* similarity so cross-engine ranking ties
+    resolve identically. LSH-bucketed scale path:
+    ros_sql_spark.operators.similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q"))
+    )
+    cand = emb.filter(F.col("vec_id") != 0)
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    joined = cand.join(F.broadcast(qvec))
+    sim = dot("embedding", "q") / (
+        F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("q", "q"))
+    )
+    return (
+        joined.select("vec_id", r6(sim).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(5)
+    )
+
+
+def q28_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: lang × source counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+
+
+def q29_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math: L2 norm via higher-order functions, double precision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select("vec_id", r6(F.sqrt(sq_sum)).alias("l2norm"))
+
+
+def q30_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column alignment: text table ⋈ embedding table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "label"
+    )
+
+
+QUERIES = {
+    "q01_scan_project": q01_scan_project,
+    "q02_time_split": q02_time_split,
+    "q03_time_range": q03_time_range,
+    "q04_ordered_replay": q04_ordered_replay,
+    "q05_topic_partition": q05_topic_partition,
+    "q06_array_shred": q06_array_shred,
+    "q07_child_reassemble": q07_child_reassemble,
+    "q08_fk_join_chain": q08_fk_join_chain,
+    "q09_blob_fidelity": q09_blob_fidelity,
+    "q10_json_extract": q10_json_extract,
+    "q11_pricing_summary": q11_pricing_summary,
+    "q12_distinct_agg": q12_distinct_agg,
+    "q13_rollup": q13_rollup,
+    "q14_window_rank": q14_window_rank,
+    "q15_window_lag": q15_window_lag,
+    "q16_sessionize": q16_sessionize,
+    "q17_topk": q17_topk,
+    "q18_except": q18_except,
+    "q19_semijoin": q19_semijoin,
+    "q20_antijoin": q20_antijoin,
+    "q21_text_stats": q21_text_stats,
+    "q22_date_trunc": q22_date_trunc,
+    "q23_union_all": q23_union_all,
+    "q24_intersect": q24_intersect,
+    "q25_dedup_exact": q25_dedup_exact,
+    "q26_dedup_minhash": q26_dedup_minhash,
+    "q27_knn_cosine": q27_knn_cosine,
+    "q28_lang_matrix": q28_lang_matrix,
+    "q29_embedding_norm": q29_embedding_norm,
+    "q30_multimodal_join": q30_multimodal_join,
+}

@@ -1,0 +1,91 @@
+"""Sources: parquet table loaders for the engine.
+
+Reference parity: strawlab/ros_sql's source is a live rospy subscriber
+feeding per-message INSERTs (scripts/record.py — SURVEY.md §2.1 R12) and
+its analytic reads go through SQLAlchemy SELECTs.  Our batch source is
+columnar parquet scans (Catalyst pushes filters/column pruning into the
+scan); the streaming twin lives in ros_sql_spark.streaming.
+
+Scale notes (100 TB):
+- Loaders return *lazy* DataFrames; no collect, no driver materialization.
+- ``events`` carries an explicit schema: (a) skips footer-merge schema
+  inference across many files, (b) sidesteps Spark's TIMESTAMP(NANOS)
+  rejection regardless of session config (SURVEY.md §1.3 hazard 1).
+- At production scale ``events`` would be written date-partitioned
+  (``.partitionBy(event_date)``) so time-range queries (q03) prune
+  partitions; the driver's flat files still benefit from row-group
+  min/max pruning on ``ts``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+
+# All driver tables (TESTDATA.md / FIXTURES.md Part A).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Parquet stores events.ts as TIMESTAMP(NANOS); Spark has no ns timestamp,
+# so we request the physical INT64 as a long (lossless ns-since-epoch).
+_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events with both a Spark-native µs timestamp and the lossless ns long.
+
+    Columns added to the physical schema:
+      ts     TIMESTAMP — µs resolution, floor(ns/1000); safe for range
+             predicates against µs-aligned bounds and for date_trunc.
+      ts_ns  BIGINT    — exact ns since epoch; the total-order key for
+             replay (reference orders by its recorded secs/nsecs pair —
+             SURVEY.md §2.1 R13) and the ns-remainder carrier (R8).
+    """
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+    # NB: integer `div`, never `/` — ns epochs (~1.7e18) exceed double's
+    # 53-bit mantissa, so float division would corrupt the low microseconds.
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table as a lazy DataFrame."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table. Lazy — zero jobs run here."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register them as temp views for spark.sql use."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
