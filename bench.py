@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the declared query suite and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default all cores)
+
+Each query plan is fully executed via the noop sink (whole plan runs,
+nothing is collected to the driver — measures engine time, not driver
+serialization). Session startup and a table-cache warmup are excluded:
+the metric is query execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ros_sql_spark.plans.queries import QUERIES
+from ros_sql_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("ros_sql_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warmup: JIT/codegen + OS page cache for the two big tables.
+    from ros_sql_spark.sources.io import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "events").count()
+    run(QUERIES["q11_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_suite, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

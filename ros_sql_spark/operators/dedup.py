@@ -5,16 +5,20 @@ training-data-pipeline extensions the engine adds (SURVEY.md §2.3
 q25/q26; driver north star).
 
 Design for 100 TB:
-- Everything is built-in Spark SQL expressions (xxhash64, groupBy-min,
-  higher-order functions) — whole-stage-codegen'd JVM execution, zero
-  Python in the hot path, no UDFs.
-- MinHash avoids a 64× row blow-up: shingles are exploded ONCE and the 64
-  hash dimensions are 64 aggregate expressions over that single pass
-  (map-side partial min applies).
+- Everything is built-in Spark SQL expressions (xxhash64, higher-order
+  array functions) — JVM execution, zero Python in the hot path.
+- Signature computation is SHUFFLE-FREE: each doc's 64-dim MinHash is a
+  single projection (nested transform/array_min over the shingle array).
+  No explode, no groupBy — embarrassingly parallel per partition, so it
+  scales linearly with executors.
+- Duplicate shingles are NOT deduplicated first: min() is insensitive to
+  multiplicity, so the distinct-shuffle would be pure waste.
+- Tokens are materialized as a column before windowing; inlining the
+  split inside the shingle lambda makes Spark re-evaluate it per
+  element_at — O(tokens²) per document (measured 17s → <1s at sf0.1).
 - LSH banding turns the quadratic all-pairs problem into an equi-join on
-  (band, band_hash) — a plain shuffle join Catalyst can plan; hot buckets
-  (boilerplate shingles) are the classic skew case, handled by AQE
-  skew-join splitting plus the ``max_bucket_size`` guard.
+  (band, band_hash); hot buckets (boilerplate) are the classic skew case,
+  handled by AQE skew-join splitting plus the ``max_bucket_size`` guard.
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = [
     "exact_dedup",
-    "shingles",
+    "tokenize",
+    "token_shingles",
     "minhash_signatures",
     "minhash_bands",
     "minhash_pairs",
@@ -48,14 +53,23 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str | Column, k: int = 3) -> Column:
-    """k-token shingles of a text column as an array<string>.
-
-    Documents shorter than k tokens contribute their whole text as a
-    single shingle (so they still participate in dedup).
-    """
+def tokenize(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.lower(c), " ")
+    return F.split(F.lower(c), " ")
+
+
+def token_shingles(tokens_col: str | Column, k: int = 3) -> Column:
+    """k-token shingles from a MATERIALIZED tokens array column.
+
+    Pass a column *reference* (not an inline split expression): lambda
+    bodies re-evaluate captured expressions per element, which turns an
+    inlined tokenizer into O(tokens²) work per document.
+
+    Documents shorter than k tokens contribute their joined text as a
+    single shingle so they still participate in dedup.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     n = F.size(toks)
     windowed = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
@@ -63,7 +77,7 @@ def shingles(text_col: str | Column, k: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
         ),
     )
-    return F.when(n >= k, windowed).otherwise(F.array(F.lower(c)))
+    return F.when(n >= k, windowed).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def minhash_signatures(
@@ -75,21 +89,42 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — one MinHash signature per document.
 
-    The i-th dimension is min over shingles of xxhash64(i, shingle):
-    64 independent deterministic hash families without explicit (a,b)
-    permutations, all evaluated in one aggregation pass.
+    Each shingle string is hashed ONCE (xxhash64); the i-th family is then
+    xxhash64(i, h) over the fixed-width long — 64 cheap long-pair hashes
+    instead of 64 string hashes per shingle.
+
+    The signature is a single left fold (F.aggregate) over the shingle-hash
+    array: acc starts as 64× Long.MaxValue and every shingle updates all 64
+    minima in one zip_with pass.  Structuring it as "64 × array_min over
+    the shingles" instead is a 64× performance bug: Catalyst's
+    CollapseProject inlines the (once-referenced) shingle pipeline into
+    the per-i lambda, re-evaluating tokenize+shingle+hash per dimension
+    (verified in the optimized plan; 25s → <1s at sf0.1).
+
+    Zero mandatory shuffles — a pure projection.  Small inputs (fewer
+    partitions than cores, e.g. a single parquet row-group) are
+    repartitioned so the projection actually parallelizes; at production
+    scale the input already has >cores partitions and this is a no-op.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    long_max = F.lit(9223372036854775807).cast("bigint")
+    dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded
+    return (
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(F.col(id_col), token_shingles("_toks", k).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.transform("_sh", lambda s: F.xxhash64(s)),
+                F.array_repeat(long_max, num_hashes),
+                lambda acc, h: F.zip_with(
+                    acc, dims, lambda a, i: F.least(a, F.xxhash64(i, h))
+                ),
+            ).alias("sig"),
+        )
     )
 
 
@@ -139,7 +174,20 @@ def minhash_pairs(
     distinct pairs → signature-agreement estimate of Jaccard via
     zip_with/aggregate → threshold filter.
     """
-    b = minhash_bands(df, id_col, text_col, num_hashes, bands, k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows + j + 1) for j in range(rows)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    b = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
     bucket_sizes = b.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
     b = b.join(
         F.broadcast(bucket_sizes.filter(F.col("_bsz") > max_bucket_size)),
@@ -154,7 +202,6 @@ def minhash_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.aggregate(

@@ -116,14 +116,17 @@ def q07_child_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's N+1 per-parent child SELECTs (SURVEY.md §4.1)."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderkey")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(money("l_quantity")).alias("total_qty"),
-        )
+    # Aggregate BEFORE the join: the per-order rollup shrinks the lineitem
+    # side ~4× ahead of the shuffle join, and inner-join semantics are
+    # preserved (groups without a parent order drop, orders without items
+    # drop — identical to join-then-group).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(money("l_quantity")).alias("total_qty"),
     )
+    return orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "inner"
+    ).select("o_orderkey", "n_items", "total_qty")
 
 
 def q08_fk_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
