@@ -1,0 +1,151 @@
+"""Unit tests: type map (R2), time split/recombine (R8), catalog (R10/R15),
+identifier mangling (R3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, types as T
+import pyspark.sql.functions as F
+
+from ros_sql_spark.functions import timeops
+from ros_sql_spark.functions.types import (
+    TIME_STRUCT,
+    message_schema,
+    ros_type_to_spark,
+)
+from ros_sql_spark.sources.catalog import EngineCatalog, SCHEMA_VERSION, namify
+
+
+# --- types (R2 / §1.1 widening table) --------------------------------------
+
+def test_primitive_map():
+    assert ros_type_to_spark("bool") == T.BooleanType()
+    assert ros_type_to_spark("int8") == T.ByteType()
+    assert ros_type_to_spark("uint8") == T.ShortType()  # widened
+    assert ros_type_to_spark("uint32") == T.LongType()  # widened
+    assert ros_type_to_spark("uint64") == T.DecimalType(20, 0)  # exact domain
+    assert ros_type_to_spark("float32") == T.FloatType()
+    assert ros_type_to_spark("time") == TIME_STRUCT
+
+
+def test_blob_special_case():
+    # uint8[] is a blob, not an array of shorts (R6)
+    assert ros_type_to_spark("uint8[]") == T.BinaryType()
+    assert ros_type_to_spark("char[]") == T.BinaryType()
+    assert ros_type_to_spark("uint8[16]") == T.BinaryType()
+
+
+def test_arrays():
+    assert ros_type_to_spark("float32[]") == T.ArrayType(T.FloatType(), False)
+    assert ros_type_to_spark("int32[9]") == T.ArrayType(T.IntegerType(), False)
+
+
+def test_unknown_type_rejected():
+    with pytest.raises(ValueError):
+        ros_type_to_spark("quaternion")
+
+
+def test_message_schema_nested():
+    spec = {
+        "seq": "uint32",
+        "stamp": "time",
+        "pose": {"x": "float64", "y": "float64"},
+        "points": [{"x": "float64"}],
+        "raw": "uint8[]",
+    }
+    s = message_schema(spec)
+    assert s["stamp"].dataType == TIME_STRUCT
+    assert isinstance(s["pose"].dataType, T.StructType)
+    assert isinstance(s["points"].dataType, T.ArrayType)
+    assert s["raw"].dataType == T.BinaryType()
+
+
+# --- timeops (R8): ns-exact split/recombine --------------------------------
+
+NS_CASES = [
+    0,
+    999,  # sub-µs only
+    1_700_000_000_123_456_789,  # realistic epoch with sub-µs tail
+    1_704_067_798_778_549_829,  # actual events.ts value
+    9_223_372_036_854_775_807 - 807,  # near Long.MaxValue, ns-aligned
+]
+
+
+def test_split_combine_identity(spark):
+    df = spark.createDataFrame([Row(ns=v) for v in NS_CASES])
+    secs, nsecs = timeops.split_ns("ns")
+    out = df.select(
+        "ns", secs.alias("s"), nsecs.alias("n"),
+        timeops.combine_ns(secs, nsecs).alias("back"),
+    ).collect()
+    for r in out:
+        assert 0 <= r.n < 1_000_000_000
+        assert r.s * 1_000_000_000 + r.n == r.ns
+        assert r.back == r.ns, f"lossy recombine for {r.ns}"
+
+
+def test_timestamp_plus_remainder_is_lossless(spark):
+    df = spark.createDataFrame([Row(ns=v) for v in NS_CASES if v < 2**62])
+    out = df.select(
+        "ns",
+        timeops.ns_to_timestamp("ns").alias("ts"),
+        timeops.ns_remainder_us("ns").alias("rem"),
+    ).select("ns", "rem", timeops.timestamp_to_ns("ts", "rem").alias("back")).collect()
+    for r in out:
+        assert 0 <= r.rem < 1000
+        assert r.back == r.ns, f"ns lost through timestamp for {r.ns}"
+
+
+def test_integer_div_not_float(spark):
+    """The parity-critical property: ns epochs survive the µs conversion
+    bit-exactly (double division would be off by up to ~256 ns)."""
+    ns = 1_704_067_798_778_549_829
+    df = spark.createDataFrame([Row(ns=ns)])
+    got = df.select(F.unix_micros(timeops.ns_to_timestamp("ns")).alias("us")).head().us
+    assert got == ns // 1000
+
+
+# --- catalog (R10/R15) + namify (R3) ---------------------------------------
+
+def test_namify():
+    assert namify("/robot1/pose") == "robot1__pose"
+    assert namify("/a b/c-d") == "a_b__c_d"
+    long = "/" + "x" * 100
+    m = namify(long)
+    assert len(m) <= 64
+    assert m != namify(long + "y")  # no truncation aliasing
+
+
+def test_catalog_roundtrip(tmp_path):
+    cat = EngineCatalog()
+    schema = message_schema({"seq": "uint32", "stamp": "time"})
+    cat.add_topic("/robot1/pose", schema, key_cols=["seq"], ts_col="stamp")
+    p = str(tmp_path / "_rosql_catalog.json")
+    cat.save(p)
+    back = EngineCatalog.load(p)
+    assert back.version == SCHEMA_VERSION
+    assert back.schema_of("/robot1/pose") == schema
+    assert back.topics["/robot1/pose"].table == "robot1__pose"
+
+
+def test_catalog_idempotent_redeclare_and_conflict(tmp_path):
+    cat = EngineCatalog()
+    s1 = message_schema({"seq": "uint32"})
+    s2 = message_schema({"seq": "uint64"})
+    cat.add_topic("/t", s1, key_cols=["seq"])
+    cat.add_topic("/t", s1, key_cols=["seq"])  # idempotent (R15)
+    with pytest.raises(ValueError, match="different schema"):
+        cat.add_topic("/t", s2, key_cols=["seq"])
+
+
+def test_catalog_version_guard(tmp_path):
+    p = str(tmp_path / "cat.json")
+    cat = EngineCatalog()
+    cat.save(p)
+    import json
+
+    doc = json.load(open(p))
+    doc["version"] = 99
+    json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="version"):
+        EngineCatalog.load(p)
