@@ -1,0 +1,150 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY.md / driver north star): media travels as opaque
+``binary`` columns with a typed metadata struct; decode / resize /
+frame-sample / feature-extract are Arrow-batched Pandas functions over
+``mapInPandas`` — the only operators in the engine where Python touches
+the hot path, because byte-level codecs genuinely can't be expressed as
+Spark SQL expressions.
+
+THE CODECS ARE STUBS in this container (no PIL/ffmpeg/torchaudio baked
+in): ``decode_stub`` raises NotImplementedError unless
+``deterministic_fake=True``, in which case it derives reproducible
+pseudo-features from the bytes (md5-seeded) so the Spark-side plumbing —
+schema handling, Arrow batch shapes, partition-parallel execution,
+metadata passthrough — is fully real and testable.  Swapping in a real
+codec is a one-function change.
+
+Scale notes:
+- mapInPandas streams Arrow batches; nothing is collected to the driver.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory —
+  size it down for large blobs (e.g. 64 for multi-MB images).
+- Binary blobs never join or shuffle with their payload unless required:
+  extract features first, then drop the blob before any wide operation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "ASSET_SCHEMA",
+    "as_assets",
+    "extract_features",
+    "FEATURE_DIM",
+]
+
+FEATURE_DIM = 8
+
+# Canonical multimodal table shape: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def as_assets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    mime: str,
+    source_col: str | None = None,
+) -> DataFrame:
+    """Adapt any table with a binary-able payload into the asset shape."""
+    media = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("asset_id"),
+        media.alias("media"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            (F.col(source_col) if source_col else F.lit(None).cast("string")).alias(
+                "source"
+            ),
+            F.length(media).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real encoder: md5-derived floats in
+    [0,1).  Stable across runs/machines — good enough to test plumbing,
+    obviously not a semantic embedding."""
+    out: list[float] = []
+    h = hashlib.md5(payload or b"")
+    block = h.digest()
+    while len(out) < dim:
+        for i in range(0, len(block) - 3, 4):
+            out.append(int.from_bytes(block[i : i + 4], "big") / 2**32)
+            if len(out) == dim:
+                break
+        block = hashlib.md5(block).digest()
+    return out
+
+
+def extract_features(
+    assets: DataFrame,
+    dim: int = FEATURE_DIM,
+    deterministic_fake: bool = True,
+    batch_max_records: int | None = None,
+) -> DataFrame:
+    """(asset_id, meta, features array<double>) via Arrow-batched
+    mapInPandas.  With ``deterministic_fake=False`` this is where a real
+    decoder (PIL/ffmpeg) plugs in — it raises NotImplementedError here
+    because those libs are not in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg/torchaudio, which are not "
+            "installed in this environment; pass deterministic_fake=True "
+            "for the plumbing path"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _fake_features(bytes(m) if m is not None else b"", dim)
+                for m in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    spark = assets.sparkSession
+    if batch_max_records is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_max_records)
+        )
+    return assets.mapInPandas(gen, out_schema)

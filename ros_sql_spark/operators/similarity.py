@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (engine extension for
+LLM-data pipelines — SURVEY.md §2.3 q27/q33/q34; no reference analog).
+
+Two tiers:
+- ``brute_force_knn``: exact cosine top-k.  The query side is broadcast;
+  similarities are higher-order expressions (zip_with + aggregate) in
+  double precision, JVM-side; ranking is a per-query window.  Correct
+  baseline at any corpus size when the QUERY set is small.
+- ``lsh_knn``: random-hyperplane LSH.  Each vector gets a ``num_planes``-
+  bit signature; candidates share a signature bucket (optionally within
+  Hamming-adjacent buckets via multi-probe); exact rerank inside buckets.
+  The all-pairs O(N²) shuffle becomes an equi-join on bucket id — the
+  100 TB path.  Plane matrix is a seeded literal (deterministic, tiny:
+  planes × dim doubles shipped in the plan, no driver collect).
+
+Float discipline: embeddings are float32 on disk; every dot product
+casts elements to double first and derived scores round to 6 dp
+(SURVEY.md §1.3 hazard 3).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["dot", "l2_norm", "cosine", "brute_force_knn", "hyperplane_buckets", "lsh_knn"]
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision (inputs may be float32 arrays)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, sim) with sim rounded to 6dp.
+
+    ``queries`` must be small (it is broadcast); the corpus streams
+    through one whole-stage-codegen'd projection — no corpus shuffle.
+    Ranking happens on the ROUNDED similarity with an id tiebreak so
+    results are deterministic and cross-engine stable.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.select(id_col, vec_col).join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine(vec_col, "_qvec"), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        joined.select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def hyperplane_buckets(
+    vec_col: Column | str,
+    dim: int,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+) -> Column:
+    """array<struct<band,bucket>> — one LSH bucket id per hash table.
+
+    Classic multi-table random-hyperplane LSH: a neighbor is a candidate
+    if it agrees with the query on ALL ``planes_per_band`` signs in ANY
+    of the ``bands`` tables — recall 1-(1-p^r)^L where p = 1-θ/π.  A
+    single table (L=1) has vanishing recall for moderate similarity
+    (measured 4% at cos≈0.4 with 6 planes), which is why this is banded.
+
+    Pure projection: every plane is a seeded literal, dots are zip_with
+    folds, no shuffle and no UDF.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    entries = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("bigint")
+        for j, plane in enumerate(
+            _planes(planes_per_band, dim, seed + 1000 * b)
+        ):
+            p = F.array(*[F.lit(x) for x in plane])
+            d = F.aggregate(
+                F.zip_with(v, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            bucket = bucket + F.when(
+                d > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint"))
+        entries.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    num_planes: int | None = None,  # back-compat alias for planes_per_band
+) -> DataFrame:
+    """Approximate top-k: banded LSH candidate join + exact rerank.
+
+    Pipeline: explode per-vector bucket arrays (``bands`` rows each) →
+    equi-join corpus and queries on (band, bucket) → distinct candidate
+    pairs → exact cosine rerank → per-query top-k window.  The O(N²)
+    all-pairs problem becomes a shuffle join on bucket ids; skewed
+    buckets split via AQE.  Tune (bands, planes_per_band) for the
+    recall/cost point: more bands → higher recall, more candidates.
+    """
+    if num_planes is not None:
+        planes_per_band = num_planes
+    bk = lambda col: F.explode(
+        hyperplane_buckets(col, dim, bands, planes_per_band, seed)
+    ).alias("_bb")
+    c = corpus.select(F.col(id_col), F.col(vec_col), bk(vec_col)).select(
+        id_col, vec_col, "_bb.band", "_bb.bucket"
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        bk(vec_col),
+    ).select(query_id_col, "_qvec", "_bb.band", "_bb.bucket")
+    joined = c.join(q, ["band", "bucket"])
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    cand = joined.select(query_id_col, id_col, vec_col, "_qvec").dropDuplicates(
+        [query_id_col, id_col]
+    )
+    sim = F.round(cosine(vec_col, "_qvec"), 6)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        cand.select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -223,4 +223,118 @@ ORACLES: dict[str, str] = {
         FROM documents
         JOIN embeddings ON vec_id = doc_id
     """,
+    # 60-bit SimHash reproduced in SQL: token hash = first 15 md5 hex
+    # digits as a BIGINT (identical to Spark's conv(substr(md5,1,15),16,10)).
+    "q31_dedup_simhash": """
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+                  FROM documents)
+        ), bitsum AS (
+            SELECT doc_id, j,
+                   CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN (CAST(1 AS BIGINT) << j)
+                        ELSE 0 END AS bitval
+            FROM tok CROSS JOIN (SELECT unnest(range(60)) AS j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        FROM bitsum GROUP BY doc_id
+    """,
+    "q32_ngram_jaccard": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents WHERE doc_id < 40)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    """,
+    "q33_cosine_dedup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 120 AND b.vec_id < 120
+          AND round(list_cosine_similarity(
+                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.3
+    """,
+    "q34_ann_topk": """
+        WITH sims AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim
+            FROM embeddings q
+            JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 20
+        )
+        SELECT query_id, vec_id, sim
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM sims)
+        WHERE rn <= 3
+    """,
+    "q35_lang_id": """
+        WITH scored AS (
+            SELECT doc_id,
+                   len(list_intersect(toks, ['the','and','of','to','in','is','that','with','for','on'])) AS s_en,
+                   len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','von','zu'])) AS s_de,
+                   len(list_intersect(toks, ['el','la','los','las','es','y','de','que','en','por'])) AS s_es,
+                   len(list_intersect(toks, ['le','la','les','et','est','dans','pour','que','une','des'])) AS s_fr,
+                   len(list_intersect(toks, ['的','是','了','在','我','有','和','就','不','人'])) AS s_zh
+            FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+                  FROM documents)
+        )
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN s_en = best THEN 'en'
+                    WHEN s_de = best THEN 'de'
+                    WHEN s_es = best THEN 'es'
+                    WHEN s_fr = best THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM scored)
+    """,
+    "q36_quality_score": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_c,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                     / len(toks), 6) AS avg_tok_len,
+               round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                     / length(text), 6) AS punct_ratio,
+               round(CAST(len(list_filter(toks, t -> list_contains(
+                         ['the','and','of','to','in','is','that','with','for','on'], t)))
+                         AS DOUBLE) / len(toks), 6) AS stop_ratio_en
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    """,
+    "q37_token_count_bpe": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+        FROM documents
+    """,
+    "q38_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))),
+                   ' ')) AS fp
+        FROM documents
+    """,
+    # q39_multimodal_features: rows-only (Arrow/mapInPandas plumbing with a
+    # stubbed codec — not SQL-expressible).
+    # q40_ann_lsh: rows-only (probabilistic recall by construction; tested
+    # against the exact baseline in tests/test_operators.py).
 }

@@ -413,6 +413,137 @@ def q30_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Extended LLM-pipeline suite (q31+): dedup variants, similarity search,
+# text analysis, multimodal plumbing — operator implementations live in
+# ros_sql_spark.operators / ros_sql_spark.functions.text
+# --------------------------------------------------------------------------
+
+def q31_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint per document (60-bit, md5-portable —
+    the oracle reproduces it bit-for-bit in SQL)."""
+    from ros_sql_spark.functions.text import simhash, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokens("text").alias("_toks")).select(
+        "doc_id", simhash("_toks").alias("simhash")
+    )
+
+
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram token-shingle Jaccard on a doc subset (exact
+    near-dup scoring; the LSH-banded scale path is q26/minhash_pairs)."""
+    from ros_sql_spark.operators.dedup import token_shingles, tokenize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = docs.select(F.col("doc_id"), tokenize("text").alias("_toks")).select(
+        "doc_id", F.array_distinct(token_shingles("_toks", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
+def q33_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs (threshold on the
+    ROUNDED similarity so both engines cut the same set)."""
+    from ros_sql_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine("va", "vb"), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+def q34_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 per query (first 20 vectors as queries) —
+    the exact ANN baseline; q40 is the LSH-bucketed approximation."""
+    from ros_sql_spark.operators.similarity import brute_force_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+def q35_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (deterministic tie order)."""
+    from ros_sql_spark.functions.text import detect_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_lang("text").alias("lang_pred"))
+
+
+def q36_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features: length, tokens, mean token length,
+    punctuation ratio, stopword ratio."""
+    from ros_sql_spark.functions.text import (
+        avg_token_len,
+        punct_ratio,
+        stopword_ratio,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.col("text"), tokens("text").alias("_toks")).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_c"),
+        F.size("_toks").cast("bigint").alias("n_tok"),
+        F.round(avg_token_len("_toks"), 6).alias("avg_tok_len"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("_toks", "en"), 6).alias("stop_ratio_en"),
+    )
+
+
+def q37_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pre-tokenizer regex."""
+    from ros_sql_spark.functions.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_bpe("text").alias("n_bpe"))
+
+
+def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words content fingerprint."""
+    from ros_sql_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    codec — real decoders aren't in this container; see
+    operators/multimodal.py)."""
+    from ros_sql_spark.operators.multimodal import as_assets, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = as_assets(docs, "doc_id", "text", "text/plain", source_col="source")
+    return extract_features(assets)
+
+
+def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (rows-only: recall is probabilistic
+    by design; tested against the exact baseline in tests/)."""
+    from ros_sql_spark.operators.similarity import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=3, bands=8, planes_per_band=4)
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -444,4 +575,14 @@ QUERIES = {
     "q28_lang_matrix": q28_lang_matrix,
     "q29_embedding_norm": q29_embedding_norm,
     "q30_multimodal_join": q30_multimodal_join,
+    "q31_dedup_simhash": q31_dedup_simhash,
+    "q32_ngram_jaccard": q32_ngram_jaccard,
+    "q33_cosine_dedup_pairs": q33_cosine_dedup_pairs,
+    "q34_ann_topk": q34_ann_topk,
+    "q35_lang_id": q35_lang_id,
+    "q36_quality_score": q36_quality_score,
+    "q37_token_count_bpe": q37_token_count_bpe,
+    "q38_fingerprint": q38_fingerprint,
+    "q39_multimodal_features": q39_multimodal_features,
+    "q40_ann_lsh": q40_ann_lsh,
 }

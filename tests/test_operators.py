@@ -1,0 +1,119 @@
+"""Operator-level tests: dedup recall on planted near-duplicates, SimHash
+locality, LSH-ANN recall vs the exact baseline, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ros_sql_spark.operators.dedup import exact_dedup, minhash_pairs
+from ros_sql_spark.operators.multimodal import as_assets, extract_features
+from ros_sql_spark.operators.similarity import brute_force_knn, lsh_knn
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        )
+    )
+    kept = {r.doc_id for r in exact_dedup(doubled, "doc_id", "text").collect()}
+    assert len(kept) == docs.count()  # one survivor per distinct text
+    assert all(k < 5000 for k in kept)  # min id survives
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    planted = docs.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tail")).alias("text"),
+    )
+    pairs = minhash_pairs(docs.unionByName(planted), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 9000) for i in range(8)} <= got
+
+
+def test_simhash_locality(spark, docs):
+    """Near-duplicate docs land within a few SimHash bits; unrelated docs
+    don't collide that closely (locality property, not exactness)."""
+    from ros_sql_spark.functions.text import simhash, tokens
+
+    base = docs.filter(F.col("doc_id") < 30)
+    edited = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    sh = (
+        base.unionByName(edited)
+        .select("doc_id", tokens("text").alias("_t"))
+        .select("doc_id", simhash("_t").alias("h"))
+    )
+    a = sh.filter(F.col("doc_id") < 1000).select(
+        F.col("doc_id").alias("ia"), F.col("h").alias("ha")
+    )
+    b = sh.filter(F.col("doc_id") >= 1000).select(
+        (F.col("doc_id") - 1000).alias("ib"), F.col("h").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    near = a.join(b, a.ia == b.ib).select(ham.alias("d")).collect()
+    far = a.join(b, a.ia == ((b.ib + 7) % 30)).select(ham.alias("d")).collect()
+    near_avg = sum(r.d for r in near) / len(near)
+    far_avg = sum(r.d for r in far) / len(far)
+    assert near_avg < far_avg / 2, (near_avg, far_avg)
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = lsh_knn(emb, queries, dim=64, k=5, bands=8, planes_per_band=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # banded LSH (8 tables x 4 planes): theory gives ~0.75 recall at
+    # cos~0.4; assert well above half and far above chance (5/500 = 1%).
+    assert recall > 0.5, recall
+    a2 = {(r.query_id, r.vec_id) for r in lsh_knn(emb, queries, dim=64, k=5, bands=8, planes_per_band=4).collect()}
+    assert a == a2
+
+
+def test_lsh_similarities_match_exact_on_overlap(spark, emb):
+    """Where LSH and brute force agree on a neighbor, the rounded cosine
+    must be identical (rerank is exact)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.vec_id): r.sim for r in brute_force_knn(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.vec_id): r.sim for r in lsh_knn(emb, queries, dim=64, k=5, bands=8, planes_per_band=4).collect()}
+    overlap = set(exact) & set(approx)
+    assert overlap
+    assert all(exact[p] == approx[p] for p in overlap)
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = as_assets(docs, "doc_id", "text", "text/plain")
+    feats = extract_features(assets, dim=8)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r.features)
+    # deterministic across runs
+    again = {r.asset_id: r.features for r in extract_features(assets, dim=8).collect()}
+    assert {r.asset_id: r.features for r in rows} == again
+    # metadata passthrough
+    assert all(r.mime == "text/plain" and r.n_bytes > 0 for r in rows)
+
+
+def test_multimodal_real_codec_is_gated(spark, docs):
+    assets = as_assets(docs, "doc_id", "text", "text/plain")
+    with pytest.raises(NotImplementedError):
+        extract_features(assets, deterministic_fake=False)
