@@ -1,0 +1,152 @@
+"""Top-level record/playback API — the reference's user-facing workflow.
+
+strawlab/ros_sql's user story: point ``record.py`` at live topics and a
+DB URL → schemas are created, messages land as normalized rows, a
+catalog describes the mapping; later ``playback.py`` replays messages in
+original timestamp order, optionally a time range (SURVEY.md §3.1/§3.3).
+
+Engine equivalent over a parquet store (swap the writers for
+``df.write.jdbc`` against a real database — the layout is identical):
+
+    record(spark, {"/robot1/pose": df}, store)   # R1+R7+R10+R15
+    playback(spark, store, "/robot1/pose",       # R11+R13+R14
+             t0_ns=..., t1_ns=...)
+
+``record`` shreds each topic with operators.normalize (child tables per
+array/struct field), writes every table, and persists the versioned
+catalog with the backref ledger.  ``playback`` loads the catalog,
+reassembles via denormalize (one shuffle per child table instead of the
+reference's N+1 per-row SELECTs), applies the time range, and returns
+rows ordered by record time — sink-side pacing is the caller's concern,
+exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ros_sql_spark.operators.normalize import (
+    ChildMeta,
+    NormalizedTables,
+    denormalize,
+    normalize,
+)
+from ros_sql_spark.sources.catalog import EngineCatalog, namify
+
+__all__ = ["record", "playback", "CATALOG_FILE"]
+
+CATALOG_FILE = "_rosql_catalog.json"
+
+
+def _meta_to_dict(m: ChildMeta) -> dict:
+    # element_schema may be any DataType; StructType is the only one with
+    # a public fromJson, so serialize it wrapped in a one-field struct.
+    wrapped = T.StructType([T.StructField("e", m.element_schema)])
+    return {
+        "table": m.table,
+        "parent": m.parent,
+        "field": m.field,
+        "kind": m.kind,
+        "key_cols": m.key_cols,
+        "idx_col": m.idx_col,
+        "marker_col": m.marker_col,
+        "element_schema": wrapped.json(),
+    }
+
+
+def _meta_from_dict(d: dict) -> ChildMeta:
+    dt = T.StructType.fromJson(json.loads(d["element_schema"]))["e"].dataType
+    return ChildMeta(
+        table=d["table"],
+        parent=d["parent"],
+        field=d["field"],
+        kind=d["kind"],
+        key_cols=list(d["key_cols"]),
+        idx_col=d["idx_col"],
+        marker_col=d["marker_col"],
+        element_schema=dt,
+    )
+
+
+def record(
+    spark: SparkSession,
+    topics: dict[str, DataFrame],
+    store_path: str,
+    key_cols: list[str] | None = None,
+    ts_col: str | None = "ts_ns",
+    mode: str = "append",
+) -> EngineCatalog:
+    """Record topic DataFrames into a normalized store (R1/R7/R10/R15).
+
+    Each topic is shredded (normalize), every resulting table written
+    under ``store_path/<mangled_topic>/<table>``, and the catalog
+    created/merged with idempotent re-declare semantics.  ``key_cols``
+    defaults to the topic's first column plus ``ts_col`` if present —
+    pass explicit keys for production use.
+    """
+    cat_path = os.path.join(store_path, CATALOG_FILE)
+    catalog = (
+        EngineCatalog.load(cat_path)
+        if os.path.exists(cat_path)
+        else EngineCatalog()
+    )
+    for topic, df in topics.items():
+        keys = list(key_cols) if key_cols else [df.columns[0]]
+        norm = normalize(df, keys, table=namify(topic))
+        catalog.add_topic(
+            topic,
+            df.schema,
+            key_cols=keys,
+            ts_col=ts_col if ts_col in df.columns else None,
+            children=[_meta_to_dict(m) for m in norm.children],
+        )
+        base = os.path.join(store_path, namify(topic))
+        for name, tbl in norm.tables.items():
+            tbl.write.mode(mode).parquet(os.path.join(base, name))
+    os.makedirs(store_path, exist_ok=True)
+    catalog.save(cat_path)
+    return catalog
+
+
+def playback(
+    spark: SparkSession,
+    store_path: str,
+    topic: str,
+    t0_ns: int | None = None,
+    t1_ns: int | None = None,
+) -> DataFrame:
+    """Reassembled messages in record-time order (R11/R13/R14).
+
+    Returns the topic's original schema, ordered by its timestamp column
+    (exact ns), optionally restricted to ``[t0_ns, t1_ns)``.  Set-based:
+    the whole replay is joins + one sort, no per-row round-trips.
+    """
+    catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+    entry = catalog.topics[topic]
+    schema = catalog.schema_of(topic)
+    base = os.path.join(store_path, entry.table)
+    children = [_meta_from_dict(d) for d in entry.children]
+    tables = {}
+    for name in os.listdir(base):
+        tables[name] = spark.read.parquet(os.path.join(base, name))
+    norm = NormalizedTables(
+        root=entry.table,
+        keys=list(entry.key_cols),
+        schema=schema,
+        tables=tables,
+        children=children,
+    )
+    df = denormalize(norm)
+    if entry.ts_col:
+        ts = F.col(entry.ts_col)
+        if t0_ns is not None:
+            df = df.filter(ts >= F.lit(t0_ns))
+        if t1_ns is not None:
+            df = df.filter(ts < F.lit(t1_ns))
+        df = df.orderBy(entry.ts_col, *entry.key_cols)
+    return df

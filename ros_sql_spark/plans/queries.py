@@ -59,13 +59,20 @@ def q02_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q03_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R14 time-range partial replay. The ts predicate is pushed to the
-    scan (row-group min/max pruning; partition pruning when events is
-    date-partitioned at scale)."""
+    """R14 time-range partial replay.
+
+    The predicate is on the PHYSICAL ns column (ts_ns), not the derived
+    µs timestamp — a filter on a computed column cannot reach the parquet
+    scan, one on the stored column shows up in PushedFilters and prunes
+    row groups via min/max stats (equivalent semantics for µs-aligned
+    bounds: floor-to-µs preserves >= / < against them)."""
+    import datetime as _dt
+
     ev = _t(spark, sf_dir, "events")
+    lo = int(_dt.datetime(2024, 1, 10, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
+    hi = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
     return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
     ).select("event_id", "event_type", "value")
 
 

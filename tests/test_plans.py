@@ -1,0 +1,69 @@
+"""Physical-plan assertions (SURVEY.md §4 / 'optimize for scale'):
+pushdown, pruning, broadcast, partial aggregation.  These lock in the
+plan shapes the 100 TB design depends on — a regression here is a
+performance bug even if results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ros_sql_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_scan_prunes_columns(spark):
+    p = plan_of(spark, "q01_scan_project")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # exactly the projected columns — ts/props/ts_ns pruned away
+    assert cols == {"event_id", "user_id", "event_type", "value"}
+
+
+def test_q03_time_filter_is_pushed(spark):
+    p = plan_of(spark, "q03_time_range")
+    assert "PushedFilters: [" in p
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", p), (
+        "ts range predicate must reach the parquet scan:\n" + p
+    )
+
+
+def test_q11_filter_pushed_and_partial_agg(spark):
+    p = plan_of(spark, "q11_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p  # scan-level filter
+    assert "partial_sum" in p or "partial_" in p  # map-side combine
+
+
+def test_q08_dimensions_broadcast(spark):
+    p = plan_of(spark, "q08_fk_join_chain")
+    assert p.count("BroadcastHashJoin") == 2  # nation AND region broadcast
+    assert "SortMergeJoin" not in p  # fact side never shuffles
+
+
+def test_q19_q20_use_semi_anti_joins(spark):
+    assert "LeftSemi" in plan_of(spark, "q19_semijoin")
+    assert "LeftAnti" in plan_of(spark, "q20_antijoin")
+
+
+def test_q27_query_vector_broadcast(spark):
+    p = plan_of(spark, "q27_knn_cosine")
+    assert "Broadcast" in p  # 1-row query side broadcast, corpus streams
+
+
+def test_no_cartesian_in_suite_except_intended(spark):
+    """Only the pairwise-similarity queries may contain non-equi joins;
+    everything else must plan equi/broadcast joins."""
+    allowed = {"q27_knn_cosine", "q32_ngram_jaccard", "q33_cosine_dedup_pairs",
+               "q34_ann_topk"}
+    for name in QUERIES:
+        if name in allowed or name.startswith("q39"):
+            continue
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
