@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_bands",
     "minhash_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 DEFAULT_NUM_HASHES = 64
@@ -215,4 +216,65 @@ def minhash_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard for all pairs sharing ≥1 shingle — the
+    scalable formulation (vs the quadratic cross-join in q32, which is
+    only viable on small subsets).
+
+    Pipeline: distinct (id, shingle) → self-join ON SHINGLE (each
+    co-occurring shingle contributes one match row) → count = |A∩B| →
+    join per-doc sizes → J = i / (|A| + |B| - i).  Cost is Σ df(s)² over
+    shingles instead of N²: boilerplate shingles dominate, so
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs (a stop-shingle both engines of any dedup pipeline prune; they
+    carry ~zero discriminative signal and all of the skew).
+
+    Pairs with zero shared shingles (J=0) are never materialized —
+    equivalent to any threshold > 0.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                token_shingles(tokenize(F.col(text_col)), k)
+            )
+        ).alias("_sh"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_sh")
+        )
+        sh = sh.join(F.broadcast(hot), "_sh", "left_anti")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.col("_i").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_i")
+    ).cast("double")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

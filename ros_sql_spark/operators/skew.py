@@ -1,0 +1,104 @@
+"""Skew-mitigation operators: salting for hot keys.
+
+AQE's skew-join splitting (enabled engine-wide in session.py) handles
+most skew at runtime; these are the explicit fallbacks for the cases AQE
+can't fix:
+
+- ``salted_aggregate``: two-phase aggregation for decomposable aggregates
+  (sum/count/min/max) when ONE grouping key dominates — phase 1 groups on
+  (keys, salt) spreading the hot key over ``buckets`` reducers, phase 2
+  merges the partials.  For ordinary distributions Spark's own partial
+  aggregation already does this; use it when a single key is so hot that
+  even the final aggregation of one key's rows saturates one task — at
+  100 TB that's a real failure mode (e.g. one user with 10% of events).
+- ``salted_broadcast_left_join``: replicate a SMALL right side ``buckets``
+  times and salt the left randomly — an explicit alternative when the
+  right side is broadcastable but the left's hot key would overload one
+  task in a shuffle join.
+
+Deterministic salting: salt = pmod(xxhash64(salt_src), buckets) with a
+caller-chosen high-cardinality column, so plans stay reproducible (no
+rand()).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["salted_aggregate", "salted_broadcast_left_join"]
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_src: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: out_col -> (fn, in_col) with fn in sum|count|min|max
+    (decomposable aggregates only — avg must be derived as sum/count by
+    the caller).  ``salt_src``: a high-cardinality column that varies
+    WITHIN each key group (a row id / timestamp — NOT the group key:
+    a salt that is a function of the key leaves the hot key in one
+    bucket).
+
+    Result is identical to ``df.groupBy(keys).agg(...)`` — asserted in
+    tests — but the heaviest key's rows spread across ``buckets`` tasks
+    in phase 1.
+    """
+    if salt_src in keys:
+        raise ValueError(
+            "salt_src must differ from the grouping keys: a salt that is "
+            "a function of the key cannot spread the key's rows"
+        )
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets)).alias("_salt")
+    phase1_exprs = []
+    for out, (fn, col) in aggs.items():
+        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        phase1_exprs.append(expr.alias(f"_p_{out}"))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_exprs)
+    final_exprs = [
+        _MERGE[fn](f"_p_{out}").alias(out) for out, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_broadcast_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_src: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Inner join where the hot-keyed LEFT is salted and the small RIGHT
+    is replicated ``buckets``× then broadcast.  Same rows as
+    ``left.join(right, key)``; the hot key fans out over ``buckets``
+    tasks instead of one.
+
+    ``salt_src`` must vary WITHIN a key group (a row id, a timestamp) —
+    salting by a hash of the key itself would put every row of the hot
+    key in the same bucket and change nothing.
+    """
+    if salt_src == key:
+        raise ValueError(
+            "salt_src must differ from the join key: a salt that is a "
+            "function of the key cannot spread the key's rows"
+        )
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets))
+    )
+    replicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = salted_left.join(F.broadcast(replicated), [key, "_salt"])
+    return out.drop("_salt")

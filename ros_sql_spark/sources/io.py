@@ -89,3 +89,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def write_events_partitioned(events: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write events date-partitioned — the 100 TB layout for the stream
+    table (SURVEY.md §4.2 partition pruning).
+
+    Layout: ``path/event_date=YYYY-MM-DD/*.parquet``.  Time-range queries
+    against :func:`read_events_partitioned` then prune whole partitions
+    at planning time (PartitionFilters), on top of row-group min/max
+    pruning within the day.
+    """
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.mode(mode)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the date-partitioned events store (same column shape as
+    load_table + the ``event_date`` partition column).  Filter on
+    ``event_date`` for partition pruning, ``ts_ns`` for row-group
+    pruning inside the surviving days."""
+    return spark.read.parquet(path)

@@ -1,0 +1,110 @@
+"""Scale-path operators: scalable n-gram Jaccard, salting, partitioned
+events layout (each asserted equivalent to its reference formulation,
+plus the plan property that makes it scale)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ros_sql_spark.operators.dedup import ngram_jaccard_pairs
+from ros_sql_spark.operators.skew import salted_aggregate, salted_broadcast_left_join
+from ros_sql_spark.plans.queries import q32_ngram_jaccard
+from ros_sql_spark.sources.io import (
+    load_table,
+    read_events_partitioned,
+    write_events_partitioned,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_scalable_jaccard_equals_quadratic(spark):
+    """The shingle-join Jaccard must produce exactly the quadratic
+    cross-join's pairs for any threshold > 0."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.001).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q32_ngram_jaccard(spark, SF_SMALL).collect()
+        if r.jaccard >= 0.001
+    }
+    assert fast == slow
+
+
+def test_jaccard_stop_shingle_guard(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    guarded = ngram_jaccard_pairs(docs, threshold=0.001, max_doc_freq=5)
+    # still runs and yields a subset of the unguarded pair keys
+    full = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.001).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert got <= full
+
+
+def test_salted_aggregate_equals_direct(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    direct = {
+        (r.user_id, r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.user_id, r.n, round(r.s, 6))
+        for r in salted_aggregate(
+            ev,
+            ["user_id"],
+            {"n": ("count", "value"), "s": ("sum", "value")},
+            salt_src="event_id",
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_aggregate_rejects_key_salt(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(ValueError, match="salt_src"):
+        salted_aggregate(
+            ev, ["user_id"], {"n": ("count", "value")}, salt_src="user_id"
+        )
+
+
+def test_salted_join_equals_plain_join(spark):
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(15)], "user_id long, uname string"
+    )
+    plain = {tuple(r) for r in ev.join(dim, "user_id").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_broadcast_left_join(
+            ev, dim, "user_id", salt_src="event_id"
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_partitioned_events_prune_partitions(spark, tmp_path):
+    path = str(tmp_path / "events_part")
+    ev = load_table(spark, SF_SMALL, "events")
+    write_events_partitioned(ev, path)
+    back = read_events_partitioned(spark, path)
+    assert back.count() == 1000
+    one_day = back.filter(F.col("event_date") == "2024-01-15")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    expect = ev.filter(F.to_date("ts") == "2024-01-15").count()
+    assert one_day.count() == expect > 0
