@@ -117,3 +117,27 @@ def test_multimodal_real_codec_is_gated(spark, docs):
     assets = as_assets(docs, "doc_id", "text", "text/plain")
     with pytest.raises(NotImplementedError):
         extract_features(assets, deterministic_fake=False)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from ros_sql_spark.operators.similarity import ivf_knn
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = {(r.query_id, r.vec_id) for r in brute_force_knn(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_knn(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 1/4 of cells on near-random data: well above chance and the
+    # rerank keeps whatever it finds exact
+    assert recall > 0.4, recall
+
+
+def test_ivf_deterministic(spark, emb):
+    from ros_sql_spark.operators.similarity import ivf_knn
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivf_knn(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, ivf_knn(emb, queries, k=3).collect()))
+    assert a == b
