@@ -150,3 +150,25 @@ def playback(
             df = df.filter(ts < F.lit(t1_ns))
         df = df.orderBy(entry.ts_col, *entry.key_cols)
     return df
+
+
+def paced_replay(
+    df: DataFrame,
+    ts_col: str = "ts_ns",
+    speedup: float = 1.0,
+):
+    """R13's pacing twin: iterate replayed rows with original inter-message
+    delays (scaled by ``speedup``).
+
+    Yields ``(sleep_seconds, row)`` — the caller publishes and sleeps
+    (pacing is inherently sink-side; the reference sleeps between
+    rospy.publish calls).  Uses toLocalIterator so only one partition is
+    resident driver-side at a time; rows stream in ``ts_col`` order
+    because playback() pre-sorts.
+    """
+    prev = None
+    for row in df.toLocalIterator():
+        t = row[ts_col]
+        sleep = 0.0 if prev is None else max(0.0, (t - prev) / 1e9 / speedup)
+        prev = t
+        yield sleep, row

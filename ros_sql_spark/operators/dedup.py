@@ -107,10 +107,9 @@ def minhash_signatures(
     repartitioned so the projection actually parallelizes; at production
     scale the input already has >cores partitions and this is a no-op.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    from ros_sql_spark.functions.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     long_max = F.lit(9223372036854775807).cast("bigint")
     dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded
     return (

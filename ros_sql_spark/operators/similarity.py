@@ -159,6 +159,9 @@ def lsh_knn(
     """
     if num_planes is not None:
         planes_per_band = num_planes
+    from ros_sql_spark.functions.util import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     bk = lambda col: F.explode(
         hyperplane_buckets(col, dim, bands, planes_per_band, seed)
     ).alias("_bb")

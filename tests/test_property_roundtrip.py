@@ -1,0 +1,82 @@
+"""Property-based roundtrip tests (hypothesis): arbitrary nested rows —
+including adversarial values hypothesis finds (empty strings, extreme
+ints, NaN-free floats, empty/None arrays, zero-length blobs) — must
+survive normalize→denormalize exactly.  Complements the fixed F1–F3
+fixtures with generated shapes."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import types as T
+
+from ros_sql_spark.api import paced_replay
+from ros_sql_spark.operators.normalize import denormalize, normalize
+from ros_sql_spark.sources.io import load_table
+from tests.conftest import SF_SMALL
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField(
+            "inner",
+            T.StructType(
+                [
+                    T.StructField("a", T.LongType()),
+                    T.StructField("tags", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+finite_double = st.floats(allow_nan=False, allow_infinity=False, width=64)
+text = st.text(alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "Z")), max_size=20)
+
+row = st.tuples(
+    st.just(0),  # pk replaced with index below
+    st.one_of(st.none(), text),
+    st.one_of(st.none(), st.lists(finite_double, max_size=6)),
+    st.one_of(st.none(), st.binary(max_size=16)),
+    st.one_of(
+        st.none(),
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            st.one_of(st.none(), st.lists(text, max_size=4)),
+        ),
+    ),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(row, min_size=1, max_size=25))
+def test_generated_rows_roundtrip(spark, rows):
+    rows = [(i, *r[1:]) for i, r in enumerate(rows)]  # unique pk
+    df = spark.createDataFrame(rows, SCHEMA)
+    rebuilt = denormalize(normalize(df, ["pk"]))
+    left = sorted(map(repr, (r.asDict(recursive=True) for r in df.collect())))
+    right = sorted(map(repr, (r.asDict(recursive=True) for r in rebuilt.collect())))
+    assert left == right
+    assert rebuilt.schema == df.schema
+
+
+def test_paced_replay_delays_match_timestamps(spark):
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("event_id", "ts_ns")
+        .orderBy("ts_ns")
+        .limit(20)
+    )
+    out = list(paced_replay(ev, speedup=1000.0))
+    assert len(out) == 20
+    assert out[0][0] == 0.0
+    ts = [r.ts_ns for _, r in out]
+    assert ts == sorted(ts)
+    for (sleep, _), prev_t, t in zip(out[1:], ts, ts[1:]):
+        assert abs(sleep - (t - prev_t) / 1e9 / 1000.0) < 1e-9
