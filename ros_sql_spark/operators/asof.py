@@ -1,0 +1,110 @@
+"""As-of and interval (time-proximity) joins — stream-table operators the
+reference lacks and Spark has no built-in for (SURVEY.md §2.2 'Joins:
+range / as-of / interval').
+
+Both are implemented as SCALABLE reformulations, not theta joins:
+
+- ``asof_join`` (backward): union the two sides, one window pass per key
+  carries the latest right-side payload forward, keep left rows.  Single
+  shuffle on the key — O((|L|+|R|) log) per key vs the O(|L|·|R|) naive
+  non-equi join.  Matches DuckDB's ASOF JOIN semantics (latest right row
+  with r.ts <= l.ts; ties on ts resolve to the right row, i.e. a right
+  event AT the left timestamp matches).
+- ``interval_join``: time-bucketize both sides at the window width and
+  equi-join on (key, bucket±1), then filter the exact predicate.  Each
+  true pair is found exactly once (the right row's single bucket falls
+  in exactly one of the left row's three probes), so no dedup pass.
+  Scales as Σ bucket-occupancy² instead of N² per key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the payload of the LATEST
+    right row with ``right_ts <= left_ts`` in the same ``on`` group
+    (NULLs when no such row).  Among right rows sharing the exact match
+    timestamp the carried payload is one of them (unspecified which,
+    like SQL ASOF).
+
+    Output: all left columns + ``right_payload`` columns.
+    """
+    lcols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1): a right
+    # event exactly at the left timestamp is visible to it (<= semantics)
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r = (
+        right.select(*on, F.col(right_ts).alias("_ts"), payload.alias("_pay"))
+        .withColumn("_side", F.lit(0))
+    )
+    l_aug = l.select(
+        *[F.col(c) for c in lcols], "_ts", "_side", F.lit(None).cast(
+            r.schema["_pay"].dataType
+        ).alias("_pay")
+    )
+    r_aug = r.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        "_ts",
+        "_side",
+        "_pay",
+    )
+    u = l_aug.unionByName(r_aug)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_pay", ignorenulls=True).over(w)
+    out = u.withColumn("_carried", carried).filter(F.col("_side") == 1)
+    return out.select(
+        *lcols, *[F.col(f"_carried.{c}").alias(c) for c in right_payload]
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_ns: int,
+) -> DataFrame:
+    """All (left, right) pairs in the same ``on`` group whose timestamps
+    differ by at most ``window_ns`` (inclusive).  Output: left columns +
+    right columns (right's renamed with ``r_`` prefix where colliding).
+
+    Bucketized: probes only adjacent time buckets, never the full group.
+    """
+    rcols = [c for c in right.columns if c not in on]
+    renamed = {c: (f"r_{c}" if c in left.columns else c) for c in rcols}
+    rts = renamed.get(right_ts, right_ts)
+    r = right.select(
+        *on, *[F.col(c).alias(renamed[c]) for c in rcols]
+    ).withColumn("_rbucket", F.expr(f"{rts} div {window_ns}"))
+    probes = F.array(
+        F.expr(f"{left_ts} div {window_ns} - 1"),
+        F.expr(f"{left_ts} div {window_ns}"),
+        F.expr(f"{left_ts} div {window_ns} + 1"),
+    )
+    l = left.withColumn("_rbucket", F.explode(probes))
+    joined = l.join(r, [*on, "_rbucket"]).filter(
+        F.abs(F.col(left_ts) - F.col(rts)) <= F.lit(window_ns)
+    )
+    return joined.drop("_rbucket")

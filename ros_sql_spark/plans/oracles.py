@@ -337,4 +337,29 @@ ORACLES: dict[str, str] = {
     # stubbed codec — not SQL-expressible).
     # q40_ann_lsh: rows-only (probabilistic recall by construction; tested
     # against the exact baseline in tests/test_operators.py).
+    "q41_asof_join": """
+        WITH c AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.event_id, c.user_id, epoch_us(p.ts) AS prev_purchase_us
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "q42_interval_join": """
+        SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+               abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+    """,
+    "q43_cube": """
+        SELECT lang, source,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY CUBE(lang, source)
+    """,
 }

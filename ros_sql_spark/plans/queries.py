@@ -553,6 +553,70 @@ def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=3, bands=8, planes_per_band=4)
 
 
+def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click's most recent prior-or-equal
+    purchase timestamp per user (union + one window pass per key — the
+    scalable reformulation; oracle uses DuckDB's native ASOF JOIN)."""
+    from ros_sql_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_ns"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns").alias("p_ts_ns")
+    ).withColumn("prev_purchase_us", F.expr("p_ts_ns div 1000"))
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts_ns",
+        right_ts="p_ts_ns",
+        right_payload=["prev_purchase_us"],
+    )
+    return out.select("event_id", "user_id", "prev_purchase_us")
+
+
+def q42_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: same-user event pairs within 1 hour, via
+    time-bucketized equi-join (probes 3 adjacent buckets, never the full
+    user group — Σ occupancy² instead of N² per key)."""
+    from ros_sql_spark.operators.asof import interval_join
+
+    # Work in µs floored PER TIMESTAMP: DuckDB 1.0 truncates
+    # TIMESTAMP(NANOS) parquet to µs on read, so µs differences are the
+    # finest time arithmetic the oracle can see — flooring the ns *gap*
+    # instead would drift by 1µs on ~half the rows (observed).
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", tus("ts_ns").alias("us")
+    )
+    out = interval_join(
+        ev,
+        ev,
+        on=["user_id"],
+        left_ts="us",
+        right_ts="us",
+        window_ns=3_600_000_000,  # 1 hour in µs (param is unit-agnostic)
+    )
+    return (
+        out.filter(F.col("event_id") < F.col("r_event_id"))
+        .select(
+            F.col("event_id").alias("event_a"),
+            F.col("r_event_id").alias("event_b"),
+            "user_id",
+            F.abs(F.col("us") - F.col("r_us")).alias("gap_us"),
+        )
+    )
+
+
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over documents (rollup's sibling, q13)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -594,4 +658,7 @@ QUERIES = {
     "q38_fingerprint": q38_fingerprint,
     "q39_multimodal_features": q39_multimodal_features,
     "q40_ann_lsh": q40_ann_lsh,
+    "q41_asof_join": q41_asof_join,
+    "q42_interval_join": q42_interval_join,
+    "q43_cube": q43_cube,
 }

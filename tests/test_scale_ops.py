@@ -108,3 +108,61 @@ def test_partitioned_events_prune_partitions(spark, tmp_path):
     )[1][:200]
     expect = ev.filter(F.to_date("ts") == "2024-01-15").count()
     assert one_day.count() == expect > 0
+
+
+def test_asof_join_equals_naive(spark):
+    """Window-based asof == naive per-left max(right.ts <= left.ts)."""
+    from ros_sql_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_ns"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ns").alias("p_ts")
+    )
+    got = {
+        (r.event_id, r.p_ts)
+        for r in asof_join(
+            clicks, purch, ["user_id"], "ts_ns", "p_ts", ["p_ts"]
+        ).collect()
+    }
+    naive = (
+        clicks.join(purch, "user_id", "left")
+        .filter((F.col("p_ts") <= F.col("ts_ns")) | F.col("p_ts").isNull())
+        .groupBy("event_id")
+        .agg(F.max("p_ts").alias("p_ts"))
+    )
+    # clicks with no qualifying purchase drop out of the naive inner side;
+    # re-add them as NULL matches
+    naive_full = clicks.select("event_id").join(naive, "event_id", "left")
+    expect = {(r.event_id, r.p_ts) for r in naive_full.collect()}
+    assert got == expect
+
+
+def test_interval_join_equals_naive_theta(spark):
+    from ros_sql_spark.operators.asof import interval_join
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts_ns"
+    )
+    w = 3_600_000_000_000
+    fast = {
+        (r.event_id, r.r_event_id)
+        for r in interval_join(ev, ev, ["user_id"], "ts_ns", "ts_ns", w)
+        .filter(F.col("event_id") < F.col("r_event_id"))
+        .collect()
+    }
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("eb"), F.col("ts_ns").alias("tb")
+    )
+    naive = {
+        (r.event_id, r.eb)
+        for r in ev.join(b, "user_id")
+        .filter(
+            (F.col("event_id") < F.col("eb"))
+            & (F.abs(F.col("ts_ns") - F.col("tb")) <= w)
+        )
+        .collect()
+    }
+    assert fast == naive
