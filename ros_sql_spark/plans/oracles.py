@@ -362,4 +362,18 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY CUBE(lang, source)
     """,
+    "q44_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90
+        FROM events
+        GROUP BY event_type
+    """,
+    "q45_moment_stats": """
+        SELECT event_type,
+               round(stddev_samp(value), 6) AS sd,
+               round(corr(value, CAST(user_id AS DOUBLE)), 6) AS c
+        FROM events
+        GROUP BY event_type
+    """,
 }

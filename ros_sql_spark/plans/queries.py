@@ -617,6 +617,25 @@ def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated percentiles per group (continuous quantiles — both
+    engines use linear interpolation; rounded for float parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        r6(F.expr("percentile(value, 0.9)")).alias("p90"),
+    )
+
+
+def q45_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics: sample stddev + correlation per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        r6(F.stddev_samp("value")).alias("sd"),
+        r6(F.corr("value", F.col("user_id").cast("double"))).alias("c"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -661,4 +680,6 @@ QUERIES = {
     "q41_asof_join": q41_asof_join,
     "q42_interval_join": q42_interval_join,
     "q43_cube": q43_cube,
+    "q44_percentiles": q44_percentiles,
+    "q45_moment_stats": q45_moment_stats,
 }
