@@ -6,12 +6,14 @@ Two tiers:
   similarities are higher-order expressions (zip_with + aggregate) in
   double precision, JVM-side; ranking is a per-query window.  Correct
   baseline at any corpus size when the QUERY set is small.
-- ``lsh_knn``: random-hyperplane LSH.  Each vector gets a ``num_planes``-
-  bit signature; candidates share a signature bucket (optionally within
-  Hamming-adjacent buckets via multi-probe); exact rerank inside buckets.
-  The all-pairs O(N²) shuffle becomes an equi-join on bucket id — the
-  100 TB path.  Plane matrix is a seeded literal (deterministic, tiny:
-  planes × dim doubles shipped in the plan, no driver collect).
+- ``lsh_knn``: banded random-hyperplane LSH.  Each vector gets one
+  bucket id per hash table (Arrow-batched numpy matmul — see
+  hyperplane_buckets for why a pandas_udf beats interpreted higher-order
+  functions here); candidates share any (band, bucket); exact rerank
+  inside buckets.  The all-pairs O(N²) shuffle becomes an equi-join on
+  bucket id — the 100 TB path.
+- ``ivf_knn``: KMeans coarse quantizer + n_probe nearest cells + exact
+  rerank (train on a sample at scale; assignment is a projection).
 
 Float discipline: embeddings are float32 on disk; every dot product
 casts elements to double first and derived scores round to 6 dp
@@ -21,6 +23,9 @@ casts elements to double first and derived scores round to 6 dp
 from __future__ import annotations
 
 import random
+
+import numpy as np
+import pandas as pd
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -101,7 +106,7 @@ def hyperplane_buckets(
     planes_per_band: int = 4,
     seed: int = 42,
 ) -> Column:
-    """array<struct<band,bucket>> — one LSH bucket id per hash table.
+    """array<bigint> — one LSH bucket id per hash table (index = band).
 
     Classic multi-table random-hyperplane LSH: a neighbor is a candidate
     if it agrees with the query on ALL ``planes_per_band`` signs in ANY
@@ -109,29 +114,40 @@ def hyperplane_buckets(
     single table (L=1) has vanishing recall for moderate similarity
     (measured 4% at cos≈0.4 with 6 planes), which is why this is banded.
 
-    Pure projection: every plane is a seeded literal, dots are zip_with
-    folds, no shuffle and no UDF.
+    Implementation is an Arrow-batched pandas_udf doing ONE numpy matmul
+    (batch × dim) @ (dim × bands·r) per batch.  This is the engine's one
+    deliberate exception to "built-ins beat UDFs": Spark higher-order
+    functions are *interpreted* (never whole-stage-codegen'd), and 32
+    per-row lambda folds measured 5.3s for 500 rows vs ~0.1s for the
+    vectorized matmul — here the Arrow+numpy path IS the JVM-beating
+    path.  Deterministic: planes are seeded per band.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(
+        [
+            plane
+            for b in range(bands)
+            for plane in _planes(planes_per_band, dim, seed + 1000 * b)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, bands*r)
+    weights = np.array(
+        [1 << j for _ in range(bands) for j in range(planes_per_band)],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (m @ mat) > 0  # (n, bands*r)
+        packed = (signs * weights).reshape(len(m), bands, planes_per_band).sum(
+            axis=2
+        )  # (n, bands)
+        return pd.Series(list(packed))
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    entries = []
-    for b in range(bands):
-        bucket = F.lit(0).cast("bigint")
-        for j, plane in enumerate(
-            _planes(planes_per_band, dim, seed + 1000 * b)
-        ):
-            p = F.array(*[F.lit(x) for x in plane])
-            d = F.aggregate(
-                F.zip_with(v, p, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-            bucket = bucket + F.when(
-                d > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
-            ).otherwise(F.lit(0).cast("bigint"))
-        entries.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
-    return F.array(*entries)
+    return _buckets(v)
 
 
 def lsh_knn(
@@ -162,17 +178,15 @@ def lsh_knn(
     from ros_sql_spark.functions.util import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    bk = lambda col: F.explode(
+    bk = lambda col: F.posexplode(
         hyperplane_buckets(col, dim, bands, planes_per_band, seed)
-    ).alias("_bb")
-    c = corpus.select(F.col(id_col), F.col(vec_col), bk(vec_col)).select(
-        id_col, vec_col, "_bb.band", "_bb.bucket"
-    )
+    ).alias("band", "bucket")
+    c = corpus.select(F.col(id_col), F.col(vec_col), bk(vec_col))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
         bk(vec_col),
-    ).select(query_id_col, "_qvec", "_bb.band", "_bb.bucket")
+    )
     joined = c.join(q, ["band", "bucket"])
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))

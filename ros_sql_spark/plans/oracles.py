@@ -376,4 +376,10 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q46_json_map_explode": """
+        SELECT event_id, k AS key,
+               CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
+        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+              FROM events)
+    """,
 }

@@ -636,6 +636,17 @@ def q45_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into a map and explode
+    its entries (the ROS model has no maps — engine extension,
+    SURVEY.md §2.2 'Map / JSON functions')."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -682,4 +693,5 @@ QUERIES = {
     "q43_cube": q43_cube,
     "q44_percentiles": q44_percentiles,
     "q45_moment_stats": q45_moment_stats,
+    "q46_json_map_explode": q46_json_map_explode,
 }
