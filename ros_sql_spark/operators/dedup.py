@@ -8,8 +8,8 @@ Design for 100 TB:
 - Everything is built-in Spark SQL expressions (xxhash64, higher-order
   array functions) — JVM execution, zero Python in the hot path.
 - Signature computation is SHUFFLE-FREE: each doc's 64-dim MinHash is a
-  single projection (nested transform/array_min over the shingle array).
-  No explode, no groupBy — embarrassingly parallel per partition, so it
+  single aggregate fold over the shingle-hash array (one projection, no
+  explode, no groupBy) — embarrassingly parallel per partition, so it
   scales linearly with executors.
 - Duplicate shingles are NOT deduplicated first: min() is insensitive to
   multiplicity, so the distinct-shuffle would be pure waste.

@@ -141,3 +141,15 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_knn(emb, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_knn(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_count_distinct (HLL++) within its rsd bound vs exact —
+    SURVEY.md §2.2 'Distinct aggregation' approximate path (no oracle:
+    DuckDB's HLL parameters differ, so values can't hash-match)."""
+    ev = spark.read.parquet(f"{SF_SMALL.replace('sf0.001','sf0.01')}/events.parquet")
+    rows = ev.select(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).head()
+    assert abs(rows.approx - rows.exact) / rows.exact < 0.1
