@@ -17,7 +17,24 @@ TABLE_NAMES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("ros_sql_spark-tests", cpus=8, shuffle_partitions=8)
+    import os
+    import tempfile
+
+    # static conf: must be set before the session exists (bucketed-table
+    # tests need a scratch warehouse)
+    os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="rosql_wh_"))
+    from pyspark.sql import SparkSession
+
+    from ros_sql_spark.session import configure_builder
+
+    builder = (
+        SparkSession.builder.appName("ros_sql_spark-tests")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"])
+    )
+    s = configure_builder(builder).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

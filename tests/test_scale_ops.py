@@ -166,3 +166,28 @@ def test_interval_join_equals_naive_theta(spark):
         .collect()
     }
     assert fast == naive
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """orders/lineitem bucketed on the join key -> SortMergeJoin with ZERO
+    Exchange on either side (write-time co-location; the 100 TB join
+    strategy)."""
+    from ros_sql_spark.sources.bucketing import bucketed_table, write_bucketed
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    bo, bl = bucketed_table(spark, "b_orders"), bucketed_table(spark, "b_lineitem")
+    # disable broadcast so the join strategy is genuinely SMJ-on-buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
