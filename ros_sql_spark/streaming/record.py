@@ -1,0 +1,131 @@
+"""Live multi-topic recording — the streaming twin of the reference's
+``record.py`` end-to-end (SURVEY.md §3.1).
+
+The reference subscribes N ROS topics at once and lands each message in
+that topic's normalized tables.  Here the live bus is a multiplexed
+streaming DataFrame carrying a topic column; each micro-batch is
+demultiplexed, shredded with operators.normalize, and appended to the
+same on-disk store layout that ``api.playback`` reads — so record →
+store → ordered replay is one continuous, catalog-described pipeline:
+
+    cat = declare_topics(store, {"click": schema, ...}, ["event_id"])
+    q = record_stream(stream, "event_type", store, ["event_id"], ck)
+    q.awaitTermination()
+    playback(spark, store, "click")          # ns-ordered replay
+
+Schema declaration happens UP FRONT (R1: declare-before-write; R15:
+idempotent re-declare) — a topic arriving in the stream without a
+catalog entry is an error surfaced at declare time, not silent schema
+drift at write time.
+
+Scale notes: the demux loop appends per topic per batch — N topics cost
+N filtered writes over one cached batch; at high topic counts switch to
+a single ``partitionBy(topic)`` write of the root table and shred child
+tables with topic kept as a key column.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ros_sql_spark.api import CATALOG_FILE, _meta_to_dict
+from ros_sql_spark.operators.normalize import normalize
+from ros_sql_spark.sources.catalog import EngineCatalog, namify
+
+__all__ = ["declare_topics", "record_stream"]
+
+
+def declare_topics(
+    store_path: str,
+    topics: dict[str, T.StructType],
+    key_cols: list[str],
+    ts_col: str | None = "ts_ns",
+) -> EngineCatalog:
+    """R1/R15: declare every topic's schema before any message lands.
+
+    The backref ledger is derived by dry-running the shred planner on an
+    empty frame of the declared schema, so playback can reassemble
+    without ever having seen data.
+    """
+    from ros_sql_spark.session import get_spark
+
+    cat_path = os.path.join(store_path, CATALOG_FILE)
+    catalog = (
+        EngineCatalog.load(cat_path) if os.path.exists(cat_path) else EngineCatalog()
+    )
+    spark = get_spark()
+    for topic, schema in topics.items():
+        empty = spark.createDataFrame([], schema)
+        norm = normalize(empty, list(key_cols), table=namify(topic))
+        catalog.add_topic(
+            topic,
+            schema,
+            key_cols=list(key_cols),
+            ts_col=ts_col if ts_col in schema.names else None,
+            children=[_meta_to_dict(m) for m in norm.children],
+        )
+    os.makedirs(store_path, exist_ok=True)
+    catalog.save(cat_path)
+    return catalog
+
+
+def record_stream(
+    stream: DataFrame,
+    topic_col: str,
+    store_path: str,
+    key_cols: list[str],
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """R12/R7 twins: demux a multiplexed stream into per-topic normalized
+    stores, micro-batch-at-a-time.
+
+    Topic values in ``topic_col`` must match declared topic names
+    (declare_topics).  Undeclared values fail the batch loudly — the
+    reference's declare-before-write contract.
+    """
+    catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+    declared = set(catalog.topics)
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            seen = {
+                r[0]
+                for r in batch.select(topic_col).distinct().collect()
+            }
+            unknown = seen - declared
+            if unknown:
+                raise ValueError(
+                    f"stream carries undeclared topics {sorted(unknown)}; "
+                    "declare_topics them first (R1 declare-before-write)"
+                )
+            for topic in seen:
+                sub = batch.filter(F.col(topic_col) == topic).drop(topic_col)
+                declared_schema = catalog.schema_of(topic)
+                if sub.schema != declared_schema:
+                    raise ValueError(
+                        f"topic {topic!r}: stream schema "
+                        f"{sub.schema.simpleString()} != declared "
+                        f"{declared_schema.simpleString()} (R15 guard)"
+                    )
+                norm = normalize(sub, list(catalog.topics[topic].key_cols),
+                                 table=namify(topic))
+                base = os.path.join(store_path, namify(topic))
+                for name, tbl in norm.tables.items():
+                    tbl.write.mode("append").parquet(os.path.join(base, name))
+        finally:
+            batch.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
