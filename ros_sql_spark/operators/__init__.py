@@ -1,0 +1,19 @@
+from ros_sql_spark.operators.asof import asof_join, interval_join  # noqa: F401
+from ros_sql_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_bands,
+    minhash_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from ros_sql_spark.operators.multimodal import as_assets, extract_features  # noqa: F401
+from ros_sql_spark.operators.normalize import denormalize, normalize  # noqa: F401
+from ros_sql_spark.operators.similarity import (  # noqa: F401
+    brute_force_knn,
+    ivf_knn,
+    lsh_knn,
+)
+from ros_sql_spark.operators.skew import (  # noqa: F401
+    salted_aggregate,
+    salted_broadcast_left_join,
+)
