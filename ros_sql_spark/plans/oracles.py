@@ -382,4 +382,36 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
               FROM events)
     """,
+    "q47_window_frames": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS sum3,
+               round(min(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS run_min,
+               ntile(4) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+        FROM events
+    """,
+    "q48_string_funcs": """
+        SELECT doc_id,
+               upper(substr(text, 1, 24)) AS u,
+               replace(lower(substr(text, 1, 24)), ' ', '_') AS r,
+               lpad(lang, 5, '.') AS padded,
+               CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+               reverse(source) AS rev_src
+        FROM documents
+    """,
+    "q49_null_logic": """
+        SELECT event_id,
+               coalesce(nullif(event_type, 'error'), 'none') AS et_or_none,
+               round(least(value, 100.0), 6) AS capped,
+               round(greatest(value, 1.0), 6) AS floored,
+               CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 200 THEN 'mid'
+                    ELSE 'high' END AS bucket
+        FROM events
+    """,
 }

@@ -647,6 +647,56 @@ def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames beyond lag: sliding-frame sum, running min,
+    ntile quartiles (SURVEY.md §2.2 'Window: analytic + frames')."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    sliding = w.rowsBetween(-2, 0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        r6(F.sum("value").over(sliding)).alias("sum3"),
+        r6(F.min("value").over(running)).alias("run_min"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q48_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery: case mapping, substring, replace, pad,
+    position, reverse — identical semantics asserted cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.upper(head).alias("u"),
+        F.replace(F.lower(head), F.lit(" "), F.lit("_")).alias("r"),
+        F.lpad(F.col("lang"), 5, ".").alias("padded"),
+        F.instr("text", F.lit("data")).cast("bigint").alias("pos_data"),
+        F.reverse(F.col("source")).alias("rev_src"),
+    )
+
+
+def q49_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/NULL logic: nullif, coalesce, least/greatest, CASE."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("none")).alias(
+            "et_or_none"
+        ),
+        r6(F.least("value", F.lit(100.0))).alias("capped"),
+        r6(F.greatest("value", F.lit(1.0))).alias("floored"),
+        bucket.alias("bucket"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -694,4 +744,7 @@ QUERIES = {
     "q44_percentiles": q44_percentiles,
     "q45_moment_stats": q45_moment_stats,
     "q46_json_map_explode": q46_json_map_explode,
+    "q47_window_frames": q47_window_frames,
+    "q48_string_funcs": q48_string_funcs,
+    "q49_null_logic": q49_null_logic,
 }

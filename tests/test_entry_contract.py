@@ -1,0 +1,45 @@
+"""Driver-contract consistency guards: queries/oracles stay in sync and
+well-formed as the suite grows."""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_every_oracle_has_a_query():
+    m = _load_entry()
+    qs, os_ = m.queries(), m.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+
+
+def test_rows_only_queries_are_the_documented_ones():
+    m = _load_entry()
+    rows_only = set(m.queries()) - set(m.oracle_sql())
+    assert rows_only == {
+        "q26_dedup_minhash",  # xxhash64 LSH not SQL-expressible
+        "q39_multimodal_features",  # mapInPandas plumbing
+        "q40_ann_lsh",  # probabilistic recall by construction
+    }, rows_only
+
+
+def test_query_callables_take_spark_and_sfdir():
+    m = _load_entry()
+    for name, fn in m.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, (name, params)
+
+
+def test_oracles_are_nonempty_sql():
+    m = _load_entry()
+    for name, sql in m.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
