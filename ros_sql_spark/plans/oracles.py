@@ -414,4 +414,11 @@ ORACLES: dict[str, str] = {
                     ELSE 'high' END AS bucket
         FROM events
     """,
+    "q50_having": """
+        SELECT user_id, count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS total
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) > 30
+    """,
 }

@@ -697,6 +697,20 @@ def q49_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter pushed nowhere —
+    semantically a filter over the aggregate, planned as such)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(money("value")).alias("total"),
+        )
+        .filter(F.col("n") > 30)
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -747,4 +761,5 @@ QUERIES = {
     "q47_window_frames": q47_window_frames,
     "q48_string_funcs": q48_string_funcs,
     "q49_null_logic": q49_null_logic,
+    "q50_having": q50_having,
 }
