@@ -421,4 +421,33 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > 30
     """,
+    "q51_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    "q52_rank_stats": """
+        WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey AS c_custkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               CAST(dense_rank() OVER w AS BIGINT) AS dr
+        FROM spend
+        WINDOW w AS (ORDER BY total DESC, o_custkey)
+    """,
+    "q53_grouping_id": """
+        SELECT lang, source, count(*) AS n,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+    """,
 }

@@ -711,6 +711,47 @@ def q50_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts widened to one column per type.
+    Explicit value list (never let pivot scan for distinct values at
+    scale); absent cells filled 0 to match FILTER-count semantics."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+def q52_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, dense_rank
+    over an exact-decimal spend ranking."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("total")
+    )
+    w = Window.orderBy(F.desc("total"), "o_custkey")
+    return spend.select(
+        F.col("o_custkey").alias("c_custkey"),
+        r6(F.percent_rank().over(w)).alias("pr"),
+        r6(F.cume_dist().over(w)).alias("cd"),
+        F.dense_rank().over(w).cast("bigint").alias("dr"),
+    )
+
+
+def q53_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING(): disambiguates subtotal NULLs from data
+    NULLs (the correctness-critical companion to q13/q43)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.grouping("lang").cast("bigint").alias("g_lang"),
+        F.grouping("source").cast("bigint").alias("g_source"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -762,4 +803,7 @@ QUERIES = {
     "q48_string_funcs": q48_string_funcs,
     "q49_null_logic": q49_null_logic,
     "q50_having": q50_having,
+    "q51_pivot": q51_pivot,
+    "q52_rank_stats": q52_rank_stats,
+    "q53_grouping_id": q53_grouping_id,
 }
