@@ -1,0 +1,104 @@
+"""Scale-safe global ranking (SURVEY.md §2.2 'Window: ranking' at scale).
+
+``Window.orderBy(...)`` with no ``partitionBy`` plans a SINGLE-PARTITION
+global sort: every row funnels through one task (Spark warns "No
+Partition Defined for Window operation").  Fine for a 25-row dimension,
+a scale-killer for anything data-sized — round-1 VERDICT flagged q52 for
+exactly this.
+
+``global_row_number`` computes an exact global row number with NO
+single-task stage:
+
+1. ``repartitionByRange`` on the ordering expressions — a parallel range
+   shuffle (sampled boundaries), partition ids ascending in key order.
+   AQE may coalesce partitions but only merges ADJACENT ranges, so id
+   order still tracks key order.
+2. per-partition ``row_number`` (Window partitioned by the physical
+   partition id — parallel, one local sort per partition).
+3. global offset per partition = Σ counts of earlier partitions.  The
+   counts table has ≤ numPartitions rows (bounded by CLUSTER size, not
+   data size), so offsets come from a broadcast triangular self-join —
+   deliberately NOT a window, keeping the plan free of any
+   empty-partition Window node (asserted in tests/test_plans.py).
+
+With a UNIQUE ordering key (enforce by appending a tiebreak id), the
+distribution statistics are then pure arithmetic:
+    rank = dense_rank = row_number = rn
+    percent_rank = (rn - 1) / (n - 1)
+    cume_dist    = rn / n
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["global_row_number", "rank_stats"]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact global ``row_number`` over ``order_exprs`` without a
+    single-partition sort.  ``order_exprs`` should be a total order
+    (append a unique tiebreak column); ties across a range boundary would
+    otherwise land in either partition and make numbering of equals
+    nondeterministic (numbering of DISTINCT keys is always exact).
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(p, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
+    local = part.withColumn("_lrn", F.row_number().over(w_local))
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    earlier = counts.select(
+        F.col("_pid").alias("_pid_e"), F.col("_cnt").alias("_cnt_e")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(earlier), F.col("_pid_e") < F.col("_pid"), "left"
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt_e"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def rank_stats(
+    df: DataFrame,
+    order_exprs: list[Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``rn`` (= rank = dense_rank under a unique ordering key),
+    ``pr`` (percent_rank) and ``cd`` (cume_dist) columns, all derived
+    arithmetically from the two-phase global row number — the scale-safe
+    replacement for an unpartitioned ranking Window.
+
+    ``order_exprs`` MUST be a total order (unique per row) — that is
+    what makes rank == dense_rank == row_number and lets percent_rank /
+    cume_dist reduce to (rn-1)/(n-1) and rn/n.
+    """
+    ranked = global_row_number(df, order_exprs, rn_col="rn", num_partitions=num_partitions)
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(
+            "pr",
+            F.when(F.col("_n") > 1, (F.col("rn") - 1) / (F.col("_n") - 1)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("cd", F.col("rn") / F.col("_n"))
+        .drop("_n")
+    )

@@ -61,7 +61,7 @@ ORACLES: dict[str, str] = {
     "q07_child_reassemble": """
         SELECT o_orderkey,
                count(*) AS n_items,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         FROM orders
         JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY o_orderkey
@@ -78,17 +78,18 @@ ORACLES: dict[str, str] = {
     """,
     "q10_json_extract": """
         SELECT event_id,
-               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+               TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
         FROM events
     """,
     "q11_pricing_summary": """
         SELECT l_returnflag,
                l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                   AS sum_disc_price,
+                   AS DOUBLE) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -142,7 +143,8 @@ ORACLES: dict[str, str] = {
     """,
     "q17_topk": """
         SELECT o_custkey AS c_custkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
         FROM orders
         GROUP BY o_custkey
         ORDER BY total_price DESC, c_custkey
@@ -378,7 +380,7 @@ ORACLES: dict[str, str] = {
     """,
     "q46_json_map_explode": """
         SELECT event_id, k AS key,
-               CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
+               TRY_CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS val
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
               FROM events)
     """,
@@ -416,7 +418,7 @@ ORACLES: dict[str, str] = {
     """,
     "q50_having": """
         SELECT user_id, count(*) AS n,
-               sum(CAST(value AS DECIMAL(18,2))) AS total
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY user_id
         HAVING count(*) > 30

@@ -78,14 +78,16 @@ def q03_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q04_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 ordered replay head: first 50 messages in (time, id) order.
-    Ordering uses the exact ns key (ts_ns) so ties resolve identically
-    to the ns-resolution oracle; Spark executes this as a TakeOrdered
+    Ordering uses the µs-floored key (tus) + event_id: the DuckDB oracle
+    only sees µs-truncated TIMESTAMP(NANOS), so any same-µs pair must
+    tie-break on event_id in BOTH engines (ns-ordering would diverge on
+    a same-µs collision).  Spark still executes this as a TakeOrdered
     (top-k per partition + merge), not a full sort."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.orderBy("ts_ns", "event_id")
+        ev.select("event_id", tus("ts_ns").alias("tus"))
+        .orderBy("tus", "event_id")
         .limit(50)
-        .select("event_id", tus("ts_ns").alias("tus"))
     )
 
 
@@ -127,9 +129,13 @@ def q07_child_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side ~4× ahead of the shuffle join, and inner-join semantics are
     # preserved (groups without a parent order drop, orders without items
     # drop — identical to join-then-group).
+    # Exact DECIMAL(18,2) math INSIDE the aggregate; the driver-visible
+    # output is cast to DOUBLE (lossless here — 2-dp values ≪ 2⁵³) so both
+    # engines' pandas canonicalization renders identically ("26.0", never
+    # Decimal("26.00") vs float 26.0 — the round-1 q07/q11/q50 hash gap).
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
-        F.sum(money("l_quantity")).alias("total_qty"),
+        F.sum(money("l_quantity")).cast("double").alias("total_qty"),
     )
     return orders.join(
         per_order, orders.o_orderkey == per_order.l_orderkey, "inner"
@@ -189,9 +195,11 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).alias("sum_qty"),
-            F.sum(money("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
+            # exact decimal sums; DOUBLE only at the output boundary
+            # (driver-canonicalization parity — see q07)
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -215,9 +223,11 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: first event per user. Deterministic order key
-    (ts_ns, event_id) — exact ns resolution for tie parity."""
+    (µs-floored time, event_id) — the oracle's TIMESTAMP(NANOS) column is
+    µs-truncated on read, so µs+id is the finest cross-engine-stable key
+    (CLAUDE.md time invariant)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy(tus("ts_ns"), F.col("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -226,12 +236,13 @@ def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window: inter-event gap per user in exact µs."""
+    """Analytic window: inter-event gap per user in exact µs.  Window
+    ordered by the µs key itself (+id tiebreak) for oracle parity."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     us = tus("ts_ns")
     return (
-        ev.select("user_id", "event_id", "ts_ns", us.alias("us"))
+        ev.select("user_id", "event_id", us.alias("us"))
         .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
         .filter(F.col("gap_us").isNotNull())
         .select("user_id", "event_id", "gap_us")
@@ -242,12 +253,12 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (30-min gap) — the batch twin of the streaming
     session_window operator (ros_sql_spark.streaming)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     us = tus("ts_ns")
     gap = F.col("us") - F.lag("us").over(w)
     brk = F.when(gap > F.lit(1_800_000_000), 1).otherwise(0)
     return (
-        ev.select("user_id", "event_id", "ts_ns", us.alias("us"))
+        ev.select("user_id", "event_id", us.alias("us"))
         .withColumn("brk", brk)
         .groupBy("user_id")
         .agg((F.lit(1) + F.sum("brk")).cast("bigint").alias("n_sessions"))
@@ -259,7 +270,9 @@ def q17_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     return (
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.sum(money("o_totalprice")).alias("total_price"))
+        # exact decimal sum; DOUBLE at the output boundary (the cast is
+        # order-preserving and lossless, so the top-k set is unchanged)
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("total_price"))
         .orderBy(F.desc("total_price"), "c_custkey")
         .limit(10)
     )
@@ -536,12 +549,22 @@ def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only): binary payload + typed metadata →
     Arrow-batched mapInPandas feature extraction (deterministic fake
     codec — real decoders aren't in this container; see
-    operators/multimodal.py)."""
+    operators/multimodal.py).
+
+    The declared query digests the feature vector (md5 of its JSON form):
+    the driver's pandas canonicalizer can't sort/hash a raw list column
+    (round-1 q39 err), and a digest is equally strong as a plumbing
+    check.  API users get the raw array from extract_features."""
     from ros_sql_spark.operators.multimodal import as_assets, extract_features
 
     docs = _t(spark, sf_dir, "documents")
     assets = as_assets(docs, "doc_id", "text", "text/plain", source_col="source")
-    return extract_features(assets)
+    return extract_features(assets).select(
+        "asset_id",
+        "mime",
+        "n_bytes",
+        F.md5(F.to_json("features")).alias("features_md5"),
+    )
 
 
 def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,22 +579,28 @@ def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each click's most recent prior-or-equal
     purchase timestamp per user (union + one window pass per key — the
-    scalable reformulation; oracle uses DuckDB's native ASOF JOIN)."""
+    scalable reformulation; oracle uses DuckDB's native ASOF JOIN).
+
+    The as-of comparison runs on µs-FLOORED keys: DuckDB's ASOF sees
+    µs-truncated TIMESTAMP(NANOS), so a purchase later in the same µs as
+    a click must still match (CLAUDE.md time invariant; comparing raw ns
+    would silently diverge on same-µs collisions).  The carried payload
+    is the µs value itself, so same-µs right-side ties are value-stable."""
     from ros_sql_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts_ns"
+        "user_id", "event_id", tus("ts_ns").alias("us")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts_ns").alias("p_ts_ns")
-    ).withColumn("prev_purchase_us", F.expr("p_ts_ns div 1000"))
+        "user_id", tus("ts_ns").alias("prev_purchase_us")
+    )
     out = asof_join(
         clicks,
         purchases,
         on=["user_id"],
-        left_ts="ts_ns",
-        right_ts="p_ts_ns",
+        left_ts="us",
+        right_ts="prev_purchase_us",
         right_payload=["prev_purchase_us"],
     )
     return out.select("event_id", "user_id", "prev_purchase_us")
@@ -649,9 +678,10 @@ def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q47_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window frames beyond lag: sliding-frame sum, running min,
-    ntile quartiles (SURVEY.md §2.2 'Window: analytic + frames')."""
+    ntile quartiles (SURVEY.md §2.2 'Window: analytic + frames').
+    Frames ordered by the µs-floored key for oracle parity."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy(tus("ts_ns"), F.col("event_id"))
     sliding = w.rowsBetween(-2, 0)
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     return ev.select(
@@ -705,7 +735,7 @@ def q50_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum(money("value")).alias("total"),
+            F.sum(money("value")).cast("double").alias("total"),
         )
         .filter(F.col("n") > 30)
     )
@@ -727,17 +757,26 @@ def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q52_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist, dense_rank
-    over an exact-decimal spend ranking."""
+    over an exact-decimal spend ranking.
+
+    NOT a ``Window.orderBy`` with no partitionBy — that plans a
+    single-partition global sort (every customer through one task; the
+    round-1 scale-killer).  The ordering key (total DESC, o_custkey) is
+    unique, so rank == dense_rank == row_number and the distribution
+    stats are arithmetic over a two-phase range-partitioned global row
+    number (operators/rank.py).  Plan shape guarded in test_plans.py."""
+    from ros_sql_spark.operators.rank import rank_stats
+
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice")).alias("total")
     )
-    w = Window.orderBy(F.desc("total"), "o_custkey")
-    return spend.select(
+    ranked = rank_stats(spend, [F.desc("total"), F.asc("o_custkey")])
+    return ranked.select(
         F.col("o_custkey").alias("c_custkey"),
-        r6(F.percent_rank().over(w)).alias("pr"),
-        r6(F.cume_dist().over(w)).alias("cd"),
-        F.dense_rank().over(w).cast("bigint").alias("dr"),
+        r6(F.col("pr")).alias("pr"),
+        r6(F.col("cd")).alias("cd"),
+        F.col("rn").cast("bigint").alias("dr"),
     )
 
 

@@ -57,6 +57,51 @@ def test_q27_query_vector_broadcast(spark):
     assert "Broadcast" in p  # 1-row query side broadcast, corpus streams
 
 
+def test_q52_no_global_single_partition_window(spark):
+    """q52's distribution stats must come from the two-phase range-
+    partitioned ranking (operators/rank.py), never a Window.orderBy with
+    no partitionBy — that plans a single-partition sort of the whole
+    input (the round-1 scale-killer)."""
+    p = plan_of(spark, "q52_rank_stats")
+    # every window in the plan is partitioned by the physical partition id
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "_pid" in m.group(1), (
+            "unpartitioned Window in q52 plan:\n" + m.group(0)
+        )
+    # the parallel range shuffle replaces the global sort
+    assert "rangepartitioning" in p
+
+
+def test_rank_stats_matches_window_semantics(spark):
+    """Arithmetic pr/cd/rn from global_row_number == classic window
+    functions over the same (unique) ordering key."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ros_sql_spark.operators.rank import rank_stats
+    from ros_sql_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    got = rank_stats(spend, [F.desc("total"), F.asc("o_custkey")])
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    want = spend.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+    g = {r["o_custkey"]: r for r in got.collect()}
+    for r in want.collect():
+        gr = g[r["o_custkey"]]
+        assert gr["rn"] == r["rn"] == r["dr"]
+        assert abs(gr["pr"] - r["pr"]) < 1e-12
+        assert abs(gr["cd"] - r["cd"]) < 1e-12
+
+
 def test_no_cartesian_in_suite_except_intended(spark):
     """Only the pairwise-similarity queries may contain non-equi joins;
     everything else must plan equi/broadcast joins."""
