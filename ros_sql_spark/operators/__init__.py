@@ -8,6 +8,7 @@ from ros_sql_spark.operators.dedup import (  # noqa: F401
 )
 from ros_sql_spark.operators.multimodal import as_assets, extract_features  # noqa: F401
 from ros_sql_spark.operators.normalize import denormalize, normalize  # noqa: F401
+from ros_sql_spark.operators.rank import global_row_number, rank_stats  # noqa: F401
 from ros_sql_spark.operators.similarity import (  # noqa: F401
     brute_force_knn,
     ivf_knn,

@@ -23,6 +23,9 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -81,51 +84,149 @@ def token_shingles(tokens_col: str | Column, k: int = 3) -> Column:
     return F.when(n >= k, windowed).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, _hs: array<bigint>) — one xxhash64 per k-token shingle.
+
+    The string hashing stays JVM-side (one xxhash64 per shingle); both
+    signature backends below consume this column.
+    """
+    from ros_sql_spark.functions.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    return (
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(F.col(id_col), token_shingles("_toks", k).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+        )
+    )
+
+
+# Spark XXH64 constants (org.apache.spark.sql.catalyst.expressions.XXH64).
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_MASK = (1 << 64) - 1
+
+
+def _xxh64_fmix_py(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int_py(value: int, seed: int) -> int:
+    """Spark XXH64.hashInt (4-byte path) — used for the family index."""
+    h = (seed + _P5 + 4) & _MASK
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _MASK
+    h = ((h << 23 | h >> 41) & _MASK) * _P2 + _P3
+    return _xxh64_fmix_py(h & _MASK)
+
+
+def _family_seeds(num_hashes: int) -> "list[int]":
+    """seed_i such that Spark's xxhash64(i, h) == XXH64.hashLong(h, seed_i).
+
+    Spark folds multi-arg xxhash64 left-to-right starting from seed 42,
+    hashing the INT dimension index through the 4-byte path — so the i-th
+    family is fully determined by this precomputable per-dimension seed.
+    """
+    return [_xxh64_int_py(i, 42) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — one MinHash signature per document.
 
-    Each shingle string is hashed ONCE (xxhash64); the i-th family is then
-    xxhash64(i, h) over the fixed-width long — 64 cheap long-pair hashes
-    instead of 64 string hashes per shingle.
+    Each shingle string is hashed ONCE (xxhash64, JVM-side); the i-th
+    family value is xxhash64(i, h) over the fixed-width long and the
+    signature element is its min over the doc's shingles.
 
-    The signature is a single left fold (F.aggregate) over the shingle-hash
-    array: acc starts as 64× Long.MaxValue and every shingle updates all 64
-    minima in one zip_with pass.  Structuring it as "64 × array_min over
-    the shingles" instead is a 64× performance bug: Catalyst's
-    CollapseProject inlines the (once-referenced) shingle pipeline into
-    the per-i lambda, re-evaluating tokenize+shingle+hash per dimension
-    (verified in the optimized plan; 25s → <1s at sf0.1).
+    Two backends producing BIT-IDENTICAL signatures (asserted in
+    tests/test_operators.py):
 
-    Zero mandatory shuffles — a pure projection.  Small inputs (fewer
-    partitions than cores, e.g. a single parquet row-group) are
-    repartitioned so the projection actually parallelizes; at production
-    scale the input already has >cores partitions and this is a no-op.
+    - ``use_arrow=True`` (default): Arrow-batched pandas_udf that
+      replicates Spark's XXH64 long path in vectorized numpy — one
+      (shingles × dims) sweep per batch.  Spark higher-order lambdas are
+      interpreted (never whole-stage-codegen'd), and the 64-wide
+      per-shingle fold was the dominant q26 cost in round 1; this is the
+      same measured trade that justified the numpy matmul in
+      similarity.hyperplane_buckets (per-row CPU dominates at 100 TB).
+    - ``use_arrow=False``: pure-JVM single left fold (F.aggregate) over
+      the shingle-hash array.  Kept as the dependency-free reference;
+      NOT "64 × array_min over shingles" — Catalyst's CollapseProject
+      would re-inline the shingle pipeline per dimension (a measured 64×
+      bug, 25s → <1s at sf0.1).
+
+    Zero mandatory shuffles either way — a pure projection, linear in
+    executors.
     """
-    from ros_sql_spark.functions.util import ensure_parallelism
-
-    df = ensure_parallelism(df)
-    long_max = F.lit(9223372036854775807).cast("bigint")
-    dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded
-    return (
-        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
-        .select(F.col(id_col), token_shingles("_toks", k).alias("_sh"))
-        .select(
+    hs = _shingle_hashes(df, id_col, text_col, k)
+    if not use_arrow:
+        long_max = F.lit(9223372036854775807).cast("bigint")
+        dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded
+        return hs.select(
             F.col(id_col),
             F.aggregate(
-                F.transform("_sh", lambda s: F.xxhash64(s)),
+                F.col("_hs"),
                 F.array_repeat(long_max, num_hashes),
                 lambda acc, h: F.zip_with(
                     acc, dims, lambda a, i: F.least(a, F.xxhash64(i, h))
                 ),
             ).alias("sig"),
         )
-    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = np.array(_family_seeds(num_hashes), dtype=np.uint64)
+    p1, p2 = np.uint64(_P1), np.uint64(_P2)
+    p3, p4, p5 = np.uint64(_P3), np.uint64(_P4), np.uint64(_P5)
+
+    @pandas_udf("array<long>")
+    def _sigs(hs_col: pd.Series) -> pd.Series:
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs_col]
+        lens = np.array([len(a) for a in arrs])
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
+        flat = (
+            np.concatenate(arrs) if lens.sum() else np.array([], dtype=np.int64)
+        ).view(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        out = np.full((len(arrs), num_hashes), np.int64(2**63 - 1), dtype=np.int64)
+        nonempty = lens > 0
+        with np.errstate(over="ignore"):
+            # XXH64.hashLong(flat, seed_i), vectorized; one pass per dim
+            # keeps peak memory at |flat| instead of |flat|×dims
+            k1 = flat * p2
+            k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+            k1 *= p1
+            for i in range(num_hashes):
+                h = np.uint64(int(seeds[i]) + _P5 + 8 & _MASK) ^ k1
+                h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+                h ^= h >> np.uint64(33)
+                h *= p2
+                h ^= h >> np.uint64(29)
+                h *= p3
+                h ^= h >> np.uint64(32)
+                if len(flat):
+                    mins = np.minimum.reduceat(
+                        h.view(np.int64), np.minimum(starts, len(flat) - 1)
+                    )
+                    out[nonempty, i] = mins[nonempty]
+        return pd.Series(list(out))
+
+    return hs.select(F.col(id_col), _sigs("_hs").alias("sig"))
 
 
 def minhash_bands(

@@ -152,8 +152,8 @@ def hyperplane_buckets(
 
 def lsh_knn(
     corpus: DataFrame,
-    queries: DataFrame,
-    dim: int,
+    queries: DataFrame | None = None,
+    dim: int = 64,
     k: int = 5,
     bands: int = 8,
     planes_per_band: int = 4,
@@ -163,40 +163,85 @@ def lsh_knn(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
     num_planes: int | None = None,  # back-compat alias for planes_per_band
+    query_filter: Column | None = None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Approximate top-k: banded LSH candidate join + exact rerank.
 
-    Pipeline: explode per-vector bucket arrays (``bands`` rows each) →
-    equi-join corpus and queries on (band, bucket) → distinct candidate
-    pairs → exact cosine rerank → per-query top-k window.  The O(N²)
-    all-pairs problem becomes a shuffle join on bucket ids; skewed
-    buckets split via AQE.  Tune (bands, planes_per_band) for the
-    recall/cost point: more bands → higher recall, more candidates.
+    Pipeline: explode per-vector bucket ids (``bands`` narrow rows each,
+    NO vector payload) → equi-join corpus and query bucket tables on
+    (band, bucket) → dedup candidate pairs on (query_id, id) ONLY →
+    re-join the two vectors for the exact cosine rerank → per-query
+    top-k window.  The O(N²) all-pairs problem becomes a shuffle join on
+    bucket ids; skewed buckets split via AQE.
+
+    Shuffle discipline (the round-1 review nit): the candidate dedup
+    shuffles bare (query_id, id) pairs — carrying both 64-float vectors
+    through it multiplies shuffle bytes ~30× for nothing.  Vectors
+    re-enter via one corpus equi-join plus a broadcast of the (small)
+    query side.
+
+    ``query_filter``: when the query set IS a predicate over the corpus
+    (the common "probe my own corpus" case, e.g. q40), pass the
+    predicate instead of a separate ``queries`` frame — the query bucket
+    table derives from the corpus one, so only one bucketing pipeline
+    exists in the plan (the filter pushes below the pandas_udf, so the
+    UDF touches query rows once).  With ``persist_buckets=True`` the
+    narrow corpus bucket table is persisted and genuinely computed once
+    even when both sides consume it (worth it for all-pairs dedup runs;
+    3 longs/row vs recomputing the matmul).
+
+    Tune (bands, planes_per_band) for the recall/cost point: more bands
+    → higher recall, more candidates.
     """
     if num_planes is not None:
         planes_per_band = num_planes
+    if (queries is None) == (query_filter is None):
+        raise ValueError("pass exactly one of `queries` or `query_filter`")
     from ros_sql_spark.functions.util import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
     bk = lambda col: F.posexplode(
         hyperplane_buckets(col, dim, bands, planes_per_band, seed)
     ).alias("band", "bucket")
-    c = corpus.select(F.col(id_col), F.col(vec_col), bk(vec_col))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        bk(vec_col),
-    )
+
+    # narrow bucket tables: (id, band, bucket) — no vectors
+    c = corpus.select(F.col(id_col), bk(vec_col))
+    if query_filter is not None:
+        cq = corpus.filter(query_filter)
+        if persist_buckets:
+            c = c.persist()
+            qb = c.join(
+                F.broadcast(cq.select(id_col)), id_col
+            )
+        else:
+            qb = cq.select(F.col(id_col), bk(vec_col))
+        q = qb.select(
+            F.col(id_col).alias(query_id_col), "band", "bucket"
+        )
+        qvecs = cq.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    else:
+        q = queries.select(F.col(id_col).alias(query_id_col), bk(vec_col))
+        qvecs = queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+
     joined = c.join(q, ["band", "bucket"])
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
-    cand = joined.select(query_id_col, id_col, vec_col, "_qvec").dropDuplicates(
+    cand = joined.select(query_id_col, id_col).dropDuplicates(
         [query_id_col, id_col]
+    )
+    # rerank: corpus vectors via equi-join, query vectors broadcast
+    rerank = cand.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(qvecs), query_id_col
     )
     sim = F.round(cosine(vec_col, "_qvec"), 6)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        cand.select(query_id_col, id_col, sim.alias("sim"))
+        rerank.select(query_id_col, id_col, sim.alias("sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

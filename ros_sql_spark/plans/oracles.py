@@ -445,6 +445,26 @@ ORACLES: dict[str, str] = {
         FROM spend
         WINDOW w AS (ORDER BY total DESC, o_custkey)
     """,
+    # Each engine checks its own HLL sketch against its own exact count;
+    # the boolean and the exact count hash-match, the raw estimates
+    # (implementation-specific) never leave the engines.
+    "q54_approx_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+                   <= count(DISTINCT user_id) * 0.05 AS approx_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    "q55_grouping_sets": """
+        SELECT lang, source,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -569,11 +569,21 @@ def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (rows-only: recall is probabilistic
-    by design; tested against the exact baseline in tests/)."""
+    by design; tested against the exact baseline in tests/).  The query
+    set is a predicate over the corpus, so the bucket pipeline is built
+    once (query_filter form) and the candidate shuffle carries bare id
+    pairs."""
     from ros_sql_spark.operators.similarity import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_knn(emb, emb.filter(F.col("vec_id") < 20), dim=64, k=3, bands=8, planes_per_band=4)
+    return lsh_knn(
+        emb,
+        query_filter=F.col("vec_id") < 20,
+        dim=64,
+        k=3,
+        bands=8,
+        planes_per_band=4,
+    )
 
 
 def q41_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +801,45 @@ def q53_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++), SURVEY.md §2.2
+    'Distinct aggregation — approx path'.
+
+    Spark's HLL++ and DuckDB's HLL produce different estimates, so the
+    sketch value itself can't hash-match.  Instead each engine asserts
+    ITS OWN sketch against ITS OWN exact count (relative error ≤ 5% —
+    generous vs the default rsd≈2.3%, so the check is stable across
+    implementations) and emits the boolean + the exact count, both of
+    which DO hash-match.  A drifting sketch on either side flips its
+    boolean and fails the driver's value hash."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    tol = (
+        F.abs(F.col("_approx") - F.col("n_users"))
+        <= F.col("n_users") * F.lit(0.05)
+    )
+    return agg.select("event_type", "n_users", tol.alias("approx_ok"))
+
+
+def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((lang), (source), ()) — the general form
+    beyond ROLLUP (q13/q53) and CUBE (q43): per-lang totals, per-source
+    totals, and a grand total in one pass (Spark expands the sets and
+    aggregates once; no multi-scan UNION ALL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupingSets(
+        [["lang"], ["source"], []], "lang", "source"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping("lang").cast("bigint").alias("g_lang"),
+        F.grouping("source").cast("bigint").alias("g_source"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -845,4 +894,6 @@ QUERIES = {
     "q51_pivot": q51_pivot,
     "q52_rank_stats": q52_rank_stats,
     "q53_grouping_id": q53_grouping_id,
+    "q54_approx_distinct": q54_approx_distinct,
+    "q55_grouping_sets": q55_grouping_sets,
 }

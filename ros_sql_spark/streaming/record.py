@@ -36,7 +36,7 @@ from ros_sql_spark.api import CATALOG_FILE, _meta_to_dict
 from ros_sql_spark.operators.normalize import normalize
 from ros_sql_spark.sources.catalog import EngineCatalog, namify
 
-__all__ = ["declare_topics", "record_stream"]
+__all__ = ["declare_topics", "record_stream", "record_stream_jdbc"]
 
 
 def declare_topics(
@@ -89,38 +89,102 @@ def record_stream(
     reference's declare-before-write contract.
     """
     catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
-    declared = set(catalog.topics)
 
     def body(batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()
         try:
-            seen = {
-                r[0]
-                for r in batch.select(topic_col).distinct().collect()
-            }
-            unknown = seen - declared
-            if unknown:
-                raise ValueError(
-                    f"stream carries undeclared topics {sorted(unknown)}; "
-                    "declare_topics them first (R1 declare-before-write)"
-                )
-            for topic in seen:
-                sub = batch.filter(F.col(topic_col) == topic).drop(topic_col)
-                declared_schema = catalog.schema_of(topic)
-                if sub.schema != declared_schema:
-                    raise ValueError(
-                        f"topic {topic!r}: stream schema "
-                        f"{sub.schema.simpleString()} != declared "
-                        f"{declared_schema.simpleString()} (R15 guard)"
-                    )
-                norm = normalize(sub, list(catalog.topics[topic].key_cols),
-                                 table=namify(topic))
+            for topic, name, tbl in _demux_normalized(batch, topic_col, catalog):
                 base = os.path.join(store_path, namify(topic))
-                for name, tbl in norm.tables.items():
-                    tbl.write.mode("append").parquet(os.path.join(base, name))
+                tbl.write.mode("append").parquet(os.path.join(base, name))
         finally:
             batch.unpersist()
 
+    return _start(stream, body, checkpoint_path, available_now)
+
+
+def record_stream_jdbc(
+    stream: DataFrame,
+    topic_col: str,
+    store_path: str,
+    checkpoint_path: str,
+    url: str,
+    driver: str | None = None,
+    available_now: bool = True,
+    table_prefix: str = "rs_",
+):
+    """The full north-star pipeline (BASELINE 'Structured Streaming +
+    JDBC sink'): demux a multiplexed stream, shred per topic with
+    operators.normalize, and land every normalized table in a JDBC
+    database EXACTLY-ONCE.
+
+    ``table_prefix`` guards against topic names that are SQL reserved
+    words (a bare topic "view" is a Derby/ANSI syntax error as a table
+    name) — the same class of problem the reference's identifier
+    mangling (R3) solves for column names.
+
+    Each table's idempotency key is its own primary key — the declared
+    topic keys plus any shredding index columns that table carries
+    (``_idx__*``), which is exactly the key the reference's child tables
+    are keyed by.  Redelivered micro-batches (checkpoint loss, upstream
+    replay) therefore insert nothing new: jdbc_idempotent_batch
+    anti-joins on that key before the vectorized append.
+
+    The topic catalog is read from ``store_path`` (declare_topics) —
+    declare-before-write holds for the JDBC store exactly as for the
+    parquet store.
+    """
+    from ros_sql_spark.sources.jdbc import jdbc_idempotent_batch
+
+    catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            for topic, name, tbl in _demux_normalized(batch, topic_col, catalog):
+                root_keys = set(catalog.topics[topic].key_cols)
+                tkeys = [
+                    c
+                    for c in tbl.columns
+                    if c in root_keys or c.startswith("_idx__")
+                ]
+                jdbc_idempotent_batch(
+                    tbl, batch_id, url, table_prefix + name, tkeys, driver=driver
+                )
+        finally:
+            batch.unpersist()
+
+    return _start(stream, body, checkpoint_path, available_now)
+
+
+def _demux_normalized(batch: DataFrame, topic_col: str, catalog: EngineCatalog):
+    """Yield (topic, table_name, table_df) for every normalized table of
+    every topic present in the micro-batch, enforcing the R1/R15
+    declare-before-write and schema-stability guards."""
+    declared = set(catalog.topics)
+    seen = {r[0] for r in batch.select(topic_col).distinct().collect()}
+    unknown = seen - declared
+    if unknown:
+        raise ValueError(
+            f"stream carries undeclared topics {sorted(unknown)}; "
+            "declare_topics them first (R1 declare-before-write)"
+        )
+    for topic in seen:
+        sub = batch.filter(F.col(topic_col) == topic).drop(topic_col)
+        declared_schema = catalog.schema_of(topic)
+        if sub.schema != declared_schema:
+            raise ValueError(
+                f"topic {topic!r}: stream schema "
+                f"{sub.schema.simpleString()} != declared "
+                f"{declared_schema.simpleString()} (R15 guard)"
+            )
+        norm = normalize(
+            sub, list(catalog.topics[topic].key_cols), table=namify(topic)
+        )
+        for name, tbl in norm.tables.items():
+            yield topic, name, tbl
+
+
+def _start(stream: DataFrame, body, checkpoint_path: str, available_now: bool):
     writer = (
         stream.writeStream.foreachBatch(body)
         .option("checkpointLocation", checkpoint_path)

@@ -45,6 +45,32 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert {(i, i + 9000) for i in range(8)} <= got
 
 
+def test_minhash_arrow_matches_jvm_fold_bitwise(spark, docs):
+    """The vectorized numpy backend must reproduce Spark's
+    xxhash64-family signatures BIT-FOR-BIT — same minima per dimension
+    as the pure-JVM higher-order fold (including the short-doc
+    single-shingle path)."""
+    from ros_sql_spark.operators.dedup import minhash_signatures
+
+    sample = docs.filter(F.col("doc_id") < 200)
+    short = spark.createDataFrame(
+        [(9001, "one"), (9002, "two words"), (9003, "")],
+        "doc_id long, text string",
+    )
+    both = sample.unionByName(short)
+    arrow = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(both, use_arrow=True).collect()
+    }
+    jvm = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(both, use_arrow=False).collect()
+    }
+    assert arrow.keys() == jvm.keys()
+    for d in jvm:
+        assert arrow[d] == jvm[d], f"doc {d} signature diverged"
+
+
 def test_simhash_locality(spark, docs):
     """Near-duplicate docs land within a few SimHash bits; unrelated docs
     don't collide that closely (locality property, not exactness)."""

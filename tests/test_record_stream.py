@@ -57,6 +57,56 @@ def test_record_stream_then_playback(spark, tmp_path):
     assert total == 1000  # every message landed in exactly one topic
 
 
+def test_record_stream_jdbc_exactly_once(spark, tmp_path):
+    """The north-star pipeline end-to-end (BASELINE 'Structured Streaming
+    + JDBC sink'): multiplexed stream → declare → demux/normalize →
+    idempotent JDBC ingest into embedded Derby — then the WHOLE stream
+    redelivered from a fresh checkpoint lands zero new rows."""
+    from ros_sql_spark.sources.jdbc import DERBY_DRIVER, derby_url, read_jdbc
+    from ros_sql_spark.streaming.record import record_stream_jdbc
+
+    store = str(tmp_path / "store")
+    db = derby_url(str(tmp_path / "db"))
+    schema = _declared_schema(spark)
+    declare_topics(store, {t: schema for t in TOPIC_VALUES}, ["event_id"])
+
+    def run(ck):
+        q = record_stream_jdbc(
+            stream_events(spark, EVENTS_PATH),
+            topic_col="event_type",
+            store_path=store,
+            checkpoint_path=str(tmp_path / ck),
+            url=db,
+            driver=DERBY_DRIVER,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    batch = load_table(spark, SF_SMALL, "events")
+    counts1 = {}
+    total = 0
+    for topic in TOPIC_VALUES:
+        got = read_jdbc(spark, db, f"rs_{topic}", driver=DERBY_DRIVER)
+        n = got.count()
+        counts1[topic] = n
+        total += n
+        expect = batch.filter(F.col("event_type") == topic)
+        assert n == expect.count()
+        # value fidelity: the ns epoch column survives the database
+        a = sorted((r.event_id, r.ts_ns) for r in got.collect())
+        b = sorted((r.event_id, r.ts_ns) for r in expect.collect())
+        assert a == b
+    assert total == 1000
+
+    run("ck2")  # full redelivery from a fresh checkpoint
+    for topic in TOPIC_VALUES:
+        assert (
+            read_jdbc(spark, db, f"rs_{topic}", driver=DERBY_DRIVER).count()
+            == counts1[topic]
+        ), f"duplicate rows in {topic} after redelivery"
+
+
 def test_record_stream_rejects_undeclared_topic(spark, tmp_path):
     store = str(tmp_path / "store")
     schema = _declared_schema(spark)
