@@ -236,6 +236,7 @@ def minhash_bands(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id, band, band_hash) — LSH bucket keys, ``bands`` rows per doc.
 
@@ -243,7 +244,7 @@ def minhash_bands(
     (xxhash64 is seed-fixed), so testable without an oracle.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, use_arrow)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -366,12 +366,17 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup banding (rows-only check — no SQL oracle).
 
-    Fully JVM-side (xxhash64 + groupBy min), no Python UDF; see
-    ros_sql_spark.operators.dedup for the pair-generation operator."""
+    Backend choice is size-aware: the Arrow/numpy signature backend
+    (operator default) wins above a measured ~20k docs per run (1.7×
+    at 100k docs) where per-row fold CPU dominates; below that the fixed
+    Arrow transfer costs more than it saves, so this sf-scale declared
+    query takes the pure-JVM fold (both produce bit-identical
+    signatures — asserted in tests).  See ros_sql_spark.operators.dedup
+    for the pair-generation operator."""
     from ros_sql_spark.operators.dedup import minhash_bands
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_bands(docs, id_col="doc_id", text_col="text")
+    return minhash_bands(docs, id_col="doc_id", text_col="text", use_arrow=False)
 
 
 def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
