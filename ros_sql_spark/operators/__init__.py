@@ -1,5 +1,6 @@
 from ros_sql_spark.operators.asof import asof_join, interval_join  # noqa: F401
 from ros_sql_spark.operators.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup,
     minhash_bands,
     minhash_pairs,

@@ -465,6 +465,56 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY GROUPING SETS ((lang), (source), ())
     """,
+    # Reachability closure over the q32 candidate-pair graph: component =
+    # min doc_id reachable (matches the min-label propagation operator).
+    "q56_dup_components": """
+        WITH RECURSIVE
+        s AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents WHERE doc_id < 40)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) >= 0.001
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM s
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        )
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+    """,
+    "q57_token_topk": """
+        SELECT t AS tok, count(*) AS n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        GROUP BY t
+        ORDER BY n DESC, tok
+        LIMIT 50
+    """,
+    "q58_label_centroids": """
+        SELECT label, CAST(idx AS BIGINT) AS idx, round(avg(v), 6) AS c
+        FROM (SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS idx,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+        GROUP BY label, idx
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -845,6 +845,53 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: n-gram-Jaccard candidate pairs → connected
+    components → (doc_id, component = min reachable doc_id).  The dedup
+    endgame ("keep one survivor per duplicate cluster"), exercised on
+    the q32 subset so the oracle (a recursive-CTE reachability closure)
+    stays cheap; the operator itself is the scale path
+    (operators/dedup.py::connected_components)."""
+    from ros_sql_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = q32_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.001)
+    edges = pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(
+        edges, nodes=docs.select("doc_id"), id_col="doc_id"
+    )
+    return comp.select("doc_id", F.col("component").cast("bigint").alias("component"))
+
+
+def q57_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k (vocabulary head) — partial (map-side)
+    counting makes the explode→count a combiner-friendly single shuffle;
+    (n DESC, tok) is a total order so the k-boundary is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(50)
+    )
+
+
+def q58_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in LONG form (label, idx, c) — the
+    wide array<double> form is for API users (arrays can't cross the
+    driver canonicalizer); one posexplode + one grouped avg, double
+    precision, rounded for float parity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("idx", "v"))
+        .groupBy("label", F.col("idx").cast("bigint").alias("idx"))
+        .agg(r6(F.avg(F.col("v").cast("double"))).alias("c"))
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -901,4 +948,7 @@ QUERIES = {
     "q53_grouping_id": q53_grouping_id,
     "q54_approx_distinct": q54_approx_distinct,
     "q55_grouping_sets": q55_grouping_sets,
+    "q56_dup_components": q56_dup_components,
+    "q57_token_topk": q57_token_topk,
+    "q58_label_centroids": q58_label_centroids,
 }

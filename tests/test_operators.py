@@ -71,6 +71,28 @@ def test_minhash_arrow_matches_jvm_fold_bitwise(spark, docs):
         assert arrow[d] == jvm[d], f"doc {d} signature diverged"
 
 
+def test_connected_components_planted_clusters(spark):
+    """Chains, triangles, isolated nodes — every node labels with the
+    min id of its component; convergence needs diameter rounds (the
+    chain is the worst case)."""
+    from ros_sql_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "id long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, nodes=nodes, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
 def test_simhash_locality(spark, docs):
     """Near-duplicate docs land within a few SimHash bits; unrelated docs
     don't collide that closely (locality property, not exactness)."""
