@@ -515,6 +515,29 @@ ORACLES: dict[str, str] = {
               FROM embeddings)
         GROUP BY label, idx
     """,
+    "q59_train_split": """
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS bucket
+              FROM documents)
+    """,
+    "q60_pack_sequences": """
+        SELECT doc_id, source, n_bpe,
+               (c - n_bpe) // 2048 AS seq_id
+        FROM (SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+                     sum(CAST(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT))
+                         OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS c
+              FROM documents)
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -892,6 +892,57 @@ def q58_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-free id
+    hashing — the reproducible alternative to RNG sampling for dataset
+    partitioning: stable under reruns, engines, and corpus growth
+    (a doc's split never changes when other docs are added).  Bucket =
+    first 8 md5 hex digits of the id, mod 100 — portable integer
+    arithmetic both engines reproduce bit-for-bit (same trick as the
+    q31 SimHash oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id", "bucket", split.alias("split")
+    )
+
+
+def q60_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign each doc to a training sequence by
+    cumulative token count within its source shard (seq boundary every
+    2048 BPE-ish tokens).  A per-shard window cumsum — partitionBy keeps
+    it parallel (no global single-partition window); bin = where the doc
+    STARTS, so assignment is deterministic and order-stable."""
+    from ros_sql_spark.functions.text import token_count_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = docs.select("doc_id", "source", token_count_bpe("text").alias("n_bpe"))
+    return (
+        toks.withColumn("_cum", F.sum("n_bpe").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_bpe",
+            # integer div (never `/`): the doc's sequence = where it starts
+            F.expr("(_cum - n_bpe) div 2048").alias("seq_id"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -951,4 +1002,6 @@ QUERIES = {
     "q56_dup_components": q56_dup_components,
     "q57_token_topk": q57_token_topk,
     "q58_label_centroids": q58_label_centroids,
+    "q59_train_split": q59_train_split,
+    "q60_pack_sequences": q60_pack_sequences,
 }

@@ -102,6 +102,26 @@ def test_rank_stats_matches_window_semantics(spark):
         assert abs(gr["cd"] - r["cd"]) < 1e-12
 
 
+def test_q57_topk_is_partial_agg_plus_take_ordered(spark):
+    """Vocabulary head: map-side combine before the shuffle and a
+    TakeOrdered (top-k per partition + merge), never a full global sort
+    of the token histogram."""
+    p = plan_of(spark, "q57_token_topk")
+    assert "partial_count" in p or "partial_" in p
+    assert "TakeOrdered" in p
+
+
+def test_q60_window_is_partitioned(spark):
+    """Sequence packing must cumsum within source shards — an
+    unpartitioned window would serialize the whole corpus through one
+    task."""
+    p = plan_of(spark, "q60_pack_sequences")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "source" in m.group(1), (
+            "unpartitioned window in q60 plan:\n" + m.group(0)
+        )
+
+
 def test_no_cartesian_in_suite_except_intended(spark):
     """Only the pairwise-similarity queries may contain non-equi joins;
     everything else must plan equi/broadcast joins."""
