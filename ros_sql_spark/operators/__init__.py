@@ -7,7 +7,12 @@ from ros_sql_spark.operators.dedup import (  # noqa: F401
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from ros_sql_spark.operators.multimodal import as_assets, extract_features  # noqa: F401
+from ros_sql_spark.operators.multimodal import (  # noqa: F401
+    as_assets,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ros_sql_spark.operators.normalize import denormalize, normalize  # noqa: F401
 from ros_sql_spark.operators.rank import global_row_number, rank_stats  # noqa: F401
 from ros_sql_spark.operators.similarity import (  # noqa: F401

@@ -36,6 +36,8 @@ __all__ = [
     "ASSET_SCHEMA",
     "as_assets",
     "extract_features",
+    "resize_media",
+    "sample_frames",
     "FEATURE_DIM",
 ]
 
@@ -147,4 +149,133 @@ def extract_features(
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_max_records)
         )
+    return assets.mapInPandas(gen, out_schema)
+
+
+def resize_media(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Asset-shaped → asset-shaped with the payload replaced by its
+    "resized" rendition and (width, height) recorded in the metadata.
+
+    The REAL implementation is a one-function swap (PIL
+    ``Image.resize`` inside the generator); this container has no
+    codecs, so the fake derives a deterministic width×height byte
+    payload from an md5 chain over the original bytes — size-correct
+    and reproducible, which is all the Spark plumbing (schema change,
+    Arrow batching, blob-in/blob-out shapes) needs to be tested for
+    real.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real media resizing needs PIL/ffmpeg, not installed here; "
+            "pass deterministic_fake=True for the plumbing path"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), True),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType(), True),
+                        T.StructField("source", T.StringType(), True),
+                        T.StructField("n_bytes", T.LongType(), True),
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("height", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    n_out = width * height
+
+    def _fake_bytes(payload: bytes) -> bytes:
+        out = bytearray()
+        block = hashlib.md5(payload or b"").digest()
+        while len(out) < n_out:
+            out.extend(block)
+            block = hashlib.md5(block).digest()
+        return bytes(out[:n_out])
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            media = [
+                _fake_bytes(bytes(m) if m is not None else b"")
+                for m in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media": media,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "source": m["source"],
+                            "n_bytes": n_out,
+                            "width": width,
+                            "height": height,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(gen, out_schema)
+
+
+def sample_frames(
+    assets: DataFrame,
+    n_frames: int = 4,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Video-style frame sampling: one asset row → ``n_frames`` frame
+    rows (asset_id, frame_idx, frame binary).  Demonstrates the
+    cardinality-changing mapInPandas shape a real ffmpeg sampler uses —
+    the generator yields MORE rows than it consumes, streamed per Arrow
+    batch, nothing driver-side.
+
+    Real implementation: ffmpeg keyframe extraction per payload.  Fake:
+    frame i = md5-chain slice seeded by (payload, i) — deterministic and
+    distinct per frame.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg, not installed here; "
+            "pass deterministic_fake=True for the plumbing path"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                payload = bytes(m) if m is not None else b""
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
     return assets.mapInPandas(gen, out_schema)

@@ -162,9 +162,48 @@ def test_multimodal_plumbing(spark, docs):
 
 
 def test_multimodal_real_codec_is_gated(spark, docs):
+    from ros_sql_spark.operators.multimodal import resize_media, sample_frames
+
     assets = as_assets(docs, "doc_id", "text", "text/plain")
     with pytest.raises(NotImplementedError):
         extract_features(assets, deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_media(assets, 8, 8, deterministic_fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(assets, deterministic_fake=False)
+
+
+def test_multimodal_resize_shape_and_determinism(spark, docs):
+    from ros_sql_spark.operators.multimodal import resize_media
+
+    assets = as_assets(docs.filter(F.col("doc_id") < 50), "doc_id", "text", "img/fake")
+    out = resize_media(assets, 16, 4)
+    rows = out.collect()
+    assert len(rows) == 50
+    # size-correct payload, metadata records the new geometry
+    assert all(len(r.media) == 16 * 4 for r in rows)
+    assert all(
+        r.meta.width == 16 and r.meta.height == 4 and r.meta.n_bytes == 64
+        and r.meta.mime == "img/fake"
+        for r in rows
+    )
+    again = {r.asset_id: bytes(r.media) for r in resize_media(assets, 16, 4).collect()}
+    assert {r.asset_id: bytes(r.media) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_cardinality(spark, docs):
+    from ros_sql_spark.operators.multimodal import sample_frames
+
+    assets = as_assets(docs.filter(F.col("doc_id") < 20), "doc_id", "text", "video/fake")
+    frames = sample_frames(assets, n_frames=3).collect()
+    assert len(frames) == 20 * 3  # one asset row -> n_frames rows
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, set()).add((r.frame_idx, bytes(r.frame)))
+    assert all(len(v) == 3 for v in by_asset.values())
+    # frames are distinct per index (md5 chain seeded by (payload, idx))
+    for v in by_asset.values():
+        assert len({b for _, b in v}) == 3
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb):
