@@ -22,7 +22,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_jsonl",
+    "read_csv",
+]
 
 # All driver tables (TESTDATA.md / FIXTURES.md Part A).
 TABLES = (
@@ -89,6 +96,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    bad_records_path: str | None = None,
+) -> DataFrame:
+    """JSON-lines corpus reader with a MANDATORY explicit schema.
+
+    Schema inference over JSONL is a full extra pass of the data (fatal
+    at 100 TB) and is nondeterministic under corpus drift, so the engine
+    never allows it.  Corrupt lines don't kill the scan: PERMISSIVE mode
+    nulls them (or routes them to ``bad_records_path`` for audit) —
+    exactly what a web-crawl ingest needs.
+    """
+    r = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+    )
+    if bad_records_path is not None:
+        r = r.option("badRecordsPath", bad_records_path)
+    return r.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV reader, explicit-schema-only (same rationale as read_jsonl:
+    inference costs a pass and infers differently as data drifts)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
 
 
 def write_events_partitioned(events: DataFrame, path: str, mode: str = "overwrite") -> None:

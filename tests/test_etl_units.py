@@ -149,3 +149,36 @@ def test_catalog_version_guard(tmp_path):
     json.dump(doc, open(p, "w"))
     with pytest.raises(ValueError, match="version"):
         EngineCatalog.load(p)
+
+
+# ---------------------------------------------------------------------------
+# Text-format sources (explicit-schema-only JSONL/CSV readers)
+# ---------------------------------------------------------------------------
+
+def test_read_jsonl_roundtrip_and_corrupt_tolerance(spark, tmp_path):
+    from ros_sql_spark.sources.io import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "n": 11}',
+        '{"doc_id": 2, "text": "second doc", "n": 10}',
+        'this line is not json at all',
+        '{"doc_id": 4, "text": null, "n": 0}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_jsonl(spark, str(p), "doc_id BIGINT, text STRING, n BIGINT")
+    rows = {r.doc_id: (r.text, r.n) for r in df.collect()}
+    # corrupt line survives as an all-null row instead of failing the scan
+    assert len(rows) == 4 and None in rows
+    assert rows[1] == ("hello world", 11)
+    assert rows[4] == (None, 0)
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    from ros_sql_spark.sources.io import read_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,alpha,0.5\n2,beta,1.5\n")
+    df = read_csv(spark, str(p), "id BIGINT, name STRING, score DOUBLE")
+    got = sorted((r.id, r.name, r.score) for r in df.collect())
+    assert got == [(1, "alpha", 0.5), (2, "beta", 1.5)]
