@@ -538,6 +538,40 @@ ORACLES: dict[str, str] = {
                          AS c
               FROM documents)
     """,
+    "q61_quality_filter": """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               len(toks) >= 10
+               AND round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                         AS DOUBLE) / length(text), 6) < 0.25
+               AND round(CAST(len(list_filter(toks, t -> list_contains(
+                         ['the','and','of','to','in','is','that','with','for','on'], t)))
+                         AS DOUBLE) / len(toks), 6) > 0.015 AS keep
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    """,
+    "q62_redact": """
+        SELECT doc_id,
+               md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]+', '#', 'g'))
+                    AS BIGINT) AS n_removed
+        FROM documents
+    """,
+    "q63_repetition": """
+        SELECT doc_id,
+               round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                           / len(sh), 6) AS rep_ratio
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                        ELSE [array_to_string(toks, ' ')] END AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        )
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

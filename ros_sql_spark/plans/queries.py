@@ -943,6 +943,62 @@ def q60_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: the q36 features fused into one
+    keep/drop decision per doc.  Thresholds compare the ROUNDED feature
+    values, so both engines evaluate the identical number against the
+    identical constant — the decision is deterministic even at the
+    boundary."""
+    from ros_sql_spark.functions.text import punct_ratio, stopword_ratio, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", F.col("text"), tokens("text").alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tok"),
+        F.round(punct_ratio("text"), 6).alias("_punct"),
+        F.round(stopword_ratio("_toks", "en"), 6).alias("_stop"),
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("_punct") < 0.25)
+        & (F.col("_stop") > 0.015)
+    )
+    return feats.select("doc_id", "n_tok", keep.alias("keep"))
+
+
+def q62_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: collapse every digit run to '#' (the shape
+    of email/phone/id redaction) and emit the digest of the redacted
+    text — the privacy-pass transform of a training-data pipeline,
+    pure JVM regexp, verified byte-identical cross-engine via md5."""
+    docs = _t(spark, sf_dir, "documents")
+    red = F.regexp_replace("text", "[0-9]+", "#")
+    return docs.select(
+        "doc_id",
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        (F.length("text") - F.length(red)).cast("bigint").alias("n_removed"),
+    )
+
+
+def q63_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter signal (Gopher rule family): fraction of
+    duplicated 3-token shingles per document — 1 - distinct/total over
+    the SAME shingle construction q26/q32 use."""
+    from ros_sql_spark.operators.dedup import token_shingles, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", token_shingles(tokenize(F.col("text")), 3).alias("_sh")
+    )
+    rep = F.lit(1.0) - (
+        F.size(F.array_distinct("_sh")).cast("double")
+        / F.size("_sh").cast("double")
+    )
+    return sh.select("doc_id", F.round(rep, 6).alias("rep_ratio"))
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1004,4 +1060,7 @@ QUERIES = {
     "q58_label_centroids": q58_label_centroids,
     "q59_train_split": q59_train_split,
     "q60_pack_sequences": q60_pack_sequences,
+    "q61_quality_filter": q61_quality_filter,
+    "q62_redact": q62_redact,
+    "q63_repetition": q63_repetition,
 }
