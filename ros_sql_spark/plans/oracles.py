@@ -572,6 +572,14 @@ ORACLES: dict[str, str] = {
                   FROM documents)
         )
     """,
+    "q64_range_frame": """
+        SELECT user_id, event_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value) OVER w, 6) AS sum_1h
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -999,6 +999,29 @@ def q63_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select("doc_id", F.round(rep, 6).alias("rep_ratio"))
 
 
+def q64_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs q47's ROWS frames): per user,
+    activity in the trailing hour — count and sum of events whose µs
+    timestamp lies within [current - 1h, current].  Unlike ROWS, equal
+    order keys share one frame, so the µs key needs no id tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    us = tus("ts_ns")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select("user_id", "event_id", us.alias("us"), "value")
+        .select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            r6(F.sum("value").over(w)).alias("sum_1h"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1063,4 +1086,5 @@ QUERIES = {
     "q61_quality_filter": q61_quality_filter,
     "q62_redact": q62_redact,
     "q63_repetition": q63_repetition,
+    "q64_range_frame": q64_range_frame,
 }

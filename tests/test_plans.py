@@ -124,11 +124,17 @@ def test_q60_window_is_partitioned(spark):
 
 def test_no_cartesian_in_suite_except_intended(spark):
     """Only the pairwise-similarity queries may contain non-equi joins;
-    everything else must plan equi/broadcast joins."""
+    everything else must plan equi/broadcast joins.  Also a suite-wide
+    Python-eval lint: any Python in a plan must be Arrow-batched
+    (ArrowEvalPython / MapInPandas) — a BatchEvalPython node means a
+    row-at-a-time pickled UDF crept into a hot path."""
     allowed = {"q27_knn_cosine", "q32_ngram_jaccard", "q33_cosine_dedup_pairs",
                "q34_ann_topk"}
     for name in QUERIES:
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p, (
+            f"{name}: row-at-a-time Python UDF in plan"
+        )
         if name in allowed or name.startswith("q39"):
             continue
-        p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
