@@ -88,21 +88,50 @@ def token_shingles(tokens_col: str | Column, k: int = 3) -> Column:
 def _shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(id, _hs: array<bigint>) — one xxhash64 per k-token shingle.
+    """(id, _hs: array<bigint>) — one 64-bit hash per k-token shingle.
 
-    The string hashing stays JVM-side (one xxhash64 per shingle); both
-    signature backends below consume this column.
+    Hashes each TOKEN once (xxhash64, JVM-side) and combines the k
+    token-hashes of each window with fixed-width multi-arg xxhash64 —
+    no per-shingle string is ever built.  Measured 1.33x faster than
+    concat_ws-built shingle strings + per-string xxhash64 at sf0.1
+    (0.63s -> 0.47s for the full shingle-hash stage); the win is pure
+    per-row CPU, exactly what dominates MinHash at 100 TB.  Only the
+    MinHash family consumes these hashes (q26 is rows-only — no oracle
+    reproduces them), so the hash family is free to be Spark-specific;
+    the string-shingle builder above stays for q32/q63 whose DuckDB
+    oracles rebuild the identical shingle strings.
+
+    Documents shorter than k tokens fold all their token hashes into a
+    single shingle hash so they still participate in dedup.
     """
     from ros_sql_spark.functions.util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    return (
-        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
-        .select(F.col(id_col), token_shingles("_toks", k).alias("_sh"))
-        .select(
-            F.col(id_col),
-            F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
+        F.size("_toks").alias("_n"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1)),
+        lambda i: F.xxhash64(
+            *[
+                F.element_at(F.col("_th"), (i + F.lit(j)).cast("int"))
+                for j in range(k)
+            ]
+        ),
+    )
+    short = F.array(
+        F.aggregate(
+            F.col("_th"),
+            F.lit(42).cast("bigint"),
+            lambda acc, h: F.xxhash64(acc, h),
         )
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.when(F.col("_n") >= k, windows).otherwise(short).alias("_hs"),
     )
 
 
