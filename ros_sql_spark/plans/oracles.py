@@ -580,6 +580,71 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY us
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
+    "q65_chunk_documents": """
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               md5(substring(text, CAST(i * 128 + 1 AS INT), 128)) AS chunk_md5,
+               CAST(length(substring(text, CAST(i * 128 + 1 AS INT), 128))
+                    AS BIGINT) AS chunk_len
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, (length(text) + 127) // 128)) AS i
+              FROM documents WHERE length(text) > 0)
+    """,
+    "q66_stratified_sample": """
+        SELECT doc_id, lang, bucket
+        FROM (SELECT d.doc_id, d.lang,
+                     CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 AS bucket,
+                     coalesce(r.rate_pct, 10) AS rate
+              FROM documents d
+              LEFT JOIN (VALUES ('en', 50), ('zh', 30), ('es', 25), ('de', 20))
+                        r(lang, rate_pct)
+                     ON d.lang = r.lang)
+        WHERE bucket < rate
+    """,
+    "q67_ntile_quartiles": """
+        SELECT lang, CAST(q AS BIGINT) AS q,
+               count(*) AS n,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM (SELECT lang, n_chars,
+                     ntile(4) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS q
+              FROM documents)
+        GROUP BY lang, q
+    """,
+    "q68_keep_best": """
+        SELECT h, keep_id, n_members
+        FROM (SELECT md5(text) AS h, doc_id AS keep_id,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY md5(text)) AS n_members
+              FROM documents)
+        WHERE rn = 1
+    """,
+    "q69_decontaminate": """
+        WITH b AS (
+            SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, bucket,
+                   unnest(CASE WHEN len(toks) >= 5
+                          THEN list_transform(range(1, len(toks) - 3),
+                               i -> concat_ws(' ', toks[i], toks[i+1],
+                                              toks[i+2], toks[i+3], toks[i+4]))
+                          ELSE [array_to_string(toks, ' ')] END) AS s
+            FROM (SELECT doc_id, bucket, string_split(lower(text), ' ') AS toks
+                  FROM b)
+        )
+        SELECT doc_id FROM b
+        WHERE bucket < 80
+          AND NOT EXISTS (
+              SELECT 1 FROM sh t
+              WHERE t.doc_id = b.doc_id AND t.bucket < 80
+                AND t.s IN (SELECT s FROM sh WHERE bucket >= 98))
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

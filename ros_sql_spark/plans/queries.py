@@ -1022,6 +1022,141 @@ def q64_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into fixed 128-char
+    chunks (the map side of a chunk-embed-index pipeline).  A pure
+    per-row explode — linear, shuffle-free, cardinality-raising.
+    ``sequence(0, n-1)`` needs n >= 1: Spark's sequence DESCENDS when
+    start > stop (DuckDB's range is empty), so empty docs are filtered
+    identically on both engines rather than relying on that edge."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chunks = F.expr("(length(text) + 127) div 128")
+    return (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", "text", n_chunks.alias("_nc"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.md5(
+                F.substring(
+                    F.col("text"), F.col("chunk_id") * 128 + 1, 128
+                ).cast("binary")
+            ).alias("chunk_md5"),
+            F.length(
+                F.substring(F.col("text"), F.col("chunk_id") * 128 + 1, 128)
+            )
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: each language has
+    its own keep-rate (tiny dim, broadcast), membership decided by the
+    q59 md5-bucket — rerun-stable, engine-portable, no RNG.  Languages
+    absent from the dim (fr here) fall back to a 10% default through the
+    left join, exercising the broadcast-dim + coalesce path."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 50), ("zh", 30), ("es", 25), ("de", 20)],
+        "lang string, rate_pct int",
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "lang", "left")
+        .filter(F.col("bucket") < F.coalesce("rate_pct", F.lit(10)))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def q67_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quartile profile per language: ntile(4) within each lang
+    over a UNIQUE ordering (n_chars, doc_id — deterministic tile edges
+    on both engines), then per-tile count and char range.  Window is
+    partitioned by lang — parallel, never a global single-partition
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.ntile(4).over(w).alias("q"))
+        .groupBy("lang", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .select("lang", F.col("q").cast("bigint").alias("q"), "n", "min_chars", "max_chars")
+    )
+
+
+def q68_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-content cluster
+    (q25's digest) keep the best representative — longest text, doc_id
+    as the tiebreak.  The per-cluster window is partitioned by digest
+    (parallel); emitting cluster size alongside the survivor is the
+    audit trail a dedup pipeline ships."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy("h").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "h",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop from the train split (q59 buckets
+    < 80) any document sharing a 5-token shingle with the held-out eval
+    set (buckets >= 98).  The eval shingle set is tiny (2% of docs) →
+    broadcast left-semi marks contamination, anti-join removes it; the
+    big train side never shuffles.  Shingle strings here are the same
+    construction q32/q63's oracles rebuild."""
+    from ros_sql_spark.operators.dedup import token_shingles, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sh = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(token_shingles(tokenize(F.col("text")), 5)).alias("s"),
+    )
+    eval_sh = sh.filter(F.col("bucket") >= 98).select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("bucket") < 80)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 80)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1087,4 +1222,9 @@ QUERIES = {
     "q62_redact": q62_redact,
     "q63_repetition": q63_repetition,
     "q64_range_frame": q64_range_frame,
+    "q65_chunk_documents": q65_chunk_documents,
+    "q66_stratified_sample": q66_stratified_sample,
+    "q67_ntile_quartiles": q67_ntile_quartiles,
+    "q68_keep_best": q68_keep_best,
+    "q69_decontaminate": q69_decontaminate,
 }

@@ -122,6 +122,38 @@ def test_q60_window_is_partitioned(spark):
         )
 
 
+def test_q66_rates_dim_broadcast(spark):
+    """The per-language rate dim is a handful of rows — it must
+    broadcast; a shuffle join keyed on lang would move the whole corpus
+    for a 4-row lookup."""
+    p = plan_of(spark, "q66_stratified_sample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q67_q68_windows_are_partitioned(spark):
+    """Quartile tiling and keep-best selection both window within a key
+    (lang / content digest) — never a global single-partition sort."""
+    for name in ("q67_ntile_quartiles", "q68_keep_best"):
+        p = plan_of(spark, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            spec = m.group(1)
+            assert "lang" in spec or "h#" in spec or "h " in spec, (
+                f"unpartitioned window in {name} plan:\n" + m.group(0)
+            )
+
+
+def test_q69_contamination_join_shapes(spark):
+    """Decontamination must mark via broadcast left-semi (tiny eval
+    shingle set) and remove via left-anti — the train side never
+    shuffles for the membership probe."""
+    p = plan_of(spark, "q69_decontaminate")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", p), (
+        "eval shingle set must broadcast for the semi probe:\n" + p
+    )
+
+
 def test_no_cartesian_in_suite_except_intended(spark):
     """Only the pairwise-similarity queries may contain non-equi joins;
     everything else must plan equi/broadcast joins.  Also a suite-wide
