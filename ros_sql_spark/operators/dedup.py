@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "tokenize",
     "token_shingles",
+    "shingle_hashes",
     "minhash_signatures",
     "minhash_bands",
     "minhash_pairs",
@@ -85,7 +86,7 @@ def token_shingles(tokens_col: str | Column, k: int = 3) -> Column:
     return F.when(n >= k, windowed).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def _shingle_hashes(
+def shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(id, _hs: array<bigint>) — one 64-bit hash per k-token shingle.
@@ -95,11 +96,14 @@ def _shingle_hashes(
     no per-shingle string is ever built.  Measured 1.33x faster than
     concat_ws-built shingle strings + per-string xxhash64 at sf0.1
     (0.63s -> 0.47s for the full shingle-hash stage); the win is pure
-    per-row CPU, exactly what dominates MinHash at 100 TB.  Only the
-    MinHash family consumes these hashes (q26 is rows-only — no oracle
-    reproduces them), so the hash family is free to be Spark-specific;
-    the string-shingle builder above stays for q32/q63 whose DuckDB
-    oracles rebuild the identical shingle strings.
+    per-row CPU, exactly what dominates MinHash at 100 TB.  Consumers:
+    the MinHash family (q26, rows-only — no oracle reproduces the
+    hashes), the q63 repetition ratio (distinct-count of hashes equals
+    distinct-count of strings modulo 2^-64 collisions), and q69
+    decontamination (hash-membership equals string-membership at the
+    same odds — production n-gram pipelines ship hashes for exactly
+    this reason).  The string-shingle builder above stays for q32,
+    whose DuckDB oracle rebuilds the identical shingle strings.
 
     Documents shorter than k tokens fold all their token hashes into a
     single shingle hash so they still participate in dedup.
@@ -201,7 +205,7 @@ def minhash_signatures(
     Zero mandatory shuffles either way — a pure projection, linear in
     executors.
     """
-    hs = _shingle_hashes(df, id_col, text_col, k)
+    hs = shingle_hashes(df, id_col, text_col, k)
     if not use_arrow:
         long_max = F.lit(9223372036854775807).cast("bigint")
         dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded

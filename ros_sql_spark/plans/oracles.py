@@ -645,6 +645,43 @@ ORACLES: dict[str, str] = {
               WHERE t.doc_id = b.doc_id AND t.bucket < 80
                 AND t.s IN (SELECT s FROM sh WHERE bucket >= 98))
     """,
+    "q70_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        t1 AS (SELECT user_id, min(us) AS u1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(us) AS u2 FROM e
+               JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND us > u1 GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(us) AS u3 FROM e
+               JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > u2 GROUP BY e.user_id)
+        SELECT t1.user_id, u1, u2, u3,
+               CAST(CASE WHEN u3 IS NOT NULL THEN 3
+                         WHEN u2 IS NOT NULL THEN 2
+                         ELSE 1 END AS BIGINT) AS stage
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+    "q71_tfidf_topk": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                         AS tfidf,
+                     row_number() OVER (
+                         PARTITION BY tf.doc_id
+                         ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                                   / df.df), 6) DESC,
+                                  tf.term) AS rk
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+        WHERE rk <= 3
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -683,11 +683,22 @@ def q45_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse the JSON props column into a map and explode
     its entries (the ROS model has no maps — engine extension,
-    SURVEY.md §2.2 'Map / JSON functions')."""
+    SURVEY.md §2.2 'Map / JSON functions').
+
+    explode_OUTER + null-key filter, not plain explode: the inferred
+    pre-Generate filter (size>0 AND isnotnull) re-parses the JSON twice
+    more per row for plain explode (3x from_json; measured 2.3s -> 0.9s
+    at sf0.1).  Semantics are identical — JSON map keys are never null,
+    so a null key only marks the corrupt/empty rows plain explode drops."""
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val"),
+    return (
+        ev.select(
+            "event_id",
+            F.explode_outer(F.from_json("props", "map<string,bigint>")).alias(
+                "key", "val"
+            ),
+        )
+        .filter(F.col("key").isNotNull())
     )
 
 
@@ -984,17 +995,22 @@ def q62_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q63_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filter signal (Gopher rule family): fraction of
-    duplicated 3-token shingles per document — 1 - distinct/total over
-    the SAME shingle construction q26/q32 use."""
-    from ros_sql_spark.operators.dedup import token_shingles, tokenize
+    duplicated 3-token shingles per document — 1 - distinct/total.
+
+    Counts distinct shingle HASHES (operators.dedup.shingle_hashes:
+    token-hash + fixed-width combine, parallelism-ensured), not shingle
+    strings: the ratio is identical modulo in-doc 64-bit collisions
+    (~n²/2^65 per doc) and skips both the per-shingle string build and
+    string array_distinct — measured 4.8s -> sub-second at sf0.1, all
+    of it single-task interpreted-HOF string work.  The DuckDB oracle
+    counts distinct strings; the value parity IS the collision check."""
+    from ros_sql_spark.operators.dedup import shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", token_shingles(tokenize(F.col("text")), 3).alias("_sh")
-    )
+    sh = shingle_hashes(docs, "doc_id", "text", 3)
     rep = F.lit(1.0) - (
-        F.size(F.array_distinct("_sh")).cast("double")
-        / F.size("_sh").cast("double")
+        F.size(F.array_distinct("_hs")).cast("double")
+        / F.size("_hs").cast("double")
     )
     return sh.select("doc_id", F.round(rep, 6).alias("rep_ratio"))
 
@@ -1127,9 +1143,13 @@ def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 80) any document sharing a 5-token shingle with the held-out eval
     set (buckets >= 98).  The eval shingle set is tiny (2% of docs) →
     broadcast left-semi marks contamination, anti-join removes it; the
-    big train side never shuffles.  Shingle strings here are the same
-    construction q32/q63's oracles rebuild."""
-    from ros_sql_spark.operators.dedup import token_shingles, tokenize
+    big train side never shuffles.  Membership is tested on shingle
+    HASHES (operators.dedup.shingle_hashes — no per-shingle string is
+    ever built or shuffled): hash-membership equals string-membership
+    modulo 2^-64 collisions, and 8-byte longs broadcast ~5x smaller
+    than 5-token strings.  The DuckDB oracle tests string membership;
+    the doc_id-set parity IS the collision check."""
+    from ros_sql_spark.operators.dedup import shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
     bucket = (
@@ -1137,10 +1157,16 @@ def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 100
     )
-    sh = docs.select(
+    # explode_OUTER, deliberately: InferFiltersFromGenerate adds a
+    # size(e)>0 AND isnotnull(e) pre-filter for plain explode, and that
+    # predicate re-inlines the whole shingle pipeline in its collapsed
+    # O(tokens²) form — measured 9.4s vs 0.28s at sf0.1.  The rule
+    # skips outer generates; _hs is non-empty by construction, so the
+    # semantics are identical.
+    sh = shingle_hashes(docs, "doc_id", "text", 5).select(
         "doc_id",
         bucket.alias("bucket"),
-        F.explode(token_shingles(tokenize(F.col("text")), 5)).alias("s"),
+        F.explode_outer("_hs").alias("s"),
     )
     eval_sh = sh.filter(F.col("bucket") >= 98).select("s").distinct()
     contaminated = (
@@ -1154,6 +1180,82 @@ def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < 80)
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id")
+    )
+
+
+def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view -> click -> purchase): per user, the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click, and the stage reached.  Three filtered
+    aggregations chained by inequality joins on the µs key (the
+    cross-engine-visible resolution); each stage's aggregate is tiny
+    (one row per user) so the chained joins broadcast at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", tus("ts_ns").alias("us")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("u1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("us") > F.col("u2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("u3"))
+    )
+    stage = (
+        F.when(F.col("u3").isNotNull(), 3)
+        .when(F.col("u2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select("user_id", "u1", "u2", "u3", stage.cast("bigint").alias("stage"))
+    )
+
+
+def q71_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.  tf from one token explode +
+    count; df over the (doc, term) pairs (already distinct — no second
+    dedup pass); idf = ln(N/df) with N broadcast from a 1-row aggregate.
+    Rank on the ROUNDED score with the term as tiebreak, so both
+    engines order the identical number.  The per-doc window is
+    partitioned — parallel at any corpus size; the df side of the join
+    is vocabulary-sized (<< corpus), AQE picks broadcast when it fits."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            r6(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
     )
 
 
@@ -1227,4 +1329,6 @@ QUERIES = {
     "q67_ntile_quartiles": q67_ntile_quartiles,
     "q68_keep_best": q68_keep_best,
     "q69_decontaminate": q69_decontaminate,
+    "q70_funnel": q70_funnel,
+    "q71_tfidf_topk": q71_tfidf_topk,
 }
