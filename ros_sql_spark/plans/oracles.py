@@ -682,6 +682,26 @@ ORACLES: dict[str, str] = {
               FROM tf JOIN df USING (term) CROSS JOIN n)
         WHERE rk <= 3
     """,
+    "q72_approx_percentile": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+                   <= (max(value) - min(value)) * 0.05 AS approx_ok
+        FROM events GROUP BY event_type
+    """,
+    "q73_quantize_embeddings": """
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(dv, x -> floor(x / scale)))
+                    AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(dv, x -> abs(floor(x / scale))))
+                    AS BIGINT) AS q_abs_sum
+        FROM (SELECT vec_id, dv,
+                     list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+              FROM (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+                    FROM embeddings))
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

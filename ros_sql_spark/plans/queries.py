@@ -1259,6 +1259,61 @@ def q71_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for q44: sketch-based quantiles.  Exact
+    ``percentile`` materializes every group's values (fine for the
+    oracle, wrong at 100 TB); ``approx_percentile`` streams a bounded
+    sketch through partial aggregation.  Sketches differ across engines,
+    so — like q54 — each engine asserts ITS OWN approx against ITS OWN
+    exact value (|approx-exact| <= 5% of the group's value spread) and
+    emits the boolean plus the exact median; booleans and exact values
+    hash-match cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    spread = F.max("value") - F.min("value")
+    return ev.groupBy("event_type").agg(
+        r6(F.expr("percentile(value, 0.5)")).alias("p50_exact"),
+        (
+            F.abs(
+                F.expr("approx_percentile(value, 0.5, 1000)")
+                - F.expr("percentile(value, 0.5)")
+            )
+            <= spread * 0.05
+        ).alias("approx_ok"),
+    )
+
+
+def q73_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the storage/serving compression
+    step of a vector pipeline): per-vector symmetric scale =
+    max(|v|)/127, elements floored to int — floor, not round, because
+    both engines floor identically on the same double while banker's-
+    vs-half-up rounding at representation boundaries differs.  Emits
+    the rounded scale and an order-independent checksum of the
+    quantized vector (sum and sum of absolute values).  Pure
+    projection: linear, shuffle-free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform("_dv", lambda x: F.abs(x))) / F.lit(127.0)
+    qv = F.transform(
+        "_dv", lambda x: F.floor(x / F.col("_scale")).cast("bigint")
+    )
+    return (
+        emb.select("vec_id", dv.alias("_dv"))
+        .select("vec_id", "_dv", scale.alias("_scale"))
+        .select("vec_id", "_scale", qv.alias("_qv"))
+        .select(
+            "vec_id",
+            r6(F.col("_scale")).alias("scale"),
+            F.aggregate(
+                "_qv", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.aggregate(
+                "_qv", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+            ).alias("q_abs_sum"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1331,4 +1386,6 @@ QUERIES = {
     "q69_decontaminate": q69_decontaminate,
     "q70_funnel": q70_funnel,
     "q71_tfidf_topk": q71_tfidf_topk,
+    "q72_approx_percentile": q72_approx_percentile,
+    "q73_quantize_embeddings": q73_quantize_embeddings,
 }
