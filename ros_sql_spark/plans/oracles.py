@@ -702,6 +702,17 @@ ORACLES: dict[str, str] = {
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
                     FROM embeddings))
     """,
+    "q74_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM orders) o
+        WHERE 2 * price * (SELECT count(*) FROM orders o2
+                           WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM orders o2
+                     WHERE o2.o_custkey = o.o_custkey)
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -1314,6 +1314,33 @@ def q73_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point + correlated scalar subqueries: orders priced
+    above 1.5x their customer's average, written as SQL that Catalyst
+    decorrelates into aggregate+join (no per-row re-execution — the
+    rewritten plan is the same shape a hand-built join would give).
+
+    The predicate is multiplied through by the count —
+    2*price*cnt > 3*sum — so the comparison stays in EXACT decimal
+    arithmetic on both engines; a literal `price > 1.5*avg` would
+    compare Spark's exact decimal avg against DuckDB's double avg and
+    flip on boundary-equal rows."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price
+        FROM (SELECT o_orderkey, o_custkey,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM v_orders) o
+        WHERE 2 * price * (SELECT count(*) FROM v_orders o2
+                           WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM v_orders o2
+                     WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1388,4 +1415,5 @@ QUERIES = {
     "q71_tfidf_topk": q71_tfidf_topk,
     "q72_approx_percentile": q72_approx_percentile,
     "q73_quantize_embeddings": q73_quantize_embeddings,
+    "q74_correlated_subquery": q74_correlated_subquery,
 }
