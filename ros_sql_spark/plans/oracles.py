@@ -713,6 +713,13 @@ ORACLES: dict[str, str] = {
                      FROM orders o2
                      WHERE o2.o_custkey = o.o_custkey)
     """,
+    "q75_skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+        FROM events GROUP BY event_type
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -1341,6 +1341,38 @@ def q74_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the explicit salting operator
+    (operators/skew.py): events grouped by event_type — 5 keys over the
+    whole table is exactly the shape where one reducer would take a
+    key's entire volume at 100 TB.  Phase 1 groups on (key, salt-of-
+    event_id) spreading each key over 32 reducers; phase 2 merges
+    partials.  Result provably identical to the plain GROUP BY the
+    DuckDB oracle runs; decimal sum exact inside, double at the
+    boundary."""
+    from ros_sql_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", money(F.col("value")).alias("_v")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "_v"),
+            "total": ("sum", "_v"),
+            "vmax": ("max", "_v"),
+        },
+        salt_src="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1416,4 +1448,5 @@ QUERIES = {
     "q72_approx_percentile": q72_approx_percentile,
     "q73_quantize_embeddings": q73_quantize_embeddings,
     "q74_correlated_subquery": q74_correlated_subquery,
+    "q75_skew_salted_agg": q75_skew_salted_agg,
 }

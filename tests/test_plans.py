@@ -154,6 +154,16 @@ def test_q69_contamination_join_shapes(spark):
     )
 
 
+def test_q75_salted_two_phase(spark):
+    """The skew query must actually salt: phase-1 aggregation keys
+    include the salt column (hot key spread over 32 reducers), merged
+    by a second keys-only aggregation."""
+    p = plan_of(spark, "q75_skew_salted_agg")
+    assert re.search(r"hashpartitioning\([^)]*_salt", p), (
+        "phase-1 exchange must partition on (keys, _salt):\n" + p
+    )
+
+
 def test_no_cartesian_in_suite_except_intended(spark):
     """Only the pairwise-similarity queries may contain non-equi joins;
     everything else must plan equi/broadcast joins.  Also a suite-wide
