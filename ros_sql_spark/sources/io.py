@@ -29,6 +29,8 @@ __all__ = [
     "register_views",
     "read_jsonl",
     "read_csv",
+    "read_orc",
+    "write_orc",
 ]
 
 # All driver tables (TESTDATA.md / FIXTURES.md Part A).
@@ -138,6 +140,20 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native, zero extra dependencies).  Same columnar
+    pushdown/pruning properties as parquet — offered because warehouse
+    estates are commonly ORC-standardized (Hive lineage); the engine is
+    format-agnostic at the scan boundary."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan.  Predicate pushdown and column pruning work exactly as
+    for parquet (asserted in tests/test_etl_units.py)."""
+    return spark.read.orc(path)
 
 
 def write_events_partitioned(events: DataFrame, path: str, mode: str = "overwrite") -> None:

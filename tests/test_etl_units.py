@@ -182,3 +182,24 @@ def test_read_csv_explicit_schema(spark, tmp_path):
     df = read_csv(spark, str(p), "id BIGINT, name STRING, score DOUBLE")
     got = sorted((r.id, r.name, r.score) for r in df.collect())
     assert got == [(1, "alpha", 0.5), (2, "beta", 1.5)]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan: byte-faithful roundtrip and parquet-grade pushdown
+    (PushedFilters reaches the ORC scan; ReadSchema prunes columns)."""
+    from tests.conftest import SF_SMALL
+    from ros_sql_spark.sources.io import load_table, read_orc, write_orc
+
+    src = load_table(spark, SF_SMALL, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    q = back.filter(F.col("n_regionkey") == 1).select("n_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan.split(
+        "PushedFilters:"
+    )[1][:120]
+    assert "n_comment" not in plan.split("ReadSchema:")[1][:200]
