@@ -388,7 +388,15 @@ def connected_components(
         F.col(src_col).cast("bigint").alias("a"),
         F.col(dst_col).cast("bigint").alias("b"),
     )
-    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the (symmetrized) edge list once.  Locally this is
+    # near-neutral (measured: shuffle-stage reuse already shields the
+    # per-round re-execution of the upstream candidate pipeline), but
+    # on a cluster shuffle files can be evicted/lost mid-loop and the
+    # checkpoint pins the edges + truncates their lineage — same
+    # MLlib-style discipline as the per-round label checkpoint.
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     if nodes is None:
         nodes = sym.select(F.col("a").alias(id_col)).distinct()
     labels = nodes.select(
