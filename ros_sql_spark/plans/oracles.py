@@ -720,6 +720,31 @@ ORACLES: dict[str, str] = {
                CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
         FROM events GROUP BY event_type
     """,
+    "q76_ordered_agg": """
+        SELECT l_orderkey,
+               string_agg(CAST(l_linenumber AS VARCHAR), ','
+                          ORDER BY l_linenumber) AS lines,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "q77_unpivot": """
+        WITH wide AS (
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS en,
+                   count(*) FILTER (lang = 'de') AS de,
+                   count(*) FILTER (lang = 'es') AS es,
+                   count(*) FILTER (lang = 'fr') AS fr,
+                   count(*) FILTER (lang = 'zh') AS zh
+            FROM documents GROUP BY source
+        )
+        SELECT source, lang, n FROM (
+            SELECT source, 'en' AS lang, en AS n FROM wide
+            UNION ALL SELECT source, 'de', de FROM wide
+            UNION ALL SELECT source, 'es', es FROM wide
+            UNION ALL SELECT source, 'fr', fr FROM wide
+            UNION ALL SELECT source, 'zh', zh FROM wide
+        )
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -1373,6 +1373,43 @@ def q75_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered aggregation — the R11 child-reassembly shape as a
+    declared query: per order, the line numbers collected, SORTED, and
+    joined to one string (collect_list has nondeterministic arrival
+    order; array_sort makes the result order-independent, exactly how
+    denormalize rebuilds arrays from stored indexes).  String output,
+    not array (driver canonicalizer bans arrays)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("bigint"))),
+            ",",
+        ).alias("lines"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+def q77_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (inverse of q51): per-language doc counts by source go
+    from wide columns back to long (source, lang, n) rows — the
+    DataFrame.unpivot/melt surface.  Zero-count cells are kept (they
+    exist as columns in the wide form) so the unpivot is lossless."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "de", "es", "fr", "zh"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ["source"],
+        ["en", "de", "es", "fr", "zh"],
+        "lang",
+        "n",
+    ).select("source", "lang", F.col("n").cast("bigint").alias("n"))
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1449,4 +1486,6 @@ QUERIES = {
     "q73_quantize_embeddings": q73_quantize_embeddings,
     "q74_correlated_subquery": q74_correlated_subquery,
     "q75_skew_salted_agg": q75_skew_salted_agg,
+    "q76_ordered_agg": q76_ordered_agg,
+    "q77_unpivot": q77_unpivot,
 }
