@@ -5,7 +5,8 @@ entry(spark)  — flagship query (q11_pricing_summary, TPC-H Q1 shape) at
 queries()     — the declared suite from SURVEY.md §2.3, implemented in
                 ros_sql_spark.plans.queries.
 oracle_sql()  — matching DuckDB SQL (ros_sql_spark.plans.oracles);
-                q26_dedup_minhash intentionally omitted (rows-only).
+                q26/q39/q40 intentionally omitted (rows-only: sketch /
+                digest / recall outputs have no cross-engine oracle).
 """
 
 from __future__ import annotations
