@@ -1416,6 +1416,27 @@ def q77_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "lang", F.col("n").cast("bigint").alias("n"))
 
 
+def q78_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 (rows-only, like q40: recall is
+    probabilistic by design and asserted against the exact baseline in
+    tests/test_operators.py).  KMeans coarse quantizer trained on a
+    sample; search probes n_probe cells per query — ~n_probe/n_cells of
+    brute-force cost, candidate fetch is an equi-join on a small int
+    cell id.  The second ANN family next to q40's hyperplane LSH: IVF
+    recall degrades gracefully with cluster quality, LSH with hash
+    width — an engine should ship both."""
+    from ros_sql_spark.operators.similarity import ivf_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 20),
+        k=3,
+        n_cells=8,
+        n_probe=3,
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1494,4 +1515,5 @@ QUERIES = {
     "q75_skew_salted_agg": q75_skew_salted_agg,
     "q76_ordered_agg": q76_ordered_agg,
     "q77_unpivot": q77_unpivot,
+    "q78_ann_ivf": q78_ann_ivf,
 }

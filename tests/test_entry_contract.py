@@ -29,6 +29,7 @@ def test_rows_only_queries_are_the_documented_ones():
         "q26_dedup_minhash",  # xxhash64 LSH not SQL-expressible
         "q39_multimodal_features",  # mapInPandas plumbing
         "q40_ann_lsh",  # probabilistic recall by construction
+        "q78_ann_ivf",  # probabilistic recall (KMeans cells)
     }, rows_only
 
 
