@@ -203,3 +203,36 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         "PushedFilters:"
     )[1][:120]
     assert "n_comment" not in plan.split("ReadSchema:")[1][:200]
+
+
+def test_partitioned_events_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB events layout must support DYNAMIC partition pruning:
+    joining the date-partitioned store against a filtered dimension
+    whose qualifying dates are only known at runtime should plan a
+    dynamicpruning subquery on the partition column — so the fact scan
+    reads only the surviving days, not the whole history."""
+    from tests.conftest import SF_SMALL
+    from ros_sql_spark.sources.io import (
+        load_table,
+        read_events_partitioned,
+        write_events_partitioned,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    store = str(tmp_path / "events_by_date")
+    write_events_partitioned(events, store)
+    fact = read_events_partitioned(spark, store)
+
+    # runtime-filtered date dimension: which dates had a signup spike
+    dim = (
+        events.select(F.to_date("ts").alias("event_date"))
+        .groupBy("event_date")
+        .count()
+        .filter(F.col("count") > 0)
+        .limit(2)
+    )
+    joined = fact.join(dim.hint("broadcast"), "event_date").select("event_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "partition-column equi-join must trigger DPP:\n" + plan[:2000]
+    )
