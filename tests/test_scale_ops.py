@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ros_sql_spark.operators.dedup import ngram_jaccard_pairs
 from ros_sql_spark.operators.skew import salted_aggregate, salted_broadcast_left_join
@@ -191,3 +192,59 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_shingle_hashes_equivalent_to_strings(spark, texts):
+    """The de-stringed shingle hasher must agree with the string
+    builder on every derived statistic the suite uses: per-doc shingle
+    COUNT and per-doc DISTINCT count (q63's ratio), and cross-doc
+    shared-shingle membership (q69's contamination probe) — on
+    arbitrary texts including empties, repeated tokens, and docs
+    shorter than k."""
+    from ros_sql_spark.operators.dedup import (
+        shingle_hashes,
+        token_shingles,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hs = {
+        r.doc_id: r.h
+        for r in shingle_hashes(df, "doc_id", "text", 3)
+        .select("doc_id", F.col("_hs").alias("h"))
+        .collect()
+    }
+    ss = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", token_shingles(tokenize(F.col("text")), 3).alias("s")
+        ).collect()
+    }
+    assert set(hs) == set(ss)
+    str_to_hash = {}
+    for d in ss:
+        assert len(hs[d]) == len(ss[d])
+        assert len(set(hs[d])) == len(set(ss[d]))
+        # hashing must be a per-shingle FUNCTION of the string (same
+        # string -> same hash everywhere) — exactly what makes
+        # cross-doc membership (q69) agree with string membership
+        for s, h in zip(ss[d], hs[d]):
+            assert str_to_hash.setdefault(s, h) == h, (s, h, str_to_hash[s])
