@@ -745,6 +745,18 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT source, 'zh', zh FROM wide
         )
     """,
+    "q79_latest_state": """
+        SELECT user_id, event_type,
+               event_id AS last_event_id,
+               us AS last_us,
+               round(value, 6) AS last_value
+        FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY epoch_us(ts) DESC,
+                                                 event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

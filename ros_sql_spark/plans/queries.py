@@ -1438,6 +1438,39 @@ def q78_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the CURRENT state per (user, event_type) —
+    the newest event wins, ties broken by event_id.  This is the
+    \"materialize a table from the replay log\" capability a recorder
+    engine owes its users (the batch twin of a streaming upsert view).
+    Ordering key is the µs-floored timestamp (the cross-engine-visible
+    resolution) + event_id, so the winner is deterministic on both
+    engines even for same-µs collisions; the window is partitioned by
+    the key — parallel at any log size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            tus("ts_ns").alias("us"),
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("us").alias("last_us"),
+            r6(F.col("value")).alias("last_value"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1517,4 +1550,5 @@ QUERIES = {
     "q76_ordered_agg": q76_ordered_agg,
     "q77_unpivot": q77_unpivot,
     "q78_ann_ivf": q78_ann_ivf,
+    "q79_latest_state": q79_latest_state,
 }
