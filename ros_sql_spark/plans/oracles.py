@@ -757,6 +757,22 @@ ORACLES: dict[str, str] = {
               FROM events)
         WHERE rn = 1
     """,
+    "q80_histogram": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY bin
+    """,
+    "q81_conditional_agg": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (event_type = 'purchase') AS DOUBLE) AS revenue,
+               round(CAST(count(*) FILTER (event_type = 'error') AS DOUBLE)
+                     / count(*), 6) AS error_rate
+        FROM events GROUP BY user_id
+    """,
     "q53_grouping_id": """
         SELECT lang, source, count(*) AS n,
                CAST(GROUPING(lang) AS BIGINT) AS g_lang,

@@ -1471,6 +1471,44 @@ def q79_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width 50): single-pass
+    binning by integer floor of a double division — both engines floor
+    the identical double, so bin edges are deterministic.  One
+    map-side-combined shuffle on a small int key; the profile-the-
+    distribution primitive behind quality dashboards."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(50.0)).cast("bigint")
+    return (
+        ev.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(money(F.col("value"))).cast("double").alias("total"),
+        )
+        .select("bin", "n", "total")
+    )
+
+
+def q81_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation in one pass (count_if / filtered sum):
+    per user, purchase count, purchase revenue, and error rate — the
+    several-metrics-one-scan shape that replaces N self-joins.  Revenue
+    sums exact decimals over the filtered rows; the rate divides two
+    counts and rounds (r6) for float parity."""
+    ev = _t(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    is_error = F.col("event_type") == "error"
+    return ev.groupBy("user_id").agg(
+        F.count_if(is_purchase).cast("bigint").alias("n_purchase"),
+        F.sum(F.when(is_purchase, money(F.col("value"))))
+        .cast("double")
+        .alias("revenue"),
+        r6(
+            F.count_if(is_error).cast("double") / F.count("*")
+        ).alias("error_rate"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1551,4 +1589,6 @@ QUERIES = {
     "q77_unpivot": q77_unpivot,
     "q78_ann_ivf": q78_ann_ivf,
     "q79_latest_state": q79_latest_state,
+    "q80_histogram": q80_histogram,
+    "q81_conditional_agg": q81_conditional_agg,
 }
