@@ -52,6 +52,7 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -59,7 +60,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # The driver keeps only a stdout TAIL: with 80+ per-query timings the
+    # full line above outgrows the buffer and its head (including the
+    # total) is lost (BENCH_r02 recorded "parsed": null).  Repeat the
+    # headline as a short FINAL line so the total always survives.
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
             }
         )
     )

@@ -403,6 +403,7 @@ def connected_components(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(id_col).cast("bigint").alias("comp"),
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
@@ -421,6 +422,18 @@ def connected_components(
         labels = new.select("id", F.col("_new").alias("comp"))
         if changed == 0:
             break
+    if changed != 0:
+        # Exhausting max_iter means labels are still propagating: the
+        # graph's diameter exceeds the round budget and the returned
+        # components would be silently WRONG (over-split).  Dup graphs
+        # have diameter ~2-4, so hitting this signals a pathological
+        # input (long chains) — fail loudly, don't emit bad groups.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(labels still changing). The graph diameter exceeds "
+            "max_iter; raise max_iter or use large-star/small-star for "
+            "long-chain graphs."
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
@@ -447,14 +460,19 @@ def ngram_jaccard_pairs(
     Pairs with zero shared shingles (J=0) are never materialized —
     equivalent to any threshold > 0.
     """
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size>0/isnotnull pre-filter that re-evaluates the fully-inlined
+    # shingle pipeline once more per row (measured 34x on this exact
+    # shape — CLAUDE.md invariant).  The rule skips outer generates; the
+    # null filter restores inner-join semantics for sub-k/empty docs.
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 token_shingles(tokenize(F.col(text_col)), k)
             )
         ).alias("_sh"),
-    )
+    ).filter(F.col("_sh").isNotNull())
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("_sh")

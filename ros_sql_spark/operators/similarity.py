@@ -193,6 +193,14 @@ def lsh_knn(
 
     Tune (bands, planes_per_band) for the recall/cost point: more bands
     → higher recall, more candidates.
+
+    Cache lifetime (``persist_buckets=True``): the result is lazy, so
+    the bucket table cannot be unpersisted here without defeating the
+    persist.  The handle is exposed as ``result._rosql_cached`` — a
+    long-lived session that calls ``lsh_knn`` repeatedly should
+    ``result._rosql_cached.unpersist()`` after its action.  Otherwise
+    the blocks are reclaimed by Spark's ContextCleaner once the plan is
+    garbage-collected (bounded, but GC-timed).
     """
     if num_planes is not None:
         planes_per_band = num_planes
@@ -240,12 +248,15 @@ def lsh_knn(
     )
     sim = F.round(cosine(vec_col, "_qvec"), 6)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
-    return (
+    out = (
         rerank.select(query_id_col, id_col, sim.alias("sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if persist_buckets:
+        out._rosql_cached = c  # caller may unpersist after its action
+    return out
 
 
 # --------------------------------------------------------------------------

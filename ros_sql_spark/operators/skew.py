@@ -47,7 +47,9 @@ def salted_aggregate(
 
     ``aggs``: out_col -> (fn, in_col) with fn in sum|count|min|max
     (decomposable aggregates only — avg must be derived as sum/count by
-    the caller).  ``salt_src``: a high-cardinality column that varies
+    the caller).  ``("count", "*")`` is COUNT(*) (row count);
+    ``("count", col)`` is COUNT(col) (non-null count) — both identical
+    to the corresponding plain ``groupBy().agg(...)``.  ``salt_src``: a high-cardinality column that varies
     WITHIN each key group (a row id / timestamp — NOT the group key:
     a salt that is a function of the key leaves the hot key in one
     bucket).
@@ -64,7 +66,11 @@ def salted_aggregate(
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets)).alias("_salt")
     phase1_exprs = []
     for out, (fn, col) in aggs.items():
-        expr = F.count(col) if fn == "count" else getattr(F, fn)(col)
+        if fn == "count":
+            # "*" -> COUNT(*); a column name -> COUNT(col) (non-null).
+            expr = F.count(F.lit(1)) if col == "*" else F.count(col)
+        else:
+            expr = getattr(F, fn)(col)
         phase1_exprs.append(expr.alias(f"_p_{out}"))
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_exprs)
     final_exprs = [

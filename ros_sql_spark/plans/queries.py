@@ -889,7 +889,12 @@ def q57_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n DESC, tok) is a total order so the k-boundary is deterministic."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        # explode_outer: the inner-explode variant gets an inferred
+        # size>0 pre-filter that re-runs split(lower(text)) per row
+        # (CLAUDE.md Generate invariant); null toks can't occur (text
+        # is non-null parquet), so semantics are identical.
+        docs.select(F.explode_outer(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "tok")
@@ -1240,9 +1245,11 @@ def q71_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned — parallel at any corpus size; the df side of the join
     is vocabulary-sized (<< corpus), AQE picks broadcast when it fits."""
     docs = _t(spark, sf_dir, "documents")
+    # explode_outer + null filter: avoids the inferred pre-Generate
+    # filter double-evaluating the tokenizer (CLAUDE.md invariant).
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
-    )
+        "doc_id", F.explode_outer(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -1366,7 +1373,7 @@ def q75_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         keys=["event_type"],
         aggs={
-            "n": ("count", "_v"),
+            "n": ("count", "*"),  # COUNT(*) — matches the oracle even if _v were nullable
             "total": ("sum", "_v"),
             "vmax": ("max", "_v"),
         },

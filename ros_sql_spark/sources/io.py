@@ -104,23 +104,33 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: str,
-    bad_records_path: str | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """JSON-lines corpus reader with a MANDATORY explicit schema.
 
     Schema inference over JSONL is a full extra pass of the data (fatal
     at 100 TB) and is nondeterministic under corpus drift, so the engine
     never allows it.  Corrupt lines don't kill the scan: PERMISSIVE mode
-    nulls them (or routes them to ``bad_records_path`` for audit) —
-    exactly what a web-crawl ingest needs.
+    nulls their fields.  With ``keep_corrupt=True`` a ``_corrupt``
+    STRING column is APPENDED to the caller schema holding the raw
+    offending line (null for good rows) — filter ``_corrupt IS NOT
+    NULL`` to audit-route bad lines.  (OSS Spark silently ignores the
+    Databricks-only ``badRecordsPath`` option, and the corrupt-record
+    column only materializes when it is part of the read schema — both
+    reasons this is an explicit schema-level contract, not an option.)
+
+    Caveat: Spark rejects plans whose referenced columns are ONLY the
+    corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep a data
+    column in the projection when filtering on ``_corrupt``.
     """
-    r = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-    )
-    if bad_records_path is not None:
-        r = r.option("badRecordsPath", bad_records_path)
+    r = spark.read.option("mode", "PERMISSIVE")
+    if keep_corrupt:
+        r = (
+            r.schema(f"{schema}, _corrupt STRING")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+        )
+    else:
+        r = r.schema(schema)
     return r.json(path)
 
 

@@ -70,13 +70,38 @@ def rollup_upsert_batch(batch_df: DataFrame, batch_id: int,
     keep = store.filter(F.col("w_date").isin(touched)).join(
         b.select(*_KEYS), _KEYS, "left_anti"
     )
-    (
-        keep.unionByName(b)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("w_date")
-        .parquet(store_path)
-    )
+    # MATERIALIZE the merged rows BEFORE overwriting the path they were
+    # read from: without this, the overwrite job's tasks read the very
+    # parquet files the commit is replacing — a task retry or
+    # speculative attempt that re-opens them after the commit starts
+    # fails the job (read-while-overwrite hazard).  localCheckpoint
+    # pins the rows in executor block storage and cuts the lineage back
+    # to the store files entirely.
+    merged = keep.unionByName(b).localCheckpoint(eager=True)
+    # Dynamic partition overwrite is the correctness contract (static
+    # would DELETE every untouched history partition).  Set the session
+    # conf for the write (writer option alone is belt) and verify the
+    # resolved value before touching the store.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        assert spark.conf.get(conf_key).lower() == "dynamic", (
+            "partitionOverwriteMode did not resolve to dynamic; "
+            "refusing to overwrite the rollup store (static mode would "
+            "drop untouched history partitions)"
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("w_date")
+            .parquet(store_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def continuous_rollup(

@@ -173,6 +173,20 @@ def test_read_jsonl_roundtrip_and_corrupt_tolerance(spark, tmp_path):
     assert rows[1] == ("hello world", 11)
     assert rows[4] == (None, 0)
 
+    # keep_corrupt=True appends a _corrupt column holding the raw bad
+    # line — audit routing = filter on it (works on OSS Spark, unlike
+    # the Databricks-only badRecordsPath option).
+    df2 = read_jsonl(
+        spark, str(p), "doc_id BIGINT, text STRING, n BIGINT", keep_corrupt=True
+    )
+    assert df2.columns == ["doc_id", "text", "n", "_corrupt"]
+    bad = df2.filter("_corrupt IS NOT NULL").collect()
+    assert len(bad) == 1 and bad[0]._corrupt == "this line is not json at all"
+    # NB: Spark disallows plans whose referenced columns are ONLY the
+    # corrupt-record column (count() after the filter prunes to that) —
+    # keep a data column in the projection.
+    assert len(df2.filter("_corrupt IS NULL").select("doc_id", "_corrupt").collect()) == 3
+
 
 def test_read_csv_explicit_schema(spark, tmp_path):
     from ros_sql_spark.sources.io import read_csv

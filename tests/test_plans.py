@@ -180,3 +180,65 @@ def test_no_cartesian_in_suite_except_intended(spark):
         if name in allowed or name.startswith("q39"):
             continue
         assert "CartesianProduct" not in p, name
+
+
+def _generate_trap_lines(plan: str) -> list[str]:
+    """Lines where InferFiltersFromGenerate re-evaluates an expensive
+    expression: a Filter whose size() argument is itself an expression
+    tree (nested parens) rather than a bare attribute reference.  A
+    bare attribute — `size(shingles#12, true)` — means the array was
+    materialized in a prior projection and the pre-filter is cheap;
+    anything nested means the full pipeline runs once in the filter AND
+    once in the generate (measured 34x on shingle pipelines)."""
+    bad = []
+    for line in plan.splitlines():
+        if "Filter" not in line:
+            continue
+        for m in re.finditer(r"size\(", line):
+            i, depth, start = m.end(), 1, m.end()
+            while i < len(line) and depth:
+                depth += {"(": 1, ")": -1}.get(line[i], 0)
+                i += 1
+            first_arg = line[start : i - 1].split(",")[0]
+            if "(" in first_arg:
+                bad.append(line.strip()[:160])
+    return bad
+
+
+def test_no_inferred_generate_filter_in_suite(spark):
+    """CLAUDE.md Generate invariant, enforced suite-wide: plain
+    explode(<expensive expr>) gets an inferred size>0/isnotnull
+    pre-filter that evaluates the expression twice per row.  Every
+    query must use explode_outer (rule skips outer generates) or
+    explode a pre-materialized column."""
+    for name in QUERIES:
+        traps = _generate_trap_lines(plan_of(spark, name))
+        assert not traps, f"{name}: inferred pre-Generate filter: {traps}"
+
+
+def test_no_inferred_generate_filter_in_operators(spark):
+    """Same lint for the operator-level scale pipelines (they don't go
+    through QUERIES): exact-Jaccard shingle explode, MinHash/LSH
+    banding, hyperplane-LSH bucketing."""
+    from ros_sql_spark.operators.dedup import (
+        minhash_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from ros_sql_spark.operators.similarity import lsh_knn
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pipelines = {
+        "ngram_jaccard_pairs": ngram_jaccard_pairs(docs, threshold=0.05),
+        "minhash_signatures": minhash_signatures(docs),
+        "minhash_pairs": minhash_pairs(docs),
+        "lsh_knn": lsh_knn(
+            emb, query_filter=F.col("vec_id") < 5, k=3, exclude_self=True
+        ),
+    }
+    for name, df in pipelines.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        traps = _generate_trap_lines(plan)
+        assert not traps, f"{name}: inferred pre-Generate filter: {traps}"
