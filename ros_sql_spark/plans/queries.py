@@ -132,7 +132,7 @@ def q07_child_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact DECIMAL(18,2) math INSIDE the aggregate; the driver-visible
     # output is cast to DOUBLE (lossless here — 2-dp values ≪ 2⁵³) so both
     # engines' pandas canonicalization renders identically ("26.0", never
-    # Decimal("26.00") vs float 26.0 — the round-1 q07/q11/q50 hash gap).
+    # Decimal("26.00") vs float 26.0 — the round-1 q07/q11/q79 hash gap).
     per_order = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_items"),
         F.sum(money("l_quantity")).cast("double").alias("total_qty"),
@@ -165,7 +165,7 @@ def q09_blob_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map/JSON scalar extraction (not in the ROS model; engine extension).
     Same regex on both engines so '' vs NULL edge cases align."""
     ev = _t(spark, sf_dir, "events")
@@ -205,7 +205,7 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (two-phase partial dedup in Spark)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -213,7 +213,7 @@ def q12_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: ROLLUP(lang, source) with subtotal NULLs."""
     docs = _t(spark, sf_dir, "documents")
     return docs.rollup("lang", "source").agg(
@@ -221,7 +221,7 @@ def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: first event per user. Deterministic order key
     (µs-floored time, event_id) — the oracle's TIMESTAMP(NANOS) column is
     µs-truncated on read, so µs+id is the finest cross-engine-stable key
@@ -235,7 +235,7 @@ def q14_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q15_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q56_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: inter-event gap per user in exact µs.  Window
     ordered by the µs key itself (+id tiebreak) for oracle parity."""
     ev = _t(spark, sf_dir, "events")
@@ -299,7 +299,7 @@ def q19_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
 
 
-def q20_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join: customers with no orders (NOT EXISTS)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = _t(spark, sf_dir, "orders").select("o_custkey")
@@ -310,7 +310,7 @@ def q20_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Strings / dates / text analysis
 # --------------------------------------------------------------------------
 
-def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions / basic text analysis on documents."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -320,7 +320,7 @@ def q21_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q22_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date functions: monthly order counts (cast to DATE for parity)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy(
@@ -328,7 +328,7 @@ def q22_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
-def q23_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL with a source-tag literal."""
     ev = _t(spark, sf_dir, "events")
     click = ev.filter(F.col("event_type") == "click").select(
@@ -340,7 +340,7 @@ def q23_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click.unionByName(view)
 
 
-def q24_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q65_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (set semantics): users who both clicked and purchased."""
     ev = _t(spark, sf_dir, "events")
     click = ev.filter(F.col("event_type") == "click").select("user_id")
@@ -412,13 +412,13 @@ def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q28_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q66_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition: lang × source counts."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
 
 
-def q29_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q73_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array math: L2 norm via higher-order functions, double precision."""
     emb = _t(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
@@ -479,7 +479,7 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q33_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q68_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs (threshold on the
     ROUNDED similarity so both engines cut the same set)."""
     from ros_sql_spark.operators.similarity import cosine
@@ -495,7 +495,7 @@ def q33_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q34_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 per query (first 20 vectors as queries) —
     the exact ANN baseline; q40 is the LSH-bucketed approximation."""
     from ros_sql_spark.operators.similarity import brute_force_knn
@@ -513,7 +513,7 @@ def q35_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", detect_lang("text").alias("lang_pred"))
 
 
-def q36_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features: length, tokens, mean token length,
     punctuation ratio, stopword ratio."""
     from ros_sql_spark.functions.text import (
@@ -657,8 +657,8 @@ def q42_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets over documents (rollup's sibling, q13)."""
+def q74_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over documents (rollup's sibling, q55)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.cube("lang", "source").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
@@ -675,7 +675,7 @@ def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q45_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment statistics: sample stddev + correlation per group."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -723,7 +723,7 @@ def q47_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q48_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function battery: case mapping, substring, replace, pad,
     position, reverse — identical semantics asserted cross-engine."""
     docs = _t(spark, sf_dir, "documents")
@@ -738,7 +738,7 @@ def q48_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q49_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q76_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional/NULL logic: nullif, coalesce, least/greatest, CASE."""
     ev = _t(spark, sf_dir, "events")
     bucket = (
@@ -757,7 +757,7 @@ def q49_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q50_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q79_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY + HAVING (post-aggregation filter pushed nowhere —
     semantically a filter over the aggregate, planned as such)."""
     ev = _t(spark, sf_dir, "events")
@@ -771,7 +771,7 @@ def q50_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user event counts widened to one column per type.
     Explicit value list (never let pivot scan for distinct values at
     scale); absent cells filled 0 to match FILTER-count semantics."""
@@ -785,7 +785,7 @@ def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q52_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist, dense_rank
     over an exact-decimal spend ranking.
 
@@ -812,7 +812,7 @@ def q52_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q53_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING(): disambiguates subtotal NULLs from data
-    NULLs (the correctness-critical companion to q13/q43)."""
+    NULLs (the correctness-critical companion to q55/q74)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.rollup("lang", "source").agg(
         F.count("*").alias("n"),
@@ -821,7 +821,7 @@ def q53_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q54_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++), SURVEY.md §2.2
     'Distinct aggregation — approx path'.
 
@@ -847,9 +847,9 @@ def q54_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n_users", tol.alias("approx_ok"))
 
 
-def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS ((lang), (source), ()) — the general form
-    beyond ROLLUP (q13/q53) and CUBE (q43): per-lang totals, per-source
+    beyond ROLLUP (q55/q53) and CUBE (q74): per-lang totals, per-source
     totals, and a grand total in one pass (Spark expands the sets and
     aggregates once; no multi-scan UNION ALL)."""
     docs = _t(spark, sf_dir, "documents")
@@ -863,7 +863,7 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q56_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate GROUPS: n-gram-Jaccard candidate pairs → connected
     components → (doc_id, component = min reachable doc_id).  The dedup
     endgame ("keep one survivor per duplicate cluster"), exercised on
@@ -915,7 +915,7 @@ def q58_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q59_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10) by content-free id
     hashing — the reproducible alternative to RNG sampling for dataset
     partitioning: stable under reruns, engines, and corpus growth
@@ -939,7 +939,7 @@ def q59_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q60_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign each doc to a training sequence by
     cumulative token count within its source shard (seq boundary every
     2048 BPE-ish tokens).  A per-shard window cumsum — partitionBy keeps
@@ -966,8 +966,8 @@ def q60_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q61_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher-style quality gate: the q36 features fused into one
+def q21_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: the q71 features fused into one
     keep/drop decision per doc.  Thresholds compare the ROUNDED feature
     values, so both engines evaluate the identical number against the
     identical constant — the decision is deterministic even at the
@@ -1050,7 +1050,7 @@ def q64_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split each document into fixed 128-char
     chunks (the map side of a chunk-embed-index pipeline).  A pure
     per-row explode — linear, shuffle-free, cardinality-raising.
@@ -1084,10 +1084,10 @@ def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sampling: each language has
     its own keep-rate (tiny dim, broadcast), membership decided by the
-    q59 md5-bucket — rerun-stable, engine-portable, no RNG.  Languages
+    q22 md5-bucket — rerun-stable, engine-portable, no RNG.  Languages
     absent from the dim (fr here) fall back to a 10% default through the
     left join, exercising the broadcast-dim + coalesce path."""
     docs = _t(spark, sf_dir, "documents")
@@ -1128,7 +1128,7 @@ def q67_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q68_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection: within each exact-content cluster
     (q25's digest) keep the best representative — longest text, doc_id
     as the tiebreak.  The per-cluster window is partitioned by digest
@@ -1150,8 +1150,8 @@ def q68_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: drop from the train split (q59 buckets
+def q20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop from the train split (q22 buckets
     < 80) any document sharing a 5-token shingle with the held-out eval
     set (buckets >= 98).  The eval shingle set is tiny (2% of docs) →
     broadcast left-semi marks contamination, anti-join removes it; the
@@ -1195,7 +1195,7 @@ def q69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ordered funnel (view -> click -> purchase): per user, the
     earliest view, the earliest click AFTER that view, the earliest
     purchase AFTER that click, and the stage reached.  Three filtered
@@ -1236,7 +1236,7 @@ def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q71_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document.  tf from one token explode +
     count; df over the (doc, term) pairs (already distinct — no second
     dedup pass); idf = ln(N/df) with N broadcast from a 1-row aggregate.
@@ -1273,12 +1273,12 @@ def q71_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q72_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for q44: sketch-based quantiles.  Exact
     ``percentile`` materializes every group's values (fine for the
     oracle, wrong at 100 TB); ``approx_percentile`` streams a bounded
     sketch through partial aggregation.  Sketches differ across engines,
-    so — like q54 — each engine asserts ITS OWN approx against ITS OWN
+    so — like q12 — each engine asserts ITS OWN approx against ITS OWN
     exact value (|approx-exact| <= 5% of the group's value spread) and
     emits the boolean plus the exact median; booleans and exact values
     hash-match cross-engine."""
@@ -1296,7 +1296,7 @@ def q72_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q73_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (the storage/serving compression
     step of a vector pipeline): per-vector symmetric scale =
     max(|v|)/127, elements floored to int — floor, not round, because
@@ -1328,7 +1328,7 @@ def q73_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q74_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL entry point + correlated scalar subqueries: orders priced
     above 1.5x their customer's average, written as SQL that Catalyst
     decorrelates into aggregate+join (no per-row re-execution — the
@@ -1355,7 +1355,7 @@ def q74_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q75_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation through the explicit salting operator
     (operators/skew.py): events grouped by event_type — 5 keys over the
     whole table is exactly the shape where one reducer would take a
@@ -1387,7 +1387,7 @@ def q75_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q76_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered aggregation — the R11 child-reassembly shape as a
     declared query: per order, the line numbers collected, SORTED, and
     joined to one string (collect_list has nondeterministic arrival
@@ -1405,7 +1405,7 @@ def q76_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q77_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (inverse of q51): per-language doc counts by source go
+    """UNPIVOT (inverse of q10): per-language doc counts by source go
     from wide columns back to long (source, lang, n) rows — the
     DataFrame.unpivot/melt surface.  Zero-count cells are kept (they
     exist as columns in the wide form) so the unpivot is lossless."""
@@ -1445,7 +1445,7 @@ def q78_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q79_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog compaction: the CURRENT state per (user, event_type) —
     the newest event wins, ties broken by event_id.  This is the
     \"materialize a table from the replay log\" capability a recorder
@@ -1526,76 +1526,76 @@ QUERIES = {
     "q07_child_reassemble": q07_child_reassemble,
     "q08_fk_join_chain": q08_fk_join_chain,
     "q09_blob_fidelity": q09_blob_fidelity,
-    "q10_json_extract": q10_json_extract,
+    "q10_pivot": q10_pivot,
     "q11_pricing_summary": q11_pricing_summary,
-    "q12_distinct_agg": q12_distinct_agg,
-    "q13_rollup": q13_rollup,
-    "q14_window_rank": q14_window_rank,
-    "q15_window_lag": q15_window_lag,
+    "q12_approx_distinct": q12_approx_distinct,
+    "q13_grouping_sets": q13_grouping_sets,
+    "q14_rank_stats": q14_rank_stats,
+    "q15_dup_components": q15_dup_components,
     "q16_sessionize": q16_sessionize,
     "q17_topk": q17_topk,
     "q18_except": q18_except,
     "q19_semijoin": q19_semijoin,
-    "q20_antijoin": q20_antijoin,
-    "q21_text_stats": q21_text_stats,
-    "q22_date_trunc": q22_date_trunc,
-    "q23_union_all": q23_union_all,
-    "q24_intersect": q24_intersect,
+    "q20_decontaminate": q20_decontaminate,
+    "q21_quality_filter": q21_quality_filter,
+    "q22_train_split": q22_train_split,
+    "q23_pack_sequences": q23_pack_sequences,
+    "q24_chunk_documents": q24_chunk_documents,
     "q25_dedup_exact": q25_dedup_exact,
     "q26_dedup_minhash": q26_dedup_minhash,
     "q27_knn_cosine": q27_knn_cosine,
-    "q28_lang_matrix": q28_lang_matrix,
-    "q29_embedding_norm": q29_embedding_norm,
+    "q28_stratified_sample": q28_stratified_sample,
+    "q29_quantize_embeddings": q29_quantize_embeddings,
     "q30_multimodal_join": q30_multimodal_join,
     "q31_dedup_simhash": q31_dedup_simhash,
     "q32_ngram_jaccard": q32_ngram_jaccard,
-    "q33_cosine_dedup_pairs": q33_cosine_dedup_pairs,
-    "q34_ann_topk": q34_ann_topk,
+    "q33_keep_best": q33_keep_best,
+    "q34_funnel": q34_funnel,
     "q35_lang_id": q35_lang_id,
-    "q36_quality_score": q36_quality_score,
+    "q36_tfidf_topk": q36_tfidf_topk,
     "q37_token_count_bpe": q37_token_count_bpe,
     "q38_fingerprint": q38_fingerprint,
     "q39_multimodal_features": q39_multimodal_features,
     "q40_ann_lsh": q40_ann_lsh,
     "q41_asof_join": q41_asof_join,
     "q42_interval_join": q42_interval_join,
-    "q43_cube": q43_cube,
+    "q43_correlated_subquery": q43_correlated_subquery,
     "q44_percentiles": q44_percentiles,
-    "q45_moment_stats": q45_moment_stats,
+    "q45_approx_percentile": q45_approx_percentile,
     "q46_json_map_explode": q46_json_map_explode,
     "q47_window_frames": q47_window_frames,
-    "q48_string_funcs": q48_string_funcs,
-    "q49_null_logic": q49_null_logic,
-    "q50_having": q50_having,
-    "q51_pivot": q51_pivot,
-    "q52_rank_stats": q52_rank_stats,
+    "q48_skew_salted_agg": q48_skew_salted_agg,
+    "q49_ordered_agg": q49_ordered_agg,
+    "q50_latest_state": q50_latest_state,
+    "q51_json_extract": q51_json_extract,
+    "q52_window_rank": q52_window_rank,
     "q53_grouping_id": q53_grouping_id,
-    "q54_approx_distinct": q54_approx_distinct,
-    "q55_grouping_sets": q55_grouping_sets,
-    "q56_dup_components": q56_dup_components,
+    "q54_distinct_agg": q54_distinct_agg,
+    "q55_rollup": q55_rollup,
+    "q56_window_lag": q56_window_lag,
     "q57_token_topk": q57_token_topk,
     "q58_label_centroids": q58_label_centroids,
-    "q59_train_split": q59_train_split,
-    "q60_pack_sequences": q60_pack_sequences,
-    "q61_quality_filter": q61_quality_filter,
+    "q59_date_trunc": q59_date_trunc,
+    "q60_union_all": q60_union_all,
+    "q61_text_stats": q61_text_stats,
     "q62_redact": q62_redact,
     "q63_repetition": q63_repetition,
     "q64_range_frame": q64_range_frame,
-    "q65_chunk_documents": q65_chunk_documents,
-    "q66_stratified_sample": q66_stratified_sample,
+    "q65_intersect": q65_intersect,
+    "q66_lang_matrix": q66_lang_matrix,
     "q67_ntile_quartiles": q67_ntile_quartiles,
-    "q68_keep_best": q68_keep_best,
-    "q69_decontaminate": q69_decontaminate,
-    "q70_funnel": q70_funnel,
-    "q71_tfidf_topk": q71_tfidf_topk,
-    "q72_approx_percentile": q72_approx_percentile,
-    "q73_quantize_embeddings": q73_quantize_embeddings,
-    "q74_correlated_subquery": q74_correlated_subquery,
-    "q75_skew_salted_agg": q75_skew_salted_agg,
-    "q76_ordered_agg": q76_ordered_agg,
+    "q68_cosine_dedup_pairs": q68_cosine_dedup_pairs,
+    "q69_antijoin": q69_antijoin,
+    "q70_ann_topk": q70_ann_topk,
+    "q71_quality_score": q71_quality_score,
+    "q72_moment_stats": q72_moment_stats,
+    "q73_embedding_norm": q73_embedding_norm,
+    "q74_cube": q74_cube,
+    "q75_string_funcs": q75_string_funcs,
+    "q76_null_logic": q76_null_logic,
     "q77_unpivot": q77_unpivot,
     "q78_ann_ivf": q78_ann_ivf,
-    "q79_latest_state": q79_latest_state,
+    "q79_having": q79_having,
     "q80_histogram": q80_histogram,
     "q81_conditional_agg": q81_conditional_agg,
 }

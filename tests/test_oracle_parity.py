@@ -28,7 +28,7 @@ def canon(v):
 
     MIRRORS THE DRIVER, which canonicalizes through pandas: DuckDB
     decimals arrive as float64 while Spark rows keep decimal.Decimal, so
-    Decimal and float must NOT unify here (round-1 q07/q11/q50 failed the
+    Decimal and float must NOT unify here (round-1 q07/q11/q79 failed the
     driver hash on exactly that while this harness passed).  The schema
     policy below bans DecimalType outputs outright; this stays strict as
     a second line of defense.

@@ -47,9 +47,9 @@ def test_q08_dimensions_broadcast(spark):
     assert "SortMergeJoin" not in p  # fact side never shuffles
 
 
-def test_q19_q20_use_semi_anti_joins(spark):
+def test_q19_q69_use_semi_anti_joins(spark):
     assert "LeftSemi" in plan_of(spark, "q19_semijoin")
-    assert "LeftAnti" in plan_of(spark, "q20_antijoin")
+    assert "LeftAnti" in plan_of(spark, "q69_antijoin")
 
 
 def test_q27_query_vector_broadcast(spark):
@@ -57,16 +57,16 @@ def test_q27_query_vector_broadcast(spark):
     assert "Broadcast" in p  # 1-row query side broadcast, corpus streams
 
 
-def test_q52_no_global_single_partition_window(spark):
-    """q52's distribution stats must come from the two-phase range-
+def test_q14_no_global_single_partition_window(spark):
+    """q14_rank_stats' distribution stats must come from the two-phase range-
     partitioned ranking (operators/rank.py), never a Window.orderBy with
     no partitionBy — that plans a single-partition sort of the whole
     input (the round-1 scale-killer)."""
-    p = plan_of(spark, "q52_rank_stats")
+    p = plan_of(spark, "q14_rank_stats")
     # every window in the plan is partitioned by the physical partition id
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
         assert "_pid" in m.group(1), (
-            "unpartitioned Window in q52 plan:\n" + m.group(0)
+            "unpartitioned Window in q14 plan:\n" + m.group(0)
         )
     # the parallel range shuffle replaces the global sort
     assert "rangepartitioning" in p
@@ -111,30 +111,30 @@ def test_q57_topk_is_partial_agg_plus_take_ordered(spark):
     assert "TakeOrdered" in p
 
 
-def test_q60_window_is_partitioned(spark):
+def test_q23_pack_window_is_partitioned(spark):
     """Sequence packing must cumsum within source shards — an
     unpartitioned window would serialize the whole corpus through one
     task."""
-    p = plan_of(spark, "q60_pack_sequences")
+    p = plan_of(spark, "q23_pack_sequences")
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
         assert "source" in m.group(1), (
-            "unpartitioned window in q60 plan:\n" + m.group(0)
+            "unpartitioned window in q23 plan:\n" + m.group(0)
         )
 
 
-def test_q66_rates_dim_broadcast(spark):
+def test_q28_rates_dim_broadcast(spark):
     """The per-language rate dim is a handful of rows — it must
     broadcast; a shuffle join keyed on lang would move the whole corpus
     for a 4-row lookup."""
-    p = plan_of(spark, "q66_stratified_sample")
+    p = plan_of(spark, "q28_stratified_sample")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
 
-def test_q67_q68_windows_are_partitioned(spark):
+def test_q67_q33_windows_are_partitioned(spark):
     """Quartile tiling and keep-best selection both window within a key
     (lang / content digest) — never a global single-partition sort."""
-    for name in ("q67_ntile_quartiles", "q68_keep_best"):
+    for name in ("q67_ntile_quartiles", "q33_keep_best"):
         p = plan_of(spark, name)
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
             spec = m.group(1)
@@ -143,22 +143,22 @@ def test_q67_q68_windows_are_partitioned(spark):
             )
 
 
-def test_q69_contamination_join_shapes(spark):
+def test_q20_contamination_join_shapes(spark):
     """Decontamination must mark via broadcast left-semi (tiny eval
     shingle set) and remove via left-anti — the train side never
     shuffles for the membership probe."""
-    p = plan_of(spark, "q69_decontaminate")
+    p = plan_of(spark, "q20_decontaminate")
     assert "LeftSemi" in p and "LeftAnti" in p
     assert re.search(r"BroadcastHashJoin.*LeftSemi", p), (
         "eval shingle set must broadcast for the semi probe:\n" + p
     )
 
 
-def test_q75_salted_two_phase(spark):
+def test_q48_salted_two_phase(spark):
     """The skew query must actually salt: phase-1 aggregation keys
     include the salt column (hot key spread over 32 reducers), merged
     by a second keys-only aggregation."""
-    p = plan_of(spark, "q75_skew_salted_agg")
+    p = plan_of(spark, "q48_skew_salted_agg")
     assert re.search(r"hashpartitioning\([^)]*_salt", p), (
         "phase-1 exchange must partition on (keys, _salt):\n" + p
     )
@@ -170,8 +170,8 @@ def test_no_cartesian_in_suite_except_intended(spark):
     Python-eval lint: any Python in a plan must be Arrow-batched
     (ArrowEvalPython / MapInPandas) — a BatchEvalPython node means a
     row-at-a-time pickled UDF crept into a hot path."""
-    allowed = {"q27_knn_cosine", "q32_ngram_jaccard", "q33_cosine_dedup_pairs",
-               "q34_ann_topk"}
+    allowed = {"q27_knn_cosine", "q32_ngram_jaccard", "q68_cosine_dedup_pairs",
+               "q70_ann_topk"}
     for name in QUERIES:
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p, (

@@ -214,7 +214,7 @@ def test_shingle_hashes_equivalent_to_strings(spark, texts):
     """The de-stringed shingle hasher must agree with the string
     builder on every derived statistic the suite uses: per-doc shingle
     COUNT and per-doc DISTINCT count (q63's ratio), and cross-doc
-    shared-shingle membership (q69's contamination probe) — on
+    shared-shingle membership (q20's contamination probe) — on
     arbitrary texts including empties, repeated tokens, and docs
     shorter than k."""
     from ros_sql_spark.operators.dedup import (
@@ -245,6 +245,6 @@ def test_shingle_hashes_equivalent_to_strings(spark, texts):
         assert len(set(hs[d])) == len(set(ss[d]))
         # hashing must be a per-shingle FUNCTION of the string (same
         # string -> same hash everywhere) — exactly what makes
-        # cross-doc membership (q69) agree with string membership
+        # cross-doc membership (q20) agree with string membership
         for s, h in zip(ss[d], hs[d]):
             assert str_to_hash.setdefault(s, h) == h, (s, h, str_to_hash[s])
