@@ -99,7 +99,7 @@ def shingle_hashes(
     per-row CPU, exactly what dominates MinHash at 100 TB.  Consumers:
     the MinHash family (q26, rows-only — no oracle reproduces the
     hashes), the q63 repetition ratio (distinct-count of hashes equals
-    distinct-count of strings modulo 2^-64 collisions), and q69
+    distinct-count of strings modulo 2^-64 collisions), and q20
     decontamination (hash-membership equals string-membership at the
     same odds — production n-gram pipelines ship hashes for exactly
     this reason).  The string-shingle builder above stays for q32,

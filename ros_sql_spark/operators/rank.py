@@ -3,7 +3,7 @@
 ``Window.orderBy(...)`` with no ``partitionBy`` plans a SINGLE-PARTITION
 global sort: every row funnels through one task (Spark warns "No
 Partition Defined for Window operation").  Fine for a 25-row dimension,
-a scale-killer for anything data-sized — round-1 VERDICT flagged q52 for
+a scale-killer for anything data-sized — round-1 VERDICT flagged the ranking query (now q14_rank_stats) for
 exactly this.
 
 ``global_row_number`` computes an exact global row number with NO
@@ -37,18 +37,14 @@ from pyspark.sql.window import Window
 __all__ = ["global_row_number", "rank_stats"]
 
 
-def global_row_number(
-    df: DataFrame,
-    order_exprs: list[Column],
-    rn_col: str = "rn",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Add an exact global ``row_number`` over ``order_exprs`` without a
-    single-partition sort.  ``order_exprs`` should be a total order
-    (append a unique tiebreak column); ties across a range boundary would
-    otherwise land in either partition and make numbering of equals
-    nondeterministic (numbering of DISTINCT keys is always exact).
-    """
+def _local_numbered(
+    df: DataFrame, order_exprs: list[Column], num_partitions: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(local, offsets): range-partitioned rows with a per-partition
+    row_number, and the ≤numPartitions-row table carrying each
+    partition's global offset AND the grand total ``_n`` — both derived
+    from ONE counts aggregation so consumers needing n (rank_stats)
+    don't pay a second scan-side pass."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = df.repartitionByRange(p, *order_exprs).withColumn(
@@ -61,17 +57,35 @@ def global_row_number(
     earlier = counts.select(
         F.col("_pid").alias("_pid_e"), F.col("_cnt").alias("_cnt_e")
     )
+    totals = counts.groupBy().agg(F.sum("_cnt").alias("_n"))
     offsets = (
         counts.join(
             F.broadcast(earlier), F.col("_pid_e") < F.col("_pid"), "left"
         )
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_cnt_e"), F.lit(0)).alias("_off"))
+        .join(F.broadcast(totals))
     )
+    return local, offsets
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact global ``row_number`` over ``order_exprs`` without a
+    single-partition sort.  ``order_exprs`` should be a total order
+    (append a unique tiebreak column); ties across a range boundary would
+    otherwise land in either partition and make numbering of equals
+    nondeterministic (numbering of DISTINCT keys is always exact).
+    """
+    local, offsets = _local_numbered(df, order_exprs, num_partitions)
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rn_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_pid", "_lrn", "_off", "_n")
     )
 
 
@@ -89,10 +103,14 @@ def rank_stats(
     what makes rank == dense_rank == row_number and lets percent_rank /
     cume_dist reduce to (rn-1)/(n-1) and rn/n.
     """
-    ranked = global_row_number(df, order_exprs, rn_col="rn", num_partitions=num_partitions)
-    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    local, offsets = _local_numbered(df, order_exprs, num_partitions)
     return (
-        ranked.join(F.broadcast(n))
+        # ONE broadcast join attaches both the offset and the total —
+        # round 2 joined a separate count() branch whose plan re-ran
+        # the offsets join upstream; sharing the counts table removes
+        # that whole second pass (VERDICT r2 "do this" #8).
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .withColumn(
             "pr",
             F.when(F.col("_n") > 1, (F.col("rn") - 1) / (F.col("_n") - 1)).otherwise(
@@ -100,5 +118,5 @@ def rank_stats(
             ),
         )
         .withColumn("cd", F.col("rn") / F.col("_n"))
-        .drop("_n")
+        .drop("_pid", "_lrn", "_off", "_n")
     )

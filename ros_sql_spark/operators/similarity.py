@@ -1,5 +1,5 @@
 """Similarity search over embedding columns (engine extension for
-LLM-data pipelines — SURVEY.md §2.3 q27/q33/q34; no reference analog).
+LLM-data pipelines — SURVEY.md §2.3 q27/q68/q70; no reference analog).
 
 Two tiers:
 - ``brute_force_knn``: exact cosine top-k.  The query side is broadcast;
@@ -308,13 +308,38 @@ def ivf_index(
     return assigned, centers
 
 
-def _sq_dist(v: Column | str, center: list[float]) -> Column:
-    c = F.array(*[F.lit(x) for x in center])
-    return F.aggregate(
-        F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
+def _probe_cells(centers: list, n_probe: int):
+    """Arrow-batched probe assignment: array<int> of the ``n_probe``
+    nearest cell ids per query vector.
+
+    The centroid matrix rides in the UDF closure ((cells × dim) float64
+    — ~5 MB even at 10⁴ cells × 64 dims, shipped once per executor),
+    and each batch is ONE numpy matmul: argmin over
+    ``||c||² − 2·q·c`` (the ||q||² term is constant per row, dropped).
+    This replaces the round-2 literal-centroid plan — n_cells structs of
+    dim literals each, interpreted per query row — which explodes the
+    plan past ~10² cells; the matmul is flat in plan size and vectorized
+    in CPU, the same measured trade as hyperplane_buckets.  Ties break
+    toward the lower cell id (stable argsort over ascending ids),
+    matching the struct-sort tiebreak it replaces.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([c for _, c in centers], dtype=np.float64)  # (cells, dim)
+    cell_ids = np.array([cid for cid, _ in centers], dtype=np.int64)
+    order = np.argsort(cell_ids, kind="stable")
+    C, cell_ids = C[order], cell_ids[order]
+    c_sq = (C * C).sum(axis=1)
+    take = min(n_probe, len(cell_ids))
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        d = c_sq[None, :] - 2.0 * (m @ C.T)  # (n, cells)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :take]
+        return pd.Series([cell_ids[row].astype(np.int32).tolist() for row in idx])
+
+    return _probe
 
 
 def ivf_knn(
@@ -328,6 +353,7 @@ def ivf_knn(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    index: tuple | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per
     query, exact cosine rerank inside them.
@@ -336,21 +362,25 @@ def ivf_knn(
     is an equi-join on the cell id, so the corpus shuffles once on a
     small int key.  Raising ``n_probe`` trades cost for recall with the
     exactness of the rerank unchanged.
+
+    ``index``: a prebuilt ``ivf_index(...)`` result — pass it to train
+    once (on a sample at 100 TB) and serve many query batches without
+    re-clustering; omitted, the index is built from ``corpus``.
     """
-    assigned, centers = ivf_index(corpus, n_cells, seed, id_col, vec_col)
-    # per-query probe list: n_probe nearest centroids by squared distance
-    dist_structs = F.array(
-        *[
-            F.struct(_sq_dist("_qvec", c).alias("d"), F.lit(cell).alias("cell"))
-            for cell, c in centers
-        ]
+    assigned, centers = (
+        index if index is not None
+        else ivf_index(corpus, n_cells, seed, id_col, vec_col)
     )
+    probe = _probe_cells(centers, n_probe)
     q = (
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
         )
-        .withColumn("_probe", F.slice(F.array_sort(dist_structs), 1, n_probe))
-        .withColumn("_cell", F.explode(F.transform("_probe", lambda s: s["cell"])))
+        .withColumn("_cells", probe("_qvec"))
+        # explode_outer: plain explode would get an inferred size>0
+        # pre-filter re-invoking the pandas_udf per row (CLAUDE.md
+        # Generate invariant); _cells is never null (UDF total).
+        .withColumn("_cell", F.explode_outer("_cells"))
         .select(query_id_col, "_qvec", "_cell")
     )
     joined = assigned.join(q, "_cell")

@@ -109,7 +109,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
 
 def tumbling_counts(events: DataFrame, width: str = "1 day",
                     watermark: str = "1 hour") -> DataFrame:
-    """Per-type tumbling-window counts (streaming twin of q05/q22 shapes)."""
+    """Per-type tumbling-window counts (streaming twin of q05/q59 shapes)."""
     ev = events
     if events.isStreaming:
         ev = events.withWatermark("ts", watermark)
