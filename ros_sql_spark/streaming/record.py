@@ -80,6 +80,9 @@ def record_stream(
     key_cols: list[str],
     checkpoint_path: str,
     available_now: bool = True,
+    dedup_keys: list[str] | None = None,
+    dedup_watermark: str = "1 hour",
+    dedup_ts_col: str = "ts",
 ):
     """R12/R7 twins: demux a multiplexed stream into per-topic normalized
     stores, micro-batch-at-a-time.
@@ -87,8 +90,22 @@ def record_stream(
     Topic values in ``topic_col`` must match declared topic names
     (declare_topics).  Undeclared values fail the batch loudly — the
     reference's declare-before-write contract.
+
+    ``dedup_keys``: dedup-on-ingest — keep the FIRST occurrence per key
+    within the ``dedup_watermark`` horizon before demux
+    (dropDuplicatesWithinWatermark: bounded state, the streaming twin of
+    operators.dedup.exact_dedup).  A replayed/at-least-once upstream
+    (the normal case for message transports) then lands exactly one row
+    per key, making the store equal to the batch exact-dedup of the raw
+    feed — asserted in tests/test_record_stream.py.
     """
     catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+    if dedup_keys:
+        from ros_sql_spark.streaming.stateful import streaming_dedup
+
+        stream = streaming_dedup(
+            stream, list(dedup_keys), watermark=dedup_watermark, ts_col=dedup_ts_col
+        )
 
     def body(batch: DataFrame, batch_id: int) -> None:
         batch = batch.cache()
@@ -171,7 +188,12 @@ def _demux_normalized(batch: DataFrame, topic_col: str, catalog: EngineCatalog):
     for topic in seen:
         sub = batch.filter(F.col(topic_col) == topic).drop(topic_col)
         declared_schema = catalog.schema_of(topic)
-        if sub.schema != declared_schema:
+        # compare (name, type, nullability) — NOT field metadata: stream
+        # operators stamp metadata on columns (e.g. withWatermark adds
+        # watermark delay to the event-time field), which is not a
+        # declaration mismatch.
+        stripped = lambda sch: [(f.name, f.dataType, f.nullable) for f in sch.fields]
+        if stripped(sub.schema) != stripped(declared_schema):
             raise ValueError(
                 f"topic {topic!r}: stream schema "
                 f"{sub.schema.simpleString()} != declared "

@@ -121,3 +121,44 @@ def test_record_stream_rejects_undeclared_topic(spark, tmp_path):
     with pytest.raises(Exception, match="undeclared"):
         q.awaitTermination(180)
         q.processAllAvailable()
+
+
+def test_record_stream_dedup_on_ingest(spark, tmp_path):
+    """Streaming × dedup (VERDICT r2 #7): an at-least-once upstream
+    delivers every message TWICE; record_stream(dedup_keys=[event_id])
+    must land exactly one row per key — the store after replay equals
+    the batch exact-dedup of the raw feed (q25 semantics)."""
+    import os
+
+    # stage a doubled feed: every message appears twice across the files
+    feed = str(tmp_path / "feed")
+    batch = load_table(spark, SF_SMALL, "events")
+    raw = spark.read.parquet(EVENTS_PATH)  # ns-schema-free physical copy
+    raw.unionByName(raw).write.parquet(feed)
+
+    store = str(tmp_path / "store")
+    schema = _declared_schema(spark)
+    declare_topics(store, {t: schema for t in TOPIC_VALUES}, ["event_id"])
+    q = record_stream(
+        stream_events(spark, feed),
+        topic_col="event_type",
+        store_path=store,
+        key_cols=["event_id"],
+        checkpoint_path=str(tmp_path / "ck"),
+        dedup_keys=["event_id"],
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    total = 0
+    for topic in TOPIC_VALUES:
+        got = playback(spark, store, topic).collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)), f"{topic}: duplicate ids in store"
+        expect = {
+            r.event_id
+            for r in batch.filter(F.col("event_type") == topic).collect()
+        }
+        assert set(ids) == expect
+        total += len(ids)
+    assert total == 1000  # doubled feed, exactly-once store
