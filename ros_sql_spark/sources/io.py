@@ -31,6 +31,7 @@ __all__ = [
     "read_csv",
     "read_orc",
     "write_orc",
+    "read_binary_files",
 ]
 
 # All driver tables (TESTDATA.md / FIXTURES.md Part A).
@@ -149,6 +150,38 @@ def read_csv(
         .option("delimiter", delimiter)
         .option("mode", "PERMISSIVE")
         .csv(path)
+    )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    mime: str = "application/octet-stream",
+) -> DataFrame:
+    """Multimodal raw-asset ingest via Spark's native ``binaryFile``
+    source: (asset_id, media: binary, meta{mime, source, n_bytes}) —
+    the operators/multimodal.py asset shape, fed straight from files on
+    any Hadoop-compatible filesystem (local, HDFS, object stores).
+
+    asset_id is xxhash64 of the file path: deterministic across runs
+    and partitionings (NEVER monotonically_increasing_id — partition-
+    dependent).  The scan is distributed (one task per file group) and
+    prunes to (path, length, content); pass ``glob`` (e.g. ``*.jpg``)
+    to push file filtering into the listing, not a post-scan filter.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    f = r.load(path)
+    return f.select(
+        F.xxhash64(F.col("path")).alias("asset_id"),
+        F.col("content").alias("media"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.col("path").alias("source"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
     )
 
 

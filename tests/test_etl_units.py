@@ -250,3 +250,30 @@ def test_partitioned_events_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), (
         "partition-column equi-join must trigger DPP:\n" + plan[:2000]
     )
+
+
+def test_read_binary_files_asset_shape(spark, tmp_path):
+    """binaryFile multimodal ingest: stable path-hash ids, correct
+    payloads/meta, glob pushdown at the listing, and composition with
+    the multimodal feature extractor."""
+    from ros_sql_spark.operators.multimodal import FEATURE_DIM, extract_features
+    from ros_sql_spark.sources.io import read_binary_files
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x00\x01payloadA")
+    (d / "b.img").write_bytes(b"payloadB\xff")
+    (d / "skip.txt").write_bytes(b"not media")
+
+    assets = read_binary_files(spark, str(d), glob="*.img", mime="image/fake")
+    rows = {r.meta.source.rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"].media) == b"\x00\x01payloadA"
+    assert rows["b.img"].meta.n_bytes == 9
+    assert all(r.meta.mime == "image/fake" for r in rows.values())
+    # ids deterministic across re-reads (path-hash, not row order)
+    again = {r.asset_id for r in read_binary_files(spark, str(d), glob="*.img").collect()}
+    assert again == {r.asset_id for r in rows.values()}
+    # composes with the multimodal pipeline (Arrow mapInPandas plumbing)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 2 and all(len(f.features) == FEATURE_DIM for f in feats)

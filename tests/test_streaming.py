@@ -112,3 +112,51 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
     )
     _drain(q)
     assert spark.read.parquet(sink).count() == 1000  # exactly-once
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream equi-join (clicks ⋈ purchases per user
+    within ±30 min) equals the same join on the batch frames — inner
+    stream-stream joins are exact; the watermark+range condition only
+    bounds state."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.joins import stream_stream_join
+    from ros_sql_spark.streaming.replay import stream_events
+    from tests.conftest import SF_SMALL
+
+    ev = stream_events(spark, f"{SF_SMALL}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(
+        clicks, purchases, on=["user_id"], max_lag="30 minutes"
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    bev = load_table(spark, SF_SMALL, "events")
+    bc = bev.filter(F.col("event_type") == "click")
+    bp = bev.filter(F.col("event_type") == "purchase")
+    # withWatermark is a documented no-op on batch frames, so the SAME
+    # operator body is its own batch twin.
+    want = {
+        (r.event_id, r.event_id_r)
+        for r in stream_stream_join(
+            bc, bp, on=["user_id"], max_lag="30 minutes"
+        )
+        .select("event_id", "event_id_r")
+        .collect()
+    }
+    assert got == want and len(got) > 0
