@@ -14,6 +14,9 @@ Two tiers:
   bucket id — the 100 TB path.
 - ``ivf_knn``: KMeans coarse quantizer + n_probe nearest cells + exact
   rerank (train on a sample at scale; assignment is a projection).
+- ``cosine_dedup_pairs_lsh``: ALL-PAIRS embedding near-dup at corpus
+  scale — the LSH twin of the gated quadratic q68 (bucket self-join +
+  exact Arrow rerank; Σ bucket² candidates instead of N²).
 
 Float discipline: embeddings are float32 on disk; every dot product
 casts elements to double first and derived scores round to 6 dp
@@ -39,6 +42,7 @@ __all__ = [
     "cosine_arrow",
     "hyperplane_buckets",
     "lsh_knn",
+    "cosine_dedup_pairs_lsh",
     "ivf_index",
     "ivf_knn",
 ]
@@ -287,6 +291,59 @@ def lsh_knn(
     )
     if persist_buckets:
         out._rosql_cached = c  # caller may unpersist after its action
+    return out
+
+
+def cosine_dedup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: the LSH
+    twin of the quadratic all-pairs query (q68, gated to a subset).
+
+    Pipeline: one Arrow bucketing pass over the whole corpus → self
+    equi-join on (band, bucket) with id_a < id_b → dedup bare id pairs
+    → re-join both vectors → Arrow cosine → threshold.  Candidate
+    generation is Σ(bucket size²) instead of N² — boilerplate-skewed
+    buckets split by AQE, exactly the minhash_pairs discipline applied
+    to the embedding modality.
+
+    Recall follows the banded s-curve 1-(1-p^r)^L with p = 1-θ/π; at
+    the default 16×4 a cos≥0.7 pair (p≈0.75) is caught with ~99%
+    probability.  Pairs the filter keeps are EXACT (the rerank computes
+    true cosine) — banding only affects which pairs are considered.
+    """
+    from ros_sql_spark.functions.util import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    bk = F.posexplode(
+        hyperplane_buckets(vec_col, dim, bands, planes_per_band, seed)
+    ).alias("band", "bucket")
+    buckets = corpus.select(F.col(id_col), bk).persist()
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_arrow("_va", "_vb"), 6)
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    out._rosql_cached = buckets  # caller may unpersist after its action
     return out
 
 

@@ -259,3 +259,35 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).head()
     assert abs(rows.approx - rows.exact) / rows.exact < 0.1
+
+
+def test_cosine_dedup_pairs_lsh_recall_and_exactness(spark, emb):
+    """LSH all-pairs embedding dedup (the scale twin of q68's gated
+    quadratic): every pair it emits carries the EXACT cosine (banding
+    only gates candidacy), and at 16x4 banding it recovers the large
+    majority of true pairs above the threshold."""
+    from ros_sql_spark.operators.similarity import (
+        cosine,
+        cosine_dedup_pairs_lsh,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_dedup_pairs_lsh(sub, threshold=0.3).collect()
+    }
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    }
+    assert set(got) <= set(exact)  # no false positives (exact rerank)
+    recall = len(got) / len(exact) if exact else 1.0
+    assert recall > 0.6, (recall, len(exact))
+    # sims agree to the last rounded digit modulo summation order: allow 1e-6
+    for k in got:
+        assert abs(got[k] - exact[k]) <= 1e-6, (k, got[k], exact[k])
