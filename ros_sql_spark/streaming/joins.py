@@ -46,6 +46,14 @@ def stream_stream_join(
     Column naming: the right side's ts and key columns are suffixed
     ``_r`` so downstream code (and the batch twin used in tests) sees
     one unambiguous schema.
+
+    Outer-join operational notes (verified in tests/test_streaming.py):
+    the GLOBAL watermark is the MIN across both sides' watermark
+    operators (default ``multipleWatermarkPolicy``) — a side that stops
+    receiving events pins the watermark and unmatched rows never flush;
+    and state eviction runs one micro-batch BEHIND the event-time high
+    mark, so null-padded rows for batch N's unmatched rows emit no
+    earlier than batch N+2.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

@@ -160,3 +160,80 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row must emit
+    null-padded once the watermark closes its match window.  Two files
+    (maxFilesPerTrigger=1 → two micro-batches): batch A has one click
+    with a matching purchase and one without; batch B is hours later,
+    advancing the watermark past A's windows so A's unmatched click
+    flushes from state."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from ros_sql_spark.streaming.joins import stream_stream_join
+    from ros_sql_spark.streaming.replay import stream_events
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in ns
+
+    def ev(eid, ns, user, etype):
+        return Row(event_id=eid, ts=ns, user_id=user, event_type=etype,
+                   value=1.0, props="{}")
+
+    a = [
+        ev(1, base_ns, 10, "click"),               # matched by eid 3
+        ev(2, base_ns, 20, "click"),               # never matched
+        ev(3, base_ns + 60_000_000_000, 10, "purchase"),  # +1 min
+    ]
+    # later batches carry BOTH event types: the global watermark is the
+    # MIN across the two sides' watermark operators (default
+    # multipleWatermarkPolicy), so a side that never sees new events
+    # pins the watermark and nothing ever flushes.
+    b = [
+        ev(4, base_ns + 7_200_000_000_000, 99, "click"),     # +2 h
+        ev(5, base_ns + 7_200_000_000_000, 97, "purchase"),
+    ]
+    c = [
+        ev(6, base_ns + 14_400_000_000_000, 98, "click"),    # +4 h
+        ev(7, base_ns + 14_400_000_000_000, 96, "purchase"),
+    ]
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    # three FLAT files (the file source does not recurse into non-
+    # partition subdirs) with distinct mtimes → three micro-batches in
+    # order.  State eviction runs one batch behind the event-time high
+    # mark, so batch C is what flushes A's unmatched click.
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    stage = tmp_path / "stage"
+    for name, rows in (("fa", a), ("fb", b), ("fc", c)):
+        d = str(stage / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        _shutil.copy(part, str(feed / f"{name}.parquet"))
+        _time.sleep(1.1)
+
+    ev_stream = stream_events(spark, str(feed))
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    purchases = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(
+        clicks, purchases, on=["user_id"],
+        watermark="10 seconds", max_lag="30 minutes", how="left_outer",
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM ssj_outer").collect()}
+    assert (1, 3) in got            # the match
+    assert (2, None) in got         # unmatched left, flushed by batch B's watermark
+    assert (1, None) not in got     # matched rows are not also null-padded
