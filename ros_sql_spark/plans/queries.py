@@ -1198,31 +1198,30 @@ def q20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ordered funnel (view -> click -> purchase): per user, the
     earliest view, the earliest click AFTER that view, the earliest
-    purchase AFTER that click, and the stage reached.  Three filtered
-    aggregations chained by inequality joins on the µs key (the
-    cross-engine-visible resolution); each stage's aggregate is tiny
-    (one row per user) so the chained joins broadcast at scale."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", tus("ts_ns").alias("us")
+    purchase AFTER that click, and the stage reached (µs keys — the
+    cross-engine-visible resolution).
+
+    ONE shuffle on user_id: three stacked unbounded Windows over the
+    same partitioning (u1 = min view; u2 = min click with us > u1 —
+    u1 is already a per-row constant by then; u3 likewise), then a
+    groupBy(user_id) that REUSES the hash partitioning, so no second
+    exchange.  Replaces the naive 3-aggregate/2-inequality-join chain
+    (5 shuffles + 6 scans measured in the plan audit) — at 100 TB the
+    events table is scanned once instead of three times and only the
+    3-type subset shuffles."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", tus("ts_ns").alias("us"))
     )
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("us").alias("u1"))
-    )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("us") > F.col("u1"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("u2"))
-    )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("us") > F.col("u2"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("u3"))
+    w = Window.partitionBy("user_id")
+    typed_min = lambda typ, extra: F.min(
+        F.when((F.col("event_type") == typ) & extra, F.col("us"))
+    ).over(w)
+    staged = (
+        ev.withColumn("u1", typed_min("view", F.lit(True)))
+        .withColumn("u2", typed_min("click", F.col("us") > F.col("u1")))
+        .withColumn("u3", typed_min("purchase", F.col("us") > F.col("u2")))
     )
     stage = (
         F.when(F.col("u3").isNotNull(), 3)
@@ -1230,8 +1229,9 @@ def q34_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
     )
     return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
+        staged.filter(F.col("u1").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("u1").alias("u1"), F.min("u2").alias("u2"), F.min("u3").alias("u3"))
         .select("user_id", "u1", "u2", "u3", stage.cast("bigint").alias("stage"))
     )
 
