@@ -1131,22 +1131,27 @@ def q67_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection: within each exact-content cluster
     (q25's digest) keep the best representative — longest text, doc_id
-    as the tiebreak.  The per-cluster window is partitioned by digest
-    (parallel); emitting cluster size alongside the survivor is the
-    audit trail a dedup pipeline ships."""
+    as the tiebreak — plus cluster size as the audit trail.
+
+    This is an ARGMAX, not a ranking: one hash aggregate with a
+    lexicographic ``max(struct(n_chars, -doc_id))`` carries both the
+    ordering and the survivor, so the partial aggregate combines
+    map-side and only one row per cluster ever shuffles.  The window
+    formulation (row_number + count(*) over the digest) shuffles every
+    member row and sorts each cluster — and its count(*) blocks the
+    WindowGroupLimit partial-limit rule, so there is no partial
+    anything.  Same deterministic winner (-doc_id is unique, so the
+    struct comparison never ties)."""
     docs = _t(spark, sf_dir, "documents")
     h = F.md5(F.col("text").cast("binary"))
-    w = Window.partitionBy("h").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "n_chars", h.alias("h"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count("*").over(Window.partitionBy("h")))
-        .filter(F.col("rn") == 1)
-        .select(
-            "h",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_members").cast("bigint").alias("n_members"),
+        .groupBy("h")
+        .agg(
+            F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("negid"))).alias("s"),
+            F.count("*").cast("bigint").alias("n_members"),
         )
+        .select("h", (-F.col("s.negid")).alias("keep_id"), "n_members")
     )
 
 
@@ -1457,28 +1462,35 @@ def q50_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine owes its users (the batch twin of a streaming upsert view).
     Ordering key is the µs-floored timestamp (the cross-engine-visible
     resolution) + event_id, so the winner is deterministic on both
-    engines even for same-µs collisions; the window is partitioned by
-    the key — parallel at any log size."""
+    engines even for same-µs collisions.
+
+    Newest-wins is an ARGMAX: ``max(struct(us, event_id, value))`` in
+    one hash aggregate.  The partial aggregate holds ONE row per live
+    key per map task, so a 100 TB changelog shuffles |keys| rows, not
+    |log| rows — where the row_number()==1 window shuffles and sorts
+    the entire log (its single-window shape would at least get a
+    WindowGroupLimit partial, but the hash-agg needs no sort at all).
+    The struct comparison never reaches ``value`` because event_id is
+    unique."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("us"), F.desc("event_id")
-    )
     return (
         ev.select(
             "user_id",
             "event_type",
-            "event_id",
-            tus("ts_ns").alias("us"),
-            "value",
+            F.struct(
+                tus("ts_ns").alias("us"),
+                F.col("event_id"),
+                F.col("value"),
+            ).alias("s"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("s").alias("s"))
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("last_event_id"),
-            F.col("us").alias("last_us"),
-            r6(F.col("value")).alias("last_value"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.us").alias("last_us"),
+            r6(F.col("s.value")).alias("last_value"),
         )
     )
 

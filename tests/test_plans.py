@@ -131,16 +131,32 @@ def test_q28_rates_dim_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_q67_q33_windows_are_partitioned(spark):
-    """Quartile tiling and keep-best selection both window within a key
-    (lang / content digest) — never a global single-partition sort."""
-    for name in ("q67_ntile_quartiles", "q33_keep_best"):
+def test_q67_windows_are_partitioned(spark):
+    """Quartile tiling windows within a key (lang) — never a global
+    single-partition sort."""
+    p = plan_of(spark, "q67_ntile_quartiles")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        spec = m.group(1)
+        assert "lang" in spec, (
+            "unpartitioned window in q67 plan:\n" + m.group(0)
+        )
+
+
+def test_argmax_queries_are_window_free_partial_aggs(spark):
+    """Keep-best (q33) and changelog compaction (q50) are ARGMAX
+    shapes: one hash aggregate whose partial combines map-side, so one
+    row per key shuffles — never a Window, which would shuffle and
+    sort every member row (and q33's count(*) companion would even
+    block the WindowGroupLimit partial rule)."""
+    for name in ("q33_keep_best", "q50_latest_state"):
         p = plan_of(spark, name)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
-            spec = m.group(1)
-            assert "lang" in spec or "h#" in spec or "h " in spec, (
-                f"unpartitioned window in {name} plan:\n" + m.group(0)
-            )
+        assert "Window" not in p, f"{name} regressed to a window plan:\n{p}"
+        # max(struct) buffers a struct, so Spark picks SortAggregate —
+        # the load-bearing property is the PARTIAL phase, not the
+        # hash-vs-sort strategy.
+        assert re.search(r"Aggregate.*partial_max", p), (
+            f"{name} lost its partial (map-side) aggregate:\n{p}"
+        )
 
 
 def test_q20_contamination_join_shapes(spark):
