@@ -13,6 +13,16 @@ the built-in windowed aggregates can't express:
   via the built-in ``dropDuplicatesWithinWatermark`` — the streaming
   twin of exact_dedup, with bounded state (keys older than the
   watermark are evicted; a batch dedup would need unbounded memory).
+- ``streaming_latest_state``: incrementally-maintained changelog
+  compaction (the streaming twin of batch q50) — per-key argmax state,
+  update-mode upserts; the materialize-current-state view a recorder
+  engine owes its users.  Two implementations: the default rides
+  ``applyInPandasWithState`` (runs everywhere); ``api="tws"`` selects
+  Spark 4's ``transformWithStateInPandas`` (typed ValueState, RocksDB
+  store, named state/timers/TTL — the forward-looking API), gated on
+  the ``protobuf`` package its Python worker protocol needs (absent
+  from this container; the code path is real and the gate is honest,
+  same pattern as the multimodal codec gates).
 
 Scale notes: state is hash-partitioned by key across executors; the
 watermark/timeout is what keeps 100 TB streams bounded — never ship a
@@ -29,9 +39,10 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql import types as T
 
-__all__ = ["running_user_stats", "streaming_dedup"]
+__all__ = ["running_user_stats", "streaming_dedup", "streaming_latest_state"]
 
 _STATS_OUT = T.StructType(
     [
@@ -80,6 +91,144 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+_LATEST_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+
+class _LatestStateProcessor(StatefulProcessor):
+    """transformWithState processor: per-(user, event_type) argmax on
+    (us, event_id) — newest event wins, event_id breaks same-µs ties
+    (identical ordering to batch q50).  State is one typed ValueState
+    row per key in the RocksDB store; each batch emits the key's
+    current winner (update-mode upsert stream)."""
+
+    def init(self, handle) -> None:
+        self._latest = handle.getValueState(
+            "latest", "us BIGINT, event_id BIGINT, value DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        best = self._latest.get() if self._latest.exists() else None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["us", "event_id"]).iloc[-1]
+            cand = (int(top["us"]), int(top["event_id"]), float(top["value"]))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        self._latest.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_event_id": [best[1]],
+                "last_us": [best[0]],
+                "last_value": [round(best[2], 6)],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+_LATEST_STATE = T.StructType(
+    [
+        T.StructField("us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _latest_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best = state.get if state.exists else None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        top = pdf.sort_values(["us", "event_id"]).iloc[-1]
+        cand = (int(top["us"]), int(top["event_id"]), float(top["value"]))
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "last_event_id": [best[1]],
+            "last_us": [best[0]],
+            "last_value": [round(best[2], 6)],
+        }
+    )
+
+
+def streaming_latest_state(events: DataFrame, api: str = "apply") -> DataFrame:
+    """Changelog compaction maintained incrementally: the CURRENT state
+    per (user_id, event_type) as an update stream (streaming twin of
+    batch q50_latest_state; equivalence asserted in tests).
+
+    Input needs ``user_id, event_type, event_id, value`` and the ns
+    epoch ``ts_ns`` (stream_events shape); the ordering key is the
+    µs-floored timestamp + event_id, exactly the batch contract.
+
+    Scale: state is ONE fixed-width row per live key, hash-partitioned
+    across executors by the grouping key; per batch, each touched key
+    does an O(batch-rows-for-key) argmax and a point state read/write.
+    No watermark is required for correctness (argmax is monotone — late
+    data folds in commutatively), so state is bounded by |live keys|,
+    not by time.
+
+    ``api="tws"`` selects ``transformWithStateInPandas`` + RocksDB
+    (typed ValueState; the API to prefer once available) — gated on the
+    protobuf package its worker protocol imports.
+    """
+    src = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("us"),
+        "value",
+    )
+    if api == "tws":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:  # pragma: no cover - container gap
+            raise NotImplementedError(
+                "transformWithStateInPandas needs the protobuf package "
+                "(its Python worker protocol); not installed in this "
+                "environment — use the default applyInPandasWithState path"
+            ) from e
+        events.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        return src.groupBy("user_id", "event_type").transformWithStateInPandas(
+            statefulProcessor=_LatestStateProcessor(),
+            outputStructType=_LATEST_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=_LATEST_OUT,
+        stateStructType=_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -72,3 +72,63 @@ def test_streaming_dedup_first_occurrence(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 100
     assert all(r.c == 1 for r in rows)
+
+
+def test_streaming_latest_state_equals_batch_q50(spark, tmp_path):
+    """transformWithState changelog compaction: after draining the
+    stream, the newest emission per key must equal batch
+    q50_latest_state exactly (same argmax ordering: µs floor + event_id
+    tiebreak).  Exercises the Spark-4 stateful API end-to-end: typed
+    ValueState, RocksDB provider, update-mode upserts."""
+    from ros_sql_spark.plans.queries import QUERIES
+    from ros_sql_spark.streaming.stateful import streaming_latest_state
+
+    stream = streaming_latest_state(stream_events(spark, EVENTS_PATH))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("latest")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    # update-mode memory sink appends every upsert; the live view is the
+    # row with the max (last_us, last_event_id) per key — same argmax.
+    final = (
+        spark.sql("SELECT * FROM latest")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.struct("last_us", "last_event_id", "last_value")
+            ).alias("s")
+        )
+        .select("user_id", "event_type", "s.last_event_id", "s.last_us", "s.last_value")
+    )
+    got = {tuple(r) for r in final.collect()}
+    expect = {
+        tuple(r) for r in QUERIES["q50_latest_state"](spark, SF_SMALL).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_latest_state_tws_gate_is_honest(spark):
+    """The transformWithState variant requires protobuf (its Python
+    worker protocol).  Where the package is absent the operator must
+    refuse loudly at construction, not crash the query mid-stream."""
+    import pytest
+
+    from ros_sql_spark.streaming.stateful import streaming_latest_state
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    ev = stream_events(spark, EVENTS_PATH)
+    if has_protobuf:
+        df = streaming_latest_state(ev, api="tws")
+        assert df.isStreaming
+    else:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_latest_state(ev, api="tws")
