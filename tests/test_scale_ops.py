@@ -305,3 +305,41 @@ def test_dedup_pipeline_operator_scale(spark):
     ]
     for a, b in sub_pairs:
         assert full[a] == full[b], (a, b)
+
+
+def test_selective_join_is_runtime_bloom_eligible(spark):
+    """Runtime bloom-filter semi-join reduction: with a selective
+    predicate on the dim side, Spark injects might_contain(...) into
+    the fact scan.  Locally the 10 GB application-side threshold (and
+    broadcast joins) keep the rule dormant; at warehouse scale both
+    gates open on their own.  This pins the ELIGIBILITY of the engine's
+    canonical fact-dim join shape — if a refactor broke the equi-join /
+    selective-filter structure the rule keys on, this fails."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = (
+            load_table(spark, SF_SMALL, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        li = load_table(spark, SF_SMALL, "lineitem")
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
