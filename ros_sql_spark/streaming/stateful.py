@@ -42,7 +42,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 from pyspark.sql import types as T
 
-__all__ = ["running_user_stats", "streaming_dedup", "streaming_latest_state"]
+__all__ = [
+    "running_user_stats",
+    "streaming_dedup",
+    "streaming_latest_state",
+    "session_assembler",
+]
 
 _STATS_OUT = T.StructType(
     [
@@ -242,4 +247,127 @@ def streaming_dedup(
     twin of operators.dedup.exact_dedup, with bounded state)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# open session: (start_us, end_us, n_events)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_session_fn(gap_us: int):
+    """Per-user gap sessionizer with event-time timeout eviction.
+
+    State is the single OPEN session (fixed width).  Each batch folds
+    its (sorted) event times in: events within ``gap_us`` of the open
+    session extend it; a larger gap CLOSES it (emitted) and opens a new
+    one.  The timeout timestamp rides the watermark — when no event
+    arrives for the gap, the state times out, the session is emitted
+    closed, and the key's state is REMOVED (eviction: a 100 TB stream's
+    state is bounded by concurrently-open sessions, not by history).
+    """
+    import numpy as np
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+
+        def frame(sessions: "list[tuple[int, int, int]]") -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid] * len(sessions),
+                    "session_start_us": [s[0] for s in sessions],
+                    "session_end_us": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            open_ = state.get
+            state.remove()
+            yield frame([open_] if open_ is not None else [])
+            return
+
+        us = np.sort(
+            np.concatenate([pdf["us"].to_numpy() for pdf in pdfs])
+        ).astype(np.int64)
+        closed: list[tuple[int, int, int]] = []
+        open_ = state.get if state.exists else None
+        # segment the batch at gaps, then merge the first segment with
+        # the carried-over open session if it is within the gap
+        brk = np.where(np.diff(us) > gap_us)[0]
+        for seg in np.split(us, brk + 1):
+            if len(seg) == 0:
+                continue
+            lo, hi, n = int(seg[0]), int(seg[-1]), len(seg)
+            if open_ is not None and lo - open_[1] <= gap_us:
+                open_ = (open_[0], hi, open_[2] + n)
+            else:
+                if open_ is not None:
+                    closed.append(open_)
+                open_ = (lo, hi, n)
+        # a session already beyond the watermark horizon can never be
+        # extended — close it now (setTimeoutTimestamp would reject a
+        # timestamp at or below the current watermark)
+        timeout_ms = open_[1] // 1000 + gap_us // 1000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            closed.append(open_)
+            state.remove()
+        else:
+            state.update(open_)
+            state.setTimeoutTimestamp(timeout_ms)
+        yield frame(closed)
+
+    return fn
+
+
+def session_assembler(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """CLOSED gap-sessions per user, emitted exactly once, with state
+    eviction on an event-time timer (applyInPandasWithState +
+    EventTimeTimeout).
+
+    The built-in ``session_window`` (streaming/replay.py) answers the
+    same query declaratively; this operator demonstrates the state
+    LIFECYCLE the escape hatch gives custom stateful logic: explicit
+    open-session state, watermark-driven timeout, state.remove()
+    eviction — the shape trajectory assembly / protocol decoding /
+    order-book reconstruction need when their semantics outgrow the
+    built-in.  Append-mode output: a session is emitted only when
+    closed (by a later event or by its timer), never revised.
+
+    Input is the stream_events shape (needs ``ts`` for the watermark
+    and ``ts_ns`` for exact µs arithmetic — integer div only, per the
+    time discipline).
+    """
+    m = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600, "seconds": 1}
+    qty, unit = gap.split()
+    gap_us = int(qty) * m[unit] * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", F.col("ts"), F.expr("ts_ns div 1000").alias("us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_us),
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -132,3 +132,68 @@ def test_streaming_latest_state_tws_gate_is_honest(spark):
     else:
         with pytest.raises(NotImplementedError, match="protobuf"):
             streaming_latest_state(ev, api="tws")
+
+
+def test_session_assembler_closed_sessions_match_batch(spark, tmp_path):
+    """Timer-based sessionizer: closed sessions (append mode, emitted
+    once — by a later event or by the event-time timer) must equal the
+    batch gap-sessionization restricted to sessions whose timeout
+    horizon the final watermark passed.  Exercises the full custom
+    state lifecycle: open-session state, EventTimeTimeout,
+    state.remove() eviction."""
+    from ros_sql_spark.streaming.stateful import session_assembler
+
+    GAP_US = 30 * 60 * 1_000_000
+    WM_US = 60 * 60 * 1_000_000
+    stream = session_assembler(
+        stream_events(spark, EVENTS_PATH), gap="30 minutes", watermark="1 hour"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("us"), "event_id"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (
+        ev.withColumn("brk", F.when(gap > GAP_US, 1).otherwise(0))
+        .withColumn("sid", F.sum("brk").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    wm_ms = (
+        ev.agg(F.max("us")).collect()[0][0] - WM_US
+    ) // 1000
+    # closed = ended early enough that the final watermark passed its
+    # timer (end//1000 + gap_ms <= watermark_ms) OR followed by a later
+    # session of the same user (closed by data)
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    expect_df = (
+        sess.join(last_sid, "user_id")
+        .filter(
+            (F.col("sid") < F.col("max_sid"))
+            | (
+                F.expr("session_end_us div 1000") + F.lit(GAP_US // 1000)
+                <= F.lit(wm_ms)
+            )
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    expect = {tuple(r) for r in expect_df.collect()}
+    assert got == expect
+    assert len(got) > 0
