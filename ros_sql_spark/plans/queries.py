@@ -1246,20 +1246,30 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; df over the (doc, term) pairs (already distinct — no second
     dedup pass); idf = ln(N/df) with N broadcast from a 1-row aggregate.
     Rank on the ROUNDED score with the term as tiebreak, so both
-    engines order the identical number.  The per-doc window is
-    partitioned — parallel at any corpus size; the df side of the join
-    is vocabulary-sized (<< corpus), AQE picks broadcast when it fits."""
+    engines order the identical number.
+
+    Shuffle reuse: the token stream is hash-partitioned on doc_id ONCE
+    — that single exchange satisfies the (doc_id, term) aggregate
+    (subset rule) AND, because the vocab side of the join is an
+    explicit broadcast, survives through to the per-doc top-k window,
+    which therefore needs no re-shuffle of the scored pair table (the
+    biggest intermediate) and takes the WindowGroupLimit partial.  The
+    broadcast is safe while the DISTINCT vocabulary fits an executor
+    (typical after token normalization); for a vocabulary beyond
+    broadcast size, drop the hint — the plan degrades to SMJ on term
+    plus a window re-shuffle, which is the correct fallback."""
     docs = _t(spark, sf_dir, "documents")
     # explode_outer + null filter: avoids the inferred pre-Generate
     # filter double-evaluating the tokenizer (CLAUDE.md invariant).
     toks = docs.select(
         "doc_id", F.explode_outer(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term").isNotNull())
+    toks = toks.repartition("doc_id")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

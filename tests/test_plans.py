@@ -258,3 +258,13 @@ def test_no_inferred_generate_filter_in_operators(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         traps = _generate_trap_lines(plan)
         assert not traps, f"{name}: inferred pre-Generate filter: {traps}"
+
+
+def test_q36_single_pair_table_shuffle(spark):
+    """TF-IDF reuses one doc_id exchange for both the (doc,term)
+    aggregate and the per-doc top-k window (vocab join is broadcast):
+    3 exchanges total — repartition, df-agg, and nothing else touching
+    the scored pair table — plus the WindowGroupLimit partial."""
+    p = plan_of(spark, "q36_tfidf_topk")
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 3, p
+    assert "WindowGroupLimit" in p
