@@ -162,3 +162,59 @@ def test_record_stream_dedup_on_ingest(spark, tmp_path):
         assert set(ids) == expect
         total += len(ids)
     assert total == 1000  # doubled feed, exactly-once store
+
+
+def test_record_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Crash-resume: record one slice, STOP, land two more slices, then
+    restart from the SAME checkpoint — the store must hold every
+    message exactly once (offsets resume, nothing reprocesses), and a
+    third run over a drained source lands nothing.  This is the
+    recovery contract a recorder owes its users: the checkpoint, not
+    the sink, is the source of truth for progress."""
+    batch = load_table(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+
+    def land(i: int) -> None:
+        (
+            batch.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    store = str(tmp_path / "store")
+    schema = _declared_schema(spark)
+    declare_topics(store, {t: schema for t in TOPIC_VALUES}, ["event_id"])
+    ck = str(tmp_path / "ck")
+
+    def run() -> None:
+        q = record_stream(
+            stream(),
+            topic_col="event_type",
+            store_path=store,
+            key_cols=["event_id"],
+            checkpoint_path=ck,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    land(0)
+    run()                     # processes slice 0, then "crashes" (stops)
+    land(1)
+    land(2)
+    run()                     # resumes from the checkpoint: slices 1+2 only
+    run()                     # drained source: no-op
+
+    got_ids: list[int] = []
+    for topic in TOPIC_VALUES:
+        got_ids += [r.event_id for r in playback(spark, store, topic).collect()]
+    assert len(got_ids) == 1000           # nothing lost
+    assert len(set(got_ids)) == 1000      # nothing duplicated
+    assert set(got_ids) == {r.event_id for r in batch.select("event_id").collect()}
