@@ -1,0 +1,160 @@
+"""End-to-end corpus curation: the training-data pipeline as ONE call.
+
+``curate`` composes the engine's cleaning operators in the order a
+production pretraining pipeline runs them (SURVEY.md §2.3 families
+q21/q25/q26+q15/q20, each individually oracle-backed):
+
+    quality gate  ->  exact dedup  ->  near-dup cluster + keep-best
+                  ->  (optional) eval-set decontamination
+
+Everything stays lazy — the result is a set of DataFrames the caller
+can count, write, or feed onward; no stage collects.  Per-stage drop
+frames give the row-accounting audit trail every curation run owes its
+operators ("where did my tokens go").
+
+Scale shape (100 TB):
+- quality is a pure projection (no shuffle);
+- exact dedup shuffles one 128-bit digest per doc;
+- near-dup is the banded-LSH candidate join (never all-pairs) feeding
+  min-label connected components (diameter-bounded rounds), and the
+  per-cluster survivor is the same partial-aggregable argmax as q33;
+- decontamination broadcasts the (small) eval shingle-hash set and
+  probes with a semi join — the corpus side never shuffles.
+
+Reference parity: strawlab/ros_sql has no corpus tooling; this is the
+engine-extension surface built on the same operator substrate the
+declared suite verifies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["CurationResult", "curate"]
+
+
+@dataclass
+class CurationResult:
+    """Lazy curation output: surviving docs + per-stage dropped ids."""
+
+    docs: DataFrame
+    dropped: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.25,
+    min_stopword_ratio: float = 0.015,
+    near_dup_threshold: float = 0.5,
+    shingle_k: int = 3,
+    eval_docs: DataFrame | None = None,
+    decontam_k: int = 5,
+) -> CurationResult:
+    """Run the full cleaning pipeline over a document corpus.
+
+    Stages (each stage sees only the previous stage's survivors):
+
+    1. **quality**: C4/Gopher-style gate on token count, punctuation
+       ratio and stopword ratio (q21 thresholds; comparisons on rounded
+       features, so the decision is reproducible).
+    2. **exact**: one survivor per exact content digest — lowest id
+       wins (q25 semantics).
+    3. **near_dup**: MinHash/LSH candidate pairs at
+       ``near_dup_threshold`` -> connected components -> per cluster
+       keep the longest text, id as tiebreak (q26/q15/q33 semantics).
+    4. **decontam** (only when ``eval_docs`` is given): drop any
+       survivor sharing a ``decontam_k``-token shingle hash with the
+       eval set (q20 semantics; hash membership — collisions at 2^-64
+       odds).
+
+    Returns a :class:`CurationResult` whose ``dropped`` maps each stage
+    name to the dropped ``id_col`` frame — disjoint by construction,
+    and together with ``docs`` they partition the input ids (asserted
+    in tests).
+    """
+    from ros_sql_spark.functions.text import punct_ratio, stopword_ratio, tokens
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        minhash_pairs,
+        shingle_hashes,
+    )
+
+    ids = F.col(id_col)
+    dropped: dict[str, DataFrame] = {}
+
+    # 1. quality gate — pure projection, no shuffle
+    feats = docs.select(
+        id_col, text_col, tokens(text_col).alias("_toks")
+    ).select(
+        id_col,
+        text_col,
+        F.size("_toks").cast("bigint").alias("_n_tok"),
+        F.round(punct_ratio(text_col), 6).alias("_punct"),
+        F.round(stopword_ratio("_toks", "en"), 6).alias("_stop"),
+    )
+    keep = (
+        (F.col("_n_tok") >= min_tokens)
+        & (F.col("_punct") < max_punct_ratio)
+        & (F.col("_stop") > min_stopword_ratio)
+    )
+    dropped["quality"] = feats.filter(~keep).select(id_col)
+    cur = feats.filter(keep).select(id_col, text_col)
+
+    # 2. exact dedup — min id per 128-bit digest, one narrow shuffle
+    h = F.md5(F.col(text_col).cast("binary"))
+    exact_keep = (
+        cur.select(ids, h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    dropped["exact"] = cur.select(id_col).join(exact_keep, id_col, "left_anti")
+    cur = cur.join(exact_keep, id_col, "left_semi")
+
+    # 3. near-dup: LSH pairs -> components -> keep-best argmax (q33)
+    pairs = minhash_pairs(
+        cur, id_col=id_col, text_col=text_col,
+        k=shingle_k, threshold=near_dup_threshold,
+    )
+    comp = connected_components(pairs, id_col=id_col)
+    best = (
+        comp.join(cur, id_col)
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.length(text_col).alias("len"), (-ids).alias("negid"))
+            ).alias("s")
+        )
+        .select((-F.col("s.negid")).alias(id_col))
+    )
+    near_dropped = comp.select(id_col).join(best, id_col, "left_anti")
+    dropped["near_dup"] = near_dropped
+    cur = cur.join(near_dropped, id_col, "left_anti")
+
+    # 4. optional eval-set decontamination (q20): broadcast semi probe
+    if eval_docs is not None:
+        eval_sh = (
+            shingle_hashes(eval_docs, id_col, text_col, decontam_k)
+            .select(F.explode_outer("_hs").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .distinct()
+        )
+        cur_sh = shingle_hashes(cur, id_col, text_col, decontam_k).select(
+            id_col, F.explode_outer("_hs").alias("s")
+        )
+        contaminated = (
+            cur_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        dropped["decontam"] = contaminated
+        cur = cur.join(contaminated, id_col, "left_anti")
+
+    return CurationResult(docs=cur, dropped=dropped)

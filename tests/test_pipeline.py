@@ -1,0 +1,67 @@
+"""End-to-end curate() pipeline: row accounting, per-stage invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ros_sql_spark.pipeline import curate
+from ros_sql_spark.sources.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def _ids(df, col="doc_id"):
+    return {r[0] for r in df.select(col).collect()}
+
+
+def test_curate_partitions_the_input(spark):
+    """Survivors + per-stage drops form a disjoint partition of the
+    input ids, and each stage's invariant holds on the final set:
+    no surviving exact-duplicate digests, no surviving near-dup pair,
+    no shingle overlap with the eval set."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    evald = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    res = curate(train, eval_docs=evald)
+
+    all_ids = _ids(train)
+    kept = _ids(res.docs)
+    stage_ids = {name: _ids(df) for name, df in res.dropped.items()}
+
+    # disjoint partition
+    union = set(kept)
+    total = len(kept)
+    for s in stage_ids.values():
+        union |= s
+        total += len(s)
+    assert union == all_ids
+    assert total == len(all_ids), "stages overlap or leak ids"
+    assert len(kept) > 0
+
+    # exact: no two survivors share a content digest
+    dup = (
+        res.docs.groupBy(F.md5(F.col("text").cast("binary")))
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+    # near-dup: re-running pair generation over the survivors finds no
+    # pair (any such pair was an edge, so both ends shared a component
+    # and only one survived)
+    from ros_sql_spark.operators.dedup import minhash_pairs
+
+    left_pairs = minhash_pairs(res.docs, threshold=0.5)
+    assert left_pairs.count() == 0
+
+    # decontam: no surviving doc shares a 5-shingle hash with eval
+    from ros_sql_spark.operators.dedup import shingle_hashes
+
+    ev = (
+        shingle_hashes(evald, "doc_id", "text", 5)
+        .select(F.explode_outer("_hs").alias("s"))
+        .distinct()
+    )
+    sv = shingle_hashes(res.docs, "doc_id", "text", 5).select(
+        "doc_id", F.explode_outer("_hs").alias("s")
+    )
+    assert sv.join(ev, "s", "left_semi").count() == 0
