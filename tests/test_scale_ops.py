@@ -343,3 +343,48 @@ def test_selective_join_is_runtime_bloom_eligible(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_is_live(spark):
+    """The 100 TB skew story depends on AQE splitting oversized join
+    partitions at runtime (session.py pins skewJoin.enabled).  Verify
+    the machinery actually fires in this session: a hot-key join under
+    test thresholds must execute as SortMergeJoin(skew=true) with
+    skewed AQEShuffleReads — if a session-config regression disabled
+    AQE or skew handling, this fails."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "100")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 990, 0).otherwise(F.col("id")).alias("key1"),
+            F.col("id").alias("value1"),
+        )
+        right = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") < 990, 0).otherwise(F.col("id")).alias("key2"),
+            F.col("id").alias("value2"),
+        )
+        j = left.join(right, left.key1 == right.key2)
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert n == 990 * 990 + 10
+        assert "skew=true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
