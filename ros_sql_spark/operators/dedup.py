@@ -346,12 +346,18 @@ def minhash_pairs(
         lambda acc, v: acc + v,
     )
     est = matches.cast("double") / F.lit(float(num_hashes))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
     )
+    # cache-lifetime convention (same as lsh_knn): the signature table
+    # must stay cached while the lazy result is consumed; callers that
+    # fully materialize downstream (e.g. connected_components' eager
+    # checkpoint) should unpersist via this handle.
+    out._rosql_cached = sigs
+    return out
 
 
 def connected_components(

@@ -5,6 +5,7 @@ production pretraining pipeline runs them (SURVEY.md §2.3 families
 q21/q25/q26+q15/q20, each individually oracle-backed):
 
     quality gate  ->  exact dedup  ->  near-dup cluster + keep-best
+                  ->  (optional) embedding-cosine semantic dedup
                   ->  (optional) eval-set decontamination
 
 Everything stays lazy — the result is a set of DataFrames the caller
@@ -56,6 +57,11 @@ def curate(
     shingle_k: int = 3,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 5,
+    embeddings: DataFrame | None = None,
+    embedding_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    embedding_dim: int = 64,
+    cosine_threshold: float = 0.7,
 ) -> CurationResult:
     """Run the full cleaning pipeline over a document corpus.
 
@@ -69,7 +75,14 @@ def curate(
     3. **near_dup**: MinHash/LSH candidate pairs at
        ``near_dup_threshold`` -> connected components -> per cluster
        keep the longest text, id as tiebreak (q26/q15/q33 semantics).
-    4. **decontam** (only when ``eval_docs`` is given): drop any
+    4. **semantic_dup** (only when ``embeddings`` is given — (id,
+       vector) keyed by ``embedding_id_col`` matching ``id_col``
+       values): embedding-cosine near-dups at ``cosine_threshold`` via
+       banded hyperplane LSH (q68's scalable twin), clustered and
+       survivor-picked with the same components/argmax machinery as
+       stage 3 — catches paraphrase-level duplicates the token shingles
+       miss.
+    5. **decontam** (only when ``eval_docs`` is given): drop any
        survivor sharing a ``decontam_k``-token shingle hash with the
        eval set (q20 semantics; hash membership — collisions at 2^-64
        odds).
@@ -124,6 +137,9 @@ def curate(
         k=shingle_k, threshold=near_dup_threshold,
     )
     comp = connected_components(pairs, id_col=id_col)
+    # components eagerly checkpointed the edges — the operator-owned
+    # signature cache is dead weight from here on
+    pairs._rosql_cached.unpersist()
     best = (
         comp.join(cur, id_col)
         .groupBy("component")
@@ -138,7 +154,43 @@ def curate(
     dropped["near_dup"] = near_dropped
     cur = cur.join(near_dropped, id_col, "left_anti")
 
-    # 4. optional eval-set decontamination (q20): broadcast semi probe
+    # 4. optional embedding-cosine near-dup (paraphrase-level): LSH
+    #    pairs over the survivors' vectors, same components + argmax
+    if embeddings is not None:
+        from ros_sql_spark.operators.similarity import cosine_dedup_pairs_lsh
+
+        vecs = embeddings.select(
+            F.col(embedding_id_col).alias(id_col),
+            F.col(embedding_col).alias("_vec"),
+        ).join(cur.select(id_col), id_col, "left_semi")
+        vec_pairs = cosine_dedup_pairs_lsh(
+            vecs,
+            threshold=cosine_threshold,
+            dim=embedding_dim,
+            id_col=id_col,
+            vec_col="_vec",
+        )
+        vcomp = connected_components(
+            vec_pairs.select("id_a", "id_b"), id_col=id_col
+        )
+        vec_pairs._rosql_cached.unpersist()
+        vbest = (
+            vcomp.join(cur, id_col)
+            .groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.length(text_col).alias("len"), (-ids).alias("negid")
+                    )
+                ).alias("s")
+            )
+            .select((-F.col("s.negid")).alias(id_col))
+        )
+        sem_dropped = vcomp.select(id_col).join(vbest, id_col, "left_anti")
+        dropped["semantic_dup"] = sem_dropped
+        cur = cur.join(sem_dropped, id_col, "left_anti")
+
+    # 5. optional eval-set decontamination (q20): broadcast semi probe
     if eval_docs is not None:
         eval_sh = (
             shingle_hashes(eval_docs, id_col, text_col, decontam_k)

@@ -65,3 +65,32 @@ def test_curate_partitions_the_input(spark):
         "doc_id", F.explode_outer("_hs").alias("s")
     )
     assert sv.join(ev, "s", "left_semi").count() == 0
+
+
+def test_curate_semantic_stage(spark):
+    """With embeddings supplied, the semantic stage drops
+    paraphrase-level dups: survivors have no cosine>=threshold LSH pair
+    left among them, and the row accounting still partitions the
+    input."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    res = curate(docs, embeddings=emb, cosine_threshold=0.9)
+
+    all_ids = _ids(docs)
+    union, total = set(_ids(res.docs)), res.docs.count()
+    for df in res.dropped.values():
+        s = _ids(df)
+        union |= s
+        total += len(s)
+    assert union == all_ids and total == len(all_ids)
+    assert "semantic_dup" in res.dropped
+
+    from ros_sql_spark.operators.similarity import cosine_dedup_pairs_lsh
+
+    surv_vecs = emb.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("_vec")
+    ).join(res.docs.select("doc_id"), "doc_id", "left_semi")
+    left = cosine_dedup_pairs_lsh(
+        surv_vecs, threshold=0.9, id_col="doc_id", vec_col="_vec"
+    )
+    assert left.count() == 0
