@@ -71,12 +71,53 @@ def test_curate_semantic_stage(spark):
     """With embeddings supplied, the semantic stage drops
     paraphrase-level dups: survivors have no cosine>=threshold LSH pair
     left among them, and the row accounting still partitions the
-    input."""
+    input.
+
+    sf0.001 has no natural cosine>=0.9 pair (verified — the no-pairs
+    assertion below would be vacuous), so inject them: for 5 sampled
+    docs add TWO clones each (ids +1e6/+2e6) sharing the original's
+    embedding vector exactly, with interleaved-id filler texts — every
+    3-shingle contains the clone id, so the texts are quality-passing
+    yet exact- and minhash-disjoint, and only the semantic stage can
+    pair them (cosine == 1.0)."""
     docs = load_table(spark, SF_SMALL, "documents")
     emb = load_table(spark, SF_SMALL, "embeddings")
-    res = curate(docs, embeddings=emb, cosine_threshold=0.9)
 
-    all_ids = _ids(docs)
+    base = docs.orderBy("doc_id").limit(5)
+    idtok = F.col("doc_id").cast("string")
+    filler = F.concat_ws(
+        " ",
+        *[
+            piece
+            for w in ("the", "and", "of", "to", "in", "is", "was")
+            for piece in (F.lit(w), idtok)
+        ],
+    )
+
+    def clones(offset):
+        return (
+            base.withColumn("doc_id", F.col("doc_id") + offset)
+            .withColumn("text", filler)
+            .withColumn("n_chars", F.length(filler))
+            .select(docs.columns)
+        )
+
+    aug_docs = docs.unionByName(clones(1_000_000)).unionByName(
+        clones(2_000_000)
+    )
+    base_vecs = emb.join(
+        base.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    aug_emb = emb.unionByName(
+        base_vecs.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    ).unionByName(base_vecs.withColumn("vec_id", F.col("vec_id") + 2_000_000))
+
+    res = curate(aug_docs, embeddings=aug_emb, cosine_threshold=0.9)
+
+    # each injected clone pair must lose at least one member here
+    assert res.dropped["semantic_dup"].count() >= 5
+
+    all_ids = _ids(aug_docs)
     union, total = set(_ids(res.docs)), res.docs.count()
     for df in res.dropped.values():
         s = _ids(df)
@@ -87,7 +128,7 @@ def test_curate_semantic_stage(spark):
 
     from ros_sql_spark.operators.similarity import cosine_dedup_pairs_lsh
 
-    surv_vecs = emb.select(
+    surv_vecs = aug_emb.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("_vec")
     ).join(res.docs.select("doc_id"), "doc_id", "left_semi")
     left = cosine_dedup_pairs_lsh(
