@@ -32,9 +32,45 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 __all__ = ["CurationResult", "curate"]
+
+# Declared metric-column order per observation — the fallback contract
+# for _obs_values.
+_OBS_FIELDS = {
+    "quality": ["n_in", "n_kept"],
+    "exact": ["n_kept"],
+    "near_dup": ["n_dropped"],
+    "semantic_dup": ["n_dropped"],
+    "decontam": ["n_dropped"],
+    "survivors": ["n"],
+}
+
+
+def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
+    """``Observation.get`` hardened against two listener quirks seen in
+    the wild (plain session, CollectMetrics landing under a broadcast
+    exchange in the final plan):
+
+    - the JVM metrics row comes back WITHOUT a schema, and PySpark's
+      accessor asserts ``GenericRowWithSchema`` — the metric names and
+      their order are OURS (declared at ``observe()`` time), so
+      positional extraction is exact;
+    - the row comes back EMPTY: the observation was latched by an
+      execution whose plan contained the node but whose tasks never ran
+      it (broadcast-side materialization), locking out the real values
+      ("only the first action" semantics).  No numbers exist to
+      extract, so recompute via ``fallback()`` — a bounded count of the
+      very frame the metric described.
+    """
+    try:
+        return obs.get
+    except Exception:
+        jrow = obs._jo.getRow()
+        if jrow.length() >= len(names):
+            return {n: jrow.get(i) for i, n in enumerate(names)}
+        return fallback()
 
 
 @dataclass
@@ -43,6 +79,49 @@ class CurationResult:
 
     docs: DataFrame
     dropped: dict[str, DataFrame] = field(default_factory=dict)
+    _obs: dict[str, tuple[Observation, object]] = field(
+        default_factory=dict, repr=False
+    )
+    _metrics: dict[str, int] | None = field(default=None, repr=False)
+
+    def metrics(self) -> dict[str, int]:
+        """Single-pass row accounting via CollectMetrics observations.
+
+        Every stage boundary sits in the survivors' lineage (filter
+        input, dedup-keep build side, per-stage anti-join build side),
+        so ONE action over ``docs`` fills every counter — versus one
+        ``count()`` job per stage the naive way.  In practice most
+        observations are already filled before the caller ever acts:
+        connected-components' internal convergence jobs execute the
+        upstream plan, and Spark reports a CollectMetrics node's
+        values from whichever action evaluates it first (the values
+        are a function of the node, not the action).
+
+        Returns ``{"input", "kept", <one key per dropped stage>}``;
+        cached after the first call.
+        """
+        if self._metrics is None:
+            self.docs.count()  # fills any observation not yet fired
+            o = {
+                k: {
+                    mk: (mv if mv is not None else 0)
+                    for mk, mv in _obs_values(
+                        v, _OBS_FIELDS[k], fb
+                    ).items()
+                }
+                for k, (v, fb) in self._obs.items()
+            }
+            m = {
+                "input": o["quality"]["n_in"],
+                "quality": o["quality"]["n_in"] - o["quality"]["n_kept"],
+                "exact": o["quality"]["n_kept"] - o["exact"]["n_kept"],
+                "kept": o["survivors"]["n"],
+            }
+            for stage in ("near_dup", "semantic_dup", "decontam"):
+                if stage in o:
+                    m[stage] = o[stage]["n_dropped"]
+            self._metrics = m
+        return self._metrics
 
 
 def curate(
@@ -101,6 +180,7 @@ def curate(
 
     ids = F.col(id_col)
     dropped: dict[str, DataFrame] = {}
+    obs: dict[str, tuple[Observation, object]] = {}
 
     # 1. quality gate — pure projection, no shuffle
     feats = docs.select(
@@ -117,16 +197,26 @@ def curate(
         & (F.col("_punct") < max_punct_ratio)
         & (F.col("_stop") > min_stopword_ratio)
     )
+    # CollectMetrics at each stage boundary: free row accounting riding
+    # whatever action evaluates the plan (see CurationResult.metrics).
+    _ob_q = Observation()
+    feats = feats.observe(
+        _ob_q,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
     dropped["quality"] = feats.filter(~keep).select(id_col)
     cur = feats.filter(keep).select(id_col, text_col)
 
     # 2. exact dedup — min id per 128-bit digest, one narrow shuffle
     h = F.md5(F.col(text_col).cast("binary"))
+    _ob_e = Observation()
     exact_keep = (
         cur.select(ids, h.alias("_h"))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
+        .observe(_ob_e, F.count(F.lit(1)).alias("n_kept"))
     )
     dropped["exact"] = cur.select(id_col).join(exact_keep, id_col, "left_anti")
     cur = cur.join(exact_keep, id_col, "left_semi")
@@ -150,7 +240,12 @@ def curate(
         )
         .select((-F.col("s.negid")).alias(id_col))
     )
-    near_dropped = comp.select(id_col).join(best, id_col, "left_anti")
+    _ob_n = Observation()
+    near_dropped = (
+        comp.select(id_col)
+        .join(best, id_col, "left_anti")
+        .observe(_ob_n, F.count(F.lit(1)).alias("n_dropped"))
+    )
     dropped["near_dup"] = near_dropped
     cur = cur.join(near_dropped, id_col, "left_anti")
 
@@ -186,8 +281,19 @@ def curate(
             )
             .select((-F.col("s.negid")).alias(id_col))
         )
-        sem_dropped = vcomp.select(id_col).join(vbest, id_col, "left_anti")
+        _ob_s = Observation()
+        sem_dropped = (
+            vcomp.select(id_col)
+            .join(vbest, id_col, "left_anti")
+            .observe(
+                _ob_s, F.count(F.lit(1)).alias("n_dropped")
+            )
+        )
         dropped["semantic_dup"] = sem_dropped
+        obs["semantic_dup"] = (
+            _ob_s,
+            lambda: {"n_dropped": dropped["semantic_dup"].count()},
+        )
         cur = cur.join(sem_dropped, id_col, "left_anti")
 
     # 5. optional eval-set decontamination (q20): broadcast semi probe
@@ -201,12 +307,34 @@ def curate(
         cur_sh = shingle_hashes(cur, id_col, text_col, decontam_k).select(
             id_col, F.explode_outer("_hs").alias("s")
         )
+        _ob_d = Observation()
         contaminated = (
             cur_sh.join(F.broadcast(eval_sh), "s", "left_semi")
             .select(id_col)
             .distinct()
+            .observe(_ob_d, F.count(F.lit(1)).alias("n_dropped"))
         )
         dropped["decontam"] = contaminated
+        obs["decontam"] = (
+            _ob_d,
+            lambda: {"n_dropped": dropped["decontam"].count()},
+        )
         cur = cur.join(contaminated, id_col, "left_anti")
 
-    return CurationResult(docs=cur, dropped=dropped)
+    _ob_v = Observation()
+    cur = cur.observe(_ob_v, F.count(F.lit(1)).alias("n"))
+    final = cur
+    obs["quality"] = (
+        _ob_q,
+        lambda: {
+            "n_in": docs.count(),
+            "n_kept": docs.count() - dropped["quality"].count(),
+        },
+    )
+    obs["exact"] = (_ob_e, lambda: {"n_kept": exact_keep.count()})
+    obs["near_dup"] = (
+        _ob_n,
+        lambda: {"n_dropped": dropped["near_dup"].count()},
+    )
+    obs["survivors"] = (_ob_v, lambda: {"n": final.count()})
+    return CurationResult(docs=cur, dropped=dropped, _obs=obs)

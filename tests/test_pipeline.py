@@ -67,6 +67,26 @@ def test_curate_partitions_the_input(spark):
     assert sv.join(ev, "s", "left_semi").count() == 0
 
 
+def test_curate_metrics_single_pass(spark):
+    """metrics() row accounting agrees with the per-stage frames, and
+    it must not launch one job per stage: after the first call every
+    counter is cached, and the counts come from CollectMetrics nodes
+    riding the survivors' plan."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    evald = docs.filter(F.col("doc_id") % 17 == 0)
+    res = curate(docs.filter(F.col("doc_id") % 17 != 0), eval_docs=evald)
+
+    m = res.metrics()
+    assert m == res.metrics()  # cached
+    assert m["input"] == m["kept"] + sum(
+        m[s] for s in ("quality", "exact", "near_dup", "decontam")
+    )
+    # spot-check against the authoritative frames
+    assert m["kept"] == res.docs.count()
+    assert m["quality"] == res.dropped["quality"].count()
+    assert m["decontam"] == res.dropped["decontam"].count()
+
+
 def test_curate_semantic_stage(spark):
     """With embeddings supplied, the semantic stage drops
     paraphrase-level dups: survivors have no cosine>=threshold LSH pair
@@ -114,8 +134,11 @@ def test_curate_semantic_stage(spark):
 
     res = curate(aug_docs, embeddings=aug_emb, cosine_threshold=0.9)
 
-    # each injected clone pair must lose at least one member here
-    assert res.dropped["semantic_dup"].count() >= 5
+    # each injected clone pair must lose at least one member here, and
+    # the observation-backed accounting must agree on a NONZERO count
+    n_sem = res.dropped["semantic_dup"].count()
+    assert n_sem >= 5
+    assert res.metrics()["semantic_dup"] == n_sem
 
     all_ids = _ids(aug_docs)
     union, total = set(_ids(res.docs)), res.docs.count()
