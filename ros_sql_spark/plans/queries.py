@@ -61,19 +61,22 @@ def q02_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14 time-range partial replay.
 
-    The predicate is on the PHYSICAL ns column (ts_ns), not the derived
-    µs timestamp — a filter on a computed column cannot reach the parquet
-    scan, one on the stored column shows up in PushedFilters and prunes
-    row groups via min/max stats (equivalent semantics for µs-aligned
-    bounds: floor-to-µs preserves >= / < against them)."""
+    Range selection happens AT THE SOURCE (load_events(ns_range=...)):
+    the loader rewrites the ns bounds onto the physical stored column in
+    the file's own time unit, so the predicate shows up in PushedFilters
+    and prunes row groups via min/max stats.  A filter on the derived
+    ts_ns arithmetic column could never be pushed (verified: pushdown
+    broke when the testdata switched TIMESTAMP(NANOS)→timestamp[us] and
+    ts_ns became ts*1000)."""
     import datetime as _dt
 
-    ev = _t(spark, sf_dir, "events")
+    from ros_sql_spark.sources.io import load_events
+
     lo = int(_dt.datetime(2024, 1, 10, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
     hi = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
-    return ev.filter(
-        (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
-    ).select("event_id", "event_type", "value")
+    return load_events(spark, sf_dir, ns_range=(lo, hi)).select(
+        "event_id", "event_type", "value"
+    )
 
 
 def q04_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "TABLES",
     "load_table",
+    "load_events",
     "load_tables",
     "register_views",
     "read_jsonl",
@@ -48,36 +49,115 @@ TABLES = (
     "embeddings",
 )
 
-# Parquet stores events.ts as TIMESTAMP(NANOS); Spark has no ns timestamp,
-# so we request the physical INT64 as a long (lossless ns-since-epoch).
+# events.ts is stored as a parquet INT64 timestamp whose unit has varied
+# across driver testdata generations (TIMESTAMP(NANOS) in rounds 1-2,
+# timestamp[us] in round 3).  We always request the physical INT64 as a
+# long (lossless; also sidesteps Spark's TIMESTAMP(NANOS) rejection) and
+# rescale to ns based on a one-time footer probe of the file's unit.
 _EVENTS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
+_TS_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
+_ts_unit_cache: dict[str, str] = {}
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events with both a Spark-native µs timestamp and the lossless ns long.
 
-    Columns added to the physical schema:
+def _events_ts_unit(path: str) -> str:
+    """Parquet-footer probe for events.ts's time unit ('ns'/'us'/'ms'/'s').
+
+    One driver-side metadata read per distinct path (cached), the same
+    cost class as schema inference — no data pages are touched, so this
+    holds at 100 TB.  A bare INT64 column (no timestamp logical type) is
+    treated as the raw-ns convention; unreadable footers (non-local
+    filesystems without pyarrow access) fall back to 'ns', the engine's
+    own write convention.
+    """
+    unit = _ts_unit_cache.get(path)
+    if unit is None:
+        unit = "ns"
+        try:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(path).schema.field("ts").type
+            unit = getattr(t, "unit", None) or "ns"
+        except Exception:
+            pass
+        _ts_unit_cache[path] = unit
+    return unit
+
+
+def events_projection(raw: DataFrame, mult: int) -> DataFrame:
+    """Project the raw (INT64 ``ts`` in file units × ``mult`` = ns) events
+    read into the engine shape — shared by the batch loader and the
+    streaming twin so both expose identical columns:
+
       ts     TIMESTAMP — µs resolution, floor(ns/1000); safe for range
              predicates against µs-aligned bounds and for date_trunc.
       ts_ns  BIGINT    — exact ns since epoch; the total-order key for
              replay (reference orders by its recorded secs/nsecs pair —
              SURVEY.md §2.1 R13) and the ns-remainder carrier (R8).
+
+    NB: integer `div`, never `/` — ns epochs (~1.7e18) exceed double's
+    53-bit mantissa, so float division would corrupt the low microseconds.
+    The ns rescale stays in long range (µs epochs × 1000 < 2^63).
     """
-    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
-    # NB: integer `div`, never `/` — ns epochs (~1.7e18) exceed double's
-    # 53-bit mantissa, so float division would corrupt the low microseconds.
+    ts_ns = F.col("ts") * F.lit(mult) if mult != 1 else F.col("ts")
+    us_expr = f"ts div {1000 // mult}" if mult < 1000 else (
+        "ts" if mult == 1000 else f"ts * {mult // 1000}"
+    )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        F.timestamp_micros(F.expr(us_expr)).alias("ts"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
         "props",
     )
+
+
+def _ceil_div(x: int, m: int) -> int:
+    return -((-x) // m)
+
+
+def _load_events(
+    spark: SparkSession,
+    path: str,
+    ns_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """events with both a Spark-native µs timestamp and the lossless ns long
+    (see :func:`events_projection` for the column contract).
+
+    ``ns_range=(lo, hi)`` applies half-open time-range selection
+    (reference R14) at the SOURCE: the predicate is rewritten onto the
+    raw stored column in the file's own unit (``raw >= ceil(lo/mult)``
+    ⟺ ``raw*mult >= lo`` — exact for integer ``raw``), so it reaches
+    the parquet scan as a PushedFilter and prunes row groups via min/max
+    stats.  A post-projection filter on the derived ``ts_ns`` arithmetic
+    column could never be pushed — that is why range selection is a
+    loader capability, mirroring the reference, where partial replay is
+    a playback-source option, not a downstream filter.
+    """
+    mult = _TS_UNIT_NS[_events_ts_unit(path)]
+    raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
+    if ns_range is not None:
+        lo, hi = ns_range
+        if lo is not None:
+            raw = raw.filter(F.col("ts") >= F.lit(_ceil_div(lo, mult)))
+        if hi is not None:
+            raw = raw.filter(F.col("ts") < F.lit(_ceil_div(hi, mult)))
+    return events_projection(raw, mult)
+
+
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    ns_range: tuple[int | None, int | None] | None = None,
+) -> DataFrame:
+    """Public R14 entry: the events table, optionally range-restricted at
+    the scan (see :func:`_load_events`)."""
+    return _load_events(spark, f"{sf_dir}/events.parquet", ns_range)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
