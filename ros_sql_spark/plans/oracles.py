@@ -527,7 +527,10 @@ ORACLES: dict[str, str] = {
     """,
     "q23_pack_sequences": """
         SELECT doc_id, source, n_bpe,
-               (c - n_bpe) // 2048 AS seq_id
+               -- windowed sum(BIGINT) is HUGEINT in DuckDB, which pandas
+               -- renders as float64 → driver dtype/hash mismatch (r3 q23);
+               -- cast back to BIGINT so both engines emit int64
+               CAST((c - n_bpe) // 2048 AS BIGINT) AS seq_id
         FROM (SELECT doc_id, source,
                      CAST(len(regexp_extract_all(text,
                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,

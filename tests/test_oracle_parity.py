@@ -44,7 +44,10 @@ def canon(v):
             return "f:nan"
         return f"f:{decimal.Decimal(repr(v)).normalize()}"
     if isinstance(v, int):
-        return f"f:{decimal.Decimal(v)}"
+        # deliberately distinct from float canon: the driver's pandas
+        # hash is dtype-sensitive (r3 q23 failed on DuckDB HUGEINT →
+        # float64 0.0 vs Spark int64 0 with identical values)
+        return f"i:{v}"
     if isinstance(v, datetime.datetime):
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
