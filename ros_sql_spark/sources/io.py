@@ -60,31 +60,59 @@ _EVENTS_SCHEMA = (
 )
 
 _TS_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
-_ts_unit_cache: dict[str, str] = {}
+# keyed on (path, mtime_ns, size): a file rewritten in place with a
+# different unit (regenerated fixtures, long-lived drivers) must re-probe
+_ts_unit_cache: dict[tuple, tuple[str, bool]] = {}
 
 
-def _events_ts_unit(path: str) -> str:
+def _ts_unit_cache_key(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
+
+
+def _probe_events_ts_unit(path: str) -> tuple[str, bool]:
     """Parquet-footer probe for events.ts's time unit ('ns'/'us'/'ms'/'s').
 
-    One driver-side metadata read per distinct path (cached), the same
-    cost class as schema inference — no data pages are touched, so this
-    holds at 100 TB.  A bare INT64 column (no timestamp logical type) is
-    treated as the raw-ns convention; unreadable footers (non-local
-    filesystems without pyarrow access) fall back to 'ns', the engine's
-    own write convention.
+    One driver-side metadata read per distinct (path, mtime, size)
+    (cached), the same cost class as schema inference — no data pages are
+    touched, so this holds at 100 TB.  A bare INT64 column (no timestamp
+    logical type) is treated as the raw-ns convention; unreadable footers
+    (non-local filesystems without pyarrow access) fall back to 'ns', the
+    engine's own write convention — WITH a warning, because a silent
+    1000x mis-scale is unrecoverable downstream.  Returns (unit, probed):
+    ``probed=False`` marks the fallback so range-pushdown callers can
+    refuse to rewrite predicates against a guessed unit.
     """
-    unit = _ts_unit_cache.get(path)
-    if unit is None:
-        unit = "ns"
+    key = _ts_unit_cache_key(path)
+    hit = _ts_unit_cache.get(key)
+    if hit is None:
+        unit, probed = "ns", False
         try:
             import pyarrow.dataset as pads
 
             t = pads.dataset(path).schema.field("ts").type
             unit = getattr(t, "unit", None) or "ns"
-        except Exception:
-            pass
-        _ts_unit_cache[path] = unit
-    return unit
+            probed = True
+        except Exception as exc:  # noqa: BLE001 — any probe failure falls back
+            import warnings
+
+            warnings.warn(
+                f"events ts-unit probe failed for {path!r} ({exc!r}); "
+                "assuming raw-ns. If the file stores timestamp[us/ms/s], "
+                "derived timestamps will be mis-scaled.",
+                stacklevel=2,
+            )
+        hit = _ts_unit_cache[key] = (unit, probed)
+    return hit
+
+
+def _events_ts_unit(path: str) -> str:
+    return _probe_events_ts_unit(path)[0]
 
 
 def events_projection(raw: DataFrame, mult: int) -> DataFrame:
@@ -139,7 +167,17 @@ def _load_events(
     loader capability, mirroring the reference, where partial replay is
     a playback-source option, not a downstream filter.
     """
-    mult = _TS_UNIT_NS[_events_ts_unit(path)]
+    unit, probed = _probe_events_ts_unit(path)
+    if ns_range is not None and not probed:
+        # Rewriting the range predicate into file units under a GUESSED
+        # unit silently prunes essentially everything when the guess is
+        # 1000x off — fail loudly instead (advisor r3).
+        raise ValueError(
+            f"events ts-unit probe failed for {path!r}; refusing to "
+            "apply ns_range against an assumed unit. Read without "
+            "ns_range and filter on ts_ns, or make the footer readable."
+        )
+    mult = _TS_UNIT_NS[unit]
     raw = spark.read.schema(_EVENTS_SCHEMA).parquet(path)
     if ns_range is not None:
         lo, hi = ns_range

@@ -35,7 +35,12 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ros_sql_spark.sources.io import _EVENTS_SCHEMA
+from ros_sql_spark.sources.io import (
+    _EVENTS_SCHEMA,
+    _TS_UNIT_NS,
+    _events_ts_unit,
+    events_projection,
+)
 
 __all__ = [
     "stream_events",
@@ -49,14 +54,21 @@ __all__ = [
 def stream_events(spark: SparkSession, events_path: str) -> DataFrame:
     """R12 twin: the events table as an unbounded stream.
 
-    Reads the same physical parquet with the same explicit ns schema as
-    the batch loader, exposing the identical (event_id, ts, ts_ns, ...)
-    shape so every batch query has a streaming twin for free.
+    Reads the same physical parquet with the same explicit INT64 schema
+    as the batch loader and goes through the SAME unit probe +
+    :func:`events_projection`, so the streaming shape (event_id, ts,
+    ts_ns, ...) is column-for-column AND value-for-value identical to
+    the batch loader regardless of the file's stored time unit — every
+    batch query has a streaming twin for free.
 
     Spark's file stream source requires a *directory*; a single-file
     input (the driver's ``events.parquet``) is staged via a symlink in a
     scratch directory.  Production streams land files in directories.
     """
+    # Probe the ORIGINAL path (works for file or directory) before any
+    # staging rewrite; hardcoding ns here emitted 1970-era timestamps on
+    # us-unit testdata (advisor r3, high).
+    mult = _TS_UNIT_NS[_events_ts_unit(events_path)]
     if os.path.isfile(events_path):
         # Deterministic staging dir per source file: checkpoints persist the
         # source path, so resuming the same stream must resolve the same
@@ -73,15 +85,7 @@ def stream_events(spark: SparkSession, events_path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(events_path)
     )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return events_projection(raw, mult)
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes",

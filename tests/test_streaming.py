@@ -47,6 +47,45 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
     assert sres == bres
 
 
+def test_stream_events_ts_parity_with_batch(spark, tmp_path):
+    """The streaming twin must emit the SAME ts/ts_ns values as the batch
+    loader whatever unit the file stores (advisor r3: a hardcoded ns
+    projection made the stream emit 1970-era ts on timestamp[us] data)."""
+    batch = load_table(spark, SF_SMALL, "events").select("ts", "ts_ns")
+    b = batch.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"),
+        F.min("ts_ns").alias("lo_ns"), F.max("ts_ns").alias("hi_ns"),
+    ).collect()[0]
+
+    q = (
+        stream_events(spark, EVENTS_PATH)
+        .select("ts", "ts_ns")
+        .writeStream.format("memory")
+        .queryName("ts_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tsp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    s = spark.sql(
+        "SELECT min(ts) lo, max(ts) hi, min(ts_ns) lo_ns, max(ts_ns) hi_ns "
+        "FROM ts_parity"
+    ).collect()[0]
+    assert (s.lo, s.hi, s.lo_ns, s.hi_ns) == (b.lo, b.hi, b.lo_ns, b.hi_ns)
+
+
+def test_ns_range_refused_on_failed_unit_probe(spark):
+    """ns_range against a path whose footer can't be probed must raise,
+    not silently mis-scale the pushdown predicate (advisor r3)."""
+    from ros_sql_spark.sources import io as io_mod
+
+    missing = "/root/nonexistent_dir_for_probe/events.parquet"
+    with pytest.warns(UserWarning, match="ts-unit probe failed"):
+        with pytest.raises(ValueError, match="refusing to apply ns_range"):
+            io_mod._load_events(spark, missing, ns_range=(0, 10))
+
+
 def test_session_counts_match_q16(spark):
     """Distinct session_window sessions per user == q16's lag-based
     n_sessions (two formulations of the same operator)."""
