@@ -1,0 +1,129 @@
+"""Deterministic sampling operators for training-data assembly.
+
+The reference (strawlab/ros_sql) stores and replays; it never samples.
+These are the engine-extension operators a pretraining pipeline needs
+between "curated corpus" and "training shards":
+
+- ``weighted_sample``: fixed-size sample where inclusion probability is
+  proportional to a weight column (quality score, token count, domain
+  boost) — Efraimidis–Spirakis A-ES: key = u^(1/w) with u a
+  deterministic per-row uniform, take the global top-k keys.  One
+  TakeOrdered (map-side partial top-k, no global sort stage, no
+  single-partition window) — scale-safe at any corpus size.
+- ``token_budget_mix``: per-source token budgets ("2B tokens of web,
+  500M of code...") — rank docs within each source by a caller-chosen
+  preference order and keep the prefix whose cumulative token count
+  fits the source's budget.  One hash-partitioned window per source —
+  parallel across sources, no global stage.
+
+Determinism contract (both operators): NO ``rand()``.  The uniform
+derives from md5(id) (exactly reproducible in any engine — the oracle
+uses the same bytes), so reruns, retried tasks, and AQE re-plans see
+identical samples.  At 100 TB a nondeterministic sample is a debugging
+disaster: a retried stage would silently change the training set.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["uniform_from_id", "weighted_sample", "token_budget_mix"]
+
+
+def uniform_from_id(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1): the first 8 md5 hex digits of
+    (id || salt) as a 32-bit integer, midpoint-adjusted so 0 and 1 are
+    never produced (u=0 would make u^(1/w) collapse for every weight).
+
+    md5 (not xxhash64) on purpose: bit-identical in Spark, DuckDB,
+    Python — the cross-engine determinism contract of the suite.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h + F.lit(0.5)) / F.lit(float(1 << 32))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows (Efraimidis–
+    Spirakis exponential-sort): every row gets key = u^(1/w); the k
+    largest keys are exactly a weighted sample without replacement.
+
+    Weights must be strictly positive (rows with w <= 0 are excluded,
+    matching "probability proportional to w").  Output: the input
+    columns + ``_priority`` (rounded to 9dp — the ranking value, kept
+    so the sample is auditable and the ordering reproducible).
+
+    Plan shape: filter → projection → ``orderBy().limit(k)`` which
+    Spark executes as TakeOrderedAndProject — each partition keeps a
+    local k-heap and the driver merges k·P rows, never a global sort.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = uniform_from_id(id_col, salt)
+    # round BEFORE ranking so any engine comparing this plan orders the
+    # identical number; id tiebreak makes the k-boundary deterministic
+    pri = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("_priority", pri)
+        .orderBy(F.desc("_priority"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: Column | str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Per-source token-budget selection ("data mixture"): within each
+    source, rank rows by ``order_by`` (default: ``id_col`` ascending —
+    callers pass quality-descending for best-first selection) and keep
+    the longest prefix whose cumulative ``token_col`` stays within the
+    source's budget.  A row is kept iff the tokens BEFORE it fit the
+    budget (so one over-budget doc is admitted at the boundary rather
+    than splitting a document).
+
+    ``budgets``: source value → token budget.  Sources absent from the
+    map are dropped (explicit mixture: what is not listed is not in the
+    training set).
+
+    Scale shape: the budget map is a literal broadcast (mixtures are
+    O(10²) sources); the cumsum is one window per source partition —
+    hash-partitioned, parallel across sources.  A single source bigger
+    than one task's sort capacity spills; if one source dominates the
+    corpus, pre-split it into sub-sources (salting its partition key)
+    and divide its budget accordingly.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    order = order_by if order_by is not None else [F.col(id_col).asc()]
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.withColumn("_budget", budget_map[F.col(source_col)])
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_n_tok", tok.cast("bigint"))
+        .withColumn("_cum", F.sum("_n_tok").over(w))
+        .filter(F.col("_cum") - F.col("_n_tok") < F.col("_budget"))
+    )
+    return out.drop("_budget")

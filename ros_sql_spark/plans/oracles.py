@@ -783,6 +783,41 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY ROLLUP(lang, source)
     """,
+    # A-ES weighted sample: u = md5-derived uniform (identical bytes in
+    # both engines), priority = u^(1/w) ROUNDED to 9dp before ranking so
+    # both engines order the same number; doc_id breaks ties at the
+    # k-boundary.
+    "q82_weighted_sample": """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               round(pow(
+                   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0,
+                   1.0 / n_chars), 9) AS priority
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY priority DESC, doc_id
+        LIMIT 100
+    """,
+    # CAST the window cumsum to BIGINT: DuckDB's sum(BIGINT) is HUGEINT,
+    # which pandas renders float64 (the r3 q23 driver-hash trap).
+    "q83_token_budget_mix": """
+        SELECT doc_id, source, n_tok, cum_tok
+        FROM (
+            SELECT doc_id, source, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tok,
+                   CASE source WHEN 'src0' THEN 1200
+                               WHEN 'src1' THEN 800
+                               WHEN 'src2' THEN 500 END AS b
+            FROM (SELECT doc_id, source,
+                         CAST(len(regexp_extract_all(text,
+                              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                             AS n_tok
+                  FROM documents)
+        )
+        WHERE b IS NOT NULL AND cum_tok - n_tok < b
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -1546,6 +1546,67 @@ def q81_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES) for
+    training-mix assembly: inclusion odds ∝ n_chars, no rand() anywhere
+    — the sample survives task retries and AQE re-plans bit-identical.
+    Plan shape: TakeOrderedAndProject (per-partition k-heap + driver
+    merge), never a global sort (guarded in test_plans.py)."""
+    from ros_sql_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=100).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("_priority").alias("priority"),
+    )
+
+
+def q83_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets ("data mixture"): keep each source's
+    doc-id-ordered prefix whose cumulative BPE-token count fits the
+    source's budget (one over-budget doc admitted at the boundary, docs
+    never split).  One hash-partitioned window per source — parallel
+    across sources, no global stage."""
+    from ros_sql_spark.functions.text import token_count_bpe
+    from ros_sql_spark.operators.sampling import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", token_count_bpe("text").alias("n_bpe")
+    )
+    out = token_budget_mix(
+        toks,
+        {"src0": 1200, "src1": 800, "src2": 500},
+        token_col="n_bpe",
+        order_by=[F.asc("doc_id")],
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("_n_tok").alias("n_tok"),
+        F.col("_cum").alias("cum_tok"),
+    )
+
+
+def q84_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (compressed-domain search): vectors
+    stored as m=8 one-byte codes (32× smaller than float32 — the 100 TB
+    memory path), scored via per-query ADC lookup tables, exact-rerank
+    of the top candidates.  Rows-only by nature (codebooks are learned;
+    no SQL twin) — recall vs brute force asserted in
+    tests/test_sampling_pq.py."""
+    from ros_sql_spark.operators.pq import pq_encode, pq_knn, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=7)
+    codes = pq_encode(emb, books)
+    return pq_knn(
+        codes, queries, books, k=10, rerank=emb, rerank_factor=8
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1628,4 +1689,7 @@ QUERIES = {
     "q79_having": q79_having,
     "q80_histogram": q80_histogram,
     "q81_conditional_agg": q81_conditional_agg,
+    "q82_weighted_sample": q82_weighted_sample,
+    "q83_token_budget_mix": q83_token_budget_mix,
+    "q84_pq_ann": q84_pq_ann,
 }

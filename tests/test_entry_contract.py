@@ -30,6 +30,7 @@ def test_rows_only_queries_are_the_documented_ones():
         "q39_multimodal_features",  # mapInPandas plumbing
         "q40_ann_lsh",  # probabilistic recall by construction
         "q78_ann_ivf",  # probabilistic recall (KMeans cells)
+        "q84_pq_ann",  # probabilistic recall (learned codebooks)
     }, rows_only
 
 

@@ -122,6 +122,25 @@ def test_q23_pack_window_is_partitioned(spark):
         )
 
 
+def test_q82_sample_is_take_ordered(spark):
+    """Weighted sampling ranks the whole corpus by priority — it must be
+    a TakeOrderedAndProject (per-partition k-heap, driver merges k·P
+    rows), never a global sort or single-partition window."""
+    p = plan_of(spark, "q82_weighted_sample")
+    assert "TakeOrdered" in p
+    assert "windowspecdefinition" not in p
+
+
+def test_q83_budget_window_is_partitioned(spark):
+    """Token-budget cumsum runs per source shard; an unpartitioned
+    window would serialize the corpus through one task."""
+    p = plan_of(spark, "q83_token_budget_mix")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "source" in m.group(1), (
+            "unpartitioned window in q83 plan:\n" + m.group(0)
+        )
+
+
 def test_q28_rates_dim_broadcast(spark):
     """The per-language rate dim is a handful of rows — it must
     broadcast; a shuffle join keyed on lang would move the whole corpus

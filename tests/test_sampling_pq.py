@@ -1,0 +1,182 @@
+"""Sampling operators (deterministic weighted sample, token-budget mix)
+and product-quantization ANN: invariants + recall vs the exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from ros_sql_spark.operators.pq import pq_encode, pq_knn, pq_train
+from ros_sql_spark.operators.sampling import (
+    token_budget_mix,
+    uniform_from_id,
+    weighted_sample,
+)
+from ros_sql_spark.operators.similarity import brute_force_knn
+from ros_sql_spark.sources.io import load_table
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------- sampling
+def test_uniform_from_id_is_uniform_and_deterministic(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    u = docs.select(uniform_from_id("doc_id").alias("u"))
+    stats = u.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mu")
+    ).collect()[0]
+    assert 0.0 < stats.lo and stats.hi < 1.0
+    assert abs(stats.mu - 0.5) < 0.1  # 50 docs: loose CLT bound
+    a = sorted(r.u for r in u.collect())
+    b = sorted(r.u for r in u.collect())
+    assert a == b  # rerun-identical (no rand())
+
+
+def test_weighted_sample_invariants(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    k = 20
+    s = weighted_sample(docs, "n_chars", k).collect()
+    assert len(s) == k
+    ids = [r.doc_id for r in s]
+    assert len(set(ids)) == k  # without replacement
+    # deterministic across reruns
+    s2 = weighted_sample(docs, "n_chars", k).collect()
+    assert sorted(ids) == sorted(r.doc_id for r in s2)
+    # every sampled row keeps the input columns + audit priority
+    assert set(s[0].asDict()) == set(docs.columns) | {"_priority"}
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Sampling by weight must overselect heavy rows vs uniform: the
+    mean n_chars of a weighted sample exceeds the corpus mean (size-
+    biased sampling has E[X_sample] = E[X²]/E[X] > E[X])."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    s = weighted_sample(docs, "n_chars", 25)
+    sample_mean = s.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    docs = load_table(spark, SF_SMALL, "documents").withColumn(
+        "w", F.when(F.col("doc_id") < 5, F.lit(-1)).otherwise(F.col("n_chars"))
+    )
+    s = weighted_sample(docs, "w", 45).collect()
+    assert all(r.doc_id >= 5 for r in s)
+
+
+def test_token_budget_mix_respects_budgets(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    budgets = {"src0": 300, "src1": 150}
+    out = token_budget_mix(
+        docs,
+        budgets,
+        token_col="n_chars",
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+    rows = out.collect()
+    assert {r.source for r in rows} <= set(budgets)  # unlisted sources dropped
+    for src, budget in budgets.items():
+        picked = sorted(
+            (r for r in rows if r.source == src), key=lambda r: r._cum
+        )
+        assert picked, f"budget for {src} selected nothing"
+        # all but the boundary row fit strictly; the boundary row started
+        # inside the budget
+        for r in picked:
+            assert r._cum - r._n_tok < budget
+        # the selection is the PREFIX of the preference order: the last
+        # kept row's cum is the first to reach/exceed the budget OR the
+        # source is exhausted
+        total_src = [r for r in docs.collect() if r.source == src]
+        assert len(picked) <= len(total_src)
+
+
+def test_token_budget_mix_prefix_property(spark):
+    """Kept set = longest prefix of the preference order fitting the
+    budget, computed independently in Python."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    budget = 500
+    out = token_budget_mix(
+        docs, {"src2": budget}, token_col="n_chars",
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+    ).collect()
+    got = sorted(r.doc_id for r in out)
+    src2 = sorted(
+        ((r.n_chars, r.doc_id) for r in docs.collect() if r.source == "src2"),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want, cum = [], 0
+    for n, did in src2:
+        if cum < budget:
+            want.append(did)
+        cum += n
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------- pq
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def test_pq_encode_shape_and_determinism(spark, emb):
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=7)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    again = {r.vec_id: r.pq_code for r in pq_encode(emb, books).collect()}
+    assert all(again[r.vec_id] == r.pq_code for r in rows)
+
+
+def test_pq_knn_recall_vs_exact(spark, emb):
+    """ADC + exact rerank must reach high recall@10 against brute force.
+
+    dim 64 → m=8 subspaces × 16 centroids on this tiny corpus; the
+    rerank makes the final ordering exact, so recall is the only
+    approximation left."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=7)
+    codes = pq_encode(emb, books)
+    approx = pq_knn(
+        codes, queries, books, k=10, rerank=emb, rerank_factor=8
+    ).collect()
+    exact = brute_force_knn(emb, queries, k=10).collect()
+    by_q_approx: dict[int, set] = {}
+    for r in approx:
+        by_q_approx.setdefault(r.query_id, set()).add(r.vec_id)
+    by_q_exact: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(by_q_approx) == set(by_q_exact)
+    hits = sum(
+        len(by_q_approx[q] & by_q_exact[q]) for q in by_q_exact
+    )
+    total = sum(len(v) for v in by_q_exact.values())
+    recall = hits / total
+    assert recall >= 0.6, f"recall@10 {recall:.2f} below floor"
+
+
+def test_pq_knn_adc_only_runs(spark, emb):
+    """Without rerank the scores are ADC approximations — ordering and
+    row shape must still hold (k rows per query, scores descending)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=7)
+    codes = pq_encode(emb, books)
+    rows = pq_knn(codes, queries, books, k=5).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.score)
+    assert set(per_q) == {0, 1, 2}
+    for scores in per_q.values():
+        assert len(scores) == 5
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_train_validates_args(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, dim=64, m=7)
+    with pytest.raises(ValueError, match="1-byte"):
+        pq_train(emb, dim=64, m=8, n_centroids=512)
