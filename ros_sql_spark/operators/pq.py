@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["pq_train", "pq_encode", "pq_knn"]
+__all__ = ["pq_train", "pq_encode", "pq_knn", "ivf_pq_knn"]
 
 
 def _sampled_matrix(
@@ -116,6 +116,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, pq_code BINARY): each vector L2-normalized, split into m
     subvectors, each assigned its nearest codeword — m bytes total.
@@ -141,7 +142,10 @@ def pq_encode(
             codes[:, j] = d.argmin(axis=1).astype(np.uint8)
         return pd.Series([c.tobytes() for c in codes])
 
-    return df.select(F.col(id_col), _encode(F.col(vec_col)).alias("pq_code"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    return df.select(
+        F.col(id_col), *extra, _encode(F.col(vec_col)).alias("pq_code")
+    )
 
 
 def pq_knn(
@@ -248,6 +252,139 @@ def pq_knn(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    index: tuple | None = None,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout (coarse cells prune WHICH
+    vectors are considered; PQ codes shrink WHAT each consideration
+    costs).  At 100 TB this is the only family member whose working set
+    fits a cluster: the searched representation is n_probe/n_cells of
+    the corpus × m bytes per vector.
+
+    Pipeline: IVF-assign the corpus (KMeans cells, reusable prebuilt
+    ``index``) → PQ-encode keeping the cell id → per query, probe the
+    ``n_probe`` nearest cells (Arrow matmul, no literal centroids) →
+    equi-join codes on the small int cell key → ADC-score each
+    candidate row with a vectorized table gather → per-query top-k,
+    optionally exact-reranked against ``rerank`` raw vectors.
+
+    Unlike ``pq_knn`` (which streams the WHOLE code table and needs no
+    shuffle), the cell equi-join shuffles only code rows — m bytes +
+    two longs each — from the probed cells.  Candidate volume is
+    ~n_probe/n_cells · |corpus| per query batch.
+    """
+    from ros_sql_spark.operators.similarity import (
+        _probe_cells,
+        cosine_arrow,
+        ivf_index,
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    assigned, centers = (
+        index
+        if index is not None
+        else ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    )
+    books = pq_train(
+        corpus, dim=dim, m=m, n_centroids=n_centroids,
+        vec_col=vec_col, seed=seed,
+    )
+    codes = pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    order = np.argsort(qids, kind="stable")
+    qids = qids[order]
+    Q = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))[order]
+    mm, _, dsub = books.shape
+    tables = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+
+    probe = _probe_cells(centers, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+        .withColumn("_cells", probe("_qvec"))
+        # explode_outer: the Generate invariant (CLAUDE.md) — plain
+        # explode would re-invoke the probe UDF per row via the
+        # inferred size>0 pre-filter; _cells is never null (UDF total).
+        .withColumn("_cell", F.explode_outer("_cells"))
+        .select(query_id_col, "_cell")
+    )
+    cand = codes.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+
+    jj = np.arange(mm)
+
+    @pandas_udf("double")
+    def _adc(qid: pd.Series, code: pd.Series) -> pd.Series:
+        qi = np.searchsorted(qids, qid.to_numpy(dtype=np.int64))
+        C = np.frombuffer(
+            b"".join(code.to_numpy()), dtype=np.uint8
+        ).reshape(len(code), mm)
+        # per-row gather: table of THIS row's query, summed over subspaces
+        s = tables[qi[:, None], jj[None, :], C].sum(axis=1)
+        return pd.Series(s)
+
+    scored = cand.select(
+        query_id_col, id_col, _adc(F.col(query_id_col), F.col("pq_code")).alias("_adc")
+    )
+    keep = k * (rerank_factor if rerank is not None else 1)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.col(id_col))
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+    if rerank is None:
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+        return (
+            top.select(
+                query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
+            )
+            .withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    rs = (
+        top.drop("_adc")
+        .join(rerank.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
+        )
+    )
+    w3 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        rs.withColumn("_rn", F.row_number().over(w3))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

