@@ -26,7 +26,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["salted_aggregate", "salted_broadcast_left_join"]
+__all__ = [
+    "salted_aggregate",
+    "salted_broadcast_left_join",
+    "detect_hot_keys",
+    "split_skew_join",
+]
 
 _MERGE = {
     "sum": F.sum,
@@ -108,3 +113,90 @@ def salted_broadcast_left_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = salted_left.join(F.broadcast(replicated), [key, "_salt"])
     return out.drop("_salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.01,
+    min_sampled_rows: int = 100,
+    seed: int = 42,
+) -> list:
+    """Hot-key census on a seeded SAMPLE: key values whose sampled row
+    count exceeds ``min_sampled_rows`` (≈ min_sampled_rows /
+    sample_fraction true rows).  The aggregation runs over the sample
+    only and just the hot list (O(10⁰–10²) values) reaches the driver —
+    control-plane cost, valid at any corpus size.  Sampling misses keys
+    near the threshold; that is fine — a missed warm key falls to the
+    cold path, which still handles it correctly (just less spread out).
+    """
+    rows = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= min_sampled_rows)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def split_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: list,
+    buckets: int = 16,
+    salt_src: Column | str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big equi-join with explicit hot-key splitting ("differentiated
+    join"): rows of ``hot_keys`` go through a salted shuffle join (the
+    left's hot rows spread over ``buckets`` composite-key partitions,
+    the right's hot rows replicated ``buckets``×); all other keys take
+    the ordinary equi-join.  The union is row-identical to
+    ``left.join(right, key, how)`` (asserted in tests).
+
+    When to use over AQE's skew-join splitting: AQE can only split a
+    skewed SHUFFLE PARTITION of a SortMergeJoin after the map stage
+    materializes it, cannot help when the skewed side arrives
+    pre-partitioned (bucketed tables — no exchange to split), and reacts
+    per-query; this operator bakes the split into the plan, composes
+    with any join strategy, and replicates only the hot keys' right rows
+    (a whole-join salt would multiply ALL of the right's shuffle bytes
+    by ``buckets``).
+
+    ``salt_src``: column/expression varying WITHIN a key group on the
+    left (row id, timestamp).  Default: xxhash64 over all left columns —
+    deterministic, and identical rows landing in one bucket is
+    harmless.  ``how``: "inner" or "left" (each left row exists exactly
+    once on exactly one salt, so left-outer null-extension survives the
+    split; right/full outer would need null-extension across the split
+    boundary — unsupported).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only inner/left survive the split")
+    if not hot_keys:
+        return left.join(right, key, how)
+    if salt_src is None:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)
+        )
+    else:
+        src = F.col(salt_src) if isinstance(salt_src, str) else salt_src
+        salt = F.pmod(F.xxhash64(src), F.lit(buckets))
+
+    is_hot = F.col(key).isin(hot_keys)
+    # cold path: ordinary equi-join (AQE/bucketing/broadcast all still
+    # apply — the split is invisible to strategy choice)
+    cold = left.filter(~is_hot).join(right.filter(~is_hot), key, how)
+
+    hot_left = left.filter(is_hot).withColumn("_salt", salt)
+    hot_right = (
+        right.filter(is_hot)
+        .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+        .withColumn("_salt", F.col("_s").cast("bigint"))
+        .drop("_s")
+    )
+    hot = hot_left.join(hot_right, [key, "_salt"], how).drop("_salt")
+    return cold.unionByName(hot)

@@ -44,6 +44,7 @@ _OBS_FIELDS = {
     "near_dup": ["n_dropped"],
     "semantic_dup": ["n_dropped"],
     "decontam": ["n_dropped"],
+    "mixture": ["n_dropped"],
     "survivors": ["n"],
 }
 
@@ -117,7 +118,7 @@ class CurationResult:
                 "exact": o["quality"]["n_kept"] - o["exact"]["n_kept"],
                 "kept": o["survivors"]["n"],
             }
-            for stage in ("near_dup", "semantic_dup", "decontam"):
+            for stage in ("near_dup", "semantic_dup", "decontam", "mixture"):
                 if stage in o:
                     m[stage] = o[stage]["n_dropped"]
             self._metrics = m
@@ -141,6 +142,9 @@ def curate(
     embedding_col: str = "embedding",
     embedding_dim: int = 64,
     cosine_threshold: float = 0.7,
+    budgets: dict[str, int] | None = None,
+    budget_source_col: str = "source",
+    budget_token_col=None,
 ) -> CurationResult:
     """Run the full cleaning pipeline over a document corpus.
 
@@ -165,6 +169,13 @@ def curate(
        survivor sharing a ``decontam_k``-token shingle hash with the
        eval set (q20 semantics; hash membership — collisions at 2^-64
        odds).
+    6. **mixture** (only when ``budgets`` is given — source value →
+       token budget): keep each source's id-ordered prefix whose
+       cumulative token count fits its budget, and drop unlisted
+       sources (q83 semantics — the "data mixture" cut that turns a
+       clean corpus into a training mix).  ``budget_token_col``: a
+       Column/str token count; defaults to the BPE-ish tokenizer over
+       ``text_col``.  NB: ``docs`` must carry ``budget_source_col``.
 
     Returns a :class:`CurationResult` whose ``dropped`` maps each stage
     name to the dropped ``id_col`` frame — disjoint by construction,
@@ -182,12 +193,16 @@ def curate(
     dropped: dict[str, DataFrame] = {}
     obs: dict[str, tuple[Observation, object]] = {}
 
+    # the mixture stage needs the source column to survive the pipeline
+    carry = [budget_source_col] if budgets is not None else []
+
     # 1. quality gate — pure projection, no shuffle
     feats = docs.select(
-        id_col, text_col, tokens(text_col).alias("_toks")
+        id_col, text_col, *carry, tokens(text_col).alias("_toks")
     ).select(
         id_col,
         text_col,
+        *carry,
         F.size("_toks").cast("bigint").alias("_n_tok"),
         F.round(punct_ratio(text_col), 6).alias("_punct"),
         F.round(stopword_ratio("_toks", "en"), 6).alias("_stop"),
@@ -206,7 +221,7 @@ def curate(
         F.sum(keep.cast("long")).alias("n_kept"),
     )
     dropped["quality"] = feats.filter(~keep).select(id_col)
-    cur = feats.filter(keep).select(id_col, text_col)
+    cur = feats.filter(keep).select(id_col, text_col, *carry)
 
     # 2. exact dedup — min id per 128-bit digest, one narrow shuffle
     h = F.md5(F.col(text_col).cast("binary"))
@@ -320,6 +335,36 @@ def curate(
             lambda: {"n_dropped": dropped["decontam"].count()},
         )
         cur = cur.join(contaminated, id_col, "left_anti")
+
+    # 6. optional token-budget mixture (q83): per-source prefix cut
+    if budgets is not None:
+        from ros_sql_spark.functions.text import token_count_bpe
+        from ros_sql_spark.operators.sampling import token_budget_mix
+
+        tok = (
+            budget_token_col
+            if budget_token_col is not None
+            else token_count_bpe(text_col)
+        )
+        mix_keep = token_budget_mix(
+            cur,
+            budgets,
+            token_col=tok,
+            source_col=budget_source_col,
+            id_col=id_col,
+        ).select(id_col)
+        _ob_m = Observation()
+        mix_dropped = (
+            cur.select(id_col)
+            .join(mix_keep, id_col, "left_anti")
+            .observe(_ob_m, F.count(F.lit(1)).alias("n_dropped"))
+        )
+        dropped["mixture"] = mix_dropped
+        obs["mixture"] = (
+            _ob_m,
+            lambda: {"n_dropped": dropped["mixture"].count()},
+        )
+        cur = cur.join(mix_dropped, id_col, "left_anti")
 
     _ob_v = Observation()
     cur = cur.observe(_ob_v, F.count(F.lit(1)).alias("n"))

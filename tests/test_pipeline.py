@@ -158,3 +158,49 @@ def test_curate_semantic_stage(spark):
         surv_vecs, threshold=0.9, id_col="doc_id", vec_col="_vec"
     )
     assert left.count() == 0
+
+
+def test_curate_mixture_stage(spark):
+    """budgets= adds the q83 token-budget cut as the final stage:
+    unlisted sources drop entirely, listed sources keep their id-ordered
+    prefix under the budget, and the row accounting still partitions."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    budgets = {"src0": 400, "src3": 250}
+    res = curate(docs, budgets=budgets)
+
+    kept_rows = res.docs.collect()
+    assert {r.source for r in kept_rows} <= set(budgets)
+
+    # partition invariant still holds with the new stage
+    all_ids = _ids(docs)
+    union = _ids(res.docs)
+    total = len(union)
+    for df in res.dropped.values():
+        s = _ids(df)
+        union |= s
+        total += len(s)
+    assert union == all_ids
+    assert total == len(all_ids)
+
+    # budget honored: all but the boundary doc fit strictly
+    from ros_sql_spark.functions.text import token_count_bpe
+
+    toks = {
+        r.doc_id: r.n
+        for r in res.docs.select(
+            "doc_id", token_count_bpe("text").alias("n")
+        ).collect()
+    }
+    for src, budget in budgets.items():
+        ids_in = sorted(r.doc_id for r in kept_rows if r.source == src)
+        cum = 0
+        for did in ids_in:
+            assert cum < budget, f"{src}: doc {did} started beyond budget"
+            cum += toks[did]
+
+    # metrics include the mixture stage and add up
+    m = res.metrics()
+    assert "mixture" in m
+    assert m["input"] == m["kept"] + sum(
+        v for k, v in m.items() if k not in ("input", "kept")
+    )

@@ -388,3 +388,72 @@ def test_aqe_skew_join_split_is_live(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_split_skew_join_equals_plain_inner_and_left(spark):
+    """Hot-key split join must be row-identical to the plain join for
+    inner AND left-outer, including unmatched-left null extension."""
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    # right side misses some users -> left join exercises null extension
+    other = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") % 3 != 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_right"))
+    )
+    hot = [0, 1, 2]
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in ev.join(other, "user_id", how).collect()}
+        split = {
+            tuple(r)
+            for r in split_skew_join(
+                ev, other, "user_id", hot_keys=hot, buckets=4, how=how
+            ).collect()
+        }
+        assert split == plain, f"{how} join diverged"
+
+
+def test_split_skew_join_spreads_hot_key(spark):
+    """The hot path joins on (key, _salt): its left rows must occupy
+    more than one salt bucket (the whole point of the split)."""
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    n_buckets = (
+        ev.filter(F.col("user_id") == 0)
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("event_id"), F.col("user_id")), F.lit(4)
+            ).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_split_skew_join_rejects_outer(spark):
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(ValueError, match="inner/left"):
+        split_skew_join(ev, ev, "user_id", hot_keys=[1], how="full")
+
+
+def test_detect_hot_keys_finds_planted_skew(spark):
+    """A key holding ~40% of rows must surface at full-sample census."""
+    from ros_sql_spark.operators.skew import detect_hot_keys
+
+    base = spark.range(0, 3000).select(
+        F.when(F.col("id") < 1200, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(500)))
+        .alias("k")
+    )
+    hot = detect_hot_keys(
+        base, "k", sample_fraction=0.5, min_sampled_rows=200
+    )
+    assert hot == [7]
