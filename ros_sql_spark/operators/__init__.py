@@ -20,7 +20,20 @@ from ros_sql_spark.operators.similarity import (  # noqa: F401
     ivf_knn,
     lsh_knn,
 )
+from ros_sql_spark.operators.pq import (  # noqa: F401
+    ivf_pq_knn,
+    pq_encode,
+    pq_knn,
+    pq_train,
+)
+from ros_sql_spark.operators.sampling import (  # noqa: F401
+    token_budget_mix,
+    uniform_from_id,
+    weighted_sample,
+)
 from ros_sql_spark.operators.skew import (  # noqa: F401
+    detect_hot_keys,
     salted_aggregate,
     salted_broadcast_left_join,
+    split_skew_join,
 )

@@ -371,3 +371,95 @@ def session_assembler(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_WSAMPLE_OUT = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("priority", T.DoubleType()),
+    ]
+)
+
+_WSAMPLE_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("ws", T.ArrayType(T.DoubleType())),
+        T.StructField("pris", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_wsample_fn(k: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, ws, pris = (
+            ([*state.get[0]], [*state.get[1]], [*state.get[2]])
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+            ws.extend(float(x) for x in pdf["_w"])
+            pris.extend(float(x) for x in pdf["_pri"])
+        order = sorted(range(len(ids)), key=lambda i: (-pris[i], ids[i]))[:k]
+        ids, ws, pris = (
+            [ids[i] for i in order],
+            [ws[i] for i in order],
+            [pris[i] for i in order],
+        )
+        state.update((ids, ws, pris))
+        yield pd.DataFrame(
+            {
+                "group": key[0],
+                "doc_id": ids,
+                "weight": ws,
+                "priority": pris,
+            }
+        )
+
+    return fn
+
+
+def streaming_weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Streaming twin of q82's weighted sampling, per group: maintain
+    the k highest A-ES priorities (u^(1/w), u = the SAME md5-derived
+    uniform expression as the batch operator) as bounded state; each
+    micro-batch emits a group's CURRENT sample (update-mode upsert).
+
+    Because the priority is a deterministic Spark EXPRESSION evaluated
+    before the stateful operator (never recomputed in Python), replaying
+    the stream yields bit-identical priorities to the batch operator on
+    the same rows — so "state top-k after drain" ≡ "batch per-group
+    top-k", asserted in tests.  State is O(k) per group regardless of
+    stream length — a reservoir, not a buffer.
+
+    This closes the streaming×sampling cell: continuous corpus ingest
+    can maintain a live training-mix sample with no batch recompute.
+    """
+    from ros_sql_spark.operators.sampling import uniform_from_id
+
+    w = F.col(weight_col)
+    pri = F.round(F.pow(uniform_from_id(id_col, salt), F.lit(1.0) / w), 9)
+    src = df.filter(w > 0).select(
+        F.col(group_col).cast("string").alias("group"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        w.cast("double").alias("_w"),
+        pri.alias("_pri"),
+    )
+    return src.groupBy("group").applyInPandasWithState(
+        _make_wsample_fn(k),
+        outputStructType=_WSAMPLE_OUT,
+        stateStructType=_WSAMPLE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -197,3 +197,61 @@ def test_session_assembler_closed_sessions_match_batch(spark, tmp_path):
     expect = {tuple(r) for r in expect_df.collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_weighted_sample_equals_batch_topk(spark, tmp_path):
+    """Reservoir state after draining a multi-batch stream ≡ the batch
+    per-group A-ES top-k on the same rows: the priority is one shared
+    Spark expression, so equality is exact, not approximate."""
+    from pyspark.sql.window import Window
+
+    from ros_sql_spark.operators.sampling import uniform_from_id
+    from ros_sql_spark.streaming.stateful import streaming_weighted_sample
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    feed = str(tmp_path / "docs_feed")
+    # several files -> several micro-batches -> state must merge across
+    docs.repartition(4).write.parquet(feed)
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    k = 5
+    latest: dict[str, list] = {}
+
+    def grab(df, _bid):
+        rows = df.collect()
+        for g in {r.group for r in rows}:
+            latest[g] = [
+                (r.doc_id, r.priority) for r in rows if r.group == g
+            ]
+
+    q = (
+        streaming_weighted_sample(stream, k=k, weight_col="n_chars")
+        .writeStream.foreachBatch(grab)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    pri = F.round(
+        F.pow(uniform_from_id("doc_id"), F.lit(1.0) / F.col("n_chars")), 9
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("_pri"), F.asc("doc_id"))
+    expect_rows = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("source", "doc_id", pri.alias("_pri"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    )
+    expect: dict[str, list] = {}
+    for r in sorted(expect_rows, key=lambda r: (r.source, -r._pri, r.doc_id)):
+        expect.setdefault(r.source, []).append((r.doc_id, r._pri))
+    got = {g: rows for g, rows in latest.items()}
+    assert got == expect
