@@ -265,12 +265,26 @@ def test_no_inferred_generate_filter_in_operators(spark):
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    from ros_sql_spark.operators.sampling import token_budget_mix, weighted_sample
+    from ros_sql_spark.operators.skew import split_skew_join
+
     pipelines = {
         "ngram_jaccard_pairs": ngram_jaccard_pairs(docs, threshold=0.05),
         "minhash_signatures": minhash_signatures(docs),
         "minhash_pairs": minhash_pairs(docs),
         "lsh_knn": lsh_knn(
             emb, query_filter=F.col("vec_id") < 5, k=3, exclude_self=True
+        ),
+        "weighted_sample": weighted_sample(docs, "n_chars", 10),
+        "token_budget_mix": token_budget_mix(
+            docs, {"src0": 500}, token_col="n_chars"
+        ),
+        "split_skew_join": split_skew_join(
+            docs.select("doc_id", "source"),
+            docs.groupBy("source").count(),
+            "source",
+            hot_keys=["src0"],
+            buckets=4,
         ),
     }
     for name, df in pipelines.items():
