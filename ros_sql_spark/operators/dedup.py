@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_bands",
     "minhash_pairs",
+    "minhash_index",
+    "minhash_pairs_incremental",
     "connected_components",
     "ngram_jaccard_pairs",
 ]
@@ -357,6 +359,128 @@ def minhash_pairs(
     # fully materialize downstream (e.g. connected_components' eager
     # checkpoint) should unpersist via this handle.
     out._rosql_cached = sigs
+    return out
+
+
+def _band_table(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) from a signature table — the shared banding
+    step of minhash_bands / minhash_pairs / the incremental probe."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows + j + 1) for j in range(rows)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The storable MinHash index of a corpus: ``(sigs, bands)`` frames —
+    (id, sig array<bigint>) and (id, band, band_hash).
+
+    Both are deterministic pure projections of the corpus (seed-fixed
+    xxhash64), so they can be written once (parquet / a snapshot table)
+    and served to every subsequent :func:`minhash_pairs_incremental`
+    ingest — the 100 TB contract: the base corpus is hashed ONCE ever,
+    not once per ingest batch.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    return sigs, _band_table(sigs, id_col, num_hashes, bands)
+
+
+def minhash_pairs_incremental(
+    new_docs: DataFrame,
+    base_index: tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs for an INGEST INCREMENT against an
+    existing corpus: (new × base) ∪ (new × new), never base × base.
+
+    This is the production dedup shape — each arriving batch probes the
+    stored corpus index (:func:`minhash_index`, ids disjoint from the
+    increment's) instead of re-pairing the whole corpus: the base-side
+    cost per ingest is one bucket equi-join against precomputed bands,
+    and candidate volume is proportional to the INCREMENT's bucket
+    occupancy, not the corpus's.  Equivalence to the batch operator
+    (``minhash_pairs(new ∪ base)`` minus base-internal pairs) is
+    asserted in tests.
+
+    Output matches ``minhash_pairs``: (id_a < id_b, jaccard_est ≥
+    threshold); the skew guard drops degenerate buckets by COMBINED
+    occupancy, mirroring what the batch operator would see.
+    """
+    base_sigs, base_bands = base_index
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, k
+    ).cache()
+    new_bands = _band_table(new_sigs, id_col, num_hashes, bands)
+
+    nb = new_bands.withColumn("_new", F.lit(True))
+    ab = nb.unionByName(
+        base_bands.select(id_col, "band", "band_hash").withColumn(
+            "_new", F.lit(False)
+        )
+    )
+    # skew guard on COMBINED bucket occupancy (what the batch op sees)
+    sizes = ab.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
+    hot = F.broadcast(sizes.filter(F.col("_bsz") > max_bucket_size))
+    ab = ab.join(hot, ["band", "band_hash"], "left_anti")
+    probe = nb.join(hot, ["band", "band_hash"], "left_anti")
+
+    left = probe.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = ab.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash", "_new"
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        # new-new pairs arrive in both orders (keep a<b); new-base pairs
+        # arrive once (keep both orders, canonicalize below); base-base
+        # pairs never form — the left side is increment-only
+        .filter((~F.col("_new")) | (F.col("id_a") < F.col("id_b")))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sigs = new_sigs.unionByName(base_sigs)
+    sa = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+    out._rosql_cached = new_sigs
     return out
 
 

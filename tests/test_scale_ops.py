@@ -457,3 +457,54 @@ def test_detect_hot_keys_finds_planted_skew(spark):
         base, "k", sample_fraction=0.5, min_sampled_rows=200
     )
     assert hot == [7]
+
+
+def test_incremental_minhash_equals_batch_minus_base_pairs(spark):
+    """incremental(new, index(base)) must equal minhash_pairs(new ∪ base)
+    with base-internal pairs removed — same estimates, same pairs."""
+    from ros_sql_spark.operators.dedup import (
+        minhash_index,
+        minhash_pairs,
+        minhash_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+
+    thr = 0.2
+    full = minhash_pairs(docs, threshold=thr)
+    expect = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in full.collect()
+        if not (r.id_a in base_ids and r.id_b in base_ids)
+    }
+    full._rosql_cached.unpersist()
+
+    inc = minhash_pairs_incremental(new, minhash_index(base), threshold=thr)
+    got = {(r.id_a, r.id_b): r.jaccard_est for r in inc.collect()}
+    inc._rosql_cached.unpersist()
+    assert got == expect
+
+
+def test_incremental_minhash_base_never_self_pairs(spark):
+    """Even when the base is full of internal near-dups, the incremental
+    probe must emit no base-base pair (the cost contract)."""
+    from ros_sql_spark.operators.dedup import minhash_index, minhash_pairs_incremental
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # base duplicated content: every base doc has an exact twin
+    base = docs.filter(F.col("doc_id") < 100).union(
+        docs.filter(F.col("doc_id") < 100).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    inc = minhash_pairs_incremental(new, minhash_index(base), threshold=0.2)
+    rows = inc.collect()
+    inc._rosql_cached.unpersist()
+    assert all(
+        not (r.id_a in base_ids and r.id_b in base_ids) for r in rows
+    )
