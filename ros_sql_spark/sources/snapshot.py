@@ -47,6 +47,7 @@ __all__ = [
     "snapshot_read",
     "snapshot_versions",
     "snapshot_vacuum",
+    "snapshot_write_stream",
     "SnapshotConflict",
 ]
 
@@ -138,28 +139,36 @@ def snapshot_commit(
     df: DataFrame,
     table: str,
     *,
+    mode: str = "overwrite",
     replace_where: str | None = None,
     expected_version: int | None = None,
+    tag: str | None = None,
 ) -> int:
     """Publish ``df`` as the next snapshot of ``table``; returns the new
     version.
 
-    - default: the new snapshot is exactly ``df`` (full overwrite —
-      but old snapshots remain readable until vacuum);
+    - ``mode="overwrite"`` (default): the new snapshot is exactly
+      ``df`` (old snapshots remain readable until vacuum);
+    - ``mode="append"``: the new snapshot is the previous snapshot's
+      files CARRIED BY REFERENCE plus ``df``'s new files — a
+      metadata-only append (no old data moves), the shape a streaming
+      sink commits every micro-batch;
     - ``replace_where``: SQL predicate — the new snapshot is (previous
-      snapshot WHERE NOT predicate) ∪ df, with the kept rows CARRIED
-      BY REFERENCE: only files that could contain matching rows are
-      rewritten... in this minimal form, kept files are referenced
-      as-is and ``df`` must already be filtered to the predicate.
-      Mirrors partition replacement (rollup upserts, compaction) with
-      reader isolation.
+      snapshot WHERE NOT predicate) ∪ df.  Mirrors partition
+      replacement (rollup upserts, compaction) with reader isolation.
     - ``expected_version``: optimistic-concurrency guard — fail with
       :class:`SnapshotConflict` if the table moved past it.
+    - ``tag``: opaque marker recorded in the manifest (e.g. a streaming
+      batch id) — the idempotency token replays check.
 
     The data write is an ordinary Spark parquet write into a
     version-private directory (never seen by readers until the manifest
     publishes); the commit point is one create-exclusive manifest file.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode={mode!r}")
+    if mode == "append" and replace_where is not None:
+        raise ValueError("append and replace_where are mutually exclusive")
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     latest = versions[-1] if versions else 0
@@ -168,7 +177,29 @@ def snapshot_commit(
             f"expected version {expected_version}, table is at {latest}"
         )
     new_version = latest + 1
+    if versions:
+        # schema is part of the table contract: files of one snapshot
+        # must be physically uniform (the vectorized parquet reader
+        # cannot upcast e.g. INT32 part files against INT64 ones), and
+        # this module does not do schema evolution — enforce, don't
+        # discover at read time.
+        from pyspark.sql.types import StructType
 
+        prev = StructType.fromJson(
+            json.loads(_read_manifest(spark, table, latest)["schema"])
+        )
+        # simpleString = names + types, ignoring nullability/metadata:
+        # nullability is not a physical property of the files
+        if df.schema.simpleString() != prev.simpleString():
+            raise ValueError(
+                f"schema mismatch vs snapshot v{latest} at {table}: "
+                f"{df.schema.simpleString()} vs {prev.simpleString()} — "
+                "snapshot tables do not evolve schemas; write a new table"
+            )
+
+    carried: list[str] = []
+    if mode == "append" and versions:
+        carried = _read_manifest(spark, table, latest)["files"]
     if replace_where is not None and versions:
         # partition/predicate replacement: the complement of the
         # predicate is rewritten into the new version directory.
@@ -183,14 +214,55 @@ def snapshot_commit(
         kept.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
 
     df.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
-    files = _data_files(spark, f"{table}/data/v{new_version:05d}")
+    files = carried + _data_files(spark, f"{table}/data/v{new_version:05d}")
     manifest = {
         "version": new_version,
         "files": files,
         "schema": df.schema.json(),
     }
+    if tag is not None:
+        manifest["tag"] = tag
     _publish_manifest(spark, table, new_version, manifest)
     return new_version
+
+
+def snapshot_write_stream(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming append sink backed by the snapshot table.
+
+    Each micro-batch commits atomically: readers see the whole batch or
+    none of it (the plain-parquet foreachBatch sink in
+    streaming/replay.py can expose half-written batches between file
+    moves).  Exactly-once on top of at-least-once redelivery comes from
+    the manifest ``tag``: a batch commits with tag ``batch:<id>``; a
+    REPLAYED batch finds its id at-or-below the newest tagged commit
+    and skips — the transactional twin of the key-anti-join idempotent
+    sink, with no key columns needed.  (Single-writer per table, like
+    every Structured Streaming sink.)  Returns the StreamingQuery.
+    """
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        versions = _list_versions(spark, table)
+        if versions:
+            m = _read_manifest(spark, table, versions[-1])
+            t = m.get("tag", "")
+            if t.startswith("batch:") and int(t[6:]) >= batch_id:
+                return  # replayed batch: already committed
+        snapshot_commit(df, table, mode="append", tag=f"batch:{batch_id}")
+
+    writer = (
+        events.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def snapshot_read(
@@ -207,7 +279,12 @@ def snapshot_read(
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
     manifest = _read_manifest(spark, table, v)
-    return spark.read.parquet(*manifest["files"])
+    from pyspark.sql.types import StructType
+
+    # the manifest's schema, not per-file footer sampling: reads are
+    # deterministic and never depend on which file is listed first
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    return spark.read.schema(schema).parquet(*manifest["files"])
 
 
 def snapshot_vacuum(

@@ -65,7 +65,9 @@ def test_replace_where_partition_swap(spark, tmp_path):
     previous snapshot is untouched."""
     t = str(tmp_path / "tbl")
     snapshot_commit(_df(spark, 0, 90, "a"), t)
-    patch = _df(spark, 1000, 1030, "patched").withColumn("part", F.lit(1))
+    patch = _df(spark, 1000, 1030, "patched").withColumn(
+        "part", F.lit(1).cast("bigint")
+    )
     snapshot_commit(patch, t, replace_where="part = 1")
 
     latest = snapshot_read(spark, t)
@@ -106,3 +108,74 @@ def test_vacuum_noop_when_everything_kept(spark, tmp_path):
 def test_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no snapshots"):
         snapshot_read(spark, str(tmp_path / "nope"))
+
+
+def test_append_mode_carries_files_by_reference(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 30, "a"), t)
+    snapshot_commit(_df(spark, 100, 110, "b"), t, mode="append")
+    latest = snapshot_read(spark, t)
+    assert latest.count() == 40
+    assert {r.tag for r in latest.select("tag").distinct().collect()} == {
+        "a",
+        "b",
+    }
+    # the append rewrote nothing: v1 still complete
+    assert snapshot_read(spark, t, version=1).count() == 30
+
+
+def test_append_rejects_replace_where(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        snapshot_commit(
+            _df(spark, 0, 5, "a"), t, mode="append", replace_where="part=1"
+        )
+
+
+def test_snapshot_stream_sink_exactly_once_under_replay(spark, tmp_path):
+    """Drain a multi-batch stream into the snapshot sink, then replay it
+    from a FRESH checkpoint: every batch re-runs, every commit is
+    skipped by the tag check, and the table is unchanged."""
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import snapshot_write_stream
+    from tests.conftest import SF_SMALL
+
+    feed = str(tmp_path / "feed")
+    load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).repartition(3).write.parquet(feed)
+    schema = "doc_id BIGINT, source STRING, n_chars BIGINT"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    t = str(tmp_path / "tbl")
+    q = snapshot_write_stream(stream(), t, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    n = snapshot_read(spark, t).count()
+    assert n == 500
+    v_after_first = snapshot_versions(spark, t)[-1]
+    assert v_after_first >= 3  # one atomic commit per micro-batch
+
+    # full redelivery: fresh checkpoint, same table
+    q2 = snapshot_write_stream(stream(), t, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert snapshot_read(spark, t).count() == 500
+    assert snapshot_versions(spark, t)[-1] == v_after_first
+
+
+def test_commit_rejects_schema_drift(spark, tmp_path):
+    """Mixed physical schemas in one snapshot would make reads fail
+    nondeterministically (vectorized reader can't upcast INT32 files
+    under an INT64 schema) — commits must enforce uniformity."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a"), t)
+    drifted = _df(spark, 0, 5, "b").withColumn("part", F.lit(1))  # int32
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_commit(drifted, t, mode="append")
