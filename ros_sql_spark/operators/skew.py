@@ -187,9 +187,13 @@ def split_skew_join(
         salt = F.pmod(F.xxhash64(src), F.lit(buckets))
 
     is_hot = F.col(key).isin(hot_keys)
+    # NULL keys: isin() yields NULL, which both `is_hot` and `~is_hot`
+    # filters would drop — but a left join must null-extend null-key
+    # left rows.  They can never equi-match, so route them cold.
+    cold_side = ~is_hot | F.col(key).isNull()
     # cold path: ordinary equi-join (AQE/bucketing/broadcast all still
     # apply — the split is invisible to strategy choice)
-    cold = left.filter(~is_hot).join(right.filter(~is_hot), key, how)
+    cold = left.filter(cold_side).join(right.filter(cold_side), key, how)
 
     hot_left = left.filter(is_hot).withColumn("_salt", salt)
     hot_right = (

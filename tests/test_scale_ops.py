@@ -508,3 +508,24 @@ def test_incremental_minhash_base_never_self_pairs(spark):
     assert all(
         not (r.id_a in base_ids and r.id_b in base_ids) for r in rows
     )
+
+
+def test_split_skew_join_null_keys_survive_left_join(spark):
+    """NULL join keys can't equi-match, but a left join must still
+    null-extend them — isin()'s three-valued logic must not drop them
+    from both split paths."""
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 40)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, 100), (2, 200)], "k long, w long")
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in left.join(right, "k", how).collect()}
+        split = {
+            tuple(r)
+            for r in split_skew_join(
+                left, right, "k", hot_keys=[1], buckets=3, how=how
+            ).collect()
+        }
+        assert split == plain, f"{how}: null-key rows diverged"
