@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_incremental",
+    "exact_digests",
     "tokenize",
     "token_shingles",
     "shingle_hashes",
@@ -59,6 +61,46 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    base_digests: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Survivor ids of an ingest increment against a stored digest set:
+    dedup the increment internally (lowest id per digest), then drop
+    anything whose digest already exists in the corpus.
+
+    ``base_digests``: one ``content_hash`` column — the stored index
+    (:func:`exact_digests`; persist it once, e.g. in a snapshot table,
+    and append each ingest's surviving digests).  The anti-join probes
+    on the 128-bit digest only — the corpus content never moves, the
+    per-ingest cost is one narrow shuffle of the increment plus the
+    digest join.  Completes the incremental-ingest pair with
+    :func:`minhash_pairs_incremental` (exact twin / near-dup twin).
+    """
+    h = F.md5(F.col(content_col).cast("binary"))
+    fresh = (
+        new_docs.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return fresh.join(
+        base_digests.select("content_hash"), "content_hash", "left_anti"
+    ).select(id_col)
+
+
+def exact_digests(
+    df: DataFrame, content_col: str = "text"
+) -> DataFrame:
+    """The storable exact-dedup index: distinct 128-bit content digests
+    (one narrow column; append each ingest's new digests to keep the
+    index current)."""
+    return df.select(
+        F.md5(F.col(content_col).cast("binary")).alias("content_hash")
+    ).distinct()
 
 
 def tokenize(text_col: str | Column) -> Column:

@@ -529,3 +529,33 @@ def test_split_skew_join_null_keys_survive_left_join(spark):
             ).collect()
         }
         assert split == plain, f"{how}: null-key rows diverged"
+
+
+def test_incremental_exact_dedup_equals_batch_on_union(spark):
+    """Incremental survivors = batch exact-dedup survivors of the union
+    restricted to the increment (base docs always win their digest)."""
+    from ros_sql_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+        exact_digests,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    # make some increment docs exact duplicates of base content
+    dup = base.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    new = docs.filter(F.col("doc_id") % 3 == 0).unionByName(dup)
+
+    got = {
+        r.doc_id
+        for r in exact_dedup_incremental(new, exact_digests(base)).collect()
+    }
+    # expectation: batch survivors of base ∪ new that belong to new
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    union_survivors = {
+        r.doc_id
+        for r in exact_dedup(base.unionByName(new), "doc_id", "text").collect()
+    }
+    assert got == (union_survivors & new_ids)
+    # none of the planted duplicates survive
+    assert not any(d >= 100000 for d in got)
