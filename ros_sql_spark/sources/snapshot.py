@@ -47,6 +47,7 @@ __all__ = [
     "snapshot_read",
     "snapshot_versions",
     "snapshot_vacuum",
+    "snapshot_append_batch",
     "snapshot_write_stream",
     "SnapshotConflict",
 ]
@@ -226,6 +227,24 @@ def snapshot_commit(
     return new_version
 
 
+def snapshot_append_batch(df: DataFrame, table: str, batch_id: int) -> bool:
+    """Idempotent per-micro-batch append: commit ``df`` with tag
+    ``batch:<id>`` unless the table's newest commit already carries this
+    id or later (at-least-once redelivery → exactly-once table).
+    Returns whether a commit happened.  The foreachBatch building block
+    behind :func:`snapshot_write_stream` — reusable by any sink that
+    lands multiple tables per batch (streaming/record.py's demux)."""
+    spark = df.sparkSession
+    versions = _list_versions(spark, table)
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        t = m.get("tag", "")
+        if t.startswith("batch:") and int(t[6:]) >= batch_id:
+            return False  # replayed batch: already committed
+    snapshot_commit(df, table, mode="append", tag=f"batch:{batch_id}")
+    return True
+
+
 def snapshot_write_stream(
     events: DataFrame,
     table: str,
@@ -246,14 +265,7 @@ def snapshot_write_stream(
     """
 
     def body(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        versions = _list_versions(spark, table)
-        if versions:
-            m = _read_manifest(spark, table, versions[-1])
-            t = m.get("tag", "")
-            if t.startswith("batch:") and int(t[6:]) >= batch_id:
-                return  # replayed batch: already committed
-        snapshot_commit(df, table, mode="append", tag=f"batch:{batch_id}")
+        snapshot_append_batch(df, table, batch_id)
 
     writer = (
         events.writeStream.foreachBatch(body)

@@ -36,7 +36,12 @@ from ros_sql_spark.api import CATALOG_FILE, _meta_to_dict
 from ros_sql_spark.operators.normalize import normalize
 from ros_sql_spark.sources.catalog import EngineCatalog, namify
 
-__all__ = ["declare_topics", "record_stream", "record_stream_jdbc"]
+__all__ = [
+    "declare_topics",
+    "record_stream",
+    "record_stream_jdbc",
+    "record_stream_snapshot",
+]
 
 
 def declare_topics(
@@ -113,6 +118,40 @@ def record_stream(
             for topic, name, tbl in _demux_normalized(batch, topic_col, catalog):
                 base = os.path.join(store_path, namify(topic))
                 tbl.write.mode("append").parquet(os.path.join(base, name))
+        finally:
+            batch.unpersist()
+
+    return _start(stream, body, checkpoint_path, available_now)
+
+
+def record_stream_snapshot(
+    stream: DataFrame,
+    topic_col: str,
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """The recorder landing every normalized table in a SNAPSHOT table
+    (sources/snapshot.py) instead of a bare parquet directory: each
+    micro-batch's tables become visible ATOMICALLY (readers see a whole
+    batch or none of it — the bare-parquet recorder exposes files as
+    the committer moves them), redelivered batches are skipped by the
+    per-table ``batch:<id>`` manifest tag (exactly-once without key
+    anti-joins), and replayers can time-travel the store to any batch
+    boundary.  Layout: ``store_path/<topic>/<table>`` snapshot tables;
+    read with ``snapshot_read``; same declare-before-write catalog
+    contract as record_stream.
+    """
+    from ros_sql_spark.sources.snapshot import snapshot_append_batch
+
+    catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            for topic, name, tbl in _demux_normalized(batch, topic_col, catalog):
+                table = os.path.join(store_path, namify(topic), name)
+                snapshot_append_batch(tbl, table, batch_id)
         finally:
             batch.unpersist()
 

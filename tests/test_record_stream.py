@@ -218,3 +218,47 @@ def test_record_stream_checkpoint_resume_exactly_once(spark, tmp_path):
     assert len(got_ids) == 1000           # nothing lost
     assert len(set(got_ids)) == 1000      # nothing duplicated
     assert set(got_ids) == {r.event_id for r in batch.select("event_id").collect()}
+
+
+def test_record_stream_snapshot_atomic_and_exactly_once(spark, tmp_path):
+    """Recorder → snapshot tables: per-topic content equals the batch
+    demux, and a full redelivery from a fresh checkpoint changes
+    neither rows nor versions (manifest-tag idempotency, no key
+    anti-joins)."""
+    import os
+
+    from ros_sql_spark.sources.catalog import namify
+    from ros_sql_spark.sources.snapshot import snapshot_read, snapshot_versions
+    from ros_sql_spark.streaming.record import record_stream_snapshot
+
+    store = str(tmp_path / "store")
+    schema = _declared_schema(spark)
+    declare_topics(store, {t: schema for t in TOPIC_VALUES}, ["event_id"])
+
+    def run(ck):
+        q = record_stream_snapshot(
+            stream_events(spark, EVENTS_PATH),
+            topic_col="event_type",
+            store_path=store,
+            checkpoint_path=str(tmp_path / ck),
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    batch = load_table(spark, SF_SMALL, "events")
+    state = {}
+    for topic in TOPIC_VALUES:
+        t = os.path.join(store, namify(topic), namify(topic))
+        got = snapshot_read(spark, t)
+        expect = batch.filter(F.col("event_type") == topic).count()
+        assert got.count() == expect
+        state[topic] = (expect, snapshot_versions(spark, t)[-1])
+
+    # full redelivery: fresh checkpoint, same store
+    run("ck2")
+    for topic in TOPIC_VALUES:
+        t = os.path.join(store, namify(topic), namify(topic))
+        n, v = state[topic]
+        assert snapshot_read(spark, t).count() == n
+        assert snapshot_versions(spark, t)[-1] == v
