@@ -133,7 +133,15 @@ def playback(
     children = [_meta_from_dict(d) for d in entry.children]
     tables = {}
     for name in os.listdir(base):
-        tables[name] = spark.read.parquet(os.path.join(base, name))
+        tdir = os.path.join(base, name)
+        if os.path.isdir(os.path.join(tdir, "_manifests")):
+            # snapshot-table store (record_stream_snapshot): read the
+            # current manifest's files — same shape, atomic visibility
+            from ros_sql_spark.sources.snapshot import snapshot_read
+
+            tables[name] = snapshot_read(spark, tdir)
+        else:
+            tables[name] = spark.read.parquet(tdir)
     norm = NormalizedTables(
         root=entry.table,
         keys=list(entry.key_cols),

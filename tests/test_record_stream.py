@@ -262,3 +262,32 @@ def test_record_stream_snapshot_atomic_and_exactly_once(spark, tmp_path):
         n, v = state[topic]
         assert snapshot_read(spark, t).count() == n
         assert snapshot_versions(spark, t)[-1] == v
+
+
+def test_playback_reads_snapshot_store(spark, tmp_path):
+    """playback() auto-detects snapshot tables: record_stream_snapshot →
+    ordered replay matches the batch demux, same as the parquet store."""
+    from ros_sql_spark.streaming.record import record_stream_snapshot
+
+    store = str(tmp_path / "store")
+    schema = _declared_schema(spark)
+    declare_topics(store, {t: schema for t in TOPIC_VALUES}, ["event_id"])
+    q = record_stream_snapshot(
+        stream_events(spark, EVENTS_PATH),
+        topic_col="event_type",
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    batch = load_table(spark, SF_SMALL, "events")
+    topic = "purchase"
+    rows = playback(spark, store, topic).collect()
+    expect = (
+        batch.filter(F.col("event_type") == topic)
+        .drop("event_type")
+        .orderBy("ts_ns")
+        .collect()
+    )
+    assert [r.event_id for r in rows] == [r.event_id for r in expect]
