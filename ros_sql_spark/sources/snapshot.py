@@ -48,6 +48,7 @@ __all__ = [
     "snapshot_versions",
     "snapshot_vacuum",
     "snapshot_append_batch",
+    "snapshot_compact",
     "snapshot_write_stream",
     "SnapshotConflict",
 ]
@@ -297,6 +298,34 @@ def snapshot_read(
     # deterministic and never depend on which file is listed first
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite the current snapshot's rows into ``target_files`` files
+    and commit them as a new version — the snapshot-table remedy for
+    streaming-append fragmentation (every micro-batch commit adds
+    files; a day of ingest is thousands).
+
+    Readers are never disturbed: the rewrite lands in a version-private
+    directory and becomes visible only at the manifest publish; the
+    fragmented version stays readable (and is reclaimed by the next
+    ``vacuum``).  The commit carries the previous version's tag forward
+    so a streaming writer's batch-id idempotency check survives
+    compaction — compacting mid-stream cannot cause re-appends.
+    """
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    latest = versions[-1]
+    prev_tag = _read_manifest(spark, table, latest).get("tag")
+    df = snapshot_read(spark, table, version=latest).coalesce(target_files)
+    return snapshot_commit(
+        df, table, mode="overwrite", expected_version=latest, tag=prev_tag
+    )
 
 
 def snapshot_vacuum(

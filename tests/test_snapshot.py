@@ -179,3 +179,55 @@ def test_commit_rejects_schema_drift(spark, tmp_path):
     drifted = _df(spark, 0, 5, "b").withColumn("part", F.lit(1))  # int32
     with pytest.raises(ValueError, match="schema mismatch"):
         snapshot_commit(drifted, t, mode="append")
+
+
+def test_compact_preserves_rows_and_stream_idempotency(spark, tmp_path):
+    """Compaction rewrites the fragmented snapshot into few files as a
+    NEW version (old one still readable), carries the batch tag forward
+    so a post-compaction stream replay still skips, and never changes
+    row content."""
+    import json
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_write_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    feed = str(tmp_path / "feed")
+    load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).repartition(3).write.parquet(feed)
+    schema = "doc_id BIGINT, source STRING, n_chars BIGINT"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    t = str(tmp_path / "tbl")
+    q = snapshot_write_stream(stream(), t, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    frag_v = snapshot_versions(spark, t)[-1]
+    before = {tuple(r) for r in snapshot_read(spark, t).collect()}
+
+    v = snapshot_compact(spark, t, target_files=1)
+    assert v == frag_v + 1
+    after = {tuple(r) for r in snapshot_read(spark, t).collect()}
+    assert after == before
+    # new manifest has exactly one data file; fragmented version intact
+    mpath = f"{t}/_manifests/v{v:05d}.json"
+    with open(mpath) as f:
+        assert len(json.load(f)["files"]) == 1
+    assert {
+        tuple(r) for r in snapshot_read(spark, t, version=frag_v).collect()
+    } == before
+
+    # stream replay AFTER compaction: tag carried -> still exactly-once
+    q2 = snapshot_write_stream(stream(), t, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert snapshot_versions(spark, t)[-1] == v
+    assert {tuple(r) for r in snapshot_read(spark, t).collect()} == before
