@@ -43,6 +43,8 @@ __all__ = [
     "minhash_pairs_incremental",
     "connected_components",
     "ngram_jaccard_pairs",
+    "passage_df",
+    "remove_boilerplate",
 ]
 
 DEFAULT_NUM_HASHES = 64
@@ -672,4 +674,94 @@ def ngram_jaccard_pairs(
         .join(nb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def passage_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+) -> DataFrame:
+    """(id, pos, passage_hash) — non-overlapping ``passage_tokens``-token
+    passages per document with their 128-bit digests.
+
+    The passage decomposition behind :func:`remove_boilerplate` (CCNet-
+    style: real corpora split on paragraph breaks; token windows are the
+    degenerate form that also works for unstructured text).  Built from
+    posexplode over a pre-materialized passage array — one projection,
+    no Generate trap, order carried by ``pos`` for exact reassembly.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # passage i = tokens [i*P, (i+1)*P); slice() is 1-indexed
+    # integer floor-div (never `/`: Column `/` is double division and
+    # sequence() rejects a double bound)
+    idxs = F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(passage_tokens)).cast("int")
+    )
+    passages = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * passage_tokens + 1, passage_tokens)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), passages.alias("_ps"))
+        .select(
+            id_col, F.posexplode_outer("_ps").alias("pos", "passage")
+        )
+        .filter(F.col("passage").isNotNull() & (F.col("passage") != ""))
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.col("passage").cast("binary")).alias("passage_hash"),
+            "passage",
+        )
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """Strip passages that repeat across more than ``max_doc_freq``
+    documents (headers, footers, navigation chrome, license blurbs) and
+    rebuild each document from its surviving passages in order.
+
+    Output: (id, text) with ``text`` the cleaned document; a document
+    whose EVERY passage is boilerplate drops out entirely (no empty-
+    string row).  Scale shape: one passage
+    explode (linear), a df-count on the 128-bit digest (one narrow
+    shuffle), a broadcast of the HOT digest set (boilerplate is by
+    definition a small distinct set — it repeats), an anti-join probe,
+    and one per-doc reassembly groupBy.  The corpus text never joins
+    against itself.
+    """
+    p = passage_df(df, id_col, text_col, passage_tokens)
+    hot = (
+        p.select(id_col, "passage_hash")
+        .distinct()
+        .groupBy("passage_hash")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("passage_hash")
+    )
+    kept = p.join(F.broadcast(hot), "passage_hash", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "passage"))
+                    ),
+                    lambda s: s["passage"],
+                ),
+            ).alias(text_col)
+        )
     )

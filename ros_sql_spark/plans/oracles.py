@@ -798,6 +798,33 @@ ORACLES: dict[str, str] = {
         ORDER BY priority DESC, doc_id
         LIMIT 100
     """,
+    # Passage decomposition mirrors the Spark operator exactly: 1-based
+    # inclusive list slice == F.slice; the <>'' guard matches Spark's
+    # empty-passage filter (split('') is [''] in both engines).
+    "q85_boilerplate": """
+        WITH passages AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*10+1):(i*10+10)], ' ') AS passage
+            FROM (SELECT doc_id, t,
+                         unnest(range(0,
+                             CAST(floor((len(t)-1)/10.0) AS BIGINT) + 1)) AS i
+                  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents))
+        ),
+        clean AS (SELECT doc_id, pos, passage FROM passages
+                  WHERE passage <> ''),
+        hot AS (
+            SELECT passage
+            FROM (SELECT passage, count(DISTINCT doc_id) AS dfq
+                  FROM clean GROUP BY 1)
+            WHERE dfq > 2
+        )
+        SELECT doc_id,
+               md5(string_agg(passage, ' ' ORDER BY pos)) AS clean_md5
+        FROM clean
+        WHERE passage NOT IN (SELECT passage FROM hot)
+        GROUP BY doc_id
+    """,
     # CAST the window cumsum to BIGINT: DuckDB's sum(BIGINT) is HUGEINT,
     # which pandas renders float64 (the r3 q23 driver-hash trap).
     "q83_token_budget_mix": """

@@ -1607,6 +1607,19 @@ def q84_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: strip 10-token passages shared
+    by more than 2 documents (headers/footers/license chrome) and
+    rebuild each doc from its surviving passages in order.  One passage
+    explode + a narrow digest df-count + a broadcast hot-set anti-join —
+    the corpus never self-joins (operators/dedup.py::remove_boilerplate)."""
+    from ros_sql_spark.operators.dedup import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_boilerplate(docs, passage_tokens=10, max_doc_freq=2)
+    return out.select("doc_id", F.md5(F.col("text").cast("binary")).alias("clean_md5"))
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1692,4 +1705,5 @@ QUERIES = {
     "q82_weighted_sample": q82_weighted_sample,
     "q83_token_budget_mix": q83_token_budget_mix,
     "q84_pq_ann": q84_pq_ann,
+    "q85_boilerplate": q85_boilerplate,
 }

@@ -559,3 +559,27 @@ def test_incremental_exact_dedup_equals_batch_on_union(spark):
     assert got == (union_survivors & new_ids)
     # none of the planted duplicates survive
     assert not any(d >= 100000 for d in got)
+
+
+def test_remove_boilerplate_strips_shared_header(spark):
+    """A 10-token header shared by 3 docs is stripped at max_doc_freq=2;
+    unique content and a clean doc survive verbatim (modulo the
+    lowercase/whitespace canonicalization of reassembly)."""
+    from ros_sql_spark.operators.dedup import remove_boilerplate
+
+    hdr = "nav home about contact one two three four five six"
+    rows = [
+        (1, f"{hdr} unique words for doc one here now ok"),
+        (2, f"{hdr} totally different content in this doc x"),
+        (3, f"{hdr} another body of text entirely here yes"),
+        (4, "clean document with no shared header at all in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate(df, passage_tokens=10, max_doc_freq=2).collect()
+    }
+    assert got[1] == "unique words for doc one here now ok"
+    assert got[2] == "totally different content in this doc x"
+    assert got[3] == "another body of text entirely here yes"
+    assert got[4] == "clean document with no shared header at all in it"
