@@ -87,17 +87,16 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
     )
     stream = fs.open(p)
     try:
-        # manifests are small JSON (O(files) entries); byte-wise py4j
-        # read keeps this dependency-free of jvm IOUtils helpers
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
+        # ONE py4j round trip for the whole file: a manifest is O(files)
+        # JSON — at 10⁴ files that is ~1 MB, and a byte-per-call py4j
+        # loop would take minutes (measured class of bug); copyBytes
+        # runs wholly JVM-side.
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
+        data = bytes(bos.toByteArray())
     finally:
         stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    return json.loads(data.decode("utf-8"))
 
 
 def _publish_manifest(
@@ -344,11 +343,9 @@ def snapshot_vacuum(
     for v in keep_v:
         live.update(_read_manifest(spark, table, v)["files"])
     fs, _, jvm = _fs(spark, table)
-    deleted = []
-    for f in _data_files(spark, f"{table}/data"):
-        if f not in live:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-            deleted.append(f)
+    # manifests FIRST, then data: a crash mid-vacuum must strand only
+    # unreferenced data files (harmless garbage, retried next vacuum),
+    # never a live manifest pointing at deleted files (broken reads).
     for v in versions[:-keep_last]:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -356,4 +353,9 @@ def snapshot_vacuum(
             ),
             False,
         )
+    deleted = []
+    for f in _data_files(spark, f"{table}/data"):
+        if f not in live:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+            deleted.append(f)
     return deleted
