@@ -39,6 +39,7 @@ __all__ = ["CurationResult", "curate"]
 # Declared metric-column order per observation — the fallback contract
 # for _obs_values.
 _OBS_FIELDS = {
+    "boilerplate": ["n_dropped"],
     "quality": ["n_in", "n_kept"],
     "exact": ["n_kept"],
     "near_dup": ["n_dropped"],
@@ -50,10 +51,16 @@ _OBS_FIELDS = {
 
 
 def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
-    """``Observation.get`` hardened against two listener quirks seen in
-    the wild (plain session, CollectMetrics landing under a broadcast
-    exchange in the final plan):
+    """``Observation.get`` hardened against three listener quirks seen
+    in the wild (plain session, CollectMetrics off the survivors'
+    lineage, CollectMetrics under a broadcast exchange):
 
+    - the observation NEVER FIRED: its frame is not in any executed
+      plan (e.g. a dropped-ids anti-join the caller hasn't touched).
+      ``Observation.get`` BLOCKS FOREVER on the unfilled promise, so
+      probe ``future().isCompleted()`` first and recompute via
+      ``fallback()`` — a bounded count of the very frame the metric
+      described (which also happens to fire the observation);
     - the JVM metrics row comes back WITHOUT a schema, and PySpark's
       accessor asserts ``GenericRowWithSchema`` — the metric names and
       their order are OURS (declared at ``observe()`` time), so
@@ -61,10 +68,13 @@ def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
     - the row comes back EMPTY: the observation was latched by an
       execution whose plan contained the node but whose tasks never ran
       it (broadcast-side materialization), locking out the real values
-      ("only the first action" semantics).  No numbers exist to
-      extract, so recompute via ``fallback()`` — a bounded count of the
-      very frame the metric described.
+      ("only the first action" semantics) — fallback again.
     """
+    try:
+        if not obs._jo.future().isCompleted():
+            return fallback()
+    except Exception:
+        pass  # probe unavailable: try the normal accessors below
     try:
         return obs.get
     except Exception:
@@ -118,6 +128,11 @@ class CurationResult:
                 "exact": o["quality"]["n_kept"] - o["exact"]["n_kept"],
                 "kept": o["survivors"]["n"],
             }
+            if "boilerplate" in o:
+                # quality's n_in counts POST-boilerplate docs; the true
+                # input adds the fully-boilerplate drops
+                m["boilerplate"] = o["boilerplate"]["n_dropped"]
+                m["input"] += m["boilerplate"]
             for stage in ("near_dup", "semantic_dup", "decontam", "mixture"):
                 if stage in o:
                     m[stage] = o[stage]["n_dropped"]
@@ -145,11 +160,20 @@ def curate(
     budgets: dict[str, int] | None = None,
     budget_source_col: str = "source",
     budget_token_col=None,
+    boilerplate_max_df: int | None = None,
+    boilerplate_passage_tokens: int = 10,
 ) -> CurationResult:
     """Run the full cleaning pipeline over a document corpus.
 
     Stages (each stage sees only the previous stage's survivors):
 
+    0. **boilerplate** (only when ``boilerplate_max_df`` is given):
+       q85 semantics — passages repeated across more than
+       ``boilerplate_max_df`` docs are stripped and each doc rebuilt
+       from its surviving passages BEFORE any gating (the CCNet
+       ordering: chrome removal first, so headers neither poison the
+       quality features nor fabricate near-dup edges).  Docs whose
+       every passage is boilerplate are dropped here.
     1. **quality**: C4/Gopher-style gate on token count, punctuation
        ratio and stopword ratio (q21 thresholds; comparisons on rounded
        features, so the decision is reproducible).
@@ -195,6 +219,38 @@ def curate(
 
     # the mixture stage needs the source column to survive the pipeline
     carry = [budget_source_col] if budgets is not None else []
+
+    # 0. optional boilerplate strip (q85) — BEFORE gating, so chrome
+    #    neither poisons quality features nor fabricates near-dup edges
+    if boilerplate_max_df is not None:
+        from ros_sql_spark.operators.dedup import remove_boilerplate
+
+        cleaned = remove_boilerplate(
+            docs.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            passage_tokens=boilerplate_passage_tokens,
+            max_doc_freq=boilerplate_max_df,
+        )
+        _ob_b = Observation()
+        bp_dropped = (
+            docs.select(id_col)
+            .join(cleaned.select(id_col), id_col, "left_anti")
+            .observe(_ob_b, F.count(F.lit(1)).alias("n_dropped"))
+        )
+        dropped["boilerplate"] = bp_dropped
+        # the boilerplate drop is NOT in the survivors' lineage (it is
+        # an anti-join of the ORIGINAL against the cleaned set), so the
+        # fallback count is the normal fill path here
+        obs["boilerplate"] = (
+            _ob_b,
+            lambda: {"n_dropped": dropped["boilerplate"].count()},
+        )
+        if carry:
+            cleaned = cleaned.join(
+                docs.select(id_col, *carry), id_col
+            )
+        docs = cleaned
 
     # 1. quality gate — pure projection, no shuffle
     feats = docs.select(

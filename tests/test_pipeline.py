@@ -204,3 +204,40 @@ def test_curate_mixture_stage(spark):
     assert m["input"] == m["kept"] + sum(
         v for k, v in m.items() if k not in ("input", "kept")
     )
+
+
+def test_curate_boilerplate_stage(spark):
+    """boilerplate_max_df= prepends the q85 strip: a planted shared
+    header disappears from every surviving text, fully-boilerplate docs
+    are accounted as dropped, and the id partition still holds."""
+    hdr = "shared header tokens one two three four five six seven"
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.concat(F.lit(hdr + " "), F.col("text")).alias("text"),
+    )
+    # one doc that is ONLY the header -> fully boilerplate
+    only_hdr = spark.createDataFrame([(999999, hdr)], "doc_id long, text string")
+    docs = docs.unionByName(only_hdr)
+
+    res = curate(docs, boilerplate_max_df=3)
+    kept_rows = res.docs.collect()
+    assert kept_rows, "pipeline dropped everything"
+    assert all(hdr not in r.text for r in kept_rows)
+    assert 999999 in _ids(res.dropped["boilerplate"])
+
+    all_ids = _ids(docs)
+    union = _ids(res.docs)
+    total = len(union)
+    for df in res.dropped.values():
+        s = _ids(df)
+        union |= s
+        total += len(s)
+    assert union == all_ids
+    assert total == len(all_ids)
+
+    m = res.metrics()
+    assert m["input"] == docs.count()
+    assert m["boilerplate"] >= 1
+    assert m["input"] == m["kept"] + sum(
+        v for k, v in m.items() if k not in ("input", "kept")
+    )
