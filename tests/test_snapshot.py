@@ -231,3 +231,27 @@ def test_compact_preserves_rows_and_stream_idempotency(spark, tmp_path):
     q2.awaitTermination(120)
     assert snapshot_versions(spark, t)[-1] == v
     assert {tuple(r) for r in snapshot_read(spark, t).collect()} == before
+
+
+def test_direct_manifest_collision_raises(spark, tmp_path):
+    """Two writers publishing the SAME version number: the second
+    create-exclusive publish must fail with SnapshotConflict (the
+    commit point), not silently interleave."""
+    from ros_sql_spark.sources.snapshot import _publish_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 5, "a"), t)  # publishes v1
+    with pytest.raises(SnapshotConflict, match="already published"):
+        _publish_manifest(spark, t, 1, {"version": 1, "files": [], "schema": "{}"})
+
+
+def test_append_batch_returns_commit_decision(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_append_batch
+
+    t = str(tmp_path / "tbl")
+    assert snapshot_append_batch(_df(spark, 0, 5, "a"), t, batch_id=0) is True
+    assert snapshot_append_batch(_df(spark, 5, 9, "a"), t, batch_id=1) is True
+    # replayed batch: skipped, no new version
+    assert snapshot_append_batch(_df(spark, 0, 5, "a"), t, batch_id=1) is False
+    assert snapshot_versions(spark, t) == [1, 2]
+    assert snapshot_read(spark, t).count() == 9
