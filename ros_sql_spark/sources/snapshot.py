@@ -12,14 +12,23 @@ dependencies, Spark-native IO, the same concepts (snapshot isolation,
 optimistic concurrency, time travel, vacuum) at engine-appropriate
 scope:
 
-- data files are immutable: every commit WRITES NEW FILES under
-  ``data/v<N>/`` and publishes ``_manifests/v<N>.json`` listing the
-  full file set of snapshot N (carried-over files are listed by path,
-  not copied — a metadata-only operation, like Iceberg manifests);
-- the manifest is published with create-exclusive semantics
-  (``FileSystem.create(overwrite=False)``): two racing writers on the
-  same version — one wins, the loser gets a clean conflict error
-  instead of silent interleaving (optimistic concurrency);
+- data files are immutable: every commit WRITES NEW FILES under a
+  WRITER-UNIQUE staging directory ``data/v<N>-<token>/`` and publishes
+  ``_manifests/v<N>.json`` listing the full file set of snapshot N
+  (carried-over files are listed by path, not copied — a metadata-only
+  operation, like Iceberg manifests).  The per-writer token matters:
+  two writers racing for the same version never share a directory, so
+  the winner's manifest can never accidentally list the loser's part
+  files (the loser's staging dir becomes unreferenced garbage that the
+  next vacuum reclaims);
+- the manifest is published ATOMICALLY: the full JSON body is written
+  to a hidden temp file, closed, then renamed to ``v<N>.json`` with
+  rename-without-overwrite (``FileContext.rename(…, Rename.NONE)``).
+  Readers therefore never observe an empty or half-written manifest,
+  a crash before the rename leaves only an invisible temp file, and
+  two racing writers on the same version — one wins the rename, the
+  loser gets a clean :class:`SnapshotConflict` (optimistic
+  concurrency); any non-conflict IO failure propagates unchanged;
 - readers resolve the latest manifest ONCE per read and then scan only
   its files: a concurrent commit cannot change a running query's file
   set (snapshot isolation), and old snapshots stay readable
@@ -39,6 +48,7 @@ actually rewrites rows.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -102,21 +112,48 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
 def _publish_manifest(
     spark: SparkSession, table: str, version: int, manifest: dict
 ) -> None:
+    """Atomic commit point: write the COMPLETE manifest body to a hidden
+    temp file, then rename-without-overwrite onto ``v<N>.json``.
+
+    The rename is the single atomic step — readers either see no
+    manifest or a complete one (no torn reads), a crash pre-rename
+    strands only a dot-prefixed temp file that ``_list_versions``
+    ignores, and a same-version race is decided by the filesystem:
+    exactly one rename lands, the other raises FileAlreadyExists which
+    is mapped — and ONLY it — to :class:`SnapshotConflict`.  Permission
+    or transient IO errors re-raise unchanged so callers never retry an
+    unretryable failure.  (Same caveat as the module header: object
+    stores without atomic rename need an external commit coordinator.)
+    """
     fs, _, jvm = _fs(spark, table)
-    p = jvm.org.apache.hadoop.fs.Path(
+    final = jvm.org.apache.hadoop.fs.Path(
         f"{table}/{_MANIFEST_DIR}/v{version:05d}.json"
     )
-    try:
-        # overwrite=False → create-exclusive: the commit point
-        out = fs.create(p, False)
-    except Exception as exc:  # noqa: BLE001 — py4j wraps FileAlreadyExists
-        raise SnapshotConflict(
-            f"version {version} already published at {table}"
-        ) from exc
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{table}/{_MANIFEST_DIR}/.tmp-v{version:05d}-{uuid.uuid4().hex}.json"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
     finally:
         out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        final.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    ren_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    no_overwrite = spark.sparkContext._gateway.new_array(ren_cls, 1)
+    no_overwrite[0] = ren_cls.NONE
+    try:
+        fc.rename(tmp, final, no_overwrite)
+    except Exception as exc:  # narrow below: conflict vs real IO error
+        fs.delete(tmp, False)
+        je = getattr(exc, "java_exception", None)
+        name = je.getClass().getName() if je is not None else ""
+        if name.endswith("FileAlreadyExistsException") or fs.exists(final):
+            raise SnapshotConflict(
+                f"version {version} already published at {table}"
+            ) from exc
+        raise
 
 
 def _data_files(spark: SparkSession, root: str) -> list[str]:
@@ -178,7 +215,9 @@ def snapshot_commit(
             f"expected version {expected_version}, table is at {latest}"
         )
     new_version = latest + 1
+    prev_manifest: dict = {}
     if versions:
+        prev_manifest = _read_manifest(spark, table, latest)
         # schema is part of the table contract: files of one snapshot
         # must be physically uniform (the vectorized parquet reader
         # cannot upcast e.g. INT32 part files against INT64 ones), and
@@ -186,9 +225,7 @@ def snapshot_commit(
         # discover at read time.
         from pyspark.sql.types import StructType
 
-        prev = StructType.fromJson(
-            json.loads(_read_manifest(spark, table, latest)["schema"])
-        )
+        prev = StructType.fromJson(json.loads(prev_manifest["schema"]))
         # simpleString = names + types, ignoring nullability/metadata:
         # nullability is not a physical property of the files
         if df.schema.simpleString() != prev.simpleString():
@@ -200,7 +237,13 @@ def snapshot_commit(
 
     carried: list[str] = []
     if mode == "append" and versions:
-        carried = _read_manifest(spark, table, latest)["files"]
+        carried = prev_manifest["files"]
+    # writer-unique staging dir: two writers racing for the same version
+    # number never share a directory, so this commit's file listing can
+    # only ever see files THIS writer wrote (a loser's staging dir is
+    # unreferenced garbage for the next vacuum, never silent extra rows
+    # in the winner's snapshot).
+    staging = f"{table}/data/v{new_version:05d}-{uuid.uuid4().hex[:8]}"
     if replace_where is not None and versions:
         # partition/predicate replacement: the complement of the
         # predicate is rewritten into the new version directory.
@@ -212,17 +255,29 @@ def snapshot_commit(
         kept = snapshot_read(spark, table, version=latest).filter(
             f"NOT ({replace_where})"
         )
-        kept.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
+        kept.write.mode("append").parquet(staging)
 
-    df.write.mode("append").parquet(f"{table}/data/v{new_version:05d}")
-    files = carried + _data_files(spark, f"{table}/data/v{new_version:05d}")
+    df.write.mode("append").parquet(staging)
+    files = carried + _data_files(spark, staging)
     manifest = {
         "version": new_version,
         "files": files,
         "schema": df.schema.json(),
     }
+    # exactly-once bookkeeping: the highest streaming batch id ever
+    # committed rides on EVERY manifest (carried forward by untagged
+    # commits too), so an interleaved manual commit / replace_where
+    # upsert between a stream failure and its restart cannot hide the
+    # batch watermark from the redelivery check in
+    # :func:`snapshot_append_batch`.
+    last_batch = prev_manifest.get("last_batch")
     if tag is not None:
         manifest["tag"] = tag
+        if tag.startswith("batch:"):
+            bid = int(tag[6:])
+            last_batch = bid if last_batch is None else max(last_batch, bid)
+    if last_batch is not None:
+        manifest["last_batch"] = last_batch
     _publish_manifest(spark, table, new_version, manifest)
     return new_version
 
@@ -238,8 +293,13 @@ def snapshot_append_batch(df: DataFrame, table: str, batch_id: int) -> bool:
     versions = _list_versions(spark, table)
     if versions:
         m = _read_manifest(spark, table, versions[-1])
-        t = m.get("tag", "")
-        if t.startswith("batch:") and int(t[6:]) >= batch_id:
+        committed = m.get("last_batch")
+        if committed is None:
+            # pre-last_batch manifests: fall back to the newest tag
+            t = m.get("tag", "")
+            if t.startswith("batch:"):
+                committed = int(t[6:])
+        if committed is not None and committed >= batch_id:
             return False  # replayed batch: already committed
     snapshot_commit(df, table, mode="append", tag=f"batch:{batch_id}")
     return True
@@ -327,6 +387,15 @@ def snapshot_compact(
     )
 
 
+def _staging_version(dirname: str) -> int | None:
+    """Parse the snapshot version out of a data dir name
+    (``v00042-<token>`` or legacy ``v00042``); None if unrecognized."""
+    if not dirname.startswith("v"):
+        return None
+    head = dirname[1:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def snapshot_vacuum(
     spark: SparkSession, table: str, keep_last: int = 1
 ) -> list[str]:
@@ -334,11 +403,32 @@ def snapshot_vacuum(
     manifests (and drop the older manifests).  The only deleting
     operation in the module; returns the deleted paths.  Run it only
     when no reader can still hold a file list older than the kept
-    window (same contract as Iceberg's expire_snapshots)."""
+    window (same contract as Iceberg's expire_snapshots).
+
+    Safety rails:
+
+    - ``keep_last`` must be ≥ 1 — the current version's files are live
+      by definition and vacuum refuses to consider deleting them (a
+      reader pinned to the latest manifest always survives a vacuum);
+    - staging directories whose version is NEWER than the newest
+      published manifest belong to IN-FLIGHT writers whose commit may
+      still succeed — they are skipped entirely.  Directories at or
+      below the published watermark with unreferenced files are either
+      superseded versions or the staging dirs of writers that lost a
+      version race (their commit can only end in SnapshotConflict now,
+      because the version they were writing has already been published)
+      — both are safe to reclaim.
+    """
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last={keep_last}: vacuum always keeps the current "
+            "version — it is never a drop-table"
+        )
     versions = _list_versions(spark, table)
-    if len(versions) <= keep_last:
+    if not versions:
         return []
     keep_v = versions[-keep_last:]
+    published = versions[-1]
     live: set[str] = set()
     for v in keep_v:
         live.update(_read_manifest(spark, table, v)["files"])
@@ -354,8 +444,23 @@ def snapshot_vacuum(
             False,
         )
     deleted = []
-    for f in _data_files(spark, f"{table}/data"):
-        if f not in live:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-            deleted.append(f)
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{table}/data")
+    if not fs.exists(data_root):
+        return deleted
+    for st in fs.listStatus(data_root):
+        dname = st.getPath().getName()
+        ver = _staging_version(dname)
+        if ver is not None and ver > published:
+            continue  # in-flight writer: its commit may still land
+        dir_files = _data_files(spark, st.getPath().toString())
+        dead = [f for f in dir_files if f not in live]
+        if dead and len(dead) == len(dir_files):
+            # whole directory unreferenced (superseded version or a
+            # race loser's staging dir): one recursive delete
+            fs.delete(st.getPath(), True)
+            deleted.extend(dead)
+        else:
+            for f in dead:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+                deleted.append(f)
     return deleted

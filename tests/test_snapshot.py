@@ -255,3 +255,113 @@ def test_append_batch_returns_commit_decision(spark, tmp_path):
     assert snapshot_append_batch(_df(spark, 0, 5, "a"), t, batch_id=1) is False
     assert snapshot_versions(spark, t) == [1, 2]
     assert snapshot_read(spark, t).count() == 9
+
+
+def test_racing_writers_never_share_data(spark, tmp_path):
+    """A writer that staged data for version 1 but LOSES the publish
+    race must contribute zero rows to the winner's snapshot (writer-
+    unique staging dirs), get a clean SnapshotConflict on publish, and
+    have its orphaned staging dir reclaimed by vacuum."""
+    from ros_sql_spark.sources.snapshot import _publish_manifest
+
+    t = str(tmp_path / "tbl")
+    # loser stages its data first (the worst interleaving)
+    _df(spark, 100, 200, "loser").write.parquet(f"{t}/data/v00001-deadbeef")
+    # winner commits version 1 normally
+    snapshot_commit(_df(spark, 0, 10, "winner"), t)
+    got = snapshot_read(spark, t)
+    assert got.count() == 10  # loser's 100 staged rows NOT included
+    assert {r.tag for r in got.select("tag").distinct().collect()} == {
+        "winner"
+    }
+    # loser's publish attempt: clean conflict
+    with pytest.raises(SnapshotConflict, match="already published"):
+        _publish_manifest(
+            spark, t, 1, {"version": 1, "files": [], "schema": "{}"}
+        )
+    # vacuum reclaims the loser's orphaned staging dir (version 1 is
+    # published, so the loser can never succeed — safe to delete)
+    deleted = snapshot_vacuum(spark, t, keep_last=1)
+    assert any("deadbeef" in f for f in deleted)
+    assert snapshot_read(spark, t).count() == 10
+
+
+def test_stranded_tmp_manifest_is_invisible(spark, tmp_path):
+    """A crash between manifest write and atomic rename strands only a
+    dot-prefixed temp file: readers and version listings ignore it and
+    the next commit publishes normally."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a"), t)
+    # simulate the crash artifact: partial JSON in a temp manifest
+    with open(f"{t}/_manifests/.tmp-v00002-cafe.json", "w") as f:
+        f.write('{"version": 2, "files": [')  # torn write
+    assert snapshot_versions(spark, t) == [1]
+    assert snapshot_read(spark, t).count() == 10
+    assert snapshot_commit(_df(spark, 0, 5, "b"), t) == 2
+    assert snapshot_read(spark, t).count() == 5
+
+
+def test_publish_io_error_is_not_conflict(spark, tmp_path):
+    """Non-conflict publish failures must NOT be mapped to
+    SnapshotConflict (whose remedy is retry): they re-raise unchanged."""
+    from ros_sql_spark.sources.snapshot import _publish_manifest
+
+    t = str(tmp_path / "tbl")
+    # make _manifests a regular FILE: creating the temp manifest under
+    # it is a structural IO error, not a version race
+    (tmp_path / "tbl").mkdir()
+    (tmp_path / "tbl" / "_manifests").write_text("not a directory")
+    with pytest.raises(Exception) as ei:
+        _publish_manifest(
+            spark, t, 1, {"version": 1, "files": [], "schema": "{}"}
+        )
+    assert not isinstance(ei.value, SnapshotConflict)
+
+
+def test_vacuum_skips_inflight_writer_dirs(spark, tmp_path):
+    """Staging dirs NEWER than the newest published manifest belong to
+    in-flight writers whose commit may still succeed: vacuum must not
+    touch them."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 30, "a"), t)
+    snapshot_commit(_df(spark, 0, 20, "b"), t)
+    # emulate an in-flight writer staging version 3 mid-vacuum
+    inflight = f"{t}/data/v00003-abc12345"
+    _df(spark, 0, 5, "inflight").write.parquet(inflight)
+    deleted = snapshot_vacuum(spark, t, keep_last=1)
+    assert deleted  # v1's data was reclaimed
+    assert all("v00003" not in f for f in deleted)
+    assert os.path.isdir(inflight)  # in-flight staging untouched
+    assert snapshot_read(spark, t).count() == 20
+
+
+def test_vacuum_retention_floor(spark, tmp_path):
+    """keep_last < 1 is refused, and a reader already pinned to the
+    latest version keeps working across a concurrent vacuum."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 30, "a"), t)
+    snapshot_commit(_df(spark, 0, 12, "b"), t)
+    with pytest.raises(ValueError, match="keep_last"):
+        snapshot_vacuum(spark, t, keep_last=0)
+    reader = snapshot_read(spark, t)  # pins v2's file list
+    snapshot_vacuum(spark, t, keep_last=1)
+    assert reader.count() == 12  # current version's files never deleted
+
+
+def test_append_batch_survives_interleaved_untagged_commit(spark, tmp_path):
+    """An untagged manual commit (compaction, upsert, ad-hoc append)
+    landing between a stream failure and its restart must not hide the
+    batch watermark: the redelivered batch still skips."""
+    from ros_sql_spark.sources.snapshot import snapshot_append_batch
+
+    t = str(tmp_path / "tbl")
+    assert snapshot_append_batch(_df(spark, 0, 5, "a"), t, batch_id=0)
+    assert snapshot_append_batch(_df(spark, 5, 9, "a"), t, batch_id=1)
+    # interleaved manual commit with no tag (e.g. an upsert)
+    snapshot_commit(_df(spark, 100, 103, "manual"), t, mode="append")
+    # redelivered batch 1: the last_batch watermark survives the
+    # untagged commit, so the replay is still skipped
+    assert snapshot_append_batch(_df(spark, 5, 9, "a"), t, batch_id=1) is False
+    assert snapshot_read(spark, t).count() == 12
