@@ -40,6 +40,33 @@ from pyspark.sql.window import Window
 
 __all__ = ["pq_train", "pq_encode", "pq_knn", "ivf_pq_knn"]
 
+#: Hard ceiling on the driver-collected ANN query side.  The query
+#: batch is a bounded-collect contract (mirroring ``train_sample``):
+#: each query costs an (m × n_centroids) float64 ADC table in the UDF
+#: closure, so 4096 queries at m=8,k=256 is ~67 MB — comfortably
+#: broadcastable; a million queries would be a driver OOM.  Callers
+#: with more queries than this should loop in batches (or use the
+#: join-based LSH/IVF paths, whose query side is a DataFrame).
+DEFAULT_MAX_QUERIES = 4096
+
+
+def _collect_queries(queries: DataFrame, id_col, vec_col, max_queries: int):
+    """Bounded collect of the ANN query batch: fails FAST (limit+1 scan,
+    no full materialization) with an actionable error instead of letting
+    an oversized query frame OOM the driver via ADC-table fan-out."""
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query frame exceeds max_queries={max_queries}: the PQ "
+            "query side is collected to the driver and each query adds "
+            "an (m, n_centroids) ADC table to the UDF closure — batch "
+            "your queries or raise max_queries explicitly if the "
+            "driver can hold them"
+        )
+    if not rows:
+        raise ValueError("queries frame is empty")
+    return rows
+
 
 def _sampled_matrix(
     df: DataFrame, vec_col: str, train_sample: int, seed: int
@@ -159,6 +186,7 @@ def pq_knn(
     exclude_self: bool = True,
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Compressed-domain top-k: (query_id, vec_id, score) per query.
 
@@ -181,9 +209,7 @@ def pq_knn(
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, n_cent, dsub = books.shape
 
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("queries frame is empty")
+    qrows = _collect_queries(queries, id_col, vec_col, max_queries)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
     # (nq, m, n_centroids): tables[q, j, c] = <q's j-th subvector, codeword c>
@@ -274,6 +300,7 @@ def ivf_pq_knn(
     index: tuple | None = None,
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout (coarse cells prune WHICH
     vectors are considered; PQ codes shrink WHAT each consideration
@@ -311,9 +338,7 @@ def ivf_pq_knn(
     )
     codes = pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
 
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        raise ValueError("queries frame is empty")
+    qrows = _collect_queries(queries, id_col, vec_col, max_queries)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     order = np.argsort(qids, kind="stable")
     qids = qids[order]

@@ -29,12 +29,15 @@ declared suite verifies.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
 __all__ = ["CurationResult", "curate"]
+
+_log = logging.getLogger(__name__)
 
 # Declared metric-column order per observation — the fallback contract
 # for _obs_values.
@@ -50,7 +53,9 @@ _OBS_FIELDS = {
 }
 
 
-def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
+def _obs_values(
+    obs: Observation, names: list[str], fallback, stage: str = "?"
+) -> dict:
     """``Observation.get`` hardened against three listener quirks seen
     in the wild (plain session, CollectMetrics off the survivors'
     lineage, CollectMetrics under a broadcast exchange):
@@ -70,9 +75,22 @@ def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
       it (broadcast-side materialization), locking out the real values
       ("only the first action" semantics) — fallback again.
     """
+    def _fb(reason: str) -> dict:
+        # the fallback recount is one extra Spark job per engaged stage
+        # — correct but O(stages) jobs if the observation wiring ever
+        # regresses, so make every engagement visible.
+        _log.warning(
+            "curation metrics: observation %r fell back to a recount "
+            "job (%s) — expected at most for untouched dropped-frames, "
+            "never on the standard curate() path",
+            stage,
+            reason,
+        )
+        return fallback()
+
     try:
         if not obs._jo.future().isCompleted():
-            return fallback()
+            return _fb("never fired")
     except Exception:
         pass  # probe unavailable: try the normal accessors below
     try:
@@ -81,7 +99,7 @@ def _obs_values(obs: Observation, names: list[str], fallback) -> dict:
         jrow = obs._jo.getRow()
         if jrow.length() >= len(names):
             return {n: jrow.get(i) for i, n in enumerate(names)}
-        return fallback()
+        return _fb("empty metrics row")
 
 
 @dataclass
@@ -117,7 +135,7 @@ class CurationResult:
                 k: {
                     mk: (mv if mv is not None else 0)
                     for mk, mv in _obs_values(
-                        v, _OBS_FIELDS[k], fb
+                        v, _OBS_FIELDS[k], fb, stage=k
                     ).items()
                 }
                 for k, (v, fb) in self._obs.items()

@@ -135,13 +135,25 @@ def idempotent_sink_batch(
     ``batch_df.write.jdbc(mode="append")`` — or push the dedup into the
     store with MERGE / ON CONFLICT DO NOTHING.
     """
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     fresh = batch_df.dropDuplicates(key_cols)
     try:
         existing = spark.read.parquet(sink_path).select(*key_cols)
         fresh = fresh.join(existing, key_cols, "left_anti")
-    except Exception:
-        pass  # first batch: sink does not exist yet
+    except AnalysisException as exc:
+        # ONLY the first-batch case (sink not created yet) may be
+        # swallowed; a corrupt or unreadable sink must fail loudly —
+        # silently skipping the anti-join would re-append every batch.
+        cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        klass = str(cond() or "") if cond is not None else ""
+        if "PATH_NOT_FOUND" not in klass and "Path does not exist" not in str(
+            exc
+        ):
+            raise
     fresh.write.mode("append").parquet(sink_path)
 
 

@@ -241,3 +241,22 @@ def test_curate_boilerplate_stage(spark):
     assert m["input"] == m["kept"] + sum(
         v for k, v in m.items() if k not in ("input", "kept")
     )
+
+
+def test_curate_metrics_no_fallback_on_standard_path(spark, caplog):
+    """The standard curate() → metrics() path must fill EVERY counter
+    from CollectMetrics observations — zero fallback recount jobs.  A
+    fallback engagement is logged as a warning, so a regression in the
+    observation wiring shows up here instead of silently turning
+    metrics() into one job per stage."""
+    import logging
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    res = curate(docs)
+    with caplog.at_level(logging.WARNING, logger="ros_sql_spark.pipeline"):
+        m = res.metrics()
+    assert m["input"] == m["kept"] + m["quality"] + m["exact"] + m["near_dup"]
+    fallback_msgs = [
+        r for r in caplog.records if "fell back to a recount" in r.message
+    ]
+    assert fallback_msgs == []

@@ -208,3 +208,23 @@ def test_pq_train_validates_args(spark, emb):
         pq_train(emb, dim=64, m=7)
     with pytest.raises(ValueError, match="1-byte"):
         pq_train(emb, dim=64, m=8, n_centroids=512)
+
+
+def test_pq_query_side_is_bounded(spark, emb):
+    """The ANN query batch is a bounded-collect contract: an oversized
+    query frame must fail FAST with an actionable error (before any
+    ADC-table fan-out could OOM the driver), for both pq_knn and
+    ivf_pq_knn; an explicit higher max_queries opts back in."""
+    from ros_sql_spark.operators.pq import ivf_pq_knn
+
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=7)
+    codes = pq_encode(emb, books)
+    big = emb  # 100 rows at sf0.001 — over a tiny limit
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_knn(codes, big, books, k=3, max_queries=10)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_pq_knn(emb, big, k=3, n_cells=4, n_probe=2,
+                   n_centroids=16, max_queries=10)
+    # raising the bound explicitly works
+    got = pq_knn(codes, big.limit(12), books, k=3, max_queries=12).collect()
+    assert got and len({r.query_id for r in got}) == 12

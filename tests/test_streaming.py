@@ -276,3 +276,24 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     assert (1, 3) in got            # the match
     assert (2, None) in got         # unmatched left, flushed by batch B's watermark
     assert (1, None) not in got     # matched rows are not also null-padded
+
+
+def test_idempotent_sink_missing_path_ok_but_corrupt_raises(spark, tmp_path):
+    """The first-batch 'sink does not exist yet' case is the ONLY
+    swallowed read failure; a corrupt sink must raise instead of
+    silently re-appending every batch (narrowed from bare except)."""
+    import pytest
+    from ros_sql_spark.sources.io import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").limit(10)
+    sink = str(tmp_path / "sink")
+    idempotent_sink_batch(ev, 0, sink, ["event_id"])  # missing path: fine
+    idempotent_sink_batch(ev, 0, sink, ["event_id"])  # replay: no-op
+    assert spark.read.parquet(sink).count() == 10
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|infer"):
+        idempotent_sink_batch(ev, 1, str(corrupt), ["event_id"])
