@@ -1,0 +1,183 @@
+"""Pure-Python image codecs (BMP / PPM) for the multimodal real path.
+
+The container has no PIL/ffmpeg, so ``operators/multimodal.py``'s
+``deterministic_fake=False`` path used to be an honest
+NotImplementedError gate that no test had ever driven end-to-end.  This
+module closes that gap with real, dependency-free codecs for the two
+formats simple enough to implement exactly from their public
+specifications:
+
+- **BMP**: uncompressed 24-bit BI_RGB Windows bitmaps (the
+  BITMAPFILEHEADER/BITMAPINFOHEADER layout documented by Microsoft),
+  bottom-up and top-down, with 4-byte row padding;
+- **PPM**: binary P6 netpbm with maxval 255 (the netpbm format spec),
+  including whitespace/comment-tolerant header parsing.
+
+Everything is numpy-vectorized per image (no per-pixel Python), and the
+encode side exists so tests can synthesize REAL bytes to push through
+the Spark plumbing.  ``decode_image`` sniffs magic bytes and falls back
+to PIL if (and only if) it happens to be importable, so a user with
+Pillow installed gets their JPEG/PNG support for free through the same
+interface; genuinely unsupported payloads still raise
+NotImplementedError — the honest gate shrinks, it does not move.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_bmp",
+    "decode_bmp",
+    "encode_ppm",
+    "decode_ppm",
+    "decode_image",
+    "resize_nearest",
+    "image_features",
+]
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BI_RGB BMP bytes
+    (bottom-up, rows padded to 4 bytes — the canonical layout)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP bytes → (H, W, 3) uint8 RGB.
+    Handles bottom-up (positive height) and top-down (negative) rows."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    arr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return (arr[::-1] if flip else arr).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → binary P6 PPM bytes (maxval 255)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _ppm_tokens(buf: io.BytesIO, n: int) -> list[int]:
+    """Read ``n`` whitespace-separated ASCII ints, honoring '#' comments
+    (netpbm header grammar)."""
+    out: list[int] = []
+    tok = b""
+    while len(out) < n:
+        c = buf.read(1)
+        if not c:
+            raise ValueError("truncated PPM header")
+        if c == b"#":
+            while c and c != b"\n":
+                c = buf.read(1)
+            c = b" "
+        if c.isspace():
+            if tok:
+                out.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    return out
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes (maxval 255) → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    buf = io.BytesIO(payload[2:])
+    w, h, maxval = _ppm_tokens(buf, 3)
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval=255 PPM supported ({maxval})")
+    data = buf.read(w * h * 3)
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffing decode → (H, W, 3) uint8 RGB.
+
+    BMP and P6 PPM decode natively; anything else tries PIL if it is
+    importable (import-try gate — not installed in this container) and
+    otherwise raises NotImplementedError naming the format.
+    """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError:
+        head = bytes(payload[:4])
+        raise NotImplementedError(
+            f"unsupported image payload (magic {head!r}): native codecs "
+            "cover BMP and P6 PPM; install Pillow for other formats"
+        ) from None
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width, 3) — pixel-center
+    sampling, fully vectorized (one fancy-index per image)."""
+    h, w = pixels.shape[:2]
+    yi = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return pixels[yi[:, None], xi[None, :]]
+
+
+def image_features(pixels: np.ndarray, dim: int = 8) -> list[float]:
+    """Deterministic real features from decoded pixels, all in [0, 1]:
+    per-channel means (3), per-channel stds (3), aspect ratio h/(h+w),
+    mean luminance, then a luminance histogram for any remaining dims.
+    Not a learned embedding — but a REAL function of the pixel content
+    (two images differing in any channel statistic separate), which is
+    what the decode path's contract needs."""
+    arr = pixels.astype(np.float64) / 255.0
+    h, w = arr.shape[:2]
+    luma = 0.2126 * arr[..., 0] + 0.7152 * arr[..., 1] + 0.0722 * arr[..., 2]
+    base = [
+        *arr.mean(axis=(0, 1)).tolist(),
+        *arr.std(axis=(0, 1)).tolist(),
+        h / (h + w),
+        float(luma.mean()),
+    ]
+    if dim > len(base):
+        hist, _ = np.histogram(luma, bins=dim - len(base), range=(0.0, 1.0))
+        base.extend((hist / luma.size).tolist())
+    return [float(round(v, 9)) for v in base[:dim]]

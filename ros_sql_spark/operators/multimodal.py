@@ -7,13 +7,18 @@ frame-sample / feature-extract are Arrow-batched Pandas functions over
 the hot path, because byte-level codecs genuinely can't be expressed as
 Spark SQL expressions.
 
-THE CODECS ARE STUBS in this container (no PIL/ffmpeg/torchaudio baked
-in): ``decode_stub`` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives reproducible
-pseudo-features from the bytes (md5-seeded) so the Spark-side plumbing —
-schema handling, Arrow batch shapes, partition-parallel execution,
-metadata passthrough — is fully real and testable.  Swapping in a real
-codec is a one-function change.
+Codec reality in this container (no PIL/ffmpeg/torchaudio baked in):
+
+- ``deterministic_fake=True`` derives reproducible pseudo-features from
+  the bytes (md5-seeded) so the Spark-side plumbing — schema handling,
+  Arrow batch shapes, partition-parallel execution, metadata
+  passthrough — is testable without any codec;
+- ``deterministic_fake=False`` runs the REAL decode path through the
+  in-repo pure-Python codecs (``operators/codecs.py``: uncompressed
+  24-bit BMP and binary P6 PPM, numpy-vectorized), falling back to PIL
+  when importable; payloads in formats none of those cover raise
+  NotImplementedError per asset — the honest gate now covers only what
+  genuinely cannot be decoded here (e.g. video without ffmpeg).
 
 Scale notes:
 - mapInPandas streams Arrow batches; nothing is collected to the driver.
@@ -108,15 +113,14 @@ def extract_features(
     batch_max_records: int | None = None,
 ) -> DataFrame:
     """(asset_id, meta, features array<double>) via Arrow-batched
-    mapInPandas.  With ``deterministic_fake=False`` this is where a real
-    decoder (PIL/ffmpeg) plugs in — it raises NotImplementedError here
-    because those libs are not in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg/torchaudio, which are not "
-            "installed in this environment; pass deterministic_fake=True "
-            "for the plumbing path"
-        )
+    mapInPandas.
+
+    ``deterministic_fake=False`` decodes each payload for real
+    (``operators/codecs.py``: BMP/PPM natively, PIL if importable) and
+    computes features from the actual pixels; an undecodable payload
+    raises NotImplementedError naming its magic bytes — per asset, at
+    task time, because decodability is a property of the data, not the
+    environment."""
 
     out_schema = T.StructType(
         [
@@ -130,11 +134,25 @@ def extract_features(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if not deterministic_fake:
+            from ros_sql_spark.operators.codecs import (
+                decode_image,
+                image_features,
+            )
+
         for pdf in batches:
-            feats = [
-                _fake_features(bytes(m) if m is not None else b"", dim)
-                for m in pdf["media"]
-            ]
+            if deterministic_fake:
+                feats = [
+                    _fake_features(bytes(m) if m is not None else b"", dim)
+                    for m in pdf["media"]
+                ]
+            else:
+                feats = [
+                    image_features(decode_image(bytes(m)), dim)
+                    if m is not None
+                    else None
+                    for m in pdf["media"]
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -161,20 +179,13 @@ def resize_media(
     """Asset-shaped → asset-shaped with the payload replaced by its
     "resized" rendition and (width, height) recorded in the metadata.
 
-    The REAL implementation is a one-function swap (PIL
-    ``Image.resize`` inside the generator); this container has no
-    codecs, so the fake derives a deterministic width×height byte
-    payload from an md5 chain over the original bytes — size-correct
-    and reproducible, which is all the Spark plumbing (schema change,
-    Arrow batching, blob-in/blob-out shapes) needs to be tested for
-    real.
+    ``deterministic_fake=False`` is the REAL path: decode via the
+    in-repo codecs (BMP/PPM, PIL when importable), nearest-neighbor
+    resample in numpy, re-encode as BMP (mime updated accordingly).
+    The fake path derives a deterministic width×height byte payload
+    from an md5 chain — size-correct and reproducible for plumbing
+    tests without any codec.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "real media resizing needs PIL/ffmpeg, not installed here; "
-            "pass deterministic_fake=True for the plumbing path"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),
@@ -207,24 +218,43 @@ def resize_media(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if not deterministic_fake:
+            from ros_sql_spark.operators.codecs import (
+                decode_image,
+                encode_bmp,
+                resize_nearest,
+            )
+
         for pdf in batches:
-            media = [
-                _fake_bytes(bytes(m) if m is not None else b"")
-                for m in pdf["media"]
-            ]
+            if deterministic_fake:
+                media = [
+                    _fake_bytes(bytes(m) if m is not None else b"")
+                    for m in pdf["media"]
+                ]
+            else:
+                media = [
+                    encode_bmp(resize_nearest(decode_image(bytes(m)), width, height))
+                    if m is not None
+                    else None
+                    for m in pdf["media"]
+                ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media": media,
                     "meta": [
                         {
-                            "mime": m["mime"],
+                            "mime": m["mime"]
+                            if deterministic_fake
+                            else "image/bmp",
                             "source": m["source"],
-                            "n_bytes": n_out,
+                            "n_bytes": len(b)
+                            if b is not None
+                            else None,
                             "width": width,
                             "height": height,
                         }
-                        for m in pdf["meta"]
+                        for m, b in zip(pdf["meta"], media)
                     ],
                 }
             )
