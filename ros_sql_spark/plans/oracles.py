@@ -845,6 +845,58 @@ ORACLES: dict[str, str] = {
         )
         WHERE b IS NOT NULL AND cum_tok - n_tok < b
     """,
+    "q86_full_outer": """
+        SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+               c.n_clicks, b.n_buys
+        FROM (SELECT user_id, count(*) AS n_clicks
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id) c
+        FULL OUTER JOIN
+             (SELECT user_id, count(*) AS n_buys
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id) b
+        ON c.user_id = b.user_id
+    """,
+    # hopping 2-day/1-day windows: every event belongs to exactly the
+    # two day-aligned windows starting at floor_day(ts) and
+    # floor_day(ts) - 1 day — enumerated with an unnested offset, all
+    # arithmetic in exact µs epochs (86400000000 µs per day)
+    "q87_hopping_window": """
+        SELECT CAST((epoch_us(ts) // 86400000000 - k.k) * 86400000000
+                    AS BIGINT) AS w_start_us,
+               event_type,
+               count(*) AS n
+        FROM events, (SELECT unnest([0, 1]) AS k) k
+        GROUP BY 1, 2
+    """,
+    # z from EXACT integer sums with the same expression shape as the
+    # Spark side: identical IEEE ops on identical exact inputs ->
+    # bit-identical doubles -> stable |z| > 2 boundary decisions
+    "q88_zscore_outliers": """
+        SELECT doc_id, source,
+               round((n_chars - s / c) /
+                     sqrt(ss / c - (s / c) * (s / c)), 6) AS z
+        FROM documents
+        JOIN (SELECT source,
+                     sum(n_chars) AS s,
+                     sum(n_chars * n_chars) AS ss,
+                     count(*) AS c
+              FROM documents
+              GROUP BY source) USING (source)
+        WHERE ss / c - (s / c) * (s / c) > 0
+          AND abs((n_chars - s / c) / sqrt(ss / c - (s / c) * (s / c))) > 2
+    """,
+    "q89_edit_distance": """
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        FROM (SELECT doc_id, lang, n_chars - n_chars % 50 AS bkt,
+                     substring(text, 1, 40) AS pfx
+              FROM documents WHERE doc_id % 20 = 0) a
+        JOIN (SELECT doc_id, lang, n_chars - n_chars % 50 AS bkt,
+                     substring(text, 1, 40) AS pfx
+              FROM documents WHERE doc_id % 20 = 0) b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

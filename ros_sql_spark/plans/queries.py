@@ -1620,6 +1620,124 @@ def q85_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.col("text").cast("binary")).alias("clean_md5"))
 
 
+def q86_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join flavor the suite lacked: per-user
+    click counts vs purchase counts, keeping users present on either
+    side only (NULL counts mark the absent side).  Both inputs are
+    pre-aggregated BEFORE the join, so the full-outer shuffle carries
+    one row per user per side, never raw events — the 100 TB shape for
+    outer reconciliation (aggregate early, join late)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_buys"))
+    )
+    return (
+        clicks.withColumnRenamed("user_id", "cu")
+        .join(
+            buys.withColumnRenamed("user_id", "bu"),
+            F.col("cu") == F.col("bu"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("cu"), F.col("bu")).alias("user_id"),
+            "n_clicks",
+            "n_buys",
+        )
+    )
+
+
+def q87_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-day windows advancing by
+    1 day, so every event lands in exactly two windows — the
+    batch twin of the Structured Streaming windowed-agg shape
+    (streaming/replay.py::tumbling_counts generalizes the same way by
+    passing slideDuration).  Window starts exposed as µs epochs (the
+    engine's timestamp parity currency)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q88_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score outlier flagging (corpus length anomalies).
+
+    Float parity discipline: mean and variance are derived from EXACT
+    integer sums (sum, sum of squares, count) with the identical
+    arithmetic expression on both engines, so the doubles — and the
+    |z| > 2 boundary decisions — are bit-identical rather than
+    at-the-mercy of each engine's streaming-variance implementation.
+    Partial-agg (3 numbers per source) + broadcast join back: no
+    window, no second scan of per-row state — the scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+        F.count("*").alias("c"),
+    )
+    mean = F.col("s") / F.col("c")
+    var = F.col("ss") / F.col("c") - mean * mean
+    enriched = docs.join(F.broadcast(stats), "source")
+    z = (F.col("n_chars") - mean) / F.sqrt(var)
+    return (
+        enriched.filter(var > 0)
+        .filter(F.abs(z) > 2)
+        .select("doc_id", "source", F.round(z, 6).alias("z"))
+    )
+
+
+def q89_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-match candidates: same-language docs in the
+    same length bucket, compared on their 40-char prefixes.  The pair
+    space is GATED the way every pairwise query here is: a 5% id-hash
+    sample, equi-joined on (lang, length-bucket) with id-ordered pairs
+    — blocking keys bound the quadratic term, never an all-pairs
+    self-join (same discipline as q32's shingle buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") - F.col("n_chars") % 50).alias("bkt"),
+        F.substring("text", 1, 40).alias("pfx"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"),
+        "lang",
+        "bkt",
+        F.col("pfx").alias("a_pfx"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        "lang",
+        "bkt",
+        F.col("pfx").alias("b_pfx"),
+    )
+    return (
+        a.join(b, ["lang", "bkt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_pfx", "b_pfx").cast("bigint").alias("dist"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1706,4 +1824,8 @@ QUERIES = {
     "q83_token_budget_mix": q83_token_budget_mix,
     "q84_pq_ann": q84_pq_ann,
     "q85_boilerplate": q85_boilerplate,
+    "q86_full_outer": q86_full_outer,
+    "q87_hopping_window": q87_hopping_window,
+    "q88_zscore_outliers": q88_zscore_outliers,
+    "q89_edit_distance": q89_edit_distance,
 }
