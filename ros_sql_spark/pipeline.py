@@ -20,7 +20,10 @@ Scale shape (100 TB):
   min-label connected components (diameter-bounded rounds), and the
   per-cluster survivor is the same partial-aggregable argmax as q33;
 - decontamination broadcasts the (small) eval shingle-hash set and
-  probes with a semi join — the corpus side never shuffles.
+  probes with a semi join — the corpus side never shuffles; when the
+  eval set is itself too big to broadcast, ``decontam_method="bloom"``
+  probes a fixed-size Bloom word table instead (operators/bloom.py:
+  exact on contamination, ~1e-4 over-drop).
 
 Reference parity: strawlab/ros_sql has no corpus tooling; this is the
 engine-extension surface built on the same operator substrate the
@@ -170,6 +173,8 @@ def curate(
     shingle_k: int = 3,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 5,
+    decontam_method: str = "broadcast",
+    bloom_m_bits: int | None = None,
     embeddings: DataFrame | None = None,
     embedding_id_col: str = "vec_id",
     embedding_col: str = "embedding",
@@ -385,8 +390,13 @@ def curate(
         )
         cur = cur.join(sem_dropped, id_col, "left_anti")
 
-    # 5. optional eval-set decontamination (q20): broadcast semi probe
+    # 5. optional eval-set decontamination (q20): broadcast semi probe,
+    # or a Bloom filter over the eval shingles when the eval set is too
+    # big to broadcast (decontam_method="bloom"; exact → no false
+    # negatives, ~FP-rate over-dropping — operators/bloom.py)
     if eval_docs is not None:
+        if decontam_method not in ("broadcast", "bloom"):
+            raise ValueError(f"decontam_method={decontam_method!r}")
         eval_sh = (
             shingle_hashes(eval_docs, id_col, text_col, decontam_k)
             .select(F.explode_outer("_hs").alias("s"))
@@ -397,12 +407,24 @@ def curate(
             id_col, F.explode_outer("_hs").alias("s")
         )
         _ob_d = Observation()
-        contaminated = (
-            cur_sh.join(F.broadcast(eval_sh), "s", "left_semi")
-            .select(id_col)
-            .distinct()
-            .observe(_ob_d, F.count(F.lit(1)).alias("n_dropped"))
-        )
+        if decontam_method == "bloom":
+            from ros_sql_spark.operators.bloom import bloom_contaminated_ids
+
+            if bloom_m_bits is None:
+                # the one eager job in curate(): sizing the filter needs
+                # the eval-shingle count (pass bloom_m_bits to stay lazy)
+                n_ev = eval_sh.count()
+                bloom_m_bits = max(64, ((20 * max(n_ev, 1) + 63) // 64) * 64)
+            contaminated = bloom_contaminated_ids(
+                eval_sh, cur_sh, id_col, "s", bloom_m_bits
+            ).observe(_ob_d, F.count(F.lit(1)).alias("n_dropped"))
+        else:
+            contaminated = (
+                cur_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+                .select(id_col)
+                .distinct()
+                .observe(_ob_d, F.count(F.lit(1)).alias("n_dropped"))
+            )
         dropped["decontam"] = contaminated
         obs["decontam"] = (
             _ob_d,
