@@ -886,6 +886,118 @@ ORACLES: dict[str, str] = {
         WHERE ss / c - (s / c) * (s / c) > 0
           AND abs((n_chars - s / c) / sqrt(ss / c - (s / c) * (s / c))) > 2
     """,
+    # q90 is plan-different but RESULT-identical to q20 (Bloom prefilter
+    # + exact verify is exact — no false negatives, FPs re-checked), so
+    # its oracle is q20's NOT EXISTS verbatim.
+    "q90_bloom_decontaminate": """
+        WITH b AS (
+            SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, bucket,
+                   unnest(CASE WHEN len(toks) >= 5
+                          THEN list_transform(range(1, len(toks) - 3),
+                               i -> concat_ws(' ', toks[i], toks[i+1],
+                                              toks[i+2], toks[i+3], toks[i+4]))
+                          ELSE [array_to_string(toks, ' ')] END) AS s
+            FROM (SELECT doc_id, bucket, string_split(lower(text), ' ') AS toks
+                  FROM b)
+        )
+        SELECT doc_id FROM b
+        WHERE bucket < 80
+          AND NOT EXISTS (
+              SELECT 1 FROM sh t
+              WHERE t.doc_id = b.doc_id AND t.bucket < 80
+                AND t.s IN (SELECT s FROM sh WHERE bucket >= 98))
+    """,
+    # dense day axis per user (range is end-exclusive -> d1 + 1); the
+    # first axis day is always observed (it IS min(d)), so v_filled is
+    # never NULL; decimal sums cast to DOUBLE only at the boundary
+    "q91_gap_fill": """
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+        ), axis AS (
+            SELECT user_id, unnest(range(d0, d1 + 1)) AS d FROM span
+        )
+        SELECT a.user_id, a.d,
+               (dd.v IS NOT NULL) AS observed,
+               CAST(last_value(dd.v IGNORE NULLS) OVER (
+                    PARTITION BY a.user_id ORDER BY a.d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS v_filled
+        FROM axis a
+        LEFT JOIN daily dd ON a.user_id = dd.user_id AND a.d = dd.d
+    """,
+    "q92_cohort_retention": """
+        WITH ua AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS d
+                    FROM events),
+        cohort AS (SELECT user_id, min(d) AS c0 FROM ua GROUP BY 1)
+        SELECT c0 // 7 AS cohort_week, (d - c0) // 7 AS week_offset,
+               CAST(count(DISTINCT ua.user_id) AS BIGINT) AS n_users
+        FROM ua JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """,
+    # entropy from EXACT integer counts; the one float SUM
+    # (sum c*ln c) is order-dependent at ~1e-13 relative error vs the
+    # 5e-7 rounding boundary — accepted odds, same class as q36
+    "q93_word_entropy": """
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        FROM (SELECT doc_id, term, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS term
+                    FROM documents)
+              GROUP BY 1, 2)
+        GROUP BY doc_id
+    """,
+    # ordering ties break on event_id (same-µs collision rule); both
+    # regex engines treat the pattern as an unanchored search
+    "q94_seq_pattern": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               regexp_matches(
+                   string_agg(event_type, ' '
+                              ORDER BY epoch_us(ts), event_id),
+                   'view.* click.* purchase') AS hit
+        FROM events
+        GROUP BY user_id
+    """,
+    "q95_containment": """
+        WITH b AS (
+            SELECT doc_id, text,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, bucket,
+                   unnest(CASE WHEN len(toks) >= 5
+                          THEN list_transform(range(1, len(toks) - 3),
+                               i -> concat_ws(' ', toks[i], toks[i+1],
+                                              toks[i+2], toks[i+3], toks[i+4]))
+                          ELSE [array_to_string(toks, ' ')] END) AS s
+            FROM (SELECT doc_id, bucket, string_split(lower(text), ' ') AS toks
+                  FROM b)
+        ),
+        ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE bucket >= 98),
+        tr AS (SELECT DISTINCT s FROM sh WHERE bucket < 80)
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               round(CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS containment
+        FROM ev e LEFT JOIN tr t ON e.s = t.s
+        GROUP BY e.doc_id
+    """,
     "q89_edit_distance": """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist

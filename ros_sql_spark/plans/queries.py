@@ -1738,6 +1738,219 @@ def q89_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q90_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20's decontamination at eval-sets-too-big-to-broadcast scale:
+    Bloom prefilter + exact verify.  The eval shingles fold into a
+    fixed-size bit-word table (operators/bloom.py — ≤ m_bits/64 rows no
+    matter how many shingles), the corpus probes the broadcast BITMAP,
+    and only the surviving candidate docs (true hits + ~1e-4 false
+    positives) re-join their shingles against the real eval set for the
+    exact answer.  No false negatives (Bloom guarantee) → the verify
+    pass restores EXACTNESS, so the DuckDB oracle is the same NOT
+    EXISTS as q20's.  At 100 TB the corpus-side exact join's left input
+    shrinks from |corpus shingles| to |candidate-doc shingles|."""
+    from ros_sql_spark.operators.bloom import bloom_contaminated_ids
+    from ros_sql_spark.operators.dedup import shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    # explode_outer: the Generate invariant (CLAUDE.md) — _hs is
+    # non-empty by construction.
+    sh = shingle_hashes(docs, "doc_id", "text", 5).select(
+        "doc_id", bucket.alias("bucket"), F.explode_outer("_hs").alias("s")
+    )
+    eval_sh = sh.filter(F.col("bucket") >= 98).select("doc_id", "s")
+    train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "s")
+    candidates = bloom_contaminated_ids(
+        eval_sh, train_sh, id_col="doc_id", shingle_col="s",
+        m_bits=1 << 18, k=10,
+    )
+    # exact verify of ONLY the candidate docs' shingles
+    confirmed = (
+        train_sh.join(candidates, "doc_id", "left_semi")
+        .join(eval_sh.select("s").distinct(), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 80)
+        .join(confirmed, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+def q91_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (resample + forward fill): per user, daily
+    purchase totals on a DENSE day axis from the user's first to last
+    active day, missing days carried forward from the last observed
+    value.  The dense axis is generated per user with
+    ``sequence(min_day, max_day)`` — row fan-out proportional to each
+    user's own span, no global calendar cross-join — and the fill is
+    one ``last(ignorenulls)`` running window over the same user
+    partitioning the join just produced.  Day math in exact integer
+    division of ns epochs (floor-division composes: ns→day ≡ µs→day,
+    so DuckDB's µs-truncated view lands identical days)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id"), day.alias("d"))
+        .agg(F.sum(money(F.col("value"))).alias("_v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("_d0"), F.max("d").alias("_d1")
+    )
+    axis = span.select(
+        "user_id",
+        # sequence is total here (_d0 <= _d1 by construction)
+        F.explode_outer(F.sequence("_d0", "_d1")).alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        axis.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.col("_v").isNotNull().alias("observed"),
+            F.last("_v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+        )
+    )
+
+
+def q92_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity week,
+    counted per (cohort_week, weeks-since-cohort) cell.  Aggregate
+    early: the raw log collapses to DISTINCT (user, day) before
+    anything joins, the per-user cohort comes from a groupBy min (not a
+    window over the log), and the final cell count re-uses the user_id
+    hash partitioning.  At 100 TB the only full-log pass is the first
+    distinct; everything after is |users × active-days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    ua = ev.select("user_id", day.alias("d")).distinct()
+    cohort = ua.groupBy("user_id").agg(F.min("d").alias("_c0"))
+    return (
+        ua.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.expr("_c0 div 7").alias("cohort_week"),
+            F.expr("(d - _c0) div 7").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+def q93_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (word) entropy — the information-density
+    quality signal LLM pipelines use to drop degenerate/templated text.
+    entropy = ln(n) − Σ c·ln(c) / n over the doc's token counts:
+    derived from EXACT integer counts with the identical expression on
+    both engines (the q88 float-parity discipline), so the doubles
+    match bit-for-bit.  One token explode + two partial aggregations,
+    both on the doc_id partitioning — a single exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    toks = toks.repartition("doc_id")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        r6(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double")
+        ).alias("entropy"),
+    )
+
+
+def q94_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern match (MATCH_RECOGNIZE-lite): per user,
+    the µs+event_id-ordered event-type string, tested against
+    ``view → click → purchase`` (anything between stages).  State is
+    one ordered list per user — collect, array_sort, join: bounded by
+    the user's own history, never a global sort (the q49 ordered-agg
+    shape applied to sequence mining).  Ordering ties break on
+    event_id per the same-µs collision rule (tests/test_time_edges.py)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        tus("ts_ns").alias("us"),
+                        F.col("event_id"),
+                        F.col("event_type"),
+                    )
+                )
+            ),
+            lambda x: x["event_type"],
+        ),
+        " ",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        seq.rlike("view.* click.* purchase").alias("hit"),
+    )
+
+
+def q95_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring: per eval doc (q22 buckets ≥ 98),
+    the FRACTION of its 5-token shingles that appear anywhere in the
+    train split (buckets < 80) — asymmetric containment
+    |A ∩ train| / |A|, the quantity behind contamination reports (q20's
+    binary drop is its ``containment > 0`` special case).  The train
+    shingle set is deduped then semi-joins the tiny eval side on the
+    8-byte hash — shuffle carries hashes only, and only the eval side
+    is ever aggregated per doc.  Hash-membership ≡ string-membership
+    modulo 2^-64 collisions; the string-building oracle is the
+    collision check (q20's discipline)."""
+    from ros_sql_spark.operators.dedup import shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sh = shingle_hashes(docs, "doc_id", "text", 5).select(
+        "doc_id", bucket.alias("bucket"), F.explode_outer("_hs").alias("s")
+    )
+    eval_sh = (
+        sh.filter(F.col("bucket") >= 98).select("doc_id", "s").distinct()
+    )
+    train_s = sh.filter(F.col("bucket") < 80).select("s").distinct()
+    matched = (
+        eval_sh.join(train_s, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_m"))
+    )
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").alias("_t"))
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_t").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("_m"), F.lit(0)).cast("bigint").alias("n_matched"),
+            r6(
+                F.coalesce(F.col("_m"), F.lit(0)).cast("double")
+                / F.col("_t").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -1828,4 +2041,10 @@ QUERIES = {
     "q87_hopping_window": q87_hopping_window,
     "q88_zscore_outliers": q88_zscore_outliers,
     "q89_edit_distance": q89_edit_distance,
+    "q90_bloom_decontaminate": q90_bloom_decontaminate,
+    "q91_gap_fill": q91_gap_fill,
+    "q92_cohort_retention": q92_cohort_retention,
+    "q93_word_entropy": q93_word_entropy,
+    "q94_seq_pattern": q94_seq_pattern,
+    "q95_containment": q95_containment,
 }
