@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["pq_train", "pq_encode", "pq_knn", "ivf_pq_knn"]
+__all__ = ["pq_train", "pq_encode", "pq_knn", "ivf_pq_knn", "ivf_pq_knn_join"]
 
 #: Hard ceiling on the driver-collected ANN query side.  The query
 #: batch is a bounded-collect contract (mirroring ``train_sample``):
@@ -410,6 +410,163 @@ def ivf_pq_knn(
     w3 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
     return (
         rs.withColumn("_rn", F.row_number().over(w3))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _adc_join_udf(books: np.ndarray):
+    """Pandas UDF (qvec, pq_code) -> ADC score with PER-BATCH table
+    construction — the piece that lets the query side stay a DataFrame.
+
+    Each Arrow batch dedups its query vectors (after a shuffle-join on
+    query_id the batch is runs of the same query, so the dedup is nearly
+    free) and builds ADC tables only for the ≤ unique ones, in chunks of
+    256 so closure memory stays ≤ ~4 MB at m=8, k=256 regardless of
+    batch composition.  The table math (einsum + byte-gather + sum over
+    subspaces) is operation-identical to :func:`pq_knn`'s collected
+    path, so the two paths score bit-identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(books, dtype=np.float64)
+    m, _, dsub = books.shape
+    jj = np.arange(m)
+
+    @pandas_udf("double")
+    def _adc(qvec: pd.Series, code: pd.Series) -> pd.Series:
+        Q = _normalize(np.stack(qvec.to_numpy()).astype(np.float64))
+        C = np.frombuffer(
+            b"".join(code.to_numpy()), dtype=np.uint8
+        ).reshape(len(code), m)
+        qv = np.ascontiguousarray(Q)
+        view = qv.view([("", qv.dtype)] * qv.shape[1]).ravel()
+        _, first_idx, inv = np.unique(
+            view, return_index=True, return_inverse=True
+        )
+        Qu = qv[first_idx]
+        out = np.empty(len(C), dtype=np.float64)
+        chunk = 256
+        for lo in range(0, len(Qu), chunk):
+            hi = min(lo + chunk, len(Qu))
+            tables = np.einsum(
+                "qjd,jcd->qjc", Qu[lo:hi].reshape(hi - lo, m, dsub), books
+            )
+            mask = (inv >= lo) & (inv < hi)
+            qi = inv[mask] - lo
+            out[mask] = tables[qi[:, None], jj[None, :], C[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    return _adc
+
+
+def ivf_pq_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    index: tuple | None = None,
+    codebooks: np.ndarray | None = None,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ search whose QUERY SIDE IS A DATAFRAME — never collected.
+
+    ``ivf_pq_knn`` ships per-query ADC tables in the UDF closure, which
+    is the fast shape for a bounded query batch but caps the query count
+    (the ``max_queries`` contract).  This variant removes the cap: probe
+    cells are assigned by the Arrow matmul UDF (distributed), candidates
+    come from the (codes ⋈ probed-cells) equi-join carrying only NARROW
+    rows (query_id, id, m-byte code), the query vector is attached by a
+    second equi-join on query_id (sort-merge at scale — which also gives
+    the scoring UDF same-query batch locality), and ADC tables are built
+    per Arrow batch for the batch's unique queries.  Ten million queries
+    are just ten million rows; nothing scales with the driver.
+
+    Shuffle ledger at 100 TB: (1) eval-side probe fan-out n_probe rows/
+    query, (2) candidate join on the small-int cell id, (3) candidate
+    re-shuffle on query_id for vector attach + top-k — all narrow rows;
+    the corpus shuffles only its probed code rows, never raw vectors
+    (except the optional exact-rerank fetch of the final k·factor ids).
+
+    ``index`` / ``codebooks``: pass prebuilt artifacts in production so
+    per-call training cost disappears (trained once, reused per ingest).
+    """
+    from ros_sql_spark.operators.similarity import (
+        _probe_cells,
+        cosine_arrow,
+        ivf_index,
+    )
+
+    assigned, centers = (
+        index
+        if index is not None
+        else ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            corpus, dim=dim, m=m, n_centroids=n_centroids,
+            vec_col=vec_col, seed=seed,
+        )
+    )
+    codes = pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+
+    probe = _probe_cells(centers, n_probe)
+    qbase = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    q_cells = (
+        qbase.withColumn("_cells", probe("_qvec"))
+        # explode_outer: Generate invariant (CLAUDE.md); the probe UDF
+        # is total, so _cells is never null/empty.
+        .withColumn("_cell", F.explode_outer("_cells"))
+        .select(query_id_col, "_cell")
+    )
+    cand = codes.join(q_cells, "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(query_id_col))
+    cand = cand.select(query_id_col, id_col, "pq_code")
+
+    scored = cand.join(qbase, query_id_col).select(
+        query_id_col,
+        id_col,
+        _adc_join_udf(books)(F.col("_qvec"), F.col("pq_code")).alias("_adc"),
+    )
+    keep = k * (rerank_factor if rerank is not None else 1)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.col(id_col))
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+    if rerank is None:
+        return top.select(
+            query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
+        )
+    rs = (
+        top.drop("_adc")
+        .join(rerank.select(id_col, vec_col), id_col)
+        .join(qbase, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        rs.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

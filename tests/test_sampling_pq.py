@@ -228,3 +228,48 @@ def test_pq_query_side_is_bounded(spark, emb):
     # raising the bound explicitly works
     got = pq_knn(codes, big.limit(12), books, k=3, max_queries=12).collect()
     assert got and len({r.query_id for r in got}) == 12
+
+
+def test_ivf_pq_knn_join_matches_collected_path(spark, emb):
+    """The DataFrame-query-side path must produce the same results as
+    the collected path given the SAME prebuilt index and codebooks —
+    the per-batch table construction is operation-identical numpy, so
+    candidates and scores agree exactly (rerank makes final scores
+    exact either way)."""
+    from ros_sql_spark.operators.pq import ivf_pq_knn, ivf_pq_knn_join
+    from ros_sql_spark.operators.similarity import ivf_index
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    index = ivf_index(emb, n_cells=8, seed=42)
+    # seed 42 = ivf_pq_knn's internal pq_train seed, so both paths
+    # search over the identical codebooks
+    books = pq_train(emb, dim=64, m=8, n_centroids=16, seed=42)
+    kw = dict(
+        k=10, n_probe=6, rerank=emb, rerank_factor=8, index=index,
+    )
+    collected = ivf_pq_knn(
+        emb, queries, n_cells=8, m=8, n_centroids=16, **kw
+    ).collect()
+    joined = ivf_pq_knn_join(emb, queries, codebooks=books, **kw).collect()
+    canon = lambda rows: sorted(
+        (r.query_id, r.vec_id, r.score) for r in rows
+    )
+    assert canon(joined) == canon(collected)
+
+
+def test_ivf_pq_knn_join_unbounded_queries(spark, emb):
+    """The join path has NO max_queries: the whole corpus as the query
+    frame runs fine (100 queries here; the shape is rows, not driver
+    memory), k rows per query, self excluded."""
+    from ros_sql_spark.operators.pq import ivf_pq_knn_join
+
+    out = ivf_pq_knn_join(
+        emb, emb, k=3, n_cells=8, n_probe=4, m=8, n_centroids=16,
+    ).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+        assert r.vec_id != r.query_id
+    assert len(per_q) == emb.count()
+    for q, rows in per_q.items():
+        assert len(rows) == 3
