@@ -173,6 +173,58 @@ def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
     return _list_versions(spark, table)
 
 
+def _file_stats(paths: list[str], cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from parquet FOOTERS — metadata-only
+    reads (no row data touched), aggregated across row groups.
+
+    This is the data-skipping substrate Iceberg/Delta manifests carry
+    (public designs): O(files) tiny footer reads at commit time buy
+    file-level pruning at every subsequent read.  Here the footer scan
+    runs driver-side over THIS COMMIT's files only (a commit writes a
+    bounded file count; carried files keep their previously recorded
+    stats) — the production variant would return the same numbers from
+    the writer tasks.  Columns whose footer lacks usable min/max
+    (unsupported types, no statistics) are simply absent for that file,
+    which readers treat as "never prune".  Values are stored
+    JSON-native (int/float/str/bool); anything else is skipped.
+    """
+    import pyarrow.parquet as papq
+
+    out: dict = {}
+    for p in paths:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            md = papq.ParquetFile(local).metadata
+        except Exception:
+            continue  # unreadable footer: file stays unprunable
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        fstats: dict = {}
+        for c in cols:
+            ci = name_to_idx.get(c)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                    mx, (int, float, str, bool)
+                ):
+                    ok = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok and lo is not None:
+                fstats[c] = [lo, hi]
+        if fstats:
+            out[p] = fstats
+    return out
+
+
 def snapshot_commit(
     df: DataFrame,
     table: str,
@@ -181,6 +233,7 @@ def snapshot_commit(
     replace_where: str | None = None,
     expected_version: int | None = None,
     tag: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Publish ``df`` as the next snapshot of ``table``; returns the new
     version.
@@ -198,6 +251,12 @@ def snapshot_commit(
       :class:`SnapshotConflict` if the table moved past it.
     - ``tag``: opaque marker recorded in the manifest (e.g. a streaming
       batch id) — the idempotency token replays check.
+    - ``stats_cols``: record per-file min/max for these columns in the
+      manifest (parquet-footer metadata reads only) so
+      :func:`snapshot_read` can SKIP whole files for range predicates —
+      Iceberg/Delta-style data skipping.  Appends carry the previous
+      files' stats forward unchanged; once a table commits with
+      stats_cols, later appends default to the same columns.
 
     The data write is an ordinary Spark parquet write into a
     version-private directory (never seen by readers until the manifest
@@ -258,12 +317,26 @@ def snapshot_commit(
         kept.write.mode("append").parquet(staging)
 
     df.write.mode("append").parquet(staging)
-    files = carried + _data_files(spark, staging)
+    new_files = _data_files(spark, staging)
+    files = carried + new_files
     manifest = {
         "version": new_version,
         "files": files,
         "schema": df.schema.json(),
     }
+    # data-skipping stats: sticky per table (appends inherit the stats
+    # columns of the snapshot they extend), carried files keep the
+    # stats they were committed with — only THIS commit's files get a
+    # footer scan.
+    if stats_cols is None:
+        stats_cols = prev_manifest.get("stats_cols")
+    if stats_cols:
+        prev_stats = prev_manifest.get("stats", {})
+        stats = {f: prev_stats[f] for f in carried if f in prev_stats}
+        stats.update(_file_stats(new_files, list(stats_cols)))
+        manifest["stats_cols"] = list(stats_cols)
+        if stats:
+            manifest["stats"] = stats
     # exactly-once bookkeeping: the highest streaming batch id ever
     # committed rides on EVERY manifest (carried forward by untagged
     # commits too), so an interleaved manual commit / replace_where
@@ -338,12 +411,28 @@ def snapshot_write_stream(
 
 
 def snapshot_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default, ``version=`` for time
     travel).  The file list is resolved HERE, once — concurrent commits
     cannot change this query's inputs, and directory listings are never
-    consulted (no eventual-consistency hazards)."""
+    consulted (no eventual-consistency hazards).
+
+    ``prune``: ``{col: (lo, hi)}`` inclusive range bounds (either side
+    ``None`` for unbounded, or a scalar for equality).  Files whose
+    recorded min/max provably cannot contain a matching row are dropped
+    from the scan BEFORE Spark sees them — manifest-level data skipping,
+    one tier above parquet's own row-group pruning (at 100 TB the win is
+    never OPENING the 99% of files a time/id-range query cannot touch,
+    which row-group stats inside an already-opened file cannot give
+    you).  Pruning is advisory and safe-by-construction: files with no
+    recorded stats for a column always survive, and callers still apply
+    the exact ``filter`` — skipping only removes files with zero
+    matching rows, so query results are IDENTICAL with or without it.
+    """
     versions = _list_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table}")
@@ -356,13 +445,38 @@ def snapshot_read(
     # the manifest's schema, not per-file footer sampling: reads are
     # deterministic and never depend on which file is listed first
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    return spark.read.schema(schema).parquet(*manifest["files"])
+    files = manifest["files"]
+    if prune:
+        stats = manifest.get("stats", {})
+        files = [
+            f for f in files if _file_may_match(stats.get(f, {}), prune)
+        ]
+        if not files:
+            return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def _file_may_match(fstats: dict, prune: dict) -> bool:
+    """False only when some pruned column's recorded [min, max] is
+    provably disjoint from the requested range (missing stats never
+    prune — the reader stays correct for unstated columns/types)."""
+    for col, bound in prune.items():
+        if col not in fstats:
+            continue
+        fmin, fmax = fstats[col]
+        lo, hi = bound if isinstance(bound, tuple) else (bound, bound)
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
 
 
 def snapshot_compact(
     spark: SparkSession,
     table: str,
     target_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot's rows into ``target_files`` files
     and commit them as a new version — the snapshot-table remedy for
@@ -375,13 +489,29 @@ def snapshot_compact(
     ``vacuum``).  The commit carries the previous version's tag forward
     so a streaming writer's batch-id idempotency check survives
     compaction — compacting mid-stream cannot cause re-appends.
+
+    ``cluster_by``: range-partition + sort the rewrite on these columns
+    so each output file covers a TIGHT, nearly disjoint value range —
+    what turns the manifest min/max stats into actual file skipping
+    (append-ordered files all span the full key range; clustered files
+    prune to ~1/target_files per point lookup).  The Delta OPTIMIZE
+    ZORDER role, in its linear single-/prefix-key form.
     """
     versions = _list_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table}")
     latest = versions[-1]
     prev_tag = _read_manifest(spark, table, latest).get("tag")
-    df = snapshot_read(spark, table, version=latest).coalesce(target_files)
+    df = snapshot_read(spark, table, version=latest)
+    if cluster_by:
+        from pyspark.sql import functions as SF
+
+        cols = [SF.col(c) for c in cluster_by]
+        df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(
+            *cols
+        )
+    else:
+        df = df.coalesce(target_files)
     return snapshot_commit(
         df, table, mode="overwrite", expected_version=latest, tag=prev_tag
     )

@@ -365,3 +365,91 @@ def test_append_batch_survives_interleaved_untagged_commit(spark, tmp_path):
     # untagged commit, so the replay is still skipped
     assert snapshot_append_batch(_df(spark, 5, 9, "a"), t, batch_id=1) is False
     assert snapshot_read(spark, t).count() == 12
+
+
+def test_stats_recorded_and_pruned_read(spark, tmp_path):
+    """Commit with stats_cols → manifest carries per-file min/max;
+    a pruned read of a range-clustered table opens strictly fewer files
+    and returns the IDENTICAL rows the exact filter would."""
+    t = str(tmp_path / "tbl")
+    df = (
+        _df(spark, 0, 1000, "a")
+        .repartitionByRange(8, F.col("id"))
+        .sortWithinPartitions("id")
+    )
+    snapshot_commit(df, t, stats_cols=["id"])
+    full = snapshot_read(spark, t)
+    assert len(full.inputFiles()) == 8
+    pruned = snapshot_read(spark, t, prune={"id": (0, 99)})
+    assert 0 < len(pruned.inputFiles()) < 8
+    got = sorted(r.id for r in pruned.filter("id <= 99").collect())
+    want = sorted(r.id for r in full.filter("id <= 99").collect())
+    assert got == want == list(range(100))
+    # point lookup form (scalar bound)
+    point = snapshot_read(spark, t, prune={"id": 500})
+    assert 0 < len(point.inputFiles()) < 8
+    assert point.filter("id = 500").count() == 1
+
+
+def test_prune_without_stats_keeps_all_files(spark, tmp_path):
+    """Pruning on a column with no recorded stats must be a no-op (safe
+    default), and results stay correct."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100, "a").repartition(4), t  # no stats_cols
+    )
+    full = snapshot_read(spark, t)
+    pruned = snapshot_read(spark, t, prune={"id": (0, 5)})
+    assert len(pruned.inputFiles()) == len(full.inputFiles())
+    assert pruned.filter("id < 6").count() == 6
+
+
+def test_append_carries_stats_and_inherits_stats_cols(spark, tmp_path):
+    """Appends keep carried files' stats unchanged and footer-scan only
+    the new files; stats_cols is sticky (inherited when omitted)."""
+    from ros_sql_spark.sources.snapshot import _read_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100, "a").coalesce(1), t, stats_cols=["id"]
+    )
+    snapshot_commit(
+        _df(spark, 1000, 1100, "b").coalesce(1), t, mode="append"
+    )  # no stats_cols passed — inherited
+    m = _read_manifest(spark, t, 2)
+    assert m["stats_cols"] == ["id"]
+    assert len(m["stats"]) == len(m["files"]) == 2
+    # disjoint ranges → pruned point read touches exactly one file
+    pruned = snapshot_read(spark, t, prune={"id": (1000, None)})
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    assert {r.tag for r in pruned.select("tag").distinct().collect()} == {"b"}
+
+
+def test_prune_empty_result_keeps_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a").coalesce(1), t, stats_cols=["id"])
+    out = snapshot_read(spark, t, prune={"id": (10_000, None)})
+    assert out.count() == 0
+    assert out.columns == ["id", "tag", "part"]
+
+
+def test_compact_cluster_by_enables_skipping(spark, tmp_path):
+    """Streaming-append fragmentation: each appended file spans its own
+    narrow id range here, but after a clustered compaction the pruned
+    point read opens exactly one of the rewritten files and total rows
+    are preserved."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 400, "a").repartition(4), t, stats_cols=["id"]
+    )  # repartition (round-robin): every file spans ~the full id range
+    pre = snapshot_read(spark, t, prune={"id": 7})
+    # round-robin files span wide ranges: most files survive the prune
+    assert len(pre.inputFiles()) >= 3
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    v = snapshot_compact(spark, t, target_files=4, cluster_by=["id"])
+    post = snapshot_read(spark, t, version=v, prune={"id": 7})
+    assert len(post.inputFiles()) == 1
+    assert post.filter("id = 7").count() == 1
+    assert snapshot_read(spark, t, version=v).count() == 400
