@@ -60,6 +60,8 @@ __all__ = [
     "snapshot_append_batch",
     "snapshot_compact",
     "snapshot_write_stream",
+    "snapshot_merge",
+    "snapshot_changes",
     "SnapshotConflict",
 ]
 
@@ -234,6 +236,7 @@ def snapshot_commit(
     expected_version: int | None = None,
     tag: str | None = None,
     stats_cols: list[str] | None = None,
+    carry_files: list[str] | None = None,
 ) -> int:
     """Publish ``df`` as the next snapshot of ``table``; returns the new
     version.
@@ -251,6 +254,10 @@ def snapshot_commit(
       :class:`SnapshotConflict` if the table moved past it.
     - ``tag``: opaque marker recorded in the manifest (e.g. a streaming
       batch id) — the idempotency token replays check.
+    - ``carry_files``: advanced overwrite form — carry these files of
+      the previous snapshot by reference alongside ``df``'s new files
+      (:func:`snapshot_merge` uses it to skip rewriting files its key
+      pruning proved untouched).
     - ``stats_cols``: record per-file min/max for these columns in the
       manifest (parquet-footer metadata reads only) so
       :func:`snapshot_read` can SKIP whole files for range predicates —
@@ -266,6 +273,11 @@ def snapshot_commit(
         raise ValueError(f"mode={mode!r}")
     if mode == "append" and replace_where is not None:
         raise ValueError("append and replace_where are mutually exclusive")
+    if carry_files is not None and (mode == "append" or replace_where):
+        raise ValueError(
+            "carry_files composes only with plain overwrite (it IS the "
+            "explicit carried-set form that append/replace_where derive)"
+        )
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     latest = versions[-1] if versions else 0
@@ -297,6 +309,17 @@ def snapshot_commit(
     carried: list[str] = []
     if mode == "append" and versions:
         carried = prev_manifest["files"]
+    elif carry_files is not None and versions:
+        # advanced form (snapshot_merge): the caller proved these files
+        # of the PREVIOUS snapshot are untouched by this rewrite —
+        # carry them by reference, like an append carries everything.
+        prev_set = set(prev_manifest["files"])
+        bad = [f for f in carry_files if f not in prev_set]
+        if bad:
+            raise ValueError(
+                f"carry_files not in snapshot v{latest}: {bad[:3]}"
+            )
+        carried = list(carry_files)
     # writer-unique staging dir: two writers racing for the same version
     # number never share a directory, so this commit's file listing can
     # only ever see files THIS writer wrote (a loser's staging dir is
@@ -515,6 +538,119 @@ def snapshot_compact(
     return snapshot_commit(
         df, table, mode="overwrite", expected_version=latest, tag=prev_tag
     )
+
+
+def snapshot_merge(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    stats_prune: bool = True,
+) -> int:
+    """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
+    INSERT, whole-row form): the new snapshot is (previous rows whose
+    key is NOT in ``df``) ∪ ``df``.  Keys must be non-null (null never
+    equi-matches, so a null-keyed prev row would survive as a duplicate).
+
+    The 100 TB shape is WHICH files rewrite.  With manifest stats on the
+    primary key column, candidacy is decided EXACTLY per file: the
+    file-bounds table (one row per file — manifest-sized, broadcast)
+    joins ``df``'s distinct keys on ``key BETWEEN min AND max``, so a
+    file rewrites only if some upsert key actually lands in its range —
+    a sparse upsert with keys scattered across disjoint ranges carries
+    everything between the ranges by reference (a single bounding box
+    would carry nothing).  Against a key-clustered table
+    (``snapshot_compact(cluster_by=keys)``) a small upsert rewrites
+    ~|df| worth of files instead of the whole table — Delta/Iceberg's
+    merge file-pruning, done at the manifest tier.  Files with no
+    recorded stats for the key always rewrite (safe default);
+    secondary-key stats can only shrink the candidate set further.
+    """
+    spark = df.sparkSession
+    versions = _list_versions(spark, table)
+    if not versions:
+        return snapshot_commit(df, table, mode="overwrite")
+    latest = versions[-1]
+    manifest = _read_manifest(spark, table, latest)
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    files = manifest["files"]
+    stats = manifest.get("stats", {})
+    carried: list[str] = []
+    candidates = files
+    k0 = keys[0]
+    bounded = [
+        (f, stats[f][k0][0], stats[f][k0][1])
+        for f in files
+        if k0 in stats.get(f, {})
+    ]
+    if stats_prune and bounded:
+        fb = spark.createDataFrame(bounded, ["_file", "_lo", "_hi"])
+        hit_rows = (
+            df.select(SF.col(k0).alias("_k")).distinct()
+            .join(
+                SF.broadcast(fb),
+                (SF.col("_k") >= SF.col("_lo"))
+                & (SF.col("_k") <= SF.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        hits = {r._file for r in hit_rows}
+        unbounded = {f for f in files if k0 not in stats.get(f, {})}
+        candidates = [f for f in files if f in hits or f in unbounded]
+        carried = [f for f in files if f not in set(candidates)]
+    if candidates:
+        prev_part = spark.read.schema(schema).parquet(*candidates)
+        kept = prev_part.join(
+            df.select(*keys).distinct(), keys, "left_anti"
+        )
+        out = kept.unionByName(df)
+    else:
+        out = df
+    return snapshot_commit(
+        out,
+        table,
+        mode="overwrite",
+        expected_version=latest,
+        carry_files=carried or None,
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots — the CDC feed an
+    incremental consumer reads instead of re-scanning the table:
+    ``_change = 'insert'`` rows exist in ``to`` but not ``from``,
+    ``'delete'`` rows the reverse (an update is a delete+insert pair).
+    Multiset semantics (``exceptAll``) so duplicate rows diff by count.
+
+    Scale note: this is the STATELESS form — one hash-partitioned
+    anti-diff over both snapshots' files, no stored row ids.  Consumers
+    that can act on appends only should instead read the manifest delta
+    (files added between versions are pure inserts for append-only
+    tables — zero data diffed); this full diff is for
+    overwrite/merge/replace_where histories where files alone cannot
+    tell which rows changed.
+    """
+    to_v = (
+        to_version
+        if to_version is not None
+        else _list_versions(spark, table)[-1]
+    )
+    from pyspark.sql import functions as SF
+
+    old = snapshot_read(spark, table, version=from_version)
+    new = snapshot_read(spark, table, version=to_v)
+    ins = new.exceptAll(old).withColumn("_change", SF.lit("insert"))
+    dels = old.exceptAll(new).withColumn("_change", SF.lit("delete"))
+    return ins.unionByName(dels)
 
 
 def _staging_version(dirname: str) -> int | None:

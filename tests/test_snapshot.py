@@ -453,3 +453,72 @@ def test_compact_cluster_by_enables_skipping(spark, tmp_path):
     assert len(post.inputFiles()) == 1
     assert post.filter("id = 7").count() == 1
     assert snapshot_read(spark, t, version=v).count() == 400
+
+
+def test_merge_upserts_and_prunes_rewrites(spark, tmp_path):
+    """MERGE on a key-clustered table: matched keys update, new keys
+    insert, and files provably outside df's key range are CARRIED by
+    reference (their paths appear verbatim in the new manifest)."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 800, "base").repartition(8), t, stats_cols=["id"]
+    )
+    snapshot_compact(spark, t, target_files=8, cluster_by=["id"])
+    pre_files = set(_read_manifest(spark, t, 2)["files"])
+    # upsert: ids 0-49 update, 10_000-10_049 insert — touches only the
+    # low end of the clustered range
+    up = _df(spark, 0, 50, "upd").union(_df(spark, 10_000, 10_050, "new"))
+    v = snapshot_merge(up, t, keys=["id"])
+    m = _read_manifest(spark, t, v)
+    carried = [f for f in m["files"] if f in pre_files]
+    assert carried, "stats pruning carried no files — rewrite was total"
+    assert len(carried) < 8
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 800 + 50  # 50 updated in place, 50 inserted
+    assert got.filter("id < 50 AND tag = 'upd'").count() == 50
+    assert got.filter("id < 50 AND tag = 'base'").count() == 0
+    assert got.filter("id >= 10000").count() == 50
+    assert got.filter("tag = 'base'").count() == 750
+    # carried files kept their stats: a pruned point read still narrows
+    assert len(snapshot_read(spark, t, version=v,
+                             prune={"id": 700}).inputFiles()) < len(m["files"])
+
+
+def test_merge_without_stats_rewrites_all_but_stays_correct(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "base").repartition(4), t)  # no stats
+    v = snapshot_merge(_df(spark, 90, 110, "up"), t, keys=["id"])
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 110
+    assert got.filter("tag = 'up'").count() == 20
+    assert got.filter("id < 90 AND tag = 'base'").count() == 90
+
+
+def test_merge_on_empty_table_is_first_commit(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    assert snapshot_merge(_df(spark, 0, 10, "a"), t, keys=["id"]) == 1
+    assert snapshot_read(spark, t).count() == 10
+
+
+def test_snapshot_changes_diff(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_changes, snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "base").coalesce(1), t, stats_cols=["id"])
+    snapshot_merge(_df(spark, 40, 60, "upd"), t, keys=["id"])
+    ch = snapshot_changes(spark, t, from_version=1).collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r._change, []).append((r.id, r.tag))
+    assert sorted(by["insert"]) == [(i, "upd") for i in range(40, 60)]
+    assert sorted(by["delete"]) == [(i, "base") for i in range(40, 60)]
