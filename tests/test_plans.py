@@ -301,3 +301,24 @@ def test_q36_single_pair_table_shuffle(spark):
     p = plan_of(spark, "q36_tfidf_topk")
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 3, p
     assert "WindowGroupLimit" in p
+
+
+def test_new_batch_r5_plan_shapes(spark):
+    """Round-5 queries: the shapes their 100 TB stories depend on.
+
+    - q90: the Bloom word table joins as a BROADCAST (it is ≤ m_bits/64
+      rows by construction — the whole point of the sketch);
+    - q91/q94: every window/sort is partitioned by user_id, never a
+      single-partition global sort;
+    - q95: train-set membership is a LEFT SEMI join (no fan-out dupes).
+    """
+    p90 = plan_of(spark, "q90_bloom_decontaminate")
+    assert "BroadcastHashJoin" in p90
+    assert "LeftSemi" in p90  # exact verify stage
+    for name in ("q91_gap_fill", "q94_seq_pattern"):
+        p = plan_of(spark, name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            assert "user_id" in m.group(1), (name, m.group(0))
+        assert "SinglePartition" not in p, name
+    p95 = plan_of(spark, "q95_containment")
+    assert "LeftSemi" in p95
