@@ -62,6 +62,7 @@ __all__ = [
     "snapshot_write_stream",
     "snapshot_merge",
     "snapshot_changes",
+    "snapshot_read_incremental",
     "SnapshotConflict",
 ]
 
@@ -500,6 +501,7 @@ def snapshot_compact(
     table: str,
     target_files: int = 1,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot's rows into ``target_files`` files
     and commit them as a new version — the snapshot-table remedy for
@@ -519,14 +521,32 @@ def snapshot_compact(
     (append-ordered files all span the full key range; clustered files
     prune to ~1/target_files per point lookup).  The Delta OPTIMIZE
     ZORDER role, in its linear single-/prefix-key form.
+
+    ``zorder_by``: Morton-interleave these (integer) columns instead —
+    file ranges stay tight in EVERY listed dimension, so range reads on
+    any one of them prune (linear ``cluster_by`` only prunes its
+    prefix).  See functions/zorder.py; mutually exclusive with
+    ``cluster_by``.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     versions = _list_versions(spark, table)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {table}")
     latest = versions[-1]
     prev_tag = _read_manifest(spark, table, latest).get("tag")
     df = snapshot_read(spark, table, version=latest)
-    if cluster_by:
+    if zorder_by:
+        from ros_sql_spark.functions.zorder import zorder_bounds, zorder_key
+
+        key = zorder_key(zorder_bounds(df, zorder_by))
+        df = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(target_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif cluster_by:
         from pyspark.sql import functions as SF
 
         cols = [SF.col(c) for c in cluster_by]
@@ -651,6 +671,70 @@ def snapshot_changes(
     ins = new.exceptAll(old).withColumn("_change", SF.lit("insert"))
     dels = old.exceptAll(new).withColumn("_change", SF.lit("delete"))
     return ins.unionByName(dels)
+
+
+def snapshot_read_incremental(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    strict: bool = True,
+) -> tuple[DataFrame, int]:
+    """Rows ADDED after ``since_version`` — the incremental-consumer
+    fast path.  For an append-only history the manifest delta IS the
+    row delta: the new snapshot's files minus the old one's are pure
+    inserts, so the reader scans ONLY the new files and diffs zero
+    data (at 100 TB this is the difference between "read this hour's
+    files" and "diff two full table snapshots").  Returns
+    ``(rows_df, to_version)``; feed ``to_version`` back as the next
+    call's ``since_version`` (exactly-once cursor, manifest-versioned).
+
+    If files were REMOVED in between (compact / merge / overwrite /
+    replace_where), file delta ≠ row delta — with ``strict=True``
+    (default) that raises so the consumer decides; ``strict=False``
+    falls back to the full :func:`snapshot_changes` diff filtered to
+    inserts (correct, but scans both snapshots).  A compaction that
+    rewrote rows it already delivered is indistinguishable from new
+    data at the file tier — hence the hard error, matching the
+    "process once from a version cursor" contract.
+    """
+    versions = _list_versions(spark, table)
+    if since_version not in versions:
+        raise FileNotFoundError(
+            f"since_version {since_version} not in {versions} — the "
+            "cursor's manifest was vacuumed; re-baseline from a full read"
+        )
+    to_v = versions[-1]
+    old_files = set(_read_manifest(spark, table, since_version)["files"])
+    if to_v == since_version:
+        manifest = _read_manifest(spark, table, to_v)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema), to_v
+    manifest = _read_manifest(spark, table, to_v)
+    new_files = [f for f in manifest["files"] if f not in old_files]
+    removed = old_files - set(manifest["files"])
+    if removed:
+        if strict:
+            raise ValueError(
+                f"history {since_version}→{to_v} removed "
+                f"{len(removed)} files (compact/merge/overwrite): file "
+                "delta is not a row delta — pass strict=False for a "
+                "full diff, or re-baseline"
+            )
+        from pyspark.sql import functions as SF
+
+        diff = snapshot_changes(spark, table, since_version, to_v)
+        return (
+            diff.filter(SF.col("_change") == "insert").drop("_change"),
+            to_v,
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not new_files:
+        return spark.createDataFrame([], schema), to_v
+    return spark.read.schema(schema).parquet(*new_files), to_v
 
 
 def _staging_version(dirname: str) -> int | None:

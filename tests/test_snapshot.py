@@ -522,3 +522,84 @@ def test_snapshot_changes_diff(spark, tmp_path):
         by.setdefault(r._change, []).append((r.id, r.tag))
     assert sorted(by["insert"]) == [(i, "upd") for i in range(40, 60)]
     assert sorted(by["delete"]) == [(i, "base") for i in range(40, 60)]
+
+
+def test_read_incremental_appends_only_new_files(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_read_incremental
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_commit(_df(spark, 0, 100, "a").coalesce(1), t)
+    snapshot_commit(_df(spark, 100, 150, "b").coalesce(1), t, mode="append")
+    snapshot_commit(_df(spark, 150, 170, "c").coalesce(1), t, mode="append")
+    inc, v = snapshot_read_incremental(spark, t, since_version=v1)
+    assert v == 3
+    assert len(inc.inputFiles()) == 2  # only the two appended files
+    assert inc.count() == 70
+    assert {r.tag for r in inc.select("tag").distinct().collect()} == {"b", "c"}
+    # cursor at head: empty delta, same schema
+    inc2, v2 = snapshot_read_incremental(spark, t, since_version=v)
+    assert v2 == 3 and inc2.count() == 0
+    assert inc2.columns == ["id", "tag", "part"]
+
+
+def test_read_incremental_detects_rewrites(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_merge,
+        snapshot_read_incremental,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_commit(_df(spark, 0, 100, "a").coalesce(1), t)
+    snapshot_compact(spark, t, target_files=2)
+    with pytest.raises(ValueError, match="removed"):
+        snapshot_read_incremental(spark, t, since_version=v1)
+    # non-strict: falls back to the row diff (compaction → no row change)
+    inc, v = snapshot_read_incremental(spark, t, since_version=v1, strict=False)
+    assert inc.count() == 0
+    # after a merge, non-strict surfaces exactly the upserted rows
+    snapshot_merge(_df(spark, 90, 120, "up"), t, keys=["id"])
+    inc2, _ = snapshot_read_incremental(spark, t, since_version=v, strict=False)
+    assert inc2.count() == 30
+    assert {r.tag for r in inc2.select("tag").distinct().collect()} == {"up"}
+    # vacuumed cursor: actionable error
+    with pytest.raises(FileNotFoundError, match="not in"):
+        snapshot_read_incremental(spark, t, since_version=99)
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """2-d grid clustered by Morton key: a range read on EITHER column
+    alone skips files (linear clustering would only skip on its prefix
+    column)."""
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id"),
+    )
+    snapshot_commit(grid.repartition(4), t, stats_cols=["x", "y"])
+    v = snapshot_compact(spark, t, target_files=16, zorder_by=["x", "y"])
+    nfiles = len(snapshot_read(spark, t, version=v).inputFiles())
+    assert nfiles == 16
+    px = snapshot_read(spark, t, version=v, prune={"x": (0, 7)})
+    py = snapshot_read(spark, t, version=v, prune={"y": (0, 7)})
+    assert len(px.inputFiles()) < nfiles
+    assert len(py.inputFiles()) < nfiles
+    # correctness unchanged
+    assert px.filter("x <= 7").count() == 8 * 64
+    assert py.filter("y <= 7").count() == 8 * 64
+    # the combined box prunes hardest
+    pxy = snapshot_read(spark, t, version=v, prune={"x": (0, 7), "y": (0, 7)})
+    assert len(pxy.inputFiles()) <= min(len(px.inputFiles()), len(py.inputFiles()))
+    assert pxy.filter("x <= 7 AND y <= 7").count() == 64
+
+
+def test_zorder_key_validation(spark):
+    from ros_sql_spark.functions.zorder import zorder_key
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        zorder_key({"a": (0, 1), "b": (0, 1)}, bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key({})
