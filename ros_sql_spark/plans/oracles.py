@@ -998,6 +998,36 @@ ORACLES: dict[str, str] = {
         FROM ev e LEFT JOIN tr t ON e.s = t.s
         GROUP BY e.doc_id
     """,
+    # full-frame window battery; NULL second_type/gap_us for
+    # single-event users in both engines (nth_value past the frame)
+    "q96_first_touch": """
+        SELECT user_id, first_type, second_type, last_type, gap_us
+        FROM (
+            SELECT user_id,
+                   first_value(event_type) OVER w AS first_type,
+                   nth_value(event_type, 2) OVER w AS second_type,
+                   last_value(event_type) OVER w AS last_type,
+                   nth_value(us, 2) OVER w - first_value(us) OVER w AS gap_us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS rn
+            FROM (SELECT user_id, event_type, event_id,
+                         epoch_us(ts) AS us FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        WHERE rn = 1
+    """,
+    # both engines return '' (not NULL) for a no-match regexp_extract
+    "q97_extract_entities": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                   AS n_numbers,
+               CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+                   AS n_capwords,
+               regexp_extract(text, '[0-9]+') AS first_number
+        FROM documents
+    """,
     "q89_edit_distance": """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist

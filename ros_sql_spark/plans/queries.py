@@ -1951,6 +1951,59 @@ def q95_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: per user, the first / second / last
+    event type and the µs gap between touch 1 and touch 2 — the
+    first_value / nth_value / last_value / full-frame window battery
+    (q47/q56/q64 cover frames and lag; these value-position functions
+    were the remaining window surface).  One shuffle: both window
+    passes and the rn=1 filter share the user_id partitioning; ties
+    break on event_id per the same-µs collision rule."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", tus("ts_ns").alias("us"), "event_id"
+    )
+    order = [F.asc("us"), F.asc("event_id")]
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wseq = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        base.withColumn("first_type", F.first_value("event_type").over(wfull))
+        .withColumn("second_type", F.nth_value("event_type", 2).over(wfull))
+        .withColumn("last_type", F.last_value("event_type").over(wfull))
+        .withColumn(
+            "gap_us",
+            F.nth_value("us", 2).over(wfull) - F.first_value("us").over(wfull),
+        )
+        .withColumn("_rn", F.row_number().over(wseq))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "first_type", "second_type", "last_type", "gap_us")
+    )
+
+
+def q97_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight entity extraction (regexp_extract_all): per document,
+    counts of number tokens and Capitalized words plus the first number
+    literal — the profile-what's-in-the-text primitive behind PII
+    audits and metadata backfills.  Patterns are chosen to mean the
+    same thing in Java regex (Spark) and RE2 (DuckDB); pure projection,
+    shuffle-free, whole-stage-codegen'd."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Z][a-z]+', 0)"))
+        .cast("bigint")
+        .alias("n_capwords"),
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2047,4 +2100,6 @@ QUERIES = {
     "q93_word_entropy": q93_word_entropy,
     "q94_seq_pattern": q94_seq_pattern,
     "q95_containment": q95_containment,
+    "q96_first_touch": q96_first_touch,
+    "q97_extract_entities": q97_extract_entities,
 }
