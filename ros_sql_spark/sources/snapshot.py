@@ -61,6 +61,8 @@ __all__ = [
     "snapshot_compact",
     "snapshot_write_stream",
     "snapshot_merge",
+    "snapshot_merge_batch",
+    "snapshot_merge_stream",
     "snapshot_changes",
     "snapshot_read_incremental",
     "SnapshotConflict",
@@ -565,6 +567,7 @@ def snapshot_merge(
     table: str,
     keys: list[str],
     stats_prune: bool = True,
+    tag: str | None = None,
 ) -> int:
     """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
     INSERT, whole-row form): the new snapshot is (previous rows whose
@@ -588,7 +591,7 @@ def snapshot_merge(
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if not versions:
-        return snapshot_commit(df, table, mode="overwrite")
+        return snapshot_commit(df, table, mode="overwrite", tag=tag)
     latest = versions[-1]
     manifest = _read_manifest(spark, table, latest)
     from pyspark.sql import functions as SF
@@ -635,8 +638,62 @@ def snapshot_merge(
         table,
         mode="overwrite",
         expected_version=latest,
+        tag=tag,
         carry_files=carried or None,
     )
+
+
+def snapshot_merge_batch(
+    df: DataFrame, table: str, keys: list[str], batch_id: int
+) -> bool:
+    """Idempotent per-micro-batch MERGE: upsert ``df`` by ``keys``
+    unless the table's batch watermark already covers ``batch_id``
+    (same last_batch bookkeeping as :func:`snapshot_append_batch`).
+    Returns whether a commit happened."""
+    spark = df.sparkSession
+    versions = _list_versions(spark, table)
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        committed = m.get("last_batch")
+        if committed is not None and committed >= batch_id:
+            return False
+    snapshot_merge(df, table, keys, tag=f"batch:{batch_id}")
+    return True
+
+
+def snapshot_merge_stream(
+    events: DataFrame,
+    table: str,
+    keys: list[str],
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT sink — the transactional twin of
+    the q50 latest-state materialization: each micro-batch MERGEs by
+    key into the snapshot table, so the table IS the current state
+    (newest row per key), maintained incrementally with snapshot
+    isolation for readers and batch-id idempotency under redelivery.
+
+    Contract: each micro-batch must carry at most one row per key
+    (pre-aggregate in the stream — e.g. ``dropDuplicates(keys)`` or a
+    latest-wins reduce — otherwise both rows land).  Against a
+    key-clustered table the per-batch merge rewrites only the files the
+    batch's keys touch (:func:`snapshot_merge` pruning), which is what
+    makes a continuous upsert stream affordable at 100 TB.  (Single
+    writer per table, like every Structured Streaming sink.)
+    """
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        snapshot_merge_batch(df, table, keys, batch_id)
+
+    writer = (
+        events.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def snapshot_changes(

@@ -603,3 +603,45 @@ def test_zorder_key_validation(spark):
         zorder_key({"a": (0, 1), "b": (0, 1)}, bits=32)
     with pytest.raises(ValueError, match="at least one"):
         zorder_key({})
+
+
+def test_merge_stream_maintains_latest_state_exactly_once(spark, tmp_path):
+    """Stream per-key updates through the merge sink: the table ends as
+    the latest row per key; a full redelivery from a fresh checkpoint
+    changes nothing (batch watermark skips every replayed merge)."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_merge_stream,
+        snapshot_versions,
+    )
+
+    feed = str(tmp_path / "feed")
+    # 3 files, overlapping keys: file i upserts ids [0, 30+10i) tagged fi
+    for i in range(3):
+        _df(spark, 0, 30 + 10 * i, f"f{i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    schema = "id BIGINT, tag STRING, part BIGINT"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    t = str(tmp_path / "tbl")
+    q = snapshot_merge_stream(stream(), t, ["id"], str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = snapshot_read(spark, t)
+    assert got.count() == 50  # union of keys, one row each
+    v_head = snapshot_versions(spark, t)[-1]
+    # ids 0-29 were upserted by every batch; whichever batch ran last
+    # won — but each id appears exactly once
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+
+    q2 = snapshot_merge_stream(stream(), t, ["id"], str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert snapshot_versions(spark, t)[-1] == v_head
+    assert snapshot_read(spark, t).count() == 50
