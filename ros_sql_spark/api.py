@@ -132,6 +132,21 @@ def playback(
     base = os.path.join(store_path, entry.table)
     children = [_meta_from_dict(d) for d in entry.children]
     tables = {}
+    # time-range data skipping: snapshot stores record per-file ts
+    # min/max (record_stream_snapshot), so a [t0, t1) replay drops
+    # whole files at the MANIFEST tier before Spark opens anything —
+    # the hypertable chunk-exclusion shape.  Inclusive-bound form of
+    # the half-open interval: hi = t1 - 1 (integer ns).  Tables
+    # without the ts column (or without stats) are unaffected —
+    # pruning never changes results, the exact filter below still runs.
+    prune = None
+    if entry.ts_col and (t0_ns is not None or t1_ns is not None):
+        prune = {
+            entry.ts_col: (
+                t0_ns,
+                t1_ns - 1 if t1_ns is not None else None,
+            )
+        }
     for name in os.listdir(base):
         tdir = os.path.join(base, name)
         if os.path.isdir(os.path.join(tdir, "_manifests")):
@@ -139,7 +154,7 @@ def playback(
             # current manifest's files — same shape, atomic visibility
             from ros_sql_spark.sources.snapshot import snapshot_read
 
-            tables[name] = snapshot_read(spark, tdir)
+            tables[name] = snapshot_read(spark, tdir, prune=prune)
         else:
             tables[name] = spark.read.parquet(tdir)
     norm = NormalizedTables(

@@ -381,7 +381,12 @@ def snapshot_commit(
     return new_version
 
 
-def snapshot_append_batch(df: DataFrame, table: str, batch_id: int) -> bool:
+def snapshot_append_batch(
+    df: DataFrame,
+    table: str,
+    batch_id: int,
+    stats_cols: list[str] | None = None,
+) -> bool:
     """Idempotent per-micro-batch append: commit ``df`` with tag
     ``batch:<id>`` unless the table's newest commit already carries this
     id or later (at-least-once redelivery → exactly-once table).
@@ -400,7 +405,9 @@ def snapshot_append_batch(df: DataFrame, table: str, batch_id: int) -> bool:
                 committed = int(t[6:])
         if committed is not None and committed >= batch_id:
             return False  # replayed batch: already committed
-    snapshot_commit(df, table, mode="append", tag=f"batch:{batch_id}")
+    snapshot_commit(
+        df, table, mode="append", tag=f"batch:{batch_id}", stats_cols=stats_cols
+    )
     return True
 
 

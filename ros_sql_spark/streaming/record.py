@@ -151,7 +151,21 @@ def record_stream_snapshot(
         try:
             for topic, name, tbl in _demux_normalized(batch, topic_col, catalog):
                 table = os.path.join(store_path, namify(topic), name)
-                snapshot_append_batch(tbl, table, batch_id)
+                # time-series data skipping: record per-file min/max of
+                # the topic's timestamp (and its key) in each commit's
+                # manifest, so time-range replays prune whole files —
+                # streaming appends are naturally time-clustered, which
+                # is exactly when manifest stats pay off (each batch's
+                # file covers one narrow ts window).
+                entry = catalog.topics.get(topic)
+                stats = [
+                    c
+                    for c in ((entry.ts_col,) + tuple(entry.key_cols) if entry else ())
+                    if c and c in tbl.columns
+                ]
+                snapshot_append_batch(
+                    tbl, table, batch_id, stats_cols=stats or None
+                )
         finally:
             batch.unpersist()
 
