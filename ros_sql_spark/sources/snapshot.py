@@ -65,6 +65,8 @@ __all__ = [
     "snapshot_merge_stream",
     "snapshot_changes",
     "snapshot_read_incremental",
+    "snapshot_history",
+    "snapshot_restore",
     "SnapshotConflict",
 ]
 
@@ -648,6 +650,60 @@ def snapshot_merge(
         tag=tag,
         carry_files=carried or None,
     )
+
+
+def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
+    """Commit log view: one dict per published version — version, file
+    count, tag, batch watermark, stats columns.  Pure manifest metadata
+    (no data touched); the audit surface behind time travel and
+    restore."""
+    out = []
+    for v in _list_versions(spark, table):
+        m = _read_manifest(spark, table, v)
+        out.append(
+            {
+                "version": v,
+                "n_files": len(m["files"]),
+                "tag": m.get("tag"),
+                "last_batch": m.get("last_batch"),
+                "stats_cols": m.get("stats_cols"),
+            }
+        )
+    return out
+
+
+def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
+    """Roll the table back to ``version`` as a NEW commit (Delta
+    RESTORE semantics): the restored snapshot's files are carried BY
+    REFERENCE into a fresh manifest — a metadata-only operation, no
+    rows move, and the rolled-back versions stay readable (and
+    vacuumable) as history.  The batch watermark carries forward so a
+    streaming writer cannot re-append batches committed before the
+    restore point."""
+    versions = _list_versions(spark, table)
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    latest = versions[-1]
+    src = _read_manifest(spark, table, version)
+    head = _read_manifest(spark, table, latest)
+    new_version = latest + 1
+    manifest = {
+        "version": new_version,
+        "files": src["files"],
+        "schema": src["schema"],
+        "tag": f"restore:{version}",
+    }
+    # keep data-skipping intact: restored files had stats in their own
+    # manifest; the watermark must be the HEAD's (monotone, so replayed
+    # stream batches still skip after a rollback)
+    if "stats_cols" in src:
+        manifest["stats_cols"] = src["stats_cols"]
+    if "stats" in src:
+        manifest["stats"] = src["stats"]
+    if head.get("last_batch") is not None:
+        manifest["last_batch"] = head["last_batch"]
+    _publish_manifest(spark, table, new_version, manifest)
+    return new_version
 
 
 def snapshot_merge_batch(

@@ -645,3 +645,39 @@ def test_merge_stream_maintains_latest_state_exactly_once(spark, tmp_path):
     assert not q2.isActive
     assert snapshot_versions(spark, t)[-1] == v_head
     assert snapshot_read(spark, t).count() == 50
+
+
+def test_history_and_restore_metadata_only(spark, tmp_path):
+    """RESTORE rolls back as a new commit carrying files by reference
+    (no data rewrite — the restored manifest lists the old version's
+    exact paths), history shows the whole trail, and the batch
+    watermark survives the rollback (no stream re-appends)."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_append_batch,
+        snapshot_history,
+        snapshot_restore,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50, "v1").coalesce(1), t, stats_cols=["id"])
+    snapshot_append_batch(_df(spark, 50, 80, "v2").coalesce(1), t, batch_id=7)
+    snapshot_commit(_df(spark, 0, 5, "bad"), t)  # the commit to undo
+    v = snapshot_restore(spark, t, version=2)
+    assert v == 4
+    got = snapshot_read(spark, t)
+    assert got.count() == 80
+    assert {r.tag for r in got.select("tag").distinct().collect()} == {"v1", "v2"}
+    m = _read_manifest(spark, t, 4)
+    assert m["files"] == _read_manifest(spark, t, 2)["files"]  # by reference
+    assert m["last_batch"] == 7  # watermark kept: batch 7 still skips
+    assert not snapshot_append_batch(
+        _df(spark, 50, 80, "v2").coalesce(1), t, batch_id=7
+    )
+    hist = snapshot_history(spark, t)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert hist[-1]["tag"] == "restore:2"
+    assert hist[1]["tag"] == "batch:7"
+    # restored stats still skip files
+    pruned = snapshot_read(spark, t, prune={"id": (50, None)})
+    assert len(pruned.inputFiles()) == 1
