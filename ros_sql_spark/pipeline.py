@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
-__all__ = ["CurationResult", "curate"]
+__all__ = ["CurationResult", "curate", "publish_curated"]
 
 _log = logging.getLogger(__name__)
 
@@ -479,3 +479,43 @@ def curate(
     )
     obs["survivors"] = (_ob_v, lambda: {"n": final.count()})
     return CurationResult(docs=cur, dropped=dropped, _obs=obs)
+
+
+def publish_curated(
+    result: CurationResult,
+    table: str,
+    id_col: str = "doc_id",
+    cluster_files: int | None = None,
+) -> int:
+    """Land a curation run in a snapshot table — the pipeline's
+    production exit: readers see the whole curated corpus or none of it
+    (atomic manifest publish), every run stays readable as a version
+    (time travel across curation recipes; ``snapshot_changes`` diffs
+    two runs), and per-file ``id_col`` min/max stats make downstream
+    id-range reads and :func:`~ros_sql_spark.sources.snapshot.snapshot_merge`
+    upserts file-prunable.
+
+    ``cluster_files``: range-cluster the output on ``id_col`` into this
+    many files (tight per-file id ranges — what turns the stats into
+    actual skipping).  The survivors are PERSISTED around the clustered
+    write: repartitionByRange runs a range-boundary SAMPLING job over
+    its child first, which would both re-run the whole curation
+    pipeline and double-fire its CollectMetrics observations (counts
+    2×, measured) — the cache makes the sample and the write share one
+    evaluation, so a following ``result.metrics()`` is correct and
+    costs no extra jobs.  Returns the version.
+    """
+    from ros_sql_spark.sources.snapshot import snapshot_commit
+
+    df = result.docs
+    cached = None
+    if cluster_files:
+        cached = result.docs.persist()
+        df = cached.repartitionByRange(
+            cluster_files, F.col(id_col)
+        ).sortWithinPartitions(id_col)
+    try:
+        return snapshot_commit(df, table, stats_cols=[id_col])
+    finally:
+        if cached is not None:
+            cached.unpersist()

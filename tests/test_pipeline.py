@@ -260,3 +260,30 @@ def test_curate_metrics_no_fallback_on_standard_path(spark, caplog):
         r for r in caplog.records if "fell back to a recount" in r.message
     ]
     assert fallback_msgs == []
+
+
+def test_publish_curated_snapshot(spark, tmp_path):
+    """curate -> publish: atomic snapshot holds exactly the survivors,
+    id-stats enable pruned reads, and metrics() after the publish costs
+    no extra jobs (observations fired by the commit's write action)."""
+    from ros_sql_spark.pipeline import curate, publish_curated
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import snapshot_read
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    res = curate(docs)
+    t = str(tmp_path / "curated")
+    v = publish_curated(res, t, cluster_files=4)
+    assert v == 1
+    stored = snapshot_read(spark, t)
+    m = res.metrics()
+    assert stored.count() == m["kept"]
+    assert len(stored.inputFiles()) == 4
+    ids = [r.doc_id for r in stored.select("doc_id").collect()]
+    lo = sorted(ids)[len(ids) // 4]
+    pruned = snapshot_read(spark, t, prune={"doc_id": (None, lo)})
+    assert 0 < len(pruned.inputFiles()) < 4
+    assert pruned.filter(f"doc_id <= {lo}").count() == sum(
+        1 for i in ids if i <= lo
+    )
