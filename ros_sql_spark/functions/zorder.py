@@ -55,6 +55,11 @@ def zorder_key(bounds: dict[str, tuple], bits: int = 8) -> Column:
     buckets = []
     for c in cols:
         lo, hi = bounds[c]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values "
+                "(empty input or all-NULL column) — nothing to bucket"
+            )
         span = int(hi) - int(lo) + 1
         b = F.floor(
             (F.col(c).cast("bigint") - F.lit(int(lo)))

@@ -81,6 +81,33 @@ def bloom_build(
     )
 
 
+def _probe_exploded(df: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+    """k probe rows per input row: ``word_idx`` + ``_bit`` mask for each
+    of the key's k positions — the shared front half of every probe
+    (explode_outer per the Generate invariant: the position array is
+    total)."""
+    return (
+        df.withColumn(
+            "_pos",
+            F.explode_outer(F.array(*_positions(F.col(key_col), m_bits, k))),
+        )
+        .withColumn("word_idx", (F.col("_pos") / 64).cast("bigint"))
+        .withColumn(
+            "_bit",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"),
+        )
+    )
+
+
+def _hit() -> F.Column:
+    """Bit test shared by every probe consumer: an absent word row
+    (left-join miss) is an unset bit.  (A function, not a module
+    constant: building a Column needs an active SparkContext.)"""
+    return F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("_bit")) != 0
+    )
+
+
 def bloom_probe(
     df: DataFrame,
     key_col: str,
@@ -99,26 +126,14 @@ def bloom_probe(
     ride through as ``first()`` — probe NARROW frames (id + key): every
     carried column travels the k-fold fan-out and one shuffle.
     """
-    pid = F.monotonically_increasing_id()
-    probes = (
-        df.withColumn("_probe_id", pid)
-        .withColumn(
-            "_pos",
-            # explode_outer: Generate invariant (array is total)
-            F.explode_outer(F.array(*_positions(F.col(key_col), m_bits, k))),
-        )
-        .withColumn("word_idx", (F.col("_pos") / 64).cast("bigint"))
-        .withColumn(
-            "_bit",
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"),
-        )
+    probes = _probe_exploded(
+        df.withColumn("_probe_id", F.monotonically_increasing_id()),
+        key_col,
+        m_bits,
+        k,
     )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("_bit")) != 0)
-    ).alias("_hit")
     joined = probes.join(F.broadcast(words), "word_idx", "left").select(
-        "_probe_id", *df.columns, hit
+        "_probe_id", *df.columns, _hit().alias("_hit")
     )
     return (
         joined.groupBy("_probe_id")
@@ -178,24 +193,10 @@ def bloom_contaminated_ids(
     harmlessly before the doc-level distinct.
     """
     words = bloom_build(eval_shingles, shingle_col, m_bits, k)
-    probes = (
-        corpus_shingles.select(id_col, shingle_col)
-        .withColumn(
-            "_pos",
-            F.explode_outer(
-                F.array(*_positions(F.col(shingle_col), m_bits, k))
-            ),
-        )
-        .withColumn("word_idx", (F.col("_pos") / 64).cast("bigint"))
-        .withColumn(
-            "_bit",
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"),
-        )
+    probes = _probe_exploded(
+        corpus_shingles.select(id_col, shingle_col), shingle_col, m_bits, k
     )
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("_bit")) != 0)
-    ).cast("int")
+    hit = _hit().cast("int")
     return (
         probes.join(F.broadcast(words), "word_idx", "left")
         .groupBy(id_col, shingle_col)

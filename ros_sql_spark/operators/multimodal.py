@@ -244,15 +244,19 @@ def resize_media(
                     "media": media,
                     "meta": [
                         {
+                            # a NULL payload stays what it was: claiming
+                            # mime='image/bmp' + target dims for a row
+                            # the codec never touched would mislead any
+                            # consumer that routes on meta.mime
                             "mime": m["mime"]
-                            if deterministic_fake
+                            if (deterministic_fake or b is None)
                             else "image/bmp",
                             "source": m["source"],
                             "n_bytes": len(b)
                             if b is not None
                             else None,
-                            "width": width,
-                            "height": height,
+                            "width": width if b is not None else None,
+                            "height": height if b is not None else None,
                         }
                         for m, b in zip(pdf["meta"], media)
                     ],

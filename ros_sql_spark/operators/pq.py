@@ -175,6 +175,58 @@ def pq_encode(
     )
 
 
+def _finalize_topk(
+    scored: DataFrame,
+    qv: DataFrame,
+    k: int,
+    rerank: DataFrame | None,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    broadcast_qv: bool = True,
+) -> DataFrame:
+    """Shared tail of every PQ search: per-query top-k over ``_adc``
+    (id tiebreak), then either round the ADC scores or exact-rerank the
+    top ``k·rerank_factor`` candidates against raw vectors.
+
+    ``scored``: (query_id, id, _adc); ``qv``: (query_id, _qvec) —
+    broadcast when the query side is bounded (the collected paths),
+    plain join when it is an unbounded DataFrame (``ivf_pq_knn_join``).
+    One place owns the tiebreak/rounding parity rules for all three
+    search paths.
+    """
+    from ros_sql_spark.operators.similarity import cosine_arrow
+
+    keep = k * (rerank_factor if rerank is not None else 1)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.col(id_col))
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+    if rerank is None:
+        return top.select(
+            query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
+        )
+    rs = (
+        top.drop("_adc")
+        .join(rerank.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv) if broadcast_qv else qv, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        rs.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_knn(
     codes: DataFrame,
     queries: DataFrame,
@@ -204,8 +256,6 @@ def pq_knn(
     recall, exact ordering).  Scores are rounded to 6dp with an id
     tiebreak — deterministic output either way.
     """
-    from ros_sql_spark.operators.similarity import cosine_arrow
-
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, n_cent, dsub = books.shape
 
@@ -250,36 +300,11 @@ def pq_knn(
                 yield pd.concat(outs, ignore_index=True)
 
     cand = codes.mapInPandas(_score, schema=out_schema)
-    if rerank is not None:
-        wpre = Window.partitionBy(query_id_col).orderBy(
-            F.desc("_adc"), F.col(id_col)
-        )
-        cand = (
-            cand.withColumn("_rn", F.row_number().over(wpre))
-            .filter(F.col("_rn") <= keep)
-            .drop("_rn", "_adc")
-        )
-        qv = queries.select(
-            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-        )
-        scored = (
-            cand.join(rerank.select(id_col, vec_col), id_col)
-            .join(F.broadcast(qv), query_id_col)
-            .select(
-                query_id_col,
-                id_col,
-                F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
-            )
-        )
-    else:
-        scored = cand.select(
-            query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
-        )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    return _finalize_topk(
+        cand, qv, k, rerank, rerank_factor, id_col, vec_col, query_id_col
     )
 
 
@@ -320,11 +345,7 @@ def ivf_pq_knn(
     two longs each — from the probed cells.  Candidate volume is
     ~n_probe/n_cells · |corpus| per query batch.
     """
-    from ros_sql_spark.operators.similarity import (
-        _probe_cells,
-        cosine_arrow,
-        ivf_index,
-    )
+    from ros_sql_spark.operators.similarity import _probe_cells, ivf_index
     from pyspark.sql.functions import pandas_udf
 
     assigned, centers = (
@@ -375,43 +396,11 @@ def ivf_pq_knn(
     scored = cand.select(
         query_id_col, id_col, _adc(F.col(query_id_col), F.col("pq_code")).alias("_adc")
     )
-    keep = k * (rerank_factor if rerank is not None else 1)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.col(id_col))
-    top = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .drop("_rn")
-    )
-    if rerank is None:
-        w2 = Window.partitionBy(query_id_col).orderBy(
-            F.desc("score"), F.col(id_col)
-        )
-        return (
-            top.select(
-                query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
-            )
-            .withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
     qv = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    rs = (
-        top.drop("_adc")
-        .join(rerank.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qv), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
-        )
-    )
-    w3 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return (
-        rs.withColumn("_rn", F.row_number().over(w3))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    return _finalize_topk(
+        scored, qv, k, rerank, rerank_factor, id_col, vec_col, query_id_col
     )
 
 
@@ -501,11 +490,7 @@ def ivf_pq_knn_join(
     ``index`` / ``codebooks``: pass prebuilt artifacts in production so
     per-call training cost disappears (trained once, reused per ingest).
     """
-    from ros_sql_spark.operators.similarity import (
-        _probe_cells,
-        cosine_arrow,
-        ivf_index,
-    )
+    from ros_sql_spark.operators.similarity import _probe_cells, ivf_index
 
     assigned, centers = (
         index
@@ -543,30 +528,9 @@ def ivf_pq_knn_join(
         id_col,
         _adc_join_udf(books)(F.col("_qvec"), F.col("pq_code")).alias("_adc"),
     )
-    keep = k * (rerank_factor if rerank is not None else 1)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_adc"), F.col(id_col))
-    top = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .drop("_rn")
-    )
-    if rerank is None:
-        return top.select(
-            query_id_col, id_col, F.round(F.col("_adc"), 6).alias("score")
-        )
-    rs = (
-        top.drop("_adc")
-        .join(rerank.select(id_col, vec_col), id_col)
-        .join(qbase, query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(cosine_arrow(vec_col, "_qvec"), 6).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return (
-        rs.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    # qv NOT broadcast: the whole point of this path is an unbounded
+    # query side
+    return _finalize_topk(
+        scored, qbase, k, rerank, rerank_factor, id_col, vec_col,
+        query_id_col, broadcast_qv=False,
     )

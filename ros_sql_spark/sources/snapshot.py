@@ -550,13 +550,20 @@ def snapshot_compact(
     if zorder_by:
         from ros_sql_spark.functions.zorder import zorder_bounds, zorder_key
 
-        key = zorder_key(zorder_bounds(df, zorder_by))
-        df = (
-            df.withColumn("_zkey", key)
-            .repartitionByRange(target_files, "_zkey")
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
-        )
+        bounds = zorder_bounds(df, zorder_by)
+        if all(lo is None for lo, _ in bounds.values()):
+            # empty snapshot: nothing to cluster — plain rewrite (an
+            # all-NULL column on a NON-empty table still raises inside
+            # zorder_key, which is a caller error worth surfacing)
+            df = df.coalesce(target_files)
+        else:
+            key = zorder_key(bounds)
+            df = (
+                df.withColumn("_zkey", key)
+                .repartitionByRange(target_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
     elif cluster_by:
         from pyspark.sql import functions as SF
 

@@ -143,16 +143,23 @@ def idempotent_sink_batch(
         existing = spark.read.parquet(sink_path).select(*key_cols)
         fresh = fresh.join(existing, key_cols, "left_anti")
     except AnalysisException as exc:
-        # ONLY the first-batch case (sink not created yet) may be
-        # swallowed; a corrupt or unreadable sink must fail loudly —
-        # silently skipping the anti-join would re-append every batch.
+        # ONLY the first-batch cases may be swallowed: sink not created
+        # yet (PATH_NOT_FOUND) or pre-created but still EMPTY — e.g. a
+        # deployment `mkdir -p`, or a dir holding only _spark_metadata
+        # (UNABLE_TO_INFER_SCHEMA: no parquet footers to read, so there
+        # is provably nothing to anti-join against).  A corrupt or
+        # unreadable sink must still fail loudly — silently skipping
+        # the anti-join would re-append every batch.
         cond = getattr(exc, "getCondition", None) or getattr(
             exc, "getErrorClass", None
         )
         klass = str(cond() or "") if cond is not None else ""
-        if "PATH_NOT_FOUND" not in klass and "Path does not exist" not in str(
-            exc
-        ):
+        missing = (
+            "PATH_NOT_FOUND" in klass
+            or "UNABLE_TO_INFER_SCHEMA" in klass
+            or "Path does not exist" in str(exc)
+        )
+        if not missing:
             raise
     fresh.write.mode("append").parquet(sink_path)
 

@@ -152,3 +152,32 @@ def test_resize_media_real_path_end_to_end(spark, real_assets):
         expect = resize_nearest(decode_image(originals[r.asset_id]), 4, 3)
         assert np.array_equal(decoded, expect)
         assert r.meta.n_bytes == len(bytes(r.media))
+
+
+def test_resize_media_real_path_null_payload_keeps_meta(spark):
+    """A NULL media payload through the REAL path must keep its original
+    meta (mime/source) untouched with NULL n_bytes/width/height — not
+    claim image/bmp + target dims for bytes the codec never produced."""
+    from ros_sql_spark.operators.multimodal import as_assets, resize_media
+
+    img = _img(4, 4, seed=9)
+    rows = [
+        (0, bytearray(encode_bmp(img)), "image/bmp"),
+        (1, None, "image/unknown"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary, mime string")
+    out = {
+        r.asset_id: r
+        for r in resize_media(
+            as_assets(df, "asset_id", "media", "image/mixed"), 2, 2,
+            deterministic_fake=False,
+        ).collect()
+    }
+    assert out[0].media is not None
+    assert out[0].meta.mime == "image/bmp"
+    assert out[0].meta.width == 2 and out[0].meta.height == 2
+    nul = out[1]
+    assert nul.media is None
+    assert nul.meta.mime != "image/bmp" or nul.meta.mime is None
+    assert nul.meta.n_bytes is None
+    assert nul.meta.width is None and nul.meta.height is None

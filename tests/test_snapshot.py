@@ -681,3 +681,14 @@ def test_history_and_restore_metadata_only(spark, tmp_path):
     # restored stats still skip files
     pruned = snapshot_read(spark, t, prune={"id": (50, None)})
     assert len(pruned.inputFiles()) == 1
+
+
+def test_zorder_compact_on_empty_snapshot(spark, tmp_path):
+    """Empty snapshot + zorder_by: nothing to cluster — plain rewrite,
+    no crash (bounds are all NULL)."""
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a").filter("id < 0"), t)
+    v = snapshot_compact(spark, t, target_files=2, zorder_by=["id", "part"])
+    assert snapshot_read(spark, t, version=v).count() == 0

@@ -297,3 +297,22 @@ def test_idempotent_sink_missing_path_ok_but_corrupt_raises(spark, tmp_path):
     (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception, match="(?i)parquet|footer|infer"):
         idempotent_sink_batch(ev, 1, str(corrupt), ["event_id"])
+
+
+def test_idempotent_sink_tolerates_precreated_empty_dir(spark, tmp_path):
+    """A sink path pre-created as an empty directory (deployment
+    mkdir -p) is the not-yet-written case, not a corrupt sink: the
+    first batch must land instead of killing the stream
+    (UNABLE_TO_INFER_SCHEMA is swallowed; real corruption still
+    raises)."""
+    import pyspark.sql.functions as F
+    from ros_sql_spark.streaming.replay import idempotent_sink_batch
+
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    df = spark.range(5).select(F.col("id").alias("event_id"))
+    idempotent_sink_batch(df, 0, str(sink), ["event_id"])
+    assert spark.read.parquet(str(sink)).count() == 5
+    # redelivery still dedups
+    idempotent_sink_batch(df, 0, str(sink), ["event_id"])
+    assert spark.read.parquet(str(sink)).count() == 5
