@@ -1028,6 +1028,38 @@ ORACLES: dict[str, str] = {
                regexp_extract(text, '[0-9]+') AS first_number
         FROM documents
     """,
+    # the split join is provably row-identical to the plain equi-join —
+    # which is the oracle
+    "q98_skew_split_join": """
+        SELECT e.event_id, e.user_id, u.u_events
+        FROM events e
+        JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS u_events
+              FROM events GROUP BY user_id) u
+          ON e.user_id = u.user_id
+    """,
+    # argmax tie rule = Spark's max(struct(n, lang)): max count, then
+    # lexicographically LAST lang -> ORDER BY n DESC, lang DESC;
+    # integer/integer division is true division (double) in both engines
+    "q99_corpus_report": """
+        WITH base AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct,
+                   round(sum(n_chars) / count(*), 6) AS mean_chars
+            FROM documents GROUP BY source
+        ),
+        top AS (
+            SELECT source, lang AS top_lang FROM (
+                SELECT source, lang, count(*) AS n
+                FROM documents GROUP BY 1, 2
+            )
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY n DESC, lang DESC) = 1
+        )
+        SELECT source, n_docs,
+               round(1.0 - n_distinct / n_docs, 6) AS dup_rate,
+               mean_chars, top_lang
+        FROM base JOIN top USING (source)
+    """,
     "q89_edit_distance": """
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist

@@ -2004,6 +2004,69 @@ def q97_extract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi-join through the explicit hot-key split operator
+    (operators/skew.py::split_skew_join) — q48's JOIN sibling under the
+    driver gate.  The two hottest users' rows take a salted join (left
+    spread over 8 composite buckets, right replicated 8×); every other
+    user takes the plain equi-join; the union is provably row-identical
+    to the ordinary join, which is exactly what the DuckDB oracle runs.
+    At 100 TB this is the differentiated-join answer for skew AQE can't
+    split (pre-partitioned/bucketed inputs — no exchange to re-chop)."""
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("u_events")
+    )
+    # deterministic hot set: the two lowest user ids (synthetic data has
+    # near-uniform users; a production caller feeds sampled hot keys)
+    joined = split_skew_join(
+        ev,
+        per_user,
+        key="user_id",
+        hot_keys=[0, 1],
+        buckets=8,
+        salt_src="event_id",
+    )
+    return joined.select("event_id", "user_id", "u_events")
+
+
+def q99_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: doc count, exact-dup rate, mean
+    length, and dominant language — the one-glance table a curation run
+    starts from.  One scan feeds all metrics: count + distinct-digest
+    (two-phase, partial-agged) + exact integer mean; the dominant lang
+    is a window-free argmax over per-(source, lang) counts (q50's
+    max-of-struct shape — ties break toward the lexicographically LAST
+    lang, encoded identically in the oracle's ORDER BY)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).cast("bigint").alias("n_distinct"),
+        r6(F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count("*").alias("_n"))
+    top_lang = (
+        lang_counts.groupBy("source")
+        .agg(F.max(F.struct(F.col("_n"), F.col("lang"))).alias("_s"))
+        .select("source", F.col("_s.lang").alias("top_lang"))
+    )
+    return (
+        base.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            r6(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+            "mean_chars",
+            "top_lang",
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2102,4 +2165,6 @@ QUERIES = {
     "q95_containment": q95_containment,
     "q96_first_touch": q96_first_touch,
     "q97_extract_entities": q97_extract_entities,
+    "q98_skew_split_join": q98_skew_split_join,
+    "q99_corpus_report": q99_corpus_report,
 }
