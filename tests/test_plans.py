@@ -322,3 +322,15 @@ def test_new_batch_r5_plan_shapes(spark):
         assert "SinglePartition" not in p, name
     p95 = plan_of(spark, "q95_containment")
     assert "LeftSemi" in p95
+
+
+def test_q98_q99_plan_shapes(spark):
+    """q98: the differentiated join is a UNION of the salted join and
+    the plain equi-join (two join nodes, no cartesian); q99: the
+    dominant-lang argmax is window-free (hash aggregate, never a
+    per-source sort window)."""
+    p98 = plan_of(spark, "q98_skew_split_join")
+    assert "Union" in p98
+    assert len(re.findall(r"Join", p98)) >= 2
+    p99 = plan_of(spark, "q99_corpus_report")
+    assert "Window" not in p99
