@@ -692,3 +692,32 @@ def test_zorder_compact_on_empty_snapshot(spark, tmp_path):
     snapshot_commit(_df(spark, 0, 10, "a").filter("id < 0"), t)
     v = snapshot_compact(spark, t, target_files=2, zorder_by=["id", "part"])
     assert snapshot_read(spark, t, version=v).count() == 0
+
+
+def test_merge_with_string_key_stats_prune(spark, tmp_path):
+    """Key pruning must work for STRING keys too: parquet footers carry
+    string min/max, the file-bounds table is string-typed, and BETWEEN
+    compares lexicographically on both sides."""
+    from ros_sql_spark.sources.snapshot import _read_manifest, snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 260).selectExpr(
+        "concat('k', lpad(cast(id as string), 3, '0')) AS k",
+        "cast(id as bigint) AS v",
+    )
+    snapshot_commit(
+        df.repartitionByRange(4, F.col("k")).sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+    )
+    up = spark.range(0, 5).selectExpr(
+        "concat('k', lpad(cast(id as string), 3, '0')) AS k",
+        "cast(9999 as bigint) AS v",
+    )
+    v = snapshot_merge(up, t, keys=["k"])
+    m = _read_manifest(spark, t, v)
+    pre = set(_read_manifest(spark, t, 1)["files"])
+    assert sum(1 for f in m["files"] if f in pre) == 3  # low file rewritten
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 260
+    assert got.filter("v = 9999").count() == 5
