@@ -721,3 +721,49 @@ def test_merge_with_string_key_stats_prune(spark, tmp_path):
     got = snapshot_read(spark, t, version=v)
     assert got.count() == 260
     assert got.filter("v = 9999").count() == 5
+
+
+def test_concurrent_append_retry_soak(spark, tmp_path):
+    """4 threads race 3 appends each with the documented retry-on-
+    conflict loop: every commit eventually lands exactly once (no lost
+    rows, no duplicates — the writer-unique staging + create-exclusive
+    publish guarantees), and versions are a gap-free sequence."""
+    import threading
+
+    from ros_sql_spark.sources.snapshot import SnapshotConflict
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 1, "seed"), t)
+    errors = []
+
+    def writer(wid: int) -> None:
+        try:
+            for j in range(3):
+                lo = 1000 * (wid + 1) + 10 * j
+                df = _df(spark, lo, lo + 10, f"w{wid}")
+                for _ in range(40):  # retry loop
+                    try:
+                        snapshot_commit(df, t, mode="append")
+                        break
+                    except SnapshotConflict:
+                        continue
+                else:
+                    raise AssertionError(f"writer {wid} starved")
+        except Exception as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    vs = snapshot_versions(spark, t)
+    assert vs == list(range(1, 14))  # 1 seed + 12 appends, gap-free
+    got = snapshot_read(spark, t)
+    assert got.count() == 1 + 4 * 3 * 10
+    per_tag = {
+        r.tag: r["count"]
+        for r in got.groupBy("tag").count().collect()
+    }
+    assert all(per_tag[f"w{i}"] == 30 for i in range(4))
