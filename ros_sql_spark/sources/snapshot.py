@@ -61,6 +61,8 @@ __all__ = [
     "snapshot_compact",
     "snapshot_write_stream",
     "snapshot_merge",
+    "snapshot_delete",
+    "snapshot_update",
     "snapshot_merge_batch",
     "snapshot_merge_stream",
     "snapshot_changes",
@@ -242,6 +244,7 @@ def snapshot_commit(
     tag: str | None = None,
     stats_cols: list[str] | None = None,
     carry_files: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Publish ``df`` as the next snapshot of ``table``; returns the new
     version.
@@ -269,6 +272,16 @@ def snapshot_commit(
       Iceberg/Delta-style data skipping.  Appends carry the previous
       files' stats forward unchanged; once a table commits with
       stats_cols, later appends default to the same columns.
+    - ``evolve_schema``: allow PURELY ADDITIVE schema evolution — ``df``
+      may introduce NEW columns (any position; reads are name-based),
+      but every existing column must keep its exact type and none may
+      be dropped.  The manifest records the widened schema, and because
+      every read applies the MANIFEST schema (not per-file footers),
+      carried/older files simply surface NULL for columns they predate
+      — the Delta ``mergeSchema`` additive subset, with no file
+      rewrites.  Type changes and drops stay hard errors: the
+      vectorized parquet reader cannot reconcile physically different
+      encodings, and silent column loss is never evolution.
 
     The data write is an ordinary Spark parquet write into a
     version-private directory (never seen by readers until the manifest
@@ -305,11 +318,27 @@ def snapshot_commit(
         # simpleString = names + types, ignoring nullability/metadata:
         # nullability is not a physical property of the files
         if df.schema.simpleString() != prev.simpleString():
-            raise ValueError(
-                f"schema mismatch vs snapshot v{latest} at {table}: "
-                f"{df.schema.simpleString()} vs {prev.simpleString()} — "
-                "snapshot tables do not evolve schemas; write a new table"
-            )
+            prev_f = {f.name: f.dataType.simpleString() for f in prev.fields}
+            cur_f = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            missing = [n for n in prev_f if n not in cur_f]
+            changed = [
+                n for n in prev_f if n in cur_f and cur_f[n] != prev_f[n]
+            ]
+            additive = not missing and not changed
+            if not (evolve_schema and additive):
+                hint = (
+                    " (the change is purely additive — pass "
+                    "evolve_schema=True to widen the table schema)"
+                    if additive
+                    else f" (dropped: {missing}, retyped: {changed})"
+                )
+                raise ValueError(
+                    f"schema mismatch vs snapshot v{latest} at {table}: "
+                    f"{df.schema.simpleString()} vs {prev.simpleString()} — "
+                    "snapshot tables evolve only additively" + hint
+                )
 
     carried: list[str] = []
     if mode == "append" and versions:
@@ -584,6 +613,7 @@ def snapshot_merge(
     keys: list[str],
     stats_prune: bool = True,
     tag: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
     INSERT, whole-row form): the new snapshot is (previous rows whose
@@ -646,11 +676,185 @@ def snapshot_merge(
         kept = prev_part.join(
             df.select(*keys).distinct(), keys, "left_anti"
         )
-        out = kept.unionByName(df)
+        # evolve_schema lets an upsert introduce new columns: kept rows
+        # (and carried files) surface NULL for them on read, the commit
+        # widens the manifest schema additively.
+        out = kept.unionByName(df, allowMissingColumns=evolve_schema)
     else:
         out = df
     return snapshot_commit(
         out,
+        table,
+        mode="overwrite",
+        expected_version=latest,
+        tag=tag,
+        carry_files=carried or None,
+        evolve_schema=evolve_schema,
+    )
+
+
+def _dml_predicate(prune: dict | None, where: str | None):
+    """The row predicate of a DELETE/UPDATE as a Column, built so that
+    stats-based file pruning is SAFE BY CONSTRUCTION: the ``prune``
+    range bounds are part of the predicate itself (ANDed with ``where``),
+    so any row the predicate matches necessarily falls inside the
+    bounds a file must overlap to be a rewrite candidate — a wrong or
+    overly tight ``prune`` can only shrink what the statement matches,
+    never silently skip a file that held matching rows.  Returns None
+    when both parts are absent (caller decides if that is legal)."""
+    from pyspark.sql import functions as SF
+
+    conds = []
+    for col, bound in (prune or {}).items():
+        lo, hi = bound if isinstance(bound, tuple) else (bound, bound)
+        if lo is not None:
+            conds.append(SF.col(col) >= SF.lit(lo))
+        if hi is not None:
+            conds.append(SF.col(col) <= SF.lit(hi))
+    if where is not None:
+        conds.append(SF.expr(where))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _dml_candidates(
+    files: list[str], stats: dict, prune: dict | None
+) -> tuple[list[str], list[str]]:
+    """(rewrite candidates, carried-by-reference) for a DML statement:
+    a file is carried only when its recorded min/max are provably
+    disjoint from the ``prune`` bounds (missing stats, or no prune at
+    all, always rewrite — the safe default)."""
+    if not prune:
+        return list(files), []
+    cand = [f for f in files if _file_may_match(stats.get(f, {}), prune)]
+    cset = set(cand)
+    return cand, [f for f in files if f not in cset]
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table: str,
+    where: str | None = None,
+    *,
+    prune: dict | None = None,
+    tag: str | None = None,
+) -> int:
+    """Row-level ``DELETE FROM table WHERE …`` as a new snapshot:
+    matching rows disappear, everything else survives; SQL three-valued
+    semantics (a row deletes only when the predicate is TRUE — NULL
+    keeps the row, exactly like ANSI DELETE).
+
+    The predicate is ``where`` ANDed with the ``prune`` range bounds
+    (``{col: (lo, hi)}``, same shape as :func:`snapshot_read`) — and
+    the bounds are what make the statement 100 TB-shaped: files whose
+    manifest min/max cannot overlap them are CARRIED BY REFERENCE
+    (zero IO), and only overlapping files rewrite with the complement
+    filter.  Because the bounds are part of the predicate, pruning can
+    never skip a file with matching rows (see :func:`_dml_predicate`).
+    Against a clustered table a ranged delete touches ~the files the
+    range spans — Delta/Iceberg's delete file-pruning at the manifest
+    tier.  If NO file can match, this is a metadata no-op: the current
+    version is returned and nothing commits.
+
+    An unconditional delete (no ``where``, no ``prune``) is refused —
+    truncation should be an explicit empty-frame ``snapshot_commit``,
+    not a degenerate predicate.
+    """
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
+
+    cond = _dml_predicate(prune, where)
+    if cond is None:
+        raise ValueError(
+            "unconditional DELETE refused: pass where/prune, or commit "
+            "an empty frame to truncate explicitly"
+        )
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    latest = versions[-1]
+    manifest = _read_manifest(spark, table, latest)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    candidates, carried = _dml_candidates(
+        manifest["files"], manifest.get("stats", {}), prune
+    )
+    if not candidates:
+        return latest  # provably nothing to delete: no new version
+    kept = (
+        spark.read.schema(schema)
+        .parquet(*candidates)
+        .filter(~SF.coalesce(cond, SF.lit(False)))
+    )
+    return snapshot_commit(
+        kept,
+        table,
+        mode="overwrite",
+        expected_version=latest,
+        tag=tag,
+        carry_files=carried or None,
+    )
+
+
+def snapshot_update(
+    spark: SparkSession,
+    table: str,
+    set: dict[str, str],
+    where: str | None = None,
+    *,
+    prune: dict | None = None,
+    tag: str | None = None,
+) -> int:
+    """Row-level ``UPDATE table SET col = expr, … WHERE …`` as a new
+    snapshot.  ``set`` maps existing columns to SQL expressions (they
+    may reference any column of the row); each assignment is cast back
+    to the column's declared type so the table's physical schema never
+    drifts.  Rows update only where the predicate is TRUE (NULL leaves
+    the row untouched — ANSI UPDATE), and the same
+    prune-bounds-in-the-predicate construction as
+    :func:`snapshot_delete` lets non-overlapping files carry by
+    reference instead of rewriting.  With neither ``where`` nor
+    ``prune`` every row updates (legal for UPDATE, unlike DELETE).  If
+    no file can match, returns the current version without committing.
+    """
+    from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
+
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    latest = versions[-1]
+    manifest = _read_manifest(spark, table, latest)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    names = {f.name for f in schema.fields}
+    unknown = [c for c in set if c not in names]
+    if unknown:
+        raise ValueError(f"SET targets not in table schema: {unknown}")
+    cond = _dml_predicate(prune, where)
+    candidates, carried = _dml_candidates(
+        manifest["files"], manifest.get("stats", {}), prune
+    )
+    if not candidates:
+        return latest
+    prev_part = spark.read.schema(schema).parquet(*candidates)
+    hit = (
+        SF.coalesce(cond, SF.lit(False)) if cond is not None else SF.lit(True)
+    )
+    cols = []
+    for f in schema.fields:
+        if f.name in set:
+            cols.append(
+                SF.when(hit, SF.expr(set[f.name]).cast(f.dataType))
+                .otherwise(SF.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(SF.col(f.name))
+    return snapshot_commit(
+        prev_part.select(*cols),
         table,
         mode="overwrite",
         expected_version=latest,
@@ -792,9 +996,26 @@ def snapshot_changes(
         else _list_versions(spark, table)[-1]
     )
     from pyspark.sql import functions as SF
+    from pyspark.sql.types import StructType
 
-    old = snapshot_read(spark, table, version=from_version)
     new = snapshot_read(spark, table, version=to_v)
+    old_manifest = _read_manifest(spark, table, from_version)
+    if old_manifest["schema"] != _read_manifest(spark, table, to_v)["schema"]:
+        # additive schema evolution between the versions: align the old
+        # side to the NEW (wider) schema so the diff compares rows, not
+        # schemas — old files surface NULL for columns they predate,
+        # exactly as the new snapshot reads those same carried files.
+        to_schema = StructType.fromJson(
+            json.loads(_read_manifest(spark, table, to_v)["schema"])
+        )
+        old_files = old_manifest["files"]
+        old = (
+            spark.read.schema(to_schema).parquet(*old_files)
+            if old_files
+            else spark.createDataFrame([], to_schema)
+        )
+    else:
+        old = snapshot_read(spark, table, version=from_version)
     ins = new.exceptAll(old).withColumn("_change", SF.lit("insert"))
     dels = old.exceptAll(new).withColumn("_change", SF.lit("delete"))
     return ins.unionByName(dels)

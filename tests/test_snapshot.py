@@ -767,3 +767,190 @@ def test_concurrent_append_retry_soak(spark, tmp_path):
         for r in got.groupBy("tag").count().collect()
     }
     assert all(per_tag[f"w{i}"] == 30 for i in range(4))
+
+
+# ---- row-level DML: DELETE / UPDATE --------------------------------
+
+
+def test_delete_prunes_files_and_matches_semantics(spark, tmp_path):
+    """Ranged DELETE on a clustered table: files outside the range are
+    carried by reference, and the result equals the ANSI delete (only
+    predicate-TRUE rows go)."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 800, "base").repartition(8), t, stats_cols=["id"]
+    )
+    snapshot_compact(spark, t, target_files=8, cluster_by=["id"])
+    pre_files = set(_read_manifest(spark, t, 2)["files"])
+    v = snapshot_delete(
+        spark, t, "tag = 'base'", prune={"id": (100, 199)}
+    )
+    m = _read_manifest(spark, t, v)
+    carried = [f for f in m["files"] if f in pre_files]
+    assert carried, "stats pruning carried no files — rewrite was total"
+    assert len(carried) < 8
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 700
+    assert got.filter("id BETWEEN 100 AND 199").count() == 0
+    assert got.filter("id < 100").count() == 100
+    # carried files kept their stats: point reads still prune
+    assert len(
+        snapshot_read(spark, t, version=v, prune={"id": 700}).inputFiles()
+    ) < len(m["files"])
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """ANSI three-valued DELETE: rows where the predicate evaluates to
+    NULL survive (NOT-filter alone would drop them)."""
+    from ros_sql_spark.sources.snapshot import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id INT, x INT"
+    )
+    snapshot_commit(df, t)
+    snapshot_delete(spark, t, "x > 20")
+    got = {r.id for r in snapshot_read(spark, t).collect()}
+    assert got == {1, 2}  # id=2 has NULL predicate → kept
+
+
+def test_delete_noop_and_unconditional_refused(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "a"), t, stats_cols=["id"])
+    # prune range provably outside every file: metadata no-op, no commit
+    v = snapshot_delete(spark, t, prune={"id": (10_000, 20_000)})
+    assert v == 1
+    assert snapshot_versions(spark, t) == [1]
+    with pytest.raises(ValueError, match="unconditional"):
+        snapshot_delete(spark, t)
+
+
+def test_update_rewrites_only_touched_files(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 800, "base").repartition(8), t, stats_cols=["id"]
+    )
+    snapshot_compact(spark, t, target_files=8, cluster_by=["id"])
+    pre_files = set(_read_manifest(spark, t, 2)["files"])
+    pre_schema = snapshot_read(spark, t).schema
+    v = snapshot_update(
+        spark,
+        t,
+        {"tag": "concat(tag, '!')", "part": "part + 100"},
+        "id % 2 = 0",
+        prune={"id": (0, 99)},
+    )
+    m = _read_manifest(spark, t, v)
+    assert [f for f in m["files"] if f in pre_files], "no files carried"
+    got = snapshot_read(spark, t, version=v)
+    assert got.schema == pre_schema  # SET casts back: no physical drift
+    assert got.count() == 800
+    assert got.filter("tag = 'base!'").count() == 50  # even ids in 0-99
+    assert got.filter("part >= 100").count() == 50
+    assert got.filter("id >= 100 AND tag != 'base'").count() == 0
+
+
+def test_update_validates_set_targets(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_update
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a"), t)
+    with pytest.raises(ValueError, match="SET targets"):
+        snapshot_update(spark, t, {"nope": "1"})
+
+
+# ---- additive schema evolution -------------------------------------
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50, "a"), t)
+    wide = _df(spark, 50, 80, "b").withColumn("score", F.col("id") * 1.5)
+    # without the flag: hard error with the additive hint
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        snapshot_commit(wide, t, mode="append")
+    v2 = snapshot_commit(wide, t, mode="append", evolve_schema=True)
+    got = snapshot_read(spark, t, version=v2)
+    assert got.count() == 80
+    assert "score" in got.columns
+    # pre-evolution rows surface NULL for the new column
+    assert got.filter("score IS NULL").count() == 50
+    assert got.filter("score IS NOT NULL AND tag = 'b'").count() == 30
+    # time travel still shows the narrow schema
+    assert "score" not in snapshot_read(spark, t, version=1).columns
+    # post-evolution appends with the wide schema need no flag
+    v3 = snapshot_commit(
+        _df(spark, 80, 90, "c").withColumn("score", F.lit(0.0)),
+        t,
+        mode="append",
+    )
+    assert snapshot_read(spark, t, version=v3).count() == 90
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a"), t)
+    with pytest.raises(ValueError, match="dropped"):
+        snapshot_commit(
+            _df(spark, 0, 5, "b").drop("part"),
+            t,
+            mode="append",
+            evolve_schema=True,
+        )
+    with pytest.raises(ValueError, match="retyped"):
+        snapshot_commit(
+            _df(spark, 0, 5, "b").withColumn(
+                "part", F.col("part").cast("int")
+            ),
+            t,
+            mode="append",
+            evolve_schema=True,
+        )
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "base"), t)
+    up = _df(spark, 90, 110, "up").withColumn("score", F.lit(1.0))
+    v = snapshot_merge(up, t, keys=["id"], evolve_schema=True)
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 110
+    assert got.filter("score IS NOT NULL").count() == 20
+    assert got.filter("id < 90 AND score IS NULL").count() == 90
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """CDC across an evolution boundary compares rows under the wider
+    schema: carried files diff as unchanged, only the appended rows are
+    inserts."""
+    from ros_sql_spark.sources.snapshot import snapshot_changes
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50, "a"), t)
+    snapshot_commit(
+        _df(spark, 50, 60, "b").withColumn("score", F.lit(2.0)),
+        t,
+        mode="append",
+        evolve_schema=True,
+    )
+    diff = snapshot_changes(spark, t, 1, 2)
+    assert diff.filter("_change = 'delete'").count() == 0
+    ins = diff.filter("_change = 'insert'")
+    assert ins.count() == 10
+    assert ins.filter("score = 2.0").count() == 10
