@@ -1,0 +1,255 @@
+"""Scale-headroom drive: synthesize a ~20x corpus from sf0.1 and run
+the headline LLM-pipeline operators end-to-end, printing ONE JSON line
+of per-stage wall times plus hard sanity checks.
+
+bench.py answers "how fast at the bench SF"; this answers "does wall
+time stay ~linear when the corpus grows 20x with realistic duplicate
+structure" — the local stand-in for the 1000-executor question.
+Operators whose cost curves bend here (all-pairs joins, driver-side
+collects, single-partition windows) would bend 50,000x harder at
+100 TB, so a ~linear reading at 20x is the cheapest available evidence
+the plan shapes hold.
+
+Planted duplicate structure (so dedup does real, verifiable work):
+  - ``doc_id % 50 == 0``: text kept VERBATIM in every copy → planted
+    exact-duplicate groups of size N_COPIES;
+  - ``doc_id % 50 == 1``: per-copy ``' v<i>'`` suffix → planted
+    near-duplicate groups (one shingle differs);
+  - everything else: per-copy consonant rotation via ``translate`` →
+    shingle sets disjoint across copies (non-dups, the corpus bulk).
+
+Run: ``PYTHONPATH=/root/repo python tools/scale_drive.py [n_copies]``
+(default 20; writes its synthetic corpus under /tmp and cleans up).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROTS = "bcdfghjklmnpqrstvwz"  # consonant rotation alphabet
+
+
+def synthesize(spark: SparkSession, sf_dir: str, out: str, copies: int):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for i in range(copies):
+        rot = ROTS[i % len(ROTS) :] + ROTS[: i % len(ROTS)]
+        mutated = (
+            F.when(F.col("doc_id") % 50 == 0, F.col("text"))  # exact dup
+            .when(  # near dup: one trailing shingle differs
+                F.col("doc_id") % 50 == 1,
+                F.concat(F.col("text"), F.lit(f" v{i}")),
+            )
+            .otherwise(F.translate(F.col("text"), ROTS, rot))  # unique
+            if i > 0
+            else F.col("text")
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                mutated.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/documents")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eparts = []
+    for i in range(copies):
+        vec = (
+            F.col("embedding")
+            if i == 0
+            # element-dependent deterministic perturbation: changes the
+            # DIRECTION (not just the norm), so copies are distinct
+            # under cosine
+            else F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    + ((F.col("vec_id") * 31 + j + i) % 7 - 3).cast("double")
+                    * 0.015
+                ).cast("float"),
+            )
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    ebig = eparts[0]
+    for p in eparts[1:]:
+        ebig = ebig.unionByName(p)
+    ebig.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings")
+
+
+def main() -> int:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = "/root/testdata/sf0.1"
+    work = tempfile.mkdtemp(prefix="scale_drive_")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stages: dict[str, float] = {}
+    checks: dict[str, bool] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        r = fn()
+        stages[name] = round(time.time() - t0, 2)
+        return r
+
+    try:
+        timed("synth", lambda: synthesize(spark, sf_dir, work, copies))
+        docs = spark.read.parquet(f"{work}/documents")
+        emb = spark.read.parquet(f"{work}/embeddings")
+        n_docs = docs.count()
+        n_base = n_docs // copies
+        planted = n_base // 50  # ids per planted family
+
+        # 1. exact dedup: only the %50==0 family collapses across copies
+        from ros_sql_spark.operators.dedup import (
+            connected_components,
+            exact_dedup,
+            minhash_pairs,
+            shingle_hashes,
+        )
+
+        survivors = timed(
+            "exact_dedup", lambda: exact_dedup(docs, "doc_id", "text").count()
+        )
+        # cross-plan validation at 20x: the md5-groupBy argmax must agree
+        # with a plain distinct-text count (the base corpus carries its
+        # own duplicates, so the planted count alone is a lower bound)
+        expect = docs.select("text").distinct().count()
+        checks["exact_dedup_matches_distinct"] = survivors == expect
+        checks["planted_exact_groups_collapsed"] = (
+            survivors <= n_docs - planted * (copies - 1)
+        )
+
+        # 2. banded MinHash near-dup pairs (never all-pairs)
+        pairs = minhash_pairs(docs, threshold=0.8, max_bucket_size=4 * copies)
+        pairs_mat = timed(
+            "minhash_pairs",
+            lambda: pairs.localCheckpoint(eager=True),
+        )
+        if pairs._rosql_cached is not None:
+            pairs._rosql_cached.unpersist()
+        n_pairs = pairs_mat.count()
+        # both planted families pair across copies: 2*planted groups of
+        # size `copies` → >= 90% of C(copies,2) each (banding recall)
+        floor = int(2 * planted * (copies * (copies - 1) // 2) * 0.9)
+        checks["minhash_recall_floor"] = n_pairs >= floor
+
+        # 3. duplicate groups via connected components: every planted id
+        # should land in a component spanning all its copies (base-corpus
+        # duplicates can MERGE planted groups, so count member NODES of
+        # full-size-or-larger components, not exact-size components)
+        comp_nodes = timed(
+            "components",
+            lambda: connected_components(pairs_mat)
+            .groupBy("component")
+            .count()
+            .filter(F.col("count") >= copies)
+            .agg(F.sum("count"))
+            .collect()[0][0]
+            or 0,
+        )
+        checks["planted_ids_in_dup_groups"] = comp_nodes >= int(
+            2 * planted * copies * 0.9
+        )
+
+        # 4. bloom decontamination: eval = copy-0 exact-family docs →
+        # every later copy is contaminated by construction
+        from ros_sql_spark.operators.bloom import bloom_contaminated_ids
+
+        sh = shingle_hashes(docs, "doc_id", "text", 5).select(
+            "doc_id", F.explode_outer("_hs").alias("s")
+        )
+        eval_sh = sh.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+        )
+        corpus_sh = sh.filter(F.col("doc_id") >= 1_000_000)
+        contaminated = timed(
+            "bloom_decontaminate",
+            lambda: bloom_contaminated_ids(
+                eval_sh, corpus_sh, m_bits=1 << 20, k=10
+            ).count(),
+        )
+        checks["bloom_finds_planted_contamination"] = contaminated >= planted * (
+            copies - 1
+        )
+
+        # 5. ANN: LSH recall vs brute force on the 20x embedding table
+        from ros_sql_spark.operators.similarity import (
+            brute_force_knn,
+            lsh_knn,
+        )
+
+        queries = emb.filter(F.col("vec_id") % 997 == 1).limit(20)
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in timed(
+                "knn_brute", lambda: brute_force_knn(emb, queries, k=10).collect()
+            )
+        }
+        lsh = lsh_knn(emb, queries, k=10)
+        lsh_rows = timed("knn_lsh", lambda: lsh.collect())
+        cached = getattr(lsh, "_rosql_cached", None)
+        if cached is not None:
+            cached.unpersist()
+        approx = {(r.query_id, r.vec_id) for r in lsh_rows}
+        recall = len(exact & approx) / max(1, len(exact))
+        checks["lsh_recall_ge_0.5"] = recall >= 0.5
+
+        # 6. text battery: one partial-agg pass over the full corpus
+        from ros_sql_spark.functions.text import punct_ratio, token_count_bpe
+
+        timed(
+            "text_battery",
+            lambda: docs.select(
+                F.sum(token_count_bpe(F.col("text"))).alias("toks"),
+                F.avg(punct_ratio(F.col("text"))).alias("punct"),
+            ).collect(),
+        )
+
+        out = {
+            "metric": "scale_drive",
+            "copies": copies,
+            "docs": n_docs,
+            "embeddings": emb.count(),
+            "minhash_pairs": n_pairs,
+            "lsh_recall": round(recall, 3),
+            "stages": stages,
+            "op_total_sec": round(
+                sum(v for k, v in stages.items() if k != "synth"), 2
+            ),
+            "checks": checks,
+        }
+        print(json.dumps(out))
+        return 0 if all(checks.values()) else 1
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
