@@ -515,8 +515,10 @@ def snapshot_read(
         files = [
             f for f in files if _file_may_match(stats.get(f, {}), prune)
         ]
-        if not files:
-            return spark.createDataFrame([], schema)
+    if not files:
+        # zero-file manifest (e.g. a retention delete that emptied the
+        # table metadata-only) or everything pruned: schema-true empty
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
 
 
@@ -735,6 +737,23 @@ def _dml_candidates(
     return cand, [f for f in files if f not in cset]
 
 
+def _file_all_match(fstats: dict, prune: dict) -> bool:
+    """True only when the file's recorded [min, max] is provably
+    CONTAINED in every pruned column's requested range — every row of
+    the file matches the range conjunction.  Missing stats for any
+    pruned column mean containment cannot be proven (False)."""
+    for col, bound in prune.items():
+        if col not in fstats:
+            return False
+        fmin, fmax = fstats[col]
+        lo, hi = bound if isinstance(bound, tuple) else (bound, bound)
+        if lo is not None and fmin < lo:
+            return False
+        if hi is not None and fmax > hi:
+            return False
+    return True
+
+
 def snapshot_delete(
     spark: SparkSession,
     table: str,
@@ -760,6 +779,16 @@ def snapshot_delete(
     tier.  If NO file can match, this is a metadata no-op: the current
     version is returned and nothing commits.
 
+    Retention fast path: for a PRUNE-ONLY delete (no ``where``), a file
+    whose recorded min/max is provably CONTAINED in the bounds has
+    every row matching — it is dropped from the manifest WITHOUT being
+    read or rewritten.  A "delete everything older than the cutoff" on
+    a time-appended store therefore touches only the files straddling
+    the cutoff boundary (usually one); the expired bulk disappears
+    metadata-only and its bytes are reclaimed by the next vacuum.  With
+    ``where`` present containment proves nothing (the residual
+    predicate may be false for some rows), so those files rewrite.
+
     An unconditional delete (no ``where``, no ``prune``) is refused —
     truncation should be an explicit empty-frame ``snapshot_commit``,
     not a degenerate predicate.
@@ -779,15 +808,24 @@ def snapshot_delete(
     latest = versions[-1]
     manifest = _read_manifest(spark, table, latest)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    candidates, carried = _dml_candidates(
-        manifest["files"], manifest.get("stats", {}), prune
-    )
+    stats = manifest.get("stats", {})
+    candidates, carried = _dml_candidates(manifest["files"], stats, prune)
     if not candidates:
         return latest  # provably nothing to delete: no new version
+    if where is None and prune:
+        # retention fast path: fully-contained files drop metadata-only
+        dropped = [
+            f for f in candidates if _file_all_match(stats.get(f, {}), prune)
+        ]
+        if dropped:
+            dset = set(dropped)
+            candidates = [f for f in candidates if f not in dset]
     kept = (
-        spark.read.schema(schema)
-        .parquet(*candidates)
-        .filter(~SF.coalesce(cond, SF.lit(False)))
+        spark.read.schema(schema).parquet(*candidates).filter(
+            ~SF.coalesce(cond, SF.lit(False))
+        )
+        if candidates
+        else spark.createDataFrame([], schema)
     )
     return snapshot_commit(
         kept,

@@ -954,3 +954,77 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     ins = diff.filter("_change = 'insert'")
     assert ins.count() == 10
     assert ins.filter("score = 2.0").count() == 10
+
+
+def test_retention_delete_drops_contained_files_metadata_only(
+    spark, tmp_path
+):
+    """Prune-only DELETE (the retention shape): files whose min/max are
+    CONTAINED in the bounds vanish from the manifest without being read
+    or rewritten — only boundary-straddling files rewrite."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    # three appends with disjoint id ranges → per-file stats are tight
+    snapshot_commit(
+        _df(spark, 0, 100, "old").coalesce(1), t, stats_cols=["id"]
+    )
+    snapshot_commit(
+        _df(spark, 100, 200, "mid").coalesce(1), t, mode="append"
+    )
+    snapshot_commit(
+        _df(spark, 200, 300, "new").coalesce(1), t, mode="append"
+    )
+    pre = _read_manifest(spark, t, 3)
+    assert len(pre["files"]) == 3
+    # retention cutoff at 150: file [0,99] fully expired, [100,199]
+    # straddles, [200,299] untouched
+    v = snapshot_delete(spark, t, prune={"id": (None, 149)})
+    m = _read_manifest(spark, t, v)
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 150
+    assert got.filter("id < 150").count() == 0
+    # the expired file is GONE and was not rewritten: exactly one new
+    # file (the straddler's rewrite) + one carried original
+    old_kept = [f for f in m["files"] if f in set(pre["files"])]
+    assert len(old_kept) == 1  # only the [200,299] file carried
+    assert len(m["files"]) <= 2
+
+
+def test_retention_delete_empties_table(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 50, "a").coalesce(1), t, stats_cols=["id"]
+    )
+    v = snapshot_delete(spark, t, prune={"id": (None, 10_000)})
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "tag", "part"]
+
+
+def test_delete_with_where_never_drops_files_blind(spark, tmp_path):
+    """With a residual ``where``, containment proves nothing — the file
+    must rewrite, and rows failing the residual survive."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100, "a").coalesce(1), t, stats_cols=["id"]
+    )
+    pre = set(_read_manifest(spark, t, 1)["files"])
+    v = snapshot_delete(
+        spark, t, "part = 0", prune={"id": (None, 10_000)}
+    )
+    m = _read_manifest(spark, t, v)
+    assert not [f for f in m["files"] if f in pre]  # rewritten, not kept
+    got = snapshot_read(spark, t, version=v)
+    assert got.filter("part = 0").count() == 0
+    assert got.count() == _df(spark, 0, 100, "a").filter("part != 0").count()
