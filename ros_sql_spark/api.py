@@ -38,7 +38,7 @@ from ros_sql_spark.operators.normalize import (
 )
 from ros_sql_spark.sources.catalog import EngineCatalog, namify
 
-__all__ = ["record", "playback", "CATALOG_FILE"]
+__all__ = ["record", "playback", "expire", "CATALOG_FILE"]
 
 CATALOG_FILE = "_rosql_catalog.json"
 
@@ -173,6 +173,85 @@ def playback(
             df = df.filter(ts < F.lit(t1_ns))
         df = df.orderBy(entry.ts_col, *entry.key_cols)
     return df
+
+
+def expire(
+    spark: SparkSession,
+    store_path: str,
+    topic: str,
+    older_than_ns: int,
+) -> dict[str, int]:
+    """Retention for a SNAPSHOT-table store (record_stream_snapshot):
+    atomically drop every message of ``topic`` recorded before
+    ``older_than_ns``.  The missing half of R14's time-range story —
+    playback selects a window, expire RECLAIMS everything before one.
+
+    100 TB shape: the root table expires by timestamp —
+    :func:`~ros_sql_spark.sources.snapshot.snapshot_delete` with ts
+    bounds, so files wholly inside the expired range (the bulk of a
+    time-appended store) leave the manifest METADATA-ONLY, and only the
+    file straddling the cutoff rewrites.  Child tables carry no
+    timestamp; their rows expire by PARENT KEY via
+    :func:`~ros_sql_spark.sources.snapshot.snapshot_delete_keys` — an
+    exact file-bounds keyed anti-delete, and the doomed-key frame is
+    read from ONLY the expired-range root files (manifest ts pruning),
+    never a full root scan.  Bytes are reclaimed by ``snapshot_vacuum``
+    per table, as always.
+
+    Ordering/retry contract: children are purged BEFORE the root, so a
+    crash mid-expire leaves root rows with already-empty children —
+    re-running the same expire finds those root keys still present and
+    completes (idempotent under retry); the reverse order would strand
+    orphaned child rows invisible to any rerun.  Returns
+    ``{table_name: version}`` for the tables that committed.
+
+    Requires a snapshot store whose topic has a ``ts_col`` (plain
+    parquet stores have no atomic-delete substrate — use the snapshot
+    recorder).
+    """
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_delete_keys,
+        snapshot_read,
+    )
+
+    catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
+    entry = catalog.topics[topic]
+    if not entry.ts_col:
+        raise ValueError(f"topic {topic} has no ts_col: nothing to expire by")
+    base = os.path.join(store_path, entry.table)
+    root_dir = os.path.join(base, entry.table)
+    if not os.path.isdir(os.path.join(root_dir, "_manifests")):
+        raise ValueError(
+            f"{root_dir} is not a snapshot table — expire() needs the "
+            "snapshot recorder (record_stream_snapshot)"
+        )
+    hi = older_than_ns - 1  # inclusive-bound form of ts < older_than_ns
+    bounds = {entry.ts_col: (None, hi)}
+    # Doomed parent keys, read from only the expired-range files.  The
+    # frame stays valid across the root delete below: snapshot_read
+    # pins the file list at resolve time and a delete never removes
+    # bytes (vacuum does) — snapshot isolation doing the checkpointing.
+    doomed = (
+        snapshot_read(spark, root_dir, prune=bounds)
+        .filter(F.col(entry.ts_col) <= F.lit(hi))
+        .select(*entry.key_cols)
+        .distinct()
+    )
+    versions: dict[str, int] = {}
+    for name in sorted(os.listdir(base)):
+        tdir = os.path.join(base, name)
+        if name == entry.table or not os.path.isdir(
+            os.path.join(tdir, "_manifests")
+        ):
+            continue
+        versions[name] = snapshot_delete_keys(
+            doomed, tdir, list(entry.key_cols), tag=f"expire:{older_than_ns}"
+        )
+    versions[entry.table] = snapshot_delete(
+        spark, root_dir, prune=bounds, tag=f"expire:{older_than_ns}"
+    )
+    return versions
 
 
 def paced_replay(

@@ -62,6 +62,7 @@ __all__ = [
     "snapshot_write_stream",
     "snapshot_merge",
     "snapshot_delete",
+    "snapshot_delete_keys",
     "snapshot_update",
     "snapshot_merge_batch",
     "snapshot_merge_stream",
@@ -180,6 +181,28 @@ def _data_files(spark: SparkSession, root: str) -> list[str]:
 def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
     """All published snapshot versions, ascending."""
     return _list_versions(spark, table)
+
+
+def _nonempty_files(paths: list[str]) -> list[str]:
+    """Drop ZERO-ROW part files before they enter a manifest (footer
+    ``num_rows`` metadata read — no row data touched).  Spark writes one
+    empty part file for an empty frame, and an empty file is worse than
+    useless in a manifest: it scans for nothing and, having no min/max
+    stats, it can never be pruned — a keyed DML would rewrite it on
+    EVERY statement (the non-idempotent-expire bug class).  Unreadable
+    footers keep the file (safe default)."""
+    import pyarrow.parquet as papq
+
+    out = []
+    for p in paths:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            if papq.ParquetFile(local).metadata.num_rows == 0:
+                continue
+        except Exception:
+            pass
+        out.append(p)
+    return out
 
 
 def _file_stats(paths: list[str], cols: list[str]) -> dict:
@@ -374,7 +397,7 @@ def snapshot_commit(
         kept.write.mode("append").parquet(staging)
 
     df.write.mode("append").parquet(staging)
-    new_files = _data_files(spark, staging)
+    new_files = _nonempty_files(_data_files(spark, staging))
     files = carried + new_files
     manifest = {
         "version": new_version,
@@ -609,6 +632,94 @@ def snapshot_compact(
     )
 
 
+def _key_candidates(
+    spark: SparkSession,
+    df: DataFrame,
+    manifest: dict,
+    k0: str,
+    stats_prune: bool = True,
+) -> tuple[list[str], list[str]]:
+    """(rewrite candidates, carried) for a KEYED statement: candidacy is
+    decided EXACTLY per file — the manifest-sized file-bounds table (one
+    row per file) broadcast-joins ``df``'s distinct keys on ``key
+    BETWEEN min AND max``, so a file is a candidate only if some
+    statement key actually lands in its recorded range.  Files without
+    stats for the key always rewrite (safe default)."""
+    from pyspark.sql import functions as SF
+
+    files = manifest["files"]
+    stats = manifest.get("stats", {})
+    bounded = [
+        (f, stats[f][k0][0], stats[f][k0][1])
+        for f in files
+        if k0 in stats.get(f, {})
+    ]
+    if not (stats_prune and bounded):
+        return list(files), []
+    fb = spark.createDataFrame(bounded, ["_file", "_lo", "_hi"])
+    hit_rows = (
+        df.select(SF.col(k0).alias("_k")).distinct()
+        .join(
+            SF.broadcast(fb),
+            (SF.col("_k") >= SF.col("_lo")) & (SF.col("_k") <= SF.col("_hi")),
+        )
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    hits = {r._file for r in hit_rows}
+    unbounded = {f for f in files if k0 not in stats.get(f, {})}
+    candidates = [f for f in files if f in hits or f in unbounded]
+    carried = [f for f in files if f not in set(candidates)]
+    return candidates, carried
+
+
+def snapshot_delete_keys(
+    keys_df: DataFrame,
+    table: str,
+    keys: list[str],
+    stats_prune: bool = True,
+    tag: str | None = None,
+) -> int:
+    """Keyed anti-DELETE: remove every row whose key tuple appears in
+    ``keys_df`` (``DELETE FROM t WHERE (k…) IN (SELECT … )``).  The
+    set-membership twin of :func:`snapshot_delete`'s predicate form and
+    the deletion half of :func:`snapshot_merge`: file candidacy is the
+    same exact per-file bounds join (a file rewrites only if some
+    doomed key lands in its recorded min/max range), so a keyed purge
+    against a key-clustered table touches ~the files the keys live in.
+    Null keys never equi-match (ANSI), so null-keyed rows survive.
+    If no file can hold a doomed key, returns the current version
+    without committing."""
+    spark = keys_df.sparkSession
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    latest = versions[-1]
+    manifest = _read_manifest(spark, table, latest)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    candidates, carried = _key_candidates(
+        spark, keys_df, manifest, keys[0], stats_prune
+    )
+    if not candidates:
+        return latest
+    kept = (
+        spark.read.schema(schema)
+        .parquet(*candidates)
+        .join(keys_df.select(*keys).distinct(), keys, "left_anti")
+    )
+    return snapshot_commit(
+        kept,
+        table,
+        mode="overwrite",
+        expected_version=latest,
+        tag=tag,
+        carry_files=carried or None,
+    )
+
+
 def snapshot_merge(
     df: DataFrame,
     table: str,
@@ -642,37 +753,12 @@ def snapshot_merge(
         return snapshot_commit(df, table, mode="overwrite", tag=tag)
     latest = versions[-1]
     manifest = _read_manifest(spark, table, latest)
-    from pyspark.sql import functions as SF
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    files = manifest["files"]
-    stats = manifest.get("stats", {})
-    carried: list[str] = []
-    candidates = files
-    k0 = keys[0]
-    bounded = [
-        (f, stats[f][k0][0], stats[f][k0][1])
-        for f in files
-        if k0 in stats.get(f, {})
-    ]
-    if stats_prune and bounded:
-        fb = spark.createDataFrame(bounded, ["_file", "_lo", "_hi"])
-        hit_rows = (
-            df.select(SF.col(k0).alias("_k")).distinct()
-            .join(
-                SF.broadcast(fb),
-                (SF.col("_k") >= SF.col("_lo"))
-                & (SF.col("_k") <= SF.col("_hi")),
-            )
-            .select("_file")
-            .distinct()
-            .collect()
-        )
-        hits = {r._file for r in hit_rows}
-        unbounded = {f for f in files if k0 not in stats.get(f, {})}
-        candidates = [f for f in files if f in hits or f in unbounded]
-        carried = [f for f in files if f not in set(candidates)]
+    candidates, carried = _key_candidates(
+        spark, df, manifest, keys[0], stats_prune
+    )
     if candidates:
         prev_part = spark.read.schema(schema).parquet(*candidates)
         kept = prev_part.join(
@@ -812,6 +898,7 @@ def snapshot_delete(
     candidates, carried = _dml_candidates(manifest["files"], stats, prune)
     if not candidates:
         return latest  # provably nothing to delete: no new version
+    dropped: list[str] = []
     if where is None and prune:
         # retention fast path: fully-contained files drop metadata-only
         dropped = [
@@ -820,12 +907,32 @@ def snapshot_delete(
         if dropped:
             dset = set(dropped)
             candidates = [f for f in candidates if f not in dset]
+    if not candidates:
+        # every matching file was provably all-expired: publish a
+        # manifest of just the carried files — a PURE metadata commit,
+        # zero bytes read or written (an empty-frame snapshot_commit
+        # would still write one empty part file).  The rename-without-
+        # overwrite publish keeps optimistic concurrency intact.
+        new_manifest = {
+            "version": latest + 1,
+            "files": carried,
+            "schema": manifest["schema"],
+        }
+        if manifest.get("stats_cols"):
+            new_manifest["stats_cols"] = manifest["stats_cols"]
+        kept_stats = {f: stats[f] for f in carried if f in stats}
+        if kept_stats:
+            new_manifest["stats"] = kept_stats
+        if manifest.get("last_batch") is not None:
+            new_manifest["last_batch"] = manifest["last_batch"]
+        if tag is not None:
+            new_manifest["tag"] = tag
+        _publish_manifest(spark, table, latest + 1, new_manifest)
+        return latest + 1
     kept = (
-        spark.read.schema(schema).parquet(*candidates).filter(
-            ~SF.coalesce(cond, SF.lit(False))
-        )
-        if candidates
-        else spark.createDataFrame([], schema)
+        spark.read.schema(schema)
+        .parquet(*candidates)
+        .filter(~SF.coalesce(cond, SF.lit(False)))
     )
     return snapshot_commit(
         kept,

@@ -350,3 +350,107 @@ def test_snapshot_store_time_range_prunes_files(spark, tmp_path):
     ]
     assert got == expect
     assert len(ranged.inputFiles()) < n_full_files
+
+
+def test_expire_retention_root_and_children(spark, tmp_path):
+    """api.expire: messages older than the cutoff leave the snapshot
+    store — root files wholly inside the expired range drop
+    METADATA-ONLY (no rewrite), child rows purge by parent key with
+    file-bounds pruning, playback reassembles only survivors, and a
+    re-run of the same expire is a no-op (crash-retry contract)."""
+    import os as _os
+
+    from ros_sql_spark.api import expire
+    from ros_sql_spark.sources.catalog import namify
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+    from ros_sql_spark.streaming.record import record_stream_snapshot
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_ns", T.LongType()),
+            T.StructField("readings", T.ArrayType(T.LongType())),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # four slices with disjoint ts and id windows; maxFilesPerTrigger=1
+    # → one snapshot commit per slice, each with tight per-file stats
+    for i in range(4):
+        data = [
+            (i * 1000 + j, (i * 100 + j) * 1_000_000_000, [i, j])
+            for j in range(25)
+        ]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = str(tmp_path / "store")
+    declare_topics(store, {"sensor": schema}, ["event_id"])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("topic", F.lit("sensor"))
+    )
+    q = record_stream_snapshot(
+        stream,
+        topic_col="topic",
+        store_path=store,
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    base = _os.path.join(store, namify("sensor"))
+    root = _os.path.join(base, namify("sensor"))
+    child = next(
+        _os.path.join(base, n)
+        for n in _os.listdir(base)
+        if n != namify("sensor")
+        and _os.path.isdir(_os.path.join(base, n, "_manifests"))
+    )
+    pre_root = _read_manifest(spark, root, snapshot_versions(spark, root)[-1])
+    pre_child = _read_manifest(
+        spark, child, snapshot_versions(spark, child)[-1]
+    )
+
+    # cutoff after slice 1: slices 0-1 (ids 0-24, 1000-1024) expire
+    cutoff = 200 * 1_000_000_000
+    versions = expire(spark, store, "sensor", cutoff)
+
+    got = snapshot_read(spark, root)
+    assert got.count() == 50
+    assert got.agg(F.min("ts_ns")).collect()[0][0] >= cutoff
+    # metadata-only: every surviving root file existed before — the
+    # expired slices were dropped from the manifest without a rewrite
+    m_root = _read_manifest(spark, root, versions[namify("sensor")])
+    assert set(m_root["files"]) <= set(pre_root["files"])
+    # children purged by parent key, surviving files carried via the
+    # event_id file-bounds pruning (disjoint id windows per slice)
+    child_rows = snapshot_read(spark, child)
+    assert child_rows.count() == 50 * 2
+    assert child_rows.agg(F.min("event_id")).collect()[0][0] >= 2000
+    m_child = _read_manifest(
+        spark, child, snapshot_versions(spark, child)[-1]
+    )
+    carried_child = [
+        f for f in m_child["files"] if f in set(pre_child["files"])
+    ]
+    assert carried_child, "child key pruning carried no files"
+
+    # playback reassembles only survivors, arrays intact
+    rows = playback(spark, store, "sensor").collect()
+    assert [r.event_id for r in rows] == sorted(
+        [2000 + j for j in range(25)] + [3000 + j for j in range(25)]
+    )
+    assert all(len(r.readings) == 2 for r in rows)
+
+    # idempotent retry: same cutoff again commits nothing new
+    v_root = snapshot_versions(spark, root)[-1]
+    v_child = snapshot_versions(spark, child)[-1]
+    expire(spark, store, "sensor", cutoff)
+    assert snapshot_versions(spark, root)[-1] == v_root
+    assert snapshot_versions(spark, child)[-1] == v_child
