@@ -1,0 +1,157 @@
+"""Persisted ANN serving indexes over snapshot tables: build once,
+serve many query batches, refresh atomically.
+
+``similarity.ivf_knn`` already separates TRAINING (the KMeans coarse
+quantizer) from SERVING via its ``index=`` argument; this module gives
+the index a durable, transactional home so the production shape —
+train once per corpus, serve forever, rebuild behind readers' backs —
+is a first-class operation rather than a caller convention:
+
+- the cell-assigned corpus lands in a snapshot table CLUSTERED BY cell
+  id with per-file ``_cell`` min/max stats, so serving a query batch
+  opens only the files its probed cells live in (manifest-tier file
+  skipping — the IVF analogue of a hypertable's chunk exclusion);
+- the centroid table is a second (tiny) snapshot table; a rebuild
+  commits both with snapshot semantics, so an in-flight search that
+  already resolved its manifests keeps serving the OLD index while the
+  new one publishes (snapshot isolation doing blue/green);
+- probed-cell file pruning needs the batch's distinct cell ids
+  driver-side — that collect is bounded by ``n_cells`` BY CONSTRUCTION
+  (cell ids, not queries), so it is a legal control-plane collect at
+  any query volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ros_sql_spark.sources.snapshot import (
+    snapshot_commit,
+    snapshot_compact,
+    snapshot_read,
+)
+
+__all__ = ["ivf_store_save", "ivf_store_load", "ivf_store_search"]
+
+
+def ivf_store_save(
+    spark: SparkSession,
+    index: tuple,
+    path: str,
+    target_files: int = 16,
+) -> dict[str, int]:
+    """Persist an ``ivf_index(...)`` result as two snapshot tables:
+    ``<path>/assigned`` (the cell-assigned corpus, compacted into
+    ``target_files`` files RANGE-CLUSTERED on ``_cell`` so the recorded
+    per-file cell bounds actually skip) and ``<path>/centers``.  Safe
+    to call again with a rebuilt index: both tables move atomically to
+    the new version; readers pinned to the old manifests finish on the
+    old index (vacuum reclaims it later)."""
+    assigned, centers = index
+    v_a = snapshot_commit(
+        assigned, f"{path}/assigned", stats_cols=["_cell"]
+    )
+    # clustering is what converts the stats into actual file skipping:
+    # without it every append-ordered file spans most cells
+    v_a = snapshot_compact(
+        spark, f"{path}/assigned", target_files=target_files,
+        cluster_by=["_cell"],
+    )
+    centers_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centers],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    v_c = snapshot_commit(centers_df, f"{path}/centers")
+    return {"assigned": v_a, "centers": v_c}
+
+
+def ivf_store_load(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, list]:
+    """Load a persisted index back into the exact ``(assigned,
+    centers)`` shape ``ivf_knn(index=...)`` consumes.  The file lists
+    pin at this call (snapshot isolation): a concurrent rebuild cannot
+    change what this handle serves."""
+    assigned = snapshot_read(spark, f"{path}/assigned", version=version)
+    centers_rows = snapshot_read(spark, f"{path}/centers").collect()
+    centers = sorted(
+        (int(r.cell), list(r.center)) for r in centers_rows
+    )
+    return assigned, centers
+
+
+def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Merge sorted cell ids into contiguous [lo, hi] ranges so the
+    pruned read is a union of a FEW range scans, not one frame per
+    cell (probe sets are contiguous-ish for clustered query batches)."""
+    out: list[tuple[int, int]] = []
+    for c in sorted(set(cells)):
+        if out and c == out[-1][1] + 1:
+            out[-1] = (out[-1][0], c)
+        else:
+            out.append((c, c))
+    return out
+
+
+def ivf_store_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve a query batch from the persisted index, reading ONLY the
+    files whose cell ranges the batch actually probes.
+
+    The distinct probed cells (bounded by ``n_cells``) are computed
+    once driver-side, merged into contiguous ranges, and each range is
+    a manifest-pruned ``snapshot_read`` — on a ``target_files``-file
+    clustered store a batch probing p of c cells opens ~p/c of the
+    files.  The search itself is exactly ``ivf_knn`` with the pruned
+    assigned table as its prebuilt index, so results are IDENTICAL to
+    serving the full table (pruning only removes cells no query
+    probes)."""
+    from ros_sql_spark.operators.similarity import _probe_cells, ivf_knn
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    # pin ONE version for every read below: a concurrent rebuild
+    # between the probe and the range scans must not mix index
+    # generations within a single search
+    v = snapshot_versions(spark, f"{path}/assigned")[-1]
+    _, centers = ivf_store_load(spark, path)
+    probe = _probe_cells(centers, n_probe)
+    probed = (
+        queries.select(F.col(vec_col).alias("_qvec"))
+        .select(F.explode_outer(probe("_qvec")).alias("_cell"))
+        .distinct()
+        .collect()
+    )  # bounded by n_cells by construction — control-plane collect
+    ranges = _cell_ranges([r._cell for r in probed])
+    parts = [
+        snapshot_read(
+            spark, f"{path}/assigned", version=v, prune={"_cell": (lo, hi)}
+        ).filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
+        for lo, hi in ranges
+    ]
+    if not parts:
+        pruned = snapshot_read(spark, f"{path}/assigned", version=v).limit(0)
+    else:
+        pruned = parts[0]
+        for p in parts[1:]:
+            pruned = pruned.unionByName(p)
+    return ivf_knn(
+        corpus=None,
+        queries=queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+        index=(pruned, centers),
+    )

@@ -1,0 +1,77 @@
+"""Persisted IVF serving store: snapshot-table save/load roundtrip,
+probed-cell file pruning, and result identity with in-memory serving."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ros_sql_spark.operators.ann_store import (
+    ivf_store_load,
+    ivf_store_save,
+    ivf_store_search,
+)
+from ros_sql_spark.operators.similarity import ivf_index, ivf_knn
+from ros_sql_spark.sources.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def test_ivf_store_roundtrip_serves_identically(spark, tmp_path):
+    emb = _emb(spark)
+    idx = ivf_index(emb, n_cells=8)
+    store = str(tmp_path / "ann")
+    versions = ivf_store_save(spark, idx, store, target_files=8)
+    assert versions["assigned"] == 2  # commit + clustering compaction
+    loaded = ivf_store_load(spark, store)
+    assert loaded[1] == sorted(idx[1])  # centers survive verbatim
+
+    queries = emb.filter("vec_id % 97 = 1").limit(10)
+    mem = ivf_knn(None, queries, k=5, index=idx).collect()
+    disk = ivf_knn(None, queries, k=5, index=loaded).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+
+
+def test_ivf_store_search_prunes_and_matches_full_serving(spark, tmp_path):
+    from ros_sql_spark.sources.snapshot import snapshot_read
+
+    emb = _emb(spark)
+    idx = ivf_index(emb, n_cells=8)
+    store = str(tmp_path / "ann")
+    ivf_store_save(spark, idx, store, target_files=8)
+
+    # pruning substrate: one cell's point read opens a strict subset of
+    # the clustered store's files
+    total = len(snapshot_read(spark, f"{store}/assigned").inputFiles())
+    one_cell = len(
+        snapshot_read(
+            spark, f"{store}/assigned", prune={"_cell": (0, 0)}
+        ).inputFiles()
+    )
+    assert 0 < one_cell < total
+
+    queries = emb.filter("vec_id % 97 = 1").limit(5)
+    loaded = ivf_store_load(spark, store)
+    full = ivf_knn(None, queries, k=5, n_probe=2, index=loaded).collect()
+    pruned = ivf_store_search(spark, store, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+
+
+def test_ivf_store_rebuild_is_atomic_for_pinned_readers(spark, tmp_path):
+    """Blue/green: a handle loaded before a rebuild keeps serving the
+    OLD index (snapshot isolation pins its file list); a fresh load
+    sees the new one."""
+    emb = _emb(spark)
+    store = str(tmp_path / "ann")
+    ivf_store_save(spark, ivf_index(emb, n_cells=4, seed=1), store)
+    old = ivf_store_load(spark, store)
+    old_cells = old[0].select("_cell").distinct().count()
+
+    ivf_store_save(spark, ivf_index(emb, n_cells=8, seed=2), store)
+    # the pinned handle still resolves to 4 cells; a fresh load sees 8
+    assert old[0].select("_cell").distinct().count() == old_cells == 4
+    fresh = ivf_store_load(spark, store)
+    assert fresh[0].select("_cell").distinct().count() == 8
+    assert len(fresh[1]) == 8

@@ -1028,3 +1028,18 @@ def test_delete_with_where_never_drops_files_blind(spark, tmp_path):
     got = snapshot_read(spark, t, version=v)
     assert got.filter("part = 0").count() == 0
     assert got.count() == _df(spark, 0, 100, "a").filter("part != 0").count()
+
+
+def test_update_set_reads_pre_update_row(spark, tmp_path):
+    """ANSI UPDATE: every SET expression evaluates against the
+    PRE-update row — the classic swap must actually swap."""
+    from ros_sql_spark.sources.snapshot import snapshot_update
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "id INT, a INT, b INT"
+    )
+    snapshot_commit(df, t)
+    snapshot_update(spark, t, {"a": "b", "b": "a"}, "id = 1")
+    got = {r.id: (r.a, r.b) for r in snapshot_read(spark, t).collect()}
+    assert got == {1: (20, 10), 2: (30, 40)}
