@@ -32,7 +32,14 @@ from ros_sql_spark.sources.snapshot import (
     snapshot_read,
 )
 
-__all__ = ["ivf_store_save", "ivf_store_load", "ivf_store_search"]
+__all__ = [
+    "ivf_store_save",
+    "ivf_store_load",
+    "ivf_store_search",
+    "ivf_pq_store_save",
+    "ivf_pq_store_load",
+    "ivf_pq_store_search",
+]
 
 
 def ivf_store_save(
@@ -154,4 +161,126 @@ def ivf_store_search(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
         index=(pruned, centers),
+    )
+
+
+def ivf_pq_store_save(
+    spark: SparkSession,
+    index: tuple,
+    codebooks,
+    path: str,
+    target_files: int = 16,
+) -> dict[str, int]:
+    """Persist the full IVF-PQ serving set: the IVF store (assigned
+    corpus + centers — the assigned table doubles as the exact-rerank
+    source) plus a cell-clustered ``<path>/codes`` table (id, _cell,
+    m-byte pq_code — 32x smaller than the vectors it summarizes) and a
+    ``<path>/codebooks`` table.  At 100 TB the codes table is the one
+    a query batch actually scans; its bytes-per-row is what makes the
+    scan affordable, and cell clustering makes it file-prunable."""
+    from ros_sql_spark.operators.pq import pq_encode
+
+    versions = ivf_store_save(spark, index, path, target_files)
+    assigned, _ = index
+    codes = pq_encode(assigned, codebooks, keep_cols=["_cell"])
+    snapshot_commit(codes, f"{path}/codes", stats_cols=["_cell"])
+    versions["codes"] = snapshot_compact(
+        spark, f"{path}/codes", target_files=target_files,
+        cluster_by=["_cell"],
+    )
+    m, k, _ = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    books_df = spark.createDataFrame(
+        rows, "m INT, centroid INT, subvector ARRAY<DOUBLE>"
+    )
+    versions["codebooks"] = snapshot_commit(books_df, f"{path}/codebooks")
+    return versions
+
+
+def ivf_pq_store_load(spark: SparkSession, path: str):
+    """(index, codebooks) exactly as ``ivf_pq_knn_join`` consumes them.
+    The codebook doubles survive bit-exactly (DOUBLE end to end), so
+    encoding with the loaded books is identical to the originals."""
+    import numpy as np
+
+    index = ivf_store_load(spark, path)
+    rows = snapshot_read(spark, f"{path}/codebooks").collect()
+    m = max(r.m for r in rows) + 1
+    k = max(r.centroid for r in rows) + 1
+    dsub = len(rows[0].subvector)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        books[r.m, r.centroid] = r.subvector
+    return index, books
+
+
+def ivf_pq_store_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    rerank: bool = False,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Serve a query batch from the persisted IVF-PQ index: the probed
+    cells' CODE files are the only corpus bytes opened (manifest-pruned
+    reads of the clustered codes table, version-pinned), the query side
+    stays a DataFrame end to end (``ivf_pq_knn_join`` — no query
+    collect, no ADC closure cap), and ``rerank=True`` adds the exact
+    cosine rerank by fetching only the final candidates' vectors from
+    the stored assigned table."""
+    from ros_sql_spark.operators.pq import ivf_pq_knn_join
+    from ros_sql_spark.operators.similarity import _probe_cells
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    v_codes = snapshot_versions(spark, f"{path}/codes")[-1]
+    (_, centers), books = ivf_pq_store_load(spark, path)
+    probe = _probe_cells(centers, n_probe)
+    probed = (
+        queries.select(F.col(vec_col).alias("_qvec"))
+        .select(F.explode_outer(probe("_qvec")).alias("_cell"))
+        .distinct()
+        .collect()
+    )  # bounded by n_cells by construction
+    ranges = _cell_ranges([r._cell for r in probed])
+    parts = [
+        snapshot_read(
+            spark, f"{path}/codes", version=v_codes, prune={"_cell": (lo, hi)}
+        ).filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
+        for lo, hi in ranges
+    ]
+    if not parts:
+        codes = snapshot_read(spark, f"{path}/codes", version=v_codes).limit(0)
+    else:
+        codes = parts[0]
+        for p in parts[1:]:
+            codes = codes.unionByName(p)
+    rerank_df = (
+        snapshot_read(spark, f"{path}/assigned").drop("_cell")
+        if rerank
+        else None
+    )
+    return ivf_pq_knn_join(
+        corpus=None,
+        queries=queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+        index=(None, centers),
+        codebooks=books,
+        rerank=rerank_df,
+        rerank_factor=rerank_factor,
+        codes_df=codes,
     )

@@ -467,6 +467,7 @@ def ivf_pq_knn_join(
     codebooks: np.ndarray | None = None,
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search whose QUERY SIDE IS A DATAFRAME — never collected.
 
@@ -505,7 +506,16 @@ def ivf_pq_knn_join(
             vec_col=vec_col, seed=seed,
         )
     )
-    codes = pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+    # codes_df: prebuilt (id, _cell, pq_code) table — the persisted-
+    # index serving path (operators/ann_store.py) passes a manifest-
+    # pruned read of its codes table so only probed cells' files open;
+    # pq_encode is deterministic given the codebooks, so results are
+    # identical to encoding in-line.
+    codes = (
+        codes_df
+        if codes_df is not None
+        else pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+    )
 
     probe = _probe_cells(centers, n_probe)
     qbase = queries.select(

@@ -75,3 +75,51 @@ def test_ivf_store_rebuild_is_atomic_for_pinned_readers(spark, tmp_path):
     fresh = ivf_store_load(spark, store)
     assert fresh[0].select("_cell").distinct().count() == 8
     assert len(fresh[1]) == 8
+
+
+def test_ivf_pq_store_roundtrip_and_pruned_search(spark, tmp_path):
+    """IVF-PQ store: codebooks survive bit-exactly, the pruned-codes
+    search equals in-memory ivf_pq_knn_join, the codes table is
+    file-prunable by cell, and the exact-rerank path serves from the
+    stored vectors."""
+    import numpy as np
+
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_load,
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+    )
+    from ros_sql_spark.operators.pq import ivf_pq_knn_join, pq_train
+    from ros_sql_spark.sources.snapshot import snapshot_read
+
+    emb = _emb(spark)
+    idx = ivf_index(emb, n_cells=8)
+    books = pq_train(emb, dim=64, m=8, n_centroids=16)
+    store = str(tmp_path / "pq")
+    versions = ivf_pq_store_save(spark, idx, books, store, target_files=8)
+    assert versions["codes"] == 2  # commit + clustering compaction
+
+    (_, _), books2 = ivf_pq_store_load(spark, store)
+    assert np.array_equal(books, books2)
+
+    # codes table pruning substrate
+    total = len(snapshot_read(spark, f"{store}/codes").inputFiles())
+    one = len(
+        snapshot_read(
+            spark, f"{store}/codes", prune={"_cell": (0, 0)}
+        ).inputFiles()
+    )
+    assert 0 < one < total
+
+    queries = emb.filter("vec_id % 97 = 1").limit(5)
+    mem = ivf_pq_knn_join(
+        None, queries, k=5, n_probe=2, index=idx, codebooks=books
+    ).collect()
+    disk = ivf_pq_store_search(spark, store, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+
+    rr = ivf_pq_store_search(
+        spark, store, queries, k=5, n_probe=2, rerank=True
+    ).collect()
+    assert len(rr) == len(disk)
+    assert {r[0] for r in rr} == {r[0] for r in disk}  # same query ids
