@@ -33,6 +33,9 @@ from ros_sql_spark.sources.snapshot import (
 )
 
 __all__ = [
+    "ivf_store_append",
+    "ivf_pq_store_append",
+    "ivf_store_optimize",
     "ivf_store_save",
     "ivf_store_load",
     "ivf_store_search",
@@ -284,3 +287,85 @@ def ivf_pq_store_search(
         rerank_factor=rerank_factor,
         codes_df=codes,
     )
+
+
+def ivf_store_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign each new vector to its
+    nearest EXISTING cell (the same Arrow matmul the query probe uses,
+    n_probe=1 — no retrain; IVF recall tolerates quantizer staleness,
+    rebuild when it drifts) and APPEND to the assigned table — a
+    metadata commit plus only the new rows' files.
+
+    The appended tail is not cell-clustered until the next
+    ``snapshot_compact(cluster_by=["_cell"])``, so its files carry wide
+    cell bounds and every search reads them alongside the pruned
+    clustered bulk — correct by construction (stats never skip
+    wrongly), with read amplification growing only with the
+    un-compacted tail.  The standard LSM-ish regimen: stream appends,
+    periodic re-cluster."""
+    from ros_sql_spark.operators.similarity import _probe_cells
+
+    _, centers = ivf_store_load(spark, path)
+    probe = _probe_cells(centers, 1)
+    assigned_new = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
+    )
+    return snapshot_commit(assigned_new, f"{path}/assigned", mode="append")
+
+
+def ivf_pq_store_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, int]:
+    """IVF-PQ ingest: :func:`ivf_store_append` plus encoding the new
+    vectors with the STORED codebooks and appending their codes — the
+    continuous-ingest shape (new embeddings stream in, the serving
+    tables grow by metadata appends, nothing retrains per batch)."""
+    from ros_sql_spark.operators.pq import pq_encode
+    from ros_sql_spark.operators.similarity import _probe_cells
+
+    (_, centers), books = ivf_pq_store_load(spark, path)
+    probe = _probe_cells(centers, 1)
+    assigned_new = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
+    )
+    v_a = snapshot_commit(assigned_new, f"{path}/assigned", mode="append")
+    codes_new = pq_encode(
+        assigned_new, books, id_col, vec_col, keep_cols=["_cell"]
+    )
+    v_c = snapshot_commit(codes_new, f"{path}/codes", mode="append")
+    return {"assigned": v_a, "codes": v_c}
+
+
+def ivf_store_optimize(
+    spark: SparkSession, path: str, target_files: int = 16
+) -> dict[str, int]:
+    """Re-cluster the appended tail back into prunable files: one
+    ``snapshot_compact(cluster_by=["_cell"])`` per serving table that
+    exists (assigned, and codes for a PQ store).  Readers mid-search
+    are untouched (snapshot isolation); old versions vacuum later."""
+    import os
+
+    from ros_sql_spark.sources.snapshot import snapshot_compact as _compact
+
+    out = {}
+    for name in ("assigned", "codes"):
+        if os.path.isdir(f"{path}/{name}/_manifests"):
+            out[name] = _compact(
+                spark, f"{path}/{name}", target_files=target_files,
+                cluster_by=["_cell"],
+            )
+    return out

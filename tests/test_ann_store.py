@@ -123,3 +123,75 @@ def test_ivf_pq_store_roundtrip_and_pruned_search(spark, tmp_path):
     ).collect()
     assert len(rr) == len(disk)
     assert {r[0] for r in rr} == {r[0] for r in disk}  # same query ids
+
+
+def test_ivf_store_append_and_optimize(spark, tmp_path):
+    """Incremental ingest: appended vectors are immediately searchable
+    (a new vector queries itself back at cosine 1), serving equals full
+    serving over the same grown table, and optimize re-clusters the
+    tail back into prunable files."""
+    from ros_sql_spark.operators.ann_store import (
+        ivf_store_append,
+        ivf_store_optimize,
+    )
+    from ros_sql_spark.sources.snapshot import snapshot_read
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "ann")
+    ivf_store_save(spark, ivf_index(old, n_cells=8), store, target_files=8)
+    ivf_store_append(spark, store, new)
+
+    grown = snapshot_read(spark, f"{store}/assigned")
+    assert grown.count() == emb.count()
+
+    # a newly appended vector retrieves itself exactly
+    q = new.limit(1)
+    qid = q.collect()[0].vec_id
+    top = ivf_store_search(
+        spark, store, q, k=1, n_probe=2, exclude_self=False
+    ).collect()
+    assert top[0].vec_id == qid and top[0].sim == 1.0
+
+    # store search equals full serving over the same grown table
+    queries = emb.filter("vec_id % 97 = 1").limit(5)
+    loaded = ivf_store_load(spark, store)
+    full = ivf_knn(None, queries, k=5, n_probe=2, index=loaded).collect()
+    pruned = ivf_store_search(spark, store, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, full))
+
+    # re-cluster: rows preserved, results unchanged
+    ivf_store_optimize(spark, store, target_files=8)
+    assert snapshot_read(spark, f"{store}/assigned").count() == emb.count()
+    post = ivf_store_search(spark, store, queries, k=5, n_probe=2).collect()
+    assert sorted(map(tuple, post)) == sorted(map(tuple, full))
+
+
+def test_ivf_pq_store_append_new_ids_searchable(spark, tmp_path):
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_append,
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import snapshot_read
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "pq")
+    ivf_pq_store_save(
+        spark, ivf_index(old, n_cells=8),
+        pq_train(old, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    ivf_pq_store_append(spark, store, new)
+    assert snapshot_read(spark, f"{store}/codes").count() == emb.count()
+
+    # exact rerank puts an appended vector's self-query at the top
+    q = new.limit(1)
+    qid = q.collect()[0].vec_id
+    top = ivf_pq_store_search(
+        spark, store, q, k=1, n_probe=2, exclude_self=False, rerank=True
+    ).collect()
+    assert top[0].vec_id == qid
