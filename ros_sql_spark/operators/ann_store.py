@@ -35,6 +35,8 @@ from ros_sql_spark.sources.snapshot import (
 __all__ = [
     "ivf_store_append",
     "ivf_pq_store_append",
+    "ivf_pq_store_append_batch",
+    "ivf_pq_store_write_stream",
     "ivf_store_optimize",
     "ivf_store_save",
     "ivf_store_load",
@@ -369,3 +371,65 @@ def ivf_store_optimize(
                 cluster_by=["_cell"],
             )
     return out
+
+
+def ivf_pq_store_append_batch(
+    new_vectors: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Idempotent per-micro-batch index ingest: assign + encode the
+    batch and append to BOTH serving tables guarded by each table's own
+    ``last_batch`` watermark (``snapshot_append_batch``), so an
+    at-least-once redelivery lands exactly once even if a crash fell
+    between the two appends (each table skips independently).  Returns
+    whether any table committed."""
+    from ros_sql_spark.operators.pq import pq_encode
+    from ros_sql_spark.operators.similarity import _probe_cells
+    from ros_sql_spark.sources.snapshot import snapshot_append_batch
+
+    spark = new_vectors.sparkSession
+    (_, centers), books = ivf_pq_store_load(spark, path)
+    probe = _probe_cells(centers, 1)
+    assigned_new = new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
+    )
+    did_a = snapshot_append_batch(assigned_new, f"{path}/assigned", batch_id)
+    codes_new = pq_encode(
+        assigned_new, books, id_col, vec_col, keep_cols=["_cell"]
+    )
+    did_c = snapshot_append_batch(codes_new, f"{path}/codes", batch_id)
+    return did_a or did_c
+
+
+def ivf_pq_store_write_stream(
+    vectors: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Exactly-once STREAMING index ingest: embeddings stream in, the
+    persisted IVF-PQ serving tables grow by atomic metadata appends,
+    queries keep serving throughout (snapshot isolation), and a
+    redelivered batch is skipped per table.  Run
+    :func:`ivf_store_optimize` periodically to re-cluster the appended
+    tail.  (Single writer per store, like every Structured Streaming
+    sink.)  Returns the StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        ivf_pq_store_append_batch(df, path, batch_id, id_col, vec_col)
+
+    writer = (
+        vectors.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

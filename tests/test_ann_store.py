@@ -195,3 +195,62 @@ def test_ivf_pq_store_append_new_ids_searchable(spark, tmp_path):
         spark, store, q, k=1, n_probe=2, exclude_self=False, rerank=True
     ).collect()
     assert top[0].vec_id == qid
+
+
+def test_ivf_pq_store_streaming_ingest_exactly_once(spark, tmp_path):
+    """Streaming index ingest: embeddings stream into the serving
+    tables with per-batch atomic appends; a FULL redelivery from a
+    fresh checkpoint changes neither row counts nor versions."""
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+        ivf_pq_store_write_stream,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    new = emb.filter("vec_id % 2 = 1")
+    store = str(tmp_path / "pq")
+    ivf_pq_store_save(
+        spark, ivf_index(old, n_cells=8),
+        pq_train(old, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    src = str(tmp_path / "src")
+    new.coalesce(2).write.parquet(src)
+
+    def run(ck):
+        q = ivf_pq_store_write_stream(
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            store,
+            checkpoint_path=str(tmp_path / ck),
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    n = emb.count()
+    assert snapshot_read(spark, f"{store}/assigned").count() == n
+    assert snapshot_read(spark, f"{store}/codes").count() == n
+    v_a = snapshot_versions(spark, f"{store}/assigned")[-1]
+    v_c = snapshot_versions(spark, f"{store}/codes")[-1]
+
+    run("ck2")  # full redelivery: fresh checkpoint, same store
+    assert snapshot_read(spark, f"{store}/assigned").count() == n
+    assert snapshot_read(spark, f"{store}/codes").count() == n
+    assert snapshot_versions(spark, f"{store}/assigned")[-1] == v_a
+    assert snapshot_versions(spark, f"{store}/codes")[-1] == v_c
+
+    # a streamed-in vector serves back
+    q1 = new.limit(1)
+    qid = q1.collect()[0].vec_id
+    top = ivf_pq_store_search(
+        spark, store, q1, k=1, n_probe=2, exclude_self=False, rerank=True
+    ).collect()
+    assert top[0].vec_id == qid
