@@ -1043,3 +1043,83 @@ def test_update_set_reads_pre_update_row(spark, tmp_path):
     snapshot_update(spark, t, {"a": "b", "b": "a"}, "id = 1")
     got = {r.id: (r.a, r.b) for r in snapshot_read(spark, t).collect()}
     assert got == {1: (20, 10), 2: (30, 40)}
+
+
+def test_vacuum_reclaims_retention_dropped_files(spark, tmp_path):
+    """retention DELETE → vacuum: the metadata-dropped files physically
+    disappear, and the current version keeps serving."""
+    import os
+
+    from ros_sql_spark.sources.snapshot import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100, "old").coalesce(1), t, stats_cols=["id"]
+    )
+    snapshot_commit(
+        _df(spark, 200, 300, "new").coalesce(1), t, mode="append"
+    )
+    v = snapshot_delete(spark, t, prune={"id": (None, 150)})
+    deleted = snapshot_vacuum(spark, t, keep_last=1)
+    assert deleted, "vacuum reclaimed nothing"
+    for f in deleted:
+        assert not os.path.exists(f[5:] if f.startswith("file:") else f)
+    got = snapshot_read(spark, t, version=v)
+    assert got.count() == 100
+    assert got.filter("id < 200").count() == 0
+
+
+def test_dml_vs_append_race_soak(spark, tmp_path):
+    """A streaming-style appender races a retention deleter, both with
+    the documented retry-on-conflict loop: every append lands exactly
+    once (the delete's bounds never cover appended ids, so OCC must
+    never let a delete swallow a concurrent append), the expired range
+    is gone, and versions stay gap-free."""
+    import threading
+
+    from ros_sql_spark.sources.snapshot import (
+        SnapshotConflict,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100, "base").coalesce(1), t, stats_cols=["id"]
+    )
+    errors = []
+
+    def appender() -> None:
+        try:
+            for j in range(6):
+                df = _df(
+                    spark, 10_000 + 10 * j, 10_000 + 10 * j + 10, "app"
+                ).coalesce(1)
+                for _ in range(60):
+                    try:
+                        snapshot_commit(df, t, mode="append")
+                        break
+                    except SnapshotConflict:
+                        continue
+                else:
+                    raise AssertionError("appender starved")
+        except Exception as e:
+            errors.append(e)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    for _ in range(4):
+        for _ in range(60):
+            try:
+                snapshot_delete(spark, t, prune={"id": (None, 5000)})
+                break
+            except SnapshotConflict:
+                continue
+        else:
+            raise AssertionError("deleter starved")
+    th.join(timeout=300)
+    assert not errors, errors
+    got = snapshot_read(spark, t)
+    assert got.filter("id < 5000").count() == 0  # base expired
+    assert got.filter("tag = 'app'").count() == 60  # nothing lost
+    vs = snapshot_versions(spark, t)
+    assert vs == list(range(1, len(vs) + 1))  # gap-free
