@@ -232,25 +232,35 @@ def expire(
     # frame stays valid across the root delete below: snapshot_read
     # pins the file list at resolve time and a delete never removes
     # bytes (vacuum does) — snapshot isolation doing the checkpointing.
+    # persisted: each child's keyed delete evaluates the doomed frame
+    # twice (candidacy probe + anti-join rewrite), so k children would
+    # otherwise rescan the expired root range 2k times
     doomed = (
         snapshot_read(spark, root_dir, prune=bounds)
         .filter(F.col(entry.ts_col) <= F.lit(hi))
         .select(*entry.key_cols)
         .distinct()
+        .persist()
     )
-    versions: dict[str, int] = {}
-    for name in sorted(os.listdir(base)):
-        tdir = os.path.join(base, name)
-        if name == entry.table or not os.path.isdir(
-            os.path.join(tdir, "_manifests")
-        ):
-            continue
-        versions[name] = snapshot_delete_keys(
-            doomed, tdir, list(entry.key_cols), tag=f"expire:{older_than_ns}"
+    try:
+        versions: dict[str, int] = {}
+        for name in sorted(os.listdir(base)):
+            tdir = os.path.join(base, name)
+            if name == entry.table or not os.path.isdir(
+                os.path.join(tdir, "_manifests")
+            ):
+                continue
+            versions[name] = snapshot_delete_keys(
+                doomed,
+                tdir,
+                list(entry.key_cols),
+                tag=f"expire:{older_than_ns}",
+            )
+        versions[entry.table] = snapshot_delete(
+            spark, root_dir, prune=bounds, tag=f"expire:{older_than_ns}"
         )
-    versions[entry.table] = snapshot_delete(
-        spark, root_dir, prune=bounds, tag=f"expire:{older_than_ns}"
-    )
+    finally:
+        doomed.unpersist()
     return versions
 
 

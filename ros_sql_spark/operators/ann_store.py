@@ -11,10 +11,15 @@ is a first-class operation rather than a caller convention:
   id with per-file ``_cell`` min/max stats, so serving a query batch
   opens only the files its probed cells live in (manifest-tier file
   skipping — the IVF analogue of a hypertable's chunk exclusion);
-- the centroid table is a second (tiny) snapshot table; a rebuild
-  commits both with snapshot semantics, so an in-flight search that
-  already resolved its manifests keeps serving the OLD index while the
-  new one publishes (snapshot isolation doing blue/green);
+- centroids (and PQ codebooks) are sibling snapshot tables, and the
+  DATA table's manifest records WHICH versions of them it was built
+  against (``snapshot_commit(meta=...)``, carried forward by appends
+  and compactions).  Every search pins ONE data-table version and
+  derives the centroid/codebook versions from its binding — a rebuild
+  that commits the tables non-atomically can never mix index
+  generations inside a search, and handles loaded before the rebuild
+  keep serving the old generation (snapshot isolation doing
+  blue/green);
 - probed-cell file pruning needs the batch's distinct cell ids
   driver-side — that collect is bounded by ``n_cells`` BY CONSTRUCTION
   (cell ids, not queries), so it is a legal control-plane collect at
@@ -29,68 +34,107 @@ from pyspark.sql import functions as F
 from ros_sql_spark.sources.snapshot import (
     snapshot_commit,
     snapshot_compact,
+    snapshot_meta,
     snapshot_read,
+    snapshot_versions,
 )
 
 __all__ = [
-    "ivf_store_append",
-    "ivf_pq_store_append",
-    "ivf_pq_store_append_batch",
-    "ivf_pq_store_write_stream",
-    "ivf_store_optimize",
     "ivf_store_save",
     "ivf_store_load",
     "ivf_store_search",
+    "ivf_store_append",
+    "ivf_store_optimize",
     "ivf_pq_store_save",
     "ivf_pq_store_load",
     "ivf_pq_store_search",
+    "ivf_pq_store_append",
+    "ivf_pq_store_append_batch",
+    "ivf_pq_store_write_stream",
 ]
 
 
-def ivf_store_save(
+def _commit_clustered(
+    df: DataFrame, table: str, target_files: int, meta: dict | None = None
+) -> int:
+    """ONE clustered write: range-partition + sort on ``_cell`` so the
+    per-file stats actually skip, then a single stats-recording commit.
+    (A plain commit followed by ``snapshot_compact`` writes the corpus
+    twice; at the 100 TB shape the double write is the save's whole
+    cost.)  The persist guards the CLAUDE.md repartitionByRange trap:
+    its range-boundary sampling job re-executes the child plan — here a
+    KMeans transform or an Arrow encode UDF — so without it every row
+    computes twice anyway, just invisibly."""
+    clustered = df.persist()
+    try:
+        out = clustered.repartitionByRange(
+            target_files, "_cell"
+        ).sortWithinPartitions("_cell")
+        return snapshot_commit(out, table, stats_cols=["_cell"], meta=meta)
+    finally:
+        clustered.unpersist()
+
+
+def _load_centers(
+    spark: SparkSession, path: str, version: int | None
+) -> list:
+    rows = snapshot_read(spark, f"{path}/centers", version=version).collect()
+    return sorted((int(r.cell), list(r.center)) for r in rows)
+
+
+def _assign_cells(
+    new_vectors: DataFrame,
+    centers: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, _cell): nearest EXISTING cell per vector — the same
+    Arrow matmul the query probe uses, n_probe=1."""
+    from ros_sql_spark.operators.similarity import _probe_cells
+
+    probe = _probe_cells(centers, 1)
+    return new_vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
+    )
+
+
+def _pruned_cells_read(
     spark: SparkSession,
-    index: tuple,
-    path: str,
-    target_files: int = 16,
-) -> dict[str, int]:
-    """Persist an ``ivf_index(...)`` result as two snapshot tables:
-    ``<path>/assigned`` (the cell-assigned corpus, compacted into
-    ``target_files`` files RANGE-CLUSTERED on ``_cell`` so the recorded
-    per-file cell bounds actually skip) and ``<path>/centers``.  Safe
-    to call again with a rebuilt index: both tables move atomically to
-    the new version; readers pinned to the old manifests finish on the
-    old index (vacuum reclaims it later)."""
-    assigned, centers = index
-    v_a = snapshot_commit(
-        assigned, f"{path}/assigned", stats_cols=["_cell"]
-    )
-    # clustering is what converts the stats into actual file skipping:
-    # without it every append-ordered file spans most cells
-    v_a = snapshot_compact(
-        spark, f"{path}/assigned", target_files=target_files,
-        cluster_by=["_cell"],
-    )
-    centers_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centers],
-        "cell INT, center ARRAY<DOUBLE>",
-    )
-    v_c = snapshot_commit(centers_df, f"{path}/centers")
-    return {"assigned": v_a, "centers": v_c}
+    table: str,
+    version: int,
+    queries: DataFrame,
+    vec_col: str,
+    centers: list,
+    n_probe: int,
+) -> DataFrame:
+    """The probed-cell serving read: distinct probed cells (bounded by
+    n_cells by construction — control-plane collect), merged into
+    contiguous ranges, each a manifest-pruned version-pinned
+    ``snapshot_read``.  Identical rows to reading the whole table and
+    filtering (pruning only drops cells no query probes)."""
+    from ros_sql_spark.operators.similarity import _probe_cells
 
-
-def ivf_store_load(
-    spark: SparkSession, path: str, version: int | None = None
-) -> tuple[DataFrame, list]:
-    """Load a persisted index back into the exact ``(assigned,
-    centers)`` shape ``ivf_knn(index=...)`` consumes.  The file lists
-    pin at this call (snapshot isolation): a concurrent rebuild cannot
-    change what this handle serves."""
-    assigned = snapshot_read(spark, f"{path}/assigned", version=version)
-    centers_rows = snapshot_read(spark, f"{path}/centers").collect()
-    centers = sorted(
-        (int(r.cell), list(r.center)) for r in centers_rows
+    probe = _probe_cells(centers, n_probe)
+    probed = (
+        queries.select(F.col(vec_col).alias("_qvec"))
+        .select(F.explode_outer(probe("_qvec")).alias("_cell"))
+        .distinct()
+        .collect()
     )
-    return assigned, centers
+    ranges = _cell_ranges([r._cell for r in probed])
+    parts = [
+        snapshot_read(spark, table, version=version, prune={"_cell": (lo, hi)})
+        .filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
+        for lo, hi in ranges
+    ]
+    if not parts:
+        return snapshot_read(spark, table, version=version).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
@@ -106,6 +150,60 @@ def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
     return out
 
 
+def _bound_version(
+    spark: SparkSession, path: str, data_table: str, version: int | None
+) -> tuple[int, dict]:
+    """(pinned data-table version, its generation binding)."""
+    v = (
+        version
+        if version is not None
+        else snapshot_versions(spark, f"{path}/{data_table}")[-1]
+    )
+    meta = snapshot_meta(spark, f"{path}/{data_table}", version=v) or {}
+    return v, meta
+
+
+def ivf_store_save(
+    spark: SparkSession,
+    index: tuple,
+    path: str,
+    target_files: int = 16,
+) -> dict[str, int]:
+    """Persist an ``ivf_index(...)`` result as two snapshot tables:
+    ``<path>/centers`` and ``<path>/assigned`` (the cell-assigned
+    corpus, written ONCE, range-clustered on ``_cell`` so the recorded
+    per-file bounds actually skip).  The centers commit FIRST and the
+    assigned manifest records their version (``meta.centers_version``)
+    — the binding every load/search resolves, so a rebuild can never
+    be observed half-applied.  Safe to call again with a rebuilt index:
+    readers pinned to old manifests finish on the old generation
+    (vacuum reclaims it later)."""
+    assigned, centers = index
+    centers_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centers],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    v_c = snapshot_commit(centers_df, f"{path}/centers")
+    v_a = _commit_clustered(
+        assigned, f"{path}/assigned", target_files,
+        meta={"centers_version": v_c},
+    )
+    return {"assigned": v_a, "centers": v_c}
+
+
+def ivf_store_load(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, list]:
+    """Load a persisted index back into the exact ``(assigned,
+    centers)`` shape ``ivf_knn(index=...)`` consumes — the centers at
+    the VERSION the pinned assigned table was built against, so a
+    concurrent rebuild can never hand this load mismatched halves."""
+    v, meta = _bound_version(spark, path, "assigned", version)
+    assigned = snapshot_read(spark, f"{path}/assigned", version=v)
+    centers = _load_centers(spark, path, meta.get("centers_version"))
+    return assigned, centers
+
+
 def ivf_store_search(
     spark: SparkSession,
     path: str,
@@ -118,44 +216,20 @@ def ivf_store_search(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Serve a query batch from the persisted index, reading ONLY the
-    files whose cell ranges the batch actually probes.
+    files whose cell ranges the batch actually probes (~p/c of the
+    files for p probed of c cells on a clustered store).  One assigned
+    version is pinned and the centers come from ITS binding, so the
+    probe space and the data always belong to the same index
+    generation.  The search itself is ``ivf_knn`` with the pruned
+    table as its prebuilt index — results identical to full serving
+    (pruning only removes cells no query probes)."""
+    from ros_sql_spark.operators.similarity import ivf_knn
 
-    The distinct probed cells (bounded by ``n_cells``) are computed
-    once driver-side, merged into contiguous ranges, and each range is
-    a manifest-pruned ``snapshot_read`` — on a ``target_files``-file
-    clustered store a batch probing p of c cells opens ~p/c of the
-    files.  The search itself is exactly ``ivf_knn`` with the pruned
-    assigned table as its prebuilt index, so results are IDENTICAL to
-    serving the full table (pruning only removes cells no query
-    probes)."""
-    from ros_sql_spark.operators.similarity import _probe_cells, ivf_knn
-    from ros_sql_spark.sources.snapshot import snapshot_versions
-
-    # pin ONE version for every read below: a concurrent rebuild
-    # between the probe and the range scans must not mix index
-    # generations within a single search
-    v = snapshot_versions(spark, f"{path}/assigned")[-1]
-    _, centers = ivf_store_load(spark, path)
-    probe = _probe_cells(centers, n_probe)
-    probed = (
-        queries.select(F.col(vec_col).alias("_qvec"))
-        .select(F.explode_outer(probe("_qvec")).alias("_cell"))
-        .distinct()
-        .collect()
-    )  # bounded by n_cells by construction — control-plane collect
-    ranges = _cell_ranges([r._cell for r in probed])
-    parts = [
-        snapshot_read(
-            spark, f"{path}/assigned", version=v, prune={"_cell": (lo, hi)}
-        ).filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
-        for lo, hi in ranges
-    ]
-    if not parts:
-        pruned = snapshot_read(spark, f"{path}/assigned", version=v).limit(0)
-    else:
-        pruned = parts[0]
-        for p in parts[1:]:
-            pruned = pruned.unionByName(p)
+    v, meta = _bound_version(spark, path, "assigned", None)
+    centers = _load_centers(spark, path, meta.get("centers_version"))
+    pruned = _pruned_cells_read(
+        spark, f"{path}/assigned", v, queries, vec_col, centers, n_probe
+    )
     return ivf_knn(
         corpus=None,
         queries=queries,
@@ -175,24 +249,21 @@ def ivf_pq_store_save(
     codebooks,
     path: str,
     target_files: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> dict[str, int]:
     """Persist the full IVF-PQ serving set: the IVF store (assigned
     corpus + centers — the assigned table doubles as the exact-rerank
     source) plus a cell-clustered ``<path>/codes`` table (id, _cell,
     m-byte pq_code — 32x smaller than the vectors it summarizes) and a
-    ``<path>/codebooks`` table.  At 100 TB the codes table is the one
-    a query batch actually scans; its bytes-per-row is what makes the
-    scan affordable, and cell clustering makes it file-prunable."""
+    ``<path>/codebooks`` table.  The codes manifest binds BOTH its
+    centers and codebooks versions; each table is written once,
+    clustered.  At 100 TB the codes table is the one a query batch
+    actually scans."""
     from ros_sql_spark.operators.pq import pq_encode
 
     versions = ivf_store_save(spark, index, path, target_files)
     assigned, _ = index
-    codes = pq_encode(assigned, codebooks, keep_cols=["_cell"])
-    snapshot_commit(codes, f"{path}/codes", stats_cols=["_cell"])
-    versions["codes"] = snapshot_compact(
-        spark, f"{path}/codes", target_files=target_files,
-        cluster_by=["_cell"],
-    )
     m, k, _ = codebooks.shape
     rows = [
         (j, c, [float(x) for x in codebooks[j, c]])
@@ -203,23 +274,38 @@ def ivf_pq_store_save(
         rows, "m INT, centroid INT, subvector ARRAY<DOUBLE>"
     )
     versions["codebooks"] = snapshot_commit(books_df, f"{path}/codebooks")
+    codes = pq_encode(assigned, codebooks, id_col, vec_col, keep_cols=["_cell"])
+    versions["codes"] = _commit_clustered(
+        codes, f"{path}/codes", target_files,
+        meta={
+            "centers_version": versions["centers"],
+            "books_version": versions["codebooks"],
+        },
+    )
     return versions
 
 
-def ivf_pq_store_load(spark: SparkSession, path: str):
-    """(index, codebooks) exactly as ``ivf_pq_knn_join`` consumes them.
-    The codebook doubles survive bit-exactly (DOUBLE end to end), so
-    encoding with the loaded books is identical to the originals."""
+def _load_books(spark: SparkSession, path: str, version: int | None):
     import numpy as np
 
-    index = ivf_store_load(spark, path)
-    rows = snapshot_read(spark, f"{path}/codebooks").collect()
+    rows = snapshot_read(spark, f"{path}/codebooks", version=version).collect()
     m = max(r.m for r in rows) + 1
     k = max(r.centroid for r in rows) + 1
     dsub = len(rows[0].subvector)
     books = np.empty((m, k, dsub), dtype=np.float64)
     for r in rows:
         books[r.m, r.centroid] = r.subvector
+    return books
+
+
+def ivf_pq_store_load(spark: SparkSession, path: str):
+    """(index, codebooks) exactly as ``ivf_pq_knn_join`` consumes them,
+    all resolved through the codes table's generation binding.  The
+    codebook doubles survive bit-exactly (DOUBLE end to end), so
+    encoding with the loaded books is identical to the originals."""
+    _, meta = _bound_version(spark, path, "codes", None)
+    index = ivf_store_load(spark, path)
+    books = _load_books(spark, path, meta.get("books_version"))
     return index, books
 
 
@@ -236,39 +322,21 @@ def ivf_pq_store_search(
     rerank: bool = False,
     rerank_factor: int = 4,
 ) -> DataFrame:
-    """Serve a query batch from the persisted IVF-PQ index: the probed
-    cells' CODE files are the only corpus bytes opened (manifest-pruned
-    reads of the clustered codes table, version-pinned), the query side
-    stays a DataFrame end to end (``ivf_pq_knn_join`` — no query
-    collect, no ADC closure cap), and ``rerank=True`` adds the exact
-    cosine rerank by fetching only the final candidates' vectors from
-    the stored assigned table."""
+    """Serve a query batch from the persisted IVF-PQ index: ONE codes
+    version is pinned and the centers/codebooks come from ITS binding
+    (no mixed generations), the probed cells' code files are the only
+    corpus bytes opened, the query side stays a DataFrame end to end
+    (``ivf_pq_knn_join`` — no query collect, no ADC closure cap), and
+    ``rerank=True`` adds the exact cosine rerank fetching only final
+    candidates' vectors from the stored assigned table."""
     from ros_sql_spark.operators.pq import ivf_pq_knn_join
-    from ros_sql_spark.operators.similarity import _probe_cells
-    from ros_sql_spark.sources.snapshot import snapshot_versions
 
-    v_codes = snapshot_versions(spark, f"{path}/codes")[-1]
-    (_, centers), books = ivf_pq_store_load(spark, path)
-    probe = _probe_cells(centers, n_probe)
-    probed = (
-        queries.select(F.col(vec_col).alias("_qvec"))
-        .select(F.explode_outer(probe("_qvec")).alias("_cell"))
-        .distinct()
-        .collect()
-    )  # bounded by n_cells by construction
-    ranges = _cell_ranges([r._cell for r in probed])
-    parts = [
-        snapshot_read(
-            spark, f"{path}/codes", version=v_codes, prune={"_cell": (lo, hi)}
-        ).filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
-        for lo, hi in ranges
-    ]
-    if not parts:
-        codes = snapshot_read(spark, f"{path}/codes", version=v_codes).limit(0)
-    else:
-        codes = parts[0]
-        for p in parts[1:]:
-            codes = codes.unionByName(p)
+    v_codes, meta = _bound_version(spark, path, "codes", None)
+    centers = _load_centers(spark, path, meta.get("centers_version"))
+    books = _load_books(spark, path, meta.get("books_version"))
+    codes = _pruned_cells_read(
+        spark, f"{path}/codes", v_codes, queries, vec_col, centers, n_probe
+    )
     rerank_df = (
         snapshot_read(spark, f"{path}/assigned").drop("_cell")
         if rerank
@@ -299,27 +367,19 @@ def ivf_store_append(
     vec_col: str = "embedding",
 ) -> int:
     """Incremental index maintenance: assign each new vector to its
-    nearest EXISTING cell (the same Arrow matmul the query probe uses,
-    n_probe=1 — no retrain; IVF recall tolerates quantizer staleness,
-    rebuild when it drifts) and APPEND to the assigned table — a
-    metadata commit plus only the new rows' files.
+    nearest EXISTING cell (no retrain; IVF recall tolerates quantizer
+    staleness, rebuild when it drifts) and APPEND to the assigned
+    table — a metadata commit plus only the new rows' files.  The
+    generation binding carries forward automatically.
 
     The appended tail is not cell-clustered until the next
-    ``snapshot_compact(cluster_by=["_cell"])``, so its files carry wide
-    cell bounds and every search reads them alongside the pruned
-    clustered bulk — correct by construction (stats never skip
-    wrongly), with read amplification growing only with the
-    un-compacted tail.  The standard LSM-ish regimen: stream appends,
-    periodic re-cluster."""
-    from ros_sql_spark.operators.similarity import _probe_cells
-
+    :func:`ivf_store_optimize`, so its files carry wide cell bounds and
+    every search reads them alongside the pruned clustered bulk —
+    correct by construction (stats never skip wrongly), with read
+    amplification growing only with the un-compacted tail.  The
+    standard LSM-ish regimen: stream appends, periodic re-cluster."""
     _, centers = ivf_store_load(spark, path)
-    probe = _probe_cells(centers, 1)
-    assigned_new = new_vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
-    )
+    assigned_new = _assign_cells(new_vectors, centers, id_col, vec_col)
     return snapshot_commit(assigned_new, f"{path}/assigned", mode="append")
 
 
@@ -335,15 +395,9 @@ def ivf_pq_store_append(
     continuous-ingest shape (new embeddings stream in, the serving
     tables grow by metadata appends, nothing retrains per batch)."""
     from ros_sql_spark.operators.pq import pq_encode
-    from ros_sql_spark.operators.similarity import _probe_cells
 
     (_, centers), books = ivf_pq_store_load(spark, path)
-    probe = _probe_cells(centers, 1)
-    assigned_new = new_vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
-    )
+    assigned_new = _assign_cells(new_vectors, centers, id_col, vec_col)
     v_a = snapshot_commit(assigned_new, f"{path}/assigned", mode="append")
     codes_new = pq_encode(
         assigned_new, books, id_col, vec_col, keep_cols=["_cell"]
@@ -358,15 +412,14 @@ def ivf_store_optimize(
     """Re-cluster the appended tail back into prunable files: one
     ``snapshot_compact(cluster_by=["_cell"])`` per serving table that
     exists (assigned, and codes for a PQ store).  Readers mid-search
-    are untouched (snapshot isolation); old versions vacuum later."""
+    are untouched (snapshot isolation; the generation binding carries
+    through the compaction); old versions vacuum later."""
     import os
-
-    from ros_sql_spark.sources.snapshot import snapshot_compact as _compact
 
     out = {}
     for name in ("assigned", "codes"):
         if os.path.isdir(f"{path}/{name}/_manifests"):
-            out[name] = _compact(
+            out[name] = snapshot_compact(
                 spark, f"{path}/{name}", target_files=target_files,
                 cluster_by=["_cell"],
             )
@@ -387,17 +440,11 @@ def ivf_pq_store_append_batch(
     between the two appends (each table skips independently).  Returns
     whether any table committed."""
     from ros_sql_spark.operators.pq import pq_encode
-    from ros_sql_spark.operators.similarity import _probe_cells
     from ros_sql_spark.sources.snapshot import snapshot_append_batch
 
     spark = new_vectors.sparkSession
     (_, centers), books = ivf_pq_store_load(spark, path)
-    probe = _probe_cells(centers, 1)
-    assigned_new = new_vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(probe(F.col(vec_col)), 1).alias("_cell"),
-    )
+    assigned_new = _assign_cells(new_vectors, centers, id_col, vec_col)
     did_a = snapshot_append_batch(assigned_new, f"{path}/assigned", batch_id)
     codes_new = pq_encode(
         assigned_new, books, id_col, vec_col, keep_cols=["_cell"]

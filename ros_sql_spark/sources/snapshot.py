@@ -56,6 +56,7 @@ __all__ = [
     "snapshot_commit",
     "snapshot_read",
     "snapshot_versions",
+    "snapshot_meta",
     "snapshot_vacuum",
     "snapshot_append_batch",
     "snapshot_compact",
@@ -183,6 +184,21 @@ def snapshot_versions(spark: SparkSession, table: str) -> list[int]:
     return _list_versions(spark, table)
 
 
+def snapshot_meta(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict | None:
+    """The carried ``meta`` binding of a snapshot (latest by default) —
+    see ``snapshot_commit(meta=...)``.  None if the table never
+    recorded one."""
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    return _read_manifest(spark, table, v).get("meta")
+
+
 def _nonempty_files(paths: list[str]) -> list[str]:
     """Drop ZERO-ROW part files before they enter a manifest (footer
     ``num_rows`` metadata read — no row data touched).  Spark writes one
@@ -268,6 +284,7 @@ def snapshot_commit(
     stats_cols: list[str] | None = None,
     carry_files: list[str] | None = None,
     evolve_schema: bool = False,
+    meta: dict | None = None,
 ) -> int:
     """Publish ``df`` as the next snapshot of ``table``; returns the new
     version.
@@ -305,6 +322,14 @@ def snapshot_commit(
       rewrites.  Type changes and drops stay hard errors: the
       vectorized parquet reader cannot reconcile physically different
       encodings, and silent column loss is never evolution.
+    - ``meta``: an opaque JSON dict pinned to this snapshot and CARRIED
+      FORWARD by every later commit that does not replace it (appends,
+      batch appends, compactions, DML — same discipline as
+      ``last_batch``).  The cross-table binding substrate: a table can
+      record e.g. which version of a sibling table it was built against
+      (operators/ann_store.py binds the serving corpus to its centroid
+      table's version this way), and the binding survives the table's
+      own lifecycle instead of riding on the single-slot ``tag``.
 
     The data write is an ordinary Spark parquet write into a
     version-private directory (never seen by readers until the manifest
@@ -423,6 +448,12 @@ def snapshot_commit(
     # upsert between a stream failure and its restart cannot hide the
     # batch watermark from the redelivery check in
     # :func:`snapshot_append_batch`.
+    # cross-table binding metadata: explicit value wins, otherwise the
+    # previous snapshot's carries forward (appends/compactions/DML keep
+    # the binding alive — the last_batch discipline)
+    carried_meta = meta if meta is not None else prev_manifest.get("meta")
+    if carried_meta is not None:
+        manifest["meta"] = carried_meta
     last_batch = prev_manifest.get("last_batch")
     if tag is not None:
         manifest["tag"] = tag
@@ -700,6 +731,14 @@ def snapshot_delete_keys(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    # empty-keys short-circuit BEFORE candidacy: without it, files the
+    # stats cannot bound (non-JSON-native key types, unreadable
+    # footers) are "always candidates" and an empty purge — a retried
+    # expire, a cutoff nothing predates — would rewrite them and
+    # publish a spurious version on every call (the non-idempotent-
+    # expire bug class, statless-file edition).
+    if keys_df.limit(1).count() == 0:
+        return latest
     candidates, carried = _key_candidates(
         spark, keys_df, manifest, keys[0], stats_prune
     )
@@ -925,6 +964,8 @@ def snapshot_delete(
             new_manifest["stats"] = kept_stats
         if manifest.get("last_batch") is not None:
             new_manifest["last_batch"] = manifest["last_batch"]
+        if manifest.get("meta") is not None:
+            new_manifest["meta"] = manifest["meta"]
         if tag is not None:
             new_manifest["tag"] = tag
         _publish_manifest(spark, table, latest + 1, new_manifest)
@@ -1056,6 +1097,8 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
         manifest["stats_cols"] = src["stats_cols"]
     if "stats" in src:
         manifest["stats"] = src["stats"]
+    if src.get("meta") is not None:
+        manifest["meta"] = src["meta"]  # the restored state's binding
     if head.get("last_batch") is not None:
         manifest["last_batch"] = head["last_batch"]
     _publish_manifest(spark, table, new_version, manifest)

@@ -24,7 +24,7 @@ def test_ivf_store_roundtrip_serves_identically(spark, tmp_path):
     idx = ivf_index(emb, n_cells=8)
     store = str(tmp_path / "ann")
     versions = ivf_store_save(spark, idx, store, target_files=8)
-    assert versions["assigned"] == 2  # commit + clustering compaction
+    assert versions["assigned"] == 1  # ONE clustered write, no rewrite
     loaded = ivf_store_load(spark, store)
     assert loaded[1] == sorted(idx[1])  # centers survive verbatim
 
@@ -75,6 +75,10 @@ def test_ivf_store_rebuild_is_atomic_for_pinned_readers(spark, tmp_path):
     fresh = ivf_store_load(spark, store)
     assert fresh[0].select("_cell").distinct().count() == 8
     assert len(fresh[1]) == 8
+    # generation binding: loading the PRE-rebuild assigned version must
+    # resolve the matching OLD centers (4 cells), not the latest table
+    pinned = ivf_store_load(spark, store, version=1)
+    assert len(pinned[1]) == 4
 
 
 def test_ivf_pq_store_roundtrip_and_pruned_search(spark, tmp_path):
@@ -97,7 +101,7 @@ def test_ivf_pq_store_roundtrip_and_pruned_search(spark, tmp_path):
     books = pq_train(emb, dim=64, m=8, n_centroids=16)
     store = str(tmp_path / "pq")
     versions = ivf_pq_store_save(spark, idx, books, store, target_files=8)
-    assert versions["codes"] == 2  # commit + clustering compaction
+    assert versions["codes"] == 1  # ONE clustered write, no rewrite
 
     (_, _), books2 = ivf_pq_store_load(spark, store)
     assert np.array_equal(books, books2)

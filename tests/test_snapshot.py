@@ -1123,3 +1123,29 @@ def test_dml_vs_append_race_soak(spark, tmp_path):
     assert got.filter("tag = 'app'").count() == 60  # nothing lost
     vs = snapshot_versions(spark, t)
     assert vs == list(range(1, len(vs) + 1))  # gap-free
+
+
+def test_meta_binding_carried_and_replaced(spark, tmp_path):
+    """snapshot_commit(meta=...): pinned to the snapshot, carried
+    forward by append/compact/metadata-only DML, replaced only
+    explicitly, and historical versions keep their own binding."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_meta,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 50, "a").coalesce(1), t,
+        stats_cols=["id"], meta={"gen": 1},
+    )
+    snapshot_commit(_df(spark, 100, 150, "b").coalesce(1), t, mode="append")
+    assert snapshot_meta(spark, t) == {"gen": 1}  # append carries
+    snapshot_compact(spark, t, target_files=1)
+    assert snapshot_meta(spark, t) == {"gen": 1}  # compact carries
+    snapshot_delete(spark, t, prune={"id": (0, 60)})  # metadata-only drop
+    assert snapshot_meta(spark, t) == {"gen": 1}  # pure-metadata carries
+    snapshot_commit(_df(spark, 0, 10, "c"), t, meta={"gen": 2})
+    assert snapshot_meta(spark, t) == {"gen": 2}  # explicit replace
+    assert snapshot_meta(spark, t, version=1) == {"gen": 1}  # history

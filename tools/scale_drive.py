@@ -33,14 +33,23 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ROTS = "bcdfghjklmnpqrstvwz"  # consonant rotation alphabet
+# 20 chars → 19 distinct NON-identity rotations: copies 1..19 each get
+# a unique substitution (rotation 0 would be the identity and silently
+# duplicate copy 0 — the bug class this comment guards)
+ROTS = "bcdfghjklmnpqrstvwxz"
 
 
 def synthesize(spark: SparkSession, sf_dir: str, out: str, copies: int):
+    if copies - 1 > len(ROTS) - 1:
+        raise ValueError(
+            f"copies={copies}: only {len(ROTS) - 1} distinct rotations — "
+            "raise len(ROTS) or lower copies"
+        )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     parts = []
     for i in range(copies):
-        rot = ROTS[i % len(ROTS) :] + ROTS[: i % len(ROTS)]
+        r = 1 + (i - 1) % (len(ROTS) - 1)  # 1..len-1, never identity
+        rot = ROTS[r:] + ROTS[:r]
         mutated = (
             F.when(F.col("doc_id") % 50 == 0, F.col("text"))  # exact dup
             .when(  # near dup: one trailing shingle differs
