@@ -37,6 +37,10 @@ __all__ = [
     "decode_image",
     "resize_nearest",
     "image_features",
+    "encode_wav",
+    "decode_wav",
+    "audio_features",
+    "media_features",
 ]
 
 
@@ -181,3 +185,117 @@ def image_features(pixels: np.ndarray, dim: int = 8) -> list[float]:
         hist, _ = np.histogram(luma, bins=dim - len(base), range=(0.0, 1.0))
         base.extend((hist / luma.size).tolist())
     return [float(round(v, 9)) for v in base[:dim]]
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000
+) -> bytes:
+    """(n,) or (n, channels) float in [-1, 1] → 16-bit PCM RIFF/WAVE
+    bytes (the canonical fmt-chunk layout from the public RIFF spec).
+    The encode side exists so tests can synthesize REAL audio bytes to
+    push through the Spark plumbing, mirroring encode_bmp/encode_ppm."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, ch), got {arr.shape}")
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    ch = arr.shape[1]
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → ((n, channels) float64 in [-1, 1], sample_rate).
+
+    Walks the chunk list (tolerating LIST/INFO and other metadata
+    chunks, including the spec's odd-size padding byte), supports
+    integer PCM at 8/16/32 bits (format tag 1) — anything else raises
+    NotImplementedError naming the tag, the same honest-gate discipline
+    as decode_image."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"not a RIFF/WAVE payload (magic {bytes(payload[:4])!r})"
+        )
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE missing fmt/data chunk")
+    tag, ch, rate, _, _, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"only integer PCM (format tag 1) supported, got tag {tag}"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # 8-bit WAV is unsigned per the spec
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 32:
+        arr = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"PCM bit depth {bits} unsupported")
+    n = (len(arr) // ch) * ch
+    return arr[:n].reshape(-1, ch), rate
+
+
+def audio_features(
+    samples: np.ndarray, sample_rate: int, dim: int = 8
+) -> list[float]:
+    """Deterministic real features from decoded PCM: duration (s), RMS,
+    zero-crossing rate, then mean spectral magnitude in (dim − 3)
+    equal-width bands of the mono mix's rFFT (numpy — no scipy),
+    band-normalized to sum 1.  Same contract as image_features: not a
+    learned embedding, but a REAL function of the signal content."""
+    mono = np.asarray(samples, dtype=np.float64).mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt((mono**2).mean()))
+    zcr = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
+    base = [n / float(sample_rate), rms, zcr]
+    n_bands = max(dim - len(base), 0)
+    if n_bands:
+        mag = np.abs(np.fft.rfft(mono))
+        bands = [
+            float(b.mean()) if len(b) else 0.0
+            for b in np.array_split(mag, n_bands)
+        ]
+        total = sum(bands)
+        if total > 0:
+            bands = [b / total for b in bands]
+        base += bands
+    return base[:dim]
+
+
+def media_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Magic-sniffing feature extraction across modalities: RIFF/WAVE →
+    :func:`audio_features`, everything else → image path
+    (:func:`decode_image` + :func:`image_features`).  One interface for
+    ``extract_features``'s real path, one honest NotImplementedError
+    for payloads neither route can decode."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload), dim=dim)
+    return image_features(decode_image(payload), dim)

@@ -116,11 +116,12 @@ def extract_features(
     mapInPandas.
 
     ``deterministic_fake=False`` decodes each payload for real
-    (``operators/codecs.py``: BMP/PPM natively, PIL if importable) and
-    computes features from the actual pixels; an undecodable payload
-    raises NotImplementedError naming its magic bytes — per asset, at
-    task time, because decodability is a property of the data, not the
-    environment."""
+    (``operators/codecs.py``: BMP/PPM images and RIFF/WAVE PCM audio
+    natively, PIL if importable for other image formats — magic-byte
+    routing per asset) and computes features from the actual
+    pixels/samples; an undecodable payload raises NotImplementedError
+    naming its magic bytes — per asset, at task time, because
+    decodability is a property of the data, not the environment."""
 
     out_schema = T.StructType(
         [
@@ -135,10 +136,7 @@ def extract_features(
         import pandas as pd
 
         if not deterministic_fake:
-            from ros_sql_spark.operators.codecs import (
-                decode_image,
-                image_features,
-            )
+            from ros_sql_spark.operators.codecs import media_features
 
         for pdf in batches:
             if deterministic_fake:
@@ -148,9 +146,7 @@ def extract_features(
                 ]
             else:
                 feats = [
-                    image_features(decode_image(bytes(m)), dim)
-                    if m is not None
-                    else None
+                    media_features(bytes(m), dim) if m is not None else None
                     for m in pdf["media"]
                 ]
             yield pd.DataFrame(

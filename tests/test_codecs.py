@@ -181,3 +181,103 @@ def test_resize_media_real_path_null_payload_keeps_meta(spark):
     assert nul.meta.mime != "image/bmp" or nul.meta.mime is None
     assert nul.meta.n_bytes is None
     assert nul.meta.width is None and nul.meta.height is None
+
+
+# ----------------------------------------------------------- WAV audio
+def _tone(freq, n=8000, rate=16000, amp=0.5, ch=1):
+    t = np.arange(n) / rate
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    return np.stack([sig] * ch, axis=1) if ch > 1 else sig
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_roundtrip_16bit(ch):
+    from ros_sql_spark.operators.codecs import decode_wav, encode_wav
+
+    sig = _tone(440, ch=ch)
+    out, rate = decode_wav(encode_wav(sig, 16_000))
+    assert rate == 16_000
+    assert out.shape == (8000, ch)
+    ref = sig if ch > 1 else sig[:, None]
+    assert np.abs(out - ref).max() < 1 / 32000  # 16-bit quantization
+
+
+def test_wav_tolerates_extra_chunks_and_odd_padding():
+    """Real-world WAVs carry LIST/INFO metadata chunks (odd sizes pad
+    to even offsets per the RIFF spec) — the parser must walk past
+    them."""
+    import struct as _s
+
+    from ros_sql_spark.operators.codecs import decode_wav, encode_wav
+
+    b = encode_wav(_tone(100, n=100), 8000)
+    # splice an odd-sized LIST chunk between WAVE and fmt
+    extra = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = b[:12] + extra + b[12:]
+    spliced = spliced[:4] + _s.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = decode_wav(spliced)
+    assert rate == 8000 and out.shape == (100, 1)
+
+
+def test_wav_rejects_non_pcm_and_bad_magic():
+    import struct as _s
+
+    from ros_sql_spark.operators.codecs import decode_wav, encode_wav
+
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    b = bytearray(encode_wav(_tone(100, n=10), 8000))
+    _s.pack_into("<H", b, 20, 3)  # format tag 3 = IEEE float
+    with pytest.raises(NotImplementedError, match="tag 3"):
+        decode_wav(bytes(b))
+
+
+def test_audio_features_properties():
+    from ros_sql_spark.operators.codecs import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    low = audio_features(*decode_wav(encode_wav(_tone(100), 16_000)), dim=8)
+    high = audio_features(*decode_wav(encode_wav(_tone(7000), 16_000)), dim=8)
+    assert abs(low[0] - 0.5) < 1e-9  # duration: 8000 / 16000 s
+    assert abs(low[1] - 0.5 / np.sqrt(2)) < 1e-3  # RMS of a sine
+    assert high[2] > low[2]  # zero-crossing rate tracks frequency
+    # spectral mass sits in the lowest band for 100 Hz, highest for 7 kHz
+    assert low[3] == max(low[3:])
+    assert high[7] == max(high[3:])
+
+
+def test_extract_features_mixed_modalities_end_to_end(spark):
+    """One asset frame mixing BMP images and WAV audio: the real path
+    routes each payload by magic bytes inside the SAME mapInPandas pass
+    and agrees bit-for-bit with driver-side decodes."""
+    from ros_sql_spark.operators.codecs import encode_wav, media_features
+    from ros_sql_spark.operators.multimodal import (
+        as_assets,
+        extract_features,
+    )
+
+    rows = []
+    for i in range(12):
+        if i % 2 == 0:
+            payload = encode_bmp(_img(6, 5, seed=i))
+            mime = "image/bmp"
+        else:
+            payload = encode_wav(_tone(200 + 100 * i, n=1000), 16_000)
+            mime = "audio/wav"
+        rows.append((i, bytearray(payload), mime))
+    df = spark.createDataFrame(
+        rows, "asset_id long, media binary, mime string"
+    )
+    assets = as_assets(df, "asset_id", "media", "mixed")
+    got = {
+        r.asset_id: r.features
+        for r in extract_features(
+            assets, dim=8, deterministic_fake=False
+        ).collect()
+    }
+    assert len(got) == 12
+    for i, payload, _ in rows:
+        assert got[i] == media_features(bytes(payload), 8)

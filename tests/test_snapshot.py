@@ -1149,3 +1149,48 @@ def test_meta_binding_carried_and_replaced(spark, tmp_path):
     snapshot_commit(_df(spark, 0, 10, "c"), t, meta={"gen": 2})
     assert snapshot_meta(spark, t) == {"gen": 2}  # explicit replace
     assert snapshot_meta(spark, t, version=1) == {"gen": 1}  # history
+
+
+def test_replace_where_with_schema_evolution(spark, tmp_path):
+    """replace_where + evolve_schema: the kept complement (old schema)
+    and the replacement (wider schema) coexist in one version; reads
+    null-fill the kept rows' new column."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "a"), t)
+    repl = _df(spark, 200, 220, "b").withColumn("score", F.lit(1.0))
+    v = snapshot_commit(
+        repl, t, replace_where="part = 0", evolve_schema=True
+    )
+    got = snapshot_read(spark, t, version=v)
+    assert got.filter("part = 0 AND tag = 'a'").count() == 0
+    assert got.filter("tag = 'b'").count() == 20
+    kept = got.filter("tag = 'a'")
+    assert kept.count() == _df(spark, 0, 100, "a").filter("part != 0").count()
+    assert kept.filter("score IS NOT NULL").count() == 0  # null-filled
+
+
+def test_dml_on_evolved_table_null_semantics(spark, tmp_path):
+    """DELETE/UPDATE on an evolved table: pre-evolution rows surface
+    NULL for the new column, so a predicate on it is NULL there —
+    DELETE keeps them, UPDATE leaves them untouched (ANSI)."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_delete,
+        snapshot_update,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50, "a"), t)
+    snapshot_commit(
+        _df(spark, 50, 100, "b").withColumn("score", F.lit(5.0)),
+        t,
+        mode="append",
+        evolve_schema=True,
+    )
+    snapshot_delete(spark, t, "score > 1.0")
+    got = snapshot_read(spark, t)
+    assert got.count() == 50  # only the scored rows deleted
+    assert got.filter("tag = 'a'").count() == 50  # NULL predicate kept
+
+    snapshot_update(spark, t, {"tag": "'touched'"}, "score IS NULL")
+    got2 = snapshot_read(spark, t)
+    assert got2.filter("tag = 'touched'").count() == 50
