@@ -41,6 +41,8 @@ __all__ = [
     "decode_wav",
     "audio_features",
     "media_features",
+    "encode_y4m",
+    "decode_y4m",
 ]
 
 
@@ -299,3 +301,113 @@ def media_features(payload: bytes, dim: int = 8) -> list[float]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload), dim=dim)
     return image_features(decode_image(payload), dim)
+
+
+def _rgb_to_yuv_jpeg(frame: np.ndarray):
+    """(H, W, 3) uint8 RGB → full-range BT.601 (JPEG) Y/U/V float planes."""
+    r, g, b = (frame[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, u, v
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """(n, H, W, 3) uint8 RGB → YUV4MPEG2 bytes (C420jpeg: full-range
+    BT.601 with 2×2-mean chroma subsampling — the mjpegtools format
+    spec).  H and W must be even (4:2:0 requirement).  The encode side
+    exists so tests can synthesize REAL video bytes, mirroring
+    encode_bmp/encode_wav."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError(f"expected (n, H, W, 3) uint8, got {arr.shape}")
+    n, h, w, _ = arr.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"4:2:0 needs even dims, got {h}x{w}")
+    out = [
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    ]
+    for f in arr:
+        y, u, v = _rgb_to_yuv_jpeg(f)
+        usub = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        vsub = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        out.append(b"FRAME\n")
+        for plane in (y, usub, vsub):
+            out.append(
+                np.clip(np.round(plane), 0, 255).astype(np.uint8).tobytes()
+            )
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 → ((n, H, W, 3) uint8 RGB, (fps_num, fps_den)).
+
+    Parses the space-separated header parameters (W/H/F required,
+    unknown tags skipped per the spec), accepts the C420 family
+    (420jpeg/420mpeg2/420paldv — identical plane layout, differing only
+    in chroma siting, which nearest-siting upsampling ignores) and
+    C444; other colorspaces raise NotImplementedError.  Full-range
+    BT.601 conversion back to RGB, chroma upsampled by replication."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            f"not a YUV4MPEG2 payload (magic {bytes(payload[:9])!r}); "
+            "native video support covers y4m — use ffmpeg for containers"
+        )
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "420jpeg"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t[0] == "C":
+            cs = t[1:]
+    if w is None or h is None:
+        raise NotImplementedError("y4m header missing W/H")
+    if cs.startswith("420"):
+        chroma_shape = (h // 2, w // 2)
+    elif cs == "444":
+        chroma_shape = (h, w)
+    else:
+        raise NotImplementedError(f"y4m colorspace C{cs} unsupported")
+    ylen = h * w
+    clen = chroma_shape[0] * chroma_shape[1]
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError("malformed y4m FRAME marker")
+        pos = fnl + 1
+        y = np.frombuffer(payload, np.uint8, ylen, pos).reshape(h, w)
+        u = np.frombuffer(payload, np.uint8, clen, pos + ylen).reshape(
+            chroma_shape
+        )
+        v = np.frombuffer(
+            payload, np.uint8, clen, pos + ylen + clen
+        ).reshape(chroma_shape)
+        pos += ylen + 2 * clen
+        if cs.startswith("420"):
+            u = u.repeat(2, axis=0).repeat(2, axis=1)
+            v = v.repeat(2, axis=0).repeat(2, axis=1)
+        yf = y.astype(np.float64)
+        uf = u.astype(np.float64) - 128.0
+        vf = v.astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                yf + 1.402 * vf,
+                yf - 0.344136 * uf - 0.714136 * vf,
+                yf + 1.772 * uf,
+            ],
+            axis=-1,
+        )
+        frames.append(np.clip(np.round(rgb), 0, 255).astype(np.uint8))
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), fps

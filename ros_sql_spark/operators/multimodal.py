@@ -267,22 +267,21 @@ def sample_frames(
     n_frames: int = 4,
     deterministic_fake: bool = True,
 ) -> DataFrame:
-    """Video-style frame sampling: one asset row → ``n_frames`` frame
-    rows (asset_id, frame_idx, frame binary).  Demonstrates the
-    cardinality-changing mapInPandas shape a real ffmpeg sampler uses —
-    the generator yields MORE rows than it consumes, streamed per Arrow
-    batch, nothing driver-side.
+    """Video-style frame sampling: one asset row → up to ``n_frames``
+    frame rows (asset_id, frame_idx, frame binary) — the
+    cardinality-changing mapInPandas shape (the generator yields MORE
+    rows than it consumes, streamed per Arrow batch, nothing
+    driver-side).
 
-    Real implementation: ffmpeg keyframe extraction per payload.  Fake:
-    frame i = md5-chain slice seeded by (payload, i) — deterministic and
-    distinct per frame.
+    Real path (``deterministic_fake=False``): YUV4MPEG2 payloads decode
+    natively (``operators/codecs.py::decode_y4m`` — the mjpegtools
+    format), ``n_frames`` evenly spaced frames are selected, and each
+    is emitted as standard BMP bytes (``encode_bmp``) so downstream
+    image operators consume them directly; other containers raise
+    NotImplementedError naming their magic (ffmpeg territory).  Fake:
+    frame i = md5-chain slice seeded by (payload, i) — deterministic
+    and distinct per frame.
     """
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "real frame sampling needs ffmpeg, not installed here; "
-            "pass deterministic_fake=True for the plumbing path"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),
@@ -294,16 +293,39 @@ def sample_frames(
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if not deterministic_fake:
+            from ros_sql_spark.operators.codecs import decode_y4m, encode_bmp
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for aid, m in zip(pdf["asset_id"], pdf["media"]):
                 payload = bytes(m) if m is not None else b""
-                for i in range(n_frames):
-                    ids.append(aid)
-                    idxs.append(i)
-                    frames.append(
-                        hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+                if deterministic_fake:
+                    for i in range(n_frames):
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(
+                            hashlib.md5(
+                                payload + i.to_bytes(4, "big")
+                            ).digest()
+                        )
+                else:
+                    decoded, _ = decode_y4m(payload)
+                    total = decoded.shape[0]
+                    take = min(n_frames, total)
+                    # evenly spaced over the clip, endpoints included
+                    picks = (
+                        [0]
+                        if take == 1
+                        else [
+                            round(i * (total - 1) / (take - 1))
+                            for i in range(take)
+                        ]
                     )
+                    for i, src in enumerate(picks):
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(encode_bmp(decoded[src]))
             yield pd.DataFrame(
                 {"asset_id": ids, "frame_idx": idxs, "frame": frames}
             )

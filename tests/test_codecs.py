@@ -281,3 +281,62 @@ def test_extract_features_mixed_modalities_end_to_end(spark):
     assert len(got) == 12
     for i, payload, _ in rows:
         assert got[i] == media_features(bytes(payload), 8)
+
+
+# ------------------------------------------------------------ Y4M video
+def _clip(n=6, h=8, w=10, seed=3):
+    """Block-constant frames: 4:2:0 chroma subsampling is lossless on
+    2x2 blocks, so roundtrip error is bounded by float rounding (±1)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (n, h // 2, w // 2, 3), dtype=np.uint8)
+    return base.repeat(2, axis=1).repeat(2, axis=2)
+
+
+def test_y4m_roundtrip_block_constant():
+    from ros_sql_spark.operators.codecs import decode_y4m, encode_y4m
+
+    frames = _clip()
+    out, fps = decode_y4m(encode_y4m(frames, (30, 1)))
+    assert fps == (30, 1)
+    assert out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 1
+
+
+def test_y4m_header_unknown_params_and_rejects():
+    from ros_sql_spark.operators.codecs import decode_y4m, encode_y4m
+
+    b = encode_y4m(_clip(n=2))
+    # splice an unknown header parameter (spec: unknown tags skipped)
+    b2 = b.replace(b" C420jpeg\n", b" C420jpeg Xcustom\n", 1)
+    out, _ = decode_y4m(b2)
+    assert out.shape[0] == 2
+    with pytest.raises(NotImplementedError, match="YUV4MPEG2"):
+        decode_y4m(b"\x00\x00\x01\xba" + b"\x00" * 40)  # MPEG-PS magic
+    with pytest.raises(NotImplementedError, match="C422"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n" + b"\x00" * 32)
+
+
+def test_sample_frames_real_path_end_to_end(spark):
+    """deterministic_fake=False decodes a REAL y4m clip per asset,
+    picks evenly spaced frames, and emits them as BMP bytes that decode
+    back to the source frames (within chroma rounding)."""
+    from ros_sql_spark.operators.codecs import decode_bmp, encode_y4m
+    from ros_sql_spark.operators.multimodal import as_assets, sample_frames
+
+    clips = {i: _clip(n=6 + i, seed=10 + i) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_y4m(c))) for i, c in clips.items()],
+        "asset_id long, media binary",
+    )
+    assets = as_assets(df, "asset_id", "media", "video/x-yuv4mpeg")
+    rows = sample_frames(assets, n_frames=3, deterministic_fake=False).collect()
+    assert len(rows) == 4 * 3
+    for r in rows:
+        total = clips[r.asset_id].shape[0]
+        src = round(r.frame_idx * (total - 1) / 2)
+        got = decode_bmp(bytes(r.frame)).astype(int)
+        want = clips[r.asset_id][src].astype(int)
+        assert np.abs(got - want).max() <= 1
+    # endpoints included: frame_idx 0 is clip frame 0, idx 2 the last
+    idxs = {(r.asset_id, r.frame_idx) for r in rows}
+    assert all((a, i) in idxs for a in clips for i in range(3))

@@ -165,7 +165,8 @@ def test_multimodal_real_codec_is_gated(spark, docs):
     """The real path decodes BMP/PPM natively; payloads no codec can
     handle (text bytes here) still fail honestly — per asset, at task
     time, with the NotImplementedError surfaced in the Python worker
-    traceback.  Video frame sampling stays eagerly gated (no ffmpeg)."""
+    traceback.  Video now gates the same way: y4m decodes natively,
+    non-video payloads fail per asset naming their magic."""
     from ros_sql_spark.operators.multimodal import resize_media, sample_frames
 
     assets = as_assets(docs, "doc_id", "text", "text/plain")
@@ -173,8 +174,8 @@ def test_multimodal_real_codec_is_gated(spark, docs):
         extract_features(assets, deterministic_fake=False).collect()
     with pytest.raises(Exception, match="NotImplementedError|unsupported"):
         resize_media(assets, 8, 8, deterministic_fake=False).collect()
-    with pytest.raises(NotImplementedError):
-        sample_frames(assets, deterministic_fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|YUV4MPEG2"):
+        sample_frames(assets, deterministic_fake=False).collect()
 
 
 def test_multimodal_resize_shape_and_determinism(spark, docs):
