@@ -43,6 +43,7 @@ __all__ = [
     "media_features",
     "encode_y4m",
     "decode_y4m",
+    "video_features",
 ]
 
 
@@ -292,14 +293,42 @@ def audio_features(
     return base[:dim]
 
 
+def video_features(frames: np.ndarray, fps: tuple, dim: int = 8) -> list[float]:
+    """Deterministic real features from decoded frames: duration (s),
+    frame count (log-scaled), mean inter-frame luminance delta (the
+    motion proxy), then the MIDDLE frame's image features for the
+    remaining dims — a real function of the clip content, same contract
+    as image/audio_features."""
+    n = frames.shape[0]
+    if n == 0:
+        return [0.0] * dim
+    rate = fps[0] / max(fps[1], 1)
+    luma = (
+        0.2126 * frames[..., 0].astype(np.float64)
+        + 0.7152 * frames[..., 1]
+        + 0.0722 * frames[..., 2]
+    ) / 255.0
+    motion = (
+        float(np.abs(np.diff(luma, axis=0)).mean()) if n > 1 else 0.0
+    )
+    base = [n / rate if rate else 0.0, float(np.log1p(n)), motion]
+    rest = max(dim - len(base), 0)
+    if rest:
+        base += image_features(frames[n // 2], rest)
+    return base[:dim]
+
+
 def media_features(payload: bytes, dim: int = 8) -> list[float]:
     """Magic-sniffing feature extraction across modalities: RIFF/WAVE →
-    :func:`audio_features`, everything else → image path
-    (:func:`decode_image` + :func:`image_features`).  One interface for
-    ``extract_features``'s real path, one honest NotImplementedError
-    for payloads neither route can decode."""
+    :func:`audio_features`, YUV4MPEG2 → :func:`video_features`,
+    everything else → image path (:func:`decode_image` +
+    :func:`image_features`).  One interface for ``extract_features``'s
+    real path, one honest NotImplementedError for payloads no route can
+    decode."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload), dim=dim)
+    if payload[:9] == b"YUV4MPEG2":
+        return video_features(*decode_y4m(payload), dim=dim)
     return image_features(decode_image(payload), dim)
 
 

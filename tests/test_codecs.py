@@ -340,3 +340,42 @@ def test_sample_frames_real_path_end_to_end(spark):
     # endpoints included: frame_idx 0 is clip frame 0, idx 2 the last
     idxs = {(r.asset_id, r.frame_idx) for r in rows}
     assert all((a, i) in idxs for a in clips for i in range(3))
+
+
+def test_media_features_routes_all_three_modalities(spark):
+    """One extract_features pass over image + audio + video assets:
+    every payload routes to its real decoder by magic bytes."""
+    from ros_sql_spark.operators.codecs import (
+        encode_wav,
+        encode_y4m,
+        media_features,
+        video_features,
+    )
+    from ros_sql_spark.operators.multimodal import (
+        as_assets,
+        extract_features,
+    )
+
+    payloads = [
+        encode_bmp(_img(6, 6, seed=1)),
+        encode_wav(_tone(440), 16_000),
+        encode_y4m(_clip(n=4, seed=2), (10, 1)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "asset_id long, media binary",
+    )
+    got = {
+        r.asset_id: r.features
+        for r in extract_features(
+            as_assets(df, "asset_id", "media", "mixed"),
+            dim=8,
+            deterministic_fake=False,
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == media_features(bytes(p), 8)
+    # the video row's leading features are clip-level (duration 0.4s,
+    # log frame count), not image stats
+    assert abs(got[2][0] - 0.4) < 1e-9
+    assert abs(got[2][1] - np.log1p(4)) < 1e-9
