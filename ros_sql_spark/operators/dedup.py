@@ -45,6 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "passage_df",
     "remove_boilerplate",
+    "remove_duplicate_spans",
 ]
 
 DEFAULT_NUM_HASHES = 64
@@ -764,4 +765,99 @@ def remove_boilerplate(
                 ),
             ).alias(text_col)
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup (the published "deduplicating
+    training data" shape, token-window form): any run of ``k``
+    consecutive tokens whose exact content appears in ``min_docs`` or
+    more DISTINCT documents is excised from every document, and each
+    document is rebuilt from its surviving tokens in order.  Finer
+    than :func:`remove_boilerplate` (passage = fixed block; this
+    catches duplicated spans at ANY offset) and exact where MinHash is
+    probabilistic.
+
+    Output: (id, text) in token-normalized form (lowercased,
+    whitespace-joined — the same normalization the window comparison
+    uses, mirroring remove_boilerplate's rebuild); a document whose
+    every token is covered by duplicated windows drops out entirely.
+    Documents shorter than ``k`` tokens have no window and pass through
+    untouched (in normalized form).
+
+    Scale shape, all JVM: one windowed-hash pass per doc (the
+    shingle_hashes fold — no per-span strings), ONE narrow shuffle
+    grouping windows by hash for the distinct-doc count (never a
+    corpus self-join), a semi-join marking duplicated window starts, a
+    k-fan-out explode of ONLY the duplicated windows into covered
+    token positions, an anti-join dropping covered tokens, and one
+    per-doc reassembly groupBy.  Window-content equality is
+    hash-equality modulo 2^-64 collisions, the same documented trade
+    as every shingle_hashes consumer.
+    """
+    from ros_sql_spark.functions.util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
+    hashed = base.select(
+        id_col,
+        "_toks",
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
+        F.size("_toks").alias("_n"),
+    )
+    windows = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1)),
+            lambda i: F.xxhash64(
+                *[
+                    F.element_at(F.col("_th"), (i + F.lit(j)).cast("int"))
+                    for j in range(k)
+                ]
+            ),
+        ),
+    )
+    # posexplode_outer: the Generate invariant (CLAUDE.md) — the window
+    # expression is expensive and the inferred pre-filter would inline
+    # it per row; short docs yield a NULL element filtered right after.
+    win = hashed.select(
+        id_col, F.posexplode_outer(windows).alias("_p", "_s")
+    ).filter(F.col("_s").isNotNull())
+    dup = (
+        win.groupBy("_s")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_s")
+    )
+    # duplicated window at array index p (0-based) covers tokens
+    # [p+1, p+k] in 1-based positions
+    covered = (
+        win.join(dup, "_s", "left_semi")
+        .select(
+            id_col,
+            F.explode_outer(
+                F.sequence(F.col("_p") + 1, F.col("_p") + k)
+            ).alias("_tpos"),
+        )
+        .distinct()
+    )
+    tok_rows = hashed.select(
+        id_col, F.posexplode_outer("_toks").alias("_tp0", "_tok")
+    ).select(id_col, (F.col("_tp0") + 1).alias("_tpos"), "_tok")
+    kept = tok_rows.join(covered, [id_col, "_tpos"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias(text_col)
     )

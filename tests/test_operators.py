@@ -296,3 +296,75 @@ def test_cosine_dedup_pairs_lsh_recall_and_exactness(spark, emb):
     # sims agree to the last rounded digit modulo summation order: allow 1e-6
     for k in got:
         assert abs(got[k] - exact[k]) <= 1e-6, (k, got[k], exact[k])
+
+
+def test_remove_duplicate_spans_matches_reference(spark):
+    """Substring-level exact dedup agrees with a brute-force Python
+    reference on a corpus with planted shared spans, overlapping
+    duplicated windows, a fully-duplicated doc, and a short doc."""
+    from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = {
+        1: f"alpha beta gamma {shared} delta epsilon zeta",
+        2: f"one two {shared} three four five six seven",
+        3: shared,  # fully duplicated: must drop out
+        4: "completely unique text with no repeated spans anywhere at all",
+        5: "tiny doc",  # shorter than k: passes through normalized
+        # overlap: two shifted copies of the shared span merge coverage
+        6: f"{shared} over the lazy dog tonight extra tail words here",
+    }
+    k, min_docs = 5, 2
+
+    def ref():
+        toks = {i: t.lower().split(" ") for i, t in corpus.items()}
+        from collections import defaultdict
+
+        seen = defaultdict(set)
+        for i, ts in toks.items():
+            for p in range(len(ts) - k + 1):
+                seen[tuple(ts[p : p + k])].add(i)
+        dup = {w for w, s in seen.items() if len(s) >= min_docs}
+        out = {}
+        for i, ts in toks.items():
+            cov = set()
+            for p in range(len(ts) - k + 1):
+                if tuple(ts[p : p + k]) in dup:
+                    cov.update(range(p, p + k))
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            if kept:
+                out[i] = " ".join(kept)
+        return out
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(
+            df, k=k, min_docs=min_docs
+        ).collect()
+    }
+    expect = ref()
+    assert got == expect
+    assert 3 not in got  # fully-duplicated doc dropped
+    assert got[4] == corpus[4]  # untouched doc survives verbatim
+    assert got[5] == corpus[5]
+    assert shared.split(" ")[0] not in got[1].split(" ")  # span excised
+
+
+def test_remove_duplicate_spans_threshold(spark):
+    """min_docs=3: a span shared by only two docs survives."""
+    from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, f"x {shared} y"), (2, f"p {shared} q"), (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in remove_duplicate_spans(df, k=5, min_docs=3).collect()
+    }
+    assert got[1] == f"x {shared} y"
+    assert got[2] == f"p {shared} q"

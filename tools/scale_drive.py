@@ -186,6 +186,16 @@ def main() -> int:
             2 * planted * copies * 0.9
         )
 
+        # 3b. substring-level exact dedup: the planted exact family is
+        # wall-to-wall duplicated spans, so those docs must vanish
+        from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+        span_rows = timed(
+            "span_dedup",
+            lambda: remove_duplicate_spans(docs, k=8, min_docs=3).count(),
+        )
+        checks["span_dedup_drops_duplicated_docs"] = span_rows < n_docs
+
         # 4. bloom decontamination: eval = copy-0 exact-family docs →
         # every later copy is contaminated by construction
         from ros_sql_spark.operators.bloom import bloom_contaminated_ids
