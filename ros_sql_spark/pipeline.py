@@ -46,6 +46,7 @@ _log = logging.getLogger(__name__)
 # for _obs_values.
 _OBS_FIELDS = {
     "boilerplate": ["n_dropped"],
+    "span_dedup": ["n_dropped"],
     "quality": ["n_in", "n_kept"],
     "exact": ["n_kept"],
     "near_dup": ["n_dropped"],
@@ -154,6 +155,11 @@ class CurationResult:
                 # input adds the fully-boilerplate drops
                 m["boilerplate"] = o["boilerplate"]["n_dropped"]
                 m["input"] += m["boilerplate"]
+            if "span_dedup" in o:
+                # same accounting: fully-duplicated docs dropped before
+                # the quality gate ever counted them
+                m["span_dedup"] = o["span_dedup"]["n_dropped"]
+                m["input"] += m["span_dedup"]
             for stage in ("near_dup", "semantic_dup", "decontam", "mixture"):
                 if stage in o:
                     m[stage] = o[stage]["n_dropped"]
@@ -185,6 +191,8 @@ def curate(
     budget_token_col=None,
     boilerplate_max_df: int | None = None,
     boilerplate_passage_tokens: int = 10,
+    span_dedup_k: int | None = None,
+    span_min_docs: int = 3,
 ) -> CurationResult:
     """Run the full cleaning pipeline over a document corpus.
 
@@ -197,6 +205,14 @@ def curate(
        ordering: chrome removal first, so headers neither poison the
        quality features nor fabricate near-dup edges).  Docs whose
        every passage is boilerplate are dropped here.
+    0b. **span_dedup** (only when ``span_dedup_k`` is given):
+       substring-level exact dedup — any ``span_dedup_k``-token run
+       appearing in ``span_min_docs``+ distinct documents is excised
+       corpus-wide and docs rebuilt from surviving tokens
+       (``operators/dedup.py::remove_duplicate_spans``).  Runs before
+       gating for the same reason as boilerplate: shared spans
+       fabricate near-dup edges and skew the quality features.  Docs
+       that were wall-to-wall duplicated spans drop here.
     1. **quality**: C4/Gopher-style gate on token count, punctuation
        ratio and stopword ratio (q21 thresholds; comparisons on rounded
        features, so the decision is reproducible).
@@ -274,6 +290,36 @@ def curate(
                 docs.select(id_col, *carry), id_col
             )
         docs = cleaned
+
+    # 0b. optional substring-level exact dedup — duplicated k-token
+    #     spans excised corpus-wide before gating (shared spans
+    #     fabricate near-dup edges and skew quality features)
+    if span_dedup_k is not None:
+        from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+        despanned = remove_duplicate_spans(
+            docs.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            k=span_dedup_k,
+            min_docs=span_min_docs,
+        )
+        _ob_sp = Observation()
+        sp_dropped = (
+            docs.select(id_col)
+            .join(despanned.select(id_col), id_col, "left_anti")
+            .observe(_ob_sp, F.count(F.lit(1)).alias("n_dropped"))
+        )
+        dropped["span_dedup"] = sp_dropped
+        # like boilerplate: the drop frame is not in the survivors'
+        # lineage, so the fallback count is the normal fill path
+        obs["span_dedup"] = (
+            _ob_sp,
+            lambda: {"n_dropped": dropped["span_dedup"].count()},
+        )
+        if carry:
+            despanned = despanned.join(docs.select(id_col, *carry), id_col)
+        docs = despanned
 
     # 1. quality gate — pure projection, no shuffle
     feats = docs.select(

@@ -287,3 +287,45 @@ def test_publish_curated_snapshot(spark, tmp_path):
     assert pruned.filter(f"doc_id <= {lo}").count() == sum(
         1 for i in ids if i <= lo
     )
+
+
+def test_curate_span_dedup_stage(spark):
+    """span_dedup_k= excises a planted cross-doc span before gating:
+    the span vanishes from every surviving text, a wall-to-wall
+    duplicated doc is accounted as dropped, and the id partition +
+    metrics ledger still balance."""
+    span = (
+        "shared span alpha beta gamma delta epsilon zeta eta theta "
+        "iota kappa"
+    )
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + span)).alias("text"),
+    )
+    only_span = spark.createDataFrame(
+        [(999999, span)], "doc_id long, text string"
+    )
+    docs = docs.unionByName(only_span)
+
+    res = curate(docs, span_dedup_k=6, span_min_docs=3)
+    kept_rows = res.docs.collect()
+    assert kept_rows, "pipeline dropped everything"
+    assert all("shared span alpha" not in r.text for r in kept_rows)
+    assert 999999 in _ids(res.dropped["span_dedup"])
+
+    all_ids = _ids(docs)
+    union = _ids(res.docs)
+    total = len(union)
+    for df in res.dropped.values():
+        s = _ids(df)
+        union |= s
+        total += len(s)
+    assert union == all_ids
+    assert total == len(all_ids)
+
+    m = res.metrics()
+    assert m["input"] == docs.count()
+    assert m["span_dedup"] >= 1
+    assert m["input"] == m["kept"] + sum(
+        v for k, v in m.items() if k not in ("input", "kept")
+    )
