@@ -133,6 +133,25 @@ def token_shingles(tokens_col: str | Column, k: int = 3) -> Column:
     return F.when(n >= k, windowed).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _window_hashes(th_col: str, n_col: str, k: int) -> Column:
+    """array<bigint>: one xxhash64 per k-window of a MATERIALIZED
+    token-hash array column (1-based windows; element i covers tokens
+    [i, i+k-1]).  The shared fold behind :func:`shingle_hashes` and
+    :func:`remove_duplicate_spans` — fixed-width multi-arg xxhash64
+    over pre-hashed tokens, no per-window strings.  Pass COLUMN NAMES,
+    not inline expressions: lambda bodies re-evaluate captured
+    expressions per element (the module's O(tokens²) trap)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.col(n_col) - F.lit(k - 1)),
+        lambda i: F.xxhash64(
+            *[
+                F.element_at(F.col(th_col), (i + F.lit(j)).cast("int"))
+                for j in range(k)
+            ]
+        ),
+    )
+
+
 def shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
@@ -164,15 +183,7 @@ def shingle_hashes(
         F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
         F.size("_toks").alias("_n"),
     )
-    windows = F.transform(
-        F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1)),
-        lambda i: F.xxhash64(
-            *[
-                F.element_at(F.col("_th"), (i + F.lit(j)).cast("int"))
-                for j in range(k)
-            ]
-        ),
-    )
+    windows = _window_hashes("_th", "_n", k)
     short = F.array(
         F.aggregate(
             F.col("_th"),
@@ -774,6 +785,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    persist_windows: bool = True,
 ) -> DataFrame:
     """Exact SUBSTRING-level dedup (the published "deduplicating
     training data" shape, token-window form): any run of ``k``
@@ -800,10 +812,23 @@ def remove_duplicate_spans(
     per-doc reassembly groupBy.  Window-content equality is
     hash-equality modulo 2^-64 collisions, the same documented trade
     as every shingle_hashes consumer.
-    """
-    from ros_sql_spark.functions.util import ensure_parallelism
 
-    base = ensure_parallelism(df).select(
+    ``persist_windows`` (default True): the narrow (id, pos, hash)
+    window table feeds BOTH the df-count build side and the semi-join
+    probe side of one action's DAG — persisting it computes the token
+    fold once (measured at 20x/100k docs: 5.0s vs 7.4s; unlike q90's
+    wide shingle arrays, three longs per row is cheap to cache).  The
+    cache handle rides on the result as ``_rosql_cached`` (module
+    convention) — callers release it after their action.  Pass False
+    where an unreleased cache would leak (curate() does: its output is
+    consumed across many later actions with no release point).
+    """
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    # lazy probe: this operator sits mid-pipeline in curate(), where
+    # ensure_parallelism's df.rdd probe would eagerly materialize the
+    # upstream stages under AQE (measured — see functions/util.py)
+    base = ensure_scan_parallelism(df).select(
         F.col(id_col), tokenize(text_col).alias("_toks")
     )
     hashed = base.select(
@@ -812,24 +837,15 @@ def remove_duplicate_spans(
         F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
         F.size("_toks").alias("_n"),
     )
-    windows = F.when(
-        F.col("_n") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1)),
-            lambda i: F.xxhash64(
-                *[
-                    F.element_at(F.col("_th"), (i + F.lit(j)).cast("int"))
-                    for j in range(k)
-                ]
-            ),
-        ),
-    )
+    windows = F.when(F.col("_n") >= k, _window_hashes("_th", "_n", k))
     # posexplode_outer: the Generate invariant (CLAUDE.md) — the window
     # expression is expensive and the inferred pre-filter would inline
     # it per row; short docs yield a NULL element filtered right after.
     win = hashed.select(
         id_col, F.posexplode_outer(windows).alias("_p", "_s")
     ).filter(F.col("_s").isNotNull())
+    if persist_windows:
+        win = win.persist()
     dup = (
         win.groupBy("_s")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
@@ -848,11 +864,19 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
-    tok_rows = hashed.select(
-        id_col, F.posexplode_outer("_toks").alias("_tp0", "_tok")
-    ).select(id_col, (F.col("_tp0") + 1).alias("_tpos"), "_tok")
+    # _tok IS NOT NULL: a NULL-text doc explodes to one (NULL, NULL)
+    # row which would otherwise survive the anti-join and resurrect as
+    # an empty-string document — NULL-text docs drop entirely instead,
+    # matching remove_boilerplate's behavior for the same input class
+    tok_rows = (
+        hashed.select(
+            id_col, F.posexplode_outer("_toks").alias("_tp0", "_tok")
+        )
+        .filter(F.col("_tok").isNotNull())
+        .select(id_col, (F.col("_tp0") + 1).alias("_tpos"), "_tok")
+    )
     kept = tok_rows.join(covered, [id_col, "_tpos"], "left_anti")
-    return kept.groupBy(id_col).agg(
+    out = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -861,3 +885,5 @@ def remove_duplicate_spans(
             ),
         ).alias(text_col)
     )
+    out._rosql_cached = win if persist_windows else None
+    return out

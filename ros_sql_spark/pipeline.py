@@ -297,12 +297,16 @@ def curate(
     if span_dedup_k is not None:
         from ros_sql_spark.operators.dedup import remove_duplicate_spans
 
+        # persist_windows=False: curate()'s output is consumed across
+        # many later actions with no release point — an unreleased
+        # window cache would leak; recompute keeps the stage lazy/clean
         despanned = remove_duplicate_spans(
             docs.select(id_col, text_col),
             id_col=id_col,
             text_col=text_col,
             k=span_dedup_k,
             min_docs=span_min_docs,
+            persist_windows=False,
         )
         _ob_sp = Observation()
         sp_dropped = (

@@ -368,3 +368,19 @@ def test_remove_duplicate_spans_threshold(spark):
     }
     assert got[1] == f"x {shared} y"
     assert got[2] == f"p {shared} q"
+
+
+def test_remove_duplicate_spans_null_text_drops(spark):
+    """NULL-text docs drop entirely (remove_boilerplate parity), never
+    resurrect as empty-string rows."""
+    from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_spans(df, k=3, min_docs=2)
+    got = {r.doc_id for r in out.collect()}
+    if out._rosql_cached is not None:
+        out._rosql_cached.unpersist()
+    assert got == {1}
