@@ -4,40 +4,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_parallelism", "ensure_scan_parallelism"]
+__all__ = ["ensure_scan_parallelism"]
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition iff the input has fewer partitions than cores.
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition iff the input scan has fewer files than cores.
 
     Single-row-group parquet tables (like the 500-row documents/
     embeddings test tables) plan as ONE task, serializing any
     expression-heavy projection onto one core.  At production scale the
-    input already has >= cores partitions and this is a no-op; the guard
-    costs one cheap plan inspection, the repartition (when it fires) one
-    tiny shuffle.
+    input already has >= cores files and this is a no-op.
 
-    EAGERNESS caveat: the ``df.rdd`` probe MATERIALIZES upstream query
+    The probe is ``inputFiles()`` — plan inspection only, zero jobs,
+    AQE or not — so the helper is safe on MID-PIPELINE frames (e.g.
+    inside ``curate()``).  The eager twin this replaced probed
+    ``df.rdd.getNumPartitions()``, which MATERIALIZES upstream query
     stages under AQE (measured: one real job per probe on a
-    post-shuffle frame), so this form is only for operators whose input
-    is a direct scan.  Operators that may sit mid-pipeline (downstream
-    of other lazy stages — e.g. inside ``curate()``) must use
-    :func:`ensure_scan_parallelism`, whose probe is plan-only.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
-def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
-    """Lazy twin of :func:`ensure_parallelism`: probes ``inputFiles()``
-    (plan inspection only — zero jobs, AQE or not) instead of the
-    RDD's partition count.  Fires on the same hazard (a few-file scan
-    serializing an expression-heavy map phase) while leaving frames
-    already downstream of an exchange alone: with at-least-cores input
-    files the probe is a no-op, and a post-shuffle frame over few
-    files costs at most one tiny extra shuffle — never an eager job.
+    post-shuffle frame); it is gone so the hazard class cannot recur.
+    With at-least-cores input files the probe is a no-op, and a
+    post-shuffle frame over few files costs at most one tiny extra
+    shuffle — never an eager job.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:

@@ -280,6 +280,7 @@ def ivf_pq_store_save(
         meta={
             "centers_version": versions["centers"],
             "books_version": versions["codebooks"],
+            "assigned_version": versions["assigned"],
         },
     )
     return versions
@@ -300,11 +301,17 @@ def _load_books(spark: SparkSession, path: str, version: int | None):
 
 def ivf_pq_store_load(spark: SparkSession, path: str):
     """(index, codebooks) exactly as ``ivf_pq_knn_join`` consumes them,
-    all resolved through the codes table's generation binding.  The
-    codebook doubles survive bit-exactly (DOUBLE end to end), so
-    encoding with the loaded books is identical to the originals."""
+    ALL resolved through one pin — the codes table's generation binding:
+    assigned at ``meta.assigned_version`` (not latest, so the window
+    between a rebuild's assigned-commit and codes-commit can never hand
+    out new cell assignments with stale codebooks), centers at the
+    pinned assigned version's own binding, codebooks at
+    ``meta.books_version``.  The codebook doubles survive bit-exactly
+    (DOUBLE end to end), so encoding with the loaded books is identical
+    to the originals.  Stores saved before the binding existed fall
+    back to latest (meta key absent → None → latest)."""
     _, meta = _bound_version(spark, path, "codes", None)
-    index = ivf_store_load(spark, path)
+    index = ivf_store_load(spark, path, version=meta.get("assigned_version"))
     books = _load_books(spark, path, meta.get("books_version"))
     return index, books
 
@@ -337,8 +344,15 @@ def ivf_pq_store_search(
     codes = _pruned_cells_read(
         spark, f"{path}/codes", v_codes, queries, vec_col, centers, n_probe
     )
+    # rerank source pinned to the SAME generation as the codes table
+    # (meta.assigned_version): during a concurrent rebuild — which
+    # commits assigned before codes — an unpinned (latest) read here
+    # would rerank this generation's candidates against the NEXT
+    # generation's vectors, silently dropping ids that changed.
     rerank_df = (
-        snapshot_read(spark, f"{path}/assigned").drop("_cell")
+        snapshot_read(
+            spark, f"{path}/assigned", version=meta.get("assigned_version")
+        ).drop("_cell")
         if rerank
         else None
     )
@@ -402,7 +416,14 @@ def ivf_pq_store_append(
     codes_new = pq_encode(
         assigned_new, books, id_col, vec_col, keep_cols=["_cell"]
     )
-    v_c = snapshot_commit(codes_new, f"{path}/codes", mode="append")
+    # the codes commit re-pins assigned_version at the append it just
+    # made, so load/search/rerank see the appended vectors; centers/
+    # books bindings carry unchanged (same quantizer generation)
+    meta = snapshot_meta(spark, f"{path}/codes") or {}
+    v_c = snapshot_commit(
+        codes_new, f"{path}/codes", mode="append",
+        meta={**meta, "assigned_version": v_a},
+    )
     return {"assigned": v_a, "codes": v_c}
 
 
@@ -413,16 +434,26 @@ def ivf_store_optimize(
     ``snapshot_compact(cluster_by=["_cell"])`` per serving table that
     exists (assigned, and codes for a PQ store).  Readers mid-search
     are untouched (snapshot isolation; the generation binding carries
-    through the compaction); old versions vacuum later."""
-    import os
-
+    through the compaction); old versions vacuum later.  For a PQ store
+    the codes compaction RE-PINS ``assigned_version`` at the
+    freshly-compacted assigned table (identical rows, new version) so a
+    later vacuum of pre-compaction assigned versions cannot strand the
+    binding; table existence is probed through the snapshot manifest
+    API (Hadoop FS abstraction), not the local filesystem."""
     out = {}
-    for name in ("assigned", "codes"):
-        if os.path.isdir(f"{path}/{name}/_manifests"):
-            out[name] = snapshot_compact(
-                spark, f"{path}/{name}", target_files=target_files,
-                cluster_by=["_cell"],
-            )
+    if snapshot_versions(spark, f"{path}/assigned"):
+        out["assigned"] = snapshot_compact(
+            spark, f"{path}/assigned", target_files=target_files,
+            cluster_by=["_cell"],
+        )
+    if snapshot_versions(spark, f"{path}/codes"):
+        meta = snapshot_meta(spark, f"{path}/codes") or {}
+        if "assigned" in out and "assigned_version" in meta:
+            meta = {**meta, "assigned_version": out["assigned"]}
+        out["codes"] = snapshot_compact(
+            spark, f"{path}/codes", target_files=target_files,
+            cluster_by=["_cell"], meta=meta or None,
+        )
     return out
 
 
@@ -449,7 +480,17 @@ def ivf_pq_store_append_batch(
     codes_new = pq_encode(
         assigned_new, books, id_col, vec_col, keep_cols=["_cell"]
     )
-    did_c = snapshot_append_batch(codes_new, f"{path}/codes", batch_id)
+    # re-pin the codes binding at the assigned table's CURRENT version:
+    # whether this batch's assigned append landed or was a skipped
+    # replay (did_a False → the rows are already in the latest
+    # version), latest-after-the-append is the generation the codes
+    # rows were encoded against.
+    meta = snapshot_meta(spark, f"{path}/codes") or {}
+    v_a = snapshot_versions(spark, f"{path}/assigned")[-1]
+    did_c = snapshot_append_batch(
+        codes_new, f"{path}/codes", batch_id,
+        meta={**meta, "assigned_version": v_a},
+    )
     return did_a or did_c
 
 

@@ -412,10 +412,22 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     pos = nl + 1
     frames = []
     while pos < len(payload):
-        fnl = payload.index(b"\n", pos)
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError(
+                f"y4m frame {len(frames)}: FRAME header at byte {pos} has "
+                "no terminating newline (truncated payload)"
+            )
         if payload[pos : pos + 5] != b"FRAME":
             raise NotImplementedError("malformed y4m FRAME marker")
         pos = fnl + 1
+        need = ylen + 2 * clen
+        avail = len(payload) - pos
+        if avail < need:
+            raise ValueError(
+                f"y4m frame {len(frames)} truncated: expected {need} "
+                f"plane bytes, {avail} available"
+            )
         y = np.frombuffer(payload, np.uint8, ylen, pos).reshape(h, w)
         u = np.frombuffer(payload, np.uint8, clen, pos + ylen).reshape(
             chroma_shape

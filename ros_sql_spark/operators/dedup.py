@@ -174,9 +174,9 @@ def shingle_hashes(
     Documents shorter than k tokens fold all their token hashes into a
     single shingle hash so they still participate in dedup.
     """
-    from ros_sql_spark.functions.util import ensure_parallelism
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_scan_parallelism(df)
     toks = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
     hashed = toks.select(
         F.col(id_col),
@@ -826,8 +826,8 @@ def remove_duplicate_spans(
     from ros_sql_spark.functions.util import ensure_scan_parallelism
 
     # lazy probe: this operator sits mid-pipeline in curate(), where
-    # ensure_parallelism's df.rdd probe would eagerly materialize the
-    # upstream stages under AQE (measured — see functions/util.py)
+    # an eager df.rdd probe would materialize the upstream stages
+    # under AQE (measured — see functions/util.py)
     base = ensure_scan_parallelism(df).select(
         F.col(id_col), tokenize(text_col).alias("_toks")
     )

@@ -241,9 +241,9 @@ def lsh_knn(
         planes_per_band = num_planes
     if (queries is None) == (query_filter is None):
         raise ValueError("pass exactly one of `queries` or `query_filter`")
-    from ros_sql_spark.functions.util import ensure_parallelism
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
 
-    corpus = ensure_parallelism(corpus)
+    corpus = ensure_scan_parallelism(corpus)
     bk = lambda col: F.posexplode(
         hyperplane_buckets(col, dim, bands, planes_per_band, seed)
     ).alias("band", "bucket")
@@ -319,9 +319,9 @@ def cosine_dedup_pairs_lsh(
     probability.  Pairs the filter keeps are EXACT (the rerank computes
     true cosine) — banding only affects which pairs are considered.
     """
-    from ros_sql_spark.functions.util import ensure_parallelism
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
 
-    corpus = ensure_parallelism(corpus)
+    corpus = ensure_scan_parallelism(corpus)
     bk = F.posexplode(
         hyperplane_buckets(vec_col, dim, bands, planes_per_band, seed)
     ).alias("band", "bucket")

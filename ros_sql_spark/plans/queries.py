@@ -451,9 +451,9 @@ def q31_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprint per document (60-bit, md5-portable —
     the oracle reproduces it bit-for-bit in SQL)."""
     from ros_sql_spark.functions.text import simhash, tokens
-    from ros_sql_spark.functions.util import ensure_parallelism
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id", simhash("_toks").alias("simhash")
     )
@@ -502,9 +502,9 @@ def q70_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 per query (first 20 vectors as queries) —
     the exact ANN baseline; q40 is the LSH-bucketed approximation."""
     from ros_sql_spark.operators.similarity import brute_force_knn
-    from ros_sql_spark.functions.util import ensure_parallelism
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
 
-    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    emb = ensure_scan_parallelism(_t(spark, sf_dir, "embeddings"))
     return brute_force_knn(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 

@@ -199,7 +199,87 @@ def snapshot_meta(
     return _read_manifest(spark, table, v).get("meta")
 
 
-def _nonempty_files(paths: list[str]) -> list[str]:
+class _HadoopReadable:
+    """Minimal seekable file-like over a Hadoop ``FSDataInputStream`` so
+    pyarrow can parse parquet FOOTERS on any Hadoop-supported filesystem
+    (HDFS/S3A/...), not just local paths.  Each ``read(n)`` is one
+    ``seek`` plus one bounded JVM-side ``IOUtils.copyBytes`` into a byte
+    buffer — two py4j round trips per call, and a footer parse makes
+    only a handful of tail reads, so the cost stays O(KB) regardless of
+    file size."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        fs, p, jvm = _fs(spark, path)
+        self._jvm = jvm
+        self._len = fs.getFileStatus(p).getLen()
+        self._in = fs.open(p)
+        self._pos = 0
+
+    def size(self) -> int:
+        return self._len
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._len + offset
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._len - self._pos
+        n = max(0, min(n, self._len - self._pos))
+        if n == 0:
+            return b""
+        self._in.seek(self._pos)
+        bos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            self._in, bos, n, False
+        )
+        data = bytes(bos.toByteArray())
+        self._pos += len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        self._in.close()
+
+    closed = False
+
+
+def _parquet_metadata(spark: SparkSession, path: str):
+    """Parquet footer metadata for ``path`` on ANY filesystem: local
+    paths (no scheme / ``file:``) open directly through pyarrow (fast
+    path, zero py4j); remote schemes go through :class:`_HadoopReadable`
+    so HDFS/S3 commits get the same zero-row exclusion and data-skipping
+    stats as local ones instead of silently recording none."""
+    import pyarrow.parquet as papq
+
+    if path.startswith("file:"):
+        return papq.ParquetFile(path[5:]).metadata
+    if "://" not in path and not path.startswith(("hdfs:", "s3:")):
+        return papq.ParquetFile(path).metadata
+    f = _HadoopReadable(spark, path)
+    try:
+        return papq.ParquetFile(f).metadata
+    finally:
+        f.close()
+
+
+def _nonempty_files(spark: SparkSession, paths: list[str]) -> list[str]:
     """Drop ZERO-ROW part files before they enter a manifest (footer
     ``num_rows`` metadata read — no row data touched).  Spark writes one
     empty part file for an empty frame, and an empty file is worse than
@@ -207,13 +287,10 @@ def _nonempty_files(paths: list[str]) -> list[str]:
     stats, it can never be pruned — a keyed DML would rewrite it on
     EVERY statement (the non-idempotent-expire bug class).  Unreadable
     footers keep the file (safe default)."""
-    import pyarrow.parquet as papq
-
     out = []
     for p in paths:
-        local = p[5:] if p.startswith("file:") else p
         try:
-            if papq.ParquetFile(local).metadata.num_rows == 0:
+            if _parquet_metadata(spark, p).num_rows == 0:
                 continue
         except Exception:
             pass
@@ -221,7 +298,7 @@ def _nonempty_files(paths: list[str]) -> list[str]:
     return out
 
 
-def _file_stats(paths: list[str], cols: list[str]) -> dict:
+def _file_stats(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
     """Per-file min/max for ``cols`` from parquet FOOTERS — metadata-only
     reads (no row data touched), aggregated across row groups.
 
@@ -236,13 +313,10 @@ def _file_stats(paths: list[str], cols: list[str]) -> dict:
     which readers treat as "never prune".  Values are stored
     JSON-native (int/float/str/bool); anything else is skipped.
     """
-    import pyarrow.parquet as papq
-
     out: dict = {}
     for p in paths:
-        local = p[5:] if p.startswith("file:") else p
         try:
-            md = papq.ParquetFile(local).metadata
+            md = _parquet_metadata(spark, p)
         except Exception:
             continue  # unreadable footer: file stays unprunable
         name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -422,7 +496,7 @@ def snapshot_commit(
         kept.write.mode("append").parquet(staging)
 
     df.write.mode("append").parquet(staging)
-    new_files = _nonempty_files(_data_files(spark, staging))
+    new_files = _nonempty_files(spark, _data_files(spark, staging))
     files = carried + new_files
     manifest = {
         "version": new_version,
@@ -438,7 +512,7 @@ def snapshot_commit(
     if stats_cols:
         prev_stats = prev_manifest.get("stats", {})
         stats = {f: prev_stats[f] for f in carried if f in prev_stats}
-        stats.update(_file_stats(new_files, list(stats_cols)))
+        stats.update(_file_stats(spark, new_files, list(stats_cols)))
         manifest["stats_cols"] = list(stats_cols)
         if stats:
             manifest["stats"] = stats
@@ -471,13 +545,17 @@ def snapshot_append_batch(
     table: str,
     batch_id: int,
     stats_cols: list[str] | None = None,
+    meta: dict | None = None,
 ) -> bool:
     """Idempotent per-micro-batch append: commit ``df`` with tag
     ``batch:<id>`` unless the table's newest commit already carries this
     id or later (at-least-once redelivery → exactly-once table).
     Returns whether a commit happened.  The foreachBatch building block
     behind :func:`snapshot_write_stream` — reusable by any sink that
-    lands multiple tables per batch (streaming/record.py's demux)."""
+    lands multiple tables per batch (streaming/record.py's demux).
+    ``meta`` replaces the carried cross-table binding when the commit
+    lands (skipped replays leave the existing binding untouched — it
+    was already correct when the batch first committed)."""
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if versions:
@@ -491,7 +569,8 @@ def snapshot_append_batch(
         if committed is not None and committed >= batch_id:
             return False  # replayed batch: already committed
     snapshot_commit(
-        df, table, mode="append", tag=f"batch:{batch_id}", stats_cols=stats_cols
+        df, table, mode="append", tag=f"batch:{batch_id}",
+        stats_cols=stats_cols, meta=meta,
     )
     return True
 
@@ -598,6 +677,7 @@ def snapshot_compact(
     target_files: int = 1,
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Rewrite the current snapshot's rows into ``target_files`` files
     and commit them as a new version — the snapshot-table remedy for
@@ -610,6 +690,10 @@ def snapshot_compact(
     ``vacuum``).  The commit carries the previous version's tag forward
     so a streaming writer's batch-id idempotency check survives
     compaction — compacting mid-stream cannot cause re-appends.
+    ``meta`` replaces the carried cross-table binding (omitted = the
+    previous snapshot's binding carries forward unchanged); ann_store's
+    optimize uses it to re-pin a codes table at its freshly-compacted
+    sibling's version.
 
     ``cluster_by``: range-partition + sort the rewrite on these columns
     so each output file covers a TIGHT, nearly disjoint value range —
@@ -659,7 +743,8 @@ def snapshot_compact(
     else:
         df = df.coalesce(target_files)
     return snapshot_commit(
-        df, table, mode="overwrite", expected_version=latest, tag=prev_tag
+        df, table, mode="overwrite", expected_version=latest, tag=prev_tag,
+        meta=meta,
     )
 
 

@@ -258,3 +258,106 @@ def test_ivf_pq_store_streaming_ingest_exactly_once(spark, tmp_path):
         spark, store, q1, k=1, n_probe=2, exclude_self=False, rerank=True
     ).collect()
     assert top[0].vec_id == qid
+
+
+def test_ivf_pq_store_pins_one_generation_mid_rebuild(spark, tmp_path):
+    """The r5-advice race: a rebuild commits assigned BEFORE codes, so
+    between the two commits the assigned table's LATEST version belongs
+    to the NEXT generation.  Load, search, and the rerank path must all
+    resolve assigned through the codes manifest's ``assigned_version``
+    binding — results identical to before the half-applied rebuild."""
+    from ros_sql_spark.operators.ann_store import (
+        _commit_clustered,
+        ivf_pq_store_load,
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_commit,
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    store = str(tmp_path / "pq")
+    versions = ivf_pq_store_save(
+        spark, ivf_index(old, n_cells=8, seed=1),
+        pq_train(old, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    assert snapshot_meta(spark, f"{store}/codes")["assigned_version"] == (
+        versions["assigned"]
+    )
+    queries = old.filter("vec_id % 97 = 1").limit(5)
+    before = ivf_pq_store_search(
+        spark, store, queries, k=5, n_probe=2, rerank=True
+    ).collect()
+
+    # simulate the rebuild's first half ONLY: new centers + a REKEYED
+    # assigned corpus (ids shifted — any id the old generation serves
+    # no longer exists in the new one) with no codes commit yet
+    rekeyed = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    new_idx = ivf_index(rekeyed, n_cells=4, seed=2)
+    v_c = snapshot_commit(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in new_idx[1]],
+            "cell INT, center ARRAY<DOUBLE>",
+        ),
+        f"{store}/centers",
+    )
+    _commit_clustered(
+        new_idx[0], f"{store}/assigned", 8, meta={"centers_version": v_c}
+    )
+    assert snapshot_versions(spark, f"{store}/assigned")[-1] > (
+        versions["assigned"]
+    )
+
+    # pinned generation still serves bit-identically (incl. rerank,
+    # which fetches vectors from the PINNED assigned version — unpinned
+    # it would find zero matching ids and drop every candidate)
+    during = ivf_pq_store_search(
+        spark, store, queries, k=5, n_probe=2, rerank=True
+    ).collect()
+    assert sorted(map(tuple, during)) == sorted(map(tuple, before))
+
+    # load resolves the OLD generation end to end: no id from the
+    # rekeyed half-committed corpus leaks in
+    (assigned, centers), _books = ivf_pq_store_load(spark, store)
+    assert assigned.filter("vec_id >= 1000000").count() == 0
+    assert len(centers) == 8  # old quantizer, not the new 4-cell one
+
+
+def test_ivf_pq_store_append_repins_assigned_binding(spark, tmp_path):
+    """Appends advance the codes manifest's assigned_version pin so
+    pinned readers see the appended vectors; optimize re-pins at the
+    compacted version (vacuum of pre-compaction versions cannot strand
+    the binding)."""
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_append,
+        ivf_pq_store_save,
+        ivf_store_optimize,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_meta,
+        snapshot_versions,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    store = str(tmp_path / "pq")
+    ivf_pq_store_save(
+        spark, ivf_index(old, n_cells=8),
+        pq_train(old, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    ivf_pq_store_append(spark, store, emb.filter("vec_id % 2 = 1"))
+    meta = snapshot_meta(spark, f"{store}/codes")
+    assert meta["assigned_version"] == (
+        snapshot_versions(spark, f"{store}/assigned")[-1]
+    )
+    assert "centers_version" in meta and "books_version" in meta
+
+    out = ivf_store_optimize(spark, store, target_files=8)
+    meta2 = snapshot_meta(spark, f"{store}/codes")
+    assert meta2["assigned_version"] == out["assigned"]

@@ -379,3 +379,21 @@ def test_media_features_routes_all_three_modalities(spark):
     # log frame count), not image stats
     assert abs(got[2][0] - 0.4) < 1e-9
     assert abs(got[2][1] - np.log1p(4)) < 1e-9
+
+
+def test_y4m_truncated_frame_raises_diagnostic():
+    """Truncated/malformed frame data raises a NAMED error (frame
+    index + byte counts), never an opaque numpy reshape failure."""
+    import pytest
+
+    from ros_sql_spark.operators.codecs import decode_y4m, encode_y4m
+
+    frames = np.zeros((2, 4, 4, 3), np.uint8)
+    good = encode_y4m(frames, (30, 1))
+    # chop the last frame's plane bytes short
+    with pytest.raises(ValueError, match="frame 1 truncated: expected 24"):
+        decode_y4m(good[:-5])
+    # FRAME header present but its newline is gone
+    hdr_end = good.index(b"\n") + 1
+    with pytest.raises(ValueError, match="no terminating newline"):
+        decode_y4m(good[: hdr_end + 5])

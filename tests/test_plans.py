@@ -334,3 +334,32 @@ def test_q98_q99_plan_shapes(spark):
     assert len(re.findall(r"Join", p98)) >= 2
     p99 = plan_of(spark, "q99_corpus_report")
     assert "Window" not in p99
+
+
+def test_mid_pipeline_probe_fires_zero_jobs(spark):
+    """The parallelism guard on curate()-reachable operators must be
+    PLAN-ONLY (r5 verdict item 1): constructing shingle/minhash/LSH
+    plans on a post-shuffle frame may not launch a single Spark job —
+    an eager df.rdd probe would materialize the upstream aggregation
+    once per probe under AQE (functions/util.py's measured hazard)."""
+    from pyspark.sql import functions as F
+
+    from ros_sql_spark.operators.dedup import minhash_pairs, shingle_hashes
+    from ros_sql_spark.operators.similarity import cosine_dedup_pairs_lsh
+    from ros_sql_spark.sources.io import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+    docs = load_table(spark, SF_SMALL, "documents")
+    # mid-pipeline shape: downstream of a shuffle, like curate() stages
+    mid = docs.groupBy("doc_id").agg(F.first("text").alias("text"))
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    emb_mid = emb.groupBy("vec_id").agg(F.first("embedding").alias("embedding"))
+
+    before = len(tracker.getJobIdsForGroup(None))
+    shingle_hashes(mid, "doc_id", "text", k=3)
+    minhash_pairs(mid, "doc_id", "text")
+    cosine_dedup_pairs_lsh(emb_mid, id_col="vec_id", vec_col="embedding", dim=64)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, (
+        f"plan construction launched {after - before} eager job(s)"
+    )
