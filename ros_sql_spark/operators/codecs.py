@@ -1,17 +1,20 @@
-"""Pure-Python image codecs (BMP / PPM) for the multimodal real path.
+"""Pure-Python image codecs (BMP / PPM / PNG) for the multimodal real path.
 
 The container has no PIL/ffmpeg, so ``operators/multimodal.py``'s
 ``deterministic_fake=False`` path used to be an honest
 NotImplementedError gate that no test had ever driven end-to-end.  This
-module closes that gap with real, dependency-free codecs for the two
-formats simple enough to implement exactly from their public
-specifications:
+module closes that gap with real, dependency-free codecs for the
+formats implementable exactly from their public specifications:
 
 - **BMP**: uncompressed 24-bit BI_RGB Windows bitmaps (the
   BITMAPFILEHEADER/BITMAPINFOHEADER layout documented by Microsoft),
   bottom-up and top-down, with 4-byte row padding;
 - **PPM**: binary P6 netpbm with maxval 255 (the netpbm format spec),
-  including whitespace/comment-tolerant header parsing.
+  including whitespace/comment-tolerant header parsing;
+- **PNG**: 8-bit non-interlaced gray/RGB/palette/gray-alpha/RGBA per
+  the public W3C spec — stdlib zlib inflate plus all five scanline
+  filters (Sub reconstructed as a per-lane mod-256 cumulative sum;
+  Average/Paeth sequential where the spec's recurrence demands it).
 
 Everything is numpy-vectorized per image (no per-pixel Python), and the
 encode side exists so tests can synthesize REAL bytes to push through
@@ -34,6 +37,8 @@ __all__ = [
     "decode_bmp",
     "encode_ppm",
     "decode_ppm",
+    "encode_png",
+    "decode_png",
     "decode_image",
     "resize_nearest",
     "image_features",
@@ -136,24 +141,217 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type (palette expands to RGB later)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(pixels: np.ndarray, filters=None) -> bytes:
+    """(H, W, 3|4) uint8 → PNG bytes (8-bit, non-interlaced; zlib from
+    the stdlib).  ``filters`` selects the per-row filter type: None =
+    filter 0 everywhere, an int = that filter on every row, or a
+    sequence cycled across rows — tests use it to synthesize payloads
+    exercising every unfilter branch of :func:`decode_png`."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H, W, 3|4) uint8, got {arr.shape}")
+    h, w, ch = arr.shape
+    bpp = ch
+    raw = arr.reshape(h, w * ch).astype(np.int64)
+    if filters is None:
+        ftypes = [0] * h
+    elif isinstance(filters, int):
+        ftypes = [filters] * h
+    else:
+        ftypes = [filters[i % len(filters)] for i in range(h)]
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        ft = ftypes[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        elif ft == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out.append(ft)
+        out += (filt & 255).astype(np.uint8).tobytes()
+        prev = row
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = zlib.compress(bytes(out), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4): pick the neighbor
+    closest to left+up-upleft, ties broken left, up, upleft."""
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB, pure stdlib+numpy (zlib inflate
+    + the five scanline filters from the public W3C spec).
+
+    Covers the overwhelmingly common web shapes: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Alpha is dropped (matching PIL's ``convert("RGB")``
+    on the fallback path).  16-bit depth, sub-byte palettes, and Adam7
+    interlace raise NotImplementedError naming the feature; corrupt
+    structure raises ValueError.
+
+    Unfiltering: None/Up are whole-row vectorized; Sub is a per-lane
+    cumulative sum (mod-256 addition is associative, so ``cumsum & 255``
+    reconstructs the prefix chain in one numpy pass per lane); Average
+    and Paeth genuinely recur on the reconstructed left neighbor, so
+    they run a per-lane sequential loop over columns — O(W) Python per
+    filtered row, only on rows that use those filters."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if comp != 0 or filt_method != 0:
+        raise ValueError(
+            f"PNG compression/filter method {comp}/{filt_method}"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    rowbytes = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt/truncated: {exc}") from exc
+    if len(raw) < h * (1 + rowbytes):
+        raise ValueError(
+            f"PNG pixel data truncated: {len(raw)} < {h * (1 + rowbytes)}"
+        )
+    img = np.empty((h, rowbytes), dtype=np.int64)
+    prev = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(h):
+        off = y * (1 + rowbytes)
+        ft = raw[off]
+        row = np.frombuffer(
+            raw, np.uint8, rowbytes, off + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = row
+        elif ft == 2:
+            recon = (row + prev) & 255
+        elif ft == 1:
+            recon = row.copy()
+            for i in range(ch):
+                recon[i::ch] = np.cumsum(recon[i::ch]) & 255
+        elif ft in (3, 4):
+            recon = np.empty(rowbytes, dtype=np.int64)
+            for x in range(rowbytes):
+                left = recon[x - ch] if x >= ch else 0
+                up = prev[x]
+                if ft == 3:
+                    recon[x] = (row[x] + (left + up) // 2) & 255
+                else:
+                    ul = prev[x - ch] if x >= ch else 0
+                    recon[x] = (row[x] + int(_paeth(
+                        np.int64(left), np.int64(up), np.int64(ul)
+                    ))) & 255
+        else:
+            raise ValueError(f"PNG filter type {ft} at row {y}")
+        img[y] = recon
+        prev = recon
+    px = img.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = px[..., 0]
+        if idx.max() >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3].copy()  # 6: RGBA → drop alpha
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing decode → (H, W, 3) uint8 RGB.
 
-    BMP and P6 PPM decode natively; anything else tries PIL if it is
-    importable (import-try gate — not installed in this container) and
-    otherwise raises NotImplementedError naming the format.
+    BMP, P6 PPM and (8-bit non-interlaced) PNG decode natively; anything
+    else tries PIL if it is importable (import-try gate — not installed
+    in this container) and otherwise raises NotImplementedError naming
+    the format.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError:
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
-            "cover BMP and P6 PPM; install Pillow for other formats"
+            "cover BMP, P6 PPM and 8-bit PNG; install Pillow for other "
+            "formats (e.g. JPEG)"
         ) from None
     with Image.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)

@@ -60,8 +60,13 @@ def test_decode_image_sniffs_magic():
     img = _img(3, 3, seed=2)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
+    from ros_sql_spark.operators.codecs import encode_png
+
+    assert np.array_equal(decode_image(encode_png(img)), img)
     with pytest.raises(NotImplementedError, match="magic"):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")  # no PIL in this container
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: no PIL here
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")  # PNG magic, no chunks
 
 
 def test_decode_rejects_truncated():
@@ -397,3 +402,116 @@ def test_y4m_truncated_frame_raises_diagnostic():
     hdr_end = good.index(b"\n") + 1
     with pytest.raises(ValueError, match="no terminating newline"):
         decode_y4m(good[: hdr_end + 5])
+
+
+# --------------------------------------------------------------- PNG
+@pytest.mark.parametrize("filters", [None, 1, 2, 3, 4, [0, 1, 2, 3, 4]])
+def test_png_roundtrip_all_filters(filters):
+    """decode_png inverts every scanline filter type of the public spec
+    (encode_png applies them forward; roundtrip must be bit-exact)."""
+    from ros_sql_spark.operators.codecs import decode_png, encode_png
+
+    img = _img(9, 7, seed=31)
+    assert np.array_equal(decode_png(encode_png(img, filters)), img)
+
+
+def test_png_rgba_gray_palette_paths():
+    import struct
+    import zlib
+
+    from ros_sql_spark.operators.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(rgba, [4, 2])), rgba[..., :3]
+    )
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = np.array([[0, 128, 255], [10, 20, 30]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    b = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(b), np.repeat(gray[..., None], 3, 2))
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    b = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(b), pal[idx])
+
+
+def test_png_gates_name_the_feature():
+    """16-bit depth and Adam7 raise NotImplementedError naming the
+    feature; structural corruption raises ValueError, never an opaque
+    numpy error."""
+    import struct
+    import zlib
+
+    from ros_sql_spark.operators.codecs import decode_png, encode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    b16 = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(b16)
+    badi = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(badi)
+    good = encode_png(_img(4, 4, seed=3))
+    with pytest.raises(ValueError, match="truncated"):
+        # drop IEND and half the IDAT payload
+        decode_png(good[:40])
+
+
+def test_png_through_mapinpandas_real_path(spark):
+    """Real PNG bytes (every filter type represented) flow end-to-end
+    through extract_features' mapInPandas decode and agree bit-for-bit
+    with a driver-side decode — VERDICT r5 item 2's done-criterion."""
+    from ros_sql_spark.operators.codecs import encode_png
+    from ros_sql_spark.operators.multimodal import (
+        as_assets,
+        extract_features,
+    )
+
+    rows = []
+    for i in range(12):
+        img = _img(5 + i % 4, 6 + i % 3, seed=100 + i)
+        rows.append((i, bytearray(encode_png(img, [i % 5])), "image/png"))
+    df = spark.createDataFrame(
+        rows, "asset_id long, media binary, mime string"
+    )
+    assets = as_assets(df, "asset_id", "media", "image/png")
+    got = {
+        r.asset_id: r.features
+        for r in extract_features(
+            assets, dim=8, deterministic_fake=False
+        ).collect()
+    }
+    assert len(got) == 12
+    for r in assets.select("asset_id", "media").collect():
+        expect = image_features(decode_image(bytes(r.media)), 8)
+        assert got[r.asset_id] == expect
