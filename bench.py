@@ -72,7 +72,12 @@ def main() -> None:
     # The driver keeps only a stdout TAIL: with 80+ per-query timings the
     # full line above outgrows the buffer and its head (including the
     # total) is lost (BENCH_r02 recorded "parsed": null).  Repeat the
-    # headline as a short FINAL line so the total always survives.
+    # headline as a short FINAL line so the total always survives —
+    # carrying the top-10 slowest queries so regressions anywhere in
+    # the suite (not just the tail-visible ~q31+) stay driver-visible.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
@@ -80,6 +85,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "top10_slowest": top10,
                 "sf": sf_val,
             }
         )

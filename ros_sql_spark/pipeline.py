@@ -58,7 +58,11 @@ _OBS_FIELDS = {
 
 
 def _obs_values(
-    obs: Observation, names: list[str], fallback, stage: str = "?"
+    obs: Observation,
+    names: list[str],
+    fallback,
+    stage: str = "?",
+    expect_fallback: bool = False,
 ) -> dict:
     """``Observation.get`` hardened against three listener quirks seen
     in the wild (plain session, CollectMetrics off the survivors'
@@ -82,14 +86,19 @@ def _obs_values(
     def _fb(reason: str) -> dict:
         # the fallback recount is one extra Spark job per engaged stage
         # — correct but O(stages) jobs if the observation wiring ever
-        # regresses, so make every engagement visible.
-        _log.warning(
-            "curation metrics: observation %r fell back to a recount "
-            "job (%s) — expected at most for untouched dropped-frames, "
-            "never on the standard curate() path",
-            stage,
-            reason,
-        )
+        # regresses, so make every UNEXPECTED engagement visible.
+        # ``expect_fallback`` marks the stages whose drop frame is an
+        # anti-join OFF the survivors' lineage (boilerplate/span_dedup):
+        # for those the recount IS the normal fill path, not a wiring
+        # regression, and a warning would cry wolf on every run.
+        if not expect_fallback:
+            _log.warning(
+                "curation metrics: observation %r fell back to a recount "
+                "job (%s) — expected at most for untouched dropped-frames, "
+                "never on the standard curate() path",
+                stage,
+                reason,
+            )
         return fallback()
 
     try:
@@ -139,7 +148,11 @@ class CurationResult:
                 k: {
                     mk: (mv if mv is not None else 0)
                     for mk, mv in _obs_values(
-                        v, _OBS_FIELDS[k], fb, stage=k
+                        v,
+                        _OBS_FIELDS[k],
+                        fb,
+                        stage=k,
+                        expect_fallback=k in ("boilerplate", "span_dedup"),
                     ).items()
                 }
                 for k, (v, fb) in self._obs.items()

@@ -2012,20 +2012,30 @@ def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user takes the plain equi-join; the union is provably row-identical
     to the ordinary join, which is exactly what the DuckDB oracle runs.
     At 100 TB this is the differentiated-join answer for skew AQE can't
-    split (pre-partitioned/bucketed inputs — no exchange to re-chop)."""
-    from ros_sql_spark.operators.skew import split_skew_join
+    split (pre-partitioned/bucketed inputs — no exchange to re-chop).
+
+    The hot set comes from the SAMPLED census a production caller runs
+    (operators/skew.py::detect_hot_keys — seeded sample, only the
+    O(hot) key list reaches the driver): with the synthetic near-
+    uniform ~67 rows/user, a 0.5 sample against a 34-row threshold
+    deterministically elects the above-average users, so both the
+    salted and the cold path carry real rows under the parity gate.
+    The union is row-identical to the plain equi-join WHATEVER the
+    census returns — which is exactly what the DuckDB oracle runs."""
+    from ros_sql_spark.operators.skew import detect_hot_keys, split_skew_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     per_user = ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("u_events")
     )
-    # deterministic hot set: the two lowest user ids (synthetic data has
-    # near-uniform users; a production caller feeds sampled hot keys)
+    hot = detect_hot_keys(
+        ev, "user_id", sample_fraction=0.5, min_sampled_rows=34, seed=42
+    )
     joined = split_skew_join(
         ev,
         per_user,
         key="user_id",
-        hot_keys=[0, 1],
+        hot_keys=hot,
         buckets=8,
         salt_src="event_id",
     )

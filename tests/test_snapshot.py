@@ -1194,3 +1194,86 @@ def test_dml_on_evolved_table_null_semantics(spark, tmp_path):
     snapshot_update(spark, t, {"tag": "'touched'"}, "score IS NULL")
     got2 = snapshot_read(spark, t)
     assert got2.filter("tag = 'touched'").count() == 50
+
+
+_XPROC_WORKER = r'''
+import sys, time, os
+table, wid = sys.argv[1], int(sys.argv[2])
+barrier = sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, os.path.dirname(barrier))
+from ros_sql_spark.sources.snapshot import SnapshotConflict, snapshot_commit
+
+open(barrier + f".ready{wid}", "w").close()
+while not os.path.exists(barrier):  # start together: maximize racing
+    time.sleep(0.05)
+for j in range(4):
+    lo = 1000 * (wid + 1) + 10 * j
+    df = spark.createDataFrame(
+        [(i, f"w{wid}") for i in range(lo, lo + 10)], "id long, tag string"
+    )
+    for _ in range(60):
+        try:
+            snapshot_commit(df, table, mode="append")
+            break
+        except SnapshotConflict:
+            continue
+    else:
+        print("STARVED", wid); sys.exit(2)
+print("OK", wid)
+spark.stop()
+'''
+
+
+def test_cross_process_occ_soak(spark, tmp_path):
+    """The r5 verdict's one untested claim: the rename-without-overwrite
+    commit point must hold across SEPARATE JVMs, not just threads in
+    one (HDFS FileContext semantics).  Two independent Spark processes
+    race 4 appends each on a shared table behind a start barrier; every
+    commit lands exactly once, versions stay gap-free, and no rows are
+    lost or duplicated."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    t = str(tmp_path / "xtbl")
+    snapshot_commit(
+        spark.createDataFrame([(0, "seed")], "id long, tag string"), t
+    )
+    barrier = str(tmp_path / "go")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _XPROC_WORKER, t, str(w), barrier],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for w in range(2)
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        os.path.exists(barrier + f".ready{w}") for w in range(2)
+    ):
+        time.sleep(0.2)
+    open(barrier, "w").close()  # both sessions up: fire the gun
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for w, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"OK {w}" in out, out[-2000:]
+
+    vs = snapshot_versions(spark, t)
+    assert vs == list(range(1, 10))  # 1 seed + 2×4 appends, gap-free
+    got = snapshot_read(spark, t)
+    assert got.count() == 1 + 2 * 4 * 10
+    assert got.select("id").distinct().count() == 1 + 2 * 4 * 10
+    per_tag = {r.tag: r["count"] for r in got.groupBy("tag").count().collect()}
+    assert per_tag == {"seed": 1, "w0": 40, "w1": 40}

@@ -254,6 +254,36 @@ def main() -> int:
             ).collect(),
         )
 
+        # 7. curate() END-TO-END at 20x with span_dedup + bloom
+        # decontamination engaged, reconciling the observation-based row
+        # ledger against itself: input must equal kept + Σ per-stage
+        # drops (pipeline.py's arithmetic is the piece most likely to
+        # drift silently as stages are added — r5 verdict item 7), and
+        # against ground truth: ledger input == the corpus row count.
+        from ros_sql_spark.pipeline import curate
+
+        eval_docs = docs.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+        ).select("doc_id", "text")
+
+        def _curate_ledger():
+            res = curate(
+                docs.select("doc_id", "text"),
+                span_dedup_k=8,
+                span_min_docs=3,
+                eval_docs=eval_docs,
+                decontam_method="bloom",
+                bloom_m_bits=1 << 20,
+            )
+            return res.metrics()
+
+        m = timed("curate_e2e", _curate_ledger)
+        drops = sum(
+            v for k, v in m.items() if k not in ("input", "kept")
+        )
+        checks["curate_ledger_reconciles"] = m["input"] == m["kept"] + drops
+        checks["curate_ledger_input_is_corpus"] = m["input"] == n_docs
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
