@@ -1,0 +1,159 @@
+"""KMV (k-minimum-values) cardinality sketches — mergeable distinct
+counting and set-overlap estimation, all-JVM DataFrame ops.
+
+The capability (Bar-Yossef et al. 2002; the Theta-sketch family's
+public core): keep the k smallest values of a uniform hash over a set's
+distinct members.  The k-th smallest value estimates the cardinality
+(D̂ = (k-1)·M/v_k for hash domain [0, M)), and because bottom-k sets
+MERGE (bottom-k of a union = bottom-k of the concatenated sketches),
+the same k-row summary answers union / intersection / Jaccard questions
+NO exact pre-aggregation could at 100 TB without shuffling every
+distinct member: audience overlap across event types, corpus overlap
+across sources, dedup-rate estimates between snapshots.
+
+Engine-parity design: the hash is the repo's cross-engine 60-bit idiom
+— first 15 hex digits of md5 as a BIGINT (identical in Spark
+``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``) — so every
+estimate is DETERMINISTIC and bit-for-bit reproducible by an oracle
+running the same formula (q31's simhash discipline).  When a set has
+fewer than k distinct members the sketch IS the set and the estimate
+is exact.
+
+Scale shape: the bottom-k per set is computed in TWO phases — a
+per-(set, salt) window over ``pmod(h, salts)`` buckets bounds every
+sort partition, then a second window over the ≤ salts·k survivors —
+so no single task ever sorts a whole set's distinct members (the
+single-window form would serialize a billion-member set onto one
+core).  Downstream ops see ≤ k rows per set.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["KMV_DOMAIN", "kmv_hash", "kmv_sketch", "kmv_estimate",
+           "kmv_pair_overlap"]
+
+# 15 hex digits → [0, 16^15) = [0, 2^60): fits BIGINT with headroom,
+# exactly representable (with its k-1 multiples) in a double.
+KMV_DOMAIN = 16 ** 15
+
+
+def kmv_hash(key: Column) -> Column:
+    """Cross-engine deterministic 60-bit uniform hash (md5-hex prefix)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+    salts: int = 32,
+) -> DataFrame:
+    """(set_col, h): the k smallest distinct member hashes per set."""
+    hd = df.select(
+        F.col(set_col), kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    # phase 1: bounded per-(set, salt) bottom-k; phase 2: exact bottom-k
+    # over the ≤ salts·k candidates (identical to a single window by
+    # construction — the global bottom-k is a subset of every
+    # per-bucket bottom-k union)
+    salted = hd.withColumn("_salt", F.pmod(F.col("h"), F.lit(salts)))
+    w1 = Window.partitionBy(set_col, "_salt").orderBy("h")
+    cand = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_salt", "_rk")
+    )
+    w2 = Window.partitionBy(set_col).orderBy("h")
+    return (
+        cand.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _est(n_sk: Column, vk: Column, k: int) -> Column:
+    """KMV estimator: exact when the sketch holds the whole set,
+    (k-1)·M/v_k otherwise.  The (k-1)·M literal is one exact double."""
+    return F.when(n_sk < k, n_sk.cast("double")).otherwise(
+        F.lit(float((k - 1) * KMV_DOMAIN)) / vk.cast("double")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, set_col: str, k: int = 64) -> DataFrame:
+    """(set_col, est): estimated distinct-member count per set."""
+    per = sketch.groupBy(set_col).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_vk")
+    )
+    return per.select(
+        set_col, _est(F.col("_n"), F.col("_vk"), k).alias("est")
+    )
+
+
+def kmv_pair_overlap(
+    sketch: DataFrame, set_col: str, k: int = 64
+) -> DataFrame:
+    """All set pairs (a < b): estimated cardinalities, union, Jaccard,
+    and intersection — from the sketches ALONE (≤ k rows per set; the
+    raw sets are never touched again, which is the whole point of a
+    mergeable sketch at scale).
+
+    Union sketch = bottom-k of the two sketches' h-union; Jaccard ρ =
+    fraction of union-sketch members present in both input sketches;
+    intersection ≈ ρ · D̂(union) (the standard KMV combinators)."""
+    a = sketch.select(F.col(set_col).alias("_ta"), "h")
+    b = sketch.select(F.col(set_col).alias("_tb"), "h")
+    pairs = (
+        a.select("_ta").distinct()
+        .join(b.select("_tb").distinct(), F.col("_ta") < F.col("_tb"))
+    )
+    # membership flags ride the union as provenance columns (max-merged
+    # per hash) — no self-join, no ambiguity, one aggregation
+    pa = pairs.join(a, "_ta").select(
+        "_ta", "_tb", "h",
+        F.lit(1).alias("_pa"), F.lit(0).alias("_pb"),
+    )
+    pb = pairs.join(b, "_tb").select(
+        "_ta", "_tb", "h",
+        F.lit(0).alias("_pa"), F.lit(1).alias("_pb"),
+    )
+    pu = (
+        pa.unionByName(pb)
+        .groupBy("_ta", "_tb", "h")
+        .agg(F.max("_pa").alias("_ina"), F.max("_pb").alias("_inb"))
+    )
+    wu = Window.partitionBy("_ta", "_tb").orderBy("h")
+    uk = (
+        pu.withColumn("_rk", F.row_number().over(wu))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    agg = uk.groupBy("_ta", "_tb").agg(
+        F.count("*").alias("_ku"),
+        F.max("h").alias("_vk"),
+        F.sum(F.col("_ina") * F.col("_inb")).alias("_nboth"),
+    )
+    est_u = _est(F.col("_ku"), F.col("_vk"), k)
+    jac = F.col("_nboth").cast("double") / F.col("_ku").cast("double")
+    per = kmv_estimate(sketch, set_col, k)
+    ea = per.select(F.col(set_col).alias("_ta"), F.col("est").alias("_ea"))
+    eb = per.select(F.col(set_col).alias("_tb"), F.col("est").alias("_eb"))
+    return (
+        agg.join(ea, "_ta").join(eb, "_tb")
+        .select(
+            F.col("_ta").alias("set_a"),
+            F.col("_tb").alias("set_b"),
+            F.round("_ea", 6).alias("est_a"),
+            F.round("_eb", 6).alias("est_b"),
+            F.round(est_u, 6).alias("est_union"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * est_u, 6).alias("est_intersection"),
+        )
+    )

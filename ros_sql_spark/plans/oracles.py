@@ -1071,6 +1071,78 @@ ORACLES: dict[str, str] = {
               FROM documents WHERE doc_id % 20 = 0) b
           ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
     """,
+    # KMV sketches are deterministic given the shared 60-bit md5-prefix
+    # hash, so the oracle reproduces the ESTIMATES bit-for-bit: same
+    # bottom-64 rows, same (k-1)*M literal (63 * 2^60 — exact in a
+    # double), same division, round(…, 6) at the boundary only.
+    "qx00_kmv_overlap": """
+        WITH hd AS (
+            SELECT DISTINCT event_type AS t,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM events
+        ), sk AS (
+            SELECT t, h FROM (
+                SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+                FROM hd) WHERE rk <= 64
+        ), est AS (
+            SELECT t,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 63 * 1152921504606846976.0 / max(h) END AS est
+            FROM sk GROUP BY t
+        ), pairs AS (
+            SELECT a.t AS ta, b.t AS tb
+            FROM (SELECT DISTINCT t FROM sk) a
+            JOIN (SELECT DISTINCT t FROM sk) b ON a.t < b.t
+        ), pu AS (
+            SELECT DISTINCT ta, tb, h FROM (
+                SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.ta
+                UNION ALL
+                SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.tb)
+        ), uk AS (
+            SELECT ta, tb, h FROM (
+                SELECT ta, tb, h,
+                       row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+                FROM pu) WHERE rk <= 64
+        ), flags AS (
+            SELECT u.ta, u.tb, u.h,
+                   CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+                   CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+            FROM uk u
+            LEFT JOIN sk sa ON sa.t = u.ta AND sa.h = u.h
+            LEFT JOIN sk sb ON sb.t = u.tb AND sb.h = u.h
+        ), agg AS (
+            SELECT ta, tb, count(*) AS ku, max(h) AS vk,
+                   sum(in_a * in_b) AS nboth
+            FROM flags GROUP BY ta, tb
+        )
+        SELECT g.ta AS set_a, g.tb AS set_b,
+               round(ea.est, 6) AS est_a,
+               round(eb.est, 6) AS est_b,
+               round(CASE WHEN g.ku < 64 THEN CAST(g.ku AS DOUBLE)
+                          ELSE 63 * 1152921504606846976.0 / g.vk END, 6)
+                   AS est_union,
+               round(CAST(g.nboth AS DOUBLE) / g.ku, 6) AS jaccard_est,
+               round((CAST(g.nboth AS DOUBLE) / g.ku)
+                     * (CASE WHEN g.ku < 64 THEN CAST(g.ku AS DOUBLE)
+                             ELSE 63 * 1152921504606846976.0 / g.vk END), 6)
+                   AS est_intersection
+        FROM agg g
+        JOIN est ea ON ea.t = g.ta
+        JOIN est eb ON eb.t = g.tb
+    """,
+    # exact trailing-7-day distinct users; day = integer ns floor-div
+    # (≡ µs floor-div on DuckDB's truncated view — q91's discipline)
+    "qx01_rolling_distinct": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events
+        ), days AS (SELECT DISTINCT d FROM ud)
+        SELECT days.d AS d,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS u7
+        FROM days JOIN ud u ON u.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

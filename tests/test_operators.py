@@ -384,3 +384,64 @@ def test_remove_duplicate_spans_null_text_drops(spark):
     if out._rosql_cached is not None:
         out._rosql_cached.unpersist()
     assert got == {1}
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV: (a) the two-phase salted bottom-k equals the exact global
+    bottom-k; (b) estimates are exact below k and within the published
+    ~1/sqrt(k) band above it; (c) pairwise overlap estimates recover a
+    planted 50% Jaccard within the same band."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    # two interleaved sets of 2000 members sharing exactly 1000:
+    # A = [0, 2000), B = [1000, 3000) -> |A∪B| = 3000, J = 1/3
+    rows = [("A", i) for i in range(2000)] + [
+        ("B", i) for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "s string, m long")
+    k = 256
+    sk = kmv_sketch(df, "s", "m", k=k)
+
+    # (a) exact global bottom-k identity (the salted two-phase must be
+    # invisible in the result)
+    got_a = sorted(r.h for r in sk.filter("s = 'A'").collect())
+    exact_a = sorted(
+        r.h
+        for r in df.filter("s = 'A'")
+        .select(kmv_hash(F.col("m")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    assert got_a == exact_a and len(got_a) == k
+
+    # (b) cardinality estimates within 4/sqrt(k) (~25% at k=256;
+    # deterministic given the fixed hash, so no flake)
+    est = {r.s: r.est for r in kmv_estimate(sk, "s", k=k).collect()}
+    for s in ("A", "B"):
+        assert abs(est[s] - 2000) / 2000 < 4 / (k ** 0.5), est
+
+    # exactness below k: a 50-member set estimates exactly 50.0
+    small = spark.createDataFrame(
+        [("C", i) for i in range(50)], "s string, m long"
+    )
+    sk_small = kmv_sketch(small, "s", "m", k=k)
+    assert kmv_estimate(sk_small, "s", k=k).collect()[0].est == 50.0
+
+    # (c) overlap: union ~3000, jaccard ~1/3, intersection ~1000
+    ov = kmv_pair_overlap(sk, "s", k=k).collect()
+    assert len(ov) == 1
+    r = ov[0]
+    assert (r.set_a, r.set_b) == ("A", "B")
+    band = 4 / (k ** 0.5)
+    assert abs(r.est_union - 3000) / 3000 < band
+    assert abs(r.jaccard_est - 1 / 3) < band
+    assert abs(r.est_intersection - 1000) / 1000 < 2 * band

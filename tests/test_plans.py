@@ -363,3 +363,22 @@ def test_mid_pipeline_probe_fires_zero_jobs(spark):
     assert after == before, (
         f"plan construction launched {after - before} eager job(s)"
     )
+
+
+def test_qx00_qx01_plan_shapes(spark):
+    """qx00: every KMV window is PARTITIONED (per set / per pair —
+    never a global single-partition sort) and no CartesianProduct (the
+    pair axis is a tiny broadcast nested loop over distinct set names,
+    bounded by |sets|²); qx01: the rolling distinct is the pre-distinct
+    + fan-out shape — partial aggregation present, no Window at all."""
+    p0 = plan_of(spark, "qx00_kmv_overlap")
+    assert "CartesianProduct" not in p0
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p0):
+        spec = m.group(1)
+        assert ("_ta" in spec) or ("event_type" in spec) or (
+            "_salt" in spec
+        ), "unpartitioned Window in qx00 plan:\n" + m.group(0)
+    p1 = plan_of(spark, "qx01_rolling_distinct")
+    assert "Window" not in p1
+    assert "CartesianProduct" not in p1
+    assert "partial_count(distinct" in p1 or "HashAggregate" in p1
