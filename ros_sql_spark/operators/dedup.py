@@ -43,6 +43,7 @@ __all__ = [
     "minhash_pairs_incremental",
     "connected_components",
     "ngram_jaccard_pairs",
+    "setsim_join",
     "passage_df",
     "remove_boilerplate",
     "remove_duplicate_spans",
@@ -684,6 +685,85 @@ def ngram_jaccard_pairs(
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs over k-token shingle sets via
+    PREFIX FILTERING (the PPJoin family's candidate rule, public
+    literature) — the exact set-similarity join that scales past
+    :func:`ngram_jaccard_pairs`.
+
+    That function's candidate cost is Σ df(s)² over ALL shingles; the
+    prefix filter joins only each set's ``n − ⌈t·n⌉ + 1`` RAREST
+    shingles (under one global (doc-frequency, shingle) order), with
+    the guarantee that any pair with J ≥ t shares at least one
+    prefix-resident shingle — so frequent shingles (the entire skew
+    problem) never enter the candidate join at all, and no pair is
+    lost.  Candidates then verify with the exact intersection from the
+    full sets: the result is EXACTLY the pairs at J ≥ t (rounded to
+    the repo's 6-decimal parity boundary, like every jaccard here).
+
+    Plan shape: one df-count aggregation, one per-doc sort of its own
+    shingle structs (``array_sort`` inside the row — no global sort),
+    an equi-join on prefix shingles, and a verify join against the set
+    arrays.  No cartesian, no windows.
+    """
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            token_shingles(tokenize(F.col(text_col)), k)
+        ).alias("_ts"),
+    )
+    tok = sets.select(
+        "_id", F.explode_outer("_ts").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    freq = tok.groupBy("_s").agg(F.count("*").alias("_df"))
+    # per-doc shingles in GLOBAL (df, shingle) order — rarest first;
+    # the struct sort is total (string tiebreak), so prefixes are
+    # consistent corpus-wide
+    ordered = (
+        tok.join(freq, "_s")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_s")))
+            ).alias("_ord")
+        )
+    )
+    n = F.size("_ord")
+    p = (
+        n
+        - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
+        + F.lit(1)
+    )
+    prefix = ordered.select(
+        "_id",
+        F.explode_outer(F.slice("_ord", F.lit(1), p)).alias("_e"),
+    ).select("_id", F.col("_e._s").alias("_s"))
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_s")
+        .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_sa"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -1143,6 +1143,33 @@ ORACLES: dict[str, str] = {
         FROM days JOIN ud u ON u.d BETWEEN days.d - 6 AND days.d
         GROUP BY days.d
     """,
+    # brute-force quadratic ground truth for the prefix-filtered join:
+    # 5-token shingle sets exactly as q32 builds 3-token ones (short
+    # docs contribute their whole text as one shingle); filter on the
+    # ROUNDED jaccard, matching the Spark side's parity boundary
+    "qx02_setsim_join": """
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1],
+                                           toks[i+2], toks[i+3], toks[i+4]))
+                       ELSE [array_to_string(toks, ' ')] END) AS ts
+            FROM tok
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.ts, b.ts)) AS i,
+                   len(a.ts) + len(b.ts) AS t
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (t - i), 6) AS jaccard
+        FROM pairs
+        WHERE round(CAST(i AS DOUBLE) / (t - i), 6) >= 0.5
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

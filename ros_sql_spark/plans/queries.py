@@ -2132,6 +2132,23 @@ def qx01_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx02_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join over the WHOLE corpus
+    (operators/dedup.py::setsim_join): all doc pairs with 5-token
+    shingle-set Jaccard ≥ 0.5, found via PPJoin-style prefix filtering
+    — only each set's rarest n−⌈t·n⌉+1 shingles enter the candidate
+    join (frequent shingles, the skew problem, never join at all), and
+    the exact verify restores precision.  Completes the similarity
+    triptych: q26 approximate-at-scale, q32 exact-but-quadratic-gated,
+    qx02 exact-at-scale.  The oracle is the brute-force quadratic
+    (feasible at sf0.01), which the prefix filter provably never
+    under-produces."""
+    from ros_sql_spark.operators.dedup import setsim_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return setsim_join(docs, "doc_id", "text", threshold=0.5, k=5)
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2239,4 +2256,5 @@ QUERIES = {
     # driver window exactly q01-q50.
     "qx00_kmv_overlap": qx00_kmv_overlap,
     "qx01_rolling_distinct": qx01_rolling_distinct,
+    "qx02_setsim_join": qx02_setsim_join,
 }

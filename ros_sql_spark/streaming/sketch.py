@@ -1,0 +1,117 @@
+"""Continuous KMV sketching: mergeable distinct-count state on a stream.
+
+The batch operator (operators/sketch.py) keeps the k smallest member
+hashes per set; bottom-k sets MERGE (bottom-k of a union = bottom-k of
+the concatenated sketches), which makes the streaming twin almost
+free: each micro-batch sketches ITSELF, unions the stored sketch, and
+re-ranks — O(sets · k) state regardless of how many distinct members
+ever flowed, the bounded-state property every streaming cardinality
+job needs (an exact streaming distinct-count's state grows without
+bound).
+
+Exactly-once: the merged sketch is a REPLACE, not an append, so the
+commit goes through ``snapshot_commit(mode="overwrite")`` guarded by
+the same ``batch:<id>`` watermark discipline as
+``snapshot_append_batch`` — a redelivered batch sees its id at-or-below
+the stored ``last_batch`` and skips (re-merging would be harmlessly
+idempotent for a KMV union, but skipping keeps version history
+replay-clean).
+
+Batch-equivalence (asserted in tests): after the stream drains, the
+stored sketch — and every estimate derived from it — is IDENTICAL to
+``kmv_sketch`` over the same rows in one batch, because bottom-k union
+is associative and commutative over any micro-batch partition of the
+input.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ros_sql_spark.operators.sketch import kmv_sketch
+from ros_sql_spark.sources.snapshot import (
+    _list_versions,
+    _read_manifest,
+    snapshot_commit,
+    snapshot_read,
+)
+
+__all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream"]
+
+
+def kmv_merge(
+    stored: DataFrame, fresh: DataFrame, set_col: str, k: int
+) -> DataFrame:
+    """Bottom-k of the union of two sketches — the KMV merge operator
+    (inputs are ≤ k rows per set, so the window sort is bounded)."""
+    u = stored.select(set_col, "h").unionByName(
+        fresh.select(set_col, "h")
+    ).distinct()
+    w = Window.partitionBy(set_col).orderBy("h")
+    return (
+        u.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: str,
+    set_col: str,
+    key_col: str,
+    k: int,
+) -> bool:
+    """Merge one micro-batch into the stored sketch table, idempotently
+    (``batch:<id>`` watermark — the overwrite twin of
+    ``snapshot_append_batch``).  Returns whether a commit happened."""
+    spark = batch_df.sparkSession
+    fresh = kmv_sketch(batch_df, set_col, key_col, k)
+    versions = _list_versions(spark, table)
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        committed = m.get("last_batch")
+        if committed is not None and committed >= batch_id:
+            return False  # replayed batch: already merged
+        stored = snapshot_read(spark, table)
+        merged = kmv_merge(stored, fresh, set_col, k)
+    else:
+        merged = fresh
+    snapshot_commit(merged, table, mode="overwrite", tag=f"batch:{batch_id}")
+    return True
+
+
+def kmv_sketch_stream(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """Continuous distinct-cardinality sketching: each micro-batch
+    merges into the snapshot-backed sketch table (O(sets·k) rows
+    forever); readers estimate with ``kmv_estimate``/``kmv_pair_overlap``
+    at any moment under snapshot isolation.  Single writer per table,
+    like every Structured Streaming sink.  Returns the StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        kmv_sketch_batch(df, batch_id, table, set_col, key_col, k)
+
+    writer = (
+        events.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_sketch_read(spark: SparkSession, table: str) -> DataFrame:
+    """The current sketch (set_col, h) — feed to kmv_estimate/overlap."""
+    return snapshot_read(spark, table)

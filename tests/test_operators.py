@@ -445,3 +445,43 @@ def test_kmv_sketch_properties(spark):
     assert abs(r.est_union - 3000) / 3000 < band
     assert abs(r.jaccard_est - 1 / 3) < band
     assert abs(r.est_intersection - 1000) / 1000 < 2 * band
+
+
+def test_setsim_join_equals_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: setsim_join's pairs equal the
+    quadratic all-pairs ground truth exactly (ids and rounded jaccard),
+    at two thresholds."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.dedup import (
+        setsim_join,
+        token_shingles,
+        tokenize,
+    )
+    from ros_sql_spark.sources.io import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sets = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(token_shingles(tokenize(F.col("text")), 5)).alias("ts"),
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+    for t in (0.3, 0.7):
+        want = sorted(
+            map(tuple, brute.filter(F.col("jaccard") >= t).collect())
+        )
+        got = sorted(
+            map(tuple, setsim_join(docs, "doc_id", "text", t, 5).collect())
+        )
+        assert got == want, f"t={t}: {len(got)} vs {len(want)}"

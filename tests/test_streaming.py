@@ -316,3 +316,69 @@ def test_idempotent_sink_tolerates_precreated_empty_dir(spark, tmp_path):
     # redelivery still dedups
     idempotent_sink_batch(df, 0, str(sink), ["event_id"])
     assert spark.read.parquet(str(sink)).count() == 5
+
+
+def test_kmv_sketch_stream_batch_equivalence(spark, tmp_path):
+    """Continuous KMV: after draining the stream (2-file triggers) the
+    stored sketch equals the one-shot batch sketch row-for-row (bottom-k
+    union is associative/commutative over any micro-batch partition),
+    estimates agree, and a FULL redelivery from a fresh checkpoint
+    leaves the table unchanged (batch:<id> watermark on the overwrite
+    path)."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+    from ros_sql_spark.streaming.sketch import (
+        kmv_sketch_read,
+        kmv_sketch_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "sketch")
+
+    def run(ck):
+        q = kmv_sketch_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            table,
+            checkpoint_path=str(tmp_path / ck),
+            set_col="event_type",
+            key_col="user_id",
+            k=16,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    got = sorted(
+        map(tuple, kmv_sketch_read(spark, table).collect())
+    )
+    want = sorted(
+        map(tuple, kmv_sketch(ev, "event_type", "user_id", k=16).collect())
+    )
+    assert got == want and len(got) > 0
+
+    est_s = {
+        r.event_type: r.est
+        for r in kmv_estimate(
+            kmv_sketch_read(spark, table), "event_type", k=16
+        ).collect()
+    }
+    est_b = {
+        r.event_type: r.est
+        for r in kmv_estimate(
+            kmv_sketch(ev, "event_type", "user_id", k=16), "event_type", k=16
+        ).collect()
+    }
+    assert est_s == est_b
+
+    v = snapshot_versions(spark, table)[-1]
+    run("ck2")  # full redelivery: fresh checkpoint, same table
+    assert snapshot_versions(spark, table)[-1] == v
+    assert sorted(map(tuple, kmv_sketch_read(spark, table).collect())) == want
