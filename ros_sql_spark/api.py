@@ -19,6 +19,12 @@ reassembles via denormalize (one shuffle per child table instead of the
 reference's N+1 per-row SELECTs), applies the time range, and returns
 rows ordered by record time — sink-side pacing is the caller's concern,
 exactly as in the reference.
+
+Filesystem note: table data (parquet dirs, snapshot manifests) goes
+through Spark/Hadoop IO and works on any supported filesystem; the
+small catalog JSON is read/written with plain ``open()`` and is the one
+LOCAL-PATH piece of this API — point ``store_path`` at a shared local/
+NFS path, or persist the catalog out-of-band for object-store stores.
 """
 
 from __future__ import annotations
@@ -37,6 +43,26 @@ from ros_sql_spark.operators.normalize import (
     normalize,
 )
 from ros_sql_spark.sources.catalog import EngineCatalog, namify
+
+
+def _store_tables(spark: SparkSession, base: str) -> list[tuple[str, bool]]:
+    """(table_name, is_snapshot_table) for every table dir under a
+    topic's store base, listed through the Hadoop FS abstraction — the
+    store itself works on any Hadoop-supported filesystem (the CATALOG
+    JSON is the one deliberately local piece; see module note)."""
+    from ros_sql_spark.sources.snapshot import _fs
+
+    fs, p, jvm = _fs(spark, base)
+    out = []
+    for st in fs.listStatus(p):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        is_snap = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_manifests")
+        )
+        out.append((name, is_snap))
+    return sorted(out)
 
 __all__ = ["record", "playback", "expire", "CATALOG_FILE"]
 
@@ -147,9 +173,9 @@ def playback(
                 t1_ns - 1 if t1_ns is not None else None,
             )
         }
-    for name in os.listdir(base):
+    for name, is_snap in _store_tables(spark, base):
         tdir = os.path.join(base, name)
-        if os.path.isdir(os.path.join(tdir, "_manifests")):
+        if is_snap:
             # snapshot-table store (record_stream_snapshot): read the
             # current manifest's files — same shape, atomic visibility
             from ros_sql_spark.sources.snapshot import snapshot_read
@@ -221,7 +247,8 @@ def expire(
         raise ValueError(f"topic {topic} has no ts_col: nothing to expire by")
     base = os.path.join(store_path, entry.table)
     root_dir = os.path.join(base, entry.table)
-    if not os.path.isdir(os.path.join(root_dir, "_manifests")):
+    store = dict(_store_tables(spark, base))
+    if not store.get(entry.table, False):
         raise ValueError(
             f"{root_dir} is not a snapshot table — expire() needs the "
             "snapshot recorder (record_stream_snapshot)"
@@ -244,11 +271,9 @@ def expire(
     )
     try:
         versions: dict[str, int] = {}
-        for name in sorted(os.listdir(base)):
+        for name, is_snap in sorted(store.items()):
             tdir = os.path.join(base, name)
-            if name == entry.table or not os.path.isdir(
-                os.path.join(tdir, "_manifests")
-            ):
+            if name == entry.table or not is_snap:
                 continue
             versions[name] = snapshot_delete_keys(
                 doomed,

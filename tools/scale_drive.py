@@ -254,6 +254,45 @@ def main() -> int:
             ).collect(),
         )
 
+        # 6b. exact set-similarity join at 20x: the planted exact
+        # family (identical texts -> identical shingle sets, J=1.0)
+        # must surface all C(copies,2) pairs per planted id; the
+        # rotated-unique bulk shares no shingles and must never enter
+        # the candidate join (prefix shingles with df=1 join nothing)
+        from ros_sql_spark.operators.dedup import setsim_join
+
+        n_pairs_exact = planted * (copies * (copies - 1) // 2)
+        setsim = setsim_join(docs, "doc_id", "text", threshold=0.9, k=8)
+        n_setsim = timed("setsim_join", setsim.count)
+        perfect = setsim.filter("jaccard = 1.0").count()
+        checks["setsim_finds_planted_exact_pairs"] = (
+            perfect >= n_pairs_exact
+        )
+
+        # 6c. KMV sketches at 20x: per-source distinct-doc estimates
+        # from 256-row sketches within the ~4/sqrt(k) band of exact
+        from ros_sql_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+        def _kmv():
+            sk = kmv_sketch(docs, "source", "doc_id", k=256)
+            est = {
+                r.source: r.est
+                for r in kmv_estimate(sk, "source", k=256).collect()
+            }
+            exact_counts = {
+                r.source: r.n
+                for r in docs.groupBy("source")
+                .agg(F.countDistinct("doc_id").alias("n"))
+                .collect()
+            }
+            return est, exact_counts
+
+        est, exact_counts = timed("kmv_sketch", _kmv)
+        band = 4 / (256 ** 0.5)
+        checks["kmv_estimates_within_band"] = all(
+            abs(est[s] - n) / n < band for s, n in exact_counts.items()
+        )
+
         # 7. curate() END-TO-END at 20x with span_dedup + bloom
         # decontamination engaged, reconciling the observation-based row
         # ledger against itself: input must equal kept + Σ per-stage
