@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 __all__ = ["KMV_DOMAIN", "kmv_hash", "kmv_sketch", "kmv_estimate",
-           "kmv_pair_overlap"]
+           "kmv_pair_overlap", "cm_build", "cm_estimate"]
 
 # 15 hex digits → [0, 16^15) = [0, 2^60): fits BIGINT with headroom,
 # exactly representable (with its k-1 multiples) in a double.
@@ -94,6 +94,80 @@ def kmv_estimate(sketch: DataFrame, set_col: str, k: int = 64) -> DataFrame:
     )
     return per.select(
         set_col, _est(F.col("_n"), F.col("_vk"), k).alias("est")
+    )
+
+
+def _cm_pos(key: Column, i: int, width: int) -> Column:
+    """Row-``i`` counter position for Count-Min: the same cross-engine
+    md5-prefix hash family as KMV, salted by the row index through
+    string concatenation (DuckDB reproduces it verbatim)."""
+    salted = F.concat_ws("#", key.cast("string"), F.lit(str(i)))
+    return F.pmod(
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def cm_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch (Cormode–Muthukrishnan 2005, public design) of
+    ``key_col``'s frequency distribution: a (row, pos, c) counter table
+    of AT MOST depth·width rows no matter how many rows or distinct
+    keys flow in — the bounded-memory frequency summary (heavy-hitter
+    estimation, frequency joins without carrying the raw distribution).
+    One explode (depth-fold, depth is small) + one partial-agged
+    groupBy; counters are LONGs.  Estimates are upward-biased only
+    (collisions add, never subtract); min-over-rows bounds the bias."""
+    probes = F.explode_outer(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cm_pos(F.col(key_col), i, width).alias("pos"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(probes.alias("_p"))
+        .groupBy(F.col("_p.row").alias("row"), F.col("_p.pos").alias("pos"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key_col, est): Count-Min frequency estimate per queried key —
+    min over the depth counters the key hashes to.  ``counters`` is
+    broadcastable by construction (≤ depth·width rows), so the probe
+    is a broadcast join however many keys are queried."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_pos(F.col(key_col), i, width).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        key_col, F.col("_p.row").alias("row"), F.col("_p.pos").alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["row", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
 
 

@@ -1170,6 +1170,30 @@ ORACLES: dict[str, str] = {
         FROM pairs
         WHERE round(CAST(i AS DOUBLE) / (t - i), 6) >= 0.5
     """,
+    # Count-Min rebuilt verbatim: same salted md5-prefix hash family,
+    # same 4x64 counter table, min-over-rows estimate — deterministic,
+    # so the estimates match bit-for-bit (qx00's discipline)
+    "qx03_countmin_freq": """
+        WITH probes AS (
+            SELECT CAST(t.i AS INT) AS row,
+                   CAST(concat('0x', substr(md5(concat(
+                        CAST(user_id AS VARCHAR), '#', CAST(t.i AS VARCHAR)
+                   )), 1, 15)) AS BIGINT) % 64 AS pos
+            FROM events, range(4) t(i)
+        ), counters AS (
+            SELECT row, pos, count(*) AS c FROM probes GROUP BY row, pos
+        ), qp AS (
+            SELECT user_id, CAST(t.i AS INT) AS row,
+                   CAST(concat('0x', substr(md5(concat(
+                        CAST(user_id AS VARCHAR), '#', CAST(t.i AS VARCHAR)
+                   )), 1, 15)) AS BIGINT) % 64 AS pos
+            FROM (SELECT DISTINCT user_id FROM events), range(4) t(i)
+        )
+        SELECT q.user_id,
+               CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_events
+        FROM qp q LEFT JOIN counters c ON c.row = q.row AND c.pos = q.pos
+        GROUP BY q.user_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

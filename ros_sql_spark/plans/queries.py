@@ -2149,6 +2149,27 @@ def qx02_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_join(docs, "doc_id", "text", threshold=0.5, k=5)
 
 
+def qx03_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation (operators/sketch.py::cm_build/
+    cm_estimate): per-user event counts read back from a 4×64 counter
+    table — depth·width rows TOTAL regardless of stream size, the
+    bounded-memory sketch behind heavy-hitter monitoring at 100 TB
+    (the raw per-key distribution never materializes; the width is
+    deliberately smaller than the key cardinality so collisions are
+    exercised).  Deterministic md5-prefix hash family → the oracle
+    rebuilds the identical counter table in SQL and reproduces every
+    estimate exactly (the sketch-with-value-exact-oracle discipline of
+    qx00)."""
+    from ros_sql_spark.operators.sketch import cm_build, cm_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    counters = cm_build(ev, "user_id", depth=4, width=64)
+    users = ev.select("user_id").distinct()
+    return cm_estimate(users, counters, "user_id", depth=4, width=64).select(
+        "user_id", F.col("est").cast("bigint").alias("est_events")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2257,4 +2278,5 @@ QUERIES = {
     "qx00_kmv_overlap": qx00_kmv_overlap,
     "qx01_rolling_distinct": qx01_rolling_distinct,
     "qx02_setsim_join": qx02_setsim_join,
+    "qx03_countmin_freq": qx03_countmin_freq,
 }

@@ -485,3 +485,29 @@ def test_setsim_join_equals_bruteforce(spark):
             map(tuple, setsim_join(docs, "doc_id", "text", t, 5).collect())
         )
         assert got == want, f"t={t}: {len(got)} vs {len(want)}"
+
+
+def test_countmin_properties(spark):
+    """Count-Min invariants: never underestimates, exact when width
+    kills collisions, counter table bounded by depth*width."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.sketch import cm_build, cm_estimate
+
+    rows = [(f"k{i % 37}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    true = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    keys = df.select("k").distinct()
+
+    # tight width: collisions certain, estimates only ever >= truth
+    c64 = cm_build(df, "k", depth=4, width=8)
+    assert c64.count() <= 4 * 8
+    est = {r.k: r.est for r in cm_estimate(keys, c64, "k", depth=4, width=8).collect()}
+    assert all(est[k] >= n for k, n in true.items())
+
+    # wide sketch: 37 keys over 4x4096 rows -> exact with high
+    # probability under the deterministic hash (asserted: it is, for
+    # this fixed key set)
+    cw = cm_build(df, "k", depth=4, width=4096)
+    estw = {r.k: r.est for r in cm_estimate(keys, cw, "k", depth=4, width=4096).collect()}
+    assert estw == true

@@ -382,3 +382,6 @@ def test_qx00_qx01_plan_shapes(spark):
     assert "Window" not in p1
     assert "CartesianProduct" not in p1
     assert "partial_count(distinct" in p1 or "HashAggregate" in p1
+    # qx03: the <= depth*width counter table must BROADCAST to the probe
+    p3 = plan_of(spark, "qx03_countmin_freq")
+    assert "Broadcast" in p3 and "CartesianProduct" not in p3
