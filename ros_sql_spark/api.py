@@ -53,6 +53,8 @@ def _store_tables(spark: SparkSession, base: str) -> list[tuple[str, bool]]:
     from ros_sql_spark.sources.snapshot import _fs
 
     fs, p, jvm = _fs(spark, base)
+    if not fs.exists(p):
+        return []  # missing store dir: callers raise their own errors
     out = []
     for st in fs.listStatus(p):
         if not st.isDirectory():

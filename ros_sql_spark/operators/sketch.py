@@ -34,8 +34,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["KMV_DOMAIN", "kmv_hash", "kmv_sketch", "kmv_estimate",
-           "kmv_pair_overlap", "cm_build", "cm_estimate"]
+__all__ = ["KMV_DOMAIN", "kmv_hash", "bottom_k", "kmv_sketch",
+           "kmv_estimate", "kmv_pair_overlap", "cm_build", "cm_estimate"]
 
 # 15 hex digits → [0, 16^15) = [0, 2^60): fits BIGINT with headroom,
 # exactly representable (with its k-1 multiples) in a double.
@@ -47,6 +47,19 @@ def kmv_hash(key: Column) -> Column:
     return F.conv(
         F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
     ).cast("bigint")
+
+
+def bottom_k(df: DataFrame, part_cols: list[str], k: int) -> DataFrame:
+    """The k smallest ``h`` per partition group — THE rank discipline of
+    every KMV sketch/merge in the engine (one definition; the
+    batch/stream equivalence invariant depends on all call sites
+    agreeing on it)."""
+    w = Window.partitionBy(*part_cols).orderBy("h")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def kmv_sketch(
@@ -65,18 +78,8 @@ def kmv_sketch(
     # construction — the global bottom-k is a subset of every
     # per-bucket bottom-k union)
     salted = hd.withColumn("_salt", F.pmod(F.col("h"), F.lit(salts)))
-    w1 = Window.partitionBy(set_col, "_salt").orderBy("h")
-    cand = (
-        salted.withColumn("_rk", F.row_number().over(w1))
-        .filter(F.col("_rk") <= k)
-        .drop("_salt", "_rk")
-    )
-    w2 = Window.partitionBy(set_col).orderBy("h")
-    return (
-        cand.withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    cand = bottom_k(salted, [set_col, "_salt"], k).drop("_salt")
+    return bottom_k(cand, [set_col], k)
 
 
 def _est(n_sk: Column, vk: Column, k: int) -> Column:
@@ -108,6 +111,21 @@ def _cm_pos(key: Column, i: int, width: int) -> Column:
     )
 
 
+def _cm_probe_array(key: Column, depth: int, width: int) -> Column:
+    """The depth-fold (row, pos) probe array — ONE definition shared by
+    build and estimate (a drifted copy would silently probe the wrong
+    counters)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_pos(key, i, width).alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cm_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -119,17 +137,7 @@ def cm_build(
     One explode (depth-fold, depth is small) + one partial-agged
     groupBy; counters are LONGs.  Estimates are upward-biased only
     (collisions add, never subtract); min-over-rows bounds the bias."""
-    probes = F.explode_outer(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    _cm_pos(F.col(key_col), i, width).alias("pos"),
-                )
-                for i in range(depth)
-            ]
-        )
-    )
+    probes = F.explode_outer(_cm_probe_array(F.col(key_col), depth, width))
     return (
         df.select(probes.alias("_p"))
         .groupBy(F.col("_p.row").alias("row"), F.col("_p.pos").alias("pos"))
@@ -151,15 +159,7 @@ def cm_estimate(
     probes = keys.select(
         F.col(key_col),
         F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _cm_pos(F.col(key_col), i, width).alias("pos"),
-                    )
-                    for i in range(depth)
-                ]
-            )
+            _cm_probe_array(F.col(key_col), depth, width)
         ).alias("_p"),
     ).select(
         key_col, F.col("_p.row").alias("row"), F.col("_p.pos").alias("pos")
@@ -203,12 +203,7 @@ def kmv_pair_overlap(
         .groupBy("_ta", "_tb", "h")
         .agg(F.max("_pa").alias("_ina"), F.max("_pb").alias("_inb"))
     )
-    wu = Window.partitionBy("_ta", "_tb").orderBy("h")
-    uk = (
-        pu.withColumn("_rk", F.row_number().over(wu))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    uk = bottom_k(pu, ["_ta", "_tb"], k)
     agg = uk.groupBy("_ta", "_tb").agg(
         F.count("*").alias("_ku"),
         F.max("h").alias("_vk"),

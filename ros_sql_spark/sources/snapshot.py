@@ -202,11 +202,18 @@ def snapshot_meta(
 class _HadoopReadable:
     """Minimal seekable file-like over a Hadoop ``FSDataInputStream`` so
     pyarrow can parse parquet FOOTERS on any Hadoop-supported filesystem
-    (HDFS/S3A/...), not just local paths.  Each ``read(n)`` is one
-    ``seek`` plus one bounded JVM-side ``IOUtils.copyBytes`` into a byte
-    buffer — two py4j round trips per call, and a footer parse makes
-    only a handful of tail reads, so the cost stays O(KB) regardless of
-    file size."""
+    (HDFS/S3A/...), not just local paths.
+
+    FOOTER-READ shaped by design: ``read(n)`` copies from the current
+    position to EOF JVM-side and slices the first ``n`` bytes in Python.
+    py4j cannot reach the bounded ``IOUtils.copyBytes(…, long count, …)``
+    overload (a Python int resolves to the ``int buffSize`` whole-stream
+    overload — measured: read(16) returned the whole file), and parquet
+    metadata access only ever reads suffixes (the speculative ~64 KB
+    tail, then footer+8 bytes), so copy-to-EOF costs exactly the bytes
+    pyarrow wants.  Do NOT use this adapter for sequential scans from
+    the front of a large file — each read would copy the remaining
+    file."""
 
     def __init__(self, spark: SparkSession, path: str):
         fs, p, jvm = _fs(spark, path)
@@ -214,6 +221,7 @@ class _HadoopReadable:
         self._len = fs.getFileStatus(p).getLen()
         self._in = fs.open(p)
         self._pos = 0
+        self.closed = False
 
     def size(self) -> int:
         return self._len
@@ -238,10 +246,13 @@ class _HadoopReadable:
             return b""
         self._in.seek(self._pos)
         bos = self._jvm.java.io.ByteArrayOutputStream()
+        # copies position→EOF (see class docstring: the bounded long-
+        # count overload is unreachable from py4j); slice to the n
+        # bytes the caller asked for
         self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-            self._in, bos, n, False
+            self._in, bos, 65536, False
         )
-        data = bytes(bos.toByteArray())
+        data = bytes(bos.toByteArray())[:n]
         self._pos += len(data)
         return data
 
@@ -256,8 +267,7 @@ class _HadoopReadable:
 
     def close(self) -> None:
         self._in.close()
-
-    closed = False
+        self.closed = True
 
 
 def _parquet_metadata(spark: SparkSession, path: str):

@@ -28,9 +28,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.window import Window
 
-from ros_sql_spark.operators.sketch import kmv_sketch
+from ros_sql_spark.operators.sketch import bottom_k, kmv_sketch
 from ros_sql_spark.sources.snapshot import (
     _list_versions,
     _read_manifest,
@@ -38,7 +37,8 @@ from ros_sql_spark.sources.snapshot import (
     snapshot_read,
 )
 
-__all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream"]
+__all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream",
+           "kmv_sketch_read"]
 
 
 def kmv_merge(
@@ -49,12 +49,7 @@ def kmv_merge(
     u = stored.select(set_col, "h").unionByName(
         fresh.select(set_col, "h")
     ).distinct()
-    w = Window.partitionBy(set_col).orderBy("h")
-    return (
-        u.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    return bottom_k(u, [set_col], k)
 
 
 def kmv_sketch_batch(

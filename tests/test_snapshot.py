@@ -1277,3 +1277,33 @@ def test_cross_process_occ_soak(spark, tmp_path):
     assert got.select("id").distinct().count() == 1 + 2 * 4 * 10
     per_tag = {r.tag: r["count"] for r in got.groupBy("tag").count().collect()}
     assert per_tag == {"seed": 1, "w0": 40, "w1": 40}
+
+
+def test_hadoop_readable_bounded_read(spark, tmp_path):
+    """The r6-review bug: py4j resolves IOUtils.copyBytes(in, out, n,
+    False) to the int-buffSize WHOLE-STREAM overload, so read(n) used
+    to return every byte to EOF.  The adapter must return exactly n
+    bytes, honor seek/tell, flip .closed, and still parse a real
+    parquet footer."""
+    import pyarrow.parquet as papq
+
+    from ros_sql_spark.sources.snapshot import _HadoopReadable
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    f = [x for x in __import__("os").listdir(p) if x.endswith(".parquet")][0]
+    path = f"{p}/{f}"
+
+    r = _HadoopReadable(spark, path)
+    try:
+        assert len(r.read(16)) == 16  # NOT the whole file
+        assert r.tell() == 16
+        r.seek(-8, 2)
+        tail = r.read(8)
+        assert len(tail) == 8 and tail[-4:] == b"PAR1"
+        r.seek(0)
+        md = papq.ParquetFile(r).metadata
+        assert md.num_rows == 1000
+    finally:
+        r.close()
+    assert r.closed is True

@@ -262,9 +262,14 @@ def main() -> int:
         from ros_sql_spark.operators.dedup import setsim_join
 
         n_pairs_exact = planted * (copies * (copies - 1) // 2)
-        setsim = setsim_join(docs, "doc_id", "text", threshold=0.9, k=8)
-        n_setsim = timed("setsim_join", setsim.count)
-        perfect = setsim.filter("jaccard = 1.0").count()
+        # persist: both counts below would otherwise re-run the whole
+        # prefix/verify pipeline (the curate-stage persist discipline)
+        setsim = setsim_join(docs, "doc_id", "text", threshold=0.9, k=8).persist()
+        try:
+            n_setsim = timed("setsim_join", setsim.count)
+            perfect = setsim.filter("jaccard = 1.0").count()
+        finally:
+            setsim.unpersist()
         checks["setsim_finds_planted_exact_pairs"] = (
             perfect >= n_pairs_exact
         )
