@@ -361,3 +361,44 @@ def test_ivf_pq_store_append_repins_assigned_binding(spark, tmp_path):
     out = ivf_store_optimize(spark, store, target_files=8)
     meta2 = snapshot_meta(spark, f"{store}/codes")
     assert meta2["assigned_version"] == out["assigned"]
+
+
+def test_ivf_pq_store_optimize_then_vacuum_keeps_serving(spark, tmp_path):
+    """The binding/vacuum interplay end-to-end: append fragments the
+    store, optimize re-clusters AND re-pins assigned_version at the
+    compacted version, then an aggressive vacuum (keep_last=1) on every
+    table reclaims all pre-compaction versions — and the pinned-
+    generation search (incl. exact rerank) must keep serving every
+    vector.  Without optimize's re-pin, the rerank would try to read a
+    vacuumed assigned version and die."""
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_append,
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+        ivf_store_optimize,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id % 2 = 0")
+    store = str(tmp_path / "pq")
+    ivf_pq_store_save(
+        spark, ivf_index(old, n_cells=8),
+        pq_train(old, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    ivf_pq_store_append(spark, store, emb.filter("vec_id % 2 = 1"))
+    ivf_store_optimize(spark, store, target_files=8)
+    for t in ("assigned", "codes", "centers", "codebooks"):
+        snapshot_vacuum(spark, f"{store}/{t}", keep_last=1)
+        assert len(snapshot_versions(spark, f"{store}/{t}")) == 1
+
+    q = emb.filter("vec_id % 2 = 1").limit(1)
+    qid = q.collect()[0].vec_id
+    top = ivf_pq_store_search(
+        spark, store, q, k=1, n_probe=2, exclude_self=False, rerank=True
+    ).collect()
+    assert top[0].vec_id == qid
