@@ -38,7 +38,8 @@ from ros_sql_spark.sources.snapshot import (
 )
 
 __all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream",
-           "kmv_sketch_read"]
+           "kmv_sketch_read", "cm_merge", "cm_build_batch",
+           "cm_build_stream"]
 
 
 def kmv_merge(
@@ -110,3 +111,74 @@ def kmv_sketch_stream(
 def kmv_sketch_read(spark: SparkSession, table: str) -> DataFrame:
     """The current sketch (set_col, h) — feed to kmv_estimate/overlap."""
     return snapshot_read(spark, table)
+
+
+def cm_merge(stored: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Count-Min merge: counters sum cell-wise — the (row, pos) grid is
+    fixed by (depth, width), so merged state stays ≤ depth·width rows
+    (the linearity that makes CM a streaming sketch)."""
+    return (
+        stored.unionByName(fresh)
+        .groupBy("row", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cm_build_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: str,
+    key_col: str,
+    depth: int,
+    width: int,
+) -> bool:
+    """Merge one micro-batch's counters into the stored Count-Min
+    table, idempotently (``batch:<id>`` watermark on the overwrite
+    path, like :func:`kmv_sketch_batch` — a replayed batch would
+    DOUBLE-COUNT if re-merged, so the skip is correctness here, not
+    just hygiene).  Returns whether a commit happened."""
+    from ros_sql_spark.operators.sketch import cm_build
+
+    spark = batch_df.sparkSession
+    fresh = cm_build(batch_df, key_col, depth, width)
+    versions = _list_versions(spark, table)
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        committed = m.get("last_batch")
+        if committed is not None and committed >= batch_id:
+            return False  # replayed batch: re-merging would double-count
+        merged = cm_merge(snapshot_read(spark, table), fresh)
+    else:
+        merged = fresh
+    snapshot_commit(merged, table, mode="overwrite", tag=f"batch:{batch_id}")
+    return True
+
+
+def cm_build_stream(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """Continuous frequency sketching: the stored counter table stays
+    ≤ depth·width rows however much flows through; readers estimate
+    any key's frequency at any moment with ``cm_estimate`` under
+    snapshot isolation.  Because CM merge is a cell-wise SUM, the
+    drained-stream counters equal the one-shot batch build exactly
+    (asserted in tests).  Single writer per table.  Returns the
+    StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        cm_build_batch(df, batch_id, table, key_col, depth, width)
+
+    writer = (
+        events.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

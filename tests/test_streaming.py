@@ -382,3 +382,61 @@ def test_kmv_sketch_stream_batch_equivalence(spark, tmp_path):
     run("ck2")  # full redelivery: fresh checkpoint, same table
     assert snapshot_versions(spark, table)[-1] == v
     assert sorted(map(tuple, kmv_sketch_read(spark, table).collect())) == want
+
+
+def test_cm_build_stream_batch_equivalence(spark, tmp_path):
+    """Continuous Count-Min: drained-stream counters equal the one-shot
+    batch build EXACTLY (cell-wise-sum linearity over any micro-batch
+    partition); estimates agree; a full redelivery from a fresh
+    checkpoint neither double-counts nor bumps the version."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.sketch import cm_build, cm_estimate
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from ros_sql_spark.streaming.sketch import cm_build_stream
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select("user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "cm")
+
+    def run(ck):
+        q = cm_build_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            table,
+            checkpoint_path=str(tmp_path / ck),
+            key_col="user_id",
+            depth=4,
+            width=32,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    got = sorted(map(tuple, snapshot_read(spark, table).collect()))
+    want = sorted(
+        map(tuple, cm_build(ev, "user_id", depth=4, width=32).collect())
+    )
+    assert got == want and 0 < len(got) <= 4 * 32
+
+    users = ev.select("user_id").distinct()
+    est_s = {
+        r.user_id: r.est
+        for r in cm_estimate(
+            users, snapshot_read(spark, table), "user_id", 4, 32
+        ).collect()
+    }
+    true = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert all(est_s[u] >= n for u, n in true.items())  # CM never underestimates
+
+    v = snapshot_versions(spark, table)[-1]
+    run("ck2")  # full redelivery: must not double-count
+    assert snapshot_versions(spark, table)[-1] == v
+    assert sorted(map(tuple, snapshot_read(spark, table).collect())) == want
