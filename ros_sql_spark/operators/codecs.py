@@ -1,4 +1,4 @@
-"""Pure-Python image codecs (BMP / PPM / PNG) for the multimodal real path.
+"""Pure-Python image codecs (BMP / PPM / PNG / JPEG) for the multimodal real path.
 
 The container has no PIL/ffmpeg, so ``operators/multimodal.py``'s
 ``deterministic_fake=False`` path used to be an honest
@@ -14,7 +14,14 @@ formats implementable exactly from their public specifications:
 - **PNG**: 8-bit non-interlaced gray/RGB/palette/gray-alpha/RGBA per
   the public W3C spec — stdlib zlib inflate plus all five scanline
   filters (Sub reconstructed as a per-lane mod-256 cumulative sum;
-  Average/Paeth sequential where the spec's recurrence demands it).
+  Average/Paeth sequential where the spec's recurrence demands it);
+- **JPEG**: baseline sequential DCT per ITU-T T.81 — full decoder
+  (tables read from the file, 1/3 components, 4:4:4 and 4:2:0) and an
+  Annex-K-table encoder, numpy DCT; progressive/arithmetic/12-bit/
+  restart-interval streams raise NotImplementedError naming the
+  feature.  Entropy coding is per-symbol Python (correctness-first;
+  decode happens inside Arrow-batched mapInPandas where per-asset
+  cost is the accepted trade).
 
 Everything is numpy-vectorized per image (no per-pixel Python), and the
 encode side exists so tests can synthesize REAL bytes to push through
@@ -39,6 +46,8 @@ __all__ = [
     "decode_ppm",
     "encode_png",
     "decode_png",
+    "encode_jpeg",
+    "decode_jpeg",
     "decode_image",
     "resize_nearest",
     "image_features",
@@ -333,10 +342,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing decode → (H, W, 3) uint8 RGB.
 
-    BMP, P6 PPM and (8-bit non-interlaced) PNG decode natively; anything
-    else tries PIL if it is importable (import-try gate — not installed
-    in this container) and otherwise raises NotImplementedError naming
-    the format.
+    BMP, P6 PPM, (8-bit non-interlaced) PNG and baseline JPEG decode
+    natively; anything else tries PIL if it is importable (import-try
+    gate — not installed in this container) and otherwise raises
+    NotImplementedError naming the format.
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -344,14 +353,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError:
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
-            "cover BMP, P6 PPM and 8-bit PNG; install Pillow for other "
-            "formats (e.g. JPEG)"
+            "cover BMP, P6 PPM, 8-bit PNG and baseline JPEG; install "
+            "Pillow for other formats"
         ) from None
     with Image.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
@@ -386,6 +397,477 @@ def image_features(pixels: np.ndarray, dim: int = 8) -> list[float]:
         hist, _ = np.histogram(luma, bins=dim - len(base), range=(0.0, 1.0))
         base.extend((hist / luma.size).tolist())
     return [float(round(v, 9)) for v in base[:dim]]
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline sequential DCT JPEG (ITU-T T.81, public spec), pure
+# numpy/stdlib.  Scope: 8-bit baseline (SOF0), 1 or 3 components,
+# sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
+# Progressive (SOF2), arithmetic coding, 12-bit, and restart intervals
+# raise NotImplementedError NAMING the feature.  The decoder reads
+# quant/huffman tables FROM THE FILE (real-world interop does not
+# depend on the encoder's built-in tables); the encoder embeds the
+# Annex-K tables, producing legal baseline JPEGs any decoder reads.
+# Entropy decode is a per-symbol Python loop — correctness-first; the
+# engine decodes media inside Arrow-batched mapInPandas where
+# per-asset decode cost is the accepted trade (operators/multimodal).
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex-K huffman specs: (bits[1..16], values)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T (T @ T.T = I): forward
+    F = T·f·Tᵀ, inverse f = Tᵀ·F·T."""
+    x = np.arange(8)
+    u = x[:, None]
+    t = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    t[0, :] = 1 / (2 * np.sqrt(2.0))
+    return t
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG huffman assignment: value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — the decode-side map."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _huff_codes(bits, values).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1-bits
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, subsample: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline JFIF
+    JPEG bytes with the Annex-K quant/huffman tables (4:4:4, or 4:2:0
+    when ``subsample``; grayscale is always single-component)."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        return _encode_jpeg_planes(
+            [arr], [(1, 1)], arr.shape[0], arr.shape[1]
+        )
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) or (H, W) uint8, got {arr.shape}")
+    h, w, _ = arr.shape
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    if subsample:
+        hs = [(2, 2), (1, 1), (1, 1)]
+        # pad to even dims then 2x2 box-average the chroma planes
+        he, we = (h + 1) & ~1, (w + 1) & ~1
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, he - h), (0, we - w)), mode="edge")
+            planes[i] = (
+                p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            )
+    else:
+        hs = [(1, 1), (1, 1), (1, 1)]
+    return _encode_jpeg_planes(planes, hs, h, w)
+
+
+def _encode_jpeg_planes(planes, hs, h: int, w: int) -> bytes:
+    """Shared entropy-encode + header assembly for 1 (grayscale) or 3
+    (YCbCr) planes; component 0 uses the luma tables, the rest
+    chroma."""
+    ncomp = len(planes)
+    hmax = max(f[0] for f in hs)
+    vmax = max(f[1] for f in hs)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    T = _dct_matrix()
+    qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
+    dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
+        _huff_codes(*_HUFF_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_codes = [_huff_codes(*_HUFF_AC_LUMA)] + [
+        _huff_codes(*_HUFF_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    padded = []
+    for (hf, vf), plane in zip(hs, planes):
+        need_h = mcus_y * vf * 8
+        need_w = mcus_x * hf * 8
+        ph, pw = plane.shape
+        padded.append(
+            np.pad(
+                plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge"
+            ) - 128.0
+        )
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hf, vf = hs[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        y0 = (my * vf + by) * 8
+                        x0 = (mx * hf + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = T @ blk @ T.T
+                        q = np.round(coef / qts[ci]).astype(np.int64)
+                        zz = q.flatten()[_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, mb = _mag_bits(diff)
+                        c, ln = dc_codes[ci][s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(mb, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, ln = ac_codes[ci][0xF0]  # ZRL
+                                bw.write(c, ln)
+                                run -= 16
+                            s, mb = _mag_bits(v)
+                            c, ln = ac_codes[ci][(run << 4) | s]
+                            bw.write(c, ln)
+                            bw.write(mb, s)
+                            run = 0
+                        if run:
+                            c, ln = ac_codes[ci][0x00]  # EOB
+                            bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qtabs = [(0, _QT_LUMA)] + ([(1, _QT_CHROMA)] if ncomp > 1 else [])
+    for tid, qt in qtabs:
+        out += seg(
+            0xDB,
+            bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG]),
+        )
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hf, vf = hs[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+    if ncomp > 1:
+        htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    for tc_th, spec in htabs:
+        bits, vals = spec
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte-unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated at FF")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Inverse magnitude coding (T.81 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (grayscale replicated).
+
+    Tables come FROM THE FILE; sampling factors 1–2 supported (chroma
+    upsampled by replication).  Progressive / arithmetic / 12-bit /
+    restart-interval streams raise NotImplementedError naming the
+    feature; structural corruption raises ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    sof = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                qts[tq] = q.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                huff[tc_th] = _huff_lookup(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            hh, ww = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (hh, ww, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (only baseline SOF0/SOF1)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals (DRI)")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            data_start = pos + 2 + ln
+            end = payload.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("JPEG missing EOI")
+            return _decode_scan(
+                payload[data_start:end], sof, scan, qts, huff
+            )
+        pos += 2 + ln
+    raise ValueError("JPEG has no scan (SOS) segment")
+
+
+def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:
+    h, w, comps = sof
+    by_id = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("JPEG sampling factors > 2")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    T = _dct_matrix()
+    planes = []
+    meta = []
+    for cs, td, ta in scan:
+        hf, vf, tq = by_id[cs]
+        planes.append(
+            np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), np.float64)
+        )
+        meta.append((hf, vf, qts[tq], huff[td], huff[0x10 | ta]))
+    br = _BitReader(data)
+    pred = [0] * len(scan)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hf, vf, qt, dct_, act_) in enumerate(meta):
+                for by in range(vf):
+                    for bx in range(hf):
+                        zz = np.zeros(64, np.int64)
+                        s = br.symbol(dct_)
+                        if s:
+                            pred[ci] += _extend(br.bits(s), s)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.symbol(act_)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sz = rs & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(br.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, np.int64)
+                        coef[_ZIGZAG] = zz
+                        blk = T.T @ (coef.reshape(8, 8) * qt) @ T
+                        y0 = (my * vf + by) * 8
+                        x0 = (mx * hf + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
+    full = []
+    for ci, (hf, vf, _, _, _) in enumerate(meta):
+        p = planes[ci]
+        if hf < hmax:
+            p = p.repeat(hmax // hf, axis=1)
+        if vf < vmax:
+            p = p.repeat(vmax // vf, axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def encode_wav(

@@ -60,11 +60,12 @@ def test_decode_image_sniffs_magic():
     img = _img(3, 3, seed=2)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
-    from ros_sql_spark.operators.codecs import encode_png
+    from ros_sql_spark.operators.codecs import encode_jpeg, encode_png
 
     assert np.array_equal(decode_image(encode_png(img)), img)
+    assert decode_image(encode_jpeg(img)).shape == img.shape  # lossy
     with pytest.raises(NotImplementedError, match="magic"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG: no PIL here
+        decode_image(b"GIF87a" + b"\x00" * 16)  # GIF: no PIL here
     with pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\nrest")  # PNG magic, no chunks
 
@@ -512,6 +513,98 @@ def test_png_through_mapinpandas_real_path(spark):
         ).collect()
     }
     assert len(got) == 12
+    for r in assets.select("asset_id", "media").collect():
+        expect = image_features(decode_image(bytes(r.media)), 8)
+        assert got[r.asset_id] == expect
+
+
+# --------------------------------------------------------------- JPEG
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("h,w", [(40, 56), (33, 37), (8, 8)])
+def test_jpeg_roundtrip_quality(h, w, subsample):
+    """Baseline JPEG roundtrip: smooth content survives the Annex-K
+    tables above 30 dB PSNR at exact original geometry (partial MCUs
+    cropped), 4:4:4 and 4:2:0.  The 8×8 4:2:0 case gets a laxer floor:
+    halving chroma on a ramp that spans the full range in 8 pixels is
+    inherently lossy (~27 dB), not a codec defect."""
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _smooth(h, w)
+    out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    assert out.shape == img.shape
+    floor = 25.0 if (subsample and min(h, w) <= 8) else 30.0
+    assert _psnr(img, out) > floor
+
+
+def test_jpeg_constant_exact_and_grayscale():
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 24, 3), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(const)), const)
+    gray = _smooth(24, 32)[..., 0]
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == (24, 32, 3)
+    assert _psnr(np.repeat(gray[..., None], 3, 2), out) > 30.0
+
+
+def test_jpeg_gates_name_the_feature():
+    """Progressive (SOF2), DRI, and truncation produce NAMED errors."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(_smooth(16, 16)))
+    # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
+    i = bytes(good).find(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+    # inject a DRI segment right after SOI
+    dri = good[:2] + b"\xff\xdd" + st.pack(">HH", 4, 8) + good[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(bytes(dri))
+    with pytest.raises(ValueError, match="EOI"):
+        decode_jpeg(bytes(good[:-2]))  # EOI chopped
+
+
+def test_jpeg_through_mapinpandas_real_path(spark):
+    """Real JPEG bytes flow end-to-end through extract_features'
+    mapInPandas decode, bit-equal to driver-side decode of the same
+    payloads (the multimodal contract for every native codec)."""
+    from ros_sql_spark.operators.codecs import encode_jpeg
+    from ros_sql_spark.operators.multimodal import (
+        as_assets,
+        extract_features,
+    )
+
+    rows = []
+    for i in range(8):
+        img = _smooth(10 + i, 12 + (i % 3))
+        rows.append(
+            (i, bytearray(encode_jpeg(img, subsample=bool(i % 2))), "image/jpeg")
+        )
+    df = spark.createDataFrame(rows, "asset_id long, media binary, mime string")
+    assets = as_assets(df, "asset_id", "media", "image/jpeg")
+    got = {
+        r.asset_id: r.features
+        for r in extract_features(
+            assets, dim=8, deterministic_fake=False
+        ).collect()
+    }
+    assert len(got) == 8
     for r in assets.select("asset_id", "media").collect():
         expect = image_features(decode_image(bytes(r.media)), 8)
         assert got[r.asset_id] == expect
