@@ -80,3 +80,84 @@ def test_paced_replay_delays_match_timestamps(spark):
     assert ts == sorted(ts)
     for (sleep, _), prev_t, t in zip(out[1:], ts, ts[1:]):
         assert abs(sleep - (t - prev_t) / 1e9 / 1000.0) < 1e-9
+
+
+# ------------------------------------------------------- codec properties
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, data):
+    """PNG must roundtrip BIT-EXACTLY for arbitrary pixel content and
+    arbitrary per-row filter choices (every unfilter branch, arbitrary
+    interleavings — the fixed-seed tests can't cover this space)."""
+    import numpy as np
+
+    from ros_sql_spark.operators.codecs import decode_png, encode_png
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=h * w * ch,
+                max_size=h * w * ch,
+            )
+        ),
+        dtype=np.uint8,
+    ).reshape(h, w, ch)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=1, max_size=h)
+    )
+    out = decode_png(encode_png(px, filters))
+    assert np.array_equal(out, px[..., :3])
+
+
+@given(
+    n=st.integers(0, 120),
+    k=st.integers(1, 16),
+    salts=st.integers(1, 8),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_kmv_bottom_k_property(spark, n, k, salts, data):
+    """The two-phase salted bottom-k must equal the exact sorted-prefix
+    bottom-k for ANY member multiset, k, and salt count — and the
+    estimate must be exact whenever the sketch holds the whole set."""
+    from ros_sql_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_hash,
+        kmv_sketch,
+    )
+
+    members = data.draw(
+        st.lists(st.integers(-(2**40), 2**40), min_size=n, max_size=n)
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("s", m) for m in members] or [("s", 0)], "s string, m long"
+    ).limit(len(members))
+    if not members:
+        assert kmv_sketch(df, "s", "m", k=k, salts=salts).count() == 0
+        return
+    got = sorted(
+        r.h for r in kmv_sketch(df, "s", "m", k=k, salts=salts).collect()
+    )
+    exact = sorted(
+        r.h
+        for r in df.select(kmv_hash(F.col("m")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    assert got == exact
+    n_distinct = len(set(members))
+    if n_distinct < k:
+        est = kmv_estimate(
+            kmv_sketch(df, "s", "m", k=k, salts=salts), "s", k=k
+        ).collect()[0].est
+        assert est == float(n_distinct)
