@@ -1,4 +1,5 @@
-"""Pure-Python image codecs (BMP / PPM / PNG / JPEG) for the multimodal real path.
+"""Pure-Python image codecs (BMP / PPM / PNG / JPEG / GIF) for the multimodal
+real path.
 
 The container has no PIL/ffmpeg, so ``operators/multimodal.py``'s
 ``deterministic_fake=False`` path used to be an honest
@@ -21,7 +22,11 @@ formats implementable exactly from their public specifications:
   restart-interval streams raise NotImplementedError naming the
   feature.  Entropy coding is per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
-  cost is the accepted trade).
+  cost is the accepted trade);
+- **GIF**: 87a/89a palette images with a REAL variable-width LZW
+  encoder/decoder (LSB-first packing, clear/EOI, 12-bit cap with
+  dictionary resets), local color tables and 4-pass interlacing on
+  decode; first frame only, transparency maps to its palette color.
 
 Everything is numpy-vectorized per image (no per-pixel Python), and the
 encode side exists so tests can synthesize REAL bytes to push through
@@ -48,6 +53,8 @@ __all__ = [
     "decode_png",
     "encode_jpeg",
     "decode_jpeg",
+    "encode_gif",
+    "decode_gif",
     "decode_image",
     "resize_nearest",
     "image_features",
@@ -342,8 +349,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing decode → (H, W, 3) uint8 RGB.
 
-    BMP, P6 PPM, (8-bit non-interlaced) PNG and baseline JPEG decode
-    natively; anything else tries PIL if it is importable (import-try
+    BMP, P6 PPM, (8-bit non-interlaced) PNG, baseline JPEG and GIF
+    decode natively; anything else tries PIL if it is importable (import-try
     gate — not installed in this container) and otherwise raises
     NotImplementedError naming the format.
     """
@@ -355,14 +362,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError:
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
-            "cover BMP, P6 PPM, 8-bit PNG and baseline JPEG; install "
-            "Pillow for other formats"
+            "cover BMP, P6 PPM, 8-bit PNG, baseline JPEG and GIF; "
+            "install Pillow for other formats"
         ) from None
     with Image.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
@@ -397,6 +406,219 @@ def image_features(pixels: np.ndarray, dim: int = 8) -> list[float]:
         hist, _ = np.histogram(luma, bins=dim - len(base), range=(0.0, 1.0))
         base.extend((hist / luma.size).tolist())
     return [float(round(v, 9)) for v in base[:dim]]
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a (CompuServe spec, public): LZW-compressed palette images.
+# Decoder returns the FIRST frame as RGB (animation frames beyond the
+# first are out of scope; transparency maps to its palette color —
+# the module's RGB contract has no alpha).  Encoder writes a real
+# variable-width LZW stream from a ≤256-color palette so tests
+# synthesize genuine GIF bytes without PIL.
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 with ≤256 distinct colors → GIF89a bytes
+    (global color table + one real LZW-compressed image block)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"GIF needs <=256 distinct colors, image has {len(palette)} "
+            "(quantize first)"
+        )
+    # color-table size: power of two >= max(2, n)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, bits)
+
+    # LZW encode (variable width, LSB-first bit packing per the spec)
+    clear = 1 << min_code
+    eoi = clear + 1
+    out_bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh() -> dict:
+        return {(i,): i for i in range(1 << min_code)}
+
+    width = min_code + 1
+    table_d = fresh()
+    next_code = eoi + 1
+    put(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in idx:
+        cand = seq + (int(px),)
+        if cand in table_d:
+            seq = cand
+            continue
+        put(table_d[seq], width)
+        table_d[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            put(clear, width)
+            table_d = fresh()
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (int(px),)
+    if seq:
+        put(table_d[seq], width)
+    put(eoi, width)
+    if nacc:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code])
+    data = bytes(out_bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → first frame as (H, W, 3) uint8 RGB (local
+    color table and Adam-style interlacing honored; animation frames
+    beyond the first ignored; transparency maps to its palette
+    color)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside extension block")
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02X} at {pos}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside image data")
+            ln = payload[pos]
+            if ln == 0:
+                break
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF truncated inside image sub-block")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(data), min_code, iw * ih)
+        img = np.array(indices, np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            rows = np.concatenate([
+                np.arange(0, ih, 8), np.arange(4, ih, 8),
+                np.arange(2, ih, 4), np.arange(1, ih, 2),
+            ])
+            deinter = np.empty_like(img)
+            deinter[rows] = img
+            img = deinter
+        if img.max() >= len(ct):
+            raise ValueError("GIF palette index out of range")
+        return ct[img].astype(np.uint8)
+    raise ValueError("GIF has no image block")
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
+    """GIF variable-width LZW (LSB-first bit packing)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    acc = 0
+    nacc = 0
+    di = 0
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+
+    def read() -> int:
+        nonlocal acc, nacc, di
+        while nacc < width:
+            if di >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[di] << nacc
+            nacc += 8
+            di += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        return v
+
+    while len(out) < expect:
+        code = read()
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"invalid GIF LZW code {code}")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError(
+            f"GIF pixel data short: {len(out)} of {expect} indices"
+        )
+    return out[:expect]
 
 
 # --------------------------------------------------------------- JPEG

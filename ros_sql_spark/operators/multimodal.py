@@ -15,7 +15,7 @@ Codec reality in this container (no PIL/ffmpeg/torchaudio baked in):
   passthrough — is testable without any codec;
 - ``deterministic_fake=False`` runs the REAL decode path through the
   in-repo pure-Python codecs (``operators/codecs.py``: uncompressed
-  24-bit BMP, binary P6 PPM, 8-bit PNG and baseline JPEG,
+  24-bit BMP, binary P6 PPM, 8-bit PNG, baseline JPEG and GIF,
   numpy-backed), falling back to PIL
   when importable; payloads in formats none of those cover raise
   NotImplementedError per asset — the honest gate now covers only what

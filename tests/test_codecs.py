@@ -64,8 +64,12 @@ def test_decode_image_sniffs_magic():
 
     assert np.array_equal(decode_image(encode_png(img)), img)
     assert decode_image(encode_jpeg(img)).shape == img.shape  # lossy
+    from ros_sql_spark.operators.codecs import encode_gif
+
+    pal_img = (img // 64) * 64  # <=256 distinct colors
+    assert np.array_equal(decode_image(encode_gif(pal_img)), pal_img)
     with pytest.raises(NotImplementedError, match="magic"):
-        decode_image(b"GIF87a" + b"\x00" * 16)  # GIF: no PIL here
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")  # WebP: no PIL here
     with pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\nrest")  # PNG magic, no chunks
 
@@ -608,3 +612,53 @@ def test_jpeg_through_mapinpandas_real_path(spark):
     for r in assets.select("asset_id", "media").collect():
         expect = image_features(decode_image(bytes(r.media)), 8)
         assert got[r.asset_id] == expect
+
+
+# ---------------------------------------------------------------- GIF
+def test_gif_roundtrip_exact_and_lzw_growth():
+    """Palette images roundtrip bit-exactly, including a stream large
+    enough to force LZW dictionary growth to 12 bits and clear-code
+    resets (the width-bump agreement between encoder and decoder)."""
+    from ros_sql_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (64, 3), np.uint8)
+    for h, w in [(1, 1), (7, 5), (31, 9)]:
+        img = pal[rng.integers(0, 64, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+    big_pal = np.unique(rng.integers(0, 256, (256, 3), np.uint8), axis=0)
+    big = big_pal[rng.integers(0, len(big_pal), (300, 300))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (64, 64, 3), np.uint8))
+
+
+def test_gif_interlaced_and_corrupt():
+    """Interlace flag honored on decode (4-pass row reorder); truncated
+    LZW data raises a named ValueError."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    img = pal[rng.integers(0, 16, (10, 6))]
+    # interlaced twin: rows stored in 4-pass order with the flag set
+    rows = np.concatenate([
+        np.arange(0, 10, 8), np.arange(4, 10, 8),
+        np.arange(2, 10, 4), np.arange(1, 10, 2),
+    ])
+    stored = img[rows]
+    payload = bytearray(encode_gif(stored))
+    # image descriptor offset is deterministic for the encoder's
+    # layout: 13-byte header+LSD, then the (1<<bits)-entry color
+    # table (16 colors -> bits=4 -> 48 bytes) — find() would be wrong
+    # here, a 0x2C byte can occur INSIDE the palette
+    i = 13 + 16 * 3
+    assert payload[i] == 0x2C
+    payload[i + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(payload)), img)
+
+    good = encode_gif(img)
+    with pytest.raises(ValueError, match="truncated|short"):
+        decode_gif(good[:-10])
