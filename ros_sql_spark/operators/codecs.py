@@ -354,19 +354,31 @@ def decode_image(payload: bytes) -> np.ndarray:
     gate — not installed in this container) and otherwise raises
     NotImplementedError naming the format.
     """
+    native = None
     if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] == b"P6":
-        return decode_ppm(payload)
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"\xff\xd8":
-        return decode_jpeg(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(payload)
+        native = decode_bmp
+    elif payload[:2] == b"P6":
+        native = decode_ppm
+    elif payload[:8] == _PNG_SIG:
+        native = decode_png
+    elif payload[:2] == b"\xff\xd8":
+        native = decode_jpeg
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        native = decode_gif
+    gate: NotImplementedError | None = None
+    if native is not None:
+        try:
+            return native(payload)
+        except NotImplementedError as e:
+            # a recognized format whose SUBFORMAT the native codec
+            # gates (progressive JPEG, Adam7 PNG, ...): PIL — when
+            # importable — must still get its chance, as documented
+            gate = e
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency
     except ImportError:
+        if gate is not None:
+            raise gate from None
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
@@ -562,7 +574,22 @@ def decode_gif(payload: bytes) -> np.ndarray:
             img = deinter
         if img.max() >= len(ct):
             raise ValueError("GIF palette index out of range")
-        return ct[img].astype(np.uint8)
+        frame = ct[img].astype(np.uint8)
+        if (left, top, iw, ih) == (0, 0, w, h):
+            return frame
+        # first image smaller than the logical screen: composite onto
+        # the background-color canvas at its declared offset, so shape
+        # and pixel positions match any reference decoder
+        bg_idx = payload[11]
+        bg = (
+            ct[bg_idx] if gct is not None and bg_idx < len(ct)
+            else np.zeros(3, np.uint8)
+        )
+        canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+        if top + ih > h or left + iw > w:
+            raise ValueError("GIF image extends past the logical screen")
+        canvas[top : top + ih, left : left + iw] = frame
+        return canvas
     raise ValueError("GIF has no image block")
 
 
@@ -601,6 +628,8 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
         if code == eoi:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"invalid GIF LZW code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -959,12 +988,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn: parameterless
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG truncated in marker segment")
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
@@ -1007,7 +1044,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(sof[2]) not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {len(sof[2])} components (only 1 "
+                    "grayscale / 3 YCbCr; CMYK/YCCK unsupported)"
+                )
             ns = body[0]
+            if ns != len(sof[2]):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG: scan "
+                    f"has {ns} of {len(sof[2])} components"
+                )
+            if ns == 1 and (sof[2][0][1] > 1 or sof[2][0][2] > 1):
+                raise NotImplementedError(
+                    "single-component scan with sampling factors > 1 "
+                    "(T.81 non-interleaved data-unit order unsupported)"
+                )
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
@@ -1063,6 +1115,11 @@ def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:
                                 continue
                             k += rs >> 4
                             sz = rs & 0xF
+                            if sz == 0:
+                                raise ValueError(
+                                    f"invalid JPEG AC symbol 0x{rs:02X} "
+                                    "(nonzero run with size 0)"
+                                )
                             if k > 63:
                                 raise ValueError("JPEG AC index overflow")
                             zz[k] = _extend(br.bits(sz), sz)

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ros_sql_spark.operators.sketch import bottom_k, kmv_sketch
+from ros_sql_spark.operators.sketch import bottom_k, cm_build, kmv_sketch
 from ros_sql_spark.sources.snapshot import (
     _list_versions,
     _read_manifest,
@@ -137,8 +137,6 @@ def cm_build_batch(
     path, like :func:`kmv_sketch_batch` — a replayed batch would
     DOUBLE-COUNT if re-merged, so the skip is correctness here, not
     just hygiene).  Returns whether a commit happened."""
-    from ros_sql_spark.operators.sketch import cm_build
-
     spark = batch_df.sparkSession
     fresh = cm_build(batch_df, key_col, depth, width)
     versions = _list_versions(spark, table)

@@ -662,3 +662,73 @@ def test_gif_interlaced_and_corrupt():
     good = encode_gif(img)
     with pytest.raises(ValueError, match="truncated|short"):
         decode_gif(good[:-10])
+
+
+def test_jpeg_interop_gates_r6_review():
+    """r6-review contract fixes: 4-component (CMYK-class) and
+    multi-scan/non-interleaved baseline JPEGs raise NAMED
+    NotImplementedError instead of silently mis-decoding; fill bytes
+    before markers parse per T.81 B.1.1.2; a nonzero-run/size-0 AC
+    symbol raises a named ValueError."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    good = bytes(encode_jpeg(_smooth(16, 16)))
+
+    # fill bytes before a marker are legal: inject 0xFF padding after SOI
+    filled = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert decode_jpeg(filled).shape == (16, 16, 3)
+
+    # rewrite SOF0's component count 3 -> 4 (with a 4th comp entry)
+    i = good.find(b"\xff\xc0")
+    ln = st.unpack_from(">H", good, i + 2)[0]
+    sof = bytearray(good[i + 4 : i + 2 + ln])
+    sof[5] = 4
+    sof += bytes([4, 0x11, 1])
+    cmyk = (
+        good[: i + 2]
+        + st.pack(">H", len(sof) + 2)
+        + bytes(sof)
+        + good[i + 2 + ln :]
+    )
+    with pytest.raises(NotImplementedError, match="4 components"):
+        decode_jpeg(cmyk)
+
+    # rewrite SOS to a single-component scan of a 3-component image
+    j = good.find(b"\xff\xda")
+    sos_new = bytes([1, 1, 0x00, 0, 63, 0])
+    multi = (
+        good[: j + 2]
+        + st.pack(">H", len(sos_new) + 2)
+        + sos_new
+        + good[j + 4 + st.unpack_from(">H", good, j + 2)[0] - 2 :]
+    )
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(multi)
+
+
+def test_gif_frame_offset_composites_on_canvas():
+    """A first frame smaller than the logical screen lands at its
+    declared (left, top) on a background-color canvas — the shape any
+    reference decoder returns."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    frame = pal[rng.integers(0, 8, (4, 6))]
+    payload = bytearray(encode_gif(frame))
+    # widen the logical screen to 10x9 and move the frame to (3, 2)
+    st.pack_into("<HH", payload, 6, 10, 9)
+    desc = 13 + 8 * 3
+    assert payload[desc] == 0x2C
+    st.pack_into("<HHHH", payload, desc + 1, 3, 2, 6, 4)
+    out = decode_gif(bytes(payload))
+    assert out.shape == (9, 10, 3)
+    assert np.array_equal(out[2:6, 3:9], frame)
+    # background color comes from the payload's OWN color table (the
+    # encoder's np.unique sorts the palette, so pal's order differs)
+    bg = np.frombuffer(payload, np.uint8, 3, 13 + 3 * payload[11])
+    assert np.array_equal(out[0, 0], bg)
