@@ -172,7 +172,7 @@ def cm_estimate(
 
 
 def kmv_pair_overlap(
-    sketch: DataFrame, set_col: str, k: int = 64
+    sketch: DataFrame, set_col: str, k: int = 64, materialize: bool = True
 ) -> DataFrame:
     """All set pairs (a < b): estimated cardinalities, union, Jaccard,
     and intersection — from the sketches ALONE (≤ k rows per set; the
@@ -181,7 +181,19 @@ def kmv_pair_overlap(
 
     Union sketch = bottom-k of the two sketches' h-union; Jaccard ρ =
     fraction of union-sketch members present in both input sketches;
-    intersection ≈ ρ · D̂(union) (the standard KMV combinators)."""
+    intersection ≈ ρ · D̂(union) (the standard KMV combinators).
+
+    ``materialize`` (default True) eagerly localCheckpoints the input
+    sketch first: the pair machinery references it from SIX plan
+    branches (a/b sides, union provenance, per-set estimates), and
+    without materialization each branch re-derives the sketch from the
+    RAW corpus — 24 exchanges/33 sorts in the static plan (measured;
+    the audit tool caught it).  A sketch is ≤ sets·k rows by
+    construction, so pinning it costs ~nothing and the corpus is
+    scanned exactly once.  Pass False only when the caller already
+    materialized (e.g. a snapshot-table sketch read)."""
+    if materialize:
+        sketch = sketch.localCheckpoint(eager=True)
     a = sketch.select(F.col(set_col).alias("_ta"), "h")
     b = sketch.select(F.col(set_col).alias("_tb"), "h")
     pairs = (
