@@ -1194,6 +1194,25 @@ ORACLES: dict[str, str] = {
         FROM qp q LEFT JOIN counters c ON c.row = q.row AND c.pos = q.pos
         GROUP BY q.user_id
     """,
+    # winsorized mean: clamp to the group's interpolated [p05, p95]
+    # (quantile_cont ≡ Spark percentile, q44's precedent) then avg;
+    # round-6 float boundary per the q88/q93 sum-order argument
+    "qx04_winsorized_stats": """
+        WITH p AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(greatest(least(CAST(d.n_chars AS DOUBLE), p.hi),
+                                  p.lo)), 6) AS winsorized_mean,
+               round(min(p.lo), 6) AS p05,
+               round(min(p.hi), 6) AS p95
+        FROM documents d JOIN p USING (lang)
+        GROUP BY d.lang
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

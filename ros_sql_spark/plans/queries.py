@@ -2170,6 +2170,34 @@ def qx03_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx04_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per language: clamp n_chars to its
+    group's [p05, p95] (q44's interpolated-percentile idiom) and
+    average the clamped values — outlier-robust means without dropping
+    rows (the robust-stats sibling of q88's z-score OUTLIER listing).
+    Two aggregations + one broadcast of the per-group bounds (|langs|
+    rows); the float mean rounds at 6 dp with the q88/q93 sum-order
+    argument (~1e-13 relative error vs the 5e-7 boundary)."""
+    docs = _t(spark, sf_dir, "documents")
+    pcts = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
+    )
+    clamped = F.greatest(
+        F.least(F.col("n_chars").cast("double"), F.col("_hi")), F.col("_lo")
+    )
+    return (
+        docs.join(F.broadcast(pcts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            r6(F.avg(clamped)).alias("winsorized_mean"),
+            r6(F.min("_lo")).alias("p05"),
+            r6(F.min("_hi")).alias("p95"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2279,4 +2307,5 @@ QUERIES = {
     "qx01_rolling_distinct": qx01_rolling_distinct,
     "qx02_setsim_join": qx02_setsim_join,
     "qx03_countmin_freq": qx03_countmin_freq,
+    "qx04_winsorized_stats": qx04_winsorized_stats,
 }
