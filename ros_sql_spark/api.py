@@ -54,7 +54,13 @@ def _store_tables(spark: SparkSession, base: str) -> list[tuple[str, bool]]:
 
     fs, p, jvm = _fs(spark, base)
     if not fs.exists(p):
-        return []  # missing store dir: callers raise their own errors
+        # A topic the catalog lists but whose table dir is gone is a
+        # corrupted store — fail loudly and diagnosably, never iterate
+        # zero tables (silent empty playback is worse than an error).
+        raise FileNotFoundError(
+            f"store directory {base} does not exist but the catalog "
+            "lists its topic — the store was moved or partially deleted"
+        )
     out = []
     for st in fs.listStatus(p):
         if not st.isDirectory():

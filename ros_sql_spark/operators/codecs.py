@@ -580,9 +580,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
         # first image smaller than the logical screen: composite onto
         # the background-color canvas at its declared offset, so shape
         # and pixel positions match any reference decoder
+        # The background color index is defined against the GLOBAL color
+        # table (GIF89a §18) — never the frame's local table, even when
+        # the frame carries one.
         bg_idx = payload[11]
         bg = (
-            ct[bg_idx] if gct is not None and bg_idx < len(ct)
+            gct[bg_idx] if gct is not None and bg_idx < len(gct)
             else np.zeros(3, np.uint8)
         )
         canvas = np.broadcast_to(bg, (h, w, 3)).copy()

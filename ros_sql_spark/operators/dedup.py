@@ -767,11 +767,17 @@ def setsim_join(
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
     jac = inter.cast("double") / union.cast("double")
+    # Threshold on the UNROUNDED jaccard: the prefix length guarantees
+    # candidate recall only for exact J >= t, so a rounded filter could
+    # admit pairs (true J within 5e-7 below t) the prefix never promised
+    # to surface — a latent recall/parity gap at the boundary.  Rounding
+    # is applied after, for output/parity display only (oracle mirrors).
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", jac.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )
 
 

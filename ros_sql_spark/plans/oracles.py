@@ -1168,7 +1168,7 @@ ORACLES: dict[str, str] = {
         SELECT id_a, id_b,
                round(CAST(i AS DOUBLE) / (t - i), 6) AS jaccard
         FROM pairs
-        WHERE round(CAST(i AS DOUBLE) / (t - i), 6) >= 0.5
+        WHERE CAST(i AS DOUBLE) / (t - i) >= 0.5
     """,
     # Count-Min rebuilt verbatim: same salted md5-prefix hash family,
     # same 4x64 counter table, min-over-rows estimate — deterministic,

@@ -67,6 +67,7 @@ def kmv_sketch_batch(
     spark = batch_df.sparkSession
     fresh = kmv_sketch(batch_df, set_col, key_col, k)
     versions = _list_versions(spark, table)
+    expected = versions[-1] if versions else 0
     if versions:
         m = _read_manifest(spark, table, versions[-1])
         committed = m.get("last_batch")
@@ -76,7 +77,14 @@ def kmv_sketch_batch(
         merged = kmv_merge(stored, fresh, set_col, k)
     else:
         merged = fresh
-    snapshot_commit(merged, table, mode="overwrite", tag=f"batch:{batch_id}")
+    # read-merge-overwrite is single-writer by contract, but the OCC pin
+    # is free (the read version is already in hand): two writers
+    # accidentally pointed at one sketch table fail loudly with
+    # SnapshotConflict instead of silently losing a merge.
+    snapshot_commit(
+        merged, table, mode="overwrite", tag=f"batch:{batch_id}",
+        expected_version=expected,
+    )
     return True
 
 
@@ -140,6 +148,7 @@ def cm_build_batch(
     spark = batch_df.sparkSession
     fresh = cm_build(batch_df, key_col, depth, width)
     versions = _list_versions(spark, table)
+    expected = versions[-1] if versions else 0
     if versions:
         m = _read_manifest(spark, table, versions[-1])
         committed = m.get("last_batch")
@@ -148,7 +157,12 @@ def cm_build_batch(
         merged = cm_merge(snapshot_read(spark, table), fresh)
     else:
         merged = fresh
-    snapshot_commit(merged, table, mode="overwrite", tag=f"batch:{batch_id}")
+    # same OCC pin as kmv_sketch_batch: a lost CM merge is silent
+    # UNDER-counting — misconfigured dual writers must fail loudly.
+    snapshot_commit(
+        merged, table, mode="overwrite", tag=f"batch:{batch_id}",
+        expected_version=expected,
+    )
     return True
 
 

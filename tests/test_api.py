@@ -57,6 +57,19 @@ def test_record_playback_nested_topic(spark, tmp_path):
     assert left == right
 
 
+def test_playback_missing_store_dir_raises(spark, tmp_path):
+    """A topic the catalog lists but whose table dir was deleted must
+    raise a named error, not silently play back zero tables."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    ev = load_table(spark, SF_SMALL, "events")
+    record(spark, {"/events": ev}, store, key_cols=["event_id"], ts_col="ts_ns")
+    shutil.rmtree(os.path.join(store, "events"))
+    with pytest.raises(FileNotFoundError, match="catalog"):
+        playback(spark, store, "/events")
+
+
 def test_record_redeclare_conflict(spark, tmp_path):
     store = str(tmp_path / "store")
     ev = load_table(spark, SF_SMALL, "events")

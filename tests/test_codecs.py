@@ -732,3 +732,34 @@ def test_gif_frame_offset_composites_on_canvas():
     # encoder's np.unique sorts the palette, so pal's order differs)
     bg = np.frombuffer(payload, np.uint8, 3, 13 + 3 * payload[11])
     assert np.array_equal(out[0, 0], bg)
+
+
+def test_gif_background_from_global_table_despite_local():
+    """The background color index is defined against the GLOBAL color
+    table (GIF89a §18) even when the frame carries a LOCAL one — frame
+    pixels resolve locally, the canvas background globally."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 200, (8, 3), np.uint8)
+    frame = pal[rng.integers(0, 8, (4, 6))]
+    payload = bytearray(encode_gif(frame))
+    gct_n = 2 << (payload[10] & 0x07)
+    gct = np.frombuffer(payload, np.uint8, gct_n * 3, 13).reshape(-1, 3).copy()
+    st.pack_into("<HH", payload, 6, 10, 9)  # widen logical screen
+    payload[11] = 2  # background index — into the GLOBAL table
+    desc = 13 + gct_n * 3
+    assert payload[desc] == 0x2C
+    st.pack_into("<HHHH", payload, desc + 1, 3, 2, 6, 4)
+    # splice in a LOCAL color table: the channel-inverted global table
+    bits = gct_n.bit_length() - 1
+    payload[desc + 9] = 0x80 | (bits - 1)
+    payload[desc + 10 : desc + 10] = (255 - gct).astype(np.uint8).tobytes()
+    out = decode_gif(bytes(payload))
+    assert out.shape == (9, 10, 3)
+    # frame pixels came through the local (inverted) table
+    assert np.array_equal(out[2:6, 3:9], 255 - frame)
+    # ...but the background resolved against the global one
+    assert np.array_equal(out[0, 0], gct[2])

@@ -470,16 +470,21 @@ def test_setsim_join_equals_bruteforce(spark):
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
+    # brute-force threshold on the UNROUNDED jaccard, like the operator:
+    # the prefix filter guarantees recall only for exact J >= t
+    jac = inter.cast("double") / union.cast("double")
     brute = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac.alias("_jac"))
     )
     for t in (0.3, 0.7):
         want = sorted(
-            map(tuple, brute.filter(F.col("jaccard") >= t).collect())
+            map(
+                tuple,
+                brute.filter(F.col("_jac") >= t)
+                .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
+                .collect(),
+            )
         )
         got = sorted(
             map(tuple, setsim_join(docs, "doc_id", "text", t, 5).collect())

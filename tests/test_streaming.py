@@ -318,6 +318,31 @@ def test_idempotent_sink_tolerates_precreated_empty_dir(spark, tmp_path):
     assert spark.read.parquet(str(sink)).count() == 5
 
 
+def test_sketch_batch_occ_guard(spark, tmp_path, monkeypatch):
+    """Two writers accidentally pointed at one sketch table must fail
+    loudly with SnapshotConflict, never silently lose a merge: the
+    read-merge-overwrite commit pins the version it read."""
+    import pytest
+
+    import ros_sql_spark.streaming.sketch as ss
+    from ros_sql_spark.sources.snapshot import SnapshotConflict
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)], "s string, v int"
+    )
+    kmv_t = str(tmp_path / "kmv")
+    cm_t = str(tmp_path / "cm")
+    assert ss.kmv_sketch_batch(df, 0, kmv_t, "s", "v", 16)
+    assert ss.cm_build_batch(df, 0, cm_t, "v", 2, 16)
+    # simulate a stale read: the other writer committed version 1 after
+    # this writer listed versions (here: force the empty-table branch)
+    monkeypatch.setattr(ss, "_list_versions", lambda sp, t: [])
+    with pytest.raises(SnapshotConflict):
+        ss.kmv_sketch_batch(df, 1, kmv_t, "s", "v", 16)
+    with pytest.raises(SnapshotConflict):
+        ss.cm_build_batch(df, 1, cm_t, "v", 2, 16)
+
+
 def test_kmv_sketch_stream_batch_equivalence(spark, tmp_path):
     """Continuous KMV: after draining the stream (2-file triggers) the
     stored sketch equals the one-shot batch sketch row-for-row (bottom-k
