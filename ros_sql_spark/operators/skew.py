@@ -23,7 +23,10 @@ rand()).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import Column, DataFrame
 
 __all__ = [
@@ -121,24 +124,75 @@ def detect_hot_keys(
     sample_fraction: float = 0.01,
     min_sampled_rows: int = 100,
     seed: int = 42,
+    max_keys: int = 256,
+    min_sampled_fraction: float | None = None,
 ) -> list:
     """Hot-key census on a seeded SAMPLE: key values whose sampled row
-    count exceeds ``min_sampled_rows`` (≈ min_sampled_rows /
-    sample_fraction true rows).  The aggregation runs over the sample
-    only and just the hot list (O(10⁰–10²) values) reaches the driver —
-    control-plane cost, valid at any corpus size.  Sampling misses keys
-    near the threshold; that is fine — a missed warm key falls to the
-    cold path, which still handles it correctly (just less spread out).
+    count exceeds the threshold.  The aggregation runs over the sample
+    only and just the hot list reaches the driver — control-plane cost,
+    valid at any corpus size.  Sampling misses keys near the threshold;
+    that is fine — a missed warm key falls to the cold path, which
+    still handles it correctly (just less spread out).
+
+    The census is BOUNDED two ways (an unbounded hot list would grow
+    with key cardinality at 100×, and everything downstream — the
+    driver transfer, the salted path's replication factor — grows with
+    it):
+
+    - ``max_keys``: only the top-``max_keys`` keys by sampled count are
+      returned (TakeOrdered plan — the driver never receives more;
+      ties break on the key value so the census is deterministic).
+      A key the cap drops was by construction cooler than every key
+      kept, and it falls to the cold path, which is still correct.
+    - ``min_sampled_fraction``: a RELATIVE threshold — a key is hot if
+      it holds at least this fraction of the SAMPLED rows.  Unlike the
+      absolute ``min_sampled_rows`` (kept for callers that know their
+      per-key row economics), a relative threshold means "hot" scales
+      with the data: at 100× rows the same fraction still singles out
+      genuinely dominant keys instead of electing every key whose
+      absolute count crossed a number sized for 1×.  When given, the
+      effective threshold is max(absolute, ceil(fraction·sampled));
+      the sampled total rides along in the census's own aggregation
+      (rollup grand-total row), so the census stays ONE job.
     """
-    rows = (
-        df.sample(fraction=sample_fraction, seed=seed)
-        .groupBy(key)
-        .count()
-        .filter(F.col("count") >= min_sampled_rows)
-        .select(key)
+    if max_keys <= 0:
+        raise ValueError(f"max_keys={max_keys}: the census must be bounded")
+    sampled = df.sample(fraction=sample_fraction, seed=seed).select(key)
+    if min_sampled_fraction is None:
+        rows = (
+            sampled.groupBy(key)
+            .count()
+            .filter(F.col("count") >= min_sampled_rows)
+            .orderBy(F.col("count").desc(), F.col(key).asc_nulls_last())
+            .limit(max_keys)
+            .select(key)
+            .collect()
+        )
+        return [r[0] for r in rows]
+    # Relative threshold needs the sampled TOTAL — ride it along in the
+    # same aggregation via rollup (the grand-total group), so the census
+    # stays ONE job instead of count() + census.  grouping(key)=1 marks
+    # the total row; ordering it first keeps the collect bounded at
+    # max_keys+1 rows (TakeOrdered plan).
+    top = (
+        sampled.rollup(key)
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.grouping(key).alias("_g"),
+        )
+        .orderBy(
+            F.col("_g").desc(),
+            F.col("count").desc(),
+            F.col(key).asc_nulls_last(),
+        )
+        .limit(max_keys + 1)
         .collect()
     )
-    return [r[0] for r in rows]
+    total = next((r["count"] for r in top if r["_g"] == 1), 0)
+    threshold = max(
+        min_sampled_rows, int(math.ceil(min_sampled_fraction * total))
+    )
+    return [r[key] for r in top if r["_g"] == 0 and r["count"] >= threshold]
 
 
 def split_skew_join(
@@ -149,6 +203,7 @@ def split_skew_join(
     buckets: int = 16,
     salt_src: Column | str | None = None,
     how: str = "inner",
+    broadcast_membership_threshold: int = 1024,
 ) -> DataFrame:
     """Big-big equi-join with explicit hot-key splitting ("differentiated
     join"): rows of ``hot_keys`` go through a salted shuffle join (the
@@ -173,6 +228,16 @@ def split_skew_join(
     once on exactly one salt, so left-outer null-extension survives the
     split; right/full outer would need null-extension across the split
     boundary — unsupported).
+
+    Hot-membership routing: up to ``broadcast_membership_threshold``
+    keys, membership is an ``isin(<literal list>)`` filter — cheap,
+    codegen'd, no extra plan nodes.  Past it, the literal loses: a
+    plan-embedded lookup list is re-evaluated per row and bloats the
+    serialized plan (the repo's measured F.lit-big-list lesson), and a
+    many-hot-key corpus is exactly where skew splitting matters.  There
+    the hot set becomes a broadcast LEFT SEMI (hot) / LEFT ANTI (cold)
+    join — one tiny broadcast, hash-probe membership, same rows (anti
+    keeps NULL keys, which matches the cold-side NULL routing below).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left survive the split")
@@ -186,18 +251,36 @@ def split_skew_join(
         src = F.col(salt_src) if isinstance(salt_src, str) else salt_src
         salt = F.pmod(F.xxhash64(src), F.lit(buckets))
 
-    is_hot = F.col(key).isin(hot_keys)
-    # NULL keys: isin() yields NULL, which both `is_hot` and `~is_hot`
-    # filters would drop — but a left join must null-extend null-key
-    # left rows.  They can never equi-match, so route them cold.
-    cold_side = ~is_hot | F.col(key).isNull()
+    if len(hot_keys) <= broadcast_membership_threshold:
+        is_hot = F.col(key).isin(hot_keys)
+        # NULL keys: isin() yields NULL, which both `is_hot` and
+        # `~is_hot` filters would drop — but a left join must
+        # null-extend null-key left rows.  They can never equi-match,
+        # so route them cold.
+        cold_side = ~is_hot | F.col(key).isNull()
+        cold_left, cold_right = left.filter(cold_side), right.filter(cold_side)
+        hot_left_src, hot_right_src = left.filter(is_hot), right.filter(is_hot)
+    else:
+        spark = left.sparkSession
+        hot_df = spark.createDataFrame(
+            [(k,) for k in hot_keys],
+            T.StructType([T.StructField(key, left.schema[key].dataType)]),
+        )
+        # semi/anti joins partition the rows exactly like the literal
+        # filters: a NULL key never equi-matches, so anti (cold) keeps
+        # it and semi (hot) drops it.
+        cold_left = left.join(F.broadcast(hot_df), key, "left_anti")
+        cold_right = right.join(F.broadcast(hot_df), key, "left_anti")
+        hot_left_src = left.join(F.broadcast(hot_df), key, "left_semi")
+        hot_right_src = right.join(F.broadcast(hot_df), key, "left_semi")
+
     # cold path: ordinary equi-join (AQE/bucketing/broadcast all still
     # apply — the split is invisible to strategy choice)
-    cold = left.filter(cold_side).join(right.filter(cold_side), key, how)
+    cold = cold_left.join(cold_right, key, how)
 
-    hot_left = left.filter(is_hot).withColumn("_salt", salt)
+    hot_left = hot_left_src.withColumn("_salt", salt)
     hot_right = (
-        right.filter(is_hot)
+        hot_right_src
         .withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
         .withColumn("_salt", F.col("_s").cast("bigint"))
         .drop("_s")

@@ -2023,14 +2023,15 @@ def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the differentiated-join answer for skew AQE can't
     split (pre-partitioned/bucketed inputs — no exchange to re-chop).
 
-    The hot set comes from the SAMPLED census a production caller runs
-    (operators/skew.py::detect_hot_keys — seeded sample, only the
-    O(hot) key list reaches the driver): with the synthetic near-
-    uniform ~67 rows/user, a 0.5 sample against a 34-row threshold
-    deterministically elects the above-average users, so both the
-    salted and the cold path carry real rows under the parity gate.
-    The union is row-identical to the plain equi-join WHATEVER the
-    census returns — which is exactly what the DuckDB oracle runs."""
+    The hot set comes from the BOUNDED sampled census a production
+    caller runs (operators/skew.py::detect_hot_keys — seeded sample,
+    RELATIVE threshold so "hot" scales with the data, top-``max_keys``
+    cap so the driver list, the salted path's replication factor, and
+    the plan size never grow with key cardinality at 100×): the 16
+    hottest users take the salted join, everyone else the plain
+    equi-join, and both paths carry real rows under the parity gate at
+    any sf.  The union is row-identical to the plain equi-join WHATEVER
+    the census returns — which is exactly what the DuckDB oracle runs."""
     from ros_sql_spark.operators.skew import detect_hot_keys, split_skew_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
@@ -2038,7 +2039,13 @@ def q98_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("u_events")
     )
     hot = detect_hot_keys(
-        ev, "user_id", sample_fraction=0.5, min_sampled_rows=34, seed=42
+        ev,
+        "user_id",
+        sample_fraction=0.5,
+        min_sampled_rows=1,
+        min_sampled_fraction=0.0005,
+        max_keys=16,
+        seed=42,
     )
     joined = split_skew_join(
         ev,

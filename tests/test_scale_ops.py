@@ -459,6 +459,84 @@ def test_detect_hot_keys_finds_planted_skew(spark):
     assert hot == [7]
 
 
+def test_detect_hot_keys_census_is_capped_and_ranked(spark):
+    """The census is bounded: at most max_keys keys reach the driver,
+    and they are the HOTTEST ones (top by sampled count), so a 100×
+    key-cardinality corpus can never inflate the hot list."""
+    from ros_sql_spark.operators.skew import detect_hot_keys
+
+    # keys 0..9: key k holds (k+1)*100 rows — strictly increasing heat
+    base = spark.range(0, 10).select(
+        F.explode(
+            F.sequence(F.lit(1), (F.col("id") + 1) * 100)
+        ).alias("_"),
+        F.col("id").alias("k"),
+    ).select("k")
+    hot = detect_hot_keys(
+        base, "k", sample_fraction=1.0, min_sampled_rows=1, max_keys=3
+    )
+    assert sorted(hot) == [7, 8, 9]  # exactly the 3 hottest
+    with pytest.raises(ValueError, match="bounded"):
+        detect_hot_keys(base, "k", max_keys=0)
+
+
+def test_detect_hot_keys_relative_threshold(spark):
+    """min_sampled_fraction scales the threshold with the data: a key
+    is hot by its SHARE of sampled rows, not an absolute count sized
+    for one corpus size."""
+    from ros_sql_spark.operators.skew import detect_hot_keys
+
+    # key 7 holds 50% of rows; 500 cold keys hold ~0.1% each
+    base = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(500)))
+        .alias("k")
+    )
+    hot = detect_hot_keys(
+        base,
+        "k",
+        sample_fraction=1.0,
+        min_sampled_rows=1,
+        min_sampled_fraction=0.25,
+    )
+    assert hot == [7]
+    # the same fraction still works when the corpus doubles
+    hot2 = detect_hot_keys(
+        base.union(base),
+        "k",
+        sample_fraction=1.0,
+        min_sampled_rows=1,
+        min_sampled_fraction=0.25,
+    )
+    assert hot2 == [7]
+
+
+def test_split_skew_join_broadcast_membership_above_threshold(spark):
+    """Past broadcast_membership_threshold hot keys, membership routing
+    must be a broadcast semi/anti JOIN, never a plan-embedded
+    isin(<thousands of literals>) — and the rows must still equal the
+    plain join exactly (incl. the capped/bucketed salted path)."""
+    from ros_sql_spark.operators.skew import split_skew_join
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    other = ev.groupBy("user_id").agg(F.count("*").alias("n_right"))
+    hot = list(range(1500))  # > the 1024 default threshold
+    out = split_skew_join(
+        ev, other, "user_id", hot_keys=hot, buckets=4, how="inner"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "user_id#" in plan  # sanity: the key is in the plan
+    # no giant literal membership list survived into the plan
+    assert plan.count("1499") == 0, "isin literal leaked into the plan"
+    plain = {tuple(r) for r in ev.join(other, "user_id").collect()}
+    split = {tuple(r) for r in out.collect()}
+    assert split == plain
+
+
 def test_incremental_minhash_equals_batch_minus_base_pairs(spark):
     """incremental(new, index(base)) must equal minhash_pairs(new ∪ base)
     with base-internal pairs removed — same estimates, same pairs."""
