@@ -670,11 +670,24 @@ def q74_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q44_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated percentiles per group (continuous quantiles — both
-    engines use linear interpolation; rounded for float parity)."""
+    engines use linear interpolation; rounded for float parity).
+
+    EXACT values via rank-based selection
+    (operators/percentile.py::exact_percentiles), not the
+    ``percentile()`` aggregate: that buffers a whole group's value
+    multiset in ONE task's aggregation buffer — with a handful of
+    event types over 100 TB that's an OOM, not a slowdown.  The
+    rank-based form pre-aggregates to distinct values, streams a
+    spillable window, and returns bit-identical results (asserted in
+    tests)."""
+    from ros_sql_spark.operators.percentile import exact_percentiles
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        r6(F.expr("percentile(value, 0.5)")).alias("p50"),
-        r6(F.expr("percentile(value, 0.9)")).alias("p90"),
+    pct = exact_percentiles(
+        ev, ["event_type"], "value", {"p50": 0.5, "p90": 0.9}
+    )
+    return pct.select(
+        "event_type", r6(F.col("p50")).alias("p50"), r6(F.col("p90")).alias("p90")
     )
 
 
@@ -1292,25 +1305,28 @@ def q36_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q45_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for q44: sketch-based quantiles.  Exact
-    ``percentile`` materializes every group's values (fine for the
-    oracle, wrong at 100 TB); ``approx_percentile`` streams a bounded
-    sketch through partial aggregation.  Sketches differ across engines,
-    so — like q12 — each engine asserts ITS OWN approx against ITS OWN
-    exact value (|approx-exact| <= 5% of the group's value spread) and
-    emits the boolean plus the exact median; booleans and exact values
-    hash-match cross-engine."""
+    """The sketch path for quantiles: ``approx_percentile`` streams a
+    bounded t-digest through partial aggregation.  Sketches differ
+    across engines, so — like q12 — each engine asserts ITS OWN approx
+    against ITS OWN exact value (|approx-exact| <= 5% of the group's
+    value spread) and emits the boolean plus the exact median; booleans
+    and exact values hash-match cross-engine.  The exact anchor comes
+    from the rank-based operator (q44's memory-bounded form), joined
+    back broadcast — group-cardinality rows."""
+    from ros_sql_spark.operators.percentile import exact_percentiles
+
     ev = _t(spark, sf_dir, "events")
-    spread = F.max("value") - F.min("value")
-    return ev.groupBy("event_type").agg(
-        r6(F.expr("percentile(value, 0.5)")).alias("p50_exact"),
-        (
-            F.abs(
-                F.expr("approx_percentile(value, 0.5, 1000)")
-                - F.expr("percentile(value, 0.5)")
-            )
-            <= spread * 0.05
-        ).alias("approx_ok"),
+    ex = exact_percentiles(ev, ["event_type"], "value", {"_p50": 0.5})
+    ag = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_ap"),
+        (F.max("value") - F.min("value")).alias("_spread"),
+    )
+    return ag.join(F.broadcast(ex), "event_type").select(
+        "event_type",
+        r6(F.col("_p50")).alias("p50_exact"),
+        (F.abs(F.col("_ap") - F.col("_p50")) <= F.col("_spread") * 0.05).alias(
+            "approx_ok"
+        ),
     )
 
 
@@ -2182,13 +2198,16 @@ def qx04_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's [p05, p95] (q44's interpolated-percentile idiom) and
     average the clamped values — outlier-robust means without dropping
     rows (the robust-stats sibling of q88's z-score OUTLIER listing).
-    Two aggregations + one broadcast of the per-group bounds (|langs|
-    rows); the float mean rounds at 6 dp with the q88/q93 sum-order
-    argument (~1e-13 relative error vs the 5e-7 boundary)."""
+    Per-group bounds via the rank-based exact-percentile operator
+    (q44's memory-bounded form — a language's full n_chars multiset
+    never buffers in one task), then one broadcast of the bounds
+    (|langs| rows); the float mean rounds at 6 dp with the q88/q93
+    sum-order argument (~1e-13 relative error vs the 5e-7 boundary)."""
+    from ros_sql_spark.operators.percentile import exact_percentiles
+
     docs = _t(spark, sf_dir, "documents")
-    pcts = docs.groupBy("lang").agg(
-        F.expr("percentile(n_chars, 0.05)").alias("_lo"),
-        F.expr("percentile(n_chars, 0.95)").alias("_hi"),
+    pcts = exact_percentiles(
+        docs, ["lang"], "n_chars", {"_lo": 0.05, "_hi": 0.95}
     )
     clamped = F.greatest(
         F.least(F.col("n_chars").cast("double"), F.col("_hi")), F.col("_lo")

@@ -492,6 +492,59 @@ def test_setsim_join_equals_bruteforce(spark):
         assert got == want, f"t={t}: {len(got)} vs {len(want)}"
 
 
+def test_exact_percentiles_identical_to_builtin(spark):
+    """The rank-based selection must reproduce Spark's own
+    percentile() aggregate BIT-IDENTICALLY — same pos = p*(n-1) double
+    arithmetic, same interpolation — on real data and on the edge
+    shapes (n=1 group, n=2 interpolation, heavy duplicates, p=0/1,
+    NULL values ignored)."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.percentile import exact_percentiles
+    from ros_sql_spark.sources.io import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    ps = {"p05": 0.05, "p50": 0.5, "p90": 0.9, "p0": 0.0, "p1": 1.0}
+    got = {
+        r.event_type: tuple(r)[1:]
+        for r in exact_percentiles(ev, ["event_type"], "value", ps).collect()
+    }
+    want = {
+        r.event_type: tuple(r)[1:]
+        for r in ev.groupBy("event_type")
+        .agg(*[F.expr(f"percentile(value, {p})").alias(n) for n, p in ps.items()])
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+    edge = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 2.0), ("n", None), ("n", 4.0)]
+        + [("c", 3.0)] * 4
+        + [("c", 10.0)],
+        "g string, v double",
+    )
+    eg = {
+        r.g: (r.q25, r.q75)
+        for r in exact_percentiles(
+            edge, ["g"], "v", {"q25": 0.25, "q75": 0.75}
+        ).collect()
+    }
+    ew = {
+        r.g: (r.q25, r.q75)
+        for r in edge.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.75)").alias("q75"),
+        )
+        .collect()
+    }
+    assert eg == ew
+
+    with pytest.raises(ValueError, match="outside"):
+        exact_percentiles(edge, ["g"], "v", {"bad": 1.5})
+
+
 def test_countmin_properties(spark):
     """Count-Min invariants: never underestimates, exact when width
     kills collisions, counter table bounded by depth*width."""

@@ -385,3 +385,36 @@ def test_qx00_qx01_plan_shapes(spark):
     # qx03: the <= depth*width counter table must BROADCAST to the probe
     p3 = plan_of(spark, "qx03_countmin_freq")
     assert "Broadcast" in p3 and "CartesianProduct" not in p3
+
+
+def test_no_value_buffering_percentile_in_declared_queries(spark):
+    """No declared query may use the exact percentile() AGGREGATE — it
+    buffers a whole group's value multiset in one task's aggregation
+    buffer (the 100x-memory hazard).  Exact quantiles go through the
+    rank-based operator (operators/percentile.py); sketch quantiles
+    through approx_percentile.  Source-level guard over queries.py."""
+    import inspect
+    import re as _re
+
+    import ros_sql_spark.plans.queries as q
+
+    src = inspect.getsource(q)
+    hits = [
+        ln
+        for ln in src.splitlines()
+        if _re.search(r"(?<!approx_)percentile\s*\(", ln)
+        and "exact_percentiles" not in ln
+        and "``" not in ln  # docstring mentions
+        and not ln.lstrip().startswith("#")
+    ]
+    assert not hits, f"value-buffering percentile() in queries.py: {hits}"
+
+
+def test_q44_qx04_plan_is_rank_based(spark):
+    """q44/qx04 physical plans: a window over the (group, value)
+    pre-aggregate (spillable sort), never a percentile aggregate
+    expression."""
+    for name in ("q44_percentiles", "qx04_winsorized_stats"):
+        p = plan_of(spark, name)
+        assert "percentile" not in p, name
+        assert "Window" in p, name
