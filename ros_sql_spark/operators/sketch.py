@@ -35,7 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 __all__ = ["KMV_DOMAIN", "kmv_hash", "bottom_k", "kmv_sketch",
-           "kmv_estimate", "kmv_pair_overlap", "cm_build", "cm_estimate"]
+           "kmv_estimate", "kmv_pair_overlap", "cm_build", "cm_estimate",
+           "quantile_sketch", "quantile_estimate"]
 
 # 15 hex digits → [0, 16^15) = [0, 2^60): fits BIGINT with headroom,
 # exactly representable (with its k-1 multiples) in a double.
@@ -168,6 +169,79 @@ def cm_estimate(
         probes.join(F.broadcast(counters), ["row", "pos"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+def _bottom_k_rows(df: DataFrame, part_cols: list[str], k: int) -> DataFrame:
+    """The k rows with smallest (h, v) per group — the quantile-sketch
+    rank discipline.  Unlike :func:`bottom_k` (distinct member hashes —
+    ties impossible), a ROW sample orders by (h, v): the value
+    tie-break keeps the kept set deterministic even under an h
+    collision, so the DuckDB oracle and the streaming merge reproduce
+    the same sample bit-for-bit."""
+    w = Window.partitionBy(*part_cols).orderBy("h", "v")
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    salts: int = 32,
+) -> DataFrame:
+    """(group_col, v, h): a deterministic uniform ROW sample of size
+    ≤ k per group — the k rows whose ``key_col`` md5-prefix hash is
+    smallest — completing the mergeable-sketch family (cardinality =
+    KMV, frequency = Count-Min, quantiles = this).
+
+    The public design is bottom-k sampling (the sample-based cousin of
+    KLL/GK quantile summaries): a uniform hash over a ROW-UNIQUE key
+    ranks every row once and forever, so (a) the sketch is
+    deterministic — the DuckDB oracle rebuilds it and reproduces every
+    estimate bit-for-bit, the qx00/qx03 discipline — and (b) sketches
+    MERGE: bottom-k of a union equals bottom-k of the concatenated
+    sketches, which makes the streaming twin exact (batch-equivalence
+    asserted in tests).  State is O(groups·k) forever; estimate error
+    is the uniform-sample quantile error O(1/sqrt(k)); a group with
+    ≤ k rows is sampled whole and its estimates are EXACT.
+
+    Same two-phase salted bottom-k shape as :func:`kmv_sketch` — no
+    single task ever sorts a whole group's rows.  NULL values are
+    excluded (percentile semantics).  ``key_col`` must be row-unique
+    (an id); a repeated key would under-weight its rows.
+    """
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("v"),
+        kmv_hash(F.col(key_col)).alias("h"),
+    )
+    salted = rows.withColumn("_salt", F.pmod(F.col("h"), F.lit(salts)))
+    cand = _bottom_k_rows(salted, [group_col, "_salt"], k).drop("_salt")
+    return _bottom_k_rows(cand, [group_col], k)
+
+
+def quantile_estimate(
+    sketch: DataFrame, group_col: str, ps: dict[str, float]
+) -> DataFrame:
+    """(group_col, n_sample, <name per ps entry>): interpolated quantile
+    estimates from the sample — the EXACT rank-based percentile of the
+    ≤ k sampled values (operators/percentile.py), which the oracle
+    replicates with the same double arithmetic.  Estimates are exact
+    whenever the group fit the sketch whole."""
+    from ros_sql_spark.operators.percentile import exact_percentiles
+
+    est = exact_percentiles(sketch, [group_col], "v", ps)
+    n = sketch.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_sample")
+    )
+    return n.join(est, group_col).select(
+        group_col, "n_sample", *[F.col(name) for name in ps]
     )
 
 

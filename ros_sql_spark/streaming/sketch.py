@@ -29,7 +29,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ros_sql_spark.operators.sketch import bottom_k, cm_build, kmv_sketch
+from ros_sql_spark.operators.sketch import (
+    _bottom_k_rows,
+    bottom_k,
+    cm_build,
+    kmv_sketch,
+    quantile_sketch,
+)
 from ros_sql_spark.sources.snapshot import (
     _list_versions,
     _read_manifest,
@@ -39,7 +45,8 @@ from ros_sql_spark.sources.snapshot import (
 
 __all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream",
            "kmv_sketch_read", "cm_merge", "cm_build_batch",
-           "cm_build_stream"]
+           "cm_build_stream", "quantile_merge", "quantile_sketch_batch",
+           "quantile_sketch_stream"]
 
 
 def kmv_merge(
@@ -185,6 +192,85 @@ def cm_build_stream(
 
     def body(df: DataFrame, batch_id: int) -> None:
         cm_build_batch(df, batch_id, table, key_col, depth, width)
+
+    writer = (
+        events.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quantile_merge(
+    stored: DataFrame, fresh: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """Bottom-k-rows of the union of two quantile sketches — inputs are
+    ≤ k rows per group, so the (h, v) window sort is bounded.  No
+    distinct(): the sample keys are row-unique across disjoint batches
+    (the batch:<id> watermark guarantees a batch merges once)."""
+    u = stored.select(group_col, "v", "h").unionByName(
+        fresh.select(group_col, "v", "h")
+    )
+    return _bottom_k_rows(u, [group_col], k)
+
+
+def quantile_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int,
+) -> bool:
+    """Merge one micro-batch into the stored quantile sketch,
+    idempotently (``batch:<id>`` watermark; OCC-pinned commit like
+    :func:`kmv_sketch_batch`).  Returns whether a commit happened."""
+    spark = batch_df.sparkSession
+    fresh = quantile_sketch(batch_df, group_col, value_col, key_col, k)
+    versions = _list_versions(spark, table)
+    expected = versions[-1] if versions else 0
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        committed = m.get("last_batch")
+        if committed is not None and committed >= batch_id:
+            return False  # replayed batch: re-merging would re-weight rows
+        merged = quantile_merge(
+            snapshot_read(spark, table), fresh, group_col, k
+        )
+    else:
+        merged = fresh
+    snapshot_commit(
+        merged, table, mode="overwrite", tag=f"batch:{batch_id}",
+        expected_version=expected,
+    )
+    return True
+
+
+def quantile_sketch_stream(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    available_now: bool = True,
+):
+    """Continuous quantile sketching: O(groups·k) state forever;
+    readers estimate any percentile at any moment with
+    ``quantile_estimate`` under snapshot isolation.  Bottom-k-by-hash
+    is associative/commutative over any micro-batch partition of the
+    input, so the drained-stream sketch equals the one-shot batch
+    sketch row-for-row (asserted in tests).  Single writer per table.
+    Returns the StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        quantile_sketch_batch(
+            df, batch_id, table, group_col, value_col, key_col, k
+        )
 
     writer = (
         events.writeStream.foreachBatch(body)

@@ -545,6 +545,73 @@ def test_exact_percentiles_identical_to_builtin(spark):
         exact_percentiles(edge, ["g"], "v", {"bad": 1.5})
 
 
+def test_quantile_sketch_properties(spark):
+    """Quantile-sketch invariants: ≤ k rows per group; EXACT estimates
+    when the group fits whole; sampled estimates near the true
+    quantile; merge of partition sketches == one-shot sketch
+    (associativity — the property the streaming twin rides on)."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.percentile import exact_percentiles
+    from ros_sql_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from ros_sql_spark.streaming.sketch import quantile_merge
+    from ros_sql_spark.sources.io import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ps = {"p50": 0.5, "p90": 0.9}
+
+    # small-group exactness: k larger than any group → sample == group
+    sk_big = quantile_sketch(ev, "event_type", "value", "event_id", k=10_000)
+    per_group = {r[0]: r for r in ev.groupBy("event_type").count().collect()}
+    szs = {r[0]: r[1] for r in sk_big.groupBy("event_type").count().collect()}
+    assert all(szs[g] == per_group[g][1] for g in szs)
+    est = {
+        r.event_type: (r.p50, r.p90)
+        for r in quantile_estimate(sk_big, "event_type", ps).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in exact_percentiles(ev, ["event_type"], "value", ps).collect()
+    }
+    assert est == exact
+
+    # sampled: bounded size, estimate within the sample error band
+    k = 64
+    sk = quantile_sketch(ev, "event_type", "value", "event_id", k=k)
+    assert sk.groupBy("event_type").count().agg(F.max("count")).first()[0] <= k
+    est_s = {
+        r.event_type: r.p50
+        for r in quantile_estimate(sk, "event_type", {"p50": 0.5}).collect()
+    }
+    spread = {
+        r.event_type: r.s
+        for r in ev.groupBy("event_type")
+        .agg((F.max("value") - F.min("value")).alias("s"))
+        .collect()
+    }
+    for g, e in est_s.items():
+        assert abs(e - exact[g][0]) <= 0.25 * spread[g], (g, e, exact[g][0])
+
+    # merge associativity: sketch(A) ⊕ sketch(B) == sketch(A ∪ B)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = quantile_merge(
+        quantile_sketch(a, "event_type", "value", "event_id", k=k),
+        quantile_sketch(b, "event_type", "value", "event_id", k=k),
+        "event_type",
+        k,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
 def test_countmin_properties(spark):
     """Count-Min invariants: never underestimates, exact when width
     kills collisions, counter table bounded by depth*width."""

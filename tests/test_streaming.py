@@ -409,6 +409,101 @@ def test_kmv_sketch_stream_batch_equivalence(spark, tmp_path):
     assert sorted(map(tuple, kmv_sketch_read(spark, table).collect())) == want
 
 
+def test_quantile_sketch_stream_batch_equivalence(spark, tmp_path):
+    """Continuous quantile sketch: drained-stream sample equals the
+    one-shot batch sketch row-for-row (bottom-k-by-hash union is
+    associative over any micro-batch partition); estimates agree; a
+    full redelivery from a fresh checkpoint neither re-weights rows
+    nor bumps the version."""
+    from ros_sql_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from ros_sql_spark.streaming.sketch import quantile_sketch_stream
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "qsketch")
+
+    def run(ck):
+        q = quantile_sketch_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            table,
+            checkpoint_path=str(tmp_path / ck),
+            group_col="event_type",
+            value_col="value",
+            key_col="event_id",
+            k=32,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    want = sorted(
+        map(
+            tuple,
+            quantile_sketch(ev, "event_type", "value", "event_id", k=32)
+            .select("event_type", "v", "h")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            snapshot_read(spark, table)
+            .select("event_type", "v", "h")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    es = sorted(
+        map(
+            tuple,
+            quantile_estimate(
+                snapshot_read(spark, table), "event_type", {"p50": 0.5}
+            ).collect(),
+        )
+    )
+    eb = sorted(
+        map(
+            tuple,
+            quantile_estimate(
+                quantile_sketch(ev, "event_type", "value", "event_id", k=32),
+                "event_type",
+                {"p50": 0.5},
+            ).collect(),
+        )
+    )
+    assert es == eb
+
+    v = snapshot_versions(spark, table)[-1]
+    run("ck2")  # full redelivery: fresh checkpoint, same table
+    assert snapshot_versions(spark, table)[-1] == v
+    assert (
+        sorted(
+            map(
+                tuple,
+                snapshot_read(spark, table)
+                .select("event_type", "v", "h")
+                .collect(),
+            )
+        )
+        == want
+    )
+
+
 def test_cm_build_stream_batch_equivalence(spark, tmp_path):
     """Continuous Count-Min: drained-stream counters equal the one-shot
     batch build EXACTLY (cell-wise-sum linearity over any micro-batch
