@@ -188,7 +188,7 @@ def curate(
     min_tokens: int = 10,
     max_punct_ratio: float = 0.25,
     min_stopword_ratio: float = 0.015,
-    near_dup_threshold: float = 0.5,
+    near_dup_threshold: float | None = 0.5,
     shingle_k: int = 3,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 5,
@@ -231,9 +231,12 @@ def curate(
        features, so the decision is reproducible).
     2. **exact**: one survivor per exact content digest — lowest id
        wins (q25 semantics).
-    3. **near_dup**: MinHash/LSH candidate pairs at
-       ``near_dup_threshold`` -> connected components -> per cluster
-       keep the longest text, id as tiebreak (q26/q15/q33 semantics).
+    3. **near_dup** (skipped when ``near_dup_threshold`` is None):
+       MinHash/LSH candidate pairs at ``near_dup_threshold`` ->
+       connected components -> per cluster keep the longest text, id
+       as tiebreak (q26/q15/q33 semantics).  ``None`` yields a fully
+       DETERMINISTIC-SQL-replayable composition (every remaining stage
+       has an exact oracle idiom — qx06 gates exactly that).
     4. **semantic_dup** (only when ``embeddings`` is given — (id,
        vector) keyed by ``embedding_id_col`` matching ``id_col``
        values): embedding-cosine near-dups at ``cosine_threshold`` via
@@ -379,32 +382,36 @@ def curate(
     cur = cur.join(exact_keep, id_col, "left_semi")
 
     # 3. near-dup: LSH pairs -> components -> keep-best argmax (q33)
-    pairs = minhash_pairs(
-        cur, id_col=id_col, text_col=text_col,
-        k=shingle_k, threshold=near_dup_threshold,
-    )
-    comp = connected_components(pairs, id_col=id_col)
-    # components eagerly checkpointed the edges — the operator-owned
-    # signature cache is dead weight from here on
-    pairs._rosql_cached.unpersist()
-    best = (
-        comp.join(cur, id_col)
-        .groupBy("component")
-        .agg(
-            F.max(
-                F.struct(F.length(text_col).alias("len"), (-ids).alias("negid"))
-            ).alias("s")
+    _ob_n = None
+    if near_dup_threshold is not None:
+        pairs = minhash_pairs(
+            cur, id_col=id_col, text_col=text_col,
+            k=shingle_k, threshold=near_dup_threshold,
         )
-        .select((-F.col("s.negid")).alias(id_col))
-    )
-    _ob_n = Observation()
-    near_dropped = (
-        comp.select(id_col)
-        .join(best, id_col, "left_anti")
-        .observe(_ob_n, F.count(F.lit(1)).alias("n_dropped"))
-    )
-    dropped["near_dup"] = near_dropped
-    cur = cur.join(near_dropped, id_col, "left_anti")
+        comp = connected_components(pairs, id_col=id_col)
+        # components eagerly checkpointed the edges — the operator-owned
+        # signature cache is dead weight from here on
+        pairs._rosql_cached.unpersist()
+        best = (
+            comp.join(cur, id_col)
+            .groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.length(text_col).alias("len"), (-ids).alias("negid")
+                    )
+                ).alias("s")
+            )
+            .select((-F.col("s.negid")).alias(id_col))
+        )
+        _ob_n = Observation()
+        near_dropped = (
+            comp.select(id_col)
+            .join(best, id_col, "left_anti")
+            .observe(_ob_n, F.count(F.lit(1)).alias("n_dropped"))
+        )
+        dropped["near_dup"] = near_dropped
+        cur = cur.join(near_dropped, id_col, "left_anti")
 
     # 4. optional embedding-cosine near-dup (paraphrase-level): LSH
     #    pairs over the survivors' vectors, same components + argmax
@@ -536,10 +543,11 @@ def curate(
         },
     )
     obs["exact"] = (_ob_e, lambda: {"n_kept": exact_keep.count()})
-    obs["near_dup"] = (
-        _ob_n,
-        lambda: {"n_dropped": dropped["near_dup"].count()},
-    )
+    if _ob_n is not None:
+        obs["near_dup"] = (
+            _ob_n,
+            lambda: {"n_dropped": dropped["near_dup"].count()},
+        )
     obs["survivors"] = (_ob_v, lambda: {"n": final.count()})
     return CurationResult(docs=cur, dropped=dropped, _obs=obs)
 

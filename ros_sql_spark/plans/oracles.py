@@ -1213,6 +1213,107 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN p USING (lang)
         GROUP BY d.lang
     """,
+    # quantile sketch rebuilt verbatim: same md5-prefix 60-bit hash over
+    # the row-unique event_id, same bottom-128 (h, v) sample, same
+    # rank-based interpolation double arithmetic (pos = p*(m-1), floor,
+    # (1-frac)*lo + frac*hi) — deterministic, so every estimate matches
+    # bit-for-bit (qx00/qx03's sketch-parity discipline)
+    "qx05_quantile_sketch": """
+        WITH h AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h
+            FROM events WHERE value IS NOT NULL
+        ), s AS (
+            SELECT event_type, v FROM (
+                SELECT event_type, v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h, v) AS rn
+                FROM h)
+            WHERE rn <= 128
+        ), r AS (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v) AS vr,
+                   count(*) OVER (PARTITION BY event_type) AS m
+            FROM s
+        ), rp AS (
+            -- pos in DOUBLE like Spark (a bare 0.9 literal is DECIMAL
+            -- in DuckDB — decimal pos would floor differently at
+            -- representation boundaries)
+            SELECT *,
+                   CAST(0.5 AS DOUBLE) * (m - 1) AS pos50,
+                   CAST(0.9 AS DOUBLE) * (m - 1) AS pos90
+            FROM r
+        ), g AS (
+            SELECT event_type, max(m) AS m,
+                   max(pos50) AS pos50, max(pos90) AS pos90,
+                   max(CASE WHEN vr = CAST(floor(pos50) AS BIGINT) + 1
+                       THEN v END) AS lo50,
+                   max(CASE WHEN vr = CAST(floor(pos50) AS BIGINT) + 2
+                       THEN v END) AS hi50,
+                   max(CASE WHEN vr = CAST(floor(pos90) AS BIGINT) + 1
+                       THEN v END) AS lo90,
+                   max(CASE WHEN vr = CAST(floor(pos90) AS BIGINT) + 2
+                       THEN v END) AS hi90
+            FROM rp GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(m AS BIGINT) AS n_sample,
+               round(CASE WHEN pos50 - floor(pos50) = 0 THEN lo50
+                     ELSE (1.0 - (pos50 - floor(pos50))) * lo50
+                          + (pos50 - floor(pos50)) * hi50
+                     END, 6) AS p50_est,
+               round(CASE WHEN pos90 - floor(pos90) = 0 THEN lo90
+                     ELSE (1.0 - (pos90 - floor(pos90))) * lo90
+                          + (pos90 - floor(pos90)) * hi90
+                     END, 6) AS p90_est
+        FROM g
+    """,
+    # the composed curate() pipeline replayed stage by stage: q85's
+    # boilerplate strip + rebuild, q21's quality gate (on the REBUILT
+    # text), q25's min-id exact dedup — the digest checks the curated
+    # text bytes end-to-end
+    "qx06_curate_report": """
+        WITH passages AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*10+1):(i*10+10)], ' ') AS passage
+            FROM (SELECT doc_id, t,
+                         unnest(range(0,
+                             CAST(floor((len(t)-1)/10.0) AS BIGINT) + 1)) AS i
+                  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents))
+        ),
+        clean AS (SELECT doc_id, pos, passage FROM passages
+                  WHERE passage <> ''),
+        hot AS (
+            SELECT passage
+            FROM (SELECT passage, count(DISTINCT doc_id) AS dfq
+                  FROM clean GROUP BY 1)
+            WHERE dfq > 2
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(passage, ' ' ORDER BY pos) AS rt
+            FROM clean
+            WHERE passage NOT IN (SELECT passage FROM hot)
+            GROUP BY doc_id
+        ),
+        gated AS (
+            SELECT doc_id, rt
+            FROM (SELECT doc_id, rt,
+                         string_split(lower(rt), ' ') AS toks
+                  FROM rebuilt)
+            WHERE len(toks) >= 10
+              AND round(CAST(len(regexp_extract_all(rt, '[^A-Za-z0-9\\s]'))
+                        AS DOUBLE) / length(rt), 6) < 0.25
+              AND round(CAST(len(list_filter(toks, t -> list_contains(
+                        ['the','and','of','to','in','is','that','with','for','on'],
+                        t))) AS DOUBLE) / len(toks), 6) > 0.015
+        )
+        SELECT min(doc_id) AS doc_id, md5(rt) AS digest
+        FROM gated GROUP BY md5(rt)
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

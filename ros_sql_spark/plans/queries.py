@@ -2224,6 +2224,58 @@ def qx04_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx05_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.py::quantile_sketch)
+    — the third member of the sketch family (cardinality = qx00 KMV,
+    frequency = qx03 Count-Min, quantiles = this): a deterministic
+    bottom-k-by-hash ROW sample per event type, estimated with the
+    rank-based interpolated percentile over the ≤ k sampled values.
+
+    100 TB story: state is O(groups·k) forever, merges are associative
+    (streaming twin streaming/sketch.py::quantile_sketch_stream,
+    batch-equivalence asserted in tests), and unlike approx_percentile
+    (q45) the sample is DETERMINISTIC — the md5-prefix hash ranks every
+    row once and forever — so the DuckDB oracle rebuilds the sketch and
+    reproduces every estimate bit-for-bit (the qx00/qx03 sketch-parity
+    discipline, CLAUDE.md)."""
+    from ros_sql_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "event_type", "value", "event_id", k=128)
+    est = quantile_estimate(sk, "event_type", {"_p50": 0.5, "_p90": 0.9})
+    return est.select(
+        "event_type",
+        "n_sample",
+        r6(F.col("_p50")).alias("p50_est"),
+        r6(F.col("_p90")).alias("p90_est"),
+    )
+
+
+def qx06_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline under the driver gate: every
+    stage of curate() is individually gated (q85 boilerplate, q21
+    quality, q25 exact dedup) but until this query their COMPOSITION
+    was only test/scale_drive-verified.  Runs
+    pipeline.curate(boilerplate_max_df=2, near_dup_threshold=None) —
+    boilerplate strip → quality gate → exact dedup, each stage seeing
+    only the previous stage's survivors — and emits the kept set as
+    (doc_id, digest-of-curated-text).  near_dup is switched OFF
+    because MinHash banding has no exact SQL replay (q26 is rows-only
+    by contract); every remaining stage does, so the DuckDB oracle
+    replays the full composition and the driver hash checks the
+    pipeline END-TO-END, rebuilt text bytes included."""
+    from ros_sql_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = curate(docs, boilerplate_max_df=2, near_dup_threshold=None)
+    return res.docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2334,4 +2386,6 @@ QUERIES = {
     "qx02_setsim_join": qx02_setsim_join,
     "qx03_countmin_freq": qx03_countmin_freq,
     "qx04_winsorized_stats": qx04_winsorized_stats,
+    "qx05_quantile_sketch": qx05_quantile_sketch,
+    "qx06_curate_report": qx06_curate_report,
 }

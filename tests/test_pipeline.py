@@ -329,3 +329,28 @@ def test_curate_span_dedup_stage(spark):
     assert m["input"] == m["kept"] + sum(
         v for k, v in m.items() if k not in ("input", "kept")
     )
+
+
+def test_curate_near_dup_optional(spark):
+    """near_dup_threshold=None skips stage 3 entirely: no near_dup
+    drop frame, no minhash jobs in the lineage, and the remaining
+    stages still partition the input — the composition qx06 gates."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    res = curate(docs, boilerplate_max_df=2, near_dup_threshold=None)
+    assert "near_dup" not in res.dropped
+    assert "near_dup" not in res.metrics()
+    kept = _ids(res.docs)
+    union = set(kept)
+    total = len(kept)
+    for s in (_ids(df) for df in res.dropped.values()):
+        union |= s
+        total += len(s)
+    assert union == _ids(docs) and total == len(_ids(docs))
+    assert len(kept) > 0
+    # exact-dedup invariant still holds on the composition's output
+    dup = (
+        res.docs.groupBy(F.md5(F.col("text").cast("binary")))
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0

@@ -385,6 +385,15 @@ def test_qx00_qx01_plan_shapes(spark):
     # qx03: the <= depth*width counter table must BROADCAST to the probe
     p3 = plan_of(spark, "qx03_countmin_freq")
     assert "Broadcast" in p3 and "CartesianProduct" not in p3
+    # qx05: every quantile-sketch window is PARTITIONED (per group /
+    # per (group, salt) — never a global single-partition sort)
+    p5 = plan_of(spark, "qx05_quantile_sketch")
+    assert "CartesianProduct" not in p5
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p5):
+        spec = m.group(1)
+        assert "event_type" in spec or "_salt" in spec, (
+            "unpartitioned Window in qx05 plan:\n" + m.group(0)
+        )
 
 
 def test_no_value_buffering_percentile_in_declared_queries(spark):
