@@ -427,3 +427,48 @@ def test_q44_qx04_plan_is_rank_based(spark):
         p = plan_of(spark, name)
         assert "percentile" not in p, name
         assert "Window" in p, name
+
+
+def test_connected_components_round_job_budget(spark):
+    """The label-propagation loop must fuse two hops per materialization
+    round with the convergence check RIDING the checkpoint job
+    (Observation/CollectMetrics): for a diameter-5 chain the whole call
+    is 1 edge checkpoint + ceil(5/2)+1 = 4 round checkpoints and ZERO
+    driver count() actions — the pre-r7 shape (1-hop rounds, separate
+    changed-count job) materialized 8 rounds and counted 6 times.
+    Raw Spark job ids are NOT a usable budget under AQE (each shuffle
+    stage submits its own job), so the pin counts the structural
+    actions instead."""
+    from unittest import mock
+
+    from ros_sql_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract
+    # facade in Spark 4; the classic subclass owns the methods)
+    DataFrame = type(edges)
+    ckpts = []
+    real_ckpt = DataFrame.localCheckpoint
+    counts = []
+    real_count = DataFrame.count
+
+    def spy_ckpt(self, *a, **kw):
+        ckpts.append(1)
+        return real_ckpt(self, *a, **kw)
+
+    def spy_count(self, *a, **kw):
+        counts.append(1)
+        return real_count(self, *a, **kw)
+
+    with mock.patch.object(DataFrame, "localCheckpoint", spy_ckpt), \
+            mock.patch.object(DataFrame, "count", spy_count):
+        comp = connected_components(edges)
+    assert len(ckpts) == 5, (
+        f"{len(ckpts)} materializations (want 1 setup + 4 two-hop rounds)"
+    )
+    assert not counts, "convergence must ride the checkpoint, not count()"
+    got = sorted((r.id, r.component) for r in comp.collect())
+    assert got == [(i, 1) for i in range(1, 7)] + [(10, 10), (11, 10)]
