@@ -44,6 +44,8 @@ __all__ = [
     "connected_components",
     "ngram_jaccard_pairs",
     "setsim_join",
+    "setsim_index",
+    "setsim_join_incremental",
     "passage_df",
     "remove_boilerplate",
     "remove_duplicate_spans",
@@ -749,10 +751,7 @@ def setsim_join(
     an equi-join on prefix shingles, and a verify join against the set
     arrays.  No cartesian, no windows.
     """
-    sets = shingle_hashes(df, id_col, text_col, k).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct("_hs").alias("_ts"),
-    )
+    sets = _shingle_sets(df, id_col, text_col, k)
     tok = sets.select(
         "_id", F.explode_outer("_ts").alias("_s")
     ).filter(F.col("_s").isNotNull())
@@ -760,25 +759,7 @@ def setsim_join(
     # per-doc shingles in GLOBAL (df, hash) order — rarest first; the
     # struct sort is total (hash tiebreak), so prefixes are consistent
     # corpus-wide
-    ordered = (
-        tok.join(freq, "_s")
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("_s")))
-            ).alias("_ord")
-        )
-    )
-    n = F.size("_ord")
-    p = (
-        n
-        - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
-        + F.lit(1)
-    )
-    prefix = ordered.select(
-        "_id",
-        F.explode_outer(F.slice("_ord", F.lit(1), p)).alias("_e"),
-    ).select("_id", F.col("_e._s").alias("_s"))
+    prefix = _prefix_table(tok.join(freq, "_s"), threshold)
     cand = (
         prefix.select(F.col("_id").alias("id_a"), "_s")
         .join(prefix.select(F.col("_id").alias("id_b"), "_s"), "_s")
@@ -796,6 +777,153 @@ def setsim_join(
     # admit pairs (true J within 5e-7 below t) the prefix never promised
     # to surface — a latent recall/parity gap at the boundary.  Rounding
     # is applied after, for output/parity display only (oracle mirrors).
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(_id, _ts) — each document's DISTINCT k-token shingle-hash set."""
+    return shingle_hashes(df, id_col, text_col, k).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct("_hs").alias("_ts"),
+    )
+
+
+def _prefix_table(ranked_tok: DataFrame, threshold: float) -> DataFrame:
+    """(_id, _s) — each set's PPJoin prefix (its ``n − ⌈t·n⌉ + 1``
+    smallest shingles under the (``_df``, shingle) struct order) from a
+    ranked token table (_id, _s, _df).  The struct sort is total (hash
+    tiebreak), so any rank column that is a fixed function of the
+    shingle yields corpus-consistent prefixes — the property the
+    incremental path exploits with its frozen base ranks."""
+    ordered = ranked_tok.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_df"), F.col("_s")))
+        ).alias("_ord")
+    )
+    n = F.size("_ord")
+    p = (
+        n
+        - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int")
+        + F.lit(1)
+    )
+    return ordered.select(
+        "_id",
+        F.explode_outer(F.slice("_ord", F.lit(1), p)).alias("_e"),
+    ).select("_id", F.col("_e._s").alias("_s"))
+
+
+def setsim_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The storable exact-set-similarity index of a corpus:
+    ``(sets, prefix, freq)`` frames — (_id, _ts full shingle-hash set),
+    (_id, _s prefix shingles), (_s, _df base doc frequency).
+
+    All three are deterministic pure projections of the corpus
+    (seed-fixed xxhash64 shingles, the frozen (df, shingle) rank), so
+    they can be written once — parquet or a snapshot table — and served
+    to every subsequent :func:`setsim_join_incremental` ingest: the
+    base corpus is shingled, ranked, and prefixed ONCE ever, not once
+    per ingest batch (the ``minhash_index`` contract, exact-join
+    edition).  The prefix length bakes in ``threshold``; an index is
+    valid only for incremental joins at the SAME threshold (PPJoin
+    indexes are per-threshold by construction — store one per operating
+    point, or index at the lowest threshold you will ever query and
+    re-verify higher ones).
+    """
+    sets = _shingle_sets(df, id_col, text_col, k)
+    tok = sets.select(
+        "_id", F.explode_outer("_ts").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    freq = tok.groupBy("_s").agg(F.count("*").alias("_df"))
+    return sets, _prefix_table(tok.join(freq, "_s"), threshold), freq
+
+
+def setsim_join_incremental(
+    new_docs: DataFrame,
+    base_index: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs for an INGEST INCREMENT against
+    an indexed corpus: (new × base) ∪ (new × new), never base × base —
+    :func:`setsim_join` for the continuously-ingesting pipeline, where
+    re-running the full self-join per batch would be quadratic in
+    corpus size forever.
+
+    The prefix filter's recall guarantee needs only ONE total order on
+    the shingle universe shared by every compared set — not the "true"
+    combined-corpus df order — so the base's stored prefixes stay valid
+    verbatim: the increment ranks its shingles by the FROZEN base
+    frequency where the base has seen them, and by the batch's own
+    frequency where it hasn't (``coalesce(df_base, df_batch)``).  Base
+    documents contain no unseen shingles, so their element-relative
+    order under this rank is exactly the stored one; batch-internal
+    boilerplate (frequent-but-unseen shingles) still ranks high and
+    stays OUT of prefixes — the skew that would otherwise explode the
+    new×new candidate join.  Candidates verify against the exact
+    shingle sets, so output equals ``setsim_join(new ∪ base)`` minus
+    base-internal pairs (asserted in tests) regardless of rank
+    heuristics.  Increment ids must be disjoint from the base's.
+    """
+    base_sets, base_prefix, base_freq = base_index
+    new_sets = _shingle_sets(new_docs, id_col, text_col, k)
+    new_tok = new_sets.select(
+        "_id", F.explode_outer("_ts").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    batch_freq = new_tok.groupBy("_s").agg(F.count("*").alias("_bdf"))
+    ranked = (
+        new_tok.join(base_freq, "_s", "left")
+        .join(batch_freq, "_s")
+        .select(
+            "_id", "_s", F.coalesce("_df", "_bdf").alias("_df")
+        )
+    )
+    new_prefix = _prefix_table(ranked, threshold)
+
+    nb = new_prefix.withColumn("_new", F.lit(True))
+    ab = nb.unionByName(
+        base_prefix.select("_id", "_s").withColumn("_new", F.lit(False))
+    )
+    cand = (
+        nb.select(F.col("_id").alias("id_a"), "_s")
+        .join(
+            ab.select(F.col("_id").alias("id_b"), "_s", "_new"), "_s"
+        )
+        # new-new pairs arrive in both orders (keep a<b); new-base pairs
+        # arrive once (keep both orders, canonicalize); base-base pairs
+        # never form — the probe side is increment-only
+        .filter((~F.col("_new")) | (F.col("id_a") < F.col("id_b")))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sets = new_sets.unionByName(base_sets)
+    sa = all_sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_sa"))
+    sb = all_sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    # unrounded threshold first, rounding for output only — the same
+    # boundary discipline as setsim_join (candidate recall is guaranteed
+    # only for exact J >= t)
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

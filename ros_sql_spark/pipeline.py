@@ -189,6 +189,8 @@ def curate(
     max_punct_ratio: float = 0.25,
     min_stopword_ratio: float = 0.015,
     near_dup_threshold: float | None = 0.5,
+    near_dup_method: str = "minhash",
+    setsim_base_index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     shingle_k: int = 3,
     eval_docs: DataFrame | None = None,
     decontam_k: int = 5,
@@ -232,11 +234,21 @@ def curate(
     2. **exact**: one survivor per exact content digest — lowest id
        wins (q25 semantics).
     3. **near_dup** (skipped when ``near_dup_threshold`` is None):
-       MinHash/LSH candidate pairs at ``near_dup_threshold`` ->
-       connected components -> per cluster keep the longest text, id
-       as tiebreak (q26/q15/q33 semantics).  ``None`` yields a fully
-       DETERMINISTIC-SQL-replayable composition (every remaining stage
-       has an exact oracle idiom — qx06 gates exactly that).
+       candidate pairs at ``near_dup_threshold`` -> connected
+       components -> per cluster keep the longest text, id as tiebreak
+       (q26/q15/q33 semantics).  ``near_dup_method`` picks the pair
+       source: ``"minhash"`` (banded LSH estimates, the default) or
+       ``"setsim"`` (the EXACT prefix-filtered Jaccard join —
+       ``operators/dedup.py::setsim_join``).  With ``"setsim"`` an
+       optional ``setsim_base_index`` (:func:`setsim_index` frames of
+       an already-curated corpus) switches the stage to the INGEST
+       shape: pairs come from :func:`setsim_join_incremental`
+       ((new × base) ∪ (new × new), never base × base), any new doc
+       whose duplicate cluster touches a base doc drops (the published
+       corpus wins), and purely-new clusters keep best as usual.
+       ``None`` yields a fully DETERMINISTIC-SQL-replayable composition
+       (every remaining stage has an exact oracle idiom — qx06 gates
+       exactly that).
     4. **semantic_dup** (only when ``embeddings`` is given — (id,
        vector) keyed by ``embedding_id_col`` matching ``id_col``
        values): embedding-cosine near-dups at ``cosine_threshold`` via
@@ -381,20 +393,60 @@ def curate(
     dropped["exact"] = cur.select(id_col).join(exact_keep, id_col, "left_anti")
     cur = cur.join(exact_keep, id_col, "left_semi")
 
-    # 3. near-dup: LSH pairs -> components -> keep-best argmax (q33)
+    # 3. near-dup: candidate pairs -> components -> keep-best argmax (q33)
     _ob_n = None
     if near_dup_threshold is not None:
-        pairs = minhash_pairs(
-            cur, id_col=id_col, text_col=text_col,
-            k=shingle_k, threshold=near_dup_threshold,
-        )
+        if near_dup_method == "setsim":
+            from ros_sql_spark.operators.dedup import (
+                setsim_join,
+                setsim_join_incremental,
+            )
+
+            if setsim_base_index is not None:
+                pairs = setsim_join_incremental(
+                    cur, setsim_base_index, id_col=id_col,
+                    text_col=text_col, k=shingle_k,
+                    threshold=near_dup_threshold,
+                )
+            else:
+                pairs = setsim_join(
+                    cur, id_col=id_col, text_col=text_col,
+                    threshold=near_dup_threshold, k=shingle_k,
+                )
+        elif near_dup_method == "minhash":
+            pairs = minhash_pairs(
+                cur, id_col=id_col, text_col=text_col,
+                k=shingle_k, threshold=near_dup_threshold,
+            )
+        else:
+            raise ValueError(
+                f"near_dup_method must be 'minhash' or 'setsim', "
+                f"got {near_dup_method!r}"
+            )
         comp = connected_components(pairs, id_col=id_col)
-        # components eagerly checkpointed the edges — the operator-owned
-        # signature cache is dead weight from here on
-        pairs._rosql_cached.unpersist()
+        # components eagerly checkpointed the edges — an operator-owned
+        # signature cache (minhash) is dead weight from here on
+        if hasattr(pairs, "_rosql_cached"):
+            pairs._rosql_cached.unpersist()
+        members = comp.join(
+            cur.select(id_col, text_col), id_col, "left"
+        )
+        if setsim_base_index is not None:
+            # ingest shape: clusters touching the published base (any
+            # member NOT in this batch — its text null-extends above)
+            # surrender every batch member; purely-new clusters keep
+            # best.  Base docs themselves are not candidates to drop —
+            # they are not rows of `cur`.
+            # no distinct(): the anti join below has at-most-once match
+            # semantics already (CLAUDE.md's measured semi/anti lesson)
+            base_comps = members.filter(F.col(text_col).isNull()).select(
+                "component"
+            )
+            members = members.filter(F.col(text_col).isNotNull()).join(
+                base_comps, "component", "left_anti"
+            )
         best = (
-            comp.join(cur, id_col)
-            .groupBy("component")
+            members.groupBy("component")
             .agg(
                 F.max(
                     F.struct(
@@ -407,6 +459,7 @@ def curate(
         _ob_n = Observation()
         near_dropped = (
             comp.select(id_col)
+            .join(cur.select(id_col), id_col, "left_semi")
             .join(best, id_col, "left_anti")
             .observe(_ob_n, F.count(F.lit(1)).alias("n_dropped"))
         )

@@ -354,3 +354,58 @@ def test_curate_near_dup_optional(spark):
         .filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+def test_curate_setsim_method_and_incremental_ingest(spark):
+    """near_dup_method='setsim' runs the EXACT join inside curate (no
+    surviving pair at the threshold), and the incremental ingest shape
+    (setsim_base_index) drops every batch doc whose cluster touches the
+    indexed base while partitioning the batch ids as usual."""
+    from ros_sql_spark.operators.dedup import setsim_index, setsim_join
+
+    docs = load_table(spark, SF_SMALL, "documents")
+
+    # batch-only: exact join replaces minhash, invariant = no pair left
+    batch = docs.filter(F.col("doc_id") < 150)
+    res = curate(
+        batch, near_dup_threshold=0.3, near_dup_method="setsim",
+        shingle_k=5,
+    )
+    assert setsim_join(res.docs, threshold=0.3, k=5).count() == 0
+    kept = _ids(res.docs)
+    union, total = set(kept), len(kept)
+    for df in res.dropped.values():
+        s = _ids(df)
+        union |= s
+        total += len(s)
+    assert union == _ids(batch) and total == len(_ids(batch))
+
+    # ingest shape: base = the curated survivors; the batch mixes fresh
+    # docs with exact twins of base docs (id-shifted so ids stay
+    # disjoint — twins carry J=1.0 >= threshold against the base)
+    base = res.docs
+    base_idx = setsim_index(base, threshold=0.3, k=5)
+    dup_of_base = base.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
+    ).select("doc_id", "text")
+    batch2 = fresh.unionByName(dup_of_base)
+    res2 = curate(
+        batch2, near_dup_threshold=0.3, near_dup_method="setsim",
+        setsim_base_index=base_idx, shingle_k=5,
+    )
+    kept2 = _ids(res2.docs)
+    # every exact twin of a base doc is gone (published corpus wins)
+    assert not {i for i in kept2 if i >= 100000}
+    # the partition invariant still holds for the batch
+    union2, total2 = set(kept2), len(kept2)
+    for df in res2.dropped.values():
+        s = _ids(df)
+        union2 |= s
+        total2 += len(s)
+    assert union2 == _ids(batch2) and total2 == len(_ids(batch2))
+    # and no base id ever appears in a drop frame (base is not curatable)
+    base_ids = _ids(base)
+    for name, df in res2.dropped.items():
+        assert not (_ids(df) & base_ids), name

