@@ -1307,3 +1307,114 @@ def test_hadoop_readable_bounded_read(spark, tmp_path):
     finally:
         r.close()
     assert r.closed is True
+
+
+_XPROC_DML_WORKER = r'''
+import sys, time, os
+table, wid = sys.argv[1], int(sys.argv[2])
+barrier = sys.argv[3]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from ros_sql_spark.sources.snapshot import (
+    SnapshotConflict,
+    snapshot_commit,
+    snapshot_delete_keys,
+    snapshot_merge,
+)
+
+def retrying(fn):
+    for _ in range(120):
+        try:
+            return fn()
+        except SnapshotConflict:
+            time.sleep(0.02)
+    print("STARVED", wid); sys.exit(2)
+
+open(barrier + f".ready{wid}", "w").close()
+while not os.path.exists(barrier):
+    time.sleep(0.05)
+if wid == 0:
+    # appender: 4 batches of fresh keys
+    for j in range(4):
+        lo = 1000 + 10 * j
+        df = spark.createDataFrame(
+            [(i, "w0") for i in range(lo, lo + 10)], "id long, tag string"
+        )
+        retrying(lambda: snapshot_commit(df, table, mode="append"))
+else:
+    # keyed-DML writer: merges + a keyed delete, sequential, each
+    # racing the appender's commits for the version slot
+    for j, tag in enumerate(("m0", "m1")):
+        up = spark.createDataFrame(
+            [(i, tag) for i in range(0, 20)], "id long, tag string"
+        )
+        retrying(lambda: snapshot_merge(up, table, keys=["id"]))
+    doomed = spark.createDataFrame([(i,) for i in range(80, 90)], "id long")
+    retrying(lambda: snapshot_delete_keys(doomed, table, keys=["id"]))
+    up = spark.createDataFrame(
+        [(i, "m2") for i in range(0, 20)], "id long, tag string"
+    )
+    retrying(lambda: snapshot_merge(up, table, keys=["id"]))
+print("OK", wid)
+spark.stop()
+'''
+
+
+def test_cross_process_keyed_dml_soak(spark, tmp_path):
+    """r6 directive #5: the exact-file-candidacy REWRITE path (merge /
+    delete_keys, expected_version-guarded, carry-by-reference for
+    untouched files) must hold across separate JVMs racing an appender
+    at the rename-without-overwrite commit point — not just appends.
+    Final state is deterministic because the key sets are disjoint and
+    each writer is internally sequential: zero lost or duplicated rows,
+    gap-free versions, carried files still readable."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    t = str(tmp_path / "dmltbl")
+    # seed across several files so merges CARRY most files by reference
+    seed = spark.createDataFrame(
+        [(i, "seed") for i in range(100)], "id long, tag string"
+    ).repartition(8, "id")
+    snapshot_commit(seed, t, stats_cols=["id"])
+    barrier = str(tmp_path / "go")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _XPROC_DML_WORKER, t, str(w), barrier],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for w in range(2)
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        os.path.exists(barrier + f".ready{w}") for w in range(2)
+    ):
+        time.sleep(0.2)
+    open(barrier, "w").close()
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for w, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and f"OK {w}" in out, out[-2000:]
+
+    vs = snapshot_versions(spark, t)
+    # 1 seed + 4 appends + 3 merges + 1 keyed delete, gap-free
+    assert vs == list(range(1, 10))
+    got = snapshot_read(spark, t)
+    rows = {r.id: r.tag for r in got.collect()}
+    assert got.count() == len(rows), "duplicated keys"
+    expect = {i: "m2" for i in range(0, 20)}
+    expect.update({i: "seed" for i in range(20, 80)})
+    expect.update({i: "seed" for i in range(90, 100)})
+    expect.update({i: "w0" for i in range(1000, 1040)})
+    assert rows == expect
