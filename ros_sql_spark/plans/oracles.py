@@ -1314,6 +1314,56 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, md5(rt) AS digest
         FROM gated GROUP BY md5(rt)
     """,
+    # ground truth for the incremental ingest: the qx02 quadratic
+    # restricted to pairs touching the batch (doc_id % 4 == 0) — the
+    # prefix filter never under-produces, the exact verify never
+    # over-produces, so values match exactly
+    "qx07_setsim_incremental": """
+        WITH tok AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1],
+                                           toks[i+2], toks[i+3], toks[i+4]))
+                       ELSE [array_to_string(toks, ' ')] END) AS ts
+            FROM tok
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.ts, b.ts)) AS i,
+                   len(a.ts) + len(b.ts) AS t
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+        )
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (t - i), 6) AS jaccard
+        FROM pairs
+        WHERE CAST(i AS DOUBLE) / (t - i) >= 0.5
+    """,
+    # unigram-MLE mean negative log-likelihood: exact integer tf /
+    # corpus counts feeding the identical double expression (q93's
+    # float-parity discipline); N is a scalar subquery
+    "qx08_unigram_logprob": """
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents)
+            GROUP BY 1, 2
+        ), corpus AS (
+            SELECT term, sum(c) AS ct FROM tf GROUP BY term
+        ), tot AS (
+            SELECT CAST(sum(ct) AS DOUBLE) AS n FROM corpus
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(ln((SELECT n FROM tot))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(ct AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 6) AS nll
+        FROM tf JOIN corpus USING (term)
+        GROUP BY doc_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

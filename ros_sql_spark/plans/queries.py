@@ -2276,6 +2276,70 @@ def qx06_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx07_setsim_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact set-similarity INGEST under the driver gate
+    (operators/dedup.py::setsim_index + setsim_join_incremental): the
+    corpus is split base (doc_id % 4 != 0) / batch (% 4 == 0), the base
+    is indexed once — (sets, prefix, freq) frozen projections — and the
+    batch probes it for (new × base) ∪ (new × new) exact-Jaccard pairs,
+    never re-pairing the base with itself.  The oracle is ground truth
+    itself: the qx02 brute-force quadratic restricted to pairs touching
+    the batch — which the incremental prefix filter provably never
+    under-produces and the exact verify never over-produces, so values
+    match exactly (same rounded-for-output-only boundary as qx02)."""
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return setsim_join_incremental(
+        new, setsim_index(base, threshold=0.5, k=5), threshold=0.5, k=5
+    )
+
+
+def qx08_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram MLE — the perplexity-style quality filter LLM pipelines run
+    when no external LM is available (CCNet uses a real LM; the unigram
+    self-model is its dependency-free floor): templated/degenerate docs
+    score low (their tokens are corpus-frequent), lexically rich ones
+    high.  nll = ln(N) − Σ c_dt·ln(C_t) / n_d over the doc's term
+    counts c_dt, corpus counts C_t, corpus size N — exact integer
+    counts feeding the identical double expression on both engines
+    (q93's float-parity discipline).  Plan: one token explode, tf on
+    the doc_id partitioning, corpus counts as a REUSED second partial
+    over tf, the scalar N broadcast via the 1-row-aggregate crossJoin
+    (q36's idiom), one term-keyed join — no windows, no collects."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = toks.repartition("doc_id").groupBy("doc_id", "term").agg(
+        F.count("*").alias("c")
+    )
+    corpus = tf.groupBy("term").agg(F.sum("c").alias("ct"))
+    n_total = corpus.agg(F.sum("ct").cast("double").alias("n_corpus"))
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            r6(
+                F.log(F.first("n_corpus"))
+                - F.sum(
+                    F.col("c").cast("double")
+                    * F.log(F.col("ct").cast("double"))
+                )
+                / F.sum("c").cast("double")
+            ).alias("nll"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2388,4 +2452,6 @@ QUERIES = {
     "qx04_winsorized_stats": qx04_winsorized_stats,
     "qx05_quantile_sketch": qx05_quantile_sketch,
     "qx06_curate_report": qx06_curate_report,
+    "qx07_setsim_incremental": qx07_setsim_incremental,
+    "qx08_unigram_logprob": qx08_unigram_logprob,
 }

@@ -472,3 +472,17 @@ def test_connected_components_round_job_budget(spark):
     assert not counts, "convergence must ride the checkpoint, not count()"
     got = sorted((r.id, r.component) for r in comp.collect())
     assert got == [(i, 1) for i in range(1, 7)] + [(10, 10), (11, 10)]
+
+
+def test_qx07_qx08_plan_shapes(spark):
+    """qx07: the incremental prefix probe is equi-join-only (no
+    cartesian — frequent shingles never enter the candidate join);
+    qx08: the scalar corpus size arrives as a broadcast 1-row aggregate
+    (BroadcastNestedLoopJoin over exactly one row, q36's idiom), with
+    no CartesianProduct and no Window anywhere."""
+    p7 = plan_of(spark, "qx07_setsim_incremental")
+    assert "CartesianProduct" not in p7
+    p8 = plan_of(spark, "qx08_unigram_logprob")
+    assert "CartesianProduct" not in p8
+    assert "Window" not in p8
+    assert "BroadcastNestedLoopJoin" in p8
