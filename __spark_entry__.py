@@ -5,9 +5,9 @@ entry(spark)  — flagship query (q11_pricing_summary, TPC-H Q1 shape) at
 queries()     — the declared suite from SURVEY.md §2.3, implemented in
                 ros_sql_spark.plans.queries.
 oracle_sql()  — matching DuckDB SQL (ros_sql_spark.plans.oracles);
-                q26/q39/q40/q78/q84 intentionally omitted (rows-only:
-                sketch / digest / probabilistic-recall outputs have no
-                cross-engine oracle).
+                q26/q39/q40/q78/q84/qx09 intentionally omitted
+                (rows-only: sketch / digest / probabilistic-recall /
+                iterative-argmax outputs have no cross-engine oracle).
 """
 
 from __future__ import annotations

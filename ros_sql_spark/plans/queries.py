@@ -2340,6 +2340,24 @@ def qx08_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx09_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE, end-to-end: learn a merge table from the corpus itself
+    (operators/bpe.py::bpe_train — word histogram once, then one tiny
+    argmax job per merge; the Sennrich formulation) and re-tokenize
+    every document with it (bpe_encode — the priority-loop encode as an
+    Arrow pandas_udf; the merge table is driver state, vocab-budget-
+    bounded, never data-sized).  Upgrades q37's BPE-ish regex counting
+    to a trained tokenizer.  Rows-only by nature: the merge schedule is
+    an iterative argmax recursion no SQL replays — its correctness gate
+    is the bit-for-bit pure-Python-reference equality in tests/
+    test_bpe.py, the q40-recall style of contract."""
+    from ros_sql_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=6, max_words=2000)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2454,4 +2472,5 @@ QUERIES = {
     "qx06_curate_report": qx06_curate_report,
     "qx07_setsim_incremental": qx07_setsim_incremental,
     "qx08_unigram_logprob": qx08_unigram_logprob,
+    "qx09_bpe_tokenize": qx09_bpe_tokenize,
 }

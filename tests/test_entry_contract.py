@@ -31,6 +31,7 @@ def test_rows_only_queries_are_the_documented_ones():
         "q40_ann_lsh",  # probabilistic recall by construction
         "q78_ann_ivf",  # probabilistic recall (KMeans cells)
         "q84_pq_ann",  # probabilistic recall (learned codebooks)
+        "qx09_bpe_tokenize",  # iterative argmax recursion no SQL replays
     }, rows_only
 
 
