@@ -843,6 +843,12 @@ def setsim_index(
     point, or index at the lowest threshold you will ever query and
     re-verify higher ones).
     """
+    # No materialization pin: Spark's ReusedExchange already dedups the
+    # shared shingle subplans inside one action, and lazily
+    # checkpointing the three frames here measured SLOWER on qx07
+    # (2.1s -> 3.1s — it serializes the pipeline into separate
+    # materialization waves).  Production persistence is a snapshot
+    # table write, not an in-plan checkpoint.
     sets = _shingle_sets(df, id_col, text_col, k)
     tok = sets.select(
         "_id", F.explode_outer("_ts").alias("_s")
