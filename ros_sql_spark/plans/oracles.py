@@ -1364,6 +1364,40 @@ ORACLES: dict[str, str] = {
         FROM tf JOIN corpus USING (term)
         GROUP BY doc_id
     """,
+    # identical to q15: the incremental contraction must equal the
+    # from-scratch reachability closure - that equality IS the gate
+    "qx10_components_incremental": """
+        WITH RECURSIVE
+        s AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents WHERE doc_id < 40)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) >= 0.001
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM s
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        )
+        SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -2358,6 +2358,52 @@ def qx09_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).orderBy("doc_id")
 
 
+def qx10_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster MAINTENANCE under the driver gate
+    (operators/dedup.py::connected_components_incremental): the q15
+    graph arrives in two installments — base components over the
+    doc_id<30 slice, then the edges touching docs 30–39 as an ingest
+    increment.  The increment runs on the CONTRACTED graph (each
+    endpoint mapped to its base representative; propagation sized by
+    touched components + fresh nodes, never the corpus) and one join
+    rewrites the moved labels.  Final labels equal the full recompute,
+    so the oracle is q15's recursive-CTE reachability closure verbatim
+    — the driver hash-checks that incremental == from-scratch."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = q32_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.001)
+    # one lazy pin: the edge pipeline feeds the base loop's checkpoint,
+    # the contracted loop's checkpoint AND the fresh-node derivation —
+    # three materializations of the same quadratic scoring without it
+    edges = pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    ).localCheckpoint(eager=False)
+    base_edges = edges.filter(
+        (F.col("id_a") < 30) & (F.col("id_b") < 30)
+    )
+    inc_edges = edges.filter(
+        (F.col("id_a") >= 30) | (F.col("id_b") >= 30)
+    )
+    base = connected_components(
+        base_edges,
+        nodes=docs.filter(F.col("doc_id") < 30).select("doc_id"),
+        id_col="doc_id",
+    )
+    out = connected_components_incremental(
+        inc_edges,
+        base,
+        id_col="doc_id",
+        new_nodes=docs.filter(F.col("doc_id") >= 30).select("doc_id"),
+    )
+    return out.select(
+        "doc_id", F.col("component").cast("bigint").alias("component")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2473,4 +2519,5 @@ QUERIES = {
     "qx07_setsim_incremental": qx07_setsim_incremental,
     "qx08_unigram_logprob": qx08_unigram_logprob,
     "qx09_bpe_tokenize": qx09_bpe_tokenize,
+    "qx10_components_incremental": qx10_components_incremental,
 }

@@ -636,3 +636,104 @@ def test_countmin_properties(spark):
     cw = cm_build(df, "k", depth=4, width=4096)
     estw = {r.k: r.est for r in cm_estimate(keys, cw, "k", depth=4, width=4096).collect()}
     assert estw == true
+
+
+def test_components_incremental_equals_full_recompute(spark):
+    """Contraction must equal a full recompute over the union graph:
+    new edges that fuse base components, fuse THROUGH chains of fresh
+    nodes, create fresh-only components, or touch nothing."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    def cc(edges, nodes=None):
+        return {
+            (r.id, r.component)
+            for r in connected_components(edges, nodes=nodes).collect()
+        }
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 30, 31, 40)], "id long"
+    )
+    base = connected_components(base_edges, nodes=base_nodes)
+
+    # fuse 1-3 with 10-11 directly; fuse 20-21 with 30-31 through the
+    # fresh chain 50-51; isolated fresh component 60-61; fresh node 70
+    # via new_nodes; base singleton 40 untouched
+    inc_edges = spark.createDataFrame(
+        [(3, 10), (21, 50), (50, 51), (51, 30), (60, 61)],
+        "id_a long, id_b long",
+    )
+    new_nodes = spark.createDataFrame([(70,)], "id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components_incremental(
+            inc_edges, base, new_nodes=new_nodes
+        ).collect()
+    }
+    all_edges = base_edges.unionByName(inc_edges)
+    all_nodes = base_nodes.unionByName(
+        spark.createDataFrame(
+            [(i,) for i in (50, 51, 60, 61, 70)], "id long"
+        )
+    )
+    assert got == cc(all_edges, all_nodes)
+
+    # empty increment is the identity
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got0 = {
+        (r.id, r.component)
+        for r in connected_components_incremental(empty, base).collect()
+    }
+    assert got0 == {(r.id, r.component) for r in base.collect()}
+
+
+def test_components_incremental_on_corpus_pairs(spark):
+    """End-to-end with a real pair generator: base components from the
+    corpus's base slice, increment pairs from setsim_join_incremental —
+    final labels equal the full-graph recompute."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        setsim_index,
+        setsim_join,
+        setsim_join_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    base_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    thr = 0.2
+    base_pairs = setsim_join(base_docs, threshold=thr, k=5).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    base = connected_components(
+        base_pairs, nodes=base_docs.select("doc_id"), id_col="doc_id"
+    )
+    inc_pairs = setsim_join_incremental(
+        new_docs, setsim_index(base_docs, threshold=thr), threshold=thr
+    ).select("id_a", "id_b")
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components_incremental(
+            inc_pairs, base, id_col="doc_id",
+            new_nodes=new_docs.select("doc_id"),
+        ).collect()
+    }
+    full_pairs = setsim_join(docs, threshold=thr, k=5).select("id_a", "id_b")
+    want = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            full_pairs, nodes=docs.select("doc_id"), id_col="doc_id"
+        ).collect()
+    }
+    assert got == want
