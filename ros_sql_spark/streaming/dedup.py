@@ -1,0 +1,244 @@
+"""Streaming near-duplicate-free corpus ingest: the exact
+set-similarity index (operators/dedup.py::setsim_index /
+setsim_join_incremental) maintained continuously under snapshot
+isolation.
+
+Each micro-batch probes the STORED index for (new × base) ∪
+(new × new) exact-Jaccard pairs, drops every batch doc whose duplicate
+cluster touches the published corpus (first-come wins — the published
+doc is already downstream), keeps one survivor per purely-new cluster
+(min id), appends survivors to the corpus table, and appends the
+survivors' sets/prefixes plus the newly-seen shingle ranks to the
+index tables.  Per-batch cost is proportional to the INCREMENT, never
+the corpus — the 100 TB ingest contract.
+
+FROZEN-RANK consistency (why the stored prefixes stay valid forever):
+the PPJoin prefix guarantee needs one total shingle order shared by
+every compared pair.  A shingle's rank is frozen at FIRST SIGHT — the
+stored corpus frequency when the base had seen it, else the batch's
+own frequency at the batch that introduced it — and the freq table
+stores exactly that number.  Stored prefixes are computed under the
+frozen ranks, future probes rank by coalesce(stored, own-batch df), so
+every prefix ever stored is the prefix the CURRENT order would
+produce: recall never breaks.  The rarest-first HEURISTIC degrades as
+true frequencies drift (a shingle that later becomes corpus-frequent
+keeps its early low rank, admitting extra candidates — extra COST,
+never wrong answers); a periodic full re-index (setsim_index over the
+corpus, committed as a fresh generation) restores it, the blue/green
+discipline of operators/ann_store.
+
+Exactly-once: every table commit carries the ``batch:<id>`` watermark.
+A replayed batch skips tables whose ``last_batch`` already covers it,
+and recomputes against each table's PRE-batch state via snapshot TIME
+TRAVEL — a crash between the index commits and the docs commit resumes
+deterministically (the partially-updated index is never consulted at
+its post-crash head, so a kept doc cannot be re-dropped against its
+own just-indexed copy).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ros_sql_spark.sources.snapshot import (
+    _list_versions,
+    _read_manifest,
+    snapshot_commit,
+    snapshot_read,
+)
+
+__all__ = [
+    "setsim_ingest_batch",
+    "setsim_ingest_stream",
+    "setsim_corpus_read",
+]
+
+_T_DOCS = "docs"
+_T_SETS = "sets"
+_T_PREFIX = "prefix"
+_T_FREQ = "freq"
+
+
+def _pre_state(
+    spark: SparkSession, table: str, batch_id: int
+) -> tuple[DataFrame | None, bool]:
+    """(state BEFORE this batch, already_committed_for_this_batch).
+
+    If the table's head already carries ``last_batch >= batch_id`` (a
+    crashed attempt or a replay), the pre-batch state is the PREVIOUS
+    version — time travel keeps the recompute deterministic."""
+    versions = _list_versions(spark, table)
+    if not versions:
+        return None, False
+    m = _read_manifest(spark, table, versions[-1])
+    lb = m.get("last_batch")
+    if lb is not None and lb >= batch_id:
+        if len(versions) >= 2:
+            return snapshot_read(spark, table, version=versions[-2]), True
+        return None, True
+    return snapshot_read(spark, table), False
+
+
+def setsim_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+) -> dict:
+    """Ingest one micro-batch into the deduplicated corpus at
+    ``store`` (four snapshot tables: docs, sets, prefix, freq).
+    Returns {"n_batch", "n_kept", "n_dropped"}.  Idempotent under
+    redelivery; single writer per store, like every sink."""
+    from ros_sql_spark.operators.dedup import (
+        _prefix_table,
+        _shingle_sets,
+        connected_components,
+        setsim_join_incremental,
+    )
+
+    spark = batch_df.sparkSession
+    t = {n: f"{store}/{n}" for n in (_T_DOCS, _T_SETS, _T_PREFIX, _T_FREQ)}
+    pre = {n: _pre_state(spark, t[n], batch_id) for n in t}
+    batch = batch_df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
+    )
+
+    def empty(schema: str) -> DataFrame:
+        return spark.createDataFrame([], schema)
+
+    base_sets = (
+        pre[_T_SETS][0]
+        if pre[_T_SETS][0] is not None
+        else empty("_id bigint, _ts array<bigint>")
+    )
+    base_prefix = (
+        pre[_T_PREFIX][0]
+        if pre[_T_PREFIX][0] is not None
+        else empty("_id bigint, _s bigint")
+    )
+    base_freq = (
+        pre[_T_FREQ][0]
+        if pre[_T_FREQ][0] is not None
+        else empty("_s bigint, _df bigint")
+    )
+
+    # empty-base batches run through the SAME incremental path: with no
+    # stored freq the rank is the batch's own df, which is exactly the
+    # batch-mode setsim_join order — one code path, identical output.
+    pairs = setsim_join_incremental(
+        batch,
+        (base_sets, base_prefix, base_freq),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        k=k,
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+
+    comp = connected_components(pairs, id_col="cid")
+    batch_ids = batch.select(F.col(id_col).alias("cid"))
+    # clusters containing any non-batch member touch the published
+    # corpus: every batch member of those clusters drops (first-come
+    # wins); purely-new clusters keep min id (the exact_dedup
+    # canonical-survivor policy)
+    base_comps = (
+        comp.join(batch_ids, "cid", "left_anti").select("component")
+    )
+    batch_members = comp.join(batch_ids, "cid", "left_semi")
+    keep_of_new = (
+        batch_members.join(base_comps, "component", "left_anti")
+        .groupBy("component")
+        .agg(F.min("cid").alias("cid"))
+        .select("cid")
+    )
+    dropped_ids = batch_members.select("cid").join(
+        keep_of_new, "cid", "left_anti"
+    )
+    survivors = batch.join(
+        dropped_ids.select(F.col("cid").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint(eager=False)
+
+    # index increments, all under the FROZEN rank used by this probe
+    s_sets = _shingle_sets(survivors, id_col, text_col, k)
+    s_tok = s_sets.select(
+        "_id", F.explode_outer("_ts").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    batch_sets = _shingle_sets(batch, id_col, text_col, k)
+    batch_tok = batch_sets.select(
+        "_id", F.explode_outer("_ts").alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    # the probe ranked unseen shingles by the FULL batch's df — store
+    # that exact number for the unseen shingles that survive
+    batch_freq = batch_tok.groupBy("_s").agg(F.count("*").alias("_bdf"))
+    ranked = (
+        s_tok.join(base_freq, "_s", "left")
+        .join(batch_freq, "_s")
+        .select("_id", "_s", F.coalesce("_df", "_bdf").alias("_df"))
+    )
+    s_prefix = _prefix_table(ranked, threshold)
+    freq_new = (
+        ranked.select("_s", "_df")
+        .distinct()
+        .join(base_freq.select("_s"), "_s", "left_anti")
+    )
+
+    committed = []
+    appends = [
+        (_T_SETS, s_sets),
+        (_T_PREFIX, s_prefix),
+        (_T_FREQ, freq_new),
+        # docs LAST: its watermark marks the batch observable
+        (_T_DOCS, survivors),
+    ]
+    for name, df in appends:
+        if pre[name][1]:
+            continue  # this table already has the batch (crashed attempt)
+        snapshot_commit(
+            df, t[name], mode="append", tag=f"batch:{batch_id}"
+        )
+        committed.append(name)
+    n_batch = batch.count()
+    n_kept = survivors.count()
+    return {
+        "n_batch": n_batch,
+        "n_kept": n_kept,
+        "n_dropped": n_batch - n_kept,
+        "committed": committed,
+    }
+
+
+def setsim_ingest_stream(
+    docs: DataFrame,
+    store: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+    available_now: bool = True,
+):
+    """Continuous dedup-on-ingest: each micro-batch lands only the docs
+    that near-duplicate neither the published corpus nor a kept
+    batch-mate.  Returns the StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        setsim_ingest_batch(
+            df, batch_id, store, id_col, text_col, threshold, k
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def setsim_corpus_read(spark: SparkSession, store: str) -> DataFrame:
+    """The deduplicated corpus as of now (snapshot isolation)."""
+    return snapshot_read(spark, f"{store}/{_T_DOCS}")

@@ -560,3 +560,159 @@ def test_cm_build_stream_batch_equivalence(spark, tmp_path):
     run("ck2")  # full redelivery: must not double-count
     assert snapshot_versions(spark, table)[-1] == v
     assert sorted(map(tuple, snapshot_read(spark, table).collect())) == want
+
+
+def test_setsim_ingest_stream_invariants_and_redelivery(spark, tmp_path):
+    """Continuous exact-dedup ingest: after draining the stream the
+    corpus contains NO pair at the threshold (setsim_join over the kept
+    docs is empty), kept ∪ dropped partitions the input, every dropped
+    doc really does near-dup some kept doc, and a FULL redelivery from
+    a fresh checkpoint leaves every table version untouched."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.dedup import setsim_join
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+    from ros_sql_spark.streaming.dedup import (
+        setsim_corpus_read,
+        setsim_ingest_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(5).write.parquet(src)
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+
+    def run(ck):
+        q = setsim_ingest_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            store,
+            checkpoint_path=str(tmp_path / ck),
+            threshold=thr,
+        )
+        q.awaitTermination(240)
+        assert not q.isActive
+
+    run("ck1")
+    kept = setsim_corpus_read(spark, store)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids and kept_ids <= all_ids
+
+    # invariant 1: the kept corpus is pair-free at the threshold
+    assert setsim_join(kept, threshold=thr, k=5).count() == 0
+
+    # invariant 2: every dropped doc near-dups some kept doc (exact
+    # jaccard over 5-token shingle hash sets, recomputed in batch)
+    from ros_sql_spark.operators.dedup import shingle_hashes
+
+    sets = {
+        r._id: set(r._ts)
+        for r in shingle_hashes(docs, "doc_id", "text", 5)
+        .select(F.col("doc_id").alias("_id"),
+                F.array_distinct("_hs").alias("_ts"))
+        .collect()
+    }
+
+    def jac(a, b):
+        i = len(sets[a] & sets[b])
+        return i / (len(sets[a]) + len(sets[b]) - i)
+
+    for d in sorted(all_ids - kept_ids):
+        assert any(jac(d, kk) >= thr for kk in kept_ids), d
+
+    versions = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1]
+        for n in ("docs", "sets", "prefix", "freq")
+    }
+    run("ck2")  # full redelivery: fresh checkpoint, same store
+    for n, v in versions.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
+    assert {
+        r.doc_id for r in setsim_corpus_read(spark, store).collect()
+    } == kept_ids
+
+
+def test_setsim_ingest_crash_recovery_time_travel(spark, tmp_path):
+    """A crash BETWEEN the index commits and the docs commit must
+    resume deterministically: the replayed batch recomputes against
+    each table's PRE-batch state via version time travel, so a kept doc
+    is never re-dropped against its own just-indexed copy."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        _list_versions,
+        snapshot_commit,
+        snapshot_read,
+    )
+    from ros_sql_spark.streaming.dedup import setsim_ingest_batch
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+
+    r0 = setsim_ingest_batch(b0, 0, store, threshold=thr)
+    assert set(r0["committed"]) == {"docs", "sets", "prefix", "freq"}
+
+    # run batch 1 fully on a SHADOW store to learn the expected result,
+    # then simulate the crash on the real store: index tables committed
+    # for batch 1, docs not.
+    shadow = str(tmp_path / "shadow")
+    setsim_ingest_batch(b0, 0, shadow, threshold=thr)
+    expect = setsim_ingest_batch(b1, 1, shadow, threshold=thr)
+    expect_ids = {
+        r.doc_id
+        for r in snapshot_read(spark, f"{shadow}/docs").collect()
+    }
+
+    # CRASH INJECTION: batch 1 commits sets/prefix/freq, then dies
+    # before the docs commit.
+    import ros_sql_spark.streaming.dedup as sd
+
+    real_commit = sd.snapshot_commit
+
+    def dying_commit(df, table, **kw):
+        if table.endswith("/docs") and kw.get("tag") == "batch:1":
+            raise RuntimeError("injected crash before docs commit")
+        return real_commit(df, table, **kw)
+
+    sd.snapshot_commit = dying_commit
+    try:
+        try:
+            setsim_ingest_batch(b1, 1, store, threshold=thr)
+            raise AssertionError("crash did not fire")
+        except RuntimeError:
+            pass
+    finally:
+        sd.snapshot_commit = real_commit
+    # index tables now carry batch 1, docs does not — the hazardous
+    # state: a naive replay would probe the batch's OWN freshly-indexed
+    # sets and drop every kept doc against its own copy.
+    assert _list_versions(spark, f"{store}/sets")[-1] == 2
+    assert _list_versions(spark, f"{store}/docs")[-1] == 1
+
+    # the Structured Streaming replay of batch 1:
+    replay = setsim_ingest_batch(b1, 1, store, threshold=thr)
+    assert replay["committed"] == ["docs"]  # index tables time-traveled
+    assert replay["n_kept"] == expect["n_kept"]
+    assert replay["n_dropped"] == expect["n_dropped"]
+    got_ids = {
+        r.doc_id
+        for r in snapshot_read(spark, f"{store}/docs").collect()
+    }
+    assert got_ids == expect_ids
+
+    # and a second replay is a full no-op
+    again = setsim_ingest_batch(b1, 1, store, threshold=thr)
+    assert again["committed"] == []
+    assert {
+        r.doc_id for r in snapshot_read(spark, f"{store}/docs").collect()
+    } == expect_ids
