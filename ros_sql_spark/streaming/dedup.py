@@ -52,6 +52,7 @@ __all__ = [
     "setsim_ingest_batch",
     "setsim_ingest_stream",
     "setsim_corpus_read",
+    "setsim_reindex",
 ]
 
 _T_DOCS = "docs"
@@ -242,3 +243,39 @@ def setsim_ingest_stream(
 def setsim_corpus_read(spark: SparkSession, store: str) -> DataFrame:
     """The deduplicated corpus as of now (snapshot isolation)."""
     return snapshot_read(spark, f"{store}/{_T_DOCS}")
+
+
+def setsim_reindex(
+    spark: SparkSession,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 5,
+) -> dict:
+    """Rebuild the index tables from the CURRENT corpus — the periodic
+    maintenance that restores the rarest-first heuristic after frozen
+    ranks have drifted from true corpus frequencies (cost decay only;
+    recall was never at risk).  Blue/green at the snapshot tier: each
+    table's rebuild lands as one overwrite commit guarded by
+    ``expected_version`` — an ingest racing the re-index loses cleanly
+    (SnapshotConflict) instead of interleaving half-new half-old index
+    state, and readers on older versions are untouched.  The
+    ``last_batch`` watermark carries forward across overwrites by the
+    snapshot contract, so streaming redelivery checks survive the
+    rebuild.  Run it from the single writer's maintenance window, like
+    ``snapshot_compact``."""
+    from ros_sql_spark.operators.dedup import setsim_index
+
+    docs = snapshot_read(spark, f"{store}/{_T_DOCS}")
+    sets, prefix, freq = setsim_index(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    )
+    out = {}
+    for name, df in ((_T_SETS, sets), (_T_PREFIX, prefix), (_T_FREQ, freq)):
+        table = f"{store}/{name}"
+        expected = _list_versions(spark, table)[-1]
+        out[name] = snapshot_commit(
+            df, table, mode="overwrite", expected_version=expected
+        )
+    return out

@@ -716,3 +716,44 @@ def test_setsim_ingest_crash_recovery_time_travel(spark, tmp_path):
     assert {
         r.doc_id for r in snapshot_read(spark, f"{store}/docs").collect()
     } == expect_ids
+
+
+def test_setsim_reindex_preserves_semantics(spark, tmp_path):
+    """After a blue/green re-index (ranks refreshed to true corpus
+    frequencies), further ingests keep the pair-free invariant and the
+    redelivery watermark survives the overwrite commits."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.dedup import setsim_join
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import _read_manifest, _list_versions
+    from ros_sql_spark.streaming.dedup import (
+        setsim_corpus_read,
+        setsim_ingest_batch,
+        setsim_reindex,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+    setsim_ingest_batch(docs.filter(F.col("doc_id") < 80), 0, store,
+                        threshold=thr)
+    setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 160)),
+        1, store, threshold=thr,
+    )
+    setsim_reindex(spark, store, threshold=thr)
+    # watermark carried across the overwrite
+    for n in ("sets", "prefix", "freq"):
+        t = f"{store}/{n}"
+        m = _read_manifest(spark, t, _list_versions(spark, t)[-1])
+        assert m.get("last_batch") == 1, n
+    # ingest continues against the rebuilt index
+    setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 160) & (F.col("doc_id") < 240)),
+        2, store, threshold=thr,
+    )
+    kept = setsim_corpus_read(spark, store)
+    assert setsim_join(kept, threshold=thr, k=5).count() == 0
+    assert kept.count() > 0
