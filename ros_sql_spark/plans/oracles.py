@@ -1398,6 +1398,31 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
         FROM reach GROUP BY id
     """,
+    # shard = md5-bucket (q22's portable integer arithmetic), position
+    # = dense hash-order rank within the shard — both engines reproduce
+    # the full pipeline bit-for-bit
+    "qx11_shard_assignment": """
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS h,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 16 AS shard
+              FROM documents)
+    """,
+    # generate_series is inclusive on both ends -> epochs - 1
+    "qx12_epoch_mixture": """
+        SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+               md5(concat(CAST(doc_id AS VARCHAR), '#',
+                          CAST(epoch AS VARCHAR))) AS mix_order
+        FROM (SELECT d.doc_id, d.source,
+                     unnest(generate_series(0, f.epochs - 1)) AS epoch
+              FROM documents d
+              JOIN (VALUES ('src0', 1), ('src1', 3), ('src2', 2),
+                           ('src3', 4)) AS f(source, epochs)
+                ON d.source = f.source)
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

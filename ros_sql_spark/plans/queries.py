@@ -2404,6 +2404,71 @@ def qx10_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx11_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-dataset SHARDING: every doc gets a (shard, position)
+    address for the dataloader — shard = md5-bucket of the id (the q22
+    content-free determinism: a doc's shard never changes as the corpus
+    grows), position = rank of the full md5 digest WITHIN the shard (a
+    deterministic pseudo-shuffle, so readers streaming a shard see
+    hash-order, not ingest-order — the "global shuffle" training wants
+    without ever sorting globally).  Every window is partitioned by
+    shard — 16 independent sorts of corpus/16 rows each, spillable,
+    no single-partition stage anywhere."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 16
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        )
+    )
+
+
+def qx12_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-aware data mixture: each source gets an integer epoch
+    factor (how many times its docs repeat in the training mix — the
+    up-sampling half of the token-budget cut in q83), and every doc
+    expands to (doc_id, epoch 0..factor-1) rows.  The factor table is a
+    broadcast dim; the expansion is one JVM sequence explode (no
+    Python, no join fan-out beyond the intended repetition).  A row's
+    mix_order = md5(doc_id # epoch) gives a deterministic interleave so
+    repeated copies of a doc spread across the mix instead of
+    clustering."""
+    docs = _t(spark, sf_dir, "documents")
+    factors = spark.createDataFrame(
+        [("src0", 1), ("src1", 3), ("src2", 2), ("src3", 4)],
+        "source string, epochs int",
+    )
+    mix_order = F.md5(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch"))
+    )
+    return (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(
+                F.sequence(F.lit(0), F.col("epochs") - 1)
+            ).alias("epoch"),
+        )
+        .filter(F.col("epoch").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.col("epoch").cast("bigint").alias("epoch"),
+            mix_order.alias("mix_order"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2520,4 +2585,6 @@ QUERIES = {
     "qx08_unigram_logprob": qx08_unigram_logprob,
     "qx09_bpe_tokenize": qx09_bpe_tokenize,
     "qx10_components_incremental": qx10_components_incremental,
+    "qx11_shard_assignment": qx11_shard_assignment,
+    "qx12_epoch_mixture": qx12_epoch_mixture,
 }

@@ -486,3 +486,19 @@ def test_qx07_qx08_plan_shapes(spark):
     assert "CartesianProduct" not in p8
     assert "Window" not in p8
     assert "BroadcastNestedLoopJoin" in p8
+
+
+def test_qx11_qx12_plan_shapes(spark):
+    """qx11: every window is PARTITIONED by shard (16 independent
+    spillable sorts — never a global single-partition rank); qx12: the
+    epoch-factor dim joins as a broadcast, no cartesian."""
+    p11 = plan_of(spark, "qx11_shard_assignment")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p11):
+        assert "shard" in m.group(1), (
+            "unpartitioned window in qx11 plan:\n" + m.group(0)
+        )
+    assert "SinglePartition" not in p11
+    p12 = plan_of(spark, "qx12_epoch_mixture")
+    assert "BroadcastHashJoin" in p12
+    assert "CartesianProduct" not in p12
+    assert "SortMergeJoin" not in p12
