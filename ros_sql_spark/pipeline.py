@@ -394,6 +394,17 @@ def curate(
     cur = cur.join(exact_keep, id_col, "left_semi")
 
     # 3. near-dup: candidate pairs -> components -> keep-best argmax (q33)
+    if setsim_base_index is not None and (
+        near_dup_method != "setsim" or near_dup_threshold is None
+    ):
+        # silently ignoring the base index would curate an ingest batch
+        # WITHOUT comparing it to the published corpus — exact twins of
+        # already-published docs would sail through
+        raise ValueError(
+            "setsim_base_index requires near_dup_method='setsim' and a "
+            f"non-None near_dup_threshold (got method={near_dup_method!r}, "
+            f"threshold={near_dup_threshold!r})"
+        )
     _ob_n = None
     if near_dup_threshold is not None:
         if near_dup_method == "setsim":

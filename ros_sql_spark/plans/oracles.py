@@ -370,6 +370,7 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 6) AS p90
         FROM events
         GROUP BY event_type
+        HAVING count(value) > 0
     """,
     "q72_moment_stats": """
         SELECT event_type,
@@ -691,6 +692,7 @@ ORACLES: dict[str, str] = {
                abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
                    <= (max(value) - min(value)) * 0.05 AS approx_ok
         FROM events GROUP BY event_type
+        HAVING count(value) > 0
     """,
     "q29_quantize_embeddings": """
         SELECT vec_id,

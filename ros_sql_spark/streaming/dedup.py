@@ -67,18 +67,27 @@ def _pre_state(
     """(state BEFORE this batch, already_committed_for_this_batch).
 
     If the table's head already carries ``last_batch >= batch_id`` (a
-    crashed attempt or a replay), the pre-batch state is the PREVIOUS
-    version — time travel keeps the recompute deterministic."""
+    crashed attempt or a replay), the pre-batch state is the newest
+    version whose watermark PRECEDES the batch — found by walking
+    versions backward, NOT by assuming ``versions[-2]``: maintenance
+    commits (compaction, re-index) carry the watermark forward and can
+    stack versions between the crashed attempt and the replay, and a
+    naive previous-version read would probe POST-batch index state,
+    recreating exactly the self-pairing re-drop hazard time travel
+    exists to prevent."""
     versions = _list_versions(spark, table)
     if not versions:
         return None, False
-    m = _read_manifest(spark, table, versions[-1])
-    lb = m.get("last_batch")
-    if lb is not None and lb >= batch_id:
-        if len(versions) >= 2:
-            return snapshot_read(spark, table, version=versions[-2]), True
-        return None, True
-    return snapshot_read(spark, table), False
+    head = _read_manifest(spark, table, versions[-1])
+    lb = head.get("last_batch")
+    if lb is None or lb < batch_id:
+        return snapshot_read(spark, table), False
+    for v in reversed(versions[:-1]):
+        m = _read_manifest(spark, table, v)
+        mlb = m.get("last_batch")
+        if mlb is None or mlb < batch_id:
+            return snapshot_read(spark, table, version=v), True
+    return None, True
 
 
 def setsim_ingest_batch(
@@ -162,8 +171,14 @@ def setsim_ingest_batch(
         dropped_ids.select(F.col("cid").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint(eager=False)
 
-    # index increments, all under the FROZEN rank used by this probe
-    s_sets = _shingle_sets(survivors, id_col, text_col, k)
+    # index increments, all under the FROZEN rank used by this probe.
+    # s_sets and ranked are pinned: the four commits below are separate
+    # ACTIONS (ReusedExchange only dedups within one), so without the
+    # checkpoints the survivor/batch shingling would re-execute once
+    # per consuming commit (CLAUDE.md's several-separate-actions rule).
+    s_sets = _shingle_sets(survivors, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     s_tok = s_sets.select(
         "_id", F.explode_outer("_ts").alias("_s")
     ).filter(F.col("_s").isNotNull())
@@ -178,7 +193,7 @@ def setsim_ingest_batch(
         s_tok.join(base_freq, "_s", "left")
         .join(batch_freq, "_s")
         .select("_id", "_s", F.coalesce("_df", "_bdf").alias("_df"))
-    )
+    ).localCheckpoint(eager=False)
     s_prefix = _prefix_table(ranked, threshold)
     freq_new = (
         ranked.select("_s", "_df")
@@ -266,6 +281,28 @@ def setsim_reindex(
     rebuild.  Run it from the single writer's maintenance window, like
     ``snapshot_compact``."""
     from ros_sql_spark.operators.dedup import setsim_index
+
+    # refuse on a half-committed batch: if an index table's watermark
+    # is ahead of the docs table's, a crashed ingest attempt is pending
+    # — rebuilding the index from docs would erase that batch's index
+    # increments while the carried watermark makes the replay skip
+    # re-appending them (permanent index gap).  Replay the stream (or
+    # finish the batch) first.
+    def _lb(name: str):
+        tbl = f"{store}/{name}"
+        vs = _list_versions(spark, tbl)
+        return _read_manifest(spark, tbl, vs[-1]).get("last_batch")
+
+    docs_lb = _lb(_T_DOCS)
+    for name in (_T_SETS, _T_PREFIX, _T_FREQ):
+        ilb = _lb(name)
+        if ilb != docs_lb:
+            raise RuntimeError(
+                f"setsim_reindex: index table '{name}' watermark "
+                f"({ilb}) != docs watermark ({docs_lb}) — a crashed "
+                "ingest batch is pending; replay the stream to finish "
+                "it before re-indexing."
+            )
 
     docs = snapshot_read(spark, f"{store}/{_T_DOCS}")
     sets, prefix, freq = setsim_index(

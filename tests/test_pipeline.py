@@ -409,3 +409,24 @@ def test_curate_setsim_method_and_incremental_ingest(spark):
     base_ids = _ids(base)
     for name, df in res2.dropped.items():
         assert not (_ids(df) & base_ids), name
+
+
+def test_curate_rejects_inconsistent_setsim_base_index(spark):
+    """Passing a base index without the setsim method (or with near-dup
+    off) must raise — silently ignoring it would curate an ingest batch
+    without ever comparing it to the published corpus."""
+    import pytest
+
+    from ros_sql_spark.operators.dedup import setsim_index
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    idx = setsim_index(docs, threshold=0.3, k=5)
+    with pytest.raises(ValueError, match="setsim_base_index requires"):
+        curate(docs, setsim_base_index=idx)  # default method='minhash'
+    with pytest.raises(ValueError, match="setsim_base_index requires"):
+        curate(
+            docs, setsim_base_index=idx, near_dup_method="setsim",
+            near_dup_threshold=None,
+        )

@@ -699,6 +699,22 @@ def test_setsim_ingest_crash_recovery_time_travel(spark, tmp_path):
     assert _list_versions(spark, f"{store}/sets")[-1] == 2
     assert _list_versions(spark, f"{store}/docs")[-1] == 1
 
+    # a MAINTENANCE commit lands between the crash and the replay
+    # (compaction carries the batch watermark forward) — the review-r7
+    # hazard: pre-batch state must be found by walking watermarks
+    # backward, not by assuming versions[-2].
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    snapshot_compact(spark, f"{store}/sets", target_files=1)
+    assert _list_versions(spark, f"{store}/sets")[-1] == 3
+
+    # and a re-index must REFUSE while the half-committed batch is
+    # pending (it would erase batch 1's index increments forever)
+    from ros_sql_spark.streaming.dedup import setsim_reindex
+
+    with pytest.raises(RuntimeError, match="crashed ingest batch"):
+        setsim_reindex(spark, store, threshold=thr)
+
     # the Structured Streaming replay of batch 1:
     replay = setsim_ingest_batch(b1, 1, store, threshold=thr)
     assert replay["committed"] == ["docs"]  # index tables time-traveled
