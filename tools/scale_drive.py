@@ -328,6 +328,52 @@ def main() -> int:
         checks["curate_ledger_reconciles"] = m["input"] == m["kept"] + drops
         checks["curate_ledger_input_is_corpus"] = m["input"] == n_docs
 
+        # 8. streaming setsim ingest at 20x: the copies ARRIVE as 4
+        # super-batches against a growing stored index (the production
+        # ingest shape — per-batch cost proportional to the increment).
+        # Checks: the per-batch ledgers sum to the corpus, no exact-dup
+        # text survives corpus-wide (every planted exact family
+        # collapsed to its first arrival), and dedup actually happened.
+        from ros_sql_spark.streaming.dedup import (
+            setsim_corpus_read,
+            setsim_ingest_batch,
+        )
+
+        store = f"{work}/ingest_store"
+        n_super = 4
+        per = copies // n_super
+
+        def _ingest():
+            kept = dropped = seen = 0
+            for b in range(n_super):
+                lo = b * per * 1_000_000
+                hi = (b + 1) * per * 1_000_000
+                batch = docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).select("doc_id", "text")
+                st = setsim_ingest_batch(
+                    batch, b, store, threshold=0.5, k=5
+                )
+                kept += st["n_kept"]
+                dropped += st["n_dropped"]
+                seen += st["n_batch"]
+            return kept, dropped, seen
+
+        kept, dropped, seen = timed("setsim_ingest_20x", _ingest)
+        checks["ingest_ledger_reconciles"] = (
+            seen == n_docs and kept + dropped == n_docs
+        )
+        checks["ingest_dropped_something"] = dropped > 0
+        kept_df = setsim_corpus_read(spark, store)
+        dup_digests = (
+            kept_df.groupBy(F.md5(F.col("text").cast("binary")))
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        checks["ingest_no_exact_dup_survives"] = dup_digests == 0
+        checks["ingest_corpus_matches_ledger"] = kept_df.count() == kept
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
