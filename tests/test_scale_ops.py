@@ -760,3 +760,102 @@ def test_setsim_index_snapshot_roundtrip(spark, tmp_path):
         )
     )
     assert got == expect and expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab cd"), min_size=0, max_size=50),
+        min_size=2,
+        max_size=14,
+    ),
+    thr=st.sampled_from([0.2, 0.5, 0.8]),
+    split_mod=st.sampled_from([2, 3]),
+)
+def test_incremental_setsim_property(spark, texts, thr, split_mod):
+    """Property form of the incremental equivalence: on ARBITRARY tiny
+    corpora (empties, docs shorter than k, exact twins, near-twins) and
+    thresholds, setsim_join_incremental(new, index(base)) must equal
+    setsim_join(all) minus base-internal pairs — pair set AND exact
+    jaccard values."""
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join,
+        setsim_join_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = docs.filter(F.col("doc_id") % split_mod != 0)
+    new = docs.filter(F.col("doc_id") % split_mod == 0)
+    base_ids = set(range(len(texts))) - set(
+        range(0, len(texts), split_mod)
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_join(docs, threshold=thr, k=3).collect()
+        if not (r.id_a in base_ids and r.id_b in base_ids)
+    }
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in setsim_join_incremental(
+            new, setsim_index(base, threshold=thr, k=3),
+            threshold=thr, k=3,
+        ).collect()
+    }
+    assert inc == full
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=20,
+    ),
+    split=st.integers(0, 20),
+)
+def test_incremental_components_property(spark, edges, split):
+    """Property form of the contraction equivalence: ANY random edge
+    set split at ANY point (self-loops, duplicate edges, fresh-node
+    chains, empty halves) must give incremental == full recompute."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    base_e, inc_e = edges[:split], edges[split:]
+    nodes = sorted({n for e in edges for n in e} | {99})
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    base_nodes = sorted({n for e in base_e for n in e} | {99})
+
+    def df_of(es):
+        return spark.createDataFrame(
+            es or [], "id_a long, id_b long"
+        )
+
+    base = connected_components(
+        df_of(base_e),
+        nodes=spark.createDataFrame([(n,) for n in base_nodes], "id long"),
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components_incremental(
+            df_of(inc_e), base, new_nodes=nodes_df
+        ).collect()
+    }
+    want = {
+        (r.id, r.component)
+        for r in connected_components(df_of(edges), nodes=nodes_df).collect()
+    }
+    assert got == want
