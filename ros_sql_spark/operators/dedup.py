@@ -42,6 +42,7 @@ __all__ = [
     "minhash_index",
     "minhash_pairs_incremental",
     "connected_components",
+    "connected_components_star",
     "connected_components_incremental",
     "ngram_jaccard_pairs",
     "setsim_join",
@@ -571,11 +572,12 @@ def connected_components(
     coordinates the loop; the convergence check RIDES the checkpoint
     job via ``Observation`` (CollectMetrics fills during the eager
     materialization) so each round is ONE job, with per-round lineage
-    truncated so plans don't grow with iterations.  For billion-node
-    general graphs swap in the large-star/small-star alternation
-    (Kiveris et al.) — same interface, fewer rounds on long-chain
-    graphs; the propagation loop is the right tool for the
-    short-diameter dup topology.
+    truncated so plans don't grow with iterations.  For long-chain /
+    billion-node general graphs use :func:`connected_components_star`
+    (same interface, O(log) double-rounds on ANY topology; a
+    diameter-60 chain that exhausts this loop's budget converges there
+    in a handful — tested); the propagation loop is the right tool for
+    the short-diameter dup topology.
 
     ``nodes``: optionally the full node universe (isolated docs keep
     their own id as component; without it only endpoint nodes appear).
@@ -653,6 +655,135 @@ def connected_components(
             "long-chain graphs."
         )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(id, component) by LARGE-STAR / SMALL-STAR alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", public
+    literature) — the same contract as :func:`connected_components`,
+    converging in O(log²) rounds on ANY topology instead of
+    O(diameter): the upgrade the propagation loop's docstring names for
+    long-chain graphs, where min-label propagation needs a round per
+    hop.
+
+    Both star operations are JOIN-BASED — per round: one groupBy
+    computing each node's neighborhood minimum, one join re-pointing
+    edges at it — so no task ever buffers a node's neighbor list
+    (the collect_list formulation would put a hot node's whole
+    neighborhood in one aggregation buffer; the min/join form keeps
+    every row narrow).  Per round one Observation-carried edge count
+    detects the fixed point (edge multiset stable under both stars ⇒
+    every tree is a star rooted at its component min).
+
+    large-star(u): every STRICTLY LARGER neighbor of u re-points at
+    m(u) = min(Γ(u) ∪ {u}); preserves connectivity and strictly
+    decreases large edges' partner sums.  small-star(u): every
+    neighbor ≤ u (and u itself) points at m(u) computed over the ≤
+    side.  Alternating reaches the star fixed point; labels then read
+    off the final (child → root) edges.
+    """
+    e0 = edges.select(
+        F.col(src_col).cast("bigint").alias("u"),
+        F.col(dst_col).cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    universe = e0.select(F.col("u").alias("_n")).unionByName(
+        e0.select(F.col("v").alias("_n"))
+    )
+    if nodes is not None:
+        universe = universe.unionByName(
+            nodes.select(F.col(id_col).cast("bigint").alias("_n"))
+        )
+    universe = universe.distinct().localCheckpoint(eager=True)
+    # canonical undirected form, deduped — (min, max) per pair; the
+    # edge count rides the checkpoint so round-N's stability compare
+    # never needs a separate count() job
+    ob0 = Observation()
+    cur = (
+        e0.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .observe(ob0, F.count(F.lit(1)).alias("n_edges"))
+        .localCheckpoint(eager=True)
+    )
+    n_cur = ob0.get["n_edges"] or 0
+
+    def _star(edges_uv: DataFrame, large: bool) -> DataFrame:
+        # symmetric view: each node u sees all its neighbors
+        sym = edges_uv.unionByName(
+            edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if large:
+            # m(u) over ALL neighbors and self; larger neighbors re-point
+            m = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("_m")
+            )
+            out = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            )
+        else:
+            # m(u) over the ≤ side and self; that side (and u) re-point
+            le = sym.filter(F.col("v") < F.col("u"))
+            m = le.groupBy("u").agg(
+                F.min("v").alias("_m")
+            )
+            out = (
+                le.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                .unionByName(
+                    m.select(F.col("u"), F.col("_m").alias("v"))
+                )
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .distinct()
+        )
+
+    stable = False
+    for _ in range(max_iter):
+        ob = Observation()
+        nxt = (
+            _star(_star(cur, large=True), large=False)
+            .observe(ob, F.count(F.lit(1)).alias("n_edges"))
+            .localCheckpoint(eager=True)
+        )
+        n_next = ob.get["n_edges"] or 0
+        # fixed point: both stars leave the canonical edge set
+        # unchanged.  Count equality is necessary; confirm with an
+        # exact set compare only when counts agree (cheap on the
+        # checkpointed frames, and rounds until then skip it).
+        if n_next == n_cur and nxt.exceptAll(cur).limit(1).count() == 0:
+            cur = nxt
+            stable = True
+            break
+        cur, n_cur = nxt, n_next
+    if not stable:
+        raise RuntimeError(
+            f"connected_components_star did not stabilize in {max_iter} "
+            "double-rounds — raise max_iter."
+        )
+    # at the fixed point every edge is (root, child) in canonical form
+    # with root = component min; label = my root, or myself if isolated
+    lbl = cur.select(
+        F.col("v").alias("_n"), F.col("u").alias("_c")
+    ).groupBy("_n").agg(F.min("_c").alias("_c"))
+    return universe.join(lbl, "_n", "left").select(
+        F.col("_n").alias(id_col),
+        F.coalesce("_c", "_n").alias("component"),
+    )
 
 
 def connected_components_incremental(

@@ -859,3 +859,63 @@ def test_incremental_components_property(spark, edges, split):
         for r in connected_components(df_of(edges), nodes=nodes_df).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=18,
+    )
+)
+def test_star_components_equal_propagation(spark, edges):
+    """Large-star/small-star must compute the same components as
+    min-label propagation on arbitrary graphs (self-loops, duplicate
+    edges, empty sets)."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(n,) for n in range(13)], "id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(e, nodes=nodes).collect()
+    }
+    want = {
+        (r.id, r.component)
+        for r in connected_components(e, nodes=nodes).collect()
+    }
+    assert got == want
+
+
+def test_star_components_long_chain_beyond_propagation_budget(spark):
+    """The named reason the star variant exists: a diameter-60 chain
+    converges in O(log) double-rounds where propagation at the same
+    max_iter budget raises its non-convergence error."""
+    import pytest
+
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(chain, max_iter=20).collect()
+    }
+    assert got == {(i, 0) for i in range(61)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20)
