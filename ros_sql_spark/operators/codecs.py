@@ -12,10 +12,11 @@ formats implementable exactly from their public specifications:
   bottom-up and top-down, with 4-byte row padding;
 - **PPM**: binary P6 netpbm with maxval 255 (the netpbm format spec),
   including whitespace/comment-tolerant header parsing;
-- **PNG**: 8-bit non-interlaced gray/RGB/palette/gray-alpha/RGBA per
-  the public W3C spec — stdlib zlib inflate plus all five scanline
-  filters (Sub reconstructed as a per-lane mod-256 cumulative sum;
-  Average/Paeth sequential where the spec's recurrence demands it);
+- **PNG**: 8- and 16-bit gray/RGB/palette/gray-alpha/RGBA, plain and
+  Adam7-interlaced, per the public W3C spec — stdlib zlib inflate plus
+  all five scanline filters (Sub reconstructed as a per-lane mod-256
+  cumulative sum; Average/Paeth sequential where the spec's recurrence
+  demands it); only sub-byte palette depths remain gated;
 - **JPEG**: baseline sequential DCT per ITU-T T.81 — full decoder
   (tables read from the file, 1/3 components, 4:4:4 and 4:2:0) and an
   Annex-K-table encoder, numpy DCT; progressive/arithmetic/12-bit/
@@ -158,6 +159,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass grid (x0, y0, dx, dy) per the W3C spec, pass 1..7
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 # samples per pixel by PNG color type (palette expands to RGB later)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -238,12 +249,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB, pure stdlib+numpy (zlib inflate
     + the five scanline filters from the public W3C spec).
 
-    Covers the overwhelmingly common web shapes: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  Alpha is dropped (matching PIL's ``convert("RGB")``
-    on the fallback path).  16-bit depth, sub-byte palettes, and Adam7
-    interlace raise NotImplementedError naming the feature; corrupt
-    structure raises ValueError.
+    Covers 8- and 16-bit depths over color types 0 (gray), 2 (RGB), 3
+    (palette, 8-bit), 4 (gray+alpha), 6 (RGBA), both non-interlaced
+    AND Adam7-interlaced (seven independent sub-images in one zlib
+    stream, each with its own filter bytes, scattered back onto the
+    pass grid).  Alpha is dropped (matching PIL's ``convert("RGB")``
+    on the fallback path); 16-bit samples keep their HIGH byte (PIL's
+    16→8 conversion).  Sub-byte palette depths raise
+    NotImplementedError naming the feature; corrupt structure raises
+    ValueError.  The filters' left-neighbor distance is bpp BYTES
+    (channels × bytes-per-sample), so one bytewise unfilter serves
+    both depths — straight from the spec.
 
     Unfiltering: None/Up are whole-row vectorized; Sub is a per-lane
     cumulative sum (mod-256 addition is associative, so ``cumsum & 255``
@@ -277,59 +293,97 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} (8 and 16 supported; sub-byte "
+            "palette depths unsupported)"
+        )
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if depth == 16 and color_type == 3:
+        raise ValueError("PNG palette color with 16-bit depth is invalid")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     if comp != 0 or filt_method != 0:
         raise ValueError(
             f"PNG compression/filter method {comp}/{filt_method}"
         )
     ch = _PNG_CHANNELS[color_type]
-    rowbytes = w * ch
+    sb = depth // 8  # bytes per sample
+    bpp = ch * sb  # the filters' left-neighbor distance is in BYTES
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt/truncated: {exc}") from exc
-    if len(raw) < h * (1 + rowbytes):
-        raise ValueError(
-            f"PNG pixel data truncated: {len(raw)} < {h * (1 + rowbytes)}"
-        )
-    img = np.empty((h, rowbytes), dtype=np.int64)
-    prev = np.zeros(rowbytes, dtype=np.int64)
-    for y in range(h):
-        off = y * (1 + rowbytes)
-        ft = raw[off]
-        row = np.frombuffer(
-            raw, np.uint8, rowbytes, off + 1
-        ).astype(np.int64)
-        if ft == 0:
-            recon = row
-        elif ft == 2:
-            recon = (row + prev) & 255
-        elif ft == 1:
-            recon = row.copy()
-            for i in range(ch):
-                recon[i::ch] = np.cumsum(recon[i::ch]) & 255
-        elif ft in (3, 4):
-            recon = np.empty(rowbytes, dtype=np.int64)
-            for x in range(rowbytes):
-                left = recon[x - ch] if x >= ch else 0
-                up = prev[x]
-                if ft == 3:
-                    recon[x] = (row[x] + (left + up) // 2) & 255
-                else:
-                    ul = prev[x - ch] if x >= ch else 0
-                    recon[x] = (row[x] + int(_paeth(
-                        np.int64(left), np.int64(up), np.int64(ul)
-                    ))) & 255
-        else:
-            raise ValueError(f"PNG filter type {ft} at row {y}")
-        img[y] = recon
-        prev = recon
-    px = img.astype(np.uint8).reshape(h, w, ch)
+
+    def unfilter(off: int, rows: int, rowbytes: int) -> tuple[np.ndarray, int]:
+        """Reconstruct `rows` scanlines of `rowbytes` each starting at
+        byte `off` of the inflated stream; returns (rows×rowbytes
+        int64 array, offset past the last scanline)."""
+        if len(raw) < off + rows * (1 + rowbytes):
+            raise ValueError(
+                f"PNG pixel data truncated: {len(raw)} < "
+                f"{off + rows * (1 + rowbytes)}"
+            )
+        img = np.empty((rows, rowbytes), dtype=np.int64)
+        prev = np.zeros(rowbytes, dtype=np.int64)
+        for y in range(rows):
+            ft = raw[off]
+            row = np.frombuffer(
+                raw, np.uint8, rowbytes, off + 1
+            ).astype(np.int64)
+            off += 1 + rowbytes
+            if ft == 0:
+                recon = row
+            elif ft == 2:
+                recon = (row + prev) & 255
+            elif ft == 1:
+                recon = row.copy()
+                for i in range(bpp):
+                    recon[i::bpp] = np.cumsum(recon[i::bpp]) & 255
+            elif ft in (3, 4):
+                recon = np.empty(rowbytes, dtype=np.int64)
+                for x in range(rowbytes):
+                    left = recon[x - bpp] if x >= bpp else 0
+                    up = prev[x]
+                    if ft == 3:
+                        recon[x] = (row[x] + (left + up) // 2) & 255
+                    else:
+                        ul = prev[x - bpp] if x >= bpp else 0
+                        recon[x] = (row[x] + int(_paeth(
+                            np.int64(left), np.int64(up), np.int64(ul)
+                        ))) & 255
+            else:
+                raise ValueError(f"PNG filter type {ft} at row {y}")
+            img[y] = recon
+            prev = recon
+        return img, off
+
+    def to_samples(rows_bytes: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """(rows, rowbytes) byte matrix → (rows, cols, ch) uint8 — for
+        16-bit, samples are big-endian pairs and the HIGH byte is kept
+        (PIL's 16→8 conversion)."""
+        a = rows_bytes.astype(np.uint8)
+        if sb == 1:
+            return a.reshape(rows, cols, ch)
+        return a.reshape(rows, cols, ch, 2)[..., 0]
+
+    if interlace == 0:
+        img, _ = unfilter(0, h, w * bpp)
+        px = to_samples(img, h, w)
+    else:
+        # Adam7: seven independent sub-images in one zlib stream, each
+        # with its own filter bytes and its own None-row at pass start;
+        # empty passes contribute no scanlines at all (spec).
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = unfilter(off, ph, pw * bpp)
+            px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:

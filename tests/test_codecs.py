@@ -459,8 +459,9 @@ def test_png_rgba_gray_palette_paths():
 
 
 def test_png_gates_name_the_feature():
-    """16-bit depth and Adam7 raise NotImplementedError naming the
-    feature; structural corruption raises ValueError, never an opaque
+    """16-bit depth and Adam7 now DECODE (round-7; their own tests
+    below); the remaining gate is sub-byte palette depths, and
+    structural corruption still raises ValueError, never an opaque
     numpy error."""
     import struct
     import zlib
@@ -478,14 +479,13 @@ def test_png_gates_name_the_feature():
         sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(b16)
-    badi = (
-        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(b16), np.zeros((2, 2, 3), np.uint8))
+    b1 = (
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(badi)
+    with pytest.raises(NotImplementedError, match="bit depth 1"):
+        decode_png(b1)
     good = encode_png(_img(4, 4, seed=3))
     with pytest.raises(ValueError, match="truncated"):
         # drop IEND and half the IDAT payload
@@ -763,3 +763,109 @@ def test_gif_background_from_global_table_despite_local():
     assert np.array_equal(out[2:6, 3:9], 255 - frame)
     # ...but the background resolved against the global one
     assert np.array_equal(out[0, 0], gct[2])
+
+
+def _png_chunks(w, h, depth, ctype, raw, interlace=0, palette=None):
+    """Assemble a minimal valid PNG from pre-filtered scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace),
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", palette.tobytes())
+    out += chunk(b"IDAT", zlib.compress(raw))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_16bit_gray_and_rgb_high_byte():
+    """16-bit samples decode via the bytewise unfilter (bpp = ch·2) and
+    keep the HIGH byte; filters None/Up/Sub all exercised."""
+    from ros_sql_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(7)
+    for ch, ctype in ((1, 0), (3, 2)):
+        px16 = rng.integers(0, 65536, (5, 4, ch), dtype=np.uint16)
+        rows = bytearray()
+        flat = px16.astype(">u2").tobytes()
+        rowbytes = 4 * ch * 2
+        prev = bytes(rowbytes)
+        for y in range(5):
+            row = flat[y * rowbytes : (y + 1) * rowbytes]
+            ft = (0, 2, 1)[y % 3]
+            if ft == 0:
+                rows += b"\x00" + row
+            elif ft == 2:  # Up
+                rows += b"\x02" + bytes(
+                    (row[i] - prev[i]) & 255 for i in range(rowbytes)
+                )
+            else:  # Sub, left neighbor bpp=ch*2 bytes back
+                bpp = ch * 2
+                rows += b"\x01" + bytes(
+                    (row[i] - (row[i - bpp] if i >= bpp else 0)) & 255
+                    for i in range(rowbytes)
+                )
+            prev = row
+        got = decode_png(_png_chunks(4, 5, 16, ctype, bytes(rows)))
+        want = (px16 >> 8).astype(np.uint8)
+        want = np.repeat(want, 3, axis=2) if ch == 1 else want
+        assert np.array_equal(got, want)
+
+
+def _adam7_interlace(px):
+    """Reference interlacer: emit the 7 passes' scanlines (filter 0)."""
+    h, w, ch = px.shape
+    grid = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    out = bytearray()
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            out += b"\x00" + sub[y].tobytes()
+    return bytes(out)
+
+
+def test_png_adam7_rgb_roundtrip():
+    """Adam7: the 7 sub-images (built by a spec-faithful reference
+    interlacer) must scatter back to exactly the original image, on a
+    dimension that exercises partial/empty passes (5x3)."""
+    from ros_sql_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in ((5, 3), (8, 8), (1, 1), (2, 9)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = _png_chunks(w, h, 8, 2, _adam7_interlace(px), interlace=1)
+        assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_adam7_16bit_gray():
+    """Adam7 composes with 16-bit depth (bytewise passes, high byte)."""
+    from ros_sql_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(13)
+    px16 = rng.integers(0, 65536, (6, 7, 1), dtype=np.uint16)
+    raw = _adam7_interlace(px16.astype(">u2").view(np.uint8).reshape(6, 7, 2))
+    payload = _png_chunks(7, 6, 16, 0, raw, interlace=1)
+    got = decode_png(payload)
+    assert np.array_equal(got, np.repeat((px16 >> 8).astype(np.uint8), 3, axis=2))
+
+
+def test_png_subbyte_depth_still_gated():
+    from ros_sql_spark.operators.codecs import decode_png
+
+    payload = _png_chunks(4, 4, 4, 3, b"\x00" * 12,
+                          palette=np.zeros((16, 3), np.uint8))
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(payload)
