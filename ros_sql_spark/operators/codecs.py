@@ -981,6 +981,170 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int) -> bytes:
     return bytes(out)
 
 
+# Flat AC table for PROGRESSIVE scans: all 256 run/size symbols at 9–10
+# bits (Kraft-valid canonical assignment, no all-ones code).  Baseline
+# Annex-K AC tables lack the EOBn symbols (0x10..0xE0) progressive
+# EOBRUN coding needs; since JPEG tables travel IN the file, a
+# self-contained flat table is simpler than an optimizer.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, dc_successive: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 RGB — or (H, W) grayscale — → PROGRESSIVE JPEG
+    (SOF2) bytes: spectral selection with a DC-first scan script
+    (DC interleaved; AC bands 1–5 then 6–63 per component, Al=0)
+    and real EOBRUN coding across all-zero bands.  With
+    ``dc_successive`` the DC arrives in TWO scans — a first pass at
+    Al=1 (high bits) and an Ah=1 refinement delivering the low bit per
+    block — exercising the decoder's successive-approximation path.
+    4:4:4 only — the point is generating REAL multi-scan progressive
+    streams for the decoder's tests, mirroring encode_png/encode_bmp."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError(f"expected (H, W, 3) or (H, W), got {arr.shape}")
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    T = _dct_matrix()
+    qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
+    # zigzag coefficient blocks per component, raster block order
+    zzs = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(
+            plane, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge"
+        ) - 128.0
+        blocks = np.empty((bh * bw_, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.round((T @ blk @ T.T) / qts[ci]).astype(np.int64)
+                blocks[by * bw_ + bx] = q.flatten()[_ZIGZAG]
+        zzs.append(blocks)
+
+    dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
+        _huff_codes(*_HUFF_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_prog = _huff_codes(*_HUFF_AC_PROG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qtabs = [(0, _QT_LUMA)] + ([(1, _QT_CHROMA)] if ncomp > 1 else [])
+    for tid, qt in qtabs:
+        out += seg(
+            0xDB, bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG])
+        )
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))
+    htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_PROG)]
+    if ncomp > 1:
+        htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_PROG)]
+    for tc_th, spec_ in htabs:
+        bits, vals = spec_
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    # scan 1: DC, all components interleaved (1x1 → one block per MCU);
+    # with dc_successive the first pass codes dc >> 1 at Al=1
+    al0 = 1 if dc_successive else 0
+    bwr = _BitWriter()
+    pred = [0] * ncomp
+    for bi in range(bh * bw_):
+        for ci in range(ncomp):
+            v = int(zzs[ci][bi, 0]) >> al0
+            diff = v - pred[ci]
+            pred[ci] = v
+            s, mb = _mag_bits(diff)
+            c, ln = dc_codes[ci][s]
+            bwr.write(c, ln)
+            if s:
+                bwr.write(mb, s)
+    bwr.flush()
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+    sos += bytes([0, 0, al0])
+    out += seg(0xDA, bytes(sos)) + bwr.buf
+
+    if dc_successive:
+        # DC refinement: Ah=1, Al=0 — one raw bit (the dc low bit) per
+        # block in the same interleaved order
+        bwr = _BitWriter()
+        for bi in range(bh * bw_):
+            for ci in range(ncomp):
+                bwr.write(int(zzs[ci][bi, 0]) & 1, 1)
+        bwr.flush()
+        sos = bytearray([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0])
+        sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+        out += seg(0xDA, bytes(sos)) + bwr.buf
+
+    # AC scans: per component, bands (1-5) then (6-63), with EOBRUN
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            bwr = _BitWriter()
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                c, ln = ac_prog[r << 4]
+                bwr.write(c, ln)
+                if r:
+                    bwr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for bi in range(bh * bw_):
+                band = zzs[ci][bi, ss : se + 1]
+                nz = np.nonzero(band)[0]
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush()
+                    continue
+                flush()
+                last = -1
+                for idx in nz:
+                    run = int(idx) - last - 1
+                    while run > 15:
+                        c, ln = ac_prog[0xF0]
+                        bwr.write(c, ln)
+                        run -= 16
+                    s, mb = _mag_bits(int(band[idx]))
+                    c, ln = ac_prog[(run << 4) | s]
+                    bwr.write(c, ln)
+                    bwr.write(mb, s)
+                    last = int(idx)
+                if last < se - ss:
+                    eobrun = 1  # this block's EOB, absorbs following
+            flush()
+            bwr.flush()
+            sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, ss, se, 0])
+            out += seg(0xDA, sos) + bwr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 byte-unstuffing."""
 
@@ -1091,10 +1255,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             sof = (hh, ww, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (only baseline SOF0/SOF1)"
+                f"JPEG SOF{marker - 0xC0} (baseline SOF0/SOF1 and "
+                "progressive SOF2 supported)"
             )
         elif marker == 0xDD:
             raise NotImplementedError("JPEG restart intervals (DRI)")
@@ -1130,6 +1297,241 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         pos += 2 + ln
     raise ValueError("JPEG has no scan (SOS) segment")
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first REAL marker after `start` (skips 0xFF00 byte
+    stuffing and 0xFF fill bytes) — where a progressive scan's entropy
+    data ends."""
+    i = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if nxt == 0xFF:
+                i += 1
+                continue
+            return i
+        i += 1
+    raise ValueError("JPEG truncated: entropy data reaches EOF")
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG → (H, W, 3) uint8 RGB.
+
+    Coefficients accumulate across scans in per-component zigzag
+    buffers; each SOS contributes its spectral band (Ss..Se) at its
+    point-transform shift (<< Al).  Supported: interleaved and
+    single-component DC scans with FULL successive approximation
+    (first pass + refinement bits), single-component AC first scans at
+    any Al with EOBRUN coding, sampling factors 1–2, tables redefined
+    between scans.  The one named gate left: AC successive-
+    approximation REFINEMENT scans (Ah>0, Ss>0) raise
+    NotImplementedError — every other progressive structure decodes.
+    Reconstruction (dequant → IDCT → upsample → color) happens once,
+    at EOI."""
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    sof = None
+    coef: list[np.ndarray] = []
+    grids: list[tuple[int, int, int, int]] = []  # (bh_pad, bw_pad, bh_c, bw_c)
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG truncated in marker segment")
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                qts[tq] = q.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                huff[tc_th] = _huff_lookup(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise NotImplementedError(f"{body[0]}-bit JPEG precision")
+            hh, ww = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {ncomp} components"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("JPEG sampling factors > 2")
+            mcus_x = -(-ww // (8 * hmax))
+            mcus_y = -(-hh // (8 * vmax))
+            sof = (hh, ww, comps, hmax, vmax, mcus_x, mcus_y)
+            for _, hf, vf, _tq in comps:
+                bh_pad, bw_pad = mcus_y * vf, mcus_x * hf
+                cw = -(-ww * hf // hmax)
+                chh = -(-hh * vf // vmax)
+                grids.append((bh_pad, bw_pad, -(-chh // 8), -(-cw // 8)))
+                coef.append(np.zeros((bh_pad, bw_pad, 64), np.int64))
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals (DRI)")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            start = pos + 2 + ln
+            end = _entropy_end(payload, start)
+            _prog_scan(
+                payload[start:end], sof, scan, ss, se, ah, al,
+                coef, grids, huff,
+            )
+            pos = end
+            continue
+        pos += 2 + ln
+    if sof is None or not coef:
+        raise ValueError("progressive JPEG has no frame/scan data")
+    hh, ww, comps, hmax, vmax, _, _ = sof
+    T = _dct_matrix()
+    full = []
+    for ci, (_cid, hf, vf, tq) in enumerate(comps):
+        bh_pad, bw_pad, _, _ = grids[ci]
+        qt = qts[tq]
+        plane = np.empty((bh_pad * 8, bw_pad * 8), np.float64)
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                c64 = np.zeros(64, np.int64)
+                c64[_ZIGZAG] = coef[ci][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    T.T @ (c64.reshape(8, 8) * qt) @ T + 128.0
+                )
+        if hf < hmax:
+            plane = plane.repeat(hmax // hf, axis=1)
+        if vf < vmax:
+            plane = plane.repeat(vmax // vf, axis=0)
+        full.append(plane[:hh, :ww])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
+    """Apply one progressive scan's entropy data to the coefficient
+    buffers (T.81 G.2 decode procedures, AC refinement excepted)."""
+    hh, ww, comps, hmax, vmax, mcus_x, mcus_y = sof
+    idx_by_id = {c[0]: i for i, c in enumerate(comps)}
+    br = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        members = [idx_by_id[cs] for cs, _td, _ta in scan]
+        tables = {
+            idx_by_id[cs]: huff.get(td) for cs, td, _ta in scan
+        }
+        if ah == 0 and any(
+            tables[m] is None for m in members
+        ):
+            raise ValueError("progressive DC scan missing huffman table")
+        pred = {m: 0 for m in members}
+
+        def dc_unit(ci, by, bx):
+            if ah == 0:
+                s = br.symbol(tables[ci])
+                if s:
+                    pred[ci] += _extend(br.bits(s), s)
+                coef[ci][by, bx, 0] = pred[ci] << al
+            else:
+                if br.bit():
+                    # append the next lower bit (two's-complement OR
+                    # is exact for values built by << Al shifts)
+                    coef[ci][by, bx, 0] |= 1 << al
+
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in members:
+                        _cid, hf, vf, _tq = comps[ci]
+                        for by in range(vf):
+                            for bx in range(hf):
+                                dc_unit(ci, my * vf + by, mx * hf + bx)
+        else:
+            ci = members[0]
+            _, _, bh_c, bw_c = grids[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    dc_unit(ci, by, bx)
+        return
+    # AC scan: single component by spec
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    if ah != 0:
+        raise NotImplementedError(
+            "progressive AC successive-approximation refinement (Ah>0)"
+        )
+    cs, _td, ta = scan[0]
+    ci = idx_by_id[cs]
+    act = huff.get(0x10 | ta)
+    if act is None:
+        raise ValueError("progressive AC scan missing huffman table")
+    _, _, bh_c, bw_c = grids[ci]
+    eobrun = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.symbol(act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("progressive AC index overflow")
+                coef[ci][by, bx, k] = _extend(br.bits(s), s) << al
+                k += 1
 
 
 def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:

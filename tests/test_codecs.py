@@ -565,16 +565,22 @@ def test_jpeg_constant_exact_and_grayscale():
 
 
 def test_jpeg_gates_name_the_feature():
-    """Progressive (SOF2), DRI, and truncation produce NAMED errors."""
+    """AC successive-approximation refinement, DRI, and truncation
+    produce NAMED errors; a baseline stream mislabeled SOF2 is a
+    structural error (its interleaved full-band scan is not a legal
+    progressive scan), not a crash."""
     import struct as st
 
-    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+    from ros_sql_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     good = bytearray(encode_jpeg(_smooth(16, 16)))
-    # rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
     i = bytes(good).find(b"\xff\xc0")
     prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg(bytes(prog))
     # inject a DRI segment right after SOI
     dri = good[:2] + b"\xff\xdd" + st.pack(">HH", 4, 8) + good[2:]
@@ -582,6 +588,14 @@ def test_jpeg_gates_name_the_feature():
         decode_jpeg(bytes(dri))
     with pytest.raises(ValueError, match="EOI"):
         decode_jpeg(bytes(good[:-2]))  # EOI chopped
+    # the one remaining progressive gate: patch a real progressive
+    # stream's FIRST AC scan header (Ss=1, Se=5, AhAl byte) to Ah=1
+    p = bytearray(encode_jpeg_progressive(_smooth(16, 16)))
+    j = bytes(p).find(bytes([1, 5, 0]), bytes(p).find(b"\xff\xda", 4))
+    assert j > 0
+    p[j + 2] = 0x10  # Ah=1 Al=0
+    with pytest.raises(NotImplementedError, match="refinement"):
+        decode_jpeg(bytes(p))
 
 
 def test_jpeg_through_mapinpandas_real_path(spark):
@@ -869,3 +883,50 @@ def test_png_subbyte_depth_still_gated():
                           palette=np.zeros((16, 3), np.uint8))
     with pytest.raises(NotImplementedError, match="bit depth 4"):
         decode_png(payload)
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Progressive (SOF2) and baseline streams of the SAME image share
+    quant tables, so their decodes must be BIT-IDENTICAL — across RGB /
+    grayscale, non-multiple-of-8 dims, and a smooth gradient whose
+    sparse AC bands drive real EOBRUN runs; the DC successive-
+    approximation script (two DC scans: high bits then the refinement
+    bit) must also land on the identical image."""
+    from ros_sql_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    cases = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+        rng.integers(0, 256, (13, 9, 3), dtype=np.uint8),
+        rng.integers(0, 256, (24, 17), dtype=np.uint8),
+        np.stack([np.tile(np.arange(32, dtype=np.uint8), (24, 1))] * 3,
+                 axis=2),  # gradient: sparse AC -> EOBRUN
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+    ]
+    for px in cases:
+        want = decode_jpeg(encode_jpeg(px))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px)), want
+        ), px.shape
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px, dc_successive=True)),
+            want,
+        ), px.shape
+
+
+def test_jpeg_progressive_through_decode_image(spark):
+    """decode_image magic-sniffs progressive JPEGs like any other
+    payload (same FFD8 magic, different frame marker)."""
+    from ros_sql_spark.operators.codecs import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _smooth(12, 15)
+    b = encode_jpeg_progressive(px)
+    assert np.array_equal(decode_image(b), decode_jpeg(b))
