@@ -993,7 +993,9 @@ _HUFF_AC_PROG = (
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, dc_successive: bool = False
+    pixels: np.ndarray,
+    dc_successive: bool = False,
+    ac_successive: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → PROGRESSIVE JPEG
     (SOF2) bytes: spectral selection with a DC-first scan script
@@ -1097,50 +1099,147 @@ def encode_jpeg_progressive(
         sos += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
         out += seg(0xDA, bytes(sos)) + bwr.buf
 
-    # AC scans: per component, bands (1-5) then (6-63), with EOBRUN
-    for ci in range(ncomp):
-        for ss, se in ((1, 5), (6, 63)):
-            bwr = _BitWriter()
+    # AC scans: per component.  Plain mode: bands (1-5) then (6-63) at
+    # Al=0.  ac_successive mode: one band (1-63) FIRST PASS at Al=1
+    # (point transform truncates toward zero, T.81 — NOT an arithmetic
+    # shift on negatives) followed by the Ah=1 refinement scan with
+    # buffered correction bits riding the EOB runs.
+    def ac_first(ci, ss, se, al):
+        bwr = _BitWriter()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            c, ln = ac_prog[r << 4]
+            bwr.write(c, ln)
+            if r:
+                bwr.write(eobrun - (1 << r), r)
             eobrun = 0
 
-            def flush():
-                nonlocal eobrun
-                if not eobrun:
-                    return
-                r = eobrun.bit_length() - 1
-                c, ln = ac_prog[r << 4]
-                bwr.write(c, ln)
-                if r:
-                    bwr.write(eobrun - (1 << r), r)
-                eobrun = 0
-
-            for bi in range(bh * bw_):
-                band = zzs[ci][bi, ss : se + 1]
-                nz = np.nonzero(band)[0]
-                if len(nz) == 0:
-                    eobrun += 1
-                    if eobrun == 32767:
-                        flush()
-                    continue
-                flush()
-                last = -1
-                for idx in nz:
-                    run = int(idx) - last - 1
-                    while run > 15:
-                        c, ln = ac_prog[0xF0]
-                        bwr.write(c, ln)
-                        run -= 16
-                    s, mb = _mag_bits(int(band[idx]))
-                    c, ln = ac_prog[(run << 4) | s]
-                    bwr.write(c, ln)
-                    bwr.write(mb, s)
-                    last = int(idx)
-                if last < se - ss:
-                    eobrun = 1  # this block's EOB, absorbs following
+        for bi in range(bh * bw_):
+            band = [
+                (1 if v > 0 else -1) * (abs(int(v)) >> al)
+                for v in zzs[ci][bi, ss : se + 1]
+            ]
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush()
+                continue
             flush()
-            bwr.flush()
-            sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, ss, se, 0])
-            out += seg(0xDA, sos) + bwr.buf
+            last = -1
+            for idx in nz:
+                run = idx - last - 1
+                while run > 15:
+                    c, ln = ac_prog[0xF0]
+                    bwr.write(c, ln)
+                    run -= 16
+                s, mb = _mag_bits(band[idx])
+                c, ln = ac_prog[(run << 4) | s]
+                bwr.write(c, ln)
+                bwr.write(mb, s)
+                last = idx
+            if last < se - ss:
+                eobrun = 1  # this block's EOB, absorbs following
+        flush()
+        bwr.flush()
+        return bwr.buf
+
+    def ac_refine(ci, ss, se, al):
+        """T.81 G refinement encode as a DECODER MIRROR: symbols and
+        correction bits are emitted in exactly the order the refinement
+        decode walk consumes them — newly-significant coefficients
+        (|v|>>al == 1) emit (zero-history-run<<4|1)+sign and then the
+        inline history bits of the positions walked over; ZRLs cover 16
+        zero-history positions each with their interleaved history
+        bits; a block's trailing band folds into an EOBn (count looked
+        ahead over following significant-free blocks) followed by the
+        terminating block's tail bits and each run block's full-band
+        bits, block-ordered."""
+        bwr = _BitWriter()
+        n_blocks = bh * bw_
+        bands = [
+            [int(v) for v in zzs[ci][bi, ss : se + 1]]
+            for bi in range(n_blocks)
+        ]
+        absv = [[abs(v) >> al for v in b] for b in bands]
+        hist_bit = lambda v: (abs(v) >> al) & 1  # noqa: E731
+
+        def emit_eobn(count):
+            r = count.bit_length() - 1
+            c, ln = ac_prog[r << 4]
+            bwr.write(c, ln)
+            if r:
+                bwr.write(count - (1 << r), r)
+
+        def emit_hist_range(bi, i0, i1):
+            for i in range(i0, i1 + 1):
+                if absv[bi][i] > 1:
+                    bwr.write(hist_bit(bands[bi][i]), 1)
+
+        bi = 0
+        while bi < n_blocks:
+            sig = [i for i, a in enumerate(absv[bi]) if a == 1]
+            i = 0  # walk position within the band
+            for sp in sig:
+                # zero-history run before this newly-significant coef
+                r = sum(1 for j in range(i, sp) if absv[bi][j] == 0)
+                while r > 15:
+                    c, ln = ac_prog[0xF0]
+                    bwr.write(c, ln)
+                    # the ZRL walk passes 16 zero-history positions,
+                    # emitting interleaved history bits
+                    passed = 0
+                    while passed < 16:
+                        if absv[bi][i] == 0:
+                            passed += 1
+                        else:
+                            bwr.write(hist_bit(bands[bi][i]), 1)
+                        i += 1
+                    r -= 16
+                c, ln = ac_prog[(r << 4) | 1]
+                bwr.write(c, ln)
+                bwr.write(1 if bands[bi][sp] > 0 else 0, 1)
+                emit_hist_range(bi, i, sp - 1)
+                i = sp + 1
+            if i <= se - ss:
+                # trailing band: EOBn over this block + following
+                # significant-free blocks
+                run = 1
+                while bi + run < n_blocks and not any(
+                    a == 1 for a in absv[bi + run]
+                ) and run < 32767:
+                    run += 1
+                emit_eobn(run)
+                emit_hist_range(bi, i, se - ss)
+                for j in range(bi + 1, bi + run):
+                    emit_hist_range(j, 0, se - ss)
+                bi += run
+                continue
+            bi += 1
+        bwr.flush()
+        return bwr.buf
+
+    for ci in range(ncomp):
+        if ac_successive:
+            sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, 1, 63,
+                         0x01])  # Ah=0 Al=1
+            out += seg(0xDA, sos) + ac_first(ci, 1, 63, 1)
+        else:
+            for ss, se in ((1, 5), (6, 63)):
+                sos = bytes(
+                    [1, ci + 1, (0 if ci == 0 else 1) << 4, ss, se, 0]
+                )
+                out += seg(0xDA, sos) + ac_first(ci, ss, se, 0)
+    if ac_successive:
+        for ci in range(ncomp):
+            sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, 1, 63,
+                         0x10])  # Ah=1 Al=0
+            out += seg(0xDA, sos) + ac_refine(ci, 1, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1327,12 +1426,13 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     point-transform shift (<< Al).  Supported: interleaved and
     single-component DC scans with FULL successive approximation
     (first pass + refinement bits), single-component AC first scans at
-    any Al with EOBRUN coding, sampling factors 1–2, tables redefined
-    between scans.  The one named gate left: AC successive-
-    approximation REFINEMENT scans (Ah>0, Ss>0) raise
-    NotImplementedError — every other progressive structure decodes.
-    Reconstruction (dequant → IDCT → upsample → color) happens once,
-    at EOI."""
+    any Al with EOBRUN coding, AND AC successive-approximation
+    REFINEMENT scans (T.81 G.1.2.3 — one more magnitude bit per
+    already-nonzero coefficient read inline during the band walk,
+    including for every block inside an EOB run; ±1<<Al for newly-
+    significant ones) — the full progressive feature set.  Sampling
+    factors 1–2, tables redefinable between scans.  Reconstruction
+    (dequant → IDCT → upsample → color) happens once, at EOI."""
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
@@ -1501,10 +1601,6 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
     # AC scan: single component by spec
     if len(scan) != 1:
         raise ValueError("progressive AC scan with multiple components")
-    if ah != 0:
-        raise NotImplementedError(
-            "progressive AC successive-approximation refinement (Ah>0)"
-        )
     cs, _td, ta = scan[0]
     ci = idx_by_id[cs]
     act = huff.get(0x10 | ta)
@@ -1512,26 +1608,80 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
         raise ValueError("progressive AC scan missing huffman table")
     _, _, bh_c, bw_c = grids[ci]
     eobrun = 0
+    if ah == 0:
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.symbol(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC index overflow")
+                    coef[ci][by, bx, k] = _extend(br.bits(s), s) << al
+                    k += 1
+        return
+    # AC successive-approximation REFINEMENT (T.81 G.1.2.3): one more
+    # magnitude bit per already-nonzero coefficient (read inline while
+    # walking the band — including for every block inside an EOB run)
+    # and ±1<<Al for newly-significant ones.
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_range(blk, k0, k1):
+        for kk in range(k0, k1 + 1):
+            c = blk[kk]
+            if c:
+                if br.bit() and (c & p1) == 0:
+                    blk[kk] += p1 if c > 0 else m1
+
     for by in range(bh_c):
         for bx in range(bw_c):
+            blk = coef[ci][by, bx]
             if eobrun:
+                refine_range(blk, ss, se)
                 eobrun -= 1
                 continue
             k = ss
             while k <= se:
                 rs = br.symbol(act)
                 r, s = rs >> 4, rs & 0xF
+                val = 0
                 if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("progressive AC index overflow")
-                coef[ci][by, bx, k] = _extend(br.bits(s), s) << al
+                    if r != 15:
+                        eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                        break
+                    # ZRL: pass 16 zero-HISTORY positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement coefficient size != 1"
+                        )
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    c = blk[k]
+                    if c:
+                        if br.bit() and (c & p1) == 0:
+                            blk[k] += p1 if c > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
                 k += 1
+            if k <= se:
+                # the block EOB terminated still refines its tail
+                refine_range(blk, k, se)
 
 
 def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:

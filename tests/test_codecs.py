@@ -571,11 +571,7 @@ def test_jpeg_gates_name_the_feature():
     progressive scan), not a crash."""
     import struct as st
 
-    from ros_sql_spark.operators.codecs import (
-        decode_jpeg,
-        encode_jpeg,
-        encode_jpeg_progressive,
-    )
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
 
     good = bytearray(encode_jpeg(_smooth(16, 16)))
     i = bytes(good).find(b"\xff\xc0")
@@ -588,14 +584,6 @@ def test_jpeg_gates_name_the_feature():
         decode_jpeg(bytes(dri))
     with pytest.raises(ValueError, match="EOI"):
         decode_jpeg(bytes(good[:-2]))  # EOI chopped
-    # the one remaining progressive gate: patch a real progressive
-    # stream's FIRST AC scan header (Ss=1, Se=5, AhAl byte) to Ah=1
-    p = bytearray(encode_jpeg_progressive(_smooth(16, 16)))
-    j = bytes(p).find(bytes([1, 5, 0]), bytes(p).find(b"\xff\xda", 4))
-    assert j > 0
-    p[j + 2] = 0x10  # Ah=1 Al=0
-    with pytest.raises(NotImplementedError, match="refinement"):
-        decode_jpeg(bytes(p))
 
 
 def test_jpeg_through_mapinpandas_real_path(spark):
@@ -914,6 +902,18 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         ), px.shape
         assert np.array_equal(
             decode_jpeg(encode_jpeg_progressive(px, dc_successive=True)),
+            want,
+        ), px.shape
+        # FULL successive approximation: DC split into high-bits +
+        # refinement AND the AC band delivered as an Al=1 first pass
+        # plus the Ah=1 correction-bit scan (EOB runs with interleaved
+        # history bits on the gradient case)
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(
+                    px, dc_successive=True, ac_successive=True
+                )
+            ),
             want,
         ), px.shape
 
