@@ -996,6 +996,7 @@ def encode_jpeg_progressive(
     pixels: np.ndarray,
     dc_successive: bool = False,
     ac_successive: bool = False,
+    sa_levels: int = 1,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → PROGRESSIVE JPEG
     (SOF2) bytes: spectral selection with a DC-first scan script
@@ -1227,8 +1228,8 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         if ac_successive:
             sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, 1, 63,
-                         0x01])  # Ah=0 Al=1
-            out += seg(0xDA, sos) + ac_first(ci, 1, 63, 1)
+                         sa_levels])  # Ah=0 Al=sa_levels
+            out += seg(0xDA, sos) + ac_first(ci, 1, 63, sa_levels)
         else:
             for ss, se in ((1, 5), (6, 63)):
                 sos = bytes(
@@ -1236,10 +1237,13 @@ def encode_jpeg_progressive(
                 )
                 out += seg(0xDA, sos) + ac_first(ci, ss, se, 0)
     if ac_successive:
-        for ci in range(ncomp):
-            sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, 1, 63,
-                         0x10])  # Ah=1 Al=0
-            out += seg(0xDA, sos) + ac_refine(ci, 1, 63, 0)
+        # refinement CHAIN, one bit plane per scan (the libjpeg-style
+        # script shape): Ah=l+1, Al=l for l = sa_levels-1 .. 0
+        for lvl in range(sa_levels - 1, -1, -1):
+            for ci in range(ncomp):
+                sos = bytes([1, ci + 1, (0 if ci == 0 else 1) << 4, 1, 63,
+                             ((lvl + 1) << 4) | lvl])
+                out += seg(0xDA, sos) + ac_refine(ci, 1, 63, lvl)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -916,6 +916,17 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
             ),
             want,
         ), px.shape
+        # MULTI-LEVEL successive approximation (the libjpeg script
+        # shape): Al=3 first pass + a refinement scan per bit plane
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(
+                    px, dc_successive=True, ac_successive=True,
+                    sa_levels=3,
+                )
+            ),
+            want,
+        ), px.shape
 
 
 def test_jpeg_progressive_through_decode_image(spark):
