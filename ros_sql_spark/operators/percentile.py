@@ -24,9 +24,10 @@ EXACT answer at scale — the classic rank-based two-phase selection:
    straddled order statistics).
 
 NULL handling matches ``percentile()``: NULL values are ignored.  (A
-group whose values are ALL null disappears from the output instead of
-yielding a NULL percentile — callers with nullable value columns and a
-need for such groups should outer-join the group list back.)
+group whose values are ALL null disappears from the output by default
+instead of yielding a NULL percentile — ``keep_null_groups=True``
+outer-joins the group list back for drop-in ``percentile()``
+row-semantics.)
 """
 
 from __future__ import annotations
@@ -43,13 +44,21 @@ def exact_percentiles(
     keys: list[str],
     col: str,
     ps: dict[str, float],
+    keep_null_groups: bool = False,
 ) -> DataFrame:
     """One row per group: ``keys`` + one DOUBLE column per ``ps`` entry
     (name -> fraction in [0, 1]), each the exact linearly-interpolated
     percentile of ``col`` — same result as
     ``F.expr(f"percentile({col}, p)")`` (asserted in tests) with
     rank-selection instead of a value-buffering aggregate.
-    """
+
+    By default a group whose values are ALL null disappears (the
+    NULL-filter happens before grouping).  ``keep_null_groups=True``
+    restores ``percentile()``'s drop-in semantics — such groups come
+    back with NULL percentiles, via one extra left join from the
+    distinct group list (a second scan of ``df``'s group columns;
+    callers that don't need the rows shouldn't pay it — round-7
+    ADVICE)."""
     for name, p in ps.items():
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"{name}: percentile {p} outside [0, 1]")
@@ -115,9 +124,13 @@ def exact_percentiles(
             .alias(name)
         )
 
-    return (
+    out = (
         ranked.select(*keys, *sel_cols)
         .groupBy(*keys)
         .agg(*agg_exprs)
         .select(*out_exprs)
     )
+    if keep_null_groups:
+        groups = df.select(*keys).distinct()
+        out = groups.join(out, on=list(keys), how="left")
+    return out

@@ -83,3 +83,100 @@ def test_bpe_train_stops_below_min_pair_count(spark):
     )
     # every adjacency is unique (count 1) -> no merge at default min 2
     assert bpe_train(docs, num_merges=5) == []
+
+
+def test_bpe_train_driver_path_is_one_job(spark):
+    """PRODUCTION-VOCAB shape (round-7 directive): with the histogram
+    inside the driver budget, training must be exactly ONE collect
+    (the limit(n+1) histogram fetch) regardless of num_merges — the
+    per-merge Spark-job loop is hours of coordination at 32k merges."""
+    from unittest import mock
+
+    # sf0.001's vocabulary exhausts at ~90 merges; a deep-vocab corpus
+    # needs more distinct words (1200 five-char words -> thousands of
+    # mergeable adjacencies)
+    words = [f"w{i:04d}" for i in range(1200)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    DataFrame = type(docs)
+    collects = []
+    real_collect = DataFrame.collect
+
+    def spy(self, *a, **kw):
+        collects.append(1)
+        return real_collect(self, *a, **kw)
+
+    with mock.patch.object(DataFrame, "collect", spy):
+        merges = bpe_train(docs, num_merges=1500, min_pair_count=1)
+    assert len(collects) == 1, f"{len(collects)} collects (want 1)"
+    # deep vocab actually trained
+    assert len(merges) >= 1000
+    # and it is the reference schedule by construction — spot-check
+    wc = [(w, 1) for w in words]
+    assert merges[:50] == bpe_train_reference(wc, 50, 1)
+
+
+def test_bpe_fallback_batches_disjoint_merges(spark):
+    """Distributed fallback (budget=None): symbol-disjoint dominant
+    pairs must merge in ONE round — fewer collect rounds than merges —
+    and still equal the sequential reference bit-for-bit."""
+    from unittest import mock
+
+    # three disjoint-alphabet words with distinct counts: round 1's
+    # candidates (a,b)x100 (c,d)x90 (e,f)x80 are provably independent
+    rows = [(0, "ab " * 100 + "cd " * 90 + "ef " * 80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    DataFrame = type(docs)
+    collects = []
+    real_collect = DataFrame.collect
+
+    def spy(self, *a, **kw):
+        collects.append(1)
+        return real_collect(self, *a, **kw)
+
+    with mock.patch.object(DataFrame, "collect", spy):
+        got = bpe_train(
+            docs, num_merges=3, min_pair_count=1,
+            driver_histogram_budget=None,
+        )
+    want = bpe_train_reference([("ab", 100), ("cd", 90), ("ef", 80)], 3, 1)
+    assert got == want == [("a", "b"), ("c", "d"), ("e", "f")]
+    # one pair-count round for all three merges (not three)
+    assert len(collects) == 1, f"{len(collects)} rounds (want 1)"
+
+
+def test_bpe_fallback_batched_equals_reference_property(spark):
+    """Hypothesis sweep: the batched distributed loop must equal the
+    sequential reference on arbitrary small corpora — the acceptance
+    rule's safety proof, tested (interacting pairs, ties, created-pair
+    dominance all arise in random word soups)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        words=st.lists(
+            st.tuples(
+                st.text(alphabet="abcd", min_size=1, max_size=6),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1, max_size=8, unique_by=lambda t: t[0],
+        ),
+        k=st.integers(min_value=2, max_value=8),
+    )
+    def check(words, k):
+        text = " ".join(w for w, n in words for _ in range(n))
+        docs = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string"
+        )
+        got = bpe_train(
+            docs, num_merges=10, min_pair_count=1,
+            driver_histogram_budget=None, batch_candidates=k,
+        )
+        assert got == bpe_train_reference(sorted(words), 10, 1)
+
+    check()

@@ -544,6 +544,30 @@ def test_exact_percentiles_identical_to_builtin(spark):
     with pytest.raises(ValueError, match="outside"):
         exact_percentiles(edge, ["g"], "v", {"bad": 1.5})
 
+    # keep_null_groups=True restores percentile()'s row semantics: an
+    # all-NULL group ("z") comes back with NULL percentiles instead of
+    # disappearing (round-7 ADVICE drop-in hazard)
+    edge2 = edge.union(
+        spark.createDataFrame([("z", None)], "g string, v double")
+    )
+    kept = {
+        r.g: (r.q25, r.q75)
+        for r in exact_percentiles(
+            edge2, ["g"], "v", {"q25": 0.25, "q75": 0.75},
+            keep_null_groups=True,
+        ).collect()
+    }
+    want2 = {
+        r.g: (r.q25, r.q75)
+        for r in edge2.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.75)").alias("q75"),
+        )
+        .collect()
+    }
+    assert kept == want2 and kept["z"] == (None, None)
+
 
 def test_quantile_sketch_properties(spark):
     """Quantile-sketch invariants: ≤ k rows per group; EXACT estimates
