@@ -1425,6 +1425,67 @@ ORACLES: dict[str, str] = {
                            ('src3', 4)) AS f(source, epochs)
                 ON d.source = f.source)
     """,
+    # TPC-H Q3 shape: deterministic top-10 (revenue desc, date,
+    # orderkey) — the full tiebreak makes the LIMIT boundary exact
+    "qx13_shipping_priority": """
+        SELECT l.l_orderkey,
+               o.o_orderdate,
+               o.o_orderpriority,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP '1998-07-01'
+          AND l.l_shipdate > TIMESTAMP '1998-07-01'
+          AND o.o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    # TPC-H Q5 shape: customer AND supplier in the same ASIA nation
+    "qx14_local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    # TPC-H Q10 shape: top-20 by returned revenue (custkey tiebreak),
+    # dim columns joined after the cut — grouping by o_custkey alone is
+    # equivalent to the classic (c_custkey, c_name, ...) grouping since
+    # custkey determines the rest
+    "qx15_returned_items": """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, t.revenue
+        FROM (SELECT o.o_custkey,
+                     CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l.l_discount AS DECIMAL(18,2))))
+                         AS DOUBLE) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+                AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+              GROUP BY o.o_custkey
+              ORDER BY revenue DESC, o.o_custkey ASC
+              LIMIT 20) t
+        JOIN customer c ON c.c_custkey = t.o_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -2469,6 +2469,161 @@ def qx12_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (round-7 directive: deep multi-join trees): the
+    unshipped-orders revenue top-10 over customer⋈orders⋈lineitem with
+    selective segment + date filters.
+
+    100 TB plan shape (pinned in tests/test_plans.py):
+    - the segment-filtered customer KEY SET joins orders as a broadcast
+      LEFT SEMI (no customer payload is needed — semi ships only
+      c_custkey and never widens the fact rows);
+    - both date filters reach the parquet scans (PushedFilters);
+    - lineitem⋈orders is the ONE shuffle join on the fact spine;
+    - revenue sums in DECIMAL before the double output boundary;
+    - top-10 via TakeOrdered (orderBy+limit — never a global sort),
+      with l_orderkey as the deterministic tiebreak.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def qx14_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star — revenue by nation where customer
+    and supplier share the nation, region- and year-filtered.
+
+    100 TB plan shape: region⋈nation collapses to a broadcast key set
+    BEFORE touching facts; customer and supplier pick up (nationkey,
+    n_name) through that broadcast; the date-filtered orders join the
+    region-filtered customers via broadcast (the selective region cut —
+    1/5 of customers — is what makes the dim broadcastable; at larger
+    fractions AQE falls back to shuffle, the hint states intent);
+    lineitem⋈orders is the ONE fact-spine shuffle; the supplier probe
+    is a broadcast with the Q5 twist (c_nationkey == s_nationkey) as a
+    join-level predicate, never a post-join filter over a wider
+    cartesian fan."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation.select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def qx15_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter, with customer⋈nation detail columns.
+
+    100 TB plan shape — aggregate EARLY, join dims LATE: the fact spine
+    (returnflag-filtered lineitem ⋈ quarter-filtered orders, the one
+    shuffle join) pre-aggregates revenue per o_custkey (map-side
+    partial combine shrinks the shuffle), takes the top 20 THERE
+    (TakeOrdered over ≤|active customers| rows), and only then probes
+    the customer⋈nation dims — a 20-row broadcast against the dim scan
+    instead of widening every fact row with four customer columns
+    before the aggregation.  custkey breaks revenue ties
+    deterministically."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    top = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")
+                        .select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return cust.join(
+        F.broadcast(top), F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2587,4 +2742,7 @@ QUERIES = {
     "qx10_components_incremental": qx10_components_incremental,
     "qx11_shard_assignment": qx11_shard_assignment,
     "qx12_epoch_mixture": qx12_epoch_mixture,
+    "qx13_shipping_priority": qx13_shipping_priority,
+    "qx14_local_supplier_volume": qx14_local_supplier_volume,
+    "qx15_returned_items": qx15_returned_items,
 }

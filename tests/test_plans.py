@@ -502,3 +502,46 @@ def test_qx11_qx12_plan_shapes(spark):
     assert "BroadcastHashJoin" in p12
     assert "CartesianProduct" not in p12
     assert "SortMergeJoin" not in p12
+
+
+def test_qx13_qx14_qx15_star_join_shapes(spark):
+    """Multi-join trees (round-7 directive): with the size-based
+    broadcast heuristic OFF, every dimension join must STILL be a
+    BroadcastHashJoin (the explicit hints, not small-file luck) and the
+    fact spine lineitem⋈orders must be the ONLY SortMergeJoin.  Date /
+    segment / returnflag filters reach the parquet scans."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p13 = plan_of(spark, "qx13_shipping_priority")
+        p14 = plan_of(spark, "qx14_local_supplier_volume")
+        p15 = plan_of(spark, "qx15_returned_items")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # qx13: semi-broadcast of the segment-filtered customer key set,
+    # one SMJ (the fact spine), top-k never a global sort
+    assert p13.count("SortMergeJoin") == 1, p13
+    assert "BroadcastHashJoin" in p13 and "LeftSemi" in p13
+    assert "TakeOrderedAndProject" in p13
+    assert "LessThan(o_orderdate" in p13  # pushed to orders scan
+    assert "GreaterThan(l_shipdate" in p13  # pushed to lineitem scan
+
+    # qx14: 6-table star — region/nation/customer/supplier all
+    # broadcast, exactly one SMJ on lineitem⋈orders.  The nation⋈region
+    # subtree plans twice (customer and supplier branches; the
+    # broadcast EXCHANGE is shared at runtime via ReusedExchange), so
+    # 6 BHJ nodes: 2×(nation⋈region) + customer + supplier + the
+    # orders⋈customer and lineitem-side supplier probes.
+    assert p14.count("SortMergeJoin") == 1, p14
+    assert p14.count("BroadcastHashJoin") == 6, p14
+    assert "EqualTo(r_name,ASIA)" in p14  # pushed to region scan
+    assert "GreaterThanOrEqual(o_orderdate" in p14
+
+    # qx15: aggregate-early — partial agg under the one SMJ, the
+    # top-20 cut via TakeOrdered, dims probed by broadcast afterwards
+    assert p15.count("SortMergeJoin") == 1, p15
+    assert "TakeOrderedAndProject" in p15
+    assert p15.count("BroadcastHashJoin") >= 2, p15
+    assert "EqualTo(l_returnflag,R)" in p15  # pushed to lineitem scan
+    assert "partial_sum" in p15  # map-side combine before the shuffle
