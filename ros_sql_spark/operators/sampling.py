@@ -29,7 +29,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["uniform_from_id", "weighted_sample", "token_budget_mix"]
+__all__ = [
+    "uniform_from_id",
+    "weighted_sample",
+    "token_budget_mix",
+    "shard_assignment",
+]
 
 
 def uniform_from_id(id_col: Column | str, salt: str = "") -> Column:
@@ -127,3 +132,44 @@ def token_budget_mix(
         .filter(F.col("_cum") - F.col("_n_tok") < F.col("_budget"))
     )
     return out.drop("_budget")
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> DataFrame:
+    """(id, shard, pos) — every row gets a dataloader address: shard =
+    md5-bucket of the id (content-free and corpus-growth-stable: a
+    doc's shard never changes as other docs are added), pos = rank of
+    the md5 digest WITHIN the shard (a deterministic pseudo-shuffle,
+    so readers streaming one shard see hash-order, not ingest-order —
+    the "global shuffle" training wants without sorting globally).
+
+    ``num_shards`` CHOICE RULE (round-7 verdict: the former hard-coded
+    16 capped sort parallelism forever): pick a POWER OF TWO sized so
+    one shard's rows fit a few executor partitions — each shard is an
+    independent spillable window sort of corpus/num_shards rows, so
+    num_shards IS the sort parallelism.  Power-of-two matters for
+    growth: doubling num_shards splits every shard into exactly two
+    (b mod 2N ∈ {b, b+N} for b = old bucket — shard_2N mod N ==
+    shard_N, asserted in tests), so resharding moves no row BETWEEN
+    old shards; each old shard's files split locally and pos order
+    within a split is preserved (both halves stay in digest order).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+        % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(id_col, h.alias("h"), shard.alias("shard"))
+        .select(
+            id_col,
+            "shard",
+            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+        )
+    )

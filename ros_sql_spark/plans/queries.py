@@ -2405,31 +2405,16 @@ def qx10_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def qx11_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-dataset SHARDING: every doc gets a (shard, position)
-    address for the dataloader — shard = md5-bucket of the id (the q22
-    content-free determinism: a doc's shard never changes as the corpus
-    grows), position = rank of the full md5 digest WITHIN the shard (a
-    deterministic pseudo-shuffle, so readers streaming a shard see
-    hash-order, not ingest-order — the "global shuffle" training wants
-    without ever sorting globally).  Every window is partitioned by
-    shard — 16 independent sorts of corpus/16 rows each, spillable,
-    no single-partition stage anywhere."""
-    from pyspark.sql.window import Window
+    """Training-dataset SHARDING (operators/sampling.py::
+    shard_assignment — num_shards now a parameter with a documented
+    power-of-two growth rule): every doc gets a (shard, position)
+    address for the dataloader.  Every window is partitioned by shard
+    — num_shards independent spillable sorts, no single-partition
+    stage anywhere."""
+    from ros_sql_spark.operators.sampling import shard_assignment
 
     docs = _t(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    shard = (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 16
-    )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    return (
-        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
-        .select(
-            "doc_id",
-            "shard",
-            (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
-        )
-    )
+    return shard_assignment(docs, id_col="doc_id", num_shards=16)
 
 
 def qx12_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
