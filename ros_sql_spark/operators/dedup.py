@@ -44,6 +44,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "connected_components_incremental",
+    "connected_components_incremental_delta",
     "ngram_jaccard_pairs",
     "setsim_join",
     "setsim_index",
@@ -815,6 +816,33 @@ def connected_components_incremental(
     tests, including chains that fuse base components THROUGH fresh
     nodes).  ``new_nodes``: optional extra node universe for the
     increment (isolated fresh docs keep their own id)."""
+    lbl, fresh, sub = _components_contraction(
+        new_edges, base_labels, id_col, src_col, dst_col,
+        component_col, new_nodes, max_iter,
+    )
+    all_lbl = lbl.unionByName(fresh)
+    return all_lbl.join(
+        sub, all_lbl._bc == sub._rep, "left"
+    ).select(
+        F.col("_bid").alias(id_col),
+        F.coalesce("_newc", "_bc").alias(component_col),
+    )
+
+
+def _components_contraction(
+    new_edges: DataFrame,
+    base_labels: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    component_col: str,
+    new_nodes: DataFrame | None,
+    max_iter: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the incremental variants: (base labels as
+    (_bid, _bc), fresh self-labeled nodes in the same shape, and the
+    contracted-graph relabeling ``sub`` = (_rep, _newc) — which current
+    representatives move to which new min-label)."""
     e = new_edges.select(
         F.col(src_col).cast("bigint").alias("a"),
         F.col(dst_col).cast("bigint").alias("b"),
@@ -849,13 +877,46 @@ def connected_components_incremental(
         .join(lbl, F.col("_nid") == lbl._bid, "left_anti")
         .select(F.col("_nid").alias("_bid"), F.col("_nid").alias("_bc"))
     )
-    all_lbl = lbl.unionByName(fresh)
-    return all_lbl.join(
-        sub, all_lbl._bc == sub._rep, "left"
-    ).select(
+    return lbl, fresh, sub
+
+
+def connected_components_incremental_delta(
+    new_edges: DataFrame,
+    base_labels: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    component_col: str = "component",
+    new_nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """The CHANGED-ROWS form of :func:`connected_components_incremental`
+    — only (id, component) rows that are NEW (fresh increment nodes) or
+    whose component MOVED (base rows whose representative merged into a
+    smaller label).  ``base ∪ delta`` (keyed upsert on ``id``) equals
+    the full-map variant, asserted in tests.
+
+    This is the label-MAINTENANCE shape a continuously-ingesting corpus
+    commits: the full map is corpus-sized and rewriting it per batch is
+    an O(corpus) write, while the delta is sized by the increment plus
+    the members of the base components it touched — exactly what a
+    keyed snapshot merge (sources/snapshot.py::snapshot_merge, file-
+    pruned by key bounds) rewrites.  streaming/dedup.py maintains the
+    dedup-cluster labels table with this per micro-batch."""
+    lbl, fresh, sub = _components_contraction(
+        new_edges, base_labels, id_col, src_col, dst_col,
+        component_col, new_nodes, max_iter,
+    )
+    moved = sub.filter(F.col("_newc") != F.col("_rep"))
+    changed_base = lbl.join(moved, lbl._bc == moved._rep).select(
+        F.col("_bid").alias(id_col),
+        F.col("_newc").alias(component_col),
+    )
+    fresh_out = fresh.join(sub, fresh._bc == sub._rep, "left").select(
         F.col("_bid").alias(id_col),
         F.coalesce("_newc", "_bc").alias(component_col),
     )
+    return fresh_out.unionByName(changed_base)
 
 
 def ngram_jaccard_pairs(

@@ -27,6 +27,20 @@ never wrong answers); a periodic full re-index (setsim_index over the
 corpus, committed as a fresh generation) restores it, the blue/green
 discipline of operators/ann_store.
 
+CONTINUOUSLY-CURRENT CLUSTER LABELS (round-8): a fifth snapshot table
+``labels`` maps EVERY doc ever ingested — kept and dropped — to its
+duplicate-cluster component (min reachable id over the union of all
+pairs every batch discovered).  Maintained incrementally by
+contraction (operators/dedup.py::connected_components_incremental_
+delta): per batch only the fresh nodes plus the base rows whose
+representative moved are computed, and they land as a KEYED MERGE
+(file-pruned upsert), so both compute and write are increment-sized —
+never the corpus.  Because the index covers survivors only, the edge
+set is the pairs the ingest POLICY observed (new×kept ∪ new×new at
+each batch), and the labels equal a one-shot connected_components
+over exactly that union — asserted against an independent union-find
+in tests.
+
 Exactly-once: every table commit carries the ``batch:<id>`` watermark.
 A replayed batch skips tables whose ``last_batch`` already covers it,
 and recomputes against each table's PRE-batch state via snapshot TIME
@@ -45,6 +59,7 @@ from ros_sql_spark.sources.snapshot import (
     _list_versions,
     _read_manifest,
     snapshot_commit,
+    snapshot_merge,
     snapshot_read,
 )
 
@@ -52,6 +67,7 @@ __all__ = [
     "setsim_ingest_batch",
     "setsim_ingest_stream",
     "setsim_corpus_read",
+    "setsim_labels_read",
     "setsim_reindex",
 ]
 
@@ -59,6 +75,7 @@ _T_DOCS = "docs"
 _T_SETS = "sets"
 _T_PREFIX = "prefix"
 _T_FREQ = "freq"
+_T_LABELS = "labels"
 
 
 def _pre_state(
@@ -100,18 +117,22 @@ def setsim_ingest_batch(
     k: int = 5,
 ) -> dict:
     """Ingest one micro-batch into the deduplicated corpus at
-    ``store`` (four snapshot tables: docs, sets, prefix, freq).
+    ``store`` (five snapshot tables: docs, sets, prefix, freq, labels).
     Returns {"n_batch", "n_kept", "n_dropped"}.  Idempotent under
     redelivery; single writer per store, like every sink."""
     from ros_sql_spark.operators.dedup import (
         _prefix_table,
         _shingle_sets,
         connected_components,
+        connected_components_incremental_delta,
         setsim_join_incremental,
     )
 
     spark = batch_df.sparkSession
-    t = {n: f"{store}/{n}" for n in (_T_DOCS, _T_SETS, _T_PREFIX, _T_FREQ)}
+    t = {
+        n: f"{store}/{n}"
+        for n in (_T_DOCS, _T_SETS, _T_PREFIX, _T_FREQ, _T_LABELS)
+    }
     pre = {n: _pre_state(spark, t[n], batch_id) for n in t}
     batch = batch_df.select(
         F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
@@ -171,6 +192,22 @@ def setsim_ingest_batch(
         dropped_ids.select(F.col("cid").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint(eager=False)
 
+    # cluster-label maintenance: contraction over the PRE-batch label
+    # map — the delta is fresh batch nodes plus base rows whose
+    # representative merged, increment-sized compute AND write (the
+    # keyed merge below rewrites only the files those keys land in).
+    base_labels = (
+        pre[_T_LABELS][0]
+        if pre[_T_LABELS][0] is not None
+        else empty(f"{id_col} bigint, component bigint")
+    )
+    label_delta = connected_components_incremental_delta(
+        pairs,
+        base_labels,
+        id_col=id_col,
+        new_nodes=batch.select(id_col),
+    )
+
     # index increments, all under the FROZEN rank used by this probe.
     # s_sets and ranked are pinned: the four commits below are separate
     # ACTIONS (ReusedExchange only dedups within one), so without the
@@ -202,19 +239,26 @@ def setsim_ingest_batch(
     )
 
     committed = []
-    appends = [
-        (_T_SETS, s_sets),
-        (_T_PREFIX, s_prefix),
-        (_T_FREQ, freq_new),
-        # docs LAST: its watermark marks the batch observable
-        (_T_DOCS, survivors),
+    commits = [
+        ("append", _T_SETS, s_sets),
+        ("append", _T_PREFIX, s_prefix),
+        ("append", _T_FREQ, freq_new),
+        # labels UPSERT (moved components rewrite in place); docs still
+        # LAST: its watermark marks the batch observable
+        ("merge", _T_LABELS, label_delta),
+        ("append", _T_DOCS, survivors),
     ]
-    for name, df in appends:
+    for kind, name, df in commits:
         if pre[name][1]:
             continue  # this table already has the batch (crashed attempt)
-        snapshot_commit(
-            df, t[name], mode="append", tag=f"batch:{batch_id}"
-        )
+        if kind == "merge":
+            snapshot_merge(
+                df, t[name], keys=[id_col], tag=f"batch:{batch_id}"
+            )
+        else:
+            snapshot_commit(
+                df, t[name], mode="append", tag=f"batch:{batch_id}"
+            )
         committed.append(name)
     n_batch = batch.count()
     n_kept = survivors.count()
@@ -260,6 +304,15 @@ def setsim_corpus_read(spark: SparkSession, store: str) -> DataFrame:
     return snapshot_read(spark, f"{store}/{_T_DOCS}")
 
 
+def setsim_labels_read(spark: SparkSession, store: str) -> DataFrame:
+    """The duplicate-cluster map as of now: (id, component) for EVERY
+    doc ever ingested — kept and dropped — with component = min id of
+    its duplicate cluster.  A dropped doc's published canonical is its
+    component's surviving min member; kept docs are each their
+    cluster's representative."""
+    return snapshot_read(spark, f"{store}/{_T_LABELS}")
+
+
 def setsim_reindex(
     spark: SparkSession,
     store: str,
@@ -294,7 +347,7 @@ def setsim_reindex(
         return _read_manifest(spark, tbl, vs[-1]).get("last_batch")
 
     docs_lb = _lb(_T_DOCS)
-    for name in (_T_SETS, _T_PREFIX, _T_FREQ):
+    for name in (_T_SETS, _T_PREFIX, _T_FREQ, _T_LABELS):
         ilb = _lb(name)
         if ilb != docs_lb:
             raise RuntimeError(

@@ -717,6 +717,60 @@ def test_components_incremental_equals_full_recompute(spark):
     assert got0 == {(r.id, r.component) for r in base.collect()}
 
 
+def test_components_incremental_delta_composes_to_full_map(spark):
+    """The changed-rows form: base ∪ delta (upsert on id) must equal
+    the full-map variant on the same increment, the delta must contain
+    ONLY fresh ids and base ids whose component moved, and an empty
+    increment with no new nodes yields an empty delta."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        connected_components_incremental_delta,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 30, 31, 40)], "id long"
+    )
+    base = connected_components(base_edges, nodes=base_nodes)
+    base_map = {r.id: r.component for r in base.collect()}
+
+    inc_edges = spark.createDataFrame(
+        [(3, 10), (21, 50), (50, 51), (51, 30), (60, 61)],
+        "id_a long, id_b long",
+    )
+    new_nodes = spark.createDataFrame([(70,)], "id long")
+    full = {
+        r.id: r.component
+        for r in connected_components_incremental(
+            inc_edges, base, new_nodes=new_nodes
+        ).collect()
+    }
+    delta = {
+        r.id: r.component
+        for r in connected_components_incremental_delta(
+            inc_edges, base, new_nodes=new_nodes
+        ).collect()
+    }
+    upserted = dict(base_map)
+    upserted.update(delta)
+    assert upserted == full
+    # delta rows are exactly: fresh ids, or moved base ids
+    for i, c in delta.items():
+        assert i not in base_map or base_map[i] != c, (i, c)
+    # every fresh id present; every unmoved base id absent
+    assert {50, 51, 60, 61, 70} <= set(delta)
+    assert 40 not in delta and 1 not in delta
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert (
+        connected_components_incremental_delta(empty, base).count() == 0
+    )
+
+
 def test_components_incremental_on_corpus_pairs(spark):
     """End-to-end with a real pair generator: base components from the
     corpus's base slice, increment pairs from setsim_join_incremental —

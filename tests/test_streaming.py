@@ -660,7 +660,7 @@ def test_setsim_ingest_crash_recovery_time_travel(spark, tmp_path):
     thr = 0.3
 
     r0 = setsim_ingest_batch(b0, 0, store, threshold=thr)
-    assert set(r0["committed"]) == {"docs", "sets", "prefix", "freq"}
+    assert set(r0["committed"]) == {"docs", "sets", "prefix", "freq", "labels"}
 
     # run batch 1 fully on a SHADOW store to learn the expected result,
     # then simulate the crash on the real store: index tables committed
@@ -773,3 +773,160 @@ def test_setsim_reindex_preserves_semantics(spark, tmp_path):
     kept = setsim_corpus_read(spark, store)
     assert setsim_join(kept, threshold=thr, k=5).count() == 0
     assert kept.count() > 0
+
+
+def test_setsim_labels_equal_union_find_recompute(spark, tmp_path):
+    """Drained-stream cluster labels must equal a one-shot recompute
+    over the union of all pairs the ingest observed — checked against
+    an INDEPENDENT Python union-find, with the per-batch edge set
+    derived from first principles (exact threshold pairs within
+    kept-before ∪ batch touching the batch), not from the probe's
+    internals.  Every ingested doc — kept and dropped — gets exactly
+    one label; a dropped doc's component contains its published
+    canonical."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.dedup import setsim_join
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.dedup import (
+        setsim_corpus_read,
+        setsim_ingest_batch,
+        setsim_labels_read,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+    bounds = [(0, 60), (60, 120), (120, 200)]
+
+    all_ids: set[int] = set()
+    edges: list[tuple[int, int]] = []
+    for i, (lo, hi) in enumerate(bounds):
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        batch_ids = {r.doc_id for r in b.select("doc_id").collect()}
+        # ground truth discovered pairs BEFORE mutating the store: the
+        # exact threshold pairs among kept-before ∪ batch that touch
+        # the batch (kept×kept pairs cannot exist by the invariant)
+        if all_ids:
+            union_df = setsim_corpus_read(spark, store).unionByName(b)
+        else:
+            union_df = b
+        for r in setsim_join(union_df, threshold=thr, k=5).collect():
+            if r.id_a in batch_ids or r.id_b in batch_ids:
+                edges.append((r.id_a, r.id_b))
+        setsim_ingest_batch(b, i, store, threshold=thr)
+        all_ids |= batch_ids
+
+    # independent union-find, min-id representative
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b2 in edges:
+        ra, rb = find(a), find(b2)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for i in all_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {(i, comp_min[find(i)]) for i in all_ids}
+
+    got = {
+        (r.doc_id, r.component)
+        for r in setsim_labels_read(spark, store).collect()
+    }
+    assert got == expected
+    assert len(got) == len(all_ids)  # one label per ingested doc
+
+    # a dropped doc's cluster contains its published canonical
+    kept_ids = {
+        r.doc_id
+        for r in setsim_corpus_read(spark, store).select("doc_id").collect()
+    }
+    lbl_of = dict(got)
+    for d in all_ids - kept_ids:
+        cluster = {i for i in all_ids if lbl_of[i] == lbl_of[d]}
+        assert cluster & kept_ids, d
+
+
+def test_setsim_labels_crash_recovery_both_sides_of_merge(spark, tmp_path):
+    """Crash injection on BOTH sides of the labels commit: (a) dying on
+    the labels merge itself (index tables in, labels+docs out) and (b)
+    dying after the merge but before the docs commit (labels in, docs
+    out).  Replays must converge to the uncrashed shadow run's exact
+    label map, with the already-committed labels table skipped — never
+    double-merged — and a second replay a full no-op."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.dedup import (
+        setsim_ingest_batch,
+        setsim_labels_read,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+    b2 = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 200))
+    store = str(tmp_path / "corpus")
+    shadow = str(tmp_path / "shadow")
+    thr = 0.3
+
+    for s in (store, shadow):
+        setsim_ingest_batch(b0, 0, s, threshold=thr)
+
+    import ros_sql_spark.streaming.dedup as sd
+
+    real_merge, real_commit = sd.snapshot_merge, sd.snapshot_commit
+
+    def labels_of(s):
+        return {
+            (r.doc_id, r.component)
+            for r in setsim_labels_read(spark, s).collect()
+        }
+
+    # (a) die ON the labels merge of batch 1
+    def dying_merge(df, table, **kw):
+        if table.endswith("/labels") and kw.get("tag") == "batch:1":
+            raise RuntimeError("injected crash on labels merge")
+        return real_merge(df, table, **kw)
+
+    sd.snapshot_merge = dying_merge
+    try:
+        with pytest.raises(RuntimeError, match="labels merge"):
+            setsim_ingest_batch(b1, 1, store, threshold=thr)
+    finally:
+        sd.snapshot_merge = real_merge
+    setsim_ingest_batch(b1, 1, shadow, threshold=thr)
+    replay = setsim_ingest_batch(b1, 1, store, threshold=thr)
+    assert replay["committed"] == ["labels", "docs"]
+    assert labels_of(store) == labels_of(shadow)
+
+    # (b) die AFTER the labels merge of batch 2, before the docs commit
+    def dying_commit(df, table, **kw):
+        if table.endswith("/docs") and kw.get("tag") == "batch:2":
+            raise RuntimeError("injected crash before docs commit")
+        return real_commit(df, table, **kw)
+
+    sd.snapshot_commit = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="docs commit"):
+            setsim_ingest_batch(b2, 2, store, threshold=thr)
+    finally:
+        sd.snapshot_commit = real_commit
+    setsim_ingest_batch(b2, 2, shadow, threshold=thr)
+    replay2 = setsim_ingest_batch(b2, 2, store, threshold=thr)
+    assert replay2["committed"] == ["docs"]  # labels skipped, not re-merged
+    assert labels_of(store) == labels_of(shadow)
+
+    # full redelivery is a no-op
+    again = setsim_ingest_batch(b2, 2, store, threshold=thr)
+    assert again["committed"] == []
+    assert labels_of(store) == labels_of(shadow)
