@@ -21,6 +21,17 @@ Codec reality in this container (no PIL/ffmpeg/torchaudio baked in):
   NotImplementedError per asset — the honest gate now covers only what
   genuinely cannot be decoded here (e.g. video without ffmpeg).
 
+SCOPE FREEZE (round-8, per the round-7 verdict): WebP, MP4/OGG
+containers, 12-bit / DRI / arithmetic-coded JPEG, and sub-byte PNG
+palettes are DECLARED OUT OF SCOPE for the native codecs.  Their
+named NotImplementedError gates in ``operators/codecs.py`` are the
+final behavior: real corpora are overwhelmingly covered by the
+formats already decoded natively (BMP, PPM, PNG incl. 16-bit+Adam7,
+JPEG baseline+progressive, GIF, WAV, Y4M), and further codec depth
+serves no driver-gated capability — engine budget goes to query
+surface instead.  Gate-don't-misdecode remains the contract: an
+unsupported payload raises a named error, never a wrong decode.
+
 Scale notes:
 - mapInPandas streams Arrow batches; nothing is collected to the driver.
 - ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory —

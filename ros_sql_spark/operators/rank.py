@@ -38,14 +38,27 @@ __all__ = ["global_row_number", "rank_stats"]
 
 
 def _local_numbered(
-    df: DataFrame, order_exprs: list[Column], num_partitions: int | None
+    df: DataFrame,
+    order_exprs: list[Column],
+    num_partitions: int | None,
+    checkpoint_child: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(local, offsets): range-partitioned rows with a per-partition
     row_number, and the ≤numPartitions-row table carrying each
     partition's global offset AND the grand total ``_n`` — both derived
     from ONE counts aggregation so consumers needing n (rank_stats)
-    don't pay a second scan-side pass."""
+    don't pay a second scan-side pass.
+
+    ``checkpoint_child``: repartitionByRange runs a range-boundary
+    SAMPLING job that re-executes its child plan (CLAUDE.md invariant).
+    When ``df``'s lineage is expensive (an aggregation, a join), a lazy
+    localCheckpoint pins it so the sampling pass reads materialized
+    rows instead of recomputing (q14 measured 1.04→0.87s median at
+    sf0.1).  Leave False for cheap scan-only children, where the
+    checkpoint write costs more than the re-scan it saves."""
     spark = df.sparkSession
+    if checkpoint_child:
+        df = df.localCheckpoint(eager=False)
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = df.repartitionByRange(p, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
@@ -74,6 +87,7 @@ def global_row_number(
     order_exprs: list[Column],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    checkpoint_child: bool = False,
 ) -> DataFrame:
     """Add an exact global ``row_number`` over ``order_exprs`` without a
     single-partition sort.  ``order_exprs`` should be a total order
@@ -81,7 +95,9 @@ def global_row_number(
     otherwise land in either partition and make numbering of equals
     nondeterministic (numbering of DISTINCT keys is always exact).
     """
-    local, offsets = _local_numbered(df, order_exprs, num_partitions)
+    local, offsets = _local_numbered(
+        df, order_exprs, num_partitions, checkpoint_child
+    )
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(rn_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
@@ -93,6 +109,7 @@ def rank_stats(
     df: DataFrame,
     order_exprs: list[Column],
     num_partitions: int | None = None,
+    checkpoint_child: bool = False,
 ) -> DataFrame:
     """Add ``rn`` (= rank = dense_rank under a unique ordering key),
     ``pr`` (percent_rank) and ``cd`` (cume_dist) columns, all derived
@@ -103,7 +120,9 @@ def rank_stats(
     what makes rank == dense_rank == row_number and lets percent_rank /
     cume_dist reduce to (rn-1)/(n-1) and rn/n.
     """
-    local, offsets = _local_numbered(df, order_exprs, num_partitions)
+    local, offsets = _local_numbered(
+        df, order_exprs, num_partitions, checkpoint_child
+    )
     return (
         # ONE broadcast join attaches both the offset and the total —
         # round 2 joined a separate count() branch whose plan re-ran

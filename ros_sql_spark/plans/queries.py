@@ -817,7 +817,13 @@ def q14_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice")).alias("total")
     )
-    ranked = rank_stats(spend, [F.desc("total"), F.asc("o_custkey")])
+    # checkpoint_child: the range-boundary sampling job would otherwise
+    # re-run the spend aggregation (measured 1.04→0.87s median, sf0.1)
+    ranked = rank_stats(
+        spend,
+        [F.desc("total"), F.asc("o_custkey")],
+        checkpoint_child=True,
+    )
     return ranked.select(
         F.col("o_custkey").alias("c_custkey"),
         r6(F.col("pr")).alias("pr"),
