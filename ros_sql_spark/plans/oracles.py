@@ -1486,6 +1486,97 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON c.c_custkey = t.o_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
     """,
+    # TPC-H Q7 shape: cross-nation-pair shipping volume per year
+    "qx16_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l.l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+          AND n2.n_name IN ('NATION_3', 'NATION_7')
+          AND n1.n_name <> n2.n_name
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    # TPC-H Q17 shape: the qty < 0.2·avg threshold recast integer-exact
+    # as qty·5·count < sum (quantities are integral doubles, so both
+    # engines compare identical exact values — see queries.py)
+    "qx17_small_quantity_revenue": """
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem l
+        JOIN (SELECT l_partkey,
+                     sum(l_quantity) AS sq,
+                     CAST(count(*) AS DOUBLE) AS cn
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_brand = 'Brand#12')
+              GROUP BY l_partkey) a
+          ON l.l_partkey = a.l_partkey
+         AND l.l_quantity * 5.0 * a.cn < a.sq
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = 'Brand#12')
+    """,
+    # TPC-H Q21 shape (returnflag variant): only supplier returning on a
+    # finalized multi-supplier order
+    "qx18_lone_returned_supplier": """
+        SELECT s.s_name,
+               count(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        WHERE l1.l_returnflag = 'R'
+          AND n.n_name = 'NATION_5'
+          AND o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 10
+    """,
+    # TPC-H Q8 shape: NATION_1's share of AMERICA's PROMO revenue per year
+    "qx19_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               round(
+                 CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                    * (CAST(1 AS DECIMAL(18,2))
+                                       - CAST(l.l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'PROMO')
+          AND r.r_name = 'AMERICA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY year(o.o_orderdate)
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -2615,6 +2615,281 @@ def qx15_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
 
 
+def qx16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a NATION PAIR per year —
+    the multi-join tree with TWO DIFFERENT shuffle keys on the fact
+    spine (orderkey then custkey), which qx13–qx15 don't exercise.
+
+    100 TB plan shape: supplier and customer are each cut to the two
+    nations FIRST (broadcast nation probe — the earliest possible
+    semi-reduction of both fact joins); lineitem⋈supplier is a
+    broadcast (supplier is the small dim even unfiltered); the spine
+    then shuffles twice — lineitem⋈orders on orderkey, result⋈customer
+    on custkey (customer cut to 2/25 nations is still data-sized at
+    100 TB, so it is NOT broadcastable and the shuffle states intent);
+    the cross-nation pair predicate lands at the LAST join where both
+    nation columns exist, keeping it a join condition rather than a
+    post-join filter.  Year extraction before aggregation; decimal
+    revenue discipline; deterministic output order is the group key."""
+    pair = ("NATION_3", "NATION_7")
+    nations = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    disc_price = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("supp_nation") != F.col("cust_nation")),
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def qx17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue loss from small-quantity orders of one
+    brand's parts — the CORRELATED PER-KEY AVERAGE pattern (each
+    lineitem compares against the mean quantity of ITS part).
+
+    100 TB plan shape: the brand cut broadcasts onto lineitem FIRST
+    (both the average and the probe see only brand parts — the
+    selective dim filter semi-reduces the fact before any shuffle);
+    the per-part averages come from one hash aggregation keyed by
+    l_partkey, and the probe joins back on that SAME key — the
+    aggregate side arrives already hash-partitioned by l_partkey, so
+    only the probe side shuffles (exchange reuse on the agg branch).
+    The threshold comparison is a join-level predicate; one global sum
+    follows (single scalar — partial-aggregated, no data funnel)."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+    )
+    # threshold qty < 0.2·avg(qty) recast integer-exact as
+    # qty·5·count < sum: quantities are integral, so sum and count are
+    # exact in double on BOTH engines regardless of partition/summation
+    # order — no float-boundary row can flip between Spark and the
+    # oracle (avg() would divide first and reintroduce one ulp of
+    # engine-dependent rounding at the comparison).
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_sq"),
+        F.count(F.lit(1)).cast("double").alias("_cn"),
+    )
+    return (
+        li.join(
+            avg_qty.select(F.col("l_partkey").alias("_pk"), "_sq", "_cn"),
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("l_quantity") * F.lit(5.0) * F.col("_cn")
+               < F.col("_sq")),
+        )
+        .agg(
+            r6(
+                F.sum(money("l_extendedprice")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def qx18_lone_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier returning
+    items on a finalized multi-supplier order — the DOUBLE FACT
+    SELF-JOIN pattern (one semi, one anti, both against the same fact
+    on the same key with an inequality side-condition), which no other
+    query in the suite exercises.
+
+    100 TB plan shape: the candidate side is cut first (returnflag +
+    one-nation supplier broadcast + status-filtered orders semi-join);
+    both self-joins hash on l_orderkey — the SEMI (another supplier
+    exists on the order) ships only (orderkey, suppkey) pairs and the
+    ANTI (no OTHER supplier returned) ships only the R-filtered subset;
+    at 100 TB all three legs co-partition on orderkey so AQE plans
+    them as consecutive shuffle joins with no re-partition between.
+    No distinct before the semi (semi already has at-most-once match
+    semantics — CLAUDE.md).  Top-10 by count with name tiebreak via
+    TakeOrdered."""
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select("n_nationkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"),
+              "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok3"),
+                F.col("l_suppkey").alias("_sk3"))
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def qx19_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue for one
+    part type, per year — the deepest join tree in the suite (seven
+    table instances: lineitem, part, supplier, nation×2, orders,
+    customer, region) ending in a RATIO OF CONDITIONAL SUMS.
+
+    100 TB plan shape, most-selective-first: the part-type cut
+    broadcasts onto lineitem before anything else (the largest
+    single reducer); supplier⋈nation broadcasts supp_nation in; the
+    spine shuffles lineitem⋈orders on orderkey, then ⋈customer on
+    custkey with the customer side SEMI-reduced to the region first
+    (region⋈nation keys broadcast onto customer — at 100 TB a 1/5
+    region cut of customer stays data-sized, so the custkey join
+    shuffles and the semi-reduction is what keeps it lean); the
+    share is two conditional sums in one aggregation pass (never two
+    scans), decimal inside, round(…,6) at the double boundary."""
+    part_cut = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    region_keys = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region")
+                .filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(region_keys),
+              F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount")
+        .join(F.broadcast(part_cut),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - money("l_discount")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("_vol"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_1", F.col("_vol")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            r6(
+                F.sum(target).cast("double")
+                / F.sum(F.col("_vol")).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -2736,4 +3011,8 @@ QUERIES = {
     "qx13_shipping_priority": qx13_shipping_priority,
     "qx14_local_supplier_volume": qx14_local_supplier_volume,
     "qx15_returned_items": qx15_returned_items,
+    "qx16_volume_shipping": qx16_volume_shipping,
+    "qx17_small_quantity_revenue": qx17_small_quantity_revenue,
+    "qx18_lone_returned_supplier": qx18_lone_returned_supplier,
+    "qx19_market_share": qx19_market_share,
 }

@@ -545,3 +545,61 @@ def test_qx13_qx14_qx15_star_join_shapes(spark):
     assert p15.count("BroadcastHashJoin") >= 2, p15
     assert "EqualTo(l_returnflag,R)" in p15  # pushed to lineitem scan
     assert "partial_sum" in p15  # map-side combine before the shuffle
+
+
+def test_qx16_qx17_qx18_qx19_deep_join_shapes(spark):
+    """Round-8 deep-join additions, size-based broadcast heuristic OFF
+    (the hints, not small-file luck, must carry the shapes):
+    qx16 = two DIFFERENT shuffle keys on the fact spine; qx17 =
+    aggregate-vs-probe join co-keyed on l_partkey; qx18 = double fact
+    self-join (semi + anti) co-partitioned on l_orderkey; qx19 =
+    seven-instance tree with semi-reductions, two spine shuffles."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p16 = plan_of(spark, "qx16_volume_shipping")
+        p17 = plan_of(spark, "qx17_small_quantity_revenue")
+        p18 = plan_of(spark, "qx18_lone_returned_supplier")
+        p19 = plan_of(spark, "qx19_market_share")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # qx16: exactly two SMJ (orderkey then custkey — customer cut to
+    # 2/25 nations is still data-sized at 100 TB, deliberately NOT
+    # broadcast); supplier/nation legs broadcast; the nation-pair
+    # inequality rides the custkey JOIN, never a post-join filter
+    assert p16.count("SortMergeJoin") == 2, p16
+    assert p16.count("BroadcastHashJoin") == 3, p16
+    assert re.search(r"SortMergeJoin \[o_custkey#\d+L?\].*NOT \(supp_nation", p16), p16
+    assert "GreaterThanOrEqual(l_shipdate" in p16  # pushed to scan
+
+    # qx17: brand cut broadcast-SEMI onto BOTH lineitem legs before any
+    # shuffle; one SMJ keyed l_partkey carrying the exact integer
+    # threshold as a join condition
+    assert p17.count("SortMergeJoin") == 1, p17
+    assert p17.count("LeftSemi") == 2, p17
+    assert "EqualTo(p_brand,Brand#12)" in p17  # pushed to part scan
+    assert re.search(r"SortMergeJoin \[l_partkey#\d+L?\]", p17), p17
+
+    # qx18: three orderkey-keyed shuffle joins (status semi, other-
+    # supplier semi, other-returner anti) — co-partitioned fact legs;
+    # supplier/nation broadcast; top-10 via TakeOrdered, and no
+    # distinct feeding the semi (at-most-once match semantics)
+    assert p18.count("SortMergeJoin") == 3, p18
+    assert p18.count("LeftSemi") == 2 and p18.count("LeftAnti") == 1, p18
+    assert "TakeOrderedAndProject" in p18
+    assert "EqualTo(o_orderstatus,F)" in p18  # pushed to orders scan
+    assert "EqualTo(l_returnflag,R)" in p18  # pushed to lineitem scans
+    assert "HashAggregate" not in p18.split("SortMergeJoin")[-1], (
+        "distinct sneaked under the semi-join build side:\n" + p18
+    )
+
+    # qx19: exactly two spine shuffles (orderkey inner, custkey SEMI —
+    # the region cut of customer stays data-sized at 100 TB); part cut
+    # and supplier/nation/region legs all broadcast; one aggregation
+    # pass computes both conditional sums (no double scan)
+    assert p19.count("SortMergeJoin") == 2, p19
+    assert p19.count("BroadcastHashJoin") == 5, p19
+    assert "EqualTo(p_type,PROMO)" in p19
+    assert "EqualTo(r_name,AMERICA)" in p19
+    assert p19.count("partial_sum") >= 1, p19
