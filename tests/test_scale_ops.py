@@ -873,6 +873,63 @@ def test_incremental_components_property(spark, edges, split):
 )
 @given(
     edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=20,
+    ),
+    split=st.integers(0, 20),
+)
+def test_incremental_components_delta_property(spark, edges, split):
+    """Property form for the changed-rows variant: on ANY random edge
+    split, base ∪ delta (upsert) == full recompute, and the delta
+    carries ONLY fresh ids or base ids whose component moved — the
+    increment-sized-write guarantee streaming label maintenance rests
+    on."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental_delta,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    base_e, inc_e = edges[:split], edges[split:]
+    nodes = sorted({n for e in edges for n in e} | {99})
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    base_nodes = sorted({n for e in base_e for n in e} | {99})
+
+    def df_of(es):
+        return spark.createDataFrame(es or [], "id_a long, id_b long")
+
+    base = connected_components(
+        df_of(base_e),
+        nodes=spark.createDataFrame([(n,) for n in base_nodes], "id long"),
+    )
+    base_map = {r.id: r.component for r in base.collect()}
+    delta = {
+        r.id: r.component
+        for r in connected_components_incremental_delta(
+            df_of(inc_e), base, new_nodes=nodes_df
+        ).collect()
+    }
+    want = {
+        r.id: r.component
+        for r in connected_components(
+            df_of(edges), nodes=nodes_df
+        ).collect()
+    }
+    upserted = dict(base_map)
+    upserted.update(delta)
+    assert upserted == want
+    for i, c in delta.items():
+        assert i not in base_map or base_map[i] != c, (i, c)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)),
         min_size=0,
         max_size=18,

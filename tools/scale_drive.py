@@ -374,6 +374,42 @@ def main() -> int:
         checks["ingest_no_exact_dup_survives"] = dup_digests == 0
         checks["ingest_corpus_matches_ledger"] = kept_df.count() == kept
 
+        # 8b. streaming cluster labels at 20x (round-8): the labels
+        # table covers EVERY ingested doc exactly once, kept docs
+        # carry their own component's label set, and every dropped
+        # doc's component contains at least one published doc (the
+        # canonical it deduped against) — all as distributed joins,
+        # nothing collected.
+        from ros_sql_spark.streaming.dedup import setsim_labels_read
+
+        def _label_checks():
+            lbl = setsim_labels_read(spark, store)
+            n_lbl = lbl.count()
+            n_distinct = lbl.select("doc_id").distinct().count()
+            kept_ids = kept_df.select("doc_id")
+            # components containing >=1 kept doc
+            kept_comps = (
+                lbl.join(kept_ids, "doc_id", "left_semi")
+                .select("component")
+                .distinct()
+            )
+            orphan_dropped = (
+                lbl.join(kept_ids, "doc_id", "left_anti")
+                .join(kept_comps, "component", "left_anti")
+                .count()
+            )
+            return n_lbl, n_distinct, orphan_dropped
+
+        n_lbl, n_distinct, orphan_dropped = timed(
+            "setsim_labels_20x", _label_checks
+        )
+        checks["labels_cover_all_ingested_once"] = (
+            n_lbl == n_docs and n_distinct == n_docs
+        )
+        checks["labels_dropped_have_published_canonical"] = (
+            orphan_dropped == 0
+        )
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
