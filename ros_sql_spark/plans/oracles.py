@@ -1577,6 +1577,40 @@ ORACLES: dict[str, str] = {
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY year(o.o_orderdate)
     """,
+    # TPC-H Q18 shape: HAVING-threshold orders re-joined to detail
+    "qx20_large_volume_orders": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               o.o_orderdate, o.o_totalprice, t.sum_qty
+        FROM (SELECT l_orderkey,
+                     CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 300.0) t
+        JOIN orders o ON t.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    # TPC-H Q22 shape: acctbal > global positive-balance average recast
+    # multiplication-exact (bal·n > total in DECIMAL — no division at
+    # the comparison on either engine), no orders since 2000
+    "qx21_inactive_high_balance": """
+        SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+               count(*) AS numcust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer c,
+             (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+                     count(*) AS n
+              FROM customer
+              WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                    > CAST(0 AS DECIMAL(18,2))) t
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * t.n > t.total
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_nationkey
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -2890,6 +2890,82 @@ def qx19_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx20_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, re-joined to their own fact detail — the
+    AGGREGATE-THEN-REJOIN-SAME-KEY pattern.
+
+    100 TB plan shape: the HAVING aggregation keys by l_orderkey and
+    its survivors join orders on that SAME key — the aggregate side
+    arrives already hash-partitioned (exchange reuse: no second
+    shuffle of the agg output), and orders shuffles once; the customer
+    detail join shuffles on custkey (customer is data-sized — not
+    broadcastable); top-20 via TakeOrdered with orderkey tiebreak.
+    sum_qty is a sum of integral doubles (exact) surfaced as BIGINT on
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > F.lit(300.0))
+        .select("l_orderkey", F.col("_sq").cast("bigint").alias("sum_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            "o_orderdate", "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def qx21_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with NO recent orders,
+    rolled up by nation — the GLOBAL-SCALAR-THRESHOLD + ANTI-JOIN
+    pattern (each row compares against one corpus-wide aggregate, then
+    anti-joins the fact).
+
+    100 TB plan shape: the positive-balance average is ONE 1-row
+    aggregate broadcast onto customer (never a window, never a
+    collect); the comparison is recast multiplication-exact —
+    acctbal·n > total in DECIMAL — so no engine-dependent division
+    rounding can flip a boundary row; the no-recent-orders test is a
+    shuffle LEFT ANTI on custkey against the date-filtered order keys
+    (both sides data-sized at 100 TB; the date cut is pushed to the
+    orders scan).  Output keyed by nation, counts and decimal-summed
+    balances."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", money("c_acctbal").alias("_bal")
+    )
+    pos = cust.filter(F.col("_bal") > F.lit(0).cast("decimal(18,2)"))
+    thresh = pos.agg(
+        F.sum("_bal").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("_bal") * F.col("_n") > F.col("_total"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("_bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3015,4 +3091,6 @@ QUERIES = {
     "qx17_small_quantity_revenue": qx17_small_quantity_revenue,
     "qx18_lone_returned_supplier": qx18_lone_returned_supplier,
     "qx19_market_share": qx19_market_share,
+    "qx20_large_volume_orders": qx20_large_volume_orders,
+    "qx21_inactive_high_balance": qx21_inactive_high_balance,
 }

@@ -603,3 +603,39 @@ def test_qx16_qx17_qx18_qx19_deep_join_shapes(spark):
     assert "EqualTo(p_type,PROMO)" in p19
     assert "EqualTo(r_name,AMERICA)" in p19
     assert p19.count("partial_sum") >= 1, p19
+
+
+def test_qx20_qx21_shapes(spark):
+    """qx20: the HAVING aggregate's own hash shuffle IS the join
+    partitioning — no re-exchange between the agg and the orderkey
+    join (exchange reuse on the aggregate-then-rejoin-same-key
+    pattern); top-20 via TakeOrdered.  qx21: the global scalar is a
+    1-row broadcast (never a window / collect), the comparison stays
+    DECIMAL-exact, and the no-recent-orders test is a shuffle anti
+    with the date cut pushed to the orders scan."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p20 = plan_of(spark, "qx20_large_volume_orders")
+        p21 = plan_of(spark, "qx21_inactive_high_balance")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    assert p20.count("SortMergeJoin") == 2, p20
+    assert "TakeOrderedAndProject" in p20
+    assert "partial_sum" in p20  # map-side combine under the HAVING agg
+    # exchange reuse: exactly one l_orderkey exchange (the agg's own);
+    # the join consumes the agg partitioning directly
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", p20)) == 1, p20
+    # the agg branch feeds the join through Sort only — no exchange
+    # between Filter(_sq) and the SMJ
+    seg = p20.split("SortMergeJoin")[2]  # left leg of the inner SMJ
+    assert "Exchange hashpartitioning(l_orderkey" in seg, p20
+
+    assert p21.count("SortMergeJoin") == 1 and "LeftAnti" in p21, p21
+    assert "BroadcastNestedLoopJoin" in p21  # the 1-row scalar probe
+    assert "Window" not in p21
+    assert "GreaterThanOrEqual(o_orderdate" in p21  # pushed date cut
+    # decimal-exact threshold: the multiplication comparison survives
+    # into the physical plan (no double division anywhere)
+    assert re.search(r"_bal#\d+ \* cast\(_n#\d+L as decimal", p21), p21
