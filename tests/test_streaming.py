@@ -625,9 +625,23 @@ def test_setsim_ingest_stream_invariants_and_redelivery(spark, tmp_path):
     for d in sorted(all_ids - kept_ids):
         assert any(jac(d, kk) >= thr for kk in kept_ids), d
 
+    # invariant 3 (round-8): the labels table, maintained through the
+    # REAL stream, covers every ingested doc exactly once and maps
+    # every dropped doc to a component containing a published doc
+    from ros_sql_spark.streaming.dedup import setsim_labels_read
+
+    lbl = {
+        r.doc_id: r.component
+        for r in setsim_labels_read(spark, store).collect()
+    }
+    assert set(lbl) == all_ids
+    kept_comps = {lbl[k] for k in kept_ids}
+    for d in all_ids - kept_ids:
+        assert lbl[d] in kept_comps, d
+
     versions = {
         n: snapshot_versions(spark, f"{store}/{n}")[-1]
-        for n in ("docs", "sets", "prefix", "freq")
+        for n in ("docs", "sets", "prefix", "freq", "labels")
     }
     run("ck2")  # full redelivery: fresh checkpoint, same store
     for n, v in versions.items():
@@ -773,6 +787,33 @@ def test_setsim_reindex_preserves_semantics(spark, tmp_path):
     kept = setsim_corpus_read(spark, store)
     assert setsim_join(kept, threshold=thr, k=5).count() == 0
     assert kept.count() > 0
+
+    # labels stay EXACT across the reindex (round-8): rank drift /
+    # refresh changes candidate COST only, never the exact pair set —
+    # so the labels on a store whose batch 2 probed the REBUILT index
+    # must equal a shadow run that never reindexed.
+    from ros_sql_spark.streaming.dedup import setsim_labels_read
+
+    shadow = str(tmp_path / "shadow")
+    setsim_ingest_batch(docs.filter(F.col("doc_id") < 80), 0, shadow,
+                        threshold=thr)
+    setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 160)),
+        1, shadow, threshold=thr,
+    )
+    setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 160) & (F.col("doc_id") < 240)),
+        2, shadow, threshold=thr,
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in setsim_labels_read(spark, store).collect()
+    }
+    want = {
+        (r.doc_id, r.component)
+        for r in setsim_labels_read(spark, shadow).collect()
+    }
+    assert got == want and got
 
 
 def test_setsim_labels_equal_union_find_recompute(spark, tmp_path):
