@@ -861,6 +861,7 @@ def snapshot_merge(
     stats_prune: bool = True,
     tag: str | None = None,
     evolve_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
     INSERT, whole-row form): the new snapshot is (previous rows whose
@@ -880,11 +881,22 @@ def snapshot_merge(
     merge file-pruning, done at the manifest tier.  Files with no
     recorded stats for the key always rewrite (safe default);
     secondary-key stats can only shrink the candidate set further.
+
+    ``stats_cols``: record per-file min/max for these columns on the
+    commits this merge makes — REQUIRED on the bootstrap commit of a
+    merge-maintained table, or no later merge can prune (the table
+    never acquires key bounds and every upsert rewrites every file;
+    round-8 found the streaming labels table in exactly that state).
+    Pass ``stats_cols=keys`` for a table whose only DML is this merge;
+    once recorded, later commits inherit the setting (snapshot_commit's
+    stats_cols defaulting), so passing it on every call is idempotent.
     """
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if not versions:
-        return snapshot_commit(df, table, mode="overwrite", tag=tag)
+        return snapshot_commit(
+            df, table, mode="overwrite", tag=tag, stats_cols=stats_cols
+        )
     latest = versions[-1]
     manifest = _read_manifest(spark, table, latest)
     from pyspark.sql.types import StructType
@@ -912,6 +924,7 @@ def snapshot_merge(
         tag=tag,
         carry_files=carried or None,
         evolve_schema=evolve_schema,
+        stats_cols=stats_cols,
     )
 
 

@@ -252,8 +252,17 @@ def setsim_ingest_batch(
         if pre[name][1]:
             continue  # this table already has the batch (crashed attempt)
         if kind == "merge":
+            # stats_cols=keys is load-bearing: without recorded id
+            # bounds every later merge rewrites EVERY labels file
+            # (O(corpus) writes per batch); with them, fresh monotonic
+            # ids land beyond all stored ranges (pure append) and only
+            # files holding MOVED labels rewrite.
             snapshot_merge(
-                df, t[name], keys=[id_col], tag=f"batch:{batch_id}"
+                df,
+                t[name],
+                keys=[id_col],
+                tag=f"batch:{batch_id}",
+                stats_cols=[id_col],
             )
         else:
             snapshot_commit(

@@ -971,3 +971,45 @@ def test_setsim_labels_crash_recovery_both_sides_of_merge(spark, tmp_path):
     again = setsim_ingest_batch(b2, 2, store, threshold=thr)
     assert again["committed"] == []
     assert labels_of(store) == labels_of(shadow)
+
+
+def test_setsim_labels_merge_prunes_with_key_stats(spark, tmp_path):
+    """The labels keyed merge must be increment-sized in WRITES, not
+    just compute: the bootstrap commit records doc_id bounds
+    (stats_cols — without them every later merge rewrites every file),
+    so a batch of fresh monotonic ids with no moved labels carries
+    every previous labels file BY REFERENCE."""
+    from ros_sql_spark.sources.snapshot import (
+        _list_versions,
+        _read_manifest,
+    )
+    from ros_sql_spark.streaming.dedup import (
+        setsim_ingest_batch,
+        setsim_labels_read,
+    )
+
+    def batch(lo, hi):
+        rows = [
+            (i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} "
+                f"eta{i} theta{i}")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "corpus")
+    setsim_ingest_batch(batch(0, 10), 0, store, threshold=0.3)
+    t = f"{store}/labels"
+    m1 = _read_manifest(spark, t, _list_versions(spark, t)[-1])
+    assert m1.get("stats_cols") == ["doc_id"], m1
+    assert all("doc_id" in m1["stats"][f] for f in m1["files"])
+
+    setsim_ingest_batch(batch(10, 20), 1, store, threshold=0.3)
+    m2 = _read_manifest(spark, t, _list_versions(spark, t)[-1])
+    # all-unique texts → no moved labels; fresh ids 10..19 sit beyond
+    # the stored [0,9] bounds → batch 0's files carried by reference
+    assert set(m1["files"]) <= set(m2["files"]), (m1["files"], m2["files"])
+    got = {
+        (r.doc_id, r.component)
+        for r in setsim_labels_read(spark, store).collect()
+    }
+    assert got == {(i, i) for i in range(20)}
