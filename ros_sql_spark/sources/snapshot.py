@@ -1214,12 +1214,23 @@ def snapshot_restore(spark: SparkSession, table: str, version: int) -> int:
 
 
 def snapshot_merge_batch(
-    df: DataFrame, table: str, keys: list[str], batch_id: int
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    batch_id: int,
+    stats_cols: list[str] | None = None,
 ) -> bool:
     """Idempotent per-micro-batch MERGE: upsert ``df`` by ``keys``
     unless the table's batch watermark already covers ``batch_id``
     (same last_batch bookkeeping as :func:`snapshot_append_batch`).
-    Returns whether a commit happened."""
+    Returns whether a commit happened.
+
+    A table BOOTSTRAPPED by this sink records per-file stats on
+    ``keys`` by default — without key bounds every later merge
+    rewrites every file (the round-8 labels finding), which would
+    silently void the pruning this sink's affordability rests on.
+    Only the bootstrap defaults: an existing table's own stats_cols
+    are never narrowed."""
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if versions:
@@ -1227,7 +1238,11 @@ def snapshot_merge_batch(
         committed = m.get("last_batch")
         if committed is not None and committed >= batch_id:
             return False
-    snapshot_merge(df, table, keys, tag=f"batch:{batch_id}")
+    elif stats_cols is None:
+        stats_cols = list(keys)
+    snapshot_merge(
+        df, table, keys, tag=f"batch:{batch_id}", stats_cols=stats_cols
+    )
     return True
 
 

@@ -610,6 +610,7 @@ def test_merge_stream_maintains_latest_state_exactly_once(spark, tmp_path):
     the latest row per key; a full redelivery from a fresh checkpoint
     changes nothing (batch watermark skips every replayed merge)."""
     from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
         snapshot_merge_stream,
         snapshot_versions,
     )
@@ -645,6 +646,11 @@ def test_merge_stream_maintains_latest_state_exactly_once(spark, tmp_path):
     assert not q2.isActive
     assert snapshot_versions(spark, t)[-1] == v_head
     assert snapshot_read(spark, t).count() == 50
+
+    # a table BOOTSTRAPPED by the merge sink records key bounds
+    # (round-8: without them every later merge rewrites every file)
+    m = _read_manifest(spark, t, v_head)
+    assert m.get("stats_cols") == ["id"], m
 
 
 def test_history_and_restore_metadata_only(spark, tmp_path):
