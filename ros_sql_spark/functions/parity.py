@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 import pyspark.sql.functions as F
 
-__all__ = ["money", "r6", "tus", "DECIMAL_MONEY"]
+__all__ = ["money", "r6", "tus", "disc_price", "DECIMAL_MONEY"]
 
 DECIMAL_MONEY = "decimal(18,2)"
 
@@ -28,6 +28,22 @@ def money(col: Column | str) -> Column:
     """Exact money representation: DECIMAL(18,2) cast before any sum."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DECIMAL_MONEY)
+
+
+def disc_price(
+    price: Column | str = "l_extendedprice",
+    discount: Column | str = "l_discount",
+) -> Column:
+    """TPC-H discounted price, entirely in DECIMAL arithmetic: cast
+    each operand FIRST, then multiply — exact on both engines, so the
+    distributed sum matches DuckDB digit-for-digit (casting the double
+    PRODUCT instead rounds differently per engine).  One definition
+    for every revenue query; the oracle SQL mirrors the same
+    per-operand CAST pattern and must stay in lockstep with this
+    expression."""
+    return money(price) * (
+        F.lit(1).cast(DECIMAL_MONEY) - money(discount)
+    )
 
 
 def r6(col: Column | str) -> Column:

@@ -131,6 +131,13 @@ def bpe_train(
     hist = _word_histogram(docs, text_col, max_words)
 
     if driver_histogram_budget is not None:
+        # Pin the histogram BEFORE probing: the probe's action
+        # materializes the checkpoint, so the too-large fallback reuses
+        # it instead of re-running the corpus-wide pass a second time
+        # for `cur`'s eager checkpoint (round-8 review finding).  The
+        # fits-the-budget path pays only the histogram's own (vocab-
+        # bounded) persistence on top of the pass it runs anyway.
+        hist = hist.localCheckpoint(eager=False)
         # one job: limit(n+1) both sizes and fetches — if the result
         # fits the budget we already hold the WHOLE histogram and the
         # sequential trainer finishes with zero further Spark work.
@@ -141,6 +148,9 @@ def bpe_train(
                 num_merges,
                 min_pair_count,
             )
+        # budget+1 Row objects (hundreds of MB at production budgets)
+        # must not stay live through the whole training loop below
+        del head
 
     # Distributed fallback.  chars: split("ab", "") -> [a, b].  Each
     # round is ONE job: the symbol update is a LAZY localCheckpoint —

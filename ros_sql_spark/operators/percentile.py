@@ -131,6 +131,18 @@ def exact_percentiles(
         .select(*out_exprs)
     )
     if keep_null_groups:
+        # eqNullSafe, NOT on=keys: a NULL group KEY is a real group
+        # (groupBy treats NULL as a grouping value) and a null-unsafe
+        # restore join would drop its computed percentiles — the row
+        # would come back (NULL, NULL) even when its values aggregated
+        # fine (round-8 review finding).
         groups = df.select(*keys).distinct()
-        out = groups.join(out, on=list(keys), how="left")
+        cond = None
+        for k in keys:
+            c = groups[k].eqNullSafe(out[k])
+            cond = c if cond is None else (cond & c)
+        out = groups.join(out, cond, "left").select(
+            *[groups[k] for k in keys],
+            *[out[c] for c in out.columns if c not in keys],
+        )
     return out

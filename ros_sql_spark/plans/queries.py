@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from ros_sql_spark.functions.parity import money, r6, tus
+from ros_sql_spark.functions.parity import disc_price, money, r6, tus
 from ros_sql_spark.sources.io import load_table
 
 __all__ = ["QUERIES"]
@@ -187,13 +187,7 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the flagship. Filter pushed to scan; DECIMAL(18,2)
     casts *before* sum make the distributed aggregation exact."""
     li = _t(spark, sf_dir, "lineitem")
-    # disc price is computed entirely in decimal arithmetic (cast each
-    # operand FIRST, then multiply): exact on both engines, so the
-    # distributed sum matches DuckDB digit-for-digit. Casting the double
-    # *product* instead would round differently per engine.
-    disc_price = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    _dp = disc_price()  # decimal-exact; see functions/parity.py
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -202,7 +196,7 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (driver-canonicalization parity — see q07)
             F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(_dp).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -2466,11 +2460,15 @@ def qx13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective segment + date filters.
 
     100 TB plan shape (pinned in tests/test_plans.py):
-    - the segment-filtered customer KEY SET joins orders as a broadcast
-      LEFT SEMI (no customer payload is needed — semi ships only
-      c_custkey and never widens the fact rows);
+    - the segment-filtered customer KEY SET joins orders as a LEFT
+      SEMI (no customer payload is needed — semi ships only c_custkey
+      and never widens the fact rows).  UNHINTED deliberately: a 1/5
+      keyset is bench-small but grows with the corpus (data-sized at
+      100 TB), so the size heuristic decides — broadcast while it
+      fits, shuffle semi beyond (round-8 review: an explicit hint is
+      honored at ANY size and AQE never demotes it);
     - both date filters reach the parquet scans (PushedFilters);
-    - lineitem⋈orders is the ONE shuffle join on the fact spine;
+    - lineitem⋈orders is the ONE fact-fact shuffle join;
     - revenue sums in DECIMAL before the double output boundary;
     - top-10 via TakeOrdered (orderBy+limit — never a global sort),
       with l_orderkey as the deterministic tiebreak.
@@ -2484,21 +2482,18 @@ def qx13_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
-              "left_semi")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
     )
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    disc_price = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    _dp = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.sum(_dp).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -2511,13 +2506,15 @@ def qx14_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan shape: region⋈nation collapses to a broadcast key set
     BEFORE touching facts; customer and supplier pick up (nationkey,
     n_name) through that broadcast; the date-filtered orders join the
-    region-filtered customers via broadcast (the selective region cut —
-    1/5 of customers — is what makes the dim broadcastable; at larger
-    fractions AQE falls back to shuffle, the hint states intent);
-    lineitem⋈orders is the ONE fact-spine shuffle; the supplier probe
-    is a broadcast with the Q5 twist (c_nationkey == s_nationkey) as a
-    join-level predicate, never a post-join filter over a wider
-    cartesian fan."""
+    region-cut customers via SHUFFLE on custkey — a 1/5-of-customers
+    slice is still data-sized at 100 TB, so broadcasting it would ship
+    terabytes to every executor (round-8 review: the original hint
+    did exactly that; explicit broadcasts are honored regardless of
+    size and AQE never demotes them — qx16/qx19 already refused the
+    same trap); lineitem⋈orders is the second fact-spine shuffle; the
+    supplier probe is a broadcast with the Q5 twist (c_nationkey ==
+    s_nationkey) as a join-level predicate, never a post-join filter
+    over a wider cartesian fan."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = (
         _t(spark, sf_dir, "nation")
@@ -2544,15 +2541,13 @@ def qx14_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey", "n_name")
     )
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    disc_price = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    _dp = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
@@ -2561,7 +2556,7 @@ def qx14_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.sum(_dp).cast("double").alias("revenue"))
     )
 
 
@@ -2591,13 +2586,11 @@ def qx15_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    disc_price = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    _dp = disc_price()
     top = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.sum(_dp).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_custkey"))
         .limit(20)
     )
@@ -2660,9 +2653,7 @@ def qx16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    disc_price = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    _dp = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
@@ -2675,7 +2666,7 @@ def qx16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(F.sum(_dp).cast("double").alias("revenue"))
     )
 
 
@@ -2864,9 +2855,7 @@ def qx19_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    vol = money("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - money("l_discount")
-    )
+    vol = disc_price()
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")

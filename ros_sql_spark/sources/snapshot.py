@@ -1225,12 +1225,16 @@ def snapshot_merge_batch(
     (same last_batch bookkeeping as :func:`snapshot_append_batch`).
     Returns whether a commit happened.
 
-    A table BOOTSTRAPPED by this sink records per-file stats on
-    ``keys`` by default — without key bounds every later merge
-    rewrites every file (the round-8 labels finding), which would
-    silently void the pruning this sink's affordability rests on.
-    Only the bootstrap defaults: an existing table's own stats_cols
-    are never narrowed."""
+    A merge-maintained table records per-file stats on ``keys`` by
+    default — without key bounds every later merge rewrites every file
+    (the round-8 labels finding), which would silently void the
+    pruning this sink's affordability rests on.  The default applies
+    when the table does not exist yet AND when an existing table has
+    no stats_cols at all (a pre-fix bootstrap heals progressively: its
+    old unbounded files still rewrite, but each rewrite and every new
+    file acquires bounds).  An existing table's own stats_cols are
+    never narrowed — the default never overrides a non-empty
+    setting."""
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if versions:
@@ -1238,6 +1242,8 @@ def snapshot_merge_batch(
         committed = m.get("last_batch")
         if committed is not None and committed >= batch_id:
             return False
+        if stats_cols is None and not m.get("stats_cols"):
+            stats_cols = list(keys)
     elif stats_cols is None:
         stats_cols = list(keys)
     snapshot_merge(

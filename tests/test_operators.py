@@ -568,6 +568,34 @@ def test_exact_percentiles_identical_to_builtin(spark):
     }
     assert kept == want2 and kept["z"] == (None, None)
 
+    # a NULL group KEY with real values must keep its computed
+    # percentiles under keep_null_groups=True (groupBy treats NULL as a
+    # grouping value; a null-unsafe restore join dropped them — round-8
+    # review finding)
+    edge3 = edge2.union(
+        spark.createDataFrame(
+            [(None, 1.0), (None, 3.0)], "g string, v double"
+        )
+    )
+    kept3 = {
+        r.g: (r.q25, r.q75)
+        for r in exact_percentiles(
+            edge3, ["g"], "v", {"q25": 0.25, "q75": 0.75},
+            keep_null_groups=True,
+        ).collect()
+    }
+    want3 = {
+        r.g: (r.q25, r.q75)
+        for r in edge3.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.75)").alias("q75"),
+        )
+        .collect()
+    }
+    assert kept3 == want3
+    assert kept3[None] == (1.5, 2.5)
+
 
 def test_quantile_sketch_properties(spark):
     """Quantile-sketch invariants: ≤ k rows per group; EXACT estimates

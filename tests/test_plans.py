@@ -519,22 +519,29 @@ def test_qx13_qx14_qx15_star_join_shapes(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
-    # qx13: semi-broadcast of the segment-filtered customer key set,
-    # one SMJ (the fact spine), top-k never a global sort
-    assert p13.count("SortMergeJoin") == 1, p13
-    assert "BroadcastHashJoin" in p13 and "LeftSemi" in p13
+    # qx13: the customer-keyset semi is UNHINTED (a 1/5 keyset grows
+    # with the corpus — data-sized at 100 TB, round-8 review), so with
+    # the heuristic OFF it degrades to the scale-honest shuffle semi:
+    # two SMJ (semi + fact spine), zero forced broadcasts
+    assert p13.count("SortMergeJoin") == 2, p13
+    assert p13.count("BroadcastHashJoin") == 0 and "LeftSemi" in p13
     assert "TakeOrderedAndProject" in p13
     assert "LessThan(o_orderdate" in p13  # pushed to orders scan
     assert "GreaterThan(l_shipdate" in p13  # pushed to lineitem scan
+    # ...and with the size heuristic ON (bench reality) the optimizer
+    # still picks the broadcast semi while the keyset fits
+    p13_auto = plan_of(spark, "qx13_shipping_priority")
+    assert "BroadcastHashJoin" in p13_auto and "LeftSemi" in p13_auto
 
-    # qx14: 6-table star — region/nation/customer/supplier all
-    # broadcast, exactly one SMJ on lineitem⋈orders.  The nation⋈region
-    # subtree plans twice (customer and supplier branches; the
-    # broadcast EXCHANGE is shared at runtime via ReusedExchange), so
-    # 6 BHJ nodes: 2×(nation⋈region) + customer + supplier + the
-    # orders⋈customer and lineitem-side supplier probes.
-    assert p14.count("SortMergeJoin") == 1, p14
-    assert p14.count("BroadcastHashJoin") == 6, p14
+    # qx14: 6-table star — region/nation/supplier broadcast, but the
+    # region-cut CUSTOMER joins orders by SHUFFLE (a 1/5 customer
+    # slice is data-sized at 100 TB; the original broadcast hint was
+    # the round-8 review's scale hazard).  Two SMJ: orders⋈customer on
+    # custkey, lineitem⋈orders on orderkey.  The nation⋈region subtree
+    # plans twice (customer and supplier branches; the broadcast
+    # EXCHANGE is shared at runtime via ReusedExchange): 5 BHJ nodes.
+    assert p14.count("SortMergeJoin") == 2, p14
+    assert p14.count("BroadcastHashJoin") == 5, p14
     assert "EqualTo(r_name,ASIA)" in p14  # pushed to region scan
     assert "GreaterThanOrEqual(o_orderdate" in p14
 

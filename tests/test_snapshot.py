@@ -652,6 +652,23 @@ def test_merge_stream_maintains_latest_state_exactly_once(spark, tmp_path):
     m = _read_manifest(spark, t, v_head)
     assert m.get("stats_cols") == ["id"], m
 
+    # and a LEGACY stats-less table heals on its first merge through
+    # the sink: the commit records key bounds so later merges prune
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_commit,
+        snapshot_merge_batch,
+    )
+
+    legacy = str(tmp_path / "legacy")
+    snapshot_commit(_df(spark, 0, 20, "old"), legacy)  # no stats_cols
+    m0 = _read_manifest(spark, legacy, 1)
+    assert m0.get("stats_cols") is None
+    assert snapshot_merge_batch(_df(spark, 10, 30, "new"), legacy, ["id"], 0)
+    m1 = _read_manifest(
+        spark, legacy, snapshot_versions(spark, legacy)[-1]
+    )
+    assert m1.get("stats_cols") == ["id"], m1
+
 
 def test_history_and_restore_metadata_only(spark, tmp_path):
     """RESTORE rolls back as a new commit carrying files by reference
