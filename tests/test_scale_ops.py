@@ -194,6 +194,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_layout_carries_aggregate_and_rejoin(spark):
+    """Bucketing eliminates AGGREGATION shuffles too, not just join
+    shuffles: the qx20 pattern (HAVING aggregate keyed by l_orderkey,
+    survivors re-joined to orders on the same key) planned over
+    orderkey-bucketed facts runs with ZERO Exchange end-to-end — the
+    agg's grouping AND both join sides ride the write-time layout."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.bucketing import bucketed_table, write_bucketed
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b2_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(li, "b2_lineitem", "l_orderkey", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = bucketed_table(spark, "b2_orders")
+        bl = bucketed_table(spark, "b2_lineitem")
+        big = (
+            bl.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150.0)
+        )
+        joined = big.join(bo, big.l_orderkey == bo.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # ...and the result is the same as the plain-table pipeline
+        want = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150.0)
+            .count()
+        )
+        assert joined.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b2_orders")
+        spark.sql("DROP TABLE IF EXISTS b2_lineitem")
+
+
 @settings(
     max_examples=15,
     deadline=None,
