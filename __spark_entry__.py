@@ -5,9 +5,11 @@ entry(spark)  — flagship query (q11_pricing_summary, TPC-H Q1 shape) at
 queries()     — the declared suite from SURVEY.md §2.3, implemented in
                 ros_sql_spark.plans.queries.
 oracle_sql()  — matching DuckDB SQL (ros_sql_spark.plans.oracles);
-                q26/q39/q40/q78/q84/qx09 intentionally omitted
-                (rows-only: sketch / digest / probabilistic-recall /
-                iterative-argmax outputs have no cross-engine oracle).
+                q39/q40/q78/q84/qx09 intentionally omitted
+                (rows-only: digest / probabilistic-recall /
+                iterative-argmax outputs have no cross-engine oracle;
+                q26 upgraded round-8 to a bit-for-bit MinHash oracle
+                via the md5-affine family).
 """
 
 from __future__ import annotations
@@ -35,5 +37,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (q26 omitted: rows-only)."""
+    """DuckDB-runnable oracle SQL per query (see rows-only list above)."""
     return dict(ORACLES)

@@ -38,6 +38,7 @@ __all__ = [
     "shingle_hashes",
     "minhash_signatures",
     "minhash_bands",
+    "minhash_bands_md5",
     "minhash_pairs",
     "minhash_index",
     "minhash_pairs_incremental",
@@ -355,6 +356,171 @@ def minhash_bands(
     return sigs.select(
         id_col, F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+_MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def _affine_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the md5-affine MinHash family,
+    derived with the SAME md5-prefix arithmetic a SQL oracle can
+    replicate: a_i = md5prefix15('a'||i) % (P-1) + 1 (never 0),
+    b_i = md5prefix15('b'||i) % P."""
+    import hashlib
+
+    def pfx(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [pfx(f"a{i}") % (_MINHASH_P - 1) + 1 for i in range(num_hashes)]
+    b = [pfx(f"b{i}") % _MINHASH_P for i in range(num_hashes)]
+    return a, b
+
+
+def minhash_bands_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """(id, band, band_hash) — LSH bucket keys from an ORACLE-EXACT
+    MinHash family (q26's declared backend).
+
+    Same banding semantics as :func:`minhash_bands`, different hash
+    family: the base shingle hash is the repo's md5-prefix idiom
+    (60-bit hex prefix, reduced mod P = 2^31−1) and the ``num_hashes``
+    family values are affine maps g_i(h) = (a_i·h + b_i) mod P with
+    deterministic md5-derived constants — classic universal-hashing
+    MinHash, every step expressible in portable SQL, so the DuckDB
+    oracle rebuilds every band_hash BIT-FOR-BIT (the CLAUDE.md sketch
+    parity trick, closing the suite's last in-window rows-only sketch).
+    All products fit BIGINT (a_i, h < 2^31 ⇒ a_i·h < 2^62) — no
+    wrap-around arithmetic an engine could disagree on.
+
+    The xxhash64 + Arrow family (:func:`minhash_signatures`) remains
+    the production path for the pair pipeline (minhash_pairs, the
+    incremental index): one JVM hash per shingle beats one md5 + hex
+    decode, and signatures there never need SQL reproduction.
+
+    Backends (bit-identical, asserted in tests): the md5 base hash is
+    always JVM (F.md5 + conv inside one transform — one hash per
+    shingle); the 64-wide affine fold defaults to Arrow/numpy
+    (``use_arrow=True``) because it is EXACTLY the high-compute-per-
+    byte case of the CLAUDE.md Arrow rule — measured at sf0.1: Arrow
+    1.2s vs interpreted JVM zip_with fold 3.1s.  ``use_arrow=False``
+    keeps the dependency-free single-fold JVM shape.  Zero shuffles
+    either way.  (Materializing the tokens projection before
+    token_shingles was worth a further 3.5s on BOTH backends — the
+    inline form re-split the text once per shingle window, the
+    documented CollapseProject O(tokens²) hazard.)
+    """
+    a_consts, b_consts = _affine_constants(num_hashes)
+    rows = num_hashes // bands
+    p = F.lit(_MINHASH_P).cast("bigint")
+    # materialize tokens FIRST: token_shingles' window lambda references
+    # the tokens array per element, and an inline tokenize() would be
+    # re-inlined into the lambda body by CollapseProject and re-split
+    # the text once per shingle window — the documented O(tokens²)
+    # hazard (multi-referencing the projection blocks the inlining).
+    toked = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    # token_shingles' expansion references _toks several times (size,
+    # windows, sub-k fallback), so CollapseProject keeps the tokenize
+    # projection separate on its own.
+    shingled = toked.select(
+        F.col(id_col), token_shingles("_toks", k).alias("_sh")
+    )
+    base = F.transform(
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint") % p,
+    )
+    df = shingled
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        a_np = np.array(a_consts, dtype=np.int64)
+        b_np = np.array(b_consts, dtype=np.int64)
+        p_int = _MINHASH_P
+
+        @pandas_udf("array<long>")
+        def _aff_sigs(hs_col: pd.Series) -> pd.Series:
+            arrs = [np.asarray(a, dtype=np.int64) for a in hs_col]
+            if not arrs:
+                return pd.Series([], dtype=object)
+            lens = np.array([len(a) for a in arrs])
+            flat = (
+                np.concatenate(arrs)
+                if lens.sum()
+                else np.array([], dtype=np.int64)
+            )
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out = np.full((len(arrs), num_hashes), p_int, dtype=np.int64)
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            for i in range(num_hashes):
+                # h, a < 2^31 ⇒ a·h + b < 2^62 + 2^31: exact in int64
+                v = (flat * a_np[i] + b_np[i]) % p_int
+                if len(v):
+                    out[nonempty, i] = np.minimum.reduceat(v, ne_starts)
+            return pd.Series(list(out))
+
+        sigs = df.select(
+            F.col(id_col), _aff_sigs(base).alias("sig")
+        )
+    else:
+        dims = F.sequence(F.lit(0), F.lit(num_hashes - 1))  # constant-folded
+        a_arr = F.lit(a_consts)
+        b_arr = F.lit(b_consts)
+        sig = F.aggregate(
+            base,
+            F.array_repeat(p, num_hashes),
+            lambda acc, h: F.zip_with(
+                acc,
+                dims,
+                lambda ac, i: F.least(
+                    ac,
+                    (F.element_at(a_arr, (i + 1).cast("int")) * h
+                     + F.element_at(b_arr, (i + 1).cast("int"))) % p,
+                ),
+            ),
+        )
+        sigs = df.select(F.col(id_col), sig.alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + j + 1)
+                                .cast("string")
+                                for j in range(rows)
+                            ],
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
 
 
 def minhash_pairs(

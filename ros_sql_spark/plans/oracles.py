@@ -194,7 +194,48 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
-    # q26_dedup_minhash: intentionally absent (rows-only check).
+    # q26: bit-for-bit MinHash rebuild (md5-affine family mod P=2^31-1;
+    # the sketch parity trick — constants derived with the same md5
+    # arithmetic as operators/dedup.py::_affine_constants)
+    "q26_dedup_minhash": """
+        WITH sh AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                       % 2147483647 AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1],
+                                                  toks[i+2]))
+                              ELSE [array_to_string(toks, ' ')] END) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                      FROM documents)
+            )
+        ), dims AS (
+            SELECT i,
+                   CAST(concat('0x', substr(md5(concat('a',
+                        CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 2147483646 + 1 AS a,
+                   CAST(concat('0x', substr(md5(concat('b',
+                        CAST(i AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 2147483647 AS b
+            FROM range(64) t(i)
+        ), g AS (
+            SELECT sh.doc_id, dims.i,
+                   min((dims.a * sh.h + dims.b) % 2147483647) AS v
+            FROM sh CROSS JOIN dims
+            GROUP BY sh.doc_id, dims.i
+        ), band AS (
+            SELECT doc_id, i // 4 AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+            FROM g GROUP BY doc_id, i // 4
+        )
+        SELECT doc_id, band,
+               CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT)
+                   AS band_hash
+        FROM band
+    """,
     "q27_knn_cosine": """
         SELECT b.vec_id,
                round(list_cosine_similarity(

@@ -361,19 +361,23 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q26_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup banding (rows-only check — no SQL oracle).
+    """MinHash/LSH near-dup banding, VALUE-EXACT under the gate
+    (round-8: formerly the suite's last in-window rows-only sketch).
 
-    Backend choice is size-aware: the Arrow/numpy signature backend
-    (operator default) wins above a measured ~20k docs per run (1.7×
-    at 100k docs) where per-row fold CPU dominates; below that the fixed
-    Arrow transfer costs more than it saves, so this sf-scale declared
-    query takes the pure-JVM fold (both produce bit-identical
-    signatures — asserted in tests).  See ros_sql_spark.operators.dedup
-    for the pair-generation operator."""
-    from ros_sql_spark.operators.dedup import minhash_bands
+    The declared query uses the md5-affine family
+    (operators/dedup.py::minhash_bands_md5): base shingle hash = the
+    repo's md5-prefix idiom mod P=2^31−1, family values = affine maps
+    (a_i·h + b_i) mod P with md5-derived constants — every step
+    portable SQL, so the DuckDB oracle rebuilds each band_hash
+    bit-for-bit (the CLAUDE.md sketch parity trick; KMV/Count-Min/
+    quantile already follow it).  The xxhash64 + Arrow family remains
+    the production hash for the pair pipeline (minhash_pairs, the
+    incremental index) where signatures never need SQL reproduction —
+    backend trade-offs measured in the operator docstrings."""
+    from ros_sql_spark.operators.dedup import minhash_bands_md5
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_bands(docs, id_col="doc_id", text_col="text", use_arrow=False)
+    return minhash_bands_md5(docs, id_col="doc_id", text_col="text")
 
 
 def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -843,3 +843,24 @@ def test_components_incremental_on_corpus_pairs(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_minhash_md5_backends_bit_identical(spark):
+    """minhash_bands_md5's Arrow and JVM affine folds must produce the
+    SAME (doc, band, band_hash) rows — the Arrow path is a pure speed
+    substitution (measured 1.2s vs 3.1s at sf0.1), never a semantic
+    one; q26's oracle depends on it."""
+    from ros_sql_spark.operators.dedup import minhash_bands_md5
+    from ros_sql_spark.sources.io import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_bands_md5(docs, use_arrow=True).collect()
+    }
+    b = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_bands_md5(docs, use_arrow=False).collect()
+    }
+    assert a == b and len(a) > 0
