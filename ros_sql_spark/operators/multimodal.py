@@ -105,16 +105,22 @@ def as_assets(
 def _fake_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real encoder: md5-derived floats in
     [0,1).  Stable across runs/machines — good enough to test plumbing,
-    obviously not a semantic embedding."""
+    obviously not a semantic embedding.
+
+    The chain advances on the HEX digest string (md5(md5hex)), not the
+    raw 16 bytes, and each float is a 8-hex-char window / 2^32 — every
+    step portable SQL (md5(VARCHAR), substr, hex-literal CAST), which
+    is what lets q39's digest have a bit-for-bit DuckDB oracle
+    (round-8; DuckDB's md5 cannot hash a BLOB, so a raw-byte chain
+    would be irreproducible)."""
     out: list[float] = []
-    h = hashlib.md5(payload or b"")
-    block = h.digest()
+    h = hashlib.md5(payload or b"").hexdigest()
     while len(out) < dim:
-        for i in range(0, len(block) - 3, 4):
-            out.append(int.from_bytes(block[i : i + 4], "big") / 2**32)
+        for i in range(0, 32 - 7, 8):
+            out.append(int(h[i : i + 8], 16) / 2**32)
             if len(out) == dim:
                 break
-        block = hashlib.md5(block).digest()
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
     return out
 
 

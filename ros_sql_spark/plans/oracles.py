@@ -376,8 +376,42 @@ ORACLES: dict[str, str] = {
                    ' ')) AS fp
         FROM documents
     """,
-    # q39_multimodal_features: rows-only (Arrow/mapInPandas plumbing with a
-    # stubbed codec — not SQL-expressible).
+    # q39: bit-for-bit rebuild of the deterministic fake-feature digest —
+    # the chain advances on HEX digests (md5(md5hex)) and each feature is
+    # an 8-hex-char window / 2^32, so the integer-form digest is pure
+    # md5/substr/CAST arithmetic (the mapInPandas plumbing's VALUES are
+    # verified, not just row shape)
+    "q39_multimodal_features": """
+        WITH a AS (
+            SELECT CAST(doc_id AS BIGINT) AS asset_id,
+                   'text/plain' AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(coalesce(text, '')) AS h1
+            FROM documents
+        ), b AS (
+            SELECT asset_id, mime, n_bytes, h1, md5(h1) AS h2 FROM a
+        )
+        SELECT asset_id, mime, n_bytes,
+               md5(concat_ws(',',
+                   CAST(CAST(concat('0x', substr(h1, 1, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h1, 9, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h1, 17, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h1, 25, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h2, 1, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h2, 9, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h2, 17, 8)) AS BIGINT)
+                        AS VARCHAR),
+                   CAST(CAST(concat('0x', substr(h2, 25, 8)) AS BIGINT)
+                        AS VARCHAR)
+               )) AS features_md5
+        FROM b
+    """,
     # q40_ann_lsh: rows-only (probabilistic recall by construction; tested
     # against the exact baseline in tests/test_operators.py).
     "q41_asof_join": """

@@ -552,24 +552,34 @@ def q38_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only): binary payload + typed metadata →
+    """Multimodal plumbing, VALUE-EXACT under the gate (round-8;
+    formerly rows-only): binary payload + typed metadata →
     Arrow-batched mapInPandas feature extraction (deterministic fake
     codec — real decoders aren't in this container; see
     operators/multimodal.py).
 
-    The declared query digests the feature vector (md5 of its JSON form):
-    the driver's pandas canonicalizer can't sort/hash a raw list column
-    (round-1 q39 err), and a digest is equally strong as a plumbing
-    check.  API users get the raw array from extract_features."""
+    The declared query digests the feature vector as md5 over the
+    EXACT integer forms (each fake feature is n/2^32, so f·2^32
+    recovers n exactly — no float-to-string formatting an engine could
+    render differently; to_json's Java double rendering was the
+    round-8 blocker).  The fake-feature chain itself advances on hex
+    digests, so the DuckDB oracle rebuilds every digest bit-for-bit —
+    the Arrow plumbing (schema, batching, metadata passthrough) is now
+    verified against actual VALUES, not just row shape.  API users get
+    the raw array from extract_features."""
     from ros_sql_spark.operators.multimodal import as_assets, extract_features
 
     docs = _t(spark, sf_dir, "documents")
     assets = as_assets(docs, "doc_id", "text", "text/plain", source_col="source")
+    ints = F.transform(
+        "features",
+        lambda f: (f * F.lit(4294967296.0)).cast("bigint").cast("string"),
+    )
     return extract_features(assets).select(
         "asset_id",
         "mime",
         "n_bytes",
-        F.md5(F.to_json("features")).alias("features_md5"),
+        F.md5(F.array_join(ints, ",").cast("binary")).alias("features_md5"),
     )
 
 
