@@ -5,11 +5,11 @@ entry(spark)  — flagship query (q11_pricing_summary, TPC-H Q1 shape) at
 queries()     — the declared suite from SURVEY.md §2.3, implemented in
                 ros_sql_spark.plans.queries.
 oracle_sql()  — matching DuckDB SQL (ros_sql_spark.plans.oracles);
-                q40/q78/q84/qx09 intentionally omitted (rows-only:
-                probabilistic recall / iterative-argmax outputs have
-                no cross-engine oracle; q26 and q39 upgraded round-8
-                to bit-for-bit oracles via the md5-affine MinHash
-                family and the hex-chained fake-feature digest).
+                q78/q84/qx09 intentionally omitted (rows-only:
+                KMeans/codebook float convergence and iterative-argmax
+                recursion have no cross-engine oracle).  Round-8
+                upgraded q26/q39/q40 to bit-for-bit oracles — EVERY
+                in-window query is now value-exact under the gate.
 """
 
 from __future__ import annotations

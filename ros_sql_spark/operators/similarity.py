@@ -41,6 +41,7 @@ __all__ = [
     "brute_force_knn",
     "cosine_arrow",
     "hyperplane_buckets",
+    "hyperplane_buckets_int",
     "lsh_knn",
     "cosine_dedup_pairs_lsh",
     "ivf_index",
@@ -185,6 +186,73 @@ def hyperplane_buckets(
     return _buckets(v)
 
 
+_LSH_INT_SCALE = 1 << 20  # vector quantization: floor(x · 2^20)
+_LSH_INT_R = 1 << 20  # plane coefficients uniform in [-R, R]
+
+
+def _int_plane_constants(
+    dim: int, bands: int, planes_per_band: int
+) -> list[list[int]]:
+    """Deterministic integer plane coefficients, derived with the SAME
+    md5-prefix arithmetic a SQL oracle can replicate:
+    c(p, d) = md5prefix15('h<p>_<d>') % (2R+1) − R."""
+    import hashlib
+
+    def pfx(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [
+            pfx(f"h{p}_{d}") % (2 * _LSH_INT_R + 1) - _LSH_INT_R
+            for d in range(dim)
+        ]
+        for p in range(bands * planes_per_band)
+    ]
+
+
+def hyperplane_buckets_int(
+    vec_col: Column | str,
+    dim: int,
+    bands: int = 8,
+    planes_per_band: int = 4,
+) -> Column:
+    """array<bigint> — ORACLE-EXACT integer variant of
+    :func:`hyperplane_buckets` (q40's declared backend).
+
+    Same banded random-hyperplane semantics, but every sign decision is
+    INTEGER arithmetic: vectors quantize as floor(x·2^20) (floor is
+    identical across engines; round's half-way rule is not), plane
+    coefficients are md5-derived integers in [−2^20, 2^20], and the dot
+    product stays exact in int64 (|term| ≤ 2^43, 64 terms < 2^49) — so
+    a SQL oracle reproduces every bucket id bit-for-bit, where the
+    float formulation's numpy blocked summation could flip a
+    near-orthogonal sign vs a sequential SQL fold.  Still one numpy
+    matmul per Arrow batch (int64 matmul is exact)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array(
+        _int_plane_constants(dim, bands, planes_per_band), dtype=np.int64
+    ).T  # (dim, bands*r)
+    weights = np.array(
+        [1 << j for _ in range(bands) for j in range(planes_per_band)],
+        dtype=np.int64,
+    )
+    scale = float(_LSH_INT_SCALE)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        q = np.floor(m * scale).astype(np.int64)
+        signs = (q @ mat) > 0  # exact int64 dot per plane
+        packed = (signs * weights).reshape(
+            len(m), bands, planes_per_band
+        ).sum(axis=2)
+        return pd.Series(list(packed))
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _buckets(v)
+
+
 def lsh_knn(
     corpus: DataFrame,
     queries: DataFrame | None = None,
@@ -200,6 +268,8 @@ def lsh_knn(
     num_planes: int | None = None,  # back-compat alias for planes_per_band
     query_filter: Column | None = None,
     persist_buckets: bool = False,
+    int_planes: bool = False,
+    exact_rerank: bool = False,
 ) -> DataFrame:
     """Approximate top-k: banded LSH candidate join + exact rerank.
 
@@ -244,9 +314,19 @@ def lsh_knn(
     from ros_sql_spark.functions.util import ensure_scan_parallelism
 
     corpus = ensure_scan_parallelism(corpus)
-    bk = lambda col: F.posexplode(
-        hyperplane_buckets(col, dim, bands, planes_per_band, seed)
-    ).alias("band", "bucket")
+    # int_planes / exact_rerank: the oracle-exact formulation (q40) —
+    # integer sign decisions + the sequential-fold cosine whose round-6
+    # values DuckDB reproduces (q27's established parity); the float
+    # matmul + Arrow rerank stay the default for recall workloads that
+    # never need SQL reproduction.
+    if int_planes:
+        bk = lambda col: F.posexplode(
+            hyperplane_buckets_int(col, dim, bands, planes_per_band)
+        ).alias("band", "bucket")
+    else:
+        bk = lambda col: F.posexplode(
+            hyperplane_buckets(col, dim, bands, planes_per_band, seed)
+        ).alias("band", "bucket")
 
     # narrow bucket tables: (id, band, bucket) — no vectors
     c = corpus.select(F.col(id_col), bk(vec_col))
@@ -281,7 +361,10 @@ def lsh_knn(
     rerank = cand.join(corpus.select(id_col, vec_col), id_col).join(
         F.broadcast(qvecs), query_id_col
     )
-    sim = F.round(cosine_arrow(vec_col, "_qvec"), 6)  # Arrow rerank: rows-only path
+    if exact_rerank:
+        sim = F.round(cosine(vec_col, "_qvec"), 6)  # q27-parity fold
+    else:
+        sim = F.round(cosine_arrow(vec_col, "_qvec"), 6)  # Arrow: rows-only
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     out = (
         rerank.select(query_id_col, id_col, sim.alias("sim"))

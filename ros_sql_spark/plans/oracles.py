@@ -412,8 +412,53 @@ ORACLES: dict[str, str] = {
                )) AS features_md5
         FROM b
     """,
-    # q40_ann_lsh: rows-only (probabilistic recall by construction; tested
-    # against the exact baseline in tests/test_operators.py).
+    # q40: bit-for-bit LSH rebuild — integer sign decisions (floor-
+    # quantized vectors x md5-derived integer planes, exact int64 dots)
+    # make the candidate sets deterministic across engines, and the
+    # round-6 cosine rerank is the q27-established parity.  "Approximate"
+    # describes recall, not reproducibility.
+    "q40_ann_lsh": """
+        WITH planes AS (
+            SELECT p, d,
+                   CAST(concat('0x', substr(md5(concat('h',
+                        CAST(p AS VARCHAR), '_', CAST(d AS VARCHAR))),
+                        1, 15)) AS BIGINT) % 2097153 - 1048576 AS c
+            FROM range(32) t1(p) CROSS JOIN range(64) t2(d)
+        ), qv AS (
+            SELECT vec_id, d,
+                   CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE)
+                        * 1048576.0) AS BIGINT) AS q
+            FROM embeddings CROSS JOIN range(64) t(d)
+        ), dots AS (
+            SELECT v.vec_id, p.p, sum(v.q * p.c) AS s
+            FROM qv v JOIN planes p ON p.d = v.d
+            GROUP BY v.vec_id, p.p
+        ), bits AS (
+            SELECT vec_id, p // 4 AS band,
+                   sum(CASE WHEN s > 0 THEN 1 << CAST(p % 4 AS INT)
+                       ELSE 0 END) AS bucket
+            FROM dots GROUP BY vec_id, p // 4
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bits q JOIN bits c
+              ON q.band = c.band AND q.bucket = c.bucket
+            WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ), sims AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(list_cosine_similarity(
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS sim
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.vec_id
+        )
+        SELECT query_id, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id) AS rn
+            FROM sims) WHERE rn <= 3
+    """,
     "q41_asof_join": """
         WITH c AS (SELECT user_id, event_id, ts FROM events
                    WHERE event_type = 'click'),

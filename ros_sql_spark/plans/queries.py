@@ -584,11 +584,19 @@ def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-3 (rows-only: recall is probabilistic
-    by design; tested against the exact baseline in tests/).  The query
-    set is a predicate over the corpus, so the bucket pipeline is built
-    once (query_filter form) and the candidate shuffle carries bare id
-    pairs."""
+    """LSH-bucketed approximate top-3, VALUE-EXACT under the gate
+    (round-8; formerly the last in-window rows-only row).
+
+    "Approximate" never meant "nondeterministic": the recall loss is a
+    DESIGNED property of the bucketing, so with integer sign decisions
+    (operators/similarity.py::hyperplane_buckets_int — floor-quantized
+    vectors, md5-derived integer planes, exact int64 dots) and the
+    q27-parity sequential-fold rerank, the DuckDB oracle reproduces the
+    exact candidate sets AND the exact top-3 rows.  Recall vs the exact
+    baseline is still asserted in tests (the quantization moves no
+    measured neighbor).  The query set is a predicate over the corpus,
+    so the bucket pipeline is built once (query_filter form) and the
+    candidate shuffle carries bare id pairs."""
     from ros_sql_spark.operators.similarity import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -603,6 +611,8 @@ def q40_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table reused by the query side: measured 2.6s -> 1.6s at
         # sf0.1, and at scale it halves the dominant matmul cost.
         persist_buckets=True,
+        int_planes=True,
+        exact_rerank=True,
     )
 
 

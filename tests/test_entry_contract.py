@@ -26,7 +26,6 @@ def test_rows_only_queries_are_the_documented_ones():
     m = _load_entry()
     rows_only = set(m.queries()) - set(m.oracle_sql())
     assert rows_only == {
-        "q40_ann_lsh",  # probabilistic recall by construction
         "q78_ann_ivf",  # probabilistic recall (KMeans cells)
         "q84_pq_ann",  # probabilistic recall (learned codebooks)
         "qx09_bpe_tokenize",  # iterative argmax recursion no SQL replays
@@ -58,6 +57,4 @@ def test_driver_window_discipline():
     assert list(m.oracle_sql()) == sorted(m.oracle_sql())
     window = ks[:50]
     rows_only_in_window = set(window) - set(m.oracle_sql())
-    assert rows_only_in_window == {
-        "q40_ann_lsh",
-    }, rows_only_in_window
+    assert rows_only_in_window == set(), rows_only_in_window

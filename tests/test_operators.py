@@ -136,6 +136,29 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     assert a == a2
 
 
+def test_lsh_int_planes_recall_and_determinism(spark, emb):
+    """q40's oracle-exact formulation (integer sign decisions + fold
+    rerank) must keep the recall floor — the floor-quantization moves
+    essentially no sign — and be run-to-run deterministic."""
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_knn(emb, queries, k=5)
+    approx = lsh_knn(
+        emb, queries, dim=64, k=5, bands=8, planes_per_band=4,
+        int_planes=True, exact_rerank=True,
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.5, len(e & a) / len(e)
+    a2 = {
+        (r.query_id, r.vec_id)
+        for r in lsh_knn(
+            emb, queries, dim=64, k=5, bands=8, planes_per_band=4,
+            int_planes=True, exact_rerank=True,
+        ).collect()
+    }
+    assert a == a2
+
+
 def test_lsh_similarities_match_exact_on_overlap(spark, emb):
     """Where LSH and brute force agree on a neighbor, the rounded cosine
     must be identical (rerank is exact)."""

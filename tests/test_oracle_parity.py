@@ -89,7 +89,7 @@ def test_query_matches_oracle(name, spark, duck):
     scols = sdf.columns
 
     if name not in ORACLES:
-        # rows-only contract (q40 etc.): stable schema, runs, >=0 rows
+        # rows-only contract (q78/q84/qx09): stable schema, runs, >=0 rows
         assert len(srows) >= 0
         assert scols
         return
