@@ -289,47 +289,52 @@ def _parquet_metadata(spark: SparkSession, path: str):
         f.close()
 
 
-def _nonempty_files(spark: SparkSession, paths: list[str]) -> list[str]:
-    """Drop ZERO-ROW part files before they enter a manifest (footer
-    ``num_rows`` metadata read — no row data touched).  Spark writes one
-    empty part file for an empty frame, and an empty file is worse than
-    useless in a manifest: it scans for nothing and, having no min/max
-    stats, it can never be pruned — a keyed DML would rewrite it on
-    EVERY statement (the non-idempotent-expire bug class).  Unreadable
-    footers keep the file (safe default)."""
-    out = []
-    for p in paths:
-        try:
-            if _parquet_metadata(spark, p).num_rows == 0:
-                continue
-        except Exception:
-            pass
-        out.append(p)
-    return out
-
-
-def _file_stats(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
-    """Per-file min/max for ``cols`` from parquet FOOTERS — metadata-only
-    reads (no row data touched), aggregated across row groups.
+def _scan_footers(
+    spark: SparkSession, paths: list[str], cols: list[str] | None
+) -> tuple[list[str], dict]:
+    """ONE parquet footer read per file serving BOTH commit-time needs
+    (round-8 review: the split _nonempty_files + _file_stats pair read
+    every footer twice — two driver round trips per file on an object
+    store): zero-row part files are excluded (Spark writes one empty
+    part for an empty frame, and a stat-less empty file is an eternal
+    keyed-DML rewrite candidate — the non-idempotent-expire bug class),
+    and per-file column stats for ``cols`` are aggregated across row
+    groups.
 
     This is the data-skipping substrate Iceberg/Delta manifests carry
     (public designs): O(files) tiny footer reads at commit time buy
-    file-level pruning at every subsequent read.  Here the footer scan
-    runs driver-side over THIS COMMIT's files only (a commit writes a
+    file-level pruning at every subsequent read.  The scan runs
+    driver-side over THIS COMMIT's files only (a commit writes a
     bounded file count; carried files keep their previously recorded
-    stats) — the production variant would return the same numbers from
-    the writer tasks.  Columns whose footer lacks usable min/max
-    (unsupported types, no statistics) are simply absent for that file,
-    which readers treat as "never prune".  Values are stored
-    JSON-native (int/float/str/bool); anything else is skipped.
+    stats).
+
+    Stats entry format: ``[lo, hi]`` or ``[lo, hi, null_count]`` —
+    null_count recorded only when EVERY row group reports one.  The
+    retention fast path (:func:`_file_all_match`) requires a KNOWN
+    ZERO null count before dropping a file blind: parquet min/max
+    exclude NULLs, and ANSI DELETE keeps NULL-predicate rows — a blind
+    containment drop was silently deleting them (round-8 review).
+    Columns whose footer lacks usable min/max are absent for that file
+    (readers treat as "never prune"); unreadable footers KEEP the file
+    and record no stats (safe default: unprunable, never blind-dropped).
+    Values are stored JSON-native (int/float/str/bool).
     """
-    out: dict = {}
+    keep: list[str] = []
+    stats: dict = {}
     for p in paths:
         try:
             md = _parquet_metadata(spark, p)
         except Exception:
-            continue  # unreadable footer: file stays unprunable
-        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            keep.append(p)
+            continue
+        if md.num_rows == 0:
+            continue
+        keep.append(p)
+        if not cols:
+            continue
+        name_to_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
         fstats: dict = {}
         for c in cols:
             ci = name_to_idx.get(c)
@@ -337,6 +342,8 @@ def _file_stats(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
                 continue
             lo = hi = None
             ok = True
+            nulls = 0
+            nulls_known = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
@@ -350,11 +357,16 @@ def _file_stats(spark: SparkSession, paths: list[str], cols: list[str]) -> dict:
                     break
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
+                nc = st.null_count if st.has_null_count else None
+                if nc is None:
+                    nulls_known = False
+                else:
+                    nulls += nc
             if ok and lo is not None:
-                fstats[c] = [lo, hi]
+                fstats[c] = [lo, hi, nulls] if nulls_known else [lo, hi]
         if fstats:
-            out[p] = fstats
-    return out
+            stats[p] = fstats
+    return keep, stats
 
 
 def snapshot_commit(
@@ -506,23 +518,28 @@ def snapshot_commit(
         kept.write.mode("append").parquet(staging)
 
     df.write.mode("append").parquet(staging)
-    new_files = _nonempty_files(spark, _data_files(spark, staging))
+    # data-skipping stats: sticky per table (appends inherit the stats
+    # columns of the snapshot they extend), carried files keep the
+    # stats they were committed with — only THIS commit's files get a
+    # footer scan, and it is ONE footer read per file (empty-file
+    # exclusion and stats from the same metadata fetch).
+    if stats_cols is None:
+        stats_cols = prev_manifest.get("stats_cols")
+    new_files, new_stats = _scan_footers(
+        spark,
+        _data_files(spark, staging),
+        list(stats_cols) if stats_cols else None,
+    )
     files = carried + new_files
     manifest = {
         "version": new_version,
         "files": files,
         "schema": df.schema.json(),
     }
-    # data-skipping stats: sticky per table (appends inherit the stats
-    # columns of the snapshot they extend), carried files keep the
-    # stats they were committed with — only THIS commit's files get a
-    # footer scan.
-    if stats_cols is None:
-        stats_cols = prev_manifest.get("stats_cols")
     if stats_cols:
         prev_stats = prev_manifest.get("stats", {})
         stats = {f: prev_stats[f] for f in carried if f in prev_stats}
-        stats.update(_file_stats(spark, new_files, list(stats_cols)))
+        stats.update(new_stats)
         manifest["stats_cols"] = list(stats_cols)
         if stats:
             manifest["stats"] = stats
@@ -672,7 +689,7 @@ def _file_may_match(fstats: dict, prune: dict) -> bool:
     for col, bound in prune.items():
         if col not in fstats:
             continue
-        fmin, fmax = fstats[col]
+        fmin, fmax = fstats[col][0], fstats[col][1]
         lo, hi = bound if isinstance(bound, tuple) else (bound, bound)
         if lo is not None and fmax < lo:
             return False
@@ -826,6 +843,14 @@ def snapshot_delete_keys(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    # pin the doomed-key frame: its lineage is otherwise evaluated
+    # THREE times (empty probe, candidacy bounds join, anti-join) —
+    # triple cost for an expensive keys_df and, worse, a
+    # nondeterministic one could show the candidacy join a different
+    # key set than the anti-join and carry a file whose doomed key only
+    # materialized second (round-8 review).  Lazy localCheckpoint: the
+    # empty probe below is the materializing action.
+    keys_df = keys_df.select(*keys).distinct().localCheckpoint(eager=False)
     # empty-keys short-circuit BEFORE candidacy: without it, files the
     # stats cannot bound (non-JSON-native key types, unreadable
     # footers) are "always candidates" and an empty purge — a retried
@@ -842,7 +867,7 @@ def snapshot_delete_keys(
     kept = (
         spark.read.schema(schema)
         .parquet(*candidates)
-        .join(keys_df.select(*keys).distinct(), keys, "left_anti")
+        .join(keys_df, keys, "left_anti")
     )
     return snapshot_commit(
         kept,
@@ -902,6 +927,19 @@ def snapshot_merge(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(manifest["schema"]))
+    # drop enforcement must not depend on file layout (round-8 review:
+    # with evolve_schema=True, a df missing an existing column errored
+    # only when key pruning found NO candidates; with candidates the
+    # union's allowMissingColumns re-filled it as NULL and committed
+    # silently).  allowMissingColumns exists for the OTHER direction —
+    # kept rows lacking columns df INTRODUCES.
+    dropped_cols = [f.name for f in schema.fields if f.name not in df.columns]
+    if dropped_cols:
+        raise ValueError(
+            f"snapshot_merge: df is missing existing columns "
+            f"{dropped_cols} of {table} — silent column loss is never "
+            "evolution (provide the columns, even if NULL-valued)"
+        )
     candidates, carried = _key_candidates(
         spark, df, manifest, keys[0], stats_prune
     )
@@ -974,11 +1012,21 @@ def _file_all_match(fstats: dict, prune: dict) -> bool:
     """True only when the file's recorded [min, max] is provably
     CONTAINED in every pruned column's requested range — every row of
     the file matches the range conjunction.  Missing stats for any
-    pruned column mean containment cannot be proven (False)."""
+    pruned column mean containment cannot be proven (False).
+
+    NULL discipline (round-8 review): parquet min/max EXCLUDE NULLs,
+    and a NULL predicate keeps the row under ANSI DELETE — so blind
+    containment additionally requires a recorded null_count of ZERO
+    for every pruned column (stats entry ``[lo, hi, 0]``).  Unknown or
+    non-zero null counts send the file to the rewrite path, whose
+    ``~coalesce(cond, False)`` filter keeps NULL rows correctly."""
     for col, bound in prune.items():
         if col not in fstats:
             return False
-        fmin, fmax = fstats[col]
+        ent = fstats[col]
+        if len(ent) < 3 or ent[2] != 0:
+            return False  # NULLs present or unknown: never drop blind
+        fmin, fmax = ent[0], ent[1]
         lo, hi = bound if isinstance(bound, tuple) else (bound, bound)
         if lo is not None and fmin < lo:
             return False
@@ -1070,8 +1118,16 @@ def snapshot_delete(
         kept_stats = {f: stats[f] for f in carried if f in stats}
         if kept_stats:
             new_manifest["stats"] = kept_stats
-        if manifest.get("last_batch") is not None:
-            new_manifest["last_batch"] = manifest["last_batch"]
+        # batch-tag bookkeeping must match snapshot_commit's (round-8
+        # review: this hand-built path recorded the tag but never
+        # bumped last_batch, so a batch-tagged retention delete left
+        # the exactly-once watermark behind and a replay re-committed)
+        last_batch = manifest.get("last_batch")
+        if tag is not None and tag.startswith("batch:"):
+            bid = int(tag[6:])
+            last_batch = bid if last_batch is None else max(last_batch, bid)
+        if last_batch is not None:
+            new_manifest["last_batch"] = last_batch
         if manifest.get("meta") is not None:
             new_manifest["meta"] = manifest["meta"]
         if tag is not None:
@@ -1240,6 +1296,14 @@ def snapshot_merge_batch(
     if versions:
         m = _read_manifest(spark, table, versions[-1])
         committed = m.get("last_batch")
+        if committed is None:
+            # pre-last_batch manifests: fall back to the newest tag
+            # (same fallback as snapshot_append_batch — round-8 review:
+            # without it a replayed stale batch re-MERGED over newer
+            # keys on a tag-only head)
+            t = m.get("tag", "")
+            if t.startswith("batch:"):
+                committed = int(t[6:])
         if committed is not None and committed >= batch_id:
             return False
         if stats_cols is None and not m.get("stats_cols"):
@@ -1317,14 +1381,16 @@ def snapshot_changes(
 
     new = snapshot_read(spark, table, version=to_v)
     old_manifest = _read_manifest(spark, table, from_version)
-    if old_manifest["schema"] != _read_manifest(spark, table, to_v)["schema"]:
+    # one manifest fetch, reused for the schema compare and the
+    # evolution read (each _read_manifest is a driver round trip over
+    # an O(files) JSON body — a CDC poll loop was paying it thrice)
+    to_manifest = _read_manifest(spark, table, to_v)
+    if old_manifest["schema"] != to_manifest["schema"]:
         # additive schema evolution between the versions: align the old
         # side to the NEW (wider) schema so the diff compares rows, not
         # schemas — old files surface NULL for columns they predate,
         # exactly as the new snapshot reads those same carried files.
-        to_schema = StructType.fromJson(
-            json.loads(_read_manifest(spark, table, to_v)["schema"])
-        )
+        to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
         old_files = old_manifest["files"]
         old = (
             spark.read.schema(to_schema).parquet(*old_files)
@@ -1369,12 +1435,12 @@ def snapshot_read_incremental(
             "cursor's manifest was vacuumed; re-baseline from a full read"
         )
     to_v = versions[-1]
-    old_files = set(_read_manifest(spark, table, since_version)["files"])
+    since_manifest = _read_manifest(spark, table, since_version)
+    old_files = set(since_manifest["files"])
     if to_v == since_version:
-        manifest = _read_manifest(spark, table, to_v)
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        schema = StructType.fromJson(json.loads(since_manifest["schema"]))
         return spark.createDataFrame([], schema), to_v
     manifest = _read_manifest(spark, table, to_v)
     new_files = [f for f in manifest["files"] if f not in old_files]
@@ -1468,6 +1534,15 @@ def snapshot_vacuum(
         if ver is not None and ver > published:
             continue  # in-flight writer: its commit may still land
         dir_files = _data_files(spark, st.getPath().toString())
+        if not dir_files:
+            # no manifest-visible data files at all — a crashed
+            # writer's _temporary leftovers or a dir whose parts were
+            # already reclaimed per-file.  At/below the published
+            # watermark its commit can only end in SnapshotConflict,
+            # so the dir is pure garbage; without this branch such
+            # dirs survived every vacuum forever (round-8 review).
+            fs.delete(st.getPath(), True)
+            continue
         dead = [f for f in dir_files if f not in live]
         if dead and len(dead) == len(dir_files):
             # whole directory unreferenced (superseded version or a

@@ -1441,3 +1441,135 @@ def test_cross_process_keyed_dml_soak(spark, tmp_path):
     expect.update({i: "seed" for i in range(90, 100)})
     expect.update({i: "w0" for i in range(1000, 1040)})
     assert rows == expect
+
+
+def test_retention_fast_path_never_blind_drops_null_rows(spark, tmp_path):
+    """ANSI DELETE keeps rows where the predicate is NULL; parquet
+    min/max exclude NULLs, so a file whose non-null range is contained
+    in the bounds must NOT be dropped metadata-only when it also holds
+    NULL rows (round-8 review: it was — silent data loss whose
+    semantics depended on file layout)."""
+    from ros_sql_spark.sources.snapshot import snapshot_delete
+
+    t = str(tmp_path / "tbl")
+    withnulls = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, None)],
+        "id long, ts long",
+    ).coalesce(1)
+    snapshot_commit(withnulls, t, stats_cols=["ts"])
+    snapshot_delete(spark, t, prune={"ts": (None, 100)})
+    kept = {(r.id, r.ts) for r in snapshot_read(spark, t).collect()}
+    assert kept == {(3, None), (4, None)}, kept
+
+    # and a null-FREE contained file still takes the metadata-only
+    # path: the new version introduces no new data files (pure carry)
+    t2 = str(tmp_path / "tbl2")
+    snapshot_commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, ts long")
+        .coalesce(1),
+        t2,
+        stats_cols=["ts"],
+    )
+    snapshot_commit(
+        spark.createDataFrame([(5, 500)], "id long, ts long").coalesce(1),
+        t2,
+        mode="append",
+    )
+    from ros_sql_spark.sources.snapshot import _read_manifest
+
+    before = set(_read_manifest(spark, t2, 2)["files"])
+    v = snapshot_delete(spark, t2, prune={"ts": (None, 100)})
+    after = set(_read_manifest(spark, t2, v)["files"])
+    assert after < before  # dropped metadata-only: no new files written
+    assert {r.id for r in snapshot_read(spark, t2).collect()} == {5}
+
+
+def test_merge_drop_enforcement_is_layout_independent(spark, tmp_path):
+    """snapshot_merge must raise for a df missing an EXISTING column
+    whether or not key pruning finds candidate files (round-8 review:
+    with candidates, allowMissingColumns silently refilled the column
+    as NULL and committed)."""
+    from ros_sql_spark.sources.snapshot import snapshot_merge
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 50, "a").coalesce(1), t, stats_cols=["id"])
+    dropped = spark.range(10, 20).select("id")  # missing tag, part
+
+    # keys overlap stored bounds -> candidates exist
+    with pytest.raises(ValueError, match="missing existing columns"):
+        snapshot_merge(dropped, t, keys=["id"], evolve_schema=True)
+    # keys beyond all bounds -> no candidates; SAME error
+    far = spark.range(1000, 1010).select("id")
+    with pytest.raises(ValueError, match="missing existing columns"):
+        snapshot_merge(far, t, keys=["id"], evolve_schema=True)
+    # table unchanged by both failed statements
+    assert snapshot_versions(spark, t) == [1]
+
+
+def test_metadata_only_delete_bumps_batch_watermark(spark, tmp_path):
+    """A batch-tagged retention delete that takes the PURE-METADATA
+    path must advance last_batch exactly like the rewrite path would —
+    otherwise a replayed batch re-commits (round-8 review)."""
+    from ros_sql_spark.sources.snapshot import (
+        _list_versions,
+        _read_manifest,
+        snapshot_append_batch,
+        snapshot_delete,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_append_batch(_df(spark, 0, 50, "a").coalesce(1), t, 6,
+                          stats_cols=["id"])
+    v = snapshot_delete(spark, t, prune={"id": (0, 100)}, tag="batch:7")
+    m = _read_manifest(spark, t, v)
+    assert m.get("last_batch") == 7, m
+    # a replayed batch 7 append is now skipped
+    assert not snapshot_append_batch(_df(spark, 50, 60, "b"), t, 7)
+    assert snapshot_versions(spark, t)[-1] == v
+
+
+def test_merge_batch_tag_only_fallback_skips_stale_replay(spark, tmp_path):
+    """snapshot_merge_batch on a head manifest carrying only a
+    'batch:N' tag (pre-last_batch era) must skip a stale replayed
+    batch like snapshot_append_batch does (round-8 review: it
+    re-merged old values over newer keys)."""
+    from ros_sql_spark.sources.snapshot import (
+        _list_versions,
+        _read_manifest,
+        _publish_manifest,
+        snapshot_merge_batch,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 20, "new").coalesce(1), t)
+    # simulate a pre-last_batch head: tag only, no last_batch key
+    m = _read_manifest(spark, t, 1)
+    m2 = dict(m)
+    m2["version"] = 2
+    m2["tag"] = "batch:9"
+    m2.pop("last_batch", None)
+    _publish_manifest(spark, t, 2, m2)
+
+    # stale batch 8 redelivery must be a no-op
+    assert not snapshot_merge_batch(_df(spark, 0, 20, "old"), t, ["id"], 8)
+    assert snapshot_versions(spark, t)[-1] == 2
+    assert {r.tag for r in snapshot_read(spark, t).collect()} == {"new"}
+
+
+def test_vacuum_reclaims_dataless_staging_dirs(spark, tmp_path):
+    """A staging directory at/below the published watermark holding NO
+    manifest-visible data files (a crashed writer's _temporary
+    leftovers) must be reclaimed by vacuum instead of surviving
+    forever (round-8 review)."""
+    import os
+
+    from ros_sql_spark.sources.snapshot import snapshot_vacuum
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 20, "a").coalesce(1), t)
+    ghost = os.path.join(t, "data", "v00001-deadbeef", "_temporary")
+    os.makedirs(ghost)
+    assert snapshot_vacuum(spark, t) is not None
+    assert not os.path.exists(os.path.dirname(ghost))
+    # the live version's data is untouched
+    assert snapshot_read(spark, t).count() == 20
