@@ -97,8 +97,14 @@ def exact_dedup_incremental(
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
     )
+    # eqNullSafe, NOT an equi-anti-join: md5(NULL) is NULL, groupBy
+    # already treats the NULL digest as one group, and a null-unsafe
+    # anti-join would re-admit a NULL-content doc on EVERY batch even
+    # though the stored digest set holds the NULL row (round-8 review;
+    # batch exact_dedup over the union groups them correctly).
+    probe = base_digests.select(F.col("content_hash").alias("_bh"))
     return fresh.join(
-        base_digests.select("content_hash"), "content_hash", "left_anti"
+        probe, F.col("content_hash").eqNullSafe(F.col("_bh")), "left_anti"
     ).select(id_col)
 
 
@@ -184,7 +190,18 @@ def shingle_hashes(
     from ros_sql_spark.functions.util import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    # NULL text ≡ empty token list: without the coalesce, _hs becomes
+    # [NULL] — the Arrow backend crashes converting the NaN-bearing
+    # list to int64 while the JVM fold silently yields a seed-only
+    # signature (xxhash64 skips NULL args): a crash on the default path
+    # AND a backend divergence on the same input (round-8 review).
+    # With it both backends agree on the [fold-of-nothing] signature.
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(
+            tokenize(text_col), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
     hashed = toks.select(
         F.col(id_col),
         F.transform("_toks", lambda t: F.xxhash64(t)).alias("_th"),
@@ -342,20 +359,8 @@ def minhash_bands(
     Docs sharing (band, band_hash) are near-dup candidates.  Deterministic
     (xxhash64 is seed-fixed), so testable without an oracle.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, use_arrow)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", b * rows + j + 1) for j in range(rows)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select(
-        id_col, F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    return _band_table(sigs, id_col, num_hashes, bands)
 
 
 _MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
@@ -424,8 +429,13 @@ def minhash_bands_md5(
     # re-inlined into the lambda body by CollapseProject and re-split
     # the text once per shingle window — the documented O(tokens²)
     # hazard (multi-referencing the projection blocks the inlining).
-    toked = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    toked = ensure_scan_parallelism(df).select(
+        F.col(id_col),
+        # NULL text ≡ empty text (tokenizes to [''] like an empty
+        # string both here and in the SQL oracle's string_split)
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     )
     # token_shingles' expansion references _toks several times (size,
     # windows, sub-k fallback), so CollapseProject keeps the tokenize
@@ -541,19 +551,7 @@ def minhash_pairs(
     zip_with/aggregate → threshold filter.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
-    rows = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", b * rows + j + 1) for j in range(rows)]
-            ).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    b = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
-    )
+    b = _band_table(sigs, id_col, num_hashes, bands)
     bucket_sizes = b.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
     b = b.join(
         F.broadcast(bucket_sizes.filter(F.col("_bsz") > max_bucket_size)),
@@ -670,14 +668,29 @@ def minhash_pairs_incremental(
             "_new", F.lit(False)
         )
     )
-    # skew guard on COMBINED bucket occupancy (what the batch op sees)
-    sizes = ab.groupBy("band", "band_hash").agg(F.count("*").alias("_bsz"))
+    # TOUCHED buckets only (round-8 review: the census and the
+    # candidate join both ran over the FULL base band table — an
+    # O(corpus) shuffle per ingest that contradicted this function's
+    # own increment-cost contract).  Only buckets containing a NEW doc
+    # can produce pairs, so semi-reducing by the increment's bucket
+    # keys (broadcast — the keyset is increment-sized by contract)
+    # changes nothing in the output while the base side's shuffle
+    # shrinks to the touched rows.
+    new_keys = nb.select("band", "band_hash").distinct()
+    touched = ab.join(
+        F.broadcast(new_keys), ["band", "band_hash"], "left_semi"
+    )
+    # skew guard on COMBINED bucket occupancy (what the batch op sees;
+    # untouched buckets' occupancy is irrelevant — they yield no pair)
+    sizes = touched.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_bsz")
+    )
     hot = F.broadcast(sizes.filter(F.col("_bsz") > max_bucket_size))
-    ab = ab.join(hot, ["band", "band_hash"], "left_anti")
+    touched = touched.join(hot, ["band", "band_hash"], "left_anti")
     probe = nb.join(hot, ["band", "band_hash"], "left_anti")
 
     left = probe.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = ab.select(
+    right = touched.select(
         F.col(id_col).alias("id_b"), "band", "band_hash", "_new"
     )
     cand = (
@@ -856,13 +869,18 @@ def connected_components_star(
     side.  Alternating reaches the star fixed point; labels then read
     off the final (child → root) edges.
     """
-    e0 = edges.select(
+    raw = edges.select(
         F.col(src_col).cast("bigint").alias("u"),
         F.col(dst_col).cast("bigint").alias("v"),
-    ).filter(F.col("u") != F.col("v"))
-    universe = e0.select(F.col("u").alias("_n")).unionByName(
-        e0.select(F.col("v").alias("_n"))
     )
+    # universe from the UNFILTERED endpoints: a node appearing only in
+    # self-loop edges must still label itself — connected_components
+    # (the contract this function shares) keeps it, and dropping the
+    # self-loops first silently lost such rows (round-8 review)
+    universe = raw.select(F.col("u").alias("_n")).unionByName(
+        raw.select(F.col("v").alias("_n"))
+    )
+    e0 = raw.filter(F.col("u") != F.col("v"))
     if nodes is not None:
         universe = universe.unionByName(
             nodes.select(F.col(id_col).cast("bigint").alias("_n"))
@@ -1113,12 +1131,21 @@ def ngram_jaccard_pairs(
     # shingle pipeline once more per row (measured 34x on this exact
     # shape — CLAUDE.md invariant).  The rule skips outer generates; the
     # null filter restores inner-join semantics for sub-k/empty docs.
-    sh = df.select(
+    # tokens materialized FIRST (round-8 review): the inline form
+    # passed tokenize() straight into token_shingles, whose window
+    # lambda then re-split the text once per shingle — the module's
+    # own documented O(tokens²) hazard.  token_shingles' expansion
+    # multi-references _toks, which blocks CollapseProject re-inlining.
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    toked = ensure_scan_parallelism(df).select(
         F.col(id_col).alias("_id"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    sh = toked.select(
+        "_id",
         F.explode_outer(
-            F.array_distinct(
-                token_shingles(tokenize(F.col(text_col)), k)
-            )
+            F.array_distinct(token_shingles("_toks", k))
         ).alias("_sh"),
     ).filter(F.col("_sh").isNotNull())
     if max_doc_freq is not None:
@@ -1389,7 +1416,17 @@ def passage_df(
     posexplode over a pre-materialized passage array — one projection,
     no Generate trap, order carried by ``pos`` for exact reassembly.
     """
-    toks = tokenize(text_col)
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    # tokens materialized FIRST (round-8 review): the transform lambda
+    # below slices the tokens array per passage, and an inline
+    # tokenize() captured in the lambda body re-splits the text once
+    # per passage — O(n²/P) per document.  The multi-reference (size +
+    # slice) on the aliased column blocks CollapseProject re-inlining.
+    toked = ensure_scan_parallelism(df).select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # passage i = tokens [i*P, (i+1)*P); slice() is 1-indexed
     # integer floor-div (never `/`: Column `/` is double division and
@@ -1404,7 +1441,7 @@ def passage_df(
         ),
     )
     return (
-        df.select(F.col(id_col), passages.alias("_ps"))
+        toked.select(F.col(id_col), passages.alias("_ps"))
         .select(
             id_col, F.posexplode_outer("_ps").alias("pos", "passage")
         )
@@ -1424,6 +1461,7 @@ def remove_boilerplate(
     text_col: str = "text",
     passage_tokens: int = 10,
     max_doc_freq: int = 10,
+    persist_passages: bool = False,
 ) -> DataFrame:
     """Strip passages that repeat across more than ``max_doc_freq``
     documents (headers, footers, navigation chrome, license blurbs) and
@@ -1437,8 +1475,20 @@ def remove_boilerplate(
     definition a small distinct set — it repeats), an anti-join probe,
     and one per-doc reassembly groupBy.  The corpus text never joins
     against itself.
-    """
+
+    ``persist_passages``: the passage table feeds BOTH the hot-digest
+    census (broadcast build side) and the anti-join probe — two
+    different subplans, nothing exchange-reused, so the
+    tokenize→assemble→md5→explode pipeline runs twice per action.
+    MEASURED at sf0.1: the lazy localCheckpoint LOSES slightly (median
+    1.44s vs 1.36s) — passages are ~10× fewer than the k-windows that
+    made remove_duplicate_spans' persist_windows win (7.4→5.0s), so
+    here the checkpoint write outweighs the avoided re-pipeline and
+    the default stays False.  Enable it when the passage pipeline is
+    genuinely expensive (very long documents, larger passage arrays)."""
     p = passage_df(df, id_col, text_col, passage_tokens)
+    if persist_passages:
+        p = p.localCheckpoint(eager=False)
     hot = (
         p.select(id_col, "passage_hash")
         .distinct()

@@ -887,3 +887,89 @@ def test_minhash_md5_backends_bit_identical(spark):
         for r in minhash_bands_md5(docs, use_arrow=False).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_minhash_null_text_both_backends_agree(spark):
+    """A NULL-text doc must neither crash the Arrow backend (NaN-bearing
+    list → int64 cast error) nor diverge from the JVM fold — both yield
+    the same fold-of-nothing signature (round-8 review)."""
+    from ros_sql_spark.operators.dedup import (
+        minhash_bands_md5,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some regular document text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    arrow = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(docs, use_arrow=True).collect()
+    }
+    jvm = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(docs, use_arrow=False).collect()
+    }
+    assert arrow == jvm
+    assert len(arrow) == 3 and all(v is not None for v in arrow[2])
+    # md5-affine family: NULL text ≡ empty text, backends agree too
+    a = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_bands_md5(docs, use_arrow=True).collect()
+    }
+    b = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in minhash_bands_md5(docs, use_arrow=False).collect()
+    }
+    assert a == b
+    null_rows = {(bd, h) for d, bd, h in a if d == 2}
+    empty_rows = {(bd, h) for d, bd, h in a if d == 3}
+    assert null_rows == empty_rows  # NULL ≡ ''
+
+
+def test_exact_dedup_incremental_null_content_not_readmitted(spark):
+    """md5(NULL) is NULL; the stored digest set holds the NULL row, and
+    a NULL-content doc in a later increment must be DROPPED like any
+    other already-seen digest (round-8 review: the null-unsafe
+    anti-join re-admitted it every batch)."""
+    from ros_sql_spark.operators.dedup import (
+        exact_dedup_incremental,
+        exact_digests,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(10, "alpha"), (11, None), (12, "fresh")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in exact_dedup_incremental(inc, exact_digests(base)).collect()
+    }
+    assert kept == {12}, kept
+
+
+def test_star_components_keep_self_loop_only_nodes(spark):
+    """A node appearing only in self-loop edges must still label itself
+    — same contract as the propagation operator (round-8 review: the
+    star variant dropped it)."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5), (7, 7), (7, 8)], "id_a long, id_b long"
+    )
+    want = {
+        (r.id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    got = {
+        (r.id, r.component)
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+    assert (5, 5) in got
