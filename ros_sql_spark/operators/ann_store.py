@@ -513,11 +513,6 @@ def ivf_pq_store_write_stream(
     def body(df: DataFrame, batch_id: int) -> None:
         ivf_pq_store_append_batch(df, path, batch_id, id_col, vec_col)
 
-    writer = (
-        vectors.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(vectors, body, checkpoint_path, available_now)

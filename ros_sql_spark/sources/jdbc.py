@@ -111,6 +111,15 @@ def jdbc_idempotent_batch(
     try:
         existing = read_jdbc(spark, url, table, driver=driver).select(*key_cols)
         fresh = fresh.join(existing, key_cols, "left_anti")
-    except Exception:
-        pass  # table absent: first batch creates it
+    except Exception as exc:
+        # ONLY "table does not exist" may be swallowed (first batch
+        # creates it).  A transient JDBC failure (lock contention,
+        # connection drop) must fail loudly: silently skipping the
+        # anti-join would re-append every redelivered row and break the
+        # exactly-once contract record_stream_jdbc advertises (round-8
+        # review).  Error-text match covers Derby ("does not exist"),
+        # Postgres ("does not exist"), MySQL ("doesn't exist").
+        msg = str(exc).lower()
+        if "not exist" not in msg and "doesn't exist" not in msg:
+            raise
     write_jdbc(fresh, url, table, mode="append", driver=driver)

@@ -624,14 +624,9 @@ def snapshot_write_stream(
     def body(df: DataFrame, batch_id: int) -> None:
         snapshot_append_batch(df, table, batch_id)
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)
 
 
 def snapshot_read(
@@ -1341,14 +1336,9 @@ def snapshot_merge_stream(
     def body(df: DataFrame, batch_id: int) -> None:
         snapshot_merge_batch(df, table, keys, batch_id)
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)
 
 
 def snapshot_changes(

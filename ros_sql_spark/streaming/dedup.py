@@ -138,6 +138,26 @@ def setsim_ingest_batch(
         F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
     )
 
+    if all(done for _, done in pre.values()):
+        # FULLY-replayed batch (crash after the docs commit, before the
+        # streaming checkpoint advanced — the common availableNow
+        # restart): every table already carries the watermark, so
+        # nothing will commit.  Without this exit the whole setsim join
+        # + components loop + shingling re-ran just to fill the return
+        # counts (round-8 review); the kept count is instead the docs
+        # table's growth across the batch commit — two narrow scans.
+        n_batch = batch.count()
+        post_docs = snapshot_read(spark, t[_T_DOCS]).count()
+        pre_docs_df = pre[_T_DOCS][0]
+        pre_docs = pre_docs_df.count() if pre_docs_df is not None else 0
+        n_kept = post_docs - pre_docs
+        return {
+            "n_batch": n_batch,
+            "n_kept": n_kept,
+            "n_dropped": n_batch - n_kept,
+            "committed": [],
+        }
+
     def empty(schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
@@ -298,14 +318,9 @@ def setsim_ingest_stream(
             df, batch_id, store, id_col, text_col, threshold, k
         )
 
-    writer = (
-        docs.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(docs, body, checkpoint_path, available_now)
 
 
 def setsim_corpus_read(spark: SparkSession, store: str) -> DataFrame:
@@ -350,9 +365,20 @@ def setsim_reindex(
     # increments while the carried watermark makes the replay skip
     # re-appending them (permanent index gap).  Replay the stream (or
     # finish the batch) first.
+    # PIN the expected versions NOW, at watermark-check time — reading
+    # them again immediately before each commit would make the OCC
+    # guard vacuous: a racing ingest that lands between the docs read
+    # and the commits would be silently overwritten (its index
+    # increments erased while its carried watermark makes the replay
+    # skip re-appending them — the permanent-gap hazard the guard
+    # exists for; round-8 review).  With pinned versions the race
+    # surfaces as SnapshotConflict and the reindex retries cleanly.
+    pinned: dict[str, int] = {}
+
     def _lb(name: str):
         tbl = f"{store}/{name}"
         vs = _list_versions(spark, tbl)
+        pinned[name] = vs[-1]
         return _read_manifest(spark, tbl, vs[-1]).get("last_batch")
 
     docs_lb = _lb(_T_DOCS)
@@ -366,15 +392,16 @@ def setsim_reindex(
                 "it before re-indexing."
             )
 
-    docs = snapshot_read(spark, f"{store}/{_T_DOCS}")
+    docs = snapshot_read(spark, f"{store}/{_T_DOCS}", version=pinned[_T_DOCS])
     sets, prefix, freq = setsim_index(
         docs, id_col=id_col, text_col=text_col, threshold=threshold, k=k
     )
     out = {}
     for name, df in ((_T_SETS, sets), (_T_PREFIX, prefix), (_T_FREQ, freq)):
-        table = f"{store}/{name}"
-        expected = _list_versions(spark, table)[-1]
         out[name] = snapshot_commit(
-            df, table, mode="overwrite", expected_version=expected
+            df,
+            f"{store}/{name}",
+            mode="overwrite",
+            expected_version=pinned[name],
         )
     return out

@@ -63,6 +63,18 @@ def stream_stream_join(
         rw = rw.withColumnRenamed(c, f"{c}_r")
     cond = None
     for k in on:
+        if k not in left.columns:
+            raise ValueError(f"join key {k!r} missing on the left side")
+        if k not in collisions:
+            # a key absent on the right would make F.col(k) == F.col(k)
+            # — trivially true, silently degenerating the equi-join
+            # into a time-range-only CROSS join with exploding state
+            # (round-8 review); fail loudly instead
+            if k not in right.columns:
+                raise ValueError(
+                    f"join key {k!r} missing on the right side "
+                    f"(right columns: {right.columns})"
+                )
         e = F.col(k) == F.col(f"{k}_r" if k in collisions else k)
         cond = e if cond is None else cond & e
     rts = f"{right_ts}_r" if right_ts in collisions else right_ts

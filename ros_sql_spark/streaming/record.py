@@ -99,10 +99,20 @@ def record_stream(
     ``dedup_keys``: dedup-on-ingest — keep the FIRST occurrence per key
     within the ``dedup_watermark`` horizon before demux
     (dropDuplicatesWithinWatermark: bounded state, the streaming twin of
-    operators.dedup.exact_dedup).  A replayed/at-least-once upstream
+    operators.dedup.exact_dedup).  A replayed/at-least-once UPSTREAM
     (the normal case for message transports) then lands exactly one row
-    per key, making the store equal to the batch exact-dedup of the raw
-    feed — asserted in tests/test_record_stream.py.
+    per key — asserted in tests/test_record_stream.py.
+
+    Delivery contract (round-8 honesty note): the bare-parquet SINK
+    here is at-least-once — a crash between the parquet append and the
+    streaming checkpoint advancing re-appends the whole micro-batch on
+    restart (dropDuplicatesWithinWatermark's state also rolls back to
+    the checkpoint, so it re-emits the same rows rather than filtering
+    them).  That trade buys this recorder its throughput; when crash
+    replay must be exactly-once use ``record_stream_snapshot``
+    (batch-watermarked atomic manifests) or ``record_stream_jdbc``
+    (key anti-join per batch) — the two sink variants that exist for
+    precisely this reason.
     """
     catalog = EngineCatalog.load(os.path.join(store_path, CATALOG_FILE))
     if dedup_keys:
@@ -260,11 +270,6 @@ def _demux_normalized(batch: DataFrame, topic_col: str, catalog: EngineCatalog):
 
 
 def _start(stream: DataFrame, body, checkpoint_path: str, available_now: bool):
-    writer = (
-        stream.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(stream, body, checkpoint_path, available_now)

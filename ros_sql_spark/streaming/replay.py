@@ -181,11 +181,6 @@ def write_idempotent(
     def body(df: DataFrame, bid: int) -> None:
         idempotent_sink_batch(df, bid, sink_path, keys)
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)

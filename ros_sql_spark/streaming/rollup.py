@@ -59,11 +59,28 @@ def rollup_upsert_batch(batch_df: DataFrame, batch_id: int,
     key is NOT superseded by the batch, union the batch, and rewrite
     ONLY those partitions (dynamic partition overwrite).  Re-running a
     batch is idempotent — the same keys replace themselves."""
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     b = batch_df.withColumn("w_date", F.to_date("w_start"))
     try:
         store = spark.read.parquet(store_path)
-    except Exception:  # first batch: store does not exist yet
+    except AnalysisException as exc:
+        # ONLY the first-batch cases may be swallowed (the
+        # idempotent_sink_batch rule — round-8 review: a broad except
+        # treated a TRANSIENT read failure on an existing store as
+        # "first batch" and appended duplicate keys permanently)
+        cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        klass = str(cond() or "") if cond is not None else ""
+        missing = (
+            "PATH_NOT_FOUND" in klass
+            or "UNABLE_TO_INFER_SCHEMA" in klass
+            or "Path does not exist" in str(exc)
+        )
+        if not missing:
+            raise
         b.write.mode("append").partitionBy("w_date").parquet(store_path)
         return
     touched = [r[0] for r in b.select("w_date").distinct().collect()]
@@ -121,11 +138,6 @@ def continuous_rollup(
     def body(df: DataFrame, bid: int) -> None:
         rollup_upsert_batch(df, bid, store_path)
 
-    writer = (
-        agg.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(agg, body, checkpoint_path, available_now)

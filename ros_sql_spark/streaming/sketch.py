@@ -113,14 +113,9 @@ def kmv_sketch_stream(
     def body(df: DataFrame, batch_id: int) -> None:
         kmv_sketch_batch(df, batch_id, table, set_col, key_col, k)
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)
 
 
 def kmv_sketch_read(spark: SparkSession, table: str) -> DataFrame:
@@ -193,14 +188,9 @@ def cm_build_stream(
     def body(df: DataFrame, batch_id: int) -> None:
         cm_build_batch(df, batch_id, table, key_col, depth, width)
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)
 
 
 def quantile_merge(
@@ -272,11 +262,6 @@ def quantile_sketch_stream(
             df, batch_id, table, group_col, value_col, key_col, k
         )
 
-    writer = (
-        events.writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)

@@ -7,8 +7,13 @@ the built-in windowed aggregates can't express:
 - ``running_user_stats``: arbitrary per-key running state via
   ``applyInPandasWithState`` — the escape hatch for custom state
   machines (per-user counters here; CDC merge, per-device protocol
-  decoding, trajectory assembly in general).  State lives in the state
-  store, bounded by the processing-timeout eviction.
+  decoding, trajectory assembly in general).  Honest state note
+  (round-8): RUNNING TOTALS over an unbounded key universe are
+  inherently unbounded state — evicting a key would reset its total —
+  so this operator deliberately uses NoTimeout and its state grows
+  with distinct keys; cap the key universe or use the timeout-evicting
+  patterns (session_assembler's EventTimeTimeout) when the key space
+  is unbounded.
 - ``streaming_dedup``: exactly-once-per-key within a watermark horizon
   via the built-in ``dropDuplicatesWithinWatermark`` — the streaming
   twin of exact_dedup, with bounded state (keys older than the
@@ -83,8 +88,11 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
     Works on a streaming DataFrame; each micro-batch emits the updated
     totals for the users it touched (outputMode='update').  Demonstrates
-    the applyInPandasWithState contract: Arrow-batched group iteration,
-    explicit state schema, timeout-driven eviction hooks.
+    the applyInPandasWithState contract: Arrow-batched group iteration
+    with an explicit state schema.  State deliberately has NO timeout:
+    a running total evicted is a running total RESET, so boundedness
+    must come from the key universe (see the module docstring) — the
+    timeout-evicting shape lives in session_assembler.
     """
     return (
         events.select("user_id", "value")
@@ -316,7 +324,17 @@ def _make_session_fn(gap_us: int):
                 continue
             lo, hi, n = int(seg[0]), int(seg[-1]), len(seg)
             if open_ is not None and lo - open_[1] <= gap_us:
-                open_ = (open_[0], hi, open_[2] + n)
+                # min/max, NOT (old_start, seg_hi): a LATE segment
+                # (within the watermark, so legitimately delivered) can
+                # lie below the stored span, and taking the segment's hi
+                # as the new end regressed session_end below
+                # session_start and mis-split the session against later
+                # same-batch segments (round-8 review)
+                open_ = (
+                    min(open_[0], lo),
+                    max(open_[1], hi),
+                    open_[2] + n,
+                )
             else:
                 if open_ is not None:
                     closed.append(open_)
@@ -356,8 +374,15 @@ def session_assembler(
     and ``ts_ns`` for exact µs arithmetic — integer div only, per the
     time discipline).
     """
-    m = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600, "seconds": 1}
+    # normalized like Spark's own interval parser (case-insensitive,
+    # singular == plural) so the two session APIs presented as twins
+    # accept the same strings — '1 second' / '2 Days' used to KeyError
+    # here while session_window took them (round-8 review)
+    m = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
     qty, unit = gap.split()
+    unit = unit.lower().rstrip("s")
+    if unit not in m:
+        raise ValueError(f"unsupported gap unit {unit!r} in {gap!r}")
     gap_us = int(qty) * m[unit] * 1_000_000
     return (
         events.withWatermark("ts", watermark)

@@ -255,3 +255,99 @@ def test_streaming_weighted_sample_equals_batch_topk(spark, tmp_path):
         expect.setdefault(r.source, []).append((r.doc_id, r._pri))
     got = {g: rows for g, rows in latest.items()}
     assert got == expect
+
+
+def test_session_fn_late_event_never_regresses_end(spark):
+    """Direct unit drive of the session state fn: a LATE (within-
+    watermark) segment merging into the open session must extend the
+    span with min/max, never regress session_end below the stored end
+    (round-8 review: the old merge took the segment's hi as the new
+    end, mis-splitting sessions)."""
+    import pandas as pd
+
+    from ros_sql_spark.streaming.stateful import _make_session_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        @property
+        def hasTimedOut(self):
+            return False
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    gap_us = 30 * 60 * 1_000_000
+    fn = _make_session_fn(gap_us)
+    mk = lambda mins: pd.DataFrame({"us": [m * 60 * 1_000_000 for m in mins]})
+
+    # batch 1: events at minute 600 and 620 -> open (600, 620)
+    st = FakeState()
+    list(fn((1,), iter([mk([600, 620])]), st))
+    assert st.get == (600 * 60 * 1_000_000, 620 * 60 * 1_000_000, 2)
+
+    # batch 2: a LATE event at minute 605 plus an in-gap one at 640 —
+    # one session spanning 600..640 with 4 events; end never regresses
+    list(fn((1,), iter([mk([605, 640])]), st))
+    assert st.get == (600 * 60 * 1_000_000, 640 * 60 * 1_000_000, 4)
+
+    # a late event BELOW the stored start extends the start downward
+    list(fn((1,), iter([mk([585])]), st))
+    assert st.get == (585 * 60 * 1_000_000, 640 * 60 * 1_000_000, 5)
+
+
+def test_session_assembler_accepts_spark_interval_spellings(spark):
+    """The gap parser must accept what the session_window twin accepts
+    — singular units and any case (round-8 review: '1 second' raised
+    KeyError)."""
+    import pytest
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.stateful import session_assembler
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    for gap in ("1 second", "30 Minutes", "2 days", "1 hour"):
+        session_assembler(ev, gap=gap)  # parse must not raise
+    with pytest.raises(ValueError, match="unsupported gap unit"):
+        session_assembler(ev, gap="3 fortnights")
+
+
+def test_stream_stream_join_missing_key_raises(spark):
+    """A join key absent on one side must fail loudly — the silent
+    alternative was F.col(k) == F.col(k), a degenerate always-true
+    condition turning the equi-join into a time-range cross join
+    (round-8 review)."""
+    import pytest
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.joins import stream_stream_join
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    right = ev.withColumnRenamed("user_id", "uid")
+    with pytest.raises(ValueError, match="missing on the right side"):
+        stream_stream_join(ev, right, on=["user_id"], max_lag="30 minutes")
+    left = ev.withColumnRenamed("user_id", "uid")
+    with pytest.raises(ValueError, match="missing on the left side"):
+        stream_stream_join(left, ev, on=["user_id"], max_lag="30 minutes")

@@ -1013,3 +1013,77 @@ def test_setsim_labels_merge_prunes_with_key_stats(spark, tmp_path):
         for r in setsim_labels_read(spark, store).collect()
     }
     assert got == {(i, i) for i in range(20)}
+
+
+def test_setsim_reindex_occ_guard_fires_on_racing_ingest(spark, tmp_path):
+    """The reindex OCC guard must actually FIRE: expected versions are
+    pinned at watermark-check time, so an ingest landing between the
+    corpus read and the commits surfaces as SnapshotConflict instead of
+    silently erasing the ingested batch's index increments (round-8
+    review: versions were re-read right before each commit, making the
+    guard vacuous)."""
+    import pyspark.sql.functions as F
+
+    import ros_sql_spark.operators.dedup as od
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import SnapshotConflict
+    from ros_sql_spark.streaming.dedup import (
+        setsim_ingest_batch,
+        setsim_reindex,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+    setsim_ingest_batch(docs.filter(F.col("doc_id") < 60), 0, store,
+                        threshold=thr)
+
+    real_index = od.setsim_index
+
+    def racing_index(*a, **kw):
+        # simulate an ingest batch landing AFTER the reindex pinned its
+        # versions but BEFORE its commits
+        setsim_ingest_batch(
+            docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)),
+            1, store, threshold=thr,
+        )
+        return real_index(*a, **kw)
+
+    od.setsim_index = racing_index
+    try:
+        with pytest.raises(SnapshotConflict):
+            setsim_reindex(spark, store, threshold=thr)
+    finally:
+        od.setsim_index = real_index
+    # the racing ingest's state is intact and a clean reindex succeeds
+    setsim_reindex(spark, store, threshold=thr)
+
+
+def test_setsim_full_replay_early_exit_counts(spark, tmp_path):
+    """A FULLY-replayed batch (all five tables already watermarked)
+    must return the original ledger counts from two narrow scans
+    without re-running the similarity join (round-8 review)."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.streaming.dedup import setsim_ingest_batch
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    store = str(tmp_path / "corpus")
+    thr = 0.3
+    setsim_ingest_batch(docs.filter(F.col("doc_id") < 60), 0, store,
+                        threshold=thr)
+    first = setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)),
+        1, store, threshold=thr,
+    )
+    replay = setsim_ingest_batch(
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)),
+        1, store, threshold=thr,
+    )
+    assert replay["committed"] == []
+    assert replay["n_batch"] == first["n_batch"]
+    assert replay["n_kept"] == first["n_kept"]
+    assert replay["n_dropped"] == first["n_dropped"]
