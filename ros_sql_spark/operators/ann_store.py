@@ -114,7 +114,12 @@ def _pruned_cells_read(
     contiguous ranges, each a manifest-pruned version-pinned
     ``snapshot_read``.  Identical rows to reading the whole table and
     filtering (pruning only drops cells no query probes)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
     from ros_sql_spark.operators.similarity import _probe_cells
+    from ros_sql_spark.sources.snapshot import _file_may_match, _read_manifest
 
     probe = _probe_cells(centers, n_probe)
     probed = (
@@ -124,17 +129,31 @@ def _pruned_cells_read(
         .collect()
     )
     ranges = _cell_ranges([r._cell for r in probed])
-    parts = [
-        snapshot_read(spark, table, version=version, prune={"_cell": (lo, hi)})
-        .filter((F.col("_cell") >= lo) & (F.col("_cell") <= hi))
-        for lo, hi in ranges
-    ]
-    if not parts:
+    if not ranges:
         return snapshot_read(spark, table, version=version).limit(0)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE read over the UNION of each range's pruned file set, filtered
+    # by the OR of the ranges — a per-range snapshot_read union opened
+    # wide-bounds files (the un-compacted appended tail) once PER range
+    # (round-8 review: R ranges re-decoded the tail R times; rows were
+    # correct, I/O multiplied).
+    mani = _read_manifest(spark, table, version)
+    stats = mani.get("stats", {})
+    files = [
+        f
+        for f in mani["files"]
+        if any(
+            _file_may_match(stats.get(f, {}), {"_cell": (lo, hi)})
+            for lo, hi in ranges
+        )
+    ]
+    schema = StructType.fromJson(_json.loads(mani["schema"]))
+    cond = None
+    for lo, hi in ranges:
+        c = (F.col("_cell") >= lo) & (F.col("_cell") <= hi)
+        cond = c if cond is None else (cond | c)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files).filter(cond)
 
 
 def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
@@ -225,6 +244,13 @@ def ivf_store_search(
     (pruning only removes cells no query probes)."""
     from ros_sql_spark.operators.similarity import ivf_knn
 
+    # PIN the query frame before anything consumes it: the pruning
+    # collect, the probe join, and the rerank all evaluate `queries`
+    # in separate actions — a nondeterministic lineage (unseeded
+    # sample/limit) would prune to one sample's cells and probe
+    # another's, silently dropping neighbors (round-8 review); even a
+    # deterministic one paid its lineage several times.
+    queries = queries.localCheckpoint(eager=False)
     v, meta = _bound_version(spark, path, "assigned", None)
     centers = _load_centers(spark, path, meta.get("centers_version"))
     pruned = _pruned_cells_read(
@@ -274,7 +300,17 @@ def ivf_pq_store_save(
         rows, "m INT, centroid INT, subvector ARRAY<DOUBLE>"
     )
     versions["codebooks"] = snapshot_commit(books_df, f"{path}/codebooks")
-    codes = pq_encode(assigned, codebooks, id_col, vec_col, keep_cols=["_cell"])
+    # encode from the JUST-COMMITTED assigned table, not the caller's
+    # frame: `assigned` carries the whole KMeans-transform lineage and
+    # re-materializing it for the codes commit re-ran the corpus scan +
+    # transform a second time — at the stated 100 TB shape that doubled
+    # the save's dominant compute (round-8 review).  pq_encode is
+    # deterministic per its own contract, so the stored rows encode
+    # identically.
+    stored = snapshot_read(
+        spark, f"{path}/assigned", version=versions["assigned"]
+    )
+    codes = pq_encode(stored, codebooks, id_col, vec_col, keep_cols=["_cell"])
     versions["codes"] = _commit_clustered(
         codes, f"{path}/codes", target_files,
         meta={
@@ -338,6 +374,13 @@ def ivf_pq_store_search(
     candidates' vectors from the stored assigned table."""
     from ros_sql_spark.operators.pq import ivf_pq_knn_join
 
+    # PIN the query frame before anything consumes it: the pruning
+    # collect, the probe join, and the rerank all evaluate `queries`
+    # in separate actions — a nondeterministic lineage (unseeded
+    # sample/limit) would prune to one sample's cells and probe
+    # another's, silently dropping neighbors (round-8 review); even a
+    # deterministic one paid its lineage several times.
+    queries = queries.localCheckpoint(eager=False)
     v_codes, meta = _bound_version(spark, path, "codes", None)
     centers = _load_centers(spark, path, meta.get("centers_version"))
     books = _load_books(spark, path, meta.get("books_version"))

@@ -85,6 +85,48 @@ def _sampled_matrix(
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
+def _adc_tables(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(nq, m, n_centroids) ADC lookup tables: tables[q, j, c] =
+    <q's j-th subvector, codeword c>.  ONE definition — pq_knn,
+    ivf_pq_knn and _adc_join_udf must score bit-identically, and three
+    hand-copies of the einsum were the stated contract's only
+    enforcement (round-8 review)."""
+    m, _, dsub = books.shape
+    return np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+
+
+def _adc_gather(
+    tables: np.ndarray, qi: np.ndarray, C: np.ndarray
+) -> np.ndarray:
+    """Score each code row against ITS query's table: sum over
+    subspaces of tables[qi, j, C[:, j]] — the shared gather kernel."""
+    jj = np.arange(C.shape[1])
+    return tables[qi[:, None], jj[None, :], C].sum(axis=1)
+
+
+def _codes_matrix(code_series: pd.Series, m: int) -> np.ndarray:
+    """(n, m) uint8 matrix from an Arrow binary column of m-byte
+    codes."""
+    return np.frombuffer(
+        b"".join(code_series.to_numpy()), dtype=np.uint8
+    ).reshape(len(code_series), m)
+
+
+def _queries_df(
+    spark, qrows, query_id_col: str, vec_name: str = "_qvec"
+) -> DataFrame:
+    """Rebuild the query frame FROM THE COLLECTED ROWS so every Spark
+    consumer (probe join, rerank) sees exactly the rows the driver
+    collected — a nondeterministic `queries` lineage (unseeded sample /
+    limit) would otherwise probe one sample while the ADC tables were
+    built for another: searchsorted then maps unseen ids to a WRONG
+    query's table, or off the end (round-8 review)."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in qrows],
+        f"{query_id_col} long, {vec_name} array<double>",
+    )
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
     return m / np.where(norms == 0.0, 1.0, norms)
@@ -262,24 +304,22 @@ def pq_knn(
     qrows = _collect_queries(queries, id_col, vec_col, max_queries)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))
-    # (nq, m, n_centroids): tables[q, j, c] = <q's j-th subvector, codeword c>
-    tables = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    tables = _adc_tables(Q, books)
     keep = k * (rerank_factor if rerank is not None else 1)
 
     out_schema = f"{query_id_col} long, {id_col} long, _adc double"
 
     def _score(batches):
-        jj = np.arange(m)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            C = np.frombuffer(
-                b"".join(pdf["pq_code"].to_numpy()), dtype=np.uint8
-            ).reshape(len(pdf), m)
+            C = _codes_matrix(pdf["pq_code"], m)
             outs = []
             for qi in range(len(qids)):
-                s = tables[qi][jj, C].sum(axis=1)  # (n,)
+                s = _adc_gather(
+                    tables, np.full(len(C), qi, dtype=np.int64), C
+                )
                 if exclude_self:
                     s = np.where(ids == qids[qi], -np.inf, s)
                 top = min(keep, len(s))
@@ -300,9 +340,7 @@ def pq_knn(
                 yield pd.concat(outs, ignore_index=True)
 
     cand = codes.mapInPandas(_score, schema=out_schema)
-    qv = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
+    qv = _queries_df(queries.sparkSession, qrows, query_id_col)
     return _finalize_topk(
         cand, qv, k, rerank, rerank_factor, id_col, vec_col, query_id_col
     )
@@ -326,12 +364,20 @@ def ivf_pq_knn(
     rerank: DataFrame | None = None,
     rerank_factor: int = 4,
     max_queries: int = DEFAULT_MAX_QUERIES,
+    codebooks: np.ndarray | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN layout (coarse cells prune WHICH
     vectors are considered; PQ codes shrink WHAT each consideration
     costs).  At 100 TB this is the only family member whose working set
     fits a cluster: the searched representation is n_probe/n_cells of
     the corpus × m bytes per vector.
+
+    ``codebooks``/``codes_df``: prebuilt training artifacts (the same
+    parameters the sibling ``ivf_pq_knn_join`` takes) — without them a
+    caller passing a prebuilt ``index`` still paid pq_train's corpus
+    count + sample collect AND a full-corpus re-encode per query batch
+    (round-8 review), reusing only the KMeans step.
 
     Pipeline: IVF-assign the corpus (KMeans cells, reusable prebuilt
     ``index``) → PQ-encode keeping the cell id → per query, probe the
@@ -353,24 +399,34 @@ def ivf_pq_knn(
         if index is not None
         else ivf_index(corpus, n_cells, seed, id_col, vec_col)
     )
-    books = pq_train(
-        corpus, dim=dim, m=m, n_centroids=n_centroids,
-        vec_col=vec_col, seed=seed,
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            corpus, dim=dim, m=m, n_centroids=n_centroids,
+            vec_col=vec_col, seed=seed,
+        )
     )
-    codes = pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+    codes = (
+        codes_df
+        if codes_df is not None
+        else pq_encode(assigned, books, id_col, vec_col, keep_cols=["_cell"])
+    )
 
     qrows = _collect_queries(queries, id_col, vec_col, max_queries)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     order = np.argsort(qids, kind="stable")
     qids = qids[order]
     Q = _normalize(np.array([r[1] for r in qrows], dtype=np.float64))[order]
-    mm, _, dsub = books.shape
-    tables = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+    mm = books.shape[0]
+    tables = _adc_tables(Q, books)
 
+    # the probe/rerank frames rebuild from the COLLECTED rows — see
+    # _queries_df (a second evaluation of `queries` could diverge)
+    qdf = _queries_df(queries.sparkSession, qrows, query_id_col)
     probe = _probe_cells(centers, n_probe)
     q = (
-        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
-        .withColumn("_cells", probe("_qvec"))
+        qdf.withColumn("_cells", probe("_qvec"))
         # explode_outer: the Generate invariant (CLAUDE.md) — plain
         # explode would re-invoke the probe UDF per row via the
         # inferred size>0 pre-filter; _cells is never null (UDF total).
@@ -381,26 +437,18 @@ def ivf_pq_knn(
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col(query_id_col))
 
-    jj = np.arange(mm)
-
     @pandas_udf("double")
     def _adc(qid: pd.Series, code: pd.Series) -> pd.Series:
         qi = np.searchsorted(qids, qid.to_numpy(dtype=np.int64))
-        C = np.frombuffer(
-            b"".join(code.to_numpy()), dtype=np.uint8
-        ).reshape(len(code), mm)
+        C = _codes_matrix(code, mm)
         # per-row gather: table of THIS row's query, summed over subspaces
-        s = tables[qi[:, None], jj[None, :], C].sum(axis=1)
-        return pd.Series(s)
+        return pd.Series(_adc_gather(tables, qi, C))
 
     scored = cand.select(
         query_id_col, id_col, _adc(F.col(query_id_col), F.col("pq_code")).alias("_adc")
     )
-    qv = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-    )
     return _finalize_topk(
-        scored, qv, k, rerank, rerank_factor, id_col, vec_col, query_id_col
+        scored, qdf, k, rerank, rerank_factor, id_col, vec_col, query_id_col
     )
 
 
@@ -419,15 +467,12 @@ def _adc_join_udf(books: np.ndarray):
     from pyspark.sql.functions import pandas_udf
 
     books = np.ascontiguousarray(books, dtype=np.float64)
-    m, _, dsub = books.shape
-    jj = np.arange(m)
+    m = books.shape[0]
 
     @pandas_udf("double")
     def _adc(qvec: pd.Series, code: pd.Series) -> pd.Series:
         Q = _normalize(np.stack(qvec.to_numpy()).astype(np.float64))
-        C = np.frombuffer(
-            b"".join(code.to_numpy()), dtype=np.uint8
-        ).reshape(len(code), m)
+        C = _codes_matrix(code, m)
         qv = np.ascontiguousarray(Q)
         view = qv.view([("", qv.dtype)] * qv.shape[1]).ravel()
         _, first_idx, inv = np.unique(
@@ -438,12 +483,12 @@ def _adc_join_udf(books: np.ndarray):
         chunk = 256
         for lo in range(0, len(Qu), chunk):
             hi = min(lo + chunk, len(Qu))
-            tables = np.einsum(
-                "qjd,jcd->qjc", Qu[lo:hi].reshape(hi - lo, m, dsub), books
-            )
+            # shared kernel (_adc_tables/_adc_gather) — bit-identity
+            # with the collected paths is a stated contract, enforced
+            # by one definition instead of three copies
+            tables = _adc_tables(Qu[lo:hi], books)
             mask = (inv >= lo) & (inv < hi)
-            qi = inv[mask] - lo
-            out[mask] = tables[qi[:, None], jj[None, :], C[mask]].sum(axis=1)
+            out[mask] = _adc_gather(tables, inv[mask] - lo, C[mask])
         return pd.Series(out)
 
     return _adc

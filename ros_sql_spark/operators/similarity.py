@@ -294,7 +294,10 @@ def lsh_knn(
     UDF touches query rows once).  With ``persist_buckets=True`` the
     narrow corpus bucket table is persisted and genuinely computed once
     even when both sides consume it (worth it for all-pairs dedup runs;
-    3 longs/row vs recomputing the matmul).
+    3 longs/row vs recomputing the matmul).  The flag only applies to
+    the ``query_filter`` form — with a separate ``queries`` frame the
+    corpus buckets are consumed once, nothing is persisted and no
+    ``_rosql_cached`` handle is attached.
 
     Tune (bands, planes_per_band) for the recall/cost point: more bands
     → higher recall, more candidates.
@@ -372,7 +375,12 @@ def lsh_knn(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
-    if persist_buckets:
+    if persist_buckets and query_filter is not None:
+        # only the query_filter form consumes the corpus bucket table
+        # twice (query buckets derive from it); with a separate
+        # `queries` frame nothing was persisted, and attaching the
+        # handle anyway made callers unpersist a no-op while believing
+        # the docstring's promise (round-8 review)
         out._rosql_cached = c  # caller may unpersist after its action
     return out
 
