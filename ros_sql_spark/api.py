@@ -130,7 +130,17 @@ def record(
         else EngineCatalog()
     )
     for topic, df in topics.items():
-        keys = list(key_cols) if key_cols else [df.columns[0]]
+        # default keys honor the documented contract: first column PLUS
+        # ts_col when present — dropping the timestamp made keys
+        # non-unique for repeated-entity topics, and normalize's
+        # duplicate-key merge then corrupted reassembly silently
+        # (round-8 review)
+        if key_cols:
+            keys = list(key_cols)
+        else:
+            keys = [df.columns[0]]
+            if ts_col in df.columns and ts_col not in keys:
+                keys.append(ts_col)
         norm = normalize(df, keys, table=namify(topic))
         catalog.add_topic(
             topic,
@@ -181,6 +191,14 @@ def playback(
                 t1_ns - 1 if t1_ns is not None else None,
             )
         }
+    # child tables are pruned by ts ONLY when the ts column is one of
+    # the PARENT KEYS carried into every child — a shredded element
+    # field that merely shares the ts name holds element-level values,
+    # and pruning on those dropped in-window messages' array elements
+    # silently (round-8 review)
+    child_prune = (
+        prune if entry.ts_col and entry.ts_col in entry.key_cols else None
+    )
     for name, is_snap in _store_tables(spark, base):
         tdir = os.path.join(base, name)
         if is_snap:
@@ -188,7 +206,11 @@ def playback(
             # current manifest's files — same shape, atomic visibility
             from ros_sql_spark.sources.snapshot import snapshot_read
 
-            tables[name] = snapshot_read(spark, tdir, prune=prune)
+            tables[name] = snapshot_read(
+                spark,
+                tdir,
+                prune=prune if name == entry.table else child_prune,
+            )
         else:
             tables[name] = spark.read.parquet(tdir)
     norm = NormalizedTables(
@@ -281,8 +303,19 @@ def expire(
         versions: dict[str, int] = {}
         for name, is_snap in sorted(store.items()):
             tdir = os.path.join(base, name)
-            if name == entry.table or not is_snap:
+            if name == entry.table:
                 continue
+            if not is_snap:
+                # silently skipping would strand orphaned child rows
+                # INVISIBLE to any rerun (the doomed root keys are
+                # deleted, so a retry finds nothing) — the exact
+                # failure the child-before-root ordering exists to
+                # prevent; fail loudly like the root check (round-8)
+                raise ValueError(
+                    f"{tdir} is not a snapshot table — expire() cannot "
+                    "purge its rows atomically; migrate the store with "
+                    "the snapshot recorder before expiring"
+                )
             versions[name] = snapshot_delete_keys(
                 doomed,
                 tdir,

@@ -102,10 +102,15 @@ def _obs_values(
         return fallback()
 
     try:
-        if not obs._jo.future().isCompleted():
-            return _fb("never fired")
+        fired = obs._jo.future().isCompleted()
     except Exception:
-        pass  # probe unavailable: try the normal accessors below
+        # probe unavailable (private API moved): obs.get would BLOCK
+        # FOREVER on an observation whose plan never executed — the
+        # recount fallback is always safe, never hanging (round-8
+        # review: the old pass-through fell into obs.get)
+        return _fb("fired-probe unavailable")
+    if not fired:
+        return _fb("never fired")
     try:
         return obs.get
     except Exception:

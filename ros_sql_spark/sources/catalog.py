@@ -90,7 +90,29 @@ class EngineCatalog:
                 raise ValueError(
                     f"topic {topic!r} already declared with a different schema"
                 )
+            # idempotent re-declare must be IDENTICAL re-declare: a
+            # matching schema with different keys/ts/children would
+            # write data the catalog misdescribes and corrupt later
+            # reassembly (round-8 review)
+            for field in ("key_cols", "ts_col", "children"):
+                if getattr(existing, field) != getattr(entry, field):
+                    raise ValueError(
+                        f"topic {topic!r} already declared with different "
+                        f"{field}: {getattr(existing, field)!r} != "
+                        f"{getattr(entry, field)!r}"
+                    )
             return existing
+        # distinct topics must never alias one table: namify collapses
+        # punctuation, so '/a-b' and '/a_b' both mangle to 'a_b' and
+        # their rows would interleave in one store dir (round-8 review;
+        # the hash-suffix branch only guards length truncation)
+        for other in self.topics.values():
+            if other.table == entry.table:
+                raise ValueError(
+                    f"topic {topic!r} mangles to table "
+                    f"{entry.table!r}, already used by topic "
+                    f"{other.topic!r} — rename one topic"
+                )
         self.topics[topic] = entry
         return entry
 

@@ -33,6 +33,8 @@ __all__ = [
     "read_orc",
     "write_orc",
     "read_binary_files",
+    "write_events_partitioned",
+    "read_events_partitioned",
 ]
 
 # All driver tables (TESTDATA.md / FIXTURES.md Part A).
@@ -65,14 +67,17 @@ _TS_UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 _ts_unit_cache: dict[tuple, tuple[str, bool]] = {}
 
 
-def _ts_unit_cache_key(path: str) -> tuple:
+def _ts_unit_cache_key(path: str) -> tuple | None:
     import os
 
     try:
         st = os.stat(path)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (path, None, None)
+        # non-stat-able path (object store): no change signal exists,
+        # so CACHING would pin a possibly stale unit forever (round-8
+        # review) — None means "probe every time" (one footer read)
+        return None
 
 
 def _probe_events_ts_unit(path: str) -> tuple[str, bool]:
@@ -89,7 +94,7 @@ def _probe_events_ts_unit(path: str) -> tuple[str, bool]:
     refuse to rewrite predicates against a guessed unit.
     """
     key = _ts_unit_cache_key(path)
-    hit = _ts_unit_cache.get(key)
+    hit = _ts_unit_cache.get(key) if key is not None else None
     if hit is None:
         unit, probed = "ns", False
         try:
@@ -107,7 +112,9 @@ def _probe_events_ts_unit(path: str) -> tuple[str, bool]:
                 "derived timestamps will be mis-scaled.",
                 stacklevel=2,
             )
-        hit = _ts_unit_cache[key] = (unit, probed)
+        hit = (unit, probed)
+        if key is not None:
+            _ts_unit_cache[key] = hit
     return hit
 
 

@@ -76,3 +76,49 @@ def test_record_redeclare_conflict(spark, tmp_path):
     record(spark, {"/e": ev}, store, key_cols=["event_id"])
     with pytest.raises(ValueError, match="different schema"):
         record(spark, {"/e": ev.drop("props")}, store, key_cols=["event_id"])
+
+
+def test_record_default_keys_include_ts_col(spark, tmp_path):
+    """The documented default — first column PLUS ts_col — must hold:
+    dropping the timestamp made keys non-unique for repeated-entity
+    topics and normalize's duplicate-key merge corrupted reassembly
+    (round-8 review)."""
+    from ros_sql_spark.api import CATALOG_FILE, record
+    from ros_sql_spark.sources.catalog import EngineCatalog
+
+    df = spark.createDataFrame(
+        [(1, 10, [1.0]), (1, 20, [2.0]), (2, 10, [3.0])],
+        "robot_id long, ts_ns long, pose array<double>",
+    )
+    store = str(tmp_path / "store")
+    record(spark, {"/t": df}, store)
+    cat = EngineCatalog.load(f"{store}/{CATALOG_FILE}")
+    assert cat.topics["/t"].key_cols == ["robot_id", "ts_ns"]
+
+
+def test_catalog_rejects_table_aliasing_and_changed_keys(spark, tmp_path):
+    """Distinct topics mangling to ONE table name must be rejected
+    (their rows would interleave in one store dir), and an idempotent
+    re-declare must be an IDENTICAL re-declare — same schema with
+    different keys misdescribes the stored data (round-8 review)."""
+    import pytest
+
+    from ros_sql_spark.sources.catalog import EngineCatalog
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts_ns", T.LongType()),
+        ]
+    )
+    cat = EngineCatalog()
+    cat.add_topic("/a-b", schema, key_cols=["id"], ts_col="ts_ns")
+    with pytest.raises(ValueError, match="already used by topic"):
+        cat.add_topic("/a_b", schema, key_cols=["id"], ts_col="ts_ns")
+    with pytest.raises(ValueError, match="different key_cols"):
+        cat.add_topic("/a-b", schema, key_cols=["id", "ts_ns"],
+                      ts_col="ts_ns")
+    # identical re-declare stays idempotent
+    again = cat.add_topic("/a-b", schema, key_cols=["id"], ts_col="ts_ns")
+    assert again.table == "a_b"
