@@ -38,11 +38,15 @@ def main() -> None:
         if cached is not None:
             cached.unpersist()
 
-    # Warmup: JIT/codegen + OS page cache for the two big tables.
+    # Warmup: JIT/codegen + OS page cache for ALL four hot tables — the
+    # top-10 slowest queries are documents/embeddings-bound (r8 verdict:
+    # warming only lineitem/events left the heaviest family paying the
+    # page-cache miss on its first timed run, a measured bench-noise
+    # source on cold/contended hosts).
     from ros_sql_spark.sources.io import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
-    load_table(spark, sf_dir, "events").count()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
     run(QUERIES["q11_pricing_summary"](spark, sf_dir))
 
     # min of two runs per query: the first run pays codegen/JIT compile,

@@ -2979,6 +2979,254 @@ def qx21_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (round-8 directive): MULTI-LEVEL CORRELATED
+    SCALAR MIN — for each part in a type/size cut, the cheapest offer
+    from any EUROPE supplier, where the "offer book" itself is a
+    supplier⋈nation⋈region join tree; decorrelated as
+    aggregate-then-rejoin on (partkey, min_price).  The testdata has
+    no partsupp table, so the offer book is lineitem's observed
+    (part, supplier, price) triples — identical decorrelation shape,
+    the correlated subtree is 4 tables deep either way.
+
+    100 TB plan shape (pinned in tests/test_plans.py):
+    - the part cut and the region-cut supplier KEYSET are broadcast
+      LEFT SEMIs onto lineitem BEFORE any shuffle (qx17/qx19
+      precedent: brand/region cuts are the broadcastable dims);
+    - the textbook decorrelation (MIN agg by partkey, rejoined to the
+      offers frame on (partkey, price)) plans the WHOLE offers subtree
+      twice — two lineitem scans, two semi probes, and an extra
+      two-key SMJ, because the agg's (l_partkey) exchange can't be
+      reused by the (l_partkey, _price) rejoin (measured on this
+      plan's first draft).  A MIN-WINDOW over the partkey partitioning
+      is the same correlated scalar with ONE scan and ONE shuffle:
+      Exchange(l_partkey) → Window(min) → Filter(price = min);
+    - the price-equality filter compares DECIMAL(18,2), never raw
+      doubles (float equality across engines is a parity trap);
+    - a (partkey, suppkey) pair can hit the min price on several
+      lineitems — the keyed distinct collapses them WITHOUT a second
+      exchange (hashpartitioning(l_partkey) already clusters the
+      (partkey, suppkey, price) distinct keys);
+    - supplier/nation/part payloads probe by broadcast AFTER the cut;
+      top-100 via TakeOrdered on (acctbal desc, name, partkey).
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD")
+                & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey",
+                money("l_extendedprice").alias("_price"))
+        .join(F.broadcast(parts.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        offers.withColumn("_minp", F.min("_price").over(w))
+        .filter(F.col("_price") == F.col("_minp"))
+        .select("l_partkey", "l_suppkey", "_minp")
+        .distinct()
+    )
+    return (
+        winners
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+            F.col("_minp").cast("double").alias("min_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def qx23_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (round-8 directive): DISJUNCTIVE OR-of-ANDs
+    join predicate — three (brand, size-range, quantity-range)
+    branches across lineitem⋈part, each conjunct mixing columns from
+    BOTH sides.  The engine-quality test: the per-side projections of
+    the disjunction must still prune BOTH scans, and the join must
+    stay ONE equi-join carrying the residual OR — never a cartesian
+    or a fat post-join filter over an unfiltered join.
+
+    100 TB plan shape (pinned in tests/test_plans.py):
+    - the part-only projection of the OR — (brand12∧size1-10) ∨
+      (brand23∧size1-20) ∨ (brand4∧size1-30) — is stated as an
+      explicit part-scan filter, so it reaches PushedFilters even
+      where CNF extraction would give up;
+    - likewise the lineitem-only projection (returnflag='N' common
+      conjunct AND the qty-range union) cuts the fact scan;
+    - the full OR rides the broadcast hash join as its residual
+      condition (Catalyst keys on l_partkey = p_partkey and keeps the
+      disjunction as non-equi residual — one join node);
+    - revenue in DECIMAL before the one-row double boundary.
+    """
+    b1_p = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+    b2_p = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20)
+    b3_p = (F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 30)
+    b1_l = F.col("l_quantity").between(1.0, 11.0)
+    b2_l = F.col("l_quantity").between(10.0, 20.0)
+    b3_l = F.col("l_quantity").between(20.0, 30.0)
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(b1_p | b2_p | b3_p)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "N") & (b1_l | b2_l | b3_l))
+        .select("l_partkey", "l_quantity",
+                "l_extendedprice", "l_discount")
+    )
+    cond = (
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & ((b1_p & b1_l) | (b2_p & b2_l) | (b3_p & b3_l))
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def qx24_concentrated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (round-8 directive): NESTED SEMI CHAIN gated by
+    a per-(part,supp) AGGREGATE THRESHOLD — suppliers in the EUROPE
+    region having some name-cut part whose 1997 shipped quantity
+    exceeds HALF the pair's all-time quantity (the testdata has no
+    partsupp.availqty, so the Q20 "availqty > ½·shipped" gate becomes
+    a two-conditional-sum concentration gate over the same
+    (partkey, suppkey) grain — the nesting depth is identical:
+    supplier ⟕semi (pairs ⟕semi part-cut) with the pairs themselves
+    born from an aggregate HAVING).
+
+    100 TB plan shape (pinned in tests/test_plans.py):
+    - ONE lineitem pass computes both conditional sums (partial agg
+      map-side; never two scans joined);
+    - the threshold compares exact BIGINTs (quantities are integral
+      doubles; 2·q97 > qtot — no division, no float boundary);
+    - the part name-cut is a broadcast LEFT SEMI on the aggregated
+      pairs (qx17 precedent), NOT on raw lineitem — it only has to
+      cut pair-grain rows;
+    - supplier ⟕semi surviving-pairs is a SHUFFLE semi on suppkey
+      (both sides data-sized at 100 TB); nation/region probe by
+      broadcast; output ordered by name.
+    """
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_suppkey",
+            F.col("l_quantity").alias("_q"),
+            (F.year("l_shipdate") == 1997).alias("_in97"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("_in97"), F.col("_q")).otherwise(F.lit(0.0)))
+            .cast("bigint").alias("_q97"),
+            F.sum("_q").cast("bigint").alias("_qtot"),
+        )
+        .filter((F.col("_q97") > F.lit(0))
+                & (F.lit(2) * F.col("_q97") > F.col("_qtot")))
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    pairs_cut = pairs.join(
+        F.broadcast(red_parts),
+        F.col("l_partkey") == F.col("p_partkey"), "left_semi",
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(pairs_cut.select("l_suppkey"),
+              F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def qx25_profit_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (round-8 directive): LIKE-cut PROFIT TREE —
+    per-(nation, year) profit over the part⋈lineitem⋈supplier⋈orders⋈
+    nation tree, part cut by an infix name pattern (no index/partition
+    key can serve a '%red%' cut: it MUST survive as a scan-level
+    StringContains push).  Profit = discounted revenue minus a
+    retail-cost proxy (the testdata has no partsupp.supplycost;
+    p_retailprice·quantity keeps the cost term coming from a DIFFERENT
+    table than the revenue term, which is what makes Q9's tree deep).
+
+    100 TB plan shape (pinned in tests/test_plans.py):
+    - the '%red%' cut broadcasts (with payload — retailprice feeds the
+      amount arithmetic) onto lineitem BEFORE the orderkey shuffle, so
+      the fact spine shuffles ~1/8 of lineitem;
+    - lineitem⋈orders is the ONE SortMergeJoin (orders carries only
+      o_orderkey, o_orderdate); supplier/nation probe by broadcast;
+    - amount arithmetic is pure DECIMAL: (18,2)·(18,2) products at
+      scale 4, subtraction at (38,4), exact-associative partial sums
+      map-side; the double boundary is the final output cast;
+    - GROUP BY (n_name, year) is the only other shuffle, over
+      agg-grain rows.
+    """
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", money("p_retailprice").alias("_retail"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    amount = disc_price() - (
+        F.col("_retail") * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy(F.asc("n_name"), F.desc("o_year"))
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3106,4 +3354,8 @@ QUERIES = {
     "qx19_market_share": qx19_market_share,
     "qx20_large_volume_orders": qx20_large_volume_orders,
     "qx21_inactive_high_balance": qx21_inactive_high_balance,
+    "qx22_min_cost_supplier": qx22_min_cost_supplier,
+    "qx23_disjunctive_join": qx23_disjunctive_join,
+    "qx24_concentrated_pairs": qx24_concentrated_pairs,
+    "qx25_profit_tree": qx25_profit_tree,
 }

@@ -646,3 +646,71 @@ def test_qx20_qx21_shapes(spark):
     # decimal-exact threshold: the multiplication comparison survives
     # into the physical plan (no double division anywhere)
     assert re.search(r"_bal#\d+ \* cast\(_n#\d+L as decimal", p21), p21
+
+
+def test_qx22_qx23_qx24_qx25_final_tpch_shapes(spark):
+    """Round-9 directive: the last TPC-H join/decorrelation classes,
+    size-based broadcast heuristic OFF (hints must carry the shapes).
+    qx22 = correlated scalar MIN as a min-window (ONE fact scan, ONE
+    shuffle — the agg-then-rejoin draft planned the offers subtree
+    twice); qx23 = disjunctive OR-of-ANDs as ONE equi-join with a
+    residual condition and per-branch scan pushdown; qx24 = nested
+    semi chain over an aggregate-threshold pair grain; qx25 = LIKE-cut
+    profit tree with one fact-spine shuffle."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p22 = plan_of(spark, "qx22_min_cost_supplier")
+        p23 = plan_of(spark, "qx23_disjunctive_join")
+        p24 = plan_of(spark, "qx24_concentrated_pairs")
+        p25 = plan_of(spark, "qx25_profit_tree")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # qx22: the correlated-MIN is a Window over hashpartitioning
+    # (l_partkey) — exactly ONE shuffle and ONE lineitem scan in the
+    # whole query (the textbook decorrelation costs two of each); the
+    # (partkey, suppkey, price) distinct reuses the window's
+    # partitioning (no second Exchange); part/supplier cuts are
+    # broadcast semis BEFORE the shuffle; top-100 via TakeOrdered
+    assert p22.count("SortMergeJoin") == 0, p22
+    assert p22.count("Window") == 1, p22
+    assert len(re.findall(r"Exchange hashpartitioning", p22)) == 1, p22
+    assert p22.count("lineitem.parquet") == 1, p22
+    assert p22.count("LeftSemi") == 2, p22
+    assert "TakeOrderedAndProject" in p22
+    assert "EqualTo(p_type,STANDARD)" in p22  # pushed to part scan
+    assert "EqualTo(r_name,EUROPE)" in p22  # pushed to region scan
+
+    # qx23: ONE join total — the disjunction rides the broadcast hash
+    # join as its residual (the BHJ node itself carries the brand
+    # branches), never a post-join Filter or a nested-loop join; each
+    # side's projection of the OR is pushed into its scan
+    assert p23.count("BroadcastHashJoin") == 1, p23
+    assert p23.count("SortMergeJoin") == 0, p23
+    assert "BroadcastNestedLoopJoin" not in p23, p23
+    m = re.search(r"BroadcastHashJoin \[l_partkey#\d+L?\], "
+                  r"\[p_partkey#\d+L?\], Inner, BuildRight, \(\(",
+                  p23)
+    assert m, p23  # residual OR inside the join node
+    assert p23.count("Or(Or(And(") >= 2, p23  # pushed to BOTH scans
+    assert "EqualTo(l_returnflag,N)" in p23  # common conjunct pushed
+
+    # qx24: one lineitem pass feeds the pair-grain aggregate (partial
+    # map-side), the part LIKE-cut semi hits PAIR-grain rows (scan
+    # shows the Contains push on part), and supplier⟕semi survivors
+    # is the one shuffle semi
+    assert p24.count("lineitem.parquet") == 1, p24
+    assert "partial_sum" in p24
+    assert p24.count("SortMergeJoin") == 1 and p24.count("LeftSemi") == 2, p24
+    assert "Contains(p_name,red)" in p24  # LIKE '%red%' pushed
+    assert re.search(r"SortMergeJoin \[s_suppkey#\d+L?\]", p24), p24
+
+    # qx25: one fact-spine SMJ on orderkey; part (with retailprice
+    # payload), supplier and nation probe by broadcast; the LIKE cut
+    # reaches the part scan; decimal partial sums map-side
+    assert p25.count("SortMergeJoin") == 1, p25
+    assert p25.count("BroadcastHashJoin") == 3, p25
+    assert re.search(r"SortMergeJoin \[l_orderkey#\d+L?\]", p25), p25
+    assert "Contains(p_name,red)" in p25
+    assert "partial_sum" in p25
