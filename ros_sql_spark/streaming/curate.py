@@ -1,0 +1,261 @@
+"""Streaming curate(): the FULL cleaning pipeline as a continuous
+ingest — per-batch boilerplate strip -> span-level exact dedup ->
+quality gate composed IN FRONT of the near-dup setsim ingest
+(streaming/dedup.py), with a per-batch row-accounting LEDGER landed
+under the same ``batch:<id>`` watermark.
+
+Until now a 100 TB streaming ingest got dedup-only curation: the
+batch pipeline (pipeline.py::curate) composes boilerplate -> span ->
+quality -> dedup, but only the dedup stage had a continuous twin.
+The cleaning stages are all STATELESS per batch (pure functions of
+the batch's own rows), so the streaming composition is the same
+operators applied per micro-batch, then handed to the stateful dedup
+ingest that already owns its incremental index.
+
+Semantics vs batch ``curate()`` (documented, tested):
+- **quality** is per-document: streaming == batch EXACTLY, any
+  batching.
+- **boilerplate / span dedup** use document-frequency statistics; the
+  streaming stages compute them over the BATCH (chrome is batch-local
+  by policy).  A passage/span whose repetitions are split across
+  batches below the threshold survives where the batch pipeline would
+  strip it — the price of never retro-editing published docs.  At
+  production batch sizes (millions of docs per trigger) chrome that
+  matters repeats within every batch; the equivalence test constructs
+  exactly that regime and asserts drained-stream == batch curate().
+- **dedup** is the setsim ingest contract: first-come-wins against
+  the published corpus, min-id per purely-new cluster, exact Jaccard
+  at the threshold (exact duplicates are Jaccard 1.0, so the batch
+  pipeline's separate md5 stage is subsumed).  Transitive chains
+  THROUGH a dropped doc are not observed across batches (the index
+  stores survivors only) — same policy the labels table documents.
+
+LEDGER (the observation-ledger reconciliation the batch pipeline gets
+from CollectMetrics): a sixth snapshot table ``ledger`` appends one
+row per batch — (batch_id, n_batch, n_boilerplate, n_span, n_quality,
+n_dedup, n_kept) — committed LAST (after the docs table), carrying
+the same watermark, so redelivery can never double-count.  Per-row
+invariant: n_batch == n_boilerplate + n_span + n_quality + n_dedup +
+n_kept; across rows: sum(n_kept) == corpus rows, sum(n_batch) ==
+total input.  Both asserted in tests and the scale drive.
+
+Crash recovery: the cleaning stages are deterministic per batch, so a
+replayed batch reproduces the same cleaned frame bit-for-bit and the
+setsim ingest's time-travel machinery (streaming/dedup.py) resumes
+the partially-committed dedup tables; the ledger's own watermark
+check makes its append idempotent.
+
+Reference parity: strawlab/ros_sql has no corpus tooling; this is the
+engine-extension surface (SURVEY.md §2.3 families q85/q21/q25/qx07)
+composed for continuous ingest.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ros_sql_spark.sources.snapshot import snapshot_commit, snapshot_read
+from ros_sql_spark.streaming.dedup import (
+    _pre_state,
+    setsim_corpus_read,
+    setsim_ingest_batch,
+)
+
+__all__ = [
+    "curate_ingest_batch",
+    "curate_ingest_stream",
+    "curate_ledger_read",
+]
+
+_T_LEDGER = "ledger"
+
+_LEDGER_SCHEMA = (
+    "batch_id bigint, n_batch bigint, n_boilerplate bigint, "
+    "n_span bigint, n_quality bigint, n_dedup bigint, n_kept bigint"
+)
+
+
+def curate_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.25,
+    min_stopword_ratio: float = 0.015,
+    threshold: float = 0.5,
+    k: int = 5,
+    boilerplate_max_df: int | None = None,
+    boilerplate_passage_tokens: int = 10,
+    span_dedup_k: int | None = None,
+    span_min_docs: int = 3,
+) -> dict:
+    """Curate one micro-batch into the corpus at ``store`` (six
+    snapshot tables: the five setsim-ingest tables + ``ledger``).
+
+    Stage chain mirrors pipeline.py::curate with batch-local
+    boilerplate/span statistics (module docstring): boilerplate ->
+    span -> quality -> setsim dedup ingest.  Returns the ledger row as
+    a dict.  Idempotent under redelivery; single writer per store.
+
+    Scale shape: every stage is increment-sized — the cleaning stages
+    never see anything but the batch, and the dedup probe is the
+    (new x base) u (new x new) incremental contract.  Each stage
+    output is lazily checkpointed because it feeds BOTH the next stage
+    and its ledger count (two separate actions — CLAUDE.md's
+    several-separate-actions rule; without the checkpoint the passage
+    explode / span windows would re-execute once per consumer).
+    """
+    spark = batch_df.sparkSession
+    cur = batch_df.select(
+        F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
+    ).localCheckpoint(eager=False)
+    n_batch = cur.count()
+    n_prev = n_batch
+
+    # 0. boilerplate strip (q85, batch-local df) — BEFORE gating, the
+    #    CCNet ordering: chrome neither poisons the quality features
+    #    nor fabricates near-dup shingles
+    n_bp = 0
+    if boilerplate_max_df is not None:
+        from ros_sql_spark.operators.dedup import remove_boilerplate
+
+        cur = remove_boilerplate(
+            cur,
+            id_col=id_col,
+            text_col=text_col,
+            passage_tokens=boilerplate_passage_tokens,
+            max_doc_freq=boilerplate_max_df,
+        ).localCheckpoint(eager=False)
+        n_now = cur.count()
+        n_bp = n_prev - n_now
+        n_prev = n_now
+
+    # 0b. span-level exact dedup (batch-local span df); the stage's
+    #     own window cache is off — our checkpoint owns materialization
+    n_span = 0
+    if span_dedup_k is not None:
+        from ros_sql_spark.operators.dedup import remove_duplicate_spans
+
+        cur = remove_duplicate_spans(
+            cur,
+            id_col=id_col,
+            text_col=text_col,
+            k=span_dedup_k,
+            min_docs=span_min_docs,
+            persist_windows=False,
+        ).localCheckpoint(eager=False)
+        n_now = cur.count()
+        n_span = n_prev - n_now
+        n_prev = n_now
+
+    # 1. quality gate — per-doc pure projection, identical to batch
+    from ros_sql_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        tokens,
+    )
+
+    feats = cur.select(
+        id_col,
+        text_col,
+        F.size(tokens(text_col)).cast("bigint").alias("_n_tok"),
+        F.round(punct_ratio(text_col), 6).alias("_punct"),
+    ).select(
+        id_col,
+        text_col,
+        "_n_tok",
+        "_punct",
+        F.round(stopword_ratio(tokens(text_col), "en"), 6).alias("_stop"),
+    )
+    keep = (
+        (F.col("_n_tok") >= min_tokens)
+        & (F.col("_punct") < max_punct_ratio)
+        & (F.col("_stop") > min_stopword_ratio)
+    )
+    cur = (
+        feats.filter(keep)
+        .select(id_col, text_col)
+        .localCheckpoint(eager=False)
+    )
+    n_now = cur.count()
+    n_quality = n_prev - n_now
+
+    # 2. near-dup (+ exact, Jaccard 1.0) setsim ingest — the stateful
+    #    stage owns its index, watermarks and crash recovery
+    st = setsim_ingest_batch(
+        cur,
+        batch_id,
+        store,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        k=k,
+    )
+
+    row = {
+        "batch_id": batch_id,
+        "n_batch": n_batch,
+        "n_boilerplate": n_bp,
+        "n_span": n_span,
+        "n_quality": n_quality,
+        "n_dedup": st["n_dropped"],
+        "n_kept": st["n_kept"],
+    }
+    # ledger LAST: its watermark implies the whole batch landed.  The
+    # pre-state probe makes redelivery a no-op (never double-counts).
+    _, done = _pre_state(spark, f"{store}/{_T_LEDGER}", batch_id)
+    if not done:
+        snapshot_commit(
+            spark.createDataFrame(
+                [tuple(row.values())], _LEDGER_SCHEMA
+            ),
+            f"{store}/{_T_LEDGER}",
+            mode="append",
+            tag=f"batch:{batch_id}",
+        )
+    return row
+
+
+def curate_ingest_stream(
+    docs: DataFrame,
+    store: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **curate_kwargs,
+):
+    """Continuous full-pipeline curation: each micro-batch is
+    boilerplate-stripped, span-deduped, quality-gated and near-dup
+    deduped against the published corpus; only clean survivors land.
+    ``curate_kwargs`` forward to :func:`curate_ingest_batch`.  Returns
+    the StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        curate_ingest_batch(
+            df, batch_id, store, id_col, text_col, **curate_kwargs
+        )
+
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(docs, body, checkpoint_path, available_now)
+
+
+def curate_ledger_read(spark: SparkSession, store: str) -> DataFrame:
+    """The per-batch curation ledger as of now: one row per ingested
+    batch with per-stage drop counts.  Invariants (asserted in tests):
+    per row n_batch == sum of stage drops + n_kept; across rows
+    sum(n_kept) == rows of :func:`setsim_corpus_read`."""
+    return snapshot_read(spark, f"{store}/{_T_LEDGER}")
+
+
+def curate_corpus_read(spark: SparkSession, store: str) -> DataFrame:
+    """The curated corpus as of now (snapshot isolation) — alias of
+    the dedup-store reader; the docs table holds the CLEANED text
+    (post boilerplate/span rebuild), exactly what batch curate()'s
+    ``docs`` frame carries."""
+    return setsim_corpus_read(spark, store)

@@ -1,0 +1,311 @@
+"""Streaming curate(): drained-stream == batch curate() under the
+equivalence regime, per-batch ledger reconciliation, redelivery
+idempotence, crash recovery at the docs->ledger seam.
+
+The equivalence regime (streaming/curate.py docstring): quality is
+per-doc (always equal); boilerplate/span statistics are batch-local,
+so the corpus is constructed with chrome repeating ABOVE threshold
+within every batch (the production regime); dedup families are
+cliques arriving in ascending-id batches, members length-matched, so
+first-come == min-id == batch keep-best.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ros_sql_spark.pipeline import curate
+from ros_sql_spark.streaming.curate import (
+    curate_corpus_read,
+    curate_ingest_batch,
+    curate_ingest_stream,
+    curate_ledger_read,
+)
+
+HEADER = "the site header menu login subscribe now please read today"
+SPAN = "alpha beta gamma delta epsilon zeta"
+
+
+def _body(i: int, n: int = 20) -> str:
+    return " ".join("the" if j % 7 == 0 else f"w{i}x{j}" for j in range(n))
+
+
+def _family_text(prefix: str | None = None) -> str:
+    """Near-dup family around a 30-token canonical.  A near copy gets a
+    unique PREFIX and loses a few tail tokens: 5-gram shingles are
+    shift-invariant (Jaccard ~0.8 vs canonical) but the 10-token
+    boilerplate PASSAGE blocks all shift, so no passage repeats across
+    family variants (passage df stays <= max_df=2 — only the one exact
+    pair shares blocks) and the family is invisible to the chrome
+    stage in both pipelines.  Copies are strictly shorter than the
+    canonical, so batch keep-best (longest) == streaming first-come
+    (min id)."""
+    toks = ["the" if j % 7 == 0 else f"fa{j}" for j in range(30)]
+    if prefix is None:
+        return " ".join(toks)
+    p = prefix.split(" ")
+    return " ".join(p + toks[: 30 - len(p) - 2])
+
+
+def _mk_batch(base: int, first: bool) -> list[tuple[int, str]]:
+    rows: list[tuple[int, str]] = []
+    # 6 docs with a shared 10-token header passage (df=6 > max_df=2
+    # batch-locally AND corpus-wide: the equivalence regime)
+    for i in range(6):
+        rows.append((base + i, HEADER + " " + _body(base + i)))
+    # 1 all-header doc: dropped entirely at the boilerplate stage
+    rows.append((base + 6, HEADER))
+    # 6 docs embedding the duplicated 6-token span at varying offsets
+    # (span_min_docs=6 keeps the span stage blind to the ≤3-copy
+    # near-dup family below, in BOTH pipelines — the two dedup layers
+    # must not compete for the same windows)
+    for i in range(6):
+        pre = " ".join(f"p{base + i}q{j}" for j in range(6 + i)) + " the"
+        post = "the " + " ".join(f"s{base + i}t{j}" for j in range(8))
+        rows.append((base + 7 + i, pre + " " + SPAN + " " + post))
+    # 1 pure-span doc: every token covered -> dropped at the span stage
+    rows.append((base + 14, SPAN))
+    # 3 quality drops: too short / punctuation-heavy / no stopwords
+    rows.append((base + 15, "short text here"))
+    rows.append((base + 16, "the " + " ".join(["!!!"] * 15)))
+    rows.append((base + 17, " ".join(f"q{base}z{j}" for j in range(20))))
+    # near-dup family: canonical + copies in batch 1, late copies of
+    # the SAME canonical in batch 2 (ascending ids -> first-come wins
+    # == min id == batch keep-best: the canonical is strictly longest)
+    if first:
+        rows.append((base + 20, _family_text()))
+        rows.append((base + 21, _family_text()))            # exact copy
+        rows.append((base + 22, _family_text("zz1")))       # near copy
+    else:
+        rows.append((base + 20, _family_text("yy1 yy2")))   # near copy
+        rows.append((base + 21, _family_text("yy1 yy2")))   # its exact twin
+    # plain unique survivors
+    for i in range(5):
+        rows.append((base + 30 + i, _body(base + 30 + i, 24)))
+    return rows
+
+
+_POLICY = dict(
+    boilerplate_max_df=2,
+    span_dedup_k=6,
+    span_min_docs=6,
+)
+
+
+def _batch_curate(spark, docs):
+    return curate(
+        docs,
+        near_dup_threshold=0.5,
+        near_dup_method="setsim",
+        shingle_k=5,
+        boilerplate_passage_tokens=10,
+        **_POLICY,
+    )
+
+
+def test_streaming_curate_equals_batch_and_ledger_reconciles(
+    spark, tmp_path
+):
+    rows1 = _mk_batch(0, first=True)
+    rows2 = _mk_batch(100, first=False)
+    docs = spark.createDataFrame(rows1 + rows2, "doc_id bigint, text string")
+
+    res = _batch_curate(spark, docs)
+    batch_kept = {
+        (r.doc_id, r.text)
+        for r in res.docs.select("doc_id", "text").collect()
+    }
+    m = res.metrics()
+
+    # drive the REAL stream: one file per micro-batch, ascending ids
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows1, docs.schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, docs.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    store = str(tmp_path / "store")
+    q = curate_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src),
+        store,
+        checkpoint_path=str(tmp_path / "ck1"),
+        threshold=0.5,
+        k=5,
+        **_POLICY,
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    stream_kept = {
+        (r.doc_id, r.text)
+        for r in curate_corpus_read(spark, store).collect()
+    }
+    assert stream_kept == batch_kept
+
+    # ledger: one row per batch, per-row identity, totals reconcile
+    # against the input, the corpus AND the batch pipeline's metrics
+    led = sorted(
+        curate_ledger_read(spark, store).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert [r.batch_id for r in led] == [0, 1]
+    for r in led:
+        assert r.n_batch == (
+            r.n_boilerplate + r.n_span + r.n_quality + r.n_dedup + r.n_kept
+        ), r
+    tot = {
+        f: sum(getattr(r, f) for r in led)
+        for f in (
+            "n_batch", "n_boilerplate", "n_span",
+            "n_quality", "n_dedup", "n_kept",
+        )
+    }
+    assert tot["n_batch"] == len(rows1) + len(rows2)
+    assert tot["n_kept"] == len(stream_kept)
+    assert tot["n_boilerplate"] == m["boilerplate"]
+    assert tot["n_span"] == m["span_dedup"]
+    assert tot["n_quality"] == m["quality"]
+    # batch splits dedup into exact (md5) + near_dup; streaming's
+    # setsim subsumes exact at Jaccard 1.0 -> one combined count
+    assert tot["n_dedup"] == m["exact"] + m["near_dup"]
+    # every stage actually engaged (the corpus was built to exercise
+    # each one — a zero here means the stage silently stopped firing)
+    assert min(
+        tot["n_boilerplate"], tot["n_span"], tot["n_quality"], tot["n_dedup"]
+    ) > 0
+
+    # full redelivery from a fresh checkpoint: every table version
+    # (ledger included) untouched
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    tables = ("docs", "sets", "prefix", "freq", "labels", "ledger")
+    versions = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1] for n in tables
+    }
+    q2 = curate_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src),
+        store,
+        checkpoint_path=str(tmp_path / "ck2"),
+        threshold=0.5,
+        k=5,
+        **_POLICY,
+    )
+    q2.awaitTermination(240)
+    for n, v in versions.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
+    assert {
+        (r.doc_id, r.text)
+        for r in curate_corpus_read(spark, store).collect()
+    } == batch_kept
+
+
+def test_streaming_curate_crash_between_docs_and_ledger(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the dedup tables committed, BEFORE the ledger row:
+    the replay must recompute the stage counts deterministically, take
+    the setsim early-exit (docs-growth accounting), and land exactly
+    ONE ledger row with the same counts the un-crashed run would
+    have."""
+    import ros_sql_spark.streaming.curate as sc
+
+    rows = _mk_batch(0, first=True)
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = str(tmp_path / "store")
+
+    real_commit = sc.snapshot_commit
+    state = {"crashed": False}
+
+    def crashing(df, table, **kw):
+        if table.endswith("/ledger") and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before ledger commit")
+        return real_commit(df, table, **kw)
+
+    monkeypatch.setattr(sc, "snapshot_commit", crashing)
+    try:
+        curate_ingest_batch(docs, 0, store, threshold=0.5, k=5, **_POLICY)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # dedup tables landed, ledger absent
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    assert snapshot_versions(spark, f"{store}/docs")
+    import pytest
+
+    with pytest.raises(Exception):
+        curate_ledger_read(spark, store).collect()
+
+    # replay (redelivery of the same batch)
+    row = curate_ingest_batch(docs, 0, store, threshold=0.5, k=5, **_POLICY)
+    led = curate_ledger_read(spark, store).collect()
+    assert len(led) == 1
+    r = led[0]
+    assert {
+        "batch_id": r.batch_id,
+        "n_batch": r.n_batch,
+        "n_boilerplate": r.n_boilerplate,
+        "n_span": r.n_span,
+        "n_quality": r.n_quality,
+        "n_dedup": r.n_dedup,
+        "n_kept": r.n_kept,
+    } == row
+    assert r.n_batch == (
+        r.n_boilerplate + r.n_span + r.n_quality + r.n_dedup + r.n_kept
+    )
+    assert r.n_kept == curate_corpus_read(spark, store).count()
+
+    # a SECOND replay is a full no-op: every version pinned
+    versions = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1]
+        for n in ("docs", "sets", "prefix", "freq", "labels", "ledger")
+    }
+    curate_ingest_batch(docs, 0, store, threshold=0.5, k=5, **_POLICY)
+    for n, v in versions.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
+
+
+def test_streaming_curate_all_dropped_batch_advances_watermark(
+    spark, tmp_path
+):
+    """A batch the quality gate fully rejects still advances every
+    watermark (else redelivery would re-run it forever) and lands a
+    ledger row with n_kept=0."""
+    rows = [(1, "short one"), (2, "tiny doc")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = str(tmp_path / "store")
+    row = curate_ingest_batch(docs, 7, store, threshold=0.5, k=5)
+    assert row == {
+        "batch_id": 7,
+        "n_batch": 2,
+        "n_boilerplate": 0,
+        "n_span": 0,
+        "n_quality": 2,
+        "n_dedup": 0,
+        "n_kept": 0,
+    }
+    assert curate_corpus_read(spark, store).count() == 0
+    # replay skips everything (the watermark advanced on empty appends)
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    versions = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1]
+        for n in ("docs", "ledger")
+    }
+    row2 = curate_ingest_batch(docs, 7, store, threshold=0.5, k=5)
+    assert row2["n_kept"] == 0 and row2["n_batch"] == 2
+    for n, v in versions.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
+    # and a following batch ingests normally on top
+    nxt = spark.createDataFrame(
+        [(3, _body(3, 24))], "doc_id bigint, text string"
+    )
+    row3 = curate_ingest_batch(nxt, 8, store, threshold=0.5, k=5)
+    assert row3["n_kept"] == 1
+    assert curate_corpus_read(spark, store).count() == 1

@@ -410,6 +410,69 @@ def main() -> int:
             orphan_dropped == 0
         )
 
+        # 8c. streaming curate() at 20x (round-9): the FULL per-batch
+        # stage chain — boilerplate -> span dedup -> quality -> setsim
+        # dedup ingest — as 2 super-batches against a fresh store, with
+        # the per-batch LEDGER reconciled against the input and the
+        # corpus.  Thresholds are set so the chrome stages run at full
+        # COST (passage df census + window-hash df census per batch)
+        # without clipping the planted dup families (max_df=50 >
+        # copies; span_min_docs=25 > batch-local family size), so the
+        # dedup expectations stay those of stage 8: exact families
+        # collapse, something drops, ledger sums to the corpus.
+        from ros_sql_spark.streaming.curate import (
+            curate_corpus_read,
+            curate_ingest_batch,
+            curate_ledger_read,
+        )
+
+        cstore = f"{work}/curate_store"
+        half = copies // 2
+
+        def _stream_curate():
+            for b in range(2):
+                lo = b * half * 1_000_000
+                hi = (b + 1) * half * 1_000_000
+                batch = docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).select("doc_id", "text")
+                curate_ingest_batch(
+                    batch,
+                    b,
+                    cstore,
+                    threshold=0.5,
+                    k=5,
+                    boilerplate_max_df=50,
+                    span_dedup_k=8,
+                    span_min_docs=25,
+                )
+            led = curate_ledger_read(spark, cstore).collect()
+            corpus = curate_corpus_read(spark, cstore)
+            dup = (
+                corpus.groupBy(F.md5(F.col("text").cast("binary")))
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            return led, corpus.count(), dup
+
+        led, n_corpus, n_dup = timed("streaming_curate_20x", _stream_curate)
+        checks["stream_curate_ledger_rows_reconcile"] = all(
+            r.n_batch
+            == r.n_boilerplate + r.n_span + r.n_quality + r.n_dedup + r.n_kept
+            for r in led
+        )
+        checks["stream_curate_ledger_sums_to_corpus"] = (
+            sum(r.n_kept for r in led) == n_corpus
+        )
+        checks["stream_curate_input_covered"] = (
+            sum(r.n_batch for r in led) == n_docs * (2 * half) // copies
+        )
+        checks["stream_curate_dedup_engaged"] = (
+            sum(r.n_dedup for r in led) > 0
+        )
+        checks["stream_curate_no_exact_dup_survives"] = n_dup == 0
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
