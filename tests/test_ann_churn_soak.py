@@ -1,0 +1,190 @@
+"""ANN serving-store soak under churn (round-9 directive): a LIVE
+search loop runs in a background thread while the writer executes the
+full maintenance lifecycle — append, optimize, full rebuild (reindex),
+append again, optimize, vacuum — against the SAME store.
+
+The round-8 audits proved each hazard one at a time (generation
+binding mid-rebuild, append re-pin, optimize re-pin before vacuum);
+this composes them: every concurrent search must be BIT-IDENTICAL to
+the serving output of one quiescent post-op generation, because any
+moment a search can pin is either a post-op state or a mid-op state
+whose binding resolves to the previous generation (the blue/green
+contract).  A search that ever errors, returns a partial result, or
+mixes generations fails the membership check.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from ros_sql_spark.operators.similarity import ivf_index
+from ros_sql_spark.sources.io import load_table
+from tests.conftest import SF_SMALL
+
+
+def _fp(rows) -> tuple:
+    """Canonical fingerprint of one search result (exact values —
+    'bit-identical' means the floats too)."""
+    return tuple(sorted(map(tuple, rows)))
+
+
+def _soak(spark, search_once, ops):
+    """Run ``search_once`` in a loop concurrent with the ``ops``
+    sequence; return (observed fingerprints, reference fingerprints).
+    References are recorded at t0 and after each op completes — the
+    set of quiescent generations; mid-op pins serve the previous
+    generation bit-identically, so membership in the reference set is
+    the full correctness statement."""
+    refs = [_fp(search_once())]
+    observed: list[tuple] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def searcher():
+        try:
+            while not stop.is_set():
+                observed.append(_fp(search_once()))
+        except BaseException as e:  # surfaced in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=searcher, daemon=True)
+    t.start()
+    try:
+        for op in ops:
+            op()
+            refs.append(_fp(search_once()))
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert not t.is_alive()
+    return observed, refs
+
+
+def test_ivf_store_soak_append_optimize_rebuild_vacuum(spark, tmp_path):
+    from ros_sql_spark.operators.ann_store import (
+        ivf_store_append,
+        ivf_store_optimize,
+        ivf_store_save,
+        ivf_store_search,
+    )
+    from ros_sql_spark.sources.snapshot import snapshot_vacuum
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter("vec_id % 3 != 2")
+    add1 = emb.filter("vec_id % 3 = 2 and vec_id % 2 = 0")
+    add2 = emb.filter("vec_id % 3 = 2 and vec_id % 2 = 1")
+    store = str(tmp_path / "ivf")
+    ivf_store_save(spark, ivf_index(base, n_cells=8, seed=1), store,
+                   target_files=8)
+    queries = emb.filter("vec_id % 97 = 1").limit(5).localCheckpoint()
+
+    def search_once():
+        return ivf_store_search(
+            spark, store, queries, k=5, n_probe=2
+        ).collect()
+
+    def rebuild():
+        # full reindex over the grown corpus: retrained quantizer, new
+        # generation, committed table-by-table behind live readers
+        grown = base.unionByName(add1)
+        ivf_store_save(spark, ivf_index(grown, n_cells=4, seed=2), store,
+                       target_files=8)
+
+    def vacuum():
+        # keep_last=2, not 1: a concurrent search may hold a pin on the
+        # penultimate version while this runs — the production vacuum
+        # discipline (retention >= longest reader)
+        for t in ("assigned", "centers"):
+            snapshot_vacuum(spark, f"{store}/{t}", keep_last=2)
+
+    observed, refs = _soak(
+        spark,
+        search_once,
+        [
+            lambda: ivf_store_append(spark, store, add1),
+            lambda: ivf_store_optimize(spark, store, target_files=8),
+            rebuild,
+            lambda: ivf_store_append(spark, store, add2),
+            lambda: ivf_store_optimize(spark, store, target_files=8),
+            vacuum,
+        ],
+    )
+    assert observed, "searcher never completed an iteration"
+    assert set(observed) <= set(refs), (
+        f"{len([o for o in observed if o not in refs])} of "
+        f"{len(observed)} concurrent searches matched no quiescent "
+        "generation"
+    )
+    # churn actually changed serving (the soak wasn't a no-op loop)
+    assert len(set(refs)) >= 3
+    # every reference is a complete k-result for every query
+    for r in refs:
+        assert len({row[0] for row in r}) == 5 and len(r) == 25
+
+
+def test_ivf_pq_store_soak_append_optimize_rebuild_vacuum(spark, tmp_path):
+    from ros_sql_spark.operators.ann_store import (
+        ivf_pq_store_append,
+        ivf_pq_store_save,
+        ivf_pq_store_search,
+        ivf_store_optimize,
+    )
+    from ros_sql_spark.operators.pq import pq_train
+    from ros_sql_spark.sources.snapshot import snapshot_vacuum
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.filter("vec_id % 3 != 2")
+    add1 = emb.filter("vec_id % 3 = 2 and vec_id % 2 = 0")
+    add2 = emb.filter("vec_id % 3 = 2 and vec_id % 2 = 1")
+    store = str(tmp_path / "pq")
+    ivf_pq_store_save(
+        spark, ivf_index(base, n_cells=8, seed=1),
+        pq_train(base, dim=64, m=8, n_centroids=16), store, target_files=8,
+    )
+    queries = emb.filter("vec_id % 97 = 1").limit(5).localCheckpoint()
+
+    def search_once():
+        # rerank=True exercises the assigned_version pin — the seam the
+        # r8 audit fixed; an unpinned rerank mid-rebuild drops ids
+        return ivf_pq_store_search(
+            spark, store, queries, k=5, n_probe=2, rerank=True
+        ).collect()
+
+    def rebuild():
+        grown = base.unionByName(add1)
+        ivf_pq_store_save(
+            spark, ivf_index(grown, n_cells=4, seed=2),
+            pq_train(grown, dim=64, m=8, n_centroids=16, seed=2),
+            store, target_files=8,
+        )
+
+    def vacuum():
+        # keep_last=2, not 1: a concurrent search may hold a pin on the
+        # penultimate version while this runs — the production vacuum
+        # discipline (retention >= longest reader)
+        for t in ("assigned", "codes", "centers", "codebooks"):
+            snapshot_vacuum(spark, f"{store}/{t}", keep_last=2)
+
+    observed, refs = _soak(
+        spark,
+        search_once,
+        [
+            lambda: ivf_pq_store_append(spark, store, add1),
+            lambda: ivf_store_optimize(spark, store, target_files=8),
+            rebuild,
+            lambda: ivf_pq_store_append(spark, store, add2),
+            lambda: ivf_store_optimize(spark, store, target_files=8),
+            vacuum,
+        ],
+    )
+    assert observed, "searcher never completed an iteration"
+    assert set(observed) <= set(refs), (
+        f"{len([o for o in observed if o not in refs])} of "
+        f"{len(observed)} concurrent searches matched no quiescent "
+        "generation"
+    )
+    assert len(set(refs)) >= 3
+    for r in refs:
+        assert len({row[0] for row in r}) == 5 and len(r) == 25
