@@ -40,23 +40,30 @@ ROTS = "bcdfghjklmnpqrstvwxz"
 
 
 def synthesize(spark: SparkSession, sf_dir: str, out: str, copies: int):
-    if copies - 1 > len(ROTS) - 1:
-        raise ValueError(
-            f"copies={copies}: only {len(ROTS) - 1} distinct rotations — "
-            "raise len(ROTS) or lower copies"
-        )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     parts = []
     for i in range(copies):
-        r = 1 + (i - 1) % (len(ROTS) - 1)  # 1..len-1, never identity
-        rot = ROTS[r:] + ROTS[:r]
+        if copies - 1 <= len(ROTS) - 1:
+            # <=20 copies: per-copy consonant rotation (the original
+            # scheme — kept so the standing 20x numbers stay comparable)
+            r = 1 + (i - 1) % (len(ROTS) - 1)  # 1..len-1, never identity
+            rot = ROTS[r:] + ROTS[:r]
+            unique = F.translate(F.col("text"), ROTS, rot)
+        else:
+            # >20 copies (the 100x drive): rotations run out at 19, so
+            # the unique class gets a per-copy suffix on EVERY token —
+            # all shingles differ from every other copy's (and from the
+            # originals: no source token ends in the x<i>q marker)
+            unique = F.regexp_replace(
+                F.col("text"), r"(\S+)", f"$1x{i}q"
+            )
         mutated = (
             F.when(F.col("doc_id") % 50 == 0, F.col("text"))  # exact dup
             .when(  # near dup: one trailing shingle differs
                 F.col("doc_id") % 50 == 1,
                 F.concat(F.col("text"), F.lit(f" v{i}")),
             )
-            .otherwise(F.translate(F.col("text"), ROTS, rot))  # unique
+            .otherwise(unique)
             if i > 0
             else F.col("text")
         )
