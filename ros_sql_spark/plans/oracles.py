@@ -1830,6 +1830,102 @@ ORACLES: dict[str, str] = {
         GROUP BY n.n_name, year(o.o_orderdate)
         ORDER BY n.n_name ASC, o_year DESC
     """,
+    # the FULL curation composition incl. near-dup: qx06's stages
+    # (boilerplate rebuild, quality gate, min-id exact dedup) extended
+    # with qx02's exact-Jaccard pairs at 0.5 over the curated text,
+    # q15's recursive-CTE reachability, and q33's longest-then-min-id
+    # keep-best — every byte of the surviving text hash-checked
+    "qx26_curate_full": """
+        WITH RECURSIVE
+        passages AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(t[(i*10+1):(i*10+10)], ' ') AS passage
+            FROM (SELECT doc_id, t,
+                         unnest(range(0,
+                             CAST(floor((len(t)-1)/10.0) AS BIGINT) + 1)) AS i
+                  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+                        FROM documents))
+        ),
+        clean AS (SELECT doc_id, pos, passage FROM passages
+                  WHERE passage <> ''),
+        hot AS (
+            SELECT passage
+            FROM (SELECT passage, count(DISTINCT doc_id) AS dfq
+                  FROM clean GROUP BY 1)
+            WHERE dfq > 2
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   string_agg(passage, ' ' ORDER BY pos) AS rt
+            FROM clean
+            WHERE passage NOT IN (SELECT passage FROM hot)
+            GROUP BY doc_id
+        ),
+        gated AS (
+            SELECT doc_id, rt
+            FROM (SELECT doc_id, rt,
+                         string_split(lower(rt), ' ') AS toks
+                  FROM rebuilt)
+            WHERE len(toks) >= 10
+              AND round(CAST(len(regexp_extract_all(rt, '[^A-Za-z0-9\\s]'))
+                        AS DOUBLE) / length(rt), 6) < 0.25
+              AND round(CAST(len(list_filter(toks, t -> list_contains(
+                        ['the','and','of','to','in','is','that','with','for','on'],
+                        t))) AS DOUBLE) / len(toks), 6) > 0.015
+        ),
+        exact AS (
+            SELECT doc_id, rt FROM (
+                SELECT doc_id, rt,
+                       row_number() OVER (PARTITION BY md5(rt)
+                                          ORDER BY doc_id) AS rn
+                FROM gated)
+            WHERE rn = 1
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(toks) >= 5
+                       THEN list_transform(range(1, len(toks) - 3),
+                            i -> concat_ws(' ', toks[i], toks[i+1],
+                                           toks[i+2], toks[i+3], toks[i+4]))
+                       ELSE [array_to_string(toks, ' ')] END) AS ts
+            FROM (SELECT doc_id, string_split(rt, ' ') AS toks FROM exact)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_intersect(a.ts, b.ts))) >= 0.5
+        ),
+        edges AS (
+            SELECT da AS a, db AS b FROM pairs
+            UNION ALL
+            SELECT db AS a, da AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS component
+                 FROM reach GROUP BY id),
+        best AS (
+            SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.component
+                           ORDER BY length(e.rt) DESC, c.doc_id ASC
+                       ) AS rn
+                FROM comp c JOIN exact e USING (doc_id))
+            WHERE rn = 1
+        )
+        SELECT e.doc_id, md5(e.rt) AS digest
+        FROM exact e
+        LEFT JOIN comp c USING (doc_id)
+        WHERE c.doc_id IS NULL
+           OR e.doc_id IN (SELECT doc_id FROM best)
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

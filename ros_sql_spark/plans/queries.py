@@ -3227,6 +3227,37 @@ def qx25_profit_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx26_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END *including near-dup dedup*,
+    bit-for-bit SQL-replayable (round-9): qx06 gates the composition
+    with near-dup off because MinHash banding has no exact oracle —
+    but the EXACT set-similarity join (qx02) does, so
+    ``near_dup_method='setsim'`` closes the last unreplayable stage:
+    boilerplate strip → quality gate → exact dedup → exact-Jaccard
+    pairs at 0.5 → connected components → keep-best survivor, and the
+    oracle rebuilds every stage (quadratic Jaccard + recursive-CTE
+    reachability + the same longest-then-min-id argmax) on the same
+    bytes.  The digest hashes the curated text, so a single wrong byte
+    anywhere in the five-stage composition fails the driver hash.
+
+    100 TB shape: identical to curate()'s (each stage documented at
+    its operator — q85/q21/q25/qx02/q15/q33); the quadratic join lives
+    only in the ORACLE."""
+    from ros_sql_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res = curate(
+        docs,
+        boilerplate_max_df=2,
+        near_dup_threshold=0.5,
+        near_dup_method="setsim",
+        shingle_k=5,
+    )
+    return res.docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3358,4 +3389,5 @@ QUERIES = {
     "qx23_disjunctive_join": qx23_disjunctive_join,
     "qx24_concentrated_pairs": qx24_concentrated_pairs,
     "qx25_profit_tree": qx25_profit_tree,
+    "qx26_curate_full": qx26_curate_full,
 }
