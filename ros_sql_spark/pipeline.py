@@ -412,6 +412,16 @@ def curate(
         )
     _ob_n = None
     if near_dup_threshold is not None:
+        # the near-dup machinery consumes `cur` across SEVERAL separate
+        # actions (the pair operator's internal build, the components
+        # convergence loop, and the caller's final action re-deriving
+        # members/best/survivors) — without a checkpoint the whole
+        # boilerplate→quality→exact subtree re-evaluates once per
+        # consumer (CLAUDE.md's several-separate-actions rule; measured
+        # on qx26 at sf0.1: 11.7→6.9s solo min-of-3).  Lazy, so the
+        # first consumer materializes it; the upstream CollectMetrics
+        # observations fire exactly once, at that materialization.
+        cur = cur.localCheckpoint(eager=False)
         if near_dup_method == "setsim":
             from ros_sql_spark.operators.dedup import (
                 setsim_join,
