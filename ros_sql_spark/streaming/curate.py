@@ -1,8 +1,8 @@
 """Streaming curate(): the FULL cleaning pipeline as a continuous
 ingest — per-batch boilerplate strip -> span-level exact dedup ->
-quality gate composed IN FRONT of the near-dup setsim ingest
-(streaming/dedup.py), with a per-batch row-accounting LEDGER landed
-under the same ``batch:<id>`` watermark.
+quality gate -> eval-set decontamination composed IN FRONT of the
+near-dup setsim ingest (streaming/dedup.py), with a per-batch
+row-accounting LEDGER landed under the same ``batch:<id>`` watermark.
 
 Until now a 100 TB streaming ingest got dedup-only curation: the
 batch pipeline (pipeline.py::curate) composes boilerplate -> span ->
@@ -30,14 +30,24 @@ Semantics vs batch ``curate()`` (documented, tested):
   THROUGH a dropped doc are not observed across batches (the index
   stores survivors only) — same policy the labels table documents.
 
+- **decontamination** (optional ``eval_docs``) is batch-stateless too
+  (the eval shingle set is fixed): exact per batch.  It runs BEFORE
+  dedup here — a contaminated doc must never become a published
+  cluster canonical — where the batch pipeline runs it after near-dup;
+  the orders agree whenever duplicate clusters are contamination-
+  homogeneous (the practical case: near-dups share the contaminating
+  shingles).  Mixture (cumulative token budgets) and semantic dedup
+  (a cross-batch vector index) are genuinely stateful and stay
+  batch-only for now.
+
 LEDGER (the observation-ledger reconciliation the batch pipeline gets
 from CollectMetrics): a sixth snapshot table ``ledger`` appends one
 row per batch — (batch_id, n_batch, n_boilerplate, n_span, n_quality,
-n_dedup, n_kept) — committed LAST (after the docs table), carrying
-the same watermark, so redelivery can never double-count.  Per-row
-invariant: n_batch == n_boilerplate + n_span + n_quality + n_dedup +
-n_kept; across rows: sum(n_kept) == corpus rows, sum(n_batch) ==
-total input.  Both asserted in tests and the scale drive.
+n_decontam, n_dedup, n_kept) — committed LAST (after the docs table),
+carrying the same watermark, so redelivery can never double-count.
+Per-row invariant: n_batch == the stage drops + n_kept; across rows:
+sum(n_kept) == corpus rows, sum(n_batch) == total input.  Both
+asserted in tests and the scale drive.
 
 Crash recovery: the cleaning stages are deterministic per batch, so a
 replayed batch reproduces the same cleaned frame bit-for-bit and the
@@ -72,7 +82,8 @@ _T_LEDGER = "ledger"
 
 _LEDGER_SCHEMA = (
     "batch_id bigint, n_batch bigint, n_boilerplate bigint, "
-    "n_span bigint, n_quality bigint, n_dedup bigint, n_kept bigint"
+    "n_span bigint, n_quality bigint, n_decontam bigint, "
+    "n_dedup bigint, n_kept bigint"
 )
 
 
@@ -92,6 +103,10 @@ def curate_ingest_batch(
     boilerplate_passage_tokens: int = 10,
     span_dedup_k: int | None = None,
     span_min_docs: int = 3,
+    eval_docs: DataFrame | None = None,
+    decontam_k: int = 5,
+    decontam_method: str = "broadcast",
+    bloom_m_bits: int | None = None,
 ) -> dict:
     """Curate one micro-batch into the corpus at ``store`` (six
     snapshot tables: the five setsim-ingest tables + ``ledger``).
@@ -183,6 +198,51 @@ def curate_ingest_batch(
     )
     n_now = cur.count()
     n_quality = n_prev - n_now
+    n_prev = n_now
+
+    # 1b. eval-set decontamination (q20) — batch-stateless: the eval
+    #     shingle set is FIXED, so the per-batch probe is exact.  Runs
+    #     BEFORE dedup here (a contaminated doc must never become a
+    #     published cluster canonical) where the batch pipeline runs it
+    #     AFTER near-dup; the two orders agree whenever duplicate
+    #     clusters are contamination-homogeneous (near-dups share the
+    #     contaminating shingles) — the heterogeneous-cluster edge is a
+    #     documented policy difference, not a bug.
+    n_decontam = 0
+    if eval_docs is not None:
+        if decontam_method not in ("broadcast", "bloom"):
+            raise ValueError(f"decontam_method={decontam_method!r}")
+        from ros_sql_spark.operators.dedup import shingle_hashes
+
+        eval_sh = (
+            shingle_hashes(eval_docs, id_col, text_col, decontam_k)
+            .select(F.explode_outer("_hs").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .distinct()
+        )
+        cur_sh = shingle_hashes(cur, id_col, text_col, decontam_k).select(
+            id_col, F.explode_outer("_hs").alias("s")
+        )
+        if decontam_method == "bloom":
+            from ros_sql_spark.operators.bloom import bloom_contaminated_ids
+
+            if bloom_m_bits is None:
+                n_ev = eval_sh.count()
+                bloom_m_bits = max(64, ((20 * max(n_ev, 1) + 63) // 64) * 64)
+            contaminated = bloom_contaminated_ids(
+                eval_sh, cur_sh, id_col, "s", bloom_m_bits
+            )
+        else:
+            contaminated = (
+                cur_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+                .select(id_col)
+                .distinct()
+            )
+        cur = cur.join(contaminated, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
+        n_now = cur.count()
+        n_decontam = n_prev - n_now
 
     # 2. near-dup (+ exact, Jaccard 1.0) setsim ingest — the stateful
     #    stage owns its index, watermarks and crash recovery
@@ -202,6 +262,7 @@ def curate_ingest_batch(
         "n_boilerplate": n_bp,
         "n_span": n_span,
         "n_quality": n_quality,
+        "n_decontam": n_decontam,
         "n_dedup": st["n_dropped"],
         "n_kept": st["n_kept"],
     }

@@ -92,13 +92,14 @@ _POLICY = dict(
 )
 
 
-def _batch_curate(spark, docs):
+def _batch_curate(spark, docs, eval_docs=None):
     return curate(
         docs,
         near_dup_threshold=0.5,
         near_dup_method="setsim",
         shingle_k=5,
         boilerplate_passage_tokens=10,
+        eval_docs=eval_docs,
         **_POLICY,
     )
 
@@ -109,8 +110,19 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
     rows1 = _mk_batch(0, first=True)
     rows2 = _mk_batch(100, first=False)
     docs = spark.createDataFrame(rows1 + rows2, "doc_id bigint, text string")
+    # decontamination targets: one CLUSTER-FREE plain doc per batch (a
+    # 6-token cut of its body shares 5-shingles with nothing else), so
+    # batch-order (decontam after near-dup) == stream-order (before
+    # dedup) — the documented agreement regime
+    evald = spark.createDataFrame(
+        [
+            (900, " ".join(_body(30, 24).split(" ")[2:8])),
+            (901, " ".join(_body(130, 24).split(" ")[2:8])),
+        ],
+        "doc_id bigint, text string",
+    )
 
-    res = _batch_curate(spark, docs)
+    res = _batch_curate(spark, docs, eval_docs=evald)
     batch_kept = {
         (r.doc_id, r.text)
         for r in res.docs.select("doc_id", "text").collect()
@@ -133,6 +145,7 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
         checkpoint_path=str(tmp_path / "ck1"),
         threshold=0.5,
         k=5,
+        eval_docs=evald,
         **_POLICY,
     )
     q.awaitTermination(240)
@@ -153,13 +166,14 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
     assert [r.batch_id for r in led] == [0, 1]
     for r in led:
         assert r.n_batch == (
-            r.n_boilerplate + r.n_span + r.n_quality + r.n_dedup + r.n_kept
+            r.n_boilerplate + r.n_span + r.n_quality + r.n_decontam
+            + r.n_dedup + r.n_kept
         ), r
     tot = {
         f: sum(getattr(r, f) for r in led)
         for f in (
             "n_batch", "n_boilerplate", "n_span",
-            "n_quality", "n_dedup", "n_kept",
+            "n_quality", "n_decontam", "n_dedup", "n_kept",
         )
     }
     assert tot["n_batch"] == len(rows1) + len(rows2)
@@ -167,13 +181,15 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
     assert tot["n_boilerplate"] == m["boilerplate"]
     assert tot["n_span"] == m["span_dedup"]
     assert tot["n_quality"] == m["quality"]
+    assert tot["n_decontam"] == m["decontam"]
     # batch splits dedup into exact (md5) + near_dup; streaming's
     # setsim subsumes exact at Jaccard 1.0 -> one combined count
     assert tot["n_dedup"] == m["exact"] + m["near_dup"]
     # every stage actually engaged (the corpus was built to exercise
     # each one — a zero here means the stage silently stopped firing)
     assert min(
-        tot["n_boilerplate"], tot["n_span"], tot["n_quality"], tot["n_dedup"]
+        tot["n_boilerplate"], tot["n_span"], tot["n_quality"],
+        tot["n_decontam"], tot["n_dedup"],
     ) > 0
 
     # full redelivery from a fresh checkpoint: every table version
@@ -193,6 +209,7 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
         checkpoint_path=str(tmp_path / "ck2"),
         threshold=0.5,
         k=5,
+        eval_docs=evald,
         **_POLICY,
     )
     q2.awaitTermination(240)
@@ -253,11 +270,13 @@ def test_streaming_curate_crash_between_docs_and_ledger(
         "n_boilerplate": r.n_boilerplate,
         "n_span": r.n_span,
         "n_quality": r.n_quality,
+        "n_decontam": r.n_decontam,
         "n_dedup": r.n_dedup,
         "n_kept": r.n_kept,
     } == row
     assert r.n_batch == (
-        r.n_boilerplate + r.n_span + r.n_quality + r.n_dedup + r.n_kept
+        r.n_boilerplate + r.n_span + r.n_quality + r.n_decontam
+        + r.n_dedup + r.n_kept
     )
     assert r.n_kept == curate_corpus_read(spark, store).count()
 
@@ -287,6 +306,7 @@ def test_streaming_curate_all_dropped_batch_advances_watermark(
         "n_boilerplate": 0,
         "n_span": 0,
         "n_quality": 2,
+        "n_decontam": 0,
         "n_dedup": 0,
         "n_kept": 0,
     }
