@@ -18,7 +18,12 @@ exact-dup text survives, labels cover every doc exactly once, every
 dropped doc's component holds a published canonical.
 
 Run: ``PYTHONPATH=/root/repo python tools/ingest_drive.py [copies]
-[n_super]`` (defaults 100, 10; prints ONE JSON line).
+[n_super] [--curate]`` (defaults 100, 10; prints ONE JSON line).
+``--curate`` drives the FULL streaming-curate chain per batch
+(boilerplate + span + quality + decontam + dedup ingest,
+streaming/curate.py) instead of the bare setsim ingest — the cleaning
+stages are batch-local, so the flat-slope claim must hold for the
+composed chain too; the end checks add the ledger-row identity.
 """
 
 from __future__ import annotations
@@ -36,8 +41,10 @@ from tools.scale_drive import synthesize
 
 
 def main() -> int:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    n_super = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--curate"]
+    curate_mode = "--curate" in sys.argv[1:]
+    copies = int(args[0]) if len(args) > 0 else 100
+    n_super = int(args[1]) if len(args) > 1 else 10
     if copies % n_super:
         raise SystemExit("copies must divide by n_super")
     sf_dir = "/root/testdata/sf0.1"
@@ -68,6 +75,8 @@ def main() -> int:
         per = copies // n_super
         per_batch: list[float] = []
         kept = dropped = seen = 0
+        dedup_in = 0  # rows that reached the dedup ingest (labels grain)
+        ledger_ok = True
         for b in range(n_super):
             lo = b * per * 1_000_000
             hi = (b + 1) * per * 1_000_000
@@ -75,13 +84,43 @@ def main() -> int:
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             ).select("doc_id", "text")
             t0 = time.time()
-            st = setsim_ingest_batch(batch, b, store, threshold=0.5, k=5)
+            if curate_mode:
+                from ros_sql_spark.streaming.curate import curate_ingest_batch
+
+                # min_stopword_ratio disabled: synthesize()'s consonant
+                # rotation destroys stopwords by construction, and a
+                # quality gate that rejects the rotated bulk would
+                # starve the dedup stage of its slope evidence — the
+                # drive measures COST, the gate's semantics are
+                # unit-tested
+                row = curate_ingest_batch(
+                    batch, b, store, threshold=0.5, k=5,
+                    min_stopword_ratio=-1.0,
+                    boilerplate_max_df=50,
+                    span_dedup_k=8, span_min_docs=25,
+                )
+                st = {
+                    "n_batch": row["n_batch"],
+                    "n_kept": row["n_kept"],
+                    # every cleaning drop counts toward input coverage
+                    "n_dropped": row["n_batch"] - row["n_kept"],
+                }
+                ledger_ok = ledger_ok and row["n_batch"] == (
+                    row["n_boilerplate"] + row["n_span"] + row["n_quality"]
+                    + row["n_decontam"] + row["n_dedup"] + row["n_kept"]
+                )
+                dedup_in += row["n_dedup"] + row["n_kept"]
+            else:
+                st = setsim_ingest_batch(batch, b, store, threshold=0.5, k=5)
+                dedup_in += st["n_batch"]
             per_batch.append(round(time.time() - t0, 2))
             kept += st["n_kept"]
             dropped += st["n_dropped"]
             seen += st["n_batch"]
 
         checks: dict[str, bool] = {}
+        if curate_mode:
+            checks["curate_ledger_rows_reconcile"] = ledger_ok
         checks["ledger_reconciles"] = (
             seen == n_docs and kept + dropped == n_docs
         )
@@ -95,11 +134,13 @@ def main() -> int:
         )
         checks["no_exact_dup_survives"] = dup == 0
         checks["corpus_matches_ledger"] = corpus.count() == kept
+        # labels grain = rows that reached the dedup ingest (== all
+        # input rows in setsim mode; cleaning survivors in curate mode)
         lbl = setsim_labels_read(spark, store)
         n_lbl = lbl.count()
         checks["labels_cover_all_once"] = (
-            n_lbl == n_docs
-            and lbl.select("doc_id").distinct().count() == n_docs
+            n_lbl == dedup_in
+            and lbl.select("doc_id").distinct().count() == dedup_in
         )
         kept_comps = (
             lbl.join(corpus.select("doc_id"), "doc_id", "left_semi")
@@ -122,6 +163,7 @@ def main() -> int:
         checks["per_batch_flat_within_2x"] = late <= 2 * early
         out = {
             "metric": "ingest_drive",
+            "mode": "curate" if curate_mode else "setsim",
             "copies": copies,
             "n_super": n_super,
             "docs": n_docs,
