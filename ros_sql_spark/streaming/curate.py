@@ -1,8 +1,9 @@
 """Streaming curate(): the FULL cleaning pipeline as a continuous
 ingest — per-batch boilerplate strip -> span-level exact dedup ->
-quality gate -> eval-set decontamination composed IN FRONT of the
-near-dup setsim ingest (streaming/dedup.py), with a per-batch
-row-accounting LEDGER landed under the same ``batch:<id>`` watermark.
+quality gate -> eval-set decontamination -> embedding-cosine semantic
+dedup composed IN FRONT of the near-dup setsim ingest
+(streaming/dedup.py), with a per-batch row-accounting LEDGER landed
+under the same ``batch:<id>`` watermark.
 
 Until now a 100 TB streaming ingest got dedup-only curation: the
 batch pipeline (pipeline.py::curate) composes boilerplate -> span ->
@@ -36,14 +37,25 @@ Semantics vs batch ``curate()`` (documented, tested):
   cluster canonical — where the batch pipeline runs it after near-dup;
   the orders agree whenever duplicate clusters are contamination-
   homogeneous (the practical case: near-dups share the contaminating
-  shingles).  Mixture (cumulative token budgets) and semantic dedup
-  (a cross-batch vector index) are genuinely stateful and stay
-  batch-only for now.
+  shingles).
+- **semantic dedup** (optional ``embeddings``) is STATEFUL like the
+  text dedup: the published corpus's vectors and hyperplane-LSH
+  buckets persist as two more snapshot tables (``vecs``/``vbuckets``)
+  under the same watermark, and each batch probes (new x
+  touched-bucket base) u (new x new) with an exact-cosine verify —
+  increment-sized candidates, first-come-wins, min id per purely-new
+  cluster.  Same LSH family and rounding as the batch stage.  Only
+  PUBLISHED docs' vectors join the base (committed after the docs
+  table).  Mixture (cumulative token budgets) stays batch-only: its
+  budget must count post-dedup tokens of the FINAL corpus, which a
+  stream cannot know until its dedup decisions land — a pre-dedup
+  budget would overfill by the duplicate rate.
 
 LEDGER (the observation-ledger reconciliation the batch pipeline gets
 from CollectMetrics): a sixth snapshot table ``ledger`` appends one
 row per batch — (batch_id, n_batch, n_boilerplate, n_span, n_quality,
-n_decontam, n_dedup, n_kept) — committed LAST (after the docs table),
+n_decontam, n_semantic, n_dedup, n_kept) — committed LAST (after the
+docs table),
 carrying the same watermark, so redelivery can never double-count.
 Per-row invariant: n_batch == the stage drops + n_kept; across rows:
 sum(n_kept) == corpus rows, sum(n_batch) == total input.  Both
@@ -67,6 +79,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ros_sql_spark.sources.snapshot import snapshot_commit, snapshot_read
 from ros_sql_spark.streaming.dedup import (
+    _T_DOCS,
     _pre_state,
     setsim_corpus_read,
     setsim_ingest_batch,
@@ -79,11 +92,13 @@ __all__ = [
 ]
 
 _T_LEDGER = "ledger"
+_T_VECS = "vecs"
+_T_VBUCKETS = "vbuckets"
 
 _LEDGER_SCHEMA = (
     "batch_id bigint, n_batch bigint, n_boilerplate bigint, "
     "n_span bigint, n_quality bigint, n_decontam bigint, "
-    "n_dedup bigint, n_kept bigint"
+    "n_semantic bigint, n_dedup bigint, n_kept bigint"
 )
 
 
@@ -107,14 +122,22 @@ def curate_ingest_batch(
     decontam_k: int = 5,
     decontam_method: str = "broadcast",
     bloom_m_bits: int | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    embedding_dim: int = 64,
+    cosine_threshold: float = 0.7,
 ) -> dict:
-    """Curate one micro-batch into the corpus at ``store`` (six
-    snapshot tables: the five setsim-ingest tables + ``ledger``).
+    """Curate one micro-batch into the corpus at ``store`` (the five
+    setsim-ingest tables + ``ledger``; with ``embeddings`` also
+    ``vecs`` and ``vbuckets`` — the published corpus's vectors and
+    their hyperplane-LSH buckets, the semantic stage's state).
 
     Stage chain mirrors pipeline.py::curate with batch-local
     boilerplate/span statistics (module docstring): boilerplate ->
-    span -> quality -> setsim dedup ingest.  Returns the ledger row as
-    a dict.  Idempotent under redelivery; single writer per store.
+    span -> quality -> decontam -> semantic dedup -> setsim dedup
+    ingest.  Returns the ledger row as a dict.  Idempotent under
+    redelivery; single writer per store.
 
     Scale shape: every stage is increment-sized — the cleaning stages
     never see anything but the batch, and the dedup probe is the
@@ -243,6 +266,125 @@ def curate_ingest_batch(
         )
         n_now = cur.count()
         n_decontam = n_prev - n_now
+        n_prev = n_now
+
+    # 1c. semantic (embedding-cosine) near-dup — STATEFUL like setsim:
+    #     the published corpus's vectors and their hyperplane-LSH
+    #     buckets persist as two snapshot tables (``vecs``,
+    #     ``vbuckets``), and the batch probes (new x touched-bucket
+    #     base) u (new x new) — increment-sized candidates, exact
+    #     cosine verify, first-come-wins against the published corpus,
+    #     min id per purely-new cluster (the setsim ingest policy
+    #     applied to the embedding modality).  Same LSH family,
+    #     rounding and threshold semantics as the batch stage
+    #     (cosine_dedup_pairs_lsh: 16 bands x 4 planes, seed 42,
+    #     round(cos, 6) >= threshold), so the candidate recall curve
+    #     and the pair set match batch on any pair both consider.
+    #     Docs without a vector are never candidates (same as batch).
+    n_semantic = 0
+    batch_vecs = batch_vb = None
+    if embeddings is not None:
+        from ros_sql_spark.operators.dedup import connected_components
+        from ros_sql_spark.operators.similarity import (
+            cosine_arrow,
+            hyperplane_buckets,
+        )
+
+        batch_vecs = (
+            embeddings.select(
+                F.col(embedding_id_col).cast("bigint").alias(id_col),
+                F.col(embedding_col).alias("_vec"),
+            )
+            .join(cur.select(id_col), id_col, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        bk = F.posexplode(
+            hyperplane_buckets("_vec", embedding_dim, 16, 4, 42)
+        ).alias("band", "bucket")
+        batch_vb = (
+            batch_vecs.select(F.col(id_col), bk)
+            .select(
+                id_col,
+                F.col("band").cast("int").alias("band"),
+                F.col("bucket").cast("bigint").alias("bucket"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+        def _empty(schema: str) -> DataFrame:
+            return spark.createDataFrame([], schema)
+
+        base_vecs = _pre_state(spark, f"{store}/{_T_VECS}", batch_id)[0]
+        if base_vecs is None:
+            base_vecs = _empty(f"{id_col} bigint, _vec array<float>")
+        base_vb = _pre_state(spark, f"{store}/{_T_VBUCKETS}", batch_id)[0]
+        if base_vb is None:
+            base_vb = _empty(f"{id_col} bigint, band int, bucket bigint")
+
+        nb = batch_vb.select(
+            F.col(id_col).alias("id_a"), "band", "bucket"
+        )
+        cand_base = (
+            nb.join(
+                base_vb.select(
+                    F.col(id_col).alias("id_b"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand_new = (
+            nb.join(
+                batch_vb.select(
+                    F.col(id_col).alias("id_b"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = batch_vecs.select(
+            F.col(id_col).alias("id_a"), F.col("_vec").alias("_va")
+        )
+        vb_new = batch_vecs.select(
+            F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+        )
+        vb_base = base_vecs.select(
+            F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+        )
+        sim = F.round(cosine_arrow("_va", "_vb"), 6)
+        pairs = (
+            cand_base.join(va, "id_a").join(vb_base, "id_b")
+            .unionByName(cand_new.join(va, "id_a").join(vb_new, "id_b"))
+            .select("id_a", "id_b", sim.alias("_sim"))
+            .filter(F.col("_sim") >= cosine_threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=False)
+        )
+        comp = connected_components(pairs, id_col="cid")
+        batch_node_ids = batch_vecs.select(F.col(id_col).alias("cid"))
+        base_comps = comp.join(batch_node_ids, "cid", "left_anti").select(
+            "component"
+        )
+        batch_members = comp.join(batch_node_ids, "cid", "left_semi")
+        keep_of_new = (
+            batch_members.join(base_comps, "component", "left_anti")
+            .groupBy("component")
+            .agg(F.min("cid").alias("cid"))
+            .select("cid")
+        )
+        sem_dropped = batch_members.select("cid").join(
+            keep_of_new, "cid", "left_anti"
+        )
+        cur = cur.join(
+            sem_dropped.select(F.col("cid").alias(id_col)),
+            id_col,
+            "left_anti",
+        ).localCheckpoint(eager=False)
+        n_now = cur.count()
+        n_semantic = n_prev - n_now
 
     # 2. near-dup (+ exact, Jaccard 1.0) setsim ingest — the stateful
     #    stage owns its index, watermarks and crash recovery
@@ -256,6 +398,28 @@ def curate_ingest_batch(
         k=k,
     )
 
+    # semantic state lands AFTER the docs commit: only PUBLISHED batch
+    # docs' vectors join the base (a doc the text dedup dropped is not
+    # in the corpus and must not gate future semantic probes).  On a
+    # crash between these commits the replay recomputes the probe
+    # against the PRE-batch state via time travel and skips whichever
+    # table already carries the watermark.
+    if embeddings is not None:
+        pub_ids = cur.select(id_col).join(
+            snapshot_read(spark, f"{store}/{_T_DOCS}").select(id_col),
+            id_col,
+            "left_semi",
+        )
+        for name, df in ((_T_VECS, batch_vecs), (_T_VBUCKETS, batch_vb)):
+            if _pre_state(spark, f"{store}/{name}", batch_id)[1]:
+                continue
+            snapshot_commit(
+                df.join(pub_ids, id_col, "left_semi"),
+                f"{store}/{name}",
+                mode="append",
+                tag=f"batch:{batch_id}",
+            )
+
     row = {
         "batch_id": batch_id,
         "n_batch": n_batch,
@@ -263,6 +427,7 @@ def curate_ingest_batch(
         "n_span": n_span,
         "n_quality": n_quality,
         "n_decontam": n_decontam,
+        "n_semantic": n_semantic,
         "n_dedup": st["n_dropped"],
         "n_kept": st["n_kept"],
     }

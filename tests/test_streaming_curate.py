@@ -167,13 +167,13 @@ def test_streaming_curate_equals_batch_and_ledger_reconciles(
     for r in led:
         assert r.n_batch == (
             r.n_boilerplate + r.n_span + r.n_quality + r.n_decontam
-            + r.n_dedup + r.n_kept
+            + r.n_semantic + r.n_dedup + r.n_kept
         ), r
     tot = {
         f: sum(getattr(r, f) for r in led)
         for f in (
             "n_batch", "n_boilerplate", "n_span",
-            "n_quality", "n_decontam", "n_dedup", "n_kept",
+            "n_quality", "n_decontam", "n_semantic", "n_dedup", "n_kept",
         )
     }
     assert tot["n_batch"] == len(rows1) + len(rows2)
@@ -271,12 +271,13 @@ def test_streaming_curate_crash_between_docs_and_ledger(
         "n_span": r.n_span,
         "n_quality": r.n_quality,
         "n_decontam": r.n_decontam,
+        "n_semantic": r.n_semantic,
         "n_dedup": r.n_dedup,
         "n_kept": r.n_kept,
     } == row
     assert r.n_batch == (
         r.n_boilerplate + r.n_span + r.n_quality + r.n_decontam
-        + r.n_dedup + r.n_kept
+        + r.n_semantic + r.n_dedup + r.n_kept
     )
     assert r.n_kept == curate_corpus_read(spark, store).count()
 
@@ -307,6 +308,7 @@ def test_streaming_curate_all_dropped_batch_advances_watermark(
         "n_span": 0,
         "n_quality": 2,
         "n_decontam": 0,
+        "n_semantic": 0,
         "n_dedup": 0,
         "n_kept": 0,
     }
@@ -329,3 +331,89 @@ def test_streaming_curate_all_dropped_batch_advances_watermark(
     row3 = curate_ingest_batch(nxt, 8, store, threshold=0.5, k=5)
     assert row3["n_kept"] == 1
     assert curate_corpus_read(spark, store).count() == 1
+
+
+def test_streaming_curate_semantic_stage_equals_batch(spark, tmp_path):
+    """The semantic (embedding-cosine) stage through the streaming
+    ingest: cross-batch vector state (vecs/vbuckets), first-come-wins
+    against the published corpus, min-id per purely-new cluster —
+    equal to batch curate()'s semantic stage in the clique/equal-length
+    regime (same argument as the text dedup), ledger n_semantic
+    reconciling against batch metrics, state tables holding exactly
+    the published docs' vectors, and redelivery a version no-op."""
+    from ros_sql_spark.sources.snapshot import snapshot_read, snapshot_versions
+
+    def sbody(i: int, n: int = 24) -> str:
+        # fixed-width unique vocab: every doc's text has the SAME char
+        # length, so batch keep-best (longest-then-min-id) == streaming
+        # first-come (min id) for the vector families
+        return " ".join(
+            "the" if j % 7 == 0 else f"s{i:04d}x{j}" for j in range(n)
+        )
+
+    rows1 = [(i, sbody(i)) for i in (1, 2, 3, 4)]
+    rows2 = [(i, sbody(i)) for i in (101, 102, 103)]
+    docs = spark.createDataFrame(rows1 + rows2, "doc_id bigint, text string")
+    vA = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vB = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vC = [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        # family A = {2, 4, 102} (identical vectors, cos 1.0); B/C
+        # orthogonal singletons; docs 1/101 carry no vector at all
+        [(2, vA), (4, vA), (102, vA), (3, vB), (103, vC)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    res = curate(
+        docs,
+        near_dup_threshold=0.5,
+        near_dup_method="setsim",
+        shingle_k=5,
+        embeddings=emb,
+        embedding_dim=8,
+        cosine_threshold=0.9,
+    )
+    batch_kept = {
+        (r.doc_id, r.text)
+        for r in res.docs.select("doc_id", "text").collect()
+    }
+    m = res.metrics()
+    assert m["semantic_dup"] == 2  # 4 (batch-mate) and 102 (late copy)
+
+    store = str(tmp_path / "store")
+    kw = dict(threshold=0.5, k=5, embeddings=emb,
+              embedding_dim=8, cosine_threshold=0.9)
+    r0 = curate_ingest_batch(
+        spark.createDataFrame(rows1, docs.schema), 0, store, **kw
+    )
+    r1 = curate_ingest_batch(
+        spark.createDataFrame(rows2, docs.schema), 1, store, **kw
+    )
+    assert r0["n_semantic"] == 1 and r1["n_semantic"] == 1
+    stream_kept = {
+        (r.doc_id, r.text)
+        for r in curate_corpus_read(spark, store).collect()
+    }
+    assert stream_kept == batch_kept
+
+    # state tables hold exactly the PUBLISHED docs' vectors: {2, 3, 103}
+    vec_ids = {
+        r.doc_id for r in snapshot_read(spark, f"{store}/vecs").collect()
+    }
+    assert vec_ids == {2, 3, 103}
+    vb = snapshot_read(spark, f"{store}/vbuckets")
+    assert {r.doc_id for r in vb.select("doc_id").collect()} == {2, 3, 103}
+    assert vb.count() == 3 * 16  # one row per (id, band)
+
+    # redelivery of batch 1: every table (vector state included) pinned
+    tables = ("docs", "sets", "prefix", "freq", "labels",
+              "vecs", "vbuckets", "ledger")
+    versions = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1] for n in tables
+    }
+    r1b = curate_ingest_batch(
+        spark.createDataFrame(rows2, docs.schema), 1, store, **kw
+    )
+    assert r1b["n_kept"] == r1["n_kept"]
+    for n, v in versions.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n

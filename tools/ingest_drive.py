@@ -107,7 +107,8 @@ def main() -> int:
                 }
                 ledger_ok = ledger_ok and row["n_batch"] == (
                     row["n_boilerplate"] + row["n_span"] + row["n_quality"]
-                    + row["n_decontam"] + row["n_dedup"] + row["n_kept"]
+                    + row["n_decontam"] + row["n_semantic"]
+                    + row["n_dedup"] + row["n_kept"]
                 )
                 dedup_in += row["n_dedup"] + row["n_kept"]
             else:

@@ -467,7 +467,7 @@ def main() -> int:
         checks["stream_curate_ledger_rows_reconcile"] = all(
             r.n_batch
             == r.n_boilerplate + r.n_span + r.n_quality + r.n_decontam
-            + r.n_dedup + r.n_kept
+            + r.n_semantic + r.n_dedup + r.n_kept
             for r in led
         )
         checks["stream_curate_ledger_sums_to_corpus"] = (
