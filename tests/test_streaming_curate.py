@@ -417,3 +417,76 @@ def test_streaming_curate_semantic_stage_equals_batch(spark, tmp_path):
     assert r1b["n_kept"] == r1["n_kept"]
     for n, v in versions.items():
         assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
+
+
+def test_streaming_curate_store_maintenance_window(spark, tmp_path):
+    """The operational loop for a long-running curate store: after N
+    batches the per-batch version stack is compacted (one commit per
+    table) and vacuumed to the head — the maintenance a 100 TB stream
+    runs periodically so version listings and small-file counts stay
+    bounded.  Must hold afterwards: the batch watermark carried through
+    the compaction (a replay of the LAST pre-maintenance batch is a
+    full no-op, never a re-ingest), the corpus/ledger/vector state are
+    byte-identical, and the NEXT batch ingests normally against the
+    compacted probe state."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    vA = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(2, vA), (202, vA)], "vec_id bigint, embedding array<float>"
+    )
+    kw = dict(threshold=0.5, k=5, embeddings=emb,
+              embedding_dim=4, cosine_threshold=0.9)
+    store = str(tmp_path / "store")
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, _body(i, 24)) for i in ids], "doc_id bigint, text string"
+        )
+
+    curate_ingest_batch(batch([1, 2, 3]), 0, store, **kw)
+    curate_ingest_batch(batch([101, 102]), 1, store, **kw)
+
+    tables = ("docs", "sets", "prefix", "freq", "labels",
+              "vecs", "vbuckets", "ledger")
+    before = {
+        n: sorted(
+            tuple(r) for r in snapshot_read(spark, f"{store}/{n}").collect()
+        )
+        for n in tables
+    }
+
+    # the maintenance window: compact every table to one file, vacuum
+    # everything but the head
+    for n in tables:
+        snapshot_compact(spark, f"{store}/{n}", target_files=1)
+        snapshot_vacuum(spark, f"{store}/{n}", keep_last=1)
+        assert len(snapshot_versions(spark, f"{store}/{n}")) == 1, n
+
+    after = {
+        n: sorted(
+            tuple(r) for r in snapshot_read(spark, f"{store}/{n}").collect()
+        )
+        for n in tables
+    }
+    assert after == before
+
+    # replay of the last pre-maintenance batch: the carried watermark
+    # makes every commit skip (versions pinned at 1 everywhere)
+    r1 = curate_ingest_batch(batch([101, 102]), 1, store, **kw)
+    assert r1["n_batch"] == 2
+    for n in tables:
+        assert len(snapshot_versions(spark, f"{store}/{n}")) == 1, n
+
+    # the next batch ingests normally against the compacted state:
+    # 201 is a fresh doc; 202 near-dups nothing textually but its
+    # vector clusters with published doc 2 -> semantic drop
+    r2 = curate_ingest_batch(batch([201, 202]), 2, store, **kw)
+    assert r2["n_semantic"] == 1 and r2["n_kept"] == 1
+    kept = {r.doc_id for r in curate_corpus_read(spark, store).collect()}
+    assert kept == {1, 2, 3, 101, 102, 201}
