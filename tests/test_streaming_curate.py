@@ -490,3 +490,30 @@ def test_streaming_curate_store_maintenance_window(spark, tmp_path):
     assert r2["n_semantic"] == 1 and r2["n_kept"] == 1
     kept = {r.doc_id for r in curate_corpus_read(spark, store).collect()}
     assert kept == {1, 2, 3, 101, 102, 201}
+
+
+def test_streaming_curate_edge_inputs_ledger_identity(spark, tmp_path):
+    """Degenerate inputs through the full chain: NULL text, empty
+    string, sub-k one-token doc.  The ledger identity must hold for
+    ANY input (no doc silently vanishes uncounted, none double-counts)
+    and the engine must not crash in any stage."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "the"),
+        (4, _body(4, 24)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    store = str(tmp_path / "store")
+    row = curate_ingest_batch(
+        docs, 0, store, threshold=0.5, k=5,
+        boilerplate_max_df=2, span_dedup_k=6, span_min_docs=6,
+    )
+    assert row["n_batch"] == 4
+    assert row["n_batch"] == (
+        row["n_boilerplate"] + row["n_span"] + row["n_quality"]
+        + row["n_decontam"] + row["n_semantic"] + row["n_dedup"]
+        + row["n_kept"]
+    )
+    kept = {r.doc_id for r in curate_corpus_read(spark, store).collect()}
+    assert kept == {4} and row["n_kept"] == 1
