@@ -324,15 +324,27 @@ def curate_ingest_batch(
         nb = batch_vb.select(
             F.col(id_col).alias("id_a"), "band", "bucket"
         )
+        # O(increment) per batch, not O(corpus): the base bucket table
+        # is semi-reduced to the increment-TOUCHED (band, bucket) keys
+        # via a broadcast before any join — without this the candidate
+        # join shuffles the whole corpus-sized vbuckets table every
+        # micro-batch (the exact hazard the round-8 dedup audit fixed
+        # in minhash_pairs_incremental).  The base scan itself stays
+        # map-side under the broadcast semi.
+        touched = batch_vb.select("band", "bucket").dropDuplicates()
+        base_touched = base_vb.join(
+            F.broadcast(touched), ["band", "bucket"], "left_semi"
+        )
         cand_base = (
             nb.join(
-                base_vb.select(
+                base_touched.select(
                     F.col(id_col).alias("id_b"), "band", "bucket"
                 ),
                 ["band", "bucket"],
             )
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=False)
         )
         cand_new = (
             nb.join(
@@ -351,8 +363,20 @@ def curate_ingest_batch(
         vb_new = batch_vecs.select(
             F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
         )
-        vb_base = base_vecs.select(
-            F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb")
+        # same discipline for the vector fetch: only CANDIDATE base
+        # ids' vectors leave the stored table (broadcast semi on the
+        # increment-sized candidate id set), never a corpus-wide
+        # shuffle of base_vecs per batch
+        vb_base = (
+            base_vecs.join(
+                F.broadcast(
+                    cand_base.select(F.col("id_b").alias(id_col))
+                    .dropDuplicates()
+                ),
+                id_col,
+                "left_semi",
+            )
+            .select(F.col(id_col).alias("id_b"), F.col("_vec").alias("_vb"))
         )
         sim = F.round(cosine_arrow("_va", "_vb"), 6)
         pairs = (
