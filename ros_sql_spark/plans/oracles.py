@@ -1926,6 +1926,18 @@ ORACLES: dict[str, str] = {
         WHERE c.doc_id IS NULL
            OR e.doc_id IN (SELECT doc_id FROM best)
     """,
+    # exact edit-distance join, quadratic ground truth on the brand
+    # cut (the engine's q-gram/length blocking is complete by the
+    # count bound, so the pair sets match exactly; distances are
+    # classic Levenshtein integers in both engines)
+    "qx27_editdist_pairs": """
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_brand = 'Brand#11' AND b.p_brand = 'Brand#11'
+          AND abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

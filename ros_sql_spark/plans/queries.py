@@ -3258,6 +3258,34 @@ def qx26_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx27_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance similarity join (round-9): all part-name
+    pairs within Levenshtein 2 inside one brand — the string-metric
+    sibling of the token-set joins (qx02 Jaccard, q32 n-gram).  The
+    engine side is the BLOCKED join
+    (operators/dedup.py::edit_distance_pairs — q-gram blocks with the
+    classic count-bound completeness guarantee + a length-band block
+    for strings under the bound, thresholded-levenshtein verify, never
+    an unblocked self-join); the oracle recomputes the cut
+    quadratically with the same length prefilter — distances are exact
+    integers in both engines, value-exact by construction.
+
+    100 TB shape: gram explode linear; candidates Σ(block²) with AQE
+    splitting hot grams; verify = banded DP O(d·len) on candidates
+    only (plan-guarded: no CartesianProduct)."""
+    from ros_sql_spark.operators.dedup import edit_distance_pairs
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select(
+            F.col("p_partkey").alias("doc_id"),
+            F.col("p_name").alias("text"),
+        )
+    )
+    return edit_distance_pairs(parts, max_dist=2, q=2)
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3390,4 +3418,5 @@ QUERIES = {
     "qx24_concentrated_pairs": qx24_concentrated_pairs,
     "qx25_profit_tree": qx25_profit_tree,
     "qx26_curate_full": qx26_curate_full,
+    "qx27_editdist_pairs": qx27_editdist_pairs,
 }

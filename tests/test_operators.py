@@ -973,3 +973,61 @@ def test_star_components_keep_self_loop_only_nodes(spark):
     }
     assert got == want
     assert (5, 5) in got
+
+
+def test_edit_distance_pairs_complete_vs_quadratic(spark):
+    """Randomized completeness: the q-gram + length-band blocking must
+    find EVERY pair within the threshold (the count-bound guarantee
+    incl. the short-string band), with exact distances — verified
+    against a quadratic pure-Python DP over strings spanning both
+    sides of the blocking bound (q=2, d=2 -> bound 6)."""
+    import random
+
+    from ros_sql_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(909)
+    alpha = "abcde"
+    strs = {}
+    i = 0
+    for _ in range(60):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(2, 12)))
+        strs[i] = base
+        i += 1
+        if rng.random() < 0.5:  # plant a near copy: 1-2 random edits
+            s = list(base)
+            for _ in range(rng.randint(1, 2)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(s)) if s else 0
+                if op == "s" and s:
+                    s[p] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(p, rng.choice(alpha))
+                elif s:
+                    del s[p]
+            strs[i] = "".join(s)
+            i += 1
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for x in range(1, len(a) + 1):
+            cur = [x] + [0] * len(b)
+            for y in range(1, len(b) + 1):
+                cur[y] = min(prev[y] + 1, cur[y - 1] + 1,
+                             prev[y - 1] + (a[x - 1] != b[y - 1]))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        list(strs.items()), "doc_id bigint, text string"
+    )
+    got = sorted(
+        tuple(r) for r in edit_distance_pairs(df, max_dist=2, q=2).collect()
+    )
+    want = sorted(
+        (a, b, lev(strs[a], strs[b]))
+        for a in strs
+        for b in strs
+        if a < b and lev(strs[a], strs[b]) <= 2
+    )
+    assert got == want
+    assert len(want) > 10  # the corpus actually planted pairs

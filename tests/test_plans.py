@@ -714,3 +714,18 @@ def test_qx22_qx23_qx24_qx25_final_tpch_shapes(spark):
     assert re.search(r"SortMergeJoin \[l_orderkey#\d+L?\]", p25), p25
     assert "Contains(p_name,red)" in p25
     assert "partial_sum" in p25
+
+
+def test_qx27_editdist_blocked_shape(spark):
+    """The edit-distance join must stay BLOCKED: no cartesian or
+    nested-loop self-join anywhere, the thresholded levenshtein only
+    verifies candidates, and the gram explode is the outer Generate
+    (the CLAUDE.md invariant — no inferred pre-filter re-inlining the
+    per-row gram expression)."""
+    p = plan_of(spark, "qx27_editdist_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "levenshtein" in p, p
+    assert "Generate explode" in p, p
+    # brand cut pushed into both part scans
+    assert p.count("EqualTo(p_brand,Brand#11)") >= 1, p
