@@ -46,7 +46,17 @@ Semantics vs batch ``curate()`` (documented, tested):
   increment-sized candidates, first-come-wins, min id per purely-new
   cluster.  Same LSH family and rounding as the batch stage.  Only
   PUBLISHED docs' vectors join the base (committed after the docs
-  table).  Mixture (cumulative token budgets) stays batch-only: its
+  table).  ORDERING divergence (same class as decontam): it runs
+  BEFORE the text dedup here, where the batch pipeline runs it after
+  near-dup — so a batch doc can be semantic-dropped in favor of a
+  cluster-mate that the text stage then drops as a dup of the
+  published corpus, leaving the semantic drop without a published
+  semantic canonical.  The orders agree when semantic clusters are
+  text-dedup-homogeneous (members share text-dup fate — the common
+  case: a text dup of a published doc usually carries a near-identical
+  embedding too, putting the published doc in the semantic cluster);
+  the labels table tracks TEXT-dedup clusters only, so semantic drops
+  are not covered by its published-canonical invariant.  Mixture (cumulative token budgets) stays batch-only: its
   budget must count post-dedup tokens of the FINAL corpus, which a
   stream cannot know until its dedup decisions land — a pre-dedup
   budget would overfill by the duplicate rate.
@@ -89,6 +99,7 @@ __all__ = [
     "curate_ingest_batch",
     "curate_ingest_stream",
     "curate_ledger_read",
+    "curate_corpus_read",
 ]
 
 _T_LEDGER = "ledger"
@@ -148,6 +159,22 @@ def curate_ingest_batch(
     explode / span windows would re-execute once per consumer).
     """
     spark = batch_df.sparkSession
+
+    # FULLY-replayed batch: the ledger commits LAST, so its watermark
+    # implies every table already landed — return the COMMITTED row
+    # verbatim instead of recomputing.  (Recomputing was also WRONG
+    # after a maintenance vacuum reclaimed the pre-batch versions:
+    # _pre_state then yields an empty base and the dedup fast path
+    # reported n_kept = the whole corpus — round-9 review finding.)
+    if _pre_state(spark, f"{store}/{_T_LEDGER}", batch_id)[1]:
+        r = (
+            snapshot_read(spark, f"{store}/{_T_LEDGER}")
+            .filter(F.col("batch_id") == batch_id)
+            .collect()
+        )
+        if r:
+            return {k: v for k, v in r[0].asDict().items()}
+
     cur = batch_df.select(
         F.col(id_col).cast("bigint").alias(id_col), F.col(text_col)
     ).localCheckpoint(eager=False)
@@ -298,11 +325,15 @@ def curate_ingest_batch(
             .join(cur.select(id_col), id_col, "left_semi")
             .localCheckpoint(eager=False)
         )
-        bk = F.posexplode(
+        # posexplode_outer + null filter: the Generate invariant
+        # (CLAUDE.md) — a non-outer explode makes InferFiltersFromGenerate
+        # re-evaluate the Arrow matmul per row as an inferred pre-filter
+        bk = F.posexplode_outer(
             hyperplane_buckets("_vec", embedding_dim, 16, 4, 42)
         ).alias("band", "bucket")
         batch_vb = (
             batch_vecs.select(F.col(id_col), bk)
+            .filter(F.col("bucket").isNotNull())
             .select(
                 id_col,
                 F.col("band").cast("int").alias("band"),
@@ -314,10 +345,16 @@ def curate_ingest_batch(
         def _empty(schema: str) -> DataFrame:
             return spark.createDataFrame([], schema)
 
-        base_vecs = _pre_state(spark, f"{store}/{_T_VECS}", batch_id)[0]
+        # one _pre_state walk per table per batch — the (state, done)
+        # pairs are reused by the commit loop below
+        vec_pre = {
+            n: _pre_state(spark, f"{store}/{n}", batch_id)
+            for n in (_T_VECS, _T_VBUCKETS)
+        }
+        base_vecs = vec_pre[_T_VECS][0]
         if base_vecs is None:
             base_vecs = _empty(f"{id_col} bigint, _vec array<float>")
-        base_vb = _pre_state(spark, f"{store}/{_T_VBUCKETS}", batch_id)[0]
+        base_vb = vec_pre[_T_VBUCKETS][0]
         if base_vb is None:
             base_vb = _empty(f"{id_col} bigint, band int, bucket bigint")
 
@@ -435,7 +472,7 @@ def curate_ingest_batch(
             "left_semi",
         )
         for name, df in ((_T_VECS, batch_vecs), (_T_VBUCKETS, batch_vb)):
-            if _pre_state(spark, f"{store}/{name}", batch_id)[1]:
+            if vec_pre[name][1]:
                 continue
             snapshot_commit(
                 df.join(pub_ids, id_col, "left_semi"),
@@ -484,6 +521,31 @@ def curate_ingest_stream(
     deduped against the published corpus; only clean survivors land.
     ``curate_kwargs`` forward to :func:`curate_ingest_batch`.  Returns
     the StreamingQuery."""
+
+    # bloom decontam sizing is a function of the FIXED eval set: size
+    # the filter ONCE at stream setup, not per micro-batch (unsized, the
+    # batch function would re-count the whole eval shingle set on every
+    # trigger — an O(eval-set) job repeated forever; round-9 review)
+    if (
+        curate_kwargs.get("eval_docs") is not None
+        and curate_kwargs.get("decontam_method") == "bloom"
+        and curate_kwargs.get("bloom_m_bits") is None
+    ):
+        from ros_sql_spark.operators.dedup import shingle_hashes
+
+        ev = curate_kwargs["eval_docs"]
+        n_ev = (
+            shingle_hashes(
+                ev, id_col, text_col, curate_kwargs.get("decontam_k", 5)
+            )
+            .select(F.explode_outer("_hs").alias("s"))
+            .filter(F.col("s").isNotNull())
+            .distinct()
+            .count()
+        )
+        curate_kwargs["bloom_m_bits"] = max(
+            64, ((20 * max(n_ev, 1) + 63) // 64) * 64
+        )
 
     def body(df: DataFrame, batch_id: int) -> None:
         curate_ingest_batch(

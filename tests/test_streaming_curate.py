@@ -450,7 +450,7 @@ def test_streaming_curate_store_maintenance_window(spark, tmp_path):
         )
 
     curate_ingest_batch(batch([1, 2, 3]), 0, store, **kw)
-    curate_ingest_batch(batch([101, 102]), 1, store, **kw)
+    row1 = curate_ingest_batch(batch([101, 102]), 1, store, **kw)
 
     tables = ("docs", "sets", "prefix", "freq", "labels",
               "vecs", "vbuckets", "ledger")
@@ -477,9 +477,12 @@ def test_streaming_curate_store_maintenance_window(spark, tmp_path):
     assert after == before
 
     # replay of the last pre-maintenance batch: the carried watermark
-    # makes every commit skip (versions pinned at 1 everywhere)
+    # makes every commit skip (versions pinned at 1 everywhere), and
+    # the returned row is the COMMITTED ledger row verbatim — NOT a
+    # recompute against the vacuumed (now-empty) pre-batch state,
+    # which would have reported n_kept = the whole corpus
     r1 = curate_ingest_batch(batch([101, 102]), 1, store, **kw)
-    assert r1["n_batch"] == 2
+    assert r1 == row1
     for n in tables:
         assert len(snapshot_versions(spark, f"{store}/{n}")) == 1, n
 

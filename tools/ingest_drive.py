@@ -154,13 +154,17 @@ def main() -> int:
             .count()
         )
         checks["dropped_have_published_canonical"] = orphans == 0
-        # the slope check itself: the mean of the last 3 batches vs the
-        # mean of batches 2-4 (batch 1 excluded: empty-base fast path +
-        # JIT warmup).  2x headroom on a ~flat claim absorbs host noise
-        # while still failing any O(corpus) component, which would read
-        # ~(base_last/base_early) = ~4-8x here.
-        early = sum(per_batch[1:4]) / 3
-        late = sum(per_batch[-3:]) / 3
+        # the slope check itself: an early window vs a late window of
+        # equal width w, DISJOINT by construction (batch 1 excluded:
+        # empty-base fast path + JIT warmup).  The old hardcoded
+        # 1:4-vs-last-3 windows were the SAME batches at n_super=4
+        # (tautologically green — round-9 review); w adapts so the
+        # check is meaningful from n_super=3 up.  2x headroom on a
+        # ~flat claim absorbs host noise while still failing any
+        # O(corpus) component (~base-growth-factor x here).
+        w = max(1, min(3, (n_super - 1) // 2))
+        early = sum(per_batch[1 : 1 + w]) / w
+        late = sum(per_batch[-w:]) / w
         checks["per_batch_flat_within_2x"] = late <= 2 * early
         out = {
             "metric": "ingest_drive",
