@@ -308,7 +308,6 @@ def curate_ingest_batch(
     #     round(cos, 6) >= threshold), so the candidate recall curve
     #     and the pair set match batch on any pair both consider.
     #     Docs without a vector are never candidates (same as batch).
-    n_semantic = 0
     batch_vecs = batch_vb = None
     if embeddings is not None:
         from ros_sql_spark.operators.dedup import connected_components
@@ -444,8 +443,6 @@ def curate_ingest_batch(
             id_col,
             "left_anti",
         ).localCheckpoint(eager=False)
-        n_now = cur.count()
-        n_semantic = n_prev - n_now
 
     # 2. near-dup (+ exact, Jaccard 1.0) setsim ingest — the stateful
     #    stage owns its index, watermarks and crash recovery
@@ -458,6 +455,15 @@ def curate_ingest_batch(
         threshold=threshold,
         k=k,
     )
+    # semantic drops derived RESIDUALLY from the setsim input size:
+    # st["n_batch"] is the post-semantic frame the ingest actually saw
+    # — on a normal run identical to counting cur, but on a
+    # replay-after-vacuum the ingest's fast path returns the ORIGINAL
+    # attempt's persisted count (docs manifest acct meta), so the
+    # ledger attribution stays exact even when the pre-batch vector
+    # state needed to recompute sem_dropped no longer exists
+    # (round-9 ADVICE).
+    n_semantic = n_prev - st["n_batch"]
 
     # semantic state lands AFTER the docs commit: only PUBLISHED batch
     # docs' vectors join the base (a doc the text dedup dropped is not

@@ -144,11 +144,50 @@ def setsim_ingest_batch(
         # restart): every table already carries the watermark, so
         # nothing will commit.  Without this exit the whole setsim join
         # + components loop + shingling re-ran just to fill the return
-        # counts (round-8 review); the kept count is instead the docs
-        # table's growth across the batch commit — two narrow scans.
+        # counts (round-8 review).  Accounting source, in order of
+        # strength (round-9 ADVICE: after a maintenance vacuum
+        # reclaimed the pre-batch versions, the old growth computation
+        # read pre_docs=0 and reported n_kept = the whole corpus):
+        # 1. the docs head manifest's ``acct`` meta — the counts the
+        #    committing attempt persisted atomically with the data
+        #    (carried through compaction like the watermark), valid
+        #    whenever it names THIS batch;
+        # 2. docs-table growth across the batch commit via time travel
+        #    (full redelivery of OLDER batches — meta names a later
+        #    batch, but the pre-batch version still exists);
+        # 3. a genuinely-empty pre-state is only trusted when the
+        #    table's history is complete back to creation
+        #    (versions[0] == 1); otherwise the pre-batch state was
+        #    VACUUMED and recomputing would silently mis-account —
+        #    raise instead.
+        acct = (
+            _read_manifest(
+                spark,
+                t[_T_DOCS],
+                _list_versions(spark, t[_T_DOCS])[-1],
+            ).get("meta")
+            or {}
+        ).get("acct")
+        if acct is not None and acct.get("batch") == batch_id:
+            n_batch = int(acct["n_batch"])
+            n_kept = int(acct["n_kept"])
+            return {
+                "n_batch": n_batch,
+                "n_kept": n_kept,
+                "n_dropped": n_batch - n_kept,
+                "committed": [],
+            }
+        pre_docs_df = pre[_T_DOCS][0]
+        if pre_docs_df is None and _list_versions(spark, t[_T_DOCS])[0] != 1:
+            raise RuntimeError(
+                f"setsim_ingest_batch: replay of batch {batch_id} cannot "
+                "be accounted — the pre-batch docs versions were vacuumed "
+                "and the head manifest's acct meta names a different "
+                "batch.  Vacuum only after the consumer (ledger/"
+                "checkpoint) has recorded the batch, or keep_last >= 2."
+            )
         n_batch = batch.count()
         post_docs = snapshot_read(spark, t[_T_DOCS]).count()
-        pre_docs_df = pre[_T_DOCS][0]
         pre_docs = pre_docs_df.count() if pre_docs_df is not None else 0
         n_kept = post_docs - pre_docs
         return {
@@ -258,6 +297,12 @@ def setsim_ingest_batch(
         .join(base_freq.select("_s"), "_s", "left_anti")
     )
 
+    # counted BEFORE the docs commit so the per-batch accounting can be
+    # persisted in the docs manifest's ``acct`` meta — the fast-path
+    # source of truth that survives a pre-batch vacuum (round-9 ADVICE)
+    n_batch = batch.count()
+    n_kept = survivors.count()
+
     committed = []
     commits = [
         ("append", _T_SETS, s_sets),
@@ -286,11 +331,23 @@ def setsim_ingest_batch(
             )
         else:
             snapshot_commit(
-                df, t[name], mode="append", tag=f"batch:{batch_id}"
+                df,
+                t[name],
+                mode="append",
+                tag=f"batch:{batch_id}",
+                meta=(
+                    {
+                        "acct": {
+                            "batch": batch_id,
+                            "n_batch": n_batch,
+                            "n_kept": n_kept,
+                        }
+                    }
+                    if name == _T_DOCS
+                    else None
+                ),
             )
         committed.append(name)
-    n_batch = batch.count()
-    n_kept = survivors.count()
     return {
         "n_batch": n_batch,
         "n_kept": n_kept,

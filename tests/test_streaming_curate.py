@@ -495,6 +495,138 @@ def test_streaming_curate_store_maintenance_window(spark, tmp_path):
     assert kept == {1, 2, 3, 101, 102, 201}
 
 
+def test_streaming_curate_crash_then_vacuum_replay_accounting(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE hole: crash AFTER the dedup/vector tables
+    committed, BEFORE the ledger row, then a maintenance vacuum
+    (keep_last=1) reclaims every pre-batch version.  The replay can no
+    longer recompute against pre-batch state — the per-batch counts
+    persisted in the docs manifest's ``acct`` meta must land the SAME
+    ledger row an un-crashed run produces.  Previously the setsim
+    fast path read pre_docs=0 and committed n_kept = the whole corpus
+    permanently (and the semantic drop was misattributed to dedup)."""
+    import ros_sql_spark.streaming.curate as sc
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    vA = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(2, vA), (202, vA)], "vec_id bigint, embedding array<float>"
+    )
+    kw = dict(threshold=0.5, k=5, embeddings=emb,
+              embedding_dim=4, cosine_threshold=0.9)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, _body(i, 24)) for i in ids], "doc_id bigint, text string"
+        )
+
+    # reference run (no crash, no vacuum): the row batch 1 SHOULD get
+    # — 202's vector clusters with published doc 2 -> semantic drop
+    ref = str(tmp_path / "ref")
+    curate_ingest_batch(batch([1, 2, 3]), 0, ref, **kw)
+    want = curate_ingest_batch(batch([201, 202]), 1, ref, **kw)
+    assert want["n_semantic"] == 1 and want["n_kept"] == 1
+
+    store = str(tmp_path / "store")
+    curate_ingest_batch(batch([1, 2, 3]), 0, store, **kw)
+
+    real_commit = sc.snapshot_commit
+    state = {"crashed": False}
+
+    def crashing(df, table, **kws):
+        if table.endswith("/ledger") and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before ledger commit")
+        return real_commit(df, table, **kws)
+
+    monkeypatch.setattr(sc, "snapshot_commit", crashing)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_ingest_batch(batch([201, 202]), 1, store, **kw)
+    monkeypatch.setattr(sc, "snapshot_commit", real_commit)
+
+    # the maintenance window fires before the replay: every pre-batch
+    # version is gone
+    tables = ("docs", "sets", "prefix", "freq", "labels",
+              "vecs", "vbuckets", "ledger")
+    for n in tables:
+        snapshot_compact(spark, f"{store}/{n}", target_files=1)
+        snapshot_vacuum(spark, f"{store}/{n}", keep_last=1)
+        assert len(snapshot_versions(spark, f"{store}/{n}")) == 1, n
+
+    row = curate_ingest_batch(batch([201, 202]), 1, store, **kw)
+    assert row == want
+    led = {r.batch_id: r for r in curate_ledger_read(spark, store).collect()}
+    assert len(led) == 2
+    r1 = led[1]
+    assert r1.n_kept == want["n_kept"]
+    assert r1.n_semantic == want["n_semantic"]
+    assert r1.n_dedup == want["n_dedup"]
+    # the global invariant the old code broke: sum(n_kept) == corpus
+    total_kept = sum(r.n_kept for r in led.values())
+    assert total_kept == curate_corpus_read(spark, store).count()
+
+
+def test_streaming_curate_vacuum_replay_without_acct_meta_raises(
+    spark, tmp_path, monkeypatch
+):
+    """A store whose docs head manifest cannot vouch for the replayed
+    batch (acct meta stripped — the pre-round-10 on-disk format) and
+    whose pre-batch versions were vacuumed must RAISE on replay, never
+    silently commit a mis-accounted ledger row."""
+    import ros_sql_spark.streaming.curate as sc
+    import ros_sql_spark.streaming.dedup as sd
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_vacuum,
+    )
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, _body(i, 24)) for i in ids], "doc_id bigint, text string"
+        )
+
+    store = str(tmp_path / "store")
+    curate_ingest_batch(batch([1, 2, 3]), 0, store)
+
+    real_sd = sd.snapshot_commit
+    real_sc = sc.snapshot_commit
+    state = {"crashed": False}
+
+    def stripping(df, table, **kws):
+        if table.endswith("/docs"):
+            kws.pop("meta", None)  # simulate the legacy writer
+        return real_sd(df, table, **kws)
+
+    def crashing(df, table, **kws):
+        if table.endswith("/ledger") and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before ledger commit")
+        return real_sc(df, table, **kws)
+
+    monkeypatch.setattr(sd, "snapshot_commit", stripping)
+    monkeypatch.setattr(sc, "snapshot_commit", crashing)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_ingest_batch(batch([201, 202]), 1, store)
+    monkeypatch.setattr(sd, "snapshot_commit", real_sd)
+    monkeypatch.setattr(sc, "snapshot_commit", real_sc)
+
+    for n in ("docs", "sets", "prefix", "freq", "labels", "ledger"):
+        snapshot_compact(spark, f"{store}/{n}", target_files=1)
+        snapshot_vacuum(spark, f"{store}/{n}", keep_last=1)
+
+    with pytest.raises(RuntimeError, match="cannot be accounted"):
+        curate_ingest_batch(batch([201, 202]), 1, store)
+
+
 def test_streaming_curate_edge_inputs_ledger_identity(spark, tmp_path):
     """Degenerate inputs through the full chain: NULL text, empty
     string, sub-k one-token doc.  The ledger identity must hold for
