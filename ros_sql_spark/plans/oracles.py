@@ -1938,6 +1938,160 @@ ORACLES: dict[str, str] = {
           AND abs(length(a.p_name) - length(b.p_name)) <= 2
           AND levenshtein(a.p_name, b.p_name) <= 2
     """,
+    # BM25 (Lucene idf; k1=1.2, b=0.75) from exact tf/df/dl counts;
+    # ranking + cut on the ROUNDED score with doc_id tiebreak, so the
+    # top-k boundary is engine-deterministic
+    "qx28_bm25_topk": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                   unnest(list_filter(tk,
+                       t -> t IN ('vector', 'stream', 'query'))) AS term
+            FROM toks
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS c
+            FROM hits GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(CAST(len(string_split(lower(text), ' '))
+                                 AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM documents
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                   * CAST(c AS DOUBLE)
+                   / (CAST(c AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               ), 6) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+    """,
+    # 3 damped power iterations unrolled as CTE levels over the
+    # bipartite both-directions edge list (every node has an out-edge,
+    # so deg is the node set and no dangling mass exists); the final
+    # score is N-normalized and the cut is rounded-score + node
+    "qx29_pagerank": """
+        WITH pair AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ),
+        e AS (
+            SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pair
+            UNION ALL
+            SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pair
+        ),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        p0 AS (
+            SELECT src AS node, 1.0 / (SELECT n FROM nn) AS p FROM deg
+        ),
+        p1 AS (
+            SELECT e.dst AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * sum(p0.p / deg.d) AS p
+            FROM e JOIN p0 ON p0.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        p2 AS (
+            SELECT e.dst AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * sum(p1.p / deg.d) AS p
+            FROM e JOIN p1 ON p1.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ),
+        p3 AS (
+            SELECT e.dst AS node,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE) * sum(p2.p / deg.d) AS p
+            FROM e JOIN p2 ON p2.node = e.src
+                   JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT node, round(p * (SELECT n FROM nn), 6) AS pr_n
+        FROM p3
+        ORDER BY pr_n DESC, node
+        LIMIT 20
+    """,
+    # q91's dense axis with LINEAR interpolation on interior gaps;
+    # endpoints observed by construction, money through DECIMAL before
+    # the double lerp, integer day distances exact
+    "qx30_interpolate": """
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+        ), axis AS (
+            SELECT user_id, unnest(range(d0, d1 + 1)) AS d FROM span
+        ), j AS (
+            SELECT a.user_id, a.d,
+                   dd.v IS NOT NULL AS observed,
+                   CAST(dd.v AS DOUBLE) AS vd,
+                   CASE WHEN dd.v IS NOT NULL THEN a.d END AS od
+            FROM axis a
+            LEFT JOIN daily dd ON a.user_id = dd.user_id AND a.d = dd.d
+        ), anch AS (
+            SELECT user_id, d, observed, vd,
+                   last_value(od IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   last_value(vd IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   first_value(od IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd,
+                   first_value(vd IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv
+            FROM j
+        )
+        SELECT user_id, d, observed,
+               round(CASE WHEN observed THEN vd
+                     ELSE pv + (nv - pv)
+                          * (CAST(d - pd AS DOUBLE)
+                             / CAST(nd - pd AS DOUBLE)) END, 6) AS v_lerp
+        FROM anch
+    """,
+    # PMI over the lang x source contingency table from exact BIGINT
+    # counts; one identical double expression per cell
+    "qx31_pmi_matrix": """
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        ml AS (SELECT lang, count(*) AS cl FROM documents GROUP BY 1),
+        ms AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tot FROM documents)
+        SELECT lang, source, n,
+               round(ln(CAST(n AS DOUBLE) * n_tot
+                        / (CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE))), 6)
+                   AS pmi
+        FROM cells JOIN ml USING (lang) JOIN ms USING (source)
+        CROSS JOIN nt
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -1031,3 +1031,51 @@ def test_edit_distance_pairs_complete_vs_quadratic(spark):
     )
     assert got == want
     assert len(want) > 10  # the corpus actually planted pairs
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """operators/graph.py::pagerank equals a pure-Python damped power
+    iteration bit-for-bit in expression structure (same op tree; the
+    only tolerated difference is inbound-sum addition order, absorbed
+    by a 1e-9 tolerance far tighter than the r6 output rounding), mass
+    is conserved, and assume_distinct on a pre-distinct edge set
+    changes nothing."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.graph import pagerank
+
+    # small bipartite both-directions graph: left 0..4, right 10..13
+    pairs = [(0, 10), (0, 11), (1, 10), (2, 12), (3, 12), (3, 13),
+             (4, 13), (4, 10), (2, 10)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    def ref(n_iter, d=0.85):
+        nodes = sorted({x for e in edges for x in e})
+        out = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+        p = {u: 1.0 / len(nodes) for u in nodes}
+        base = (1.0 - d) / len(nodes)
+        for _ in range(n_iter):
+            nxt = {}
+            for v in nodes:
+                s = sum(p[u] / out[u] for u, w in edges if w == v)
+                nxt[v] = base + d * s
+            p = nxt
+        return p
+
+    got = {r.node: r.p for r in pagerank(df, n_iter=3).collect()}
+    want = ref(3)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+    # duplicate edges collapse; assume_distinct skips the dedup shuffle
+    dup = df.unionByName(df.limit(5))
+    got_dup = {r.node: r.p for r in pagerank(dup, n_iter=3).collect()}
+    assert got_dup == got
+    got_ad = {
+        r.node: r.p
+        for r in pagerank(df, n_iter=3, assume_distinct=True).collect()
+    }
+    assert got_ad == got

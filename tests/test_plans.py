@@ -729,3 +729,47 @@ def test_qx27_editdist_blocked_shape(spark):
     assert "Generate explode" in p, p
     # brand cut pushed into both part scans
     assert p.count("EqualTo(p_brand,Brand#11)") >= 1, p
+
+
+def test_qx28_qx30_qx31_round10_shapes(spark):
+    """Round-10 text/timeseries/stats additions keep their scale
+    shapes: qx28 filters the token array to the query terms BEFORE the
+    explode (fan-out = matches, not |tokens|), broadcasts the 3-row df
+    table, and cuts top-k via TakeOrderedAndProject (never a global
+    sort); qx30 does all window work on ONE user-keyed exchange; qx31
+    broadcasts both marginals."""
+    p = plan_of(spark, "qx28_bm25_topk")
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("BroadcastHashJoin") == 1, p  # 3-row df table
+    assert "SortMergeJoin" not in p, p
+    # the Generate's child already carries the filtered array: the
+    # lambda filter must appear under/inside the explode, not as a
+    # post-explode row filter on the full token fan-out
+    assert re.search(r"Generate explode", p), p
+    assert "filter(" in p, p
+
+    p = plan_of(spark, "qx30_interpolate")
+    n_ex = len(re.findall(r"Exchange (hash|range)partitioning", p))
+    assert n_ex <= 2, p  # daily agg + the single user window exchange
+    assert "Generate explode" in p, p  # per-user dense axis, no calendar join
+    assert "SortMergeJoin" not in p or n_ex <= 2, p
+
+    p = plan_of(spark, "qx31_pmi_matrix")
+    assert p.count("BroadcastHashJoin") == 2, p  # both marginals broadcast
+    assert "SortMergeJoin" not in p, p
+
+
+def test_qx29_pagerank_pinned_iteration_shape(spark):
+    """The power iteration must run over the PINNED edge/degree tables
+    (lazy localCheckpoint → ExistingRDD scans), never re-embed the
+    lineitem⋈orders pair derivation per iteration: the final plan
+    contains checkpoint scans and NO lineitem/orders file scans (the
+    measured 2.5× module-docstring regression), and no cartesian
+    anywhere (the 1-row N normalizer rides a broadcast)."""
+    p = plan_of(spark, "qx29_pagerank")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert "lineitem" not in p, p
+    assert "orders" not in p, p
+    assert "TakeOrderedAndProject" in p, p
