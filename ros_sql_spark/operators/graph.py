@@ -28,7 +28,80 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact triangle count of an undirected graph, 1-row result
+    (n_nodes, n_edges, n_triangles).
+
+    ``edges``: undirected edge rows in any orientation; self-loops and
+    duplicates are dropped here.  The count uses the classic
+    DEGREE-ORDERED orientation (each edge directed from its
+    (degree, id)-smaller endpoint): every wedge is enumerated exactly
+    once at its lowest-degree apex, so the intermediate wedge set is
+    Σ d_out(v)² with d_out ≤ √(2·|E|) per node — the O(E^1.5) bound
+    that survives power-law hubs, where the naive id-ordered join
+    explodes on the highest-degree vertex (a hub with degree h
+    contributes h² wedges under id order, h ≤ √E under degree order).
+    The closing edge check is one join back onto the oriented edge
+    set.  All joins are key-equi (no cartesian), wedge apex is the
+    join key.  Everything lands in ONE action, so the shared
+    edge/orientation subtrees are deduped by runtime exchange reuse —
+    checkpoint-pinning them here measured 25% SLOWER (1.7 vs 1.3 s on
+    the declared query at sf0.1), the within-one-action side of the
+    several-separate-actions rule (contrast pagerank above, whose
+    node-count is a second action).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("_d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("_d").alias("_db"))
+    lt = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.struct(F.col("_db").alias("d"), F.col("b").alias("v")))
+            .otherwise(F.struct(F.col("_da").alias("d"), F.col("a").alias("v")))
+            .alias("dst"),
+        )
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("x.d") < F.col("y.d"))
+        | ((F.col("x.d") == F.col("y.d")) & (F.col("x.v") < F.col("y.v")))
+    )
+    closed = wedges.join(
+        o.select(
+            F.col("src").alias("_cx"), F.col("dst.v").alias("_cy")
+        ),
+        (F.col("x.v") == F.col("_cx")) & (F.col("y.v") == F.col("_cy")),
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    stats = und.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+    ).crossJoin(
+        deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 def pagerank(

@@ -2075,6 +2075,70 @@ ORACLES: dict[str, str] = {
                              / CAST(nd - pd AS DOUBLE)) END, 6) AS v_lerp
         FROM anch
     """,
+    # SCD2 state intervals from the change log: lag change flag,
+    # running-sum run ids, lead closing edge — the internal windowed
+    # sum stays internal (never output, so the HUGEINT hazard is moot)
+    "qx32_scd2_intervals": """
+        WITH flagged AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR event_type <> lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        runs AS (
+            SELECT user_id, event_type, us,
+                   sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS run
+            FROM flagged
+        ),
+        iv AS (
+            SELECT user_id, run, event_type,
+                   min(us) AS valid_from_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM runs GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type AS state, valid_from_us,
+               lead(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY run) AS valid_to_us,
+               n_events
+        FROM iv
+    """,
+    # triangle count over q32's near-dup pair graph: the oracle
+    # enumerates id-ordered (a<b<c) closed wedges — the engine's
+    # degree-ordered orientation changes the plan, never the count
+    "qx33_triangle_count": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                            ELSE [array_to_string(toks, ' ')] END) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents WHERE doc_id < 40)
+        ),
+        e AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                  6) >= 0.001
+        ),
+        nodes AS (
+            SELECT count(DISTINCT v) AS n FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        )
+        SELECT CAST((SELECT n FROM nodes) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*)
+                     FROM e ab JOIN e bc ON ab.b = bc.a
+                     JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+                    AS BIGINT) AS n_triangles
+    """,
     # PMI over the lang x source contingency table from exact BIGINT
     # counts; one identical double expression per cell
     "qx31_pmi_matrix": """

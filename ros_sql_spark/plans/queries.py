@@ -3480,6 +3480,67 @@ def qx31_pmi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx32_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type-2) interval reconstruction
+    (round-10): collapse each user's event stream into contiguous
+    same-state runs with [valid_from_us, valid_to_us) validity — the
+    temporal-table view a warehouse derives from a change log (the
+    snapshot layer versions TABLES; this is row-level state history).
+    Run boundaries from one lag() change flag, run ids from the
+    running sum of flags, the closing edge from lead() on the run
+    grain — three window passes and one aggregate, ALL on the user_id
+    partitioning: a single exchange end to end.  Ordering ties break
+    on event_id (same-µs collision rule); open intervals carry NULL
+    valid_to_us."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(tus("ts_ns"), "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("bigint")
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        tus("ts_ns").alias("_us"),
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_run"),
+    )
+    iv = runs.groupBy("user_id", "_run", "event_type").agg(
+        F.min("_us").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_run")
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+def qx33_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (round-10) on the document near-dup graph —
+    the clique-density signal that distinguishes tight dup FAMILIES
+    from chains (families triangulate, chains don't), and the second
+    graph-analytics entry beside qx29.  Edges are q32's n-gram Jaccard
+    pairs at the qx10 threshold; the count uses
+    operators/graph.py::triangle_count — degree-ordered orientation so
+    every wedge is enumerated once at its lowest-degree apex
+    (intermediate Σ d_out² with d_out ≤ √(2E): survives power-law hubs
+    at 100 TB where id-ordering explodes on the hub), closing-edge
+    check as one semi join.  The oracle counts the identical triangle
+    set by id-ordered 3-way self-join — orientation changes the plan,
+    never the count."""
+    from ros_sql_spark.operators.graph import triangle_count
+
+    pairs = q32_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.001
+    )
+    return triangle_count(pairs, a_col="doc_a", b_col="doc_b")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3617,4 +3678,6 @@ QUERIES = {
     "qx29_pagerank": qx29_pagerank,
     "qx30_interpolate": qx30_interpolate,
     "qx31_pmi_matrix": qx31_pmi_matrix,
+    "qx32_scd2_intervals": qx32_scd2_intervals,
+    "qx33_triangle_count": qx33_triangle_count,
 }

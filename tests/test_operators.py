@@ -1079,3 +1079,46 @@ def test_pagerank_matches_reference_power_iteration(spark):
         for r in pagerank(df, n_iter=3, assume_distinct=True).collect()
     }
     assert got_ad == got
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered triangle counting equals the brute-force closed-
+    wedge count on a random graph with planted cliques (a hub included
+    so the degree orientation actually reorders), including duplicate
+    and reversed input edges."""
+    import itertools
+    import random
+
+    from ros_sql_spark.operators.graph import triangle_count
+
+    rnd = random.Random(7)
+    edges = set()
+    # two planted 5-cliques sharing one vertex + random sparse edges
+    for clique in ([1, 2, 3, 4, 5], [5, 6, 7, 8, 9]):
+        edges.update(itertools.combinations(clique, 2))
+    for _ in range(60):
+        a, b = rnd.sample(range(30), 2)
+        edges.add((min(a, b), max(a, b)))
+    # a hub touching everything
+    edges.update((i, 99) for i in range(30))
+
+    def brute(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        return sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+
+    rows = [(a, b) for a, b in edges]
+    rows += [(b, a) for a, b in list(edges)[:20]]  # reversed dups
+    rows += rows[:10]  # exact dups
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = triangle_count(df).collect()[0]
+    assert got.n_triangles == brute(edges)
+    assert got.n_edges == len(edges)
+    assert got.n_nodes == len({x for e in edges for x in e})

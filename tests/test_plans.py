@@ -760,6 +760,22 @@ def test_qx28_qx30_qx31_round10_shapes(spark):
     assert "SortMergeJoin" not in p, p
 
 
+def test_qx32_qx33_round10_shapes(spark):
+    """qx32's three window passes and the run aggregate all ride ONE
+    user_id exchange (no per-window re-shuffle); qx33's wedge joins
+    stay key-equi — no cartesian beyond the 1-row stats combiners, no
+    nested-loop on data-sized sides."""
+    p = plan_of(spark, "qx32_scd2_intervals")
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_ex == 1, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "qx33_triangle_count")
+    assert "CartesianProduct" not in p, p
+    # the only BNLJ inputs are the 1-row aggregate combiners
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p, p
+
+
 def test_qx29_pagerank_pinned_iteration_shape(spark):
     """The power iteration must run over the PINNED edge/degree tables
     (lazy localCheckpoint → ExistingRDD scans), never re-embed the
