@@ -47,8 +47,15 @@ def asof_join(
     # right rows sort BEFORE left rows at equal ts (side 0 < 1): a right
     # event exactly at the left timestamp is visible to it (<= semantics)
     payload = F.struct(*[F.col(c) for c in right_payload])
+    # a right row with NULL ts has no defined position in time and must
+    # never match; without this filter Spark's nulls-first ordering made
+    # it sort EARLIEST and its payload was carried to every left row
+    # until the first real right event (round-10 audit).  A left row
+    # with NULL ts still sorts first among its group and correctly gets
+    # a NULL payload (no right row precedes it).
     r = (
-        right.select(*on, F.col(right_ts).alias("_ts"), payload.alias("_pay"))
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*on, F.col(right_ts).alias("_ts"), payload.alias("_pay"))
         .withColumn("_side", F.lit(0))
     )
     l_aug = l.select(

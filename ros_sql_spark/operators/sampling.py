@@ -115,7 +115,15 @@ def token_budget_mix(
     and divide its budget accordingly.
     """
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    order = order_by if order_by is not None else [F.col(id_col).asc()]
+    # id appended as the final tiebreak: a caller-supplied order with
+    # ties (two docs, same quality score) would otherwise make the
+    # cumulative sum — and therefore WHICH doc crosses the budget
+    # boundary — partition-order-dependent (round-10 audit; the
+    # determinism contract in the module docstring)
+    order = [
+        *(order_by if order_by is not None else []),
+        F.col(id_col).asc(),
+    ]
     budget_map = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )

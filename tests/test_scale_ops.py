@@ -1026,3 +1026,79 @@ def test_star_components_long_chain_beyond_propagation_budget(spark):
     assert got == {(i, 0) for i in range(61)}
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=20)
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """Round-10 audit: a right row with NULL ts must never be carried —
+    Spark's nulls-first window ordering previously made it sort
+    EARLIEST, so its payload leaked into every left row before the
+    first real right event.  A NULL-ts LEFT row gets a NULL payload."""
+    from ros_sql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (1, None, "l0")],
+        "k bigint, lts bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "poison"), (1, 150, "ok")],
+        "k bigint, rts bigint, pay string",
+    )
+    got = {
+        (r.tag, r.pay)
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts", ["pay"]
+        ).collect()
+    }
+    # l1 (ts=100): no right row at or before 100 -> NULL, NOT "poison"
+    assert got == {("l1", None), ("l2", "ok"), ("l0", None)}
+
+
+def test_interval_join_negative_timestamps_complete(spark):
+    """The 2-probe bucketization must stay COMPLETE for negative and
+    zero-crossing timestamps (integer `div` truncates toward zero, so
+    bucket boundaries shift around 0 — monotonicity still bounds the
+    ±w interval to two buckets).  Equality vs the naive theta join."""
+    from ros_sql_spark.operators.asof import interval_join
+
+    import itertools
+
+    lrows = [(1, t) for t in range(-25, 26, 3)]
+    rrows = [(1, t) for t in range(-24, 25, 5)]
+    left = spark.createDataFrame(lrows, "k bigint, lts bigint")
+    right = spark.createDataFrame(rrows, "k bigint, rts bigint")
+    w = 7
+    got = {
+        (r.lts, r.rts)
+        for r in interval_join(left, right, ["k"], "lts", "rts", w).collect()
+    }
+    want = {
+        (lt, rt)
+        for (_, lt), (_, rt) in itertools.product(lrows, rrows)
+        if abs(lt - rt) <= w
+    }
+    assert got == want and len(want) > 20
+
+
+def test_token_budget_mix_order_ties_deterministic(spark):
+    """Round-10 audit: a caller order with ties (equal quality score)
+    must still produce ONE deterministic selection — the operator
+    appends the id tiebreak, so which doc crosses the budget boundary
+    cannot depend on partition order."""
+    from ros_sql_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "s", 10, 5.0) for i in range(20)]  # all-tied quality
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_tok bigint, q double"
+    )
+    picks = set()
+    for shuffle_parts in (1, 7):
+        out = token_budget_mix(
+            df.repartition(shuffle_parts),
+            {"s": 35},
+            token_col="n_tok",
+            order_by=[F.desc("q")],
+        )
+        picks.add(tuple(sorted(r.doc_id for r in out.collect())))
+    # budget 35 at 10 tokens/doc -> 4 docs (boundary doc admitted);
+    # id ascending breaks the all-tied order
+    assert picks == {(0, 1, 2, 3)}
