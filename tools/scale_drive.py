@@ -481,6 +481,67 @@ def main() -> int:
         )
         checks["stream_curate_no_exact_dup_survives"] = n_dup == 0
 
+        # 9. graph operators at 20x (round-10): the exact-dup digest
+        # groups form disjoint cliques (one per duplicated text, size =
+        # its multiplicity), giving CLOSED-FORM ground truth at any
+        # scale: triangles = Σ C(m,3), edges = Σ C(m,2), and PageRank
+        # over a disjoint union of regular components is EXACTLY
+        # uniform (each node's inbound sum telescopes to 1/N), so every
+        # N-normalized score must be 1 to float error.
+        from ros_sql_spark.operators.graph import pagerank, triangle_count
+
+        def _graph():
+            d = docs.select(
+                F.md5("text").alias("h"), "doc_id"
+            )
+            a = d.select("h", F.col("doc_id").alias("a"))
+            b = d.select("h", F.col("doc_id").alias("b"))
+            und = (
+                a.join(b, "h")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+                .localCheckpoint(eager=True)  # feeds triangle AND pagerank
+            )
+            tri = triangle_count(und).collect()[0]
+            exp = (
+                d.groupBy("h")
+                .agg(F.count("*").alias("m"))
+                .filter(F.col("m") >= 2)
+                .agg(
+                    F.sum(
+                        F.expr("m * (m - 1) / 2").cast("bigint")
+                    ).alias("e"),
+                    F.sum(
+                        F.expr("m * (m - 1) * (m - 2) / 6").cast("bigint")
+                    ).alias("t"),
+                )
+                .collect()[0]
+            )
+            both = und.unionByName(
+                und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            pr = pagerank(
+                both, n_iter=3, src_col="a", dst_col="b",
+                assume_distinct=True,
+            )
+            dev = (
+                pr.agg(
+                    F.max(
+                        F.abs(F.col("p") * F.lit(float(tri.n_nodes)) - 1.0)
+                    ).alias("d"),
+                    F.sum("p").alias("s"),
+                ).collect()[0]
+            )
+            return tri, exp, dev
+
+        tri, exp, dev = timed("graph_ops", _graph)
+        checks["triangles_match_closed_form"] = (
+            tri.n_triangles == exp.t and tri.n_edges == exp.e
+        )
+        checks["pagerank_uniform_on_regular_components"] = (
+            dev.d < 1e-9 and abs(dev.s - 1.0) < 1e-9
+        )
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
