@@ -2139,6 +2139,57 @@ ORACLES: dict[str, str] = {
                      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
                     AS BIGINT) AS n_triangles
     """,
+    # first-order Markov transition matrix: lead() pairs under the
+    # µs+id order, exact counts, one double division per cell
+    "qx34_markov_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_state
+            FROM events
+        ),
+        n AS (
+            SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT from_state, CAST(sum(n) AS BIGINT) AS t
+            FROM n GROUP BY 1
+        )
+        SELECT from_state, to_state, n,
+               round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+        FROM n JOIN tot USING (from_state)
+    """,
+    # trailing-7-row OLS slope from exact integer moments (cents y,
+    # day-index x): every windowed sum CAST back to BIGINT (HUGEINT
+    # discipline), one double division of exactly-agreed integers
+    "qx35_rolling_slope": """
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT user_id, d,
+                   CAST(count(*) OVER w AS BIGINT) AS n_window,
+                   CAST(sum(d) OVER w AS BIGINT) AS sx,
+                   CAST(sum(y) OVER w AS BIGINT) AS sy,
+                   CAST(sum(d * y) OVER w AS BIGINT) AS sxy,
+                   CAST(sum(d * d) OVER w AS BIGINT) AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, d, n_window,
+               round(CASE WHEN n_window > 1 THEN
+                   CAST(n_window * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_window * sxx - sx * sx AS DOUBLE) END, 6)
+                   AS slope_cents_per_day
+        FROM m
+    """,
     # PMI over the lang x source contingency table from exact BIGINT
     # counts; one identical double expression per cell
     "qx31_pmi_matrix": """

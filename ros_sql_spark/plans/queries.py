@@ -3541,6 +3541,95 @@ def qx33_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs, a_col="doc_a", b_col="doc_b")
 
 
+def qx34_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event-type sequence
+    (round-10): per user, (state → next state) pairs from one lead()
+    over the µs+event_id order, aggregated corpus-wide to counts and
+    row-normalized probabilities — the sequence-statistics sibling of
+    qx31's PMI (co-occurrence) and q94's pattern match (recognition).
+    One user-keyed exchange for the window, then a tiny (|states|²)
+    aggregate; the normalizing row total is a WINDOW over that
+    |states|²-row frame — a broadcast self-join here re-derived the
+    whole scan+window pipeline for the build side (caught by the plan
+    guard on the first draft).  Exact BIGINT counts feed the one
+    double division, round(·,6)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(tus("ts_ns"), "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    n = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_tot = Window.partitionBy("from_state")
+    return n.select(
+        "from_state",
+        "to_state",
+        "n",
+        r6(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_tot).cast("double")
+        ).alias("p"),
+    )
+
+
+def qx35_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window OLS trend slope (round-10): per user, the
+    least-squares slope of daily purchase totals over the user's last
+    7 OBSERVED days — the feature-engineering regression primitive
+    (trend signals for curricula/anomaly gates) the suite lacked.
+    Parity design: money lands as exact INTEGER CENTS and x is the
+    integer day index, so every windowed moment (n, Σx, Σy, Σxy, Σx²)
+    is exact integer arithmetic in both engines — the slope is ONE
+    double division of two exactly-agreed integers (the q88/q93
+    discipline applied to regression).  Slope NULL for 1-day windows
+    (zero denominator is impossible otherwise: distinct days make
+    n·Σx² − (Σx)² > 0).  ONE user exchange end to end: the explicit
+    user_id repartition satisfies the (user_id, d) aggregate's
+    clustering requirement (a subset partitioning clusters the
+    superset) AND the window's, so neither plans its own shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_ns div 86400000000000")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .repartition("user_id")
+        .groupBy(F.col("user_id"), day.alias("d"))
+        .agg(
+            (F.sum(money(F.col("value"))) * 100)
+            .cast("bigint")
+            .alias("_y")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    m = daily.select(
+        "user_id",
+        "d",
+        F.count("*").over(w).cast("bigint").alias("n_window"),
+        F.sum("d").over(w).cast("bigint").alias("_sx"),
+        F.sum("_y").over(w).cast("bigint").alias("_sy"),
+        F.sum(F.col("d") * F.col("_y")).over(w).cast("bigint").alias("_sxy"),
+        F.sum(F.col("d") * F.col("d")).over(w).cast("bigint").alias("_sxx"),
+    )
+    num = F.col("n_window") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_window") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return m.select(
+        "user_id",
+        "d",
+        "n_window",
+        r6(
+            F.when(
+                F.col("n_window") > 1,
+                num.cast("double") / den.cast("double"),
+            )
+        ).alias("slope_cents_per_day"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3680,4 +3769,6 @@ QUERIES = {
     "qx31_pmi_matrix": qx31_pmi_matrix,
     "qx32_scd2_intervals": qx32_scd2_intervals,
     "qx33_triangle_count": qx33_triangle_count,
+    "qx34_markov_transitions": qx34_markov_transitions,
+    "qx35_rolling_slope": qx35_rolling_slope,
 }

@@ -776,6 +776,22 @@ def test_qx32_qx33_round10_shapes(spark):
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p, p
 
 
+def test_qx34_qx35_single_user_exchange(spark):
+    """The sequence-stats and rolling-regression queries scan events
+    ONCE and do all per-user window work on one user_id exchange;
+    qx34's row-total normalizer is a window over the |states|²-row
+    aggregate (the broadcast self-join draft re-derived the whole
+    scan+window pipeline for the build side)."""
+    p = plan_of(spark, "qx34_markov_transitions")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "qx35_rolling_slope")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_qx29_pagerank_pinned_iteration_shape(spark):
     """The power iteration must run over the PINNED edge/degree tables
     (lazy localCheckpoint → ExistingRDD scans), never re-embed the
