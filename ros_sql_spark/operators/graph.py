@@ -144,7 +144,23 @@ def pagerank(
         .agg(F.count("*").alias("_deg"))
         .localCheckpoint(eager=False)
     )
-    # every node has an out-edge by contract, so deg IS the node set
+    # every node has an out-edge by contract, so deg IS the node set —
+    # ENFORCED, not assumed: a dst-only node would silently vanish from
+    # the score frame and its inbound edges' mass would be dropped by
+    # the src join next iteration (round-10 review finding).  The check
+    # rides the node-count action's cached deg, one extra tiny job.
+    dangling = (
+        e.select(F.col("dst").alias("src"))
+        .dropDuplicates()
+        .join(deg, "src", "left_anti")
+        .count()
+    )
+    if dangling:
+        raise ValueError(
+            f"pagerank: {dangling} node(s) appear only as dst and have "
+            "no out-edge — add reverse edges or self-loops first (the "
+            "operator performs no dangling-mass redistribution)"
+        )
     n = deg.count()
     if n == 0:
         return deg.select(

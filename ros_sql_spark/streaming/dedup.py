@@ -197,6 +197,30 @@ def setsim_ingest_batch(
             "committed": [],
         }
 
+    # PARTIALLY-committed replay (some tables carry the batch, docs
+    # does not): the recompute below rebuilds the probe from each
+    # table's PRE-batch state.  A table with (state=None, done=True)
+    # whose history does NOT reach back to creation was VACUUMED —
+    # probing an empty() base in its place would find no (new × base)
+    # pairs and publish duplicates of the corpus permanently, the
+    # partial-replay twin of the all-done accounting hole above
+    # (round-10 review finding).  (None, True) with versions[0] == 1
+    # is the legitimate first-ever-batch replay: the pre-state really
+    # was empty.
+    for name, (state, done) in pre.items():
+        if (
+            done
+            and state is None
+            and _list_versions(spark, t[name])[0] != 1
+        ):
+            raise RuntimeError(
+                f"setsim_ingest_batch: partial replay of batch {batch_id} "
+                f"cannot rebuild the pre-batch '{name}' state — its "
+                "versions were vacuumed.  Vacuum only after the consumer "
+                "(ledger/checkpoint) has recorded the batch, or "
+                "keep_last >= 2."
+            )
+
     def empty(schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 

@@ -1122,3 +1122,16 @@ def test_triangle_count_matches_bruteforce(spark):
     assert got.n_triangles == brute(edges)
     assert got.n_edges == len(edges)
     assert got.n_nodes == len({x for e in edges for x in e})
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    """Round-10 review finding: a dst-only node (no out-edge) would
+    silently vanish from the score frame and drop its inbound mass —
+    the operator must raise, not mis-converge."""
+    import pytest
+
+    from ros_sql_spark.operators.graph import pagerank
+
+    dag = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="dangling|out-edge"):
+        pagerank(dag, n_iter=2)

@@ -1087,3 +1087,50 @@ def test_setsim_full_replay_early_exit_counts(spark, tmp_path):
     assert replay["n_batch"] == first["n_batch"]
     assert replay["n_kept"] == first["n_kept"]
     assert replay["n_dropped"] == first["n_dropped"]
+
+
+def test_setsim_partial_replay_after_vacuum_raises(spark, tmp_path):
+    """Round-10 review finding: crash BEFORE the docs commit (index
+    tables carry the batch, docs does not), then a maintenance vacuum
+    (keep_last=1) reclaims the index tables' pre-batch versions.  The
+    replay recompute can no longer rebuild the pre-batch probe state —
+    it must RAISE, not probe an empty() base and publish duplicates of
+    the corpus permanently (the partial-replay twin of the all-done
+    accounting hole)."""
+    import pytest
+
+    import ros_sql_spark.streaming.dedup as sd
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_vacuum,
+    )
+    from ros_sql_spark.streaming.dedup import setsim_ingest_batch
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+    store = str(tmp_path / "corpus")
+    setsim_ingest_batch(b0, 0, store, threshold=0.3)
+
+    real_commit = sd.snapshot_commit
+
+    def dying_commit(df, table, **kw):
+        if table.endswith("/docs") and kw.get("tag") == "batch:1":
+            raise RuntimeError("injected crash before docs commit")
+        return real_commit(df, table, **kw)
+
+    sd.snapshot_commit = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            setsim_ingest_batch(b1, 1, store, threshold=0.3)
+    finally:
+        sd.snapshot_commit = real_commit
+
+    for n in ("sets", "prefix", "freq", "labels"):
+        snapshot_compact(spark, f"{store}/{n}", target_files=1)
+        snapshot_vacuum(spark, f"{store}/{n}", keep_last=1)
+
+    with pytest.raises(RuntimeError, match="partial replay"):
+        setsim_ingest_batch(b1, 1, store, threshold=0.3)

@@ -535,11 +535,17 @@ def main() -> int:
             return tri, exp, dev
 
         tri, exp, dev = timed("graph_ops", _graph)
+        # None-safe: an (impossible here) dup-free corpus would yield
+        # empty aggregates — fail the check, never TypeError the drive
         checks["triangles_match_closed_form"] = (
-            tri.n_triangles == exp.t and tri.n_edges == exp.e
+            exp.t is not None
+            and tri.n_triangles == exp.t
+            and tri.n_edges == exp.e
         )
         checks["pagerank_uniform_on_regular_components"] = (
-            dev.d < 1e-9 and abs(dev.s - 1.0) < 1e-9
+            dev.d is not None
+            and dev.d < 1e-9
+            and abs(dev.s - 1.0) < 1e-9
         )
 
         out = {
