@@ -1,0 +1,204 @@
+"""Python DataSource (the Spark 4 ``pyspark.sql.datasource`` API)
+exposing snapshot tables through the standard reader surface::
+
+    spark.dataSource.register(SnapshotDataSource)
+    df = (spark.read.format("rosql_snapshot")
+          .option("version", 3)           # optional time travel
+          .load("/stores/corpus/docs"))
+
+This is the INTEROP path — the way a plain-Spark consumer (a notebook,
+a job that must not import this package's internals) reads a snapshot
+table, with the manifest contract (exact file list of one committed
+version, never a directory listing) and time travel intact.  The
+in-engine fast path remains ``sources.snapshot.snapshot_read``, which
+hands the manifest's file list to Spark's native vectorized parquet
+scan; this connector reads through pyarrow in Python workers (Arrow
+RecordBatches over the local socket), so it trades some throughput for
+a dependency-free surface.  Scale shape is still right: one input
+partition per data file (the same parallelism the native scan gets
+from the manifest), predicate pushdown to row-level pyarrow dataset
+filtering via ``pushFilters`` (4.1 API) so filtered scans move only
+matching rows out of the worker, and column pruning at the parquet
+reader via the pruned schema Spark hands to ``reader()``.
+
+Local/``file:`` paths only — the manifest is parsed with plain-Python
+IO in the driver and pyarrow in workers (no JVM filesystem access from
+a Python DataSource); the native ``snapshot_read`` covers remote
+filesystems.
+
+Reference parity: strawlab/ros_sql's query surface is "whatever
+SQLAlchemy exposes" (SURVEY.md §2.2 Scans row); this adds the
+equivalent open-consumer surface for the engine's own table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+__all__ = ["SnapshotDataSource"]
+
+
+def _local(path: str) -> str:
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def _load_manifest(table: str, version: int | None) -> dict:
+    mdir = os.path.join(_local(table), "_manifests")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(f"not a snapshot table (no _manifests): {table}")
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        raise FileNotFoundError(f"snapshot table has no versions: {table}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"version {v} not in retained versions {versions} of {table}"
+        )
+    with open(os.path.join(mdir, f"v{v:05d}.json")) as f:
+        return json.load(f)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        table = options.get("path")
+        if not table:
+            raise ValueError("rosql_snapshot: .load(<table path>) is required")
+        v = options.get("version")
+        self._files = _load_manifest(table, int(v) if v is not None else None)[
+            "files"
+        ]
+        self._pushed: list = []
+
+    def partitions(self):
+        # one partition per committed data file — the same parallelism
+        # the native scan derives from the manifest; sentinel for the
+        # schema-true empty table
+        return [_FilePartition(p) for p in self._files] or [
+            _FilePartition(None)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition.path is None:
+            return
+        import pyarrow.dataset as pads
+
+        expr = None
+        if self._pushed:
+            import pyarrow.compute as pc
+
+            ops = {
+                "EqualTo": lambda c, v: pc.field(c) == v,
+                "GreaterThan": lambda c, v: pc.field(c) > v,
+                "GreaterThanOrEqual": lambda c, v: pc.field(c) >= v,
+                "LessThan": lambda c, v: pc.field(c) < v,
+                "LessThanOrEqual": lambda c, v: pc.field(c) <= v,
+                "IsNull": lambda c, v: pc.field(c).is_null(),
+                "IsNotNull": lambda c, v: ~pc.field(c).is_null(),
+            }
+            for kind, colname, value in self._pushed:
+                e = ops[kind](colname, value)
+                expr = e if expr is None else (expr & e)
+        ds = pads.dataset(_local(partition.path), format="parquet")
+        cols = [f.name for f in self._schema.fields]
+        for batch in ds.to_batches(columns=cols, filter=expr):
+            if batch.num_rows:
+                yield batch
+
+
+class _SnapshotPushdownReader(_SnapshotReader):
+    """The ``pushdown`` variant: merely IMPLEMENTING pushFilters makes
+    Spark require ``spark.sql.python.filterPushdown.enabled`` (it
+    refuses to silently skip pushdown), so the method lives on this
+    opt-in subclass — the base reader works on ANY session (the plain
+    driver environment included)."""
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Row-level pushdown: the supported comparisons become ONE
+        conjunctive pyarrow dataset filter evaluated in the worker, so
+        only matching rows cross into Spark.  pyarrow's evaluation is
+        exact (row-level, not just row-group stats), so handled filters
+        are NOT returned for re-evaluation.  Nested/struct columns and
+        other filter shapes fall back to Spark."""
+        rest = []
+        top = {f.name for f in self._schema.fields}
+        for f in filters:
+            ok = (
+                isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                        IsNull,
+                        IsNotNull,
+                    ),
+                )
+                and len(f.attribute) == 1
+                and f.attribute[0] in top
+            )
+            if ok:
+                self._pushed.append(
+                    (type(f).__name__, f.attribute[0], getattr(f, "value", None))
+                )
+            else:
+                rest.append(f)
+        return rest
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("rosql_snapshot")`` — module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rosql_snapshot"
+
+    def schema(self) -> StructType:
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("rosql_snapshot: .load(<table path>) is required")
+        v = self.options.get("version")
+        m = _load_manifest(table, int(v) if v is not None else None)
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def reader(self, schema: StructType) -> _SnapshotReader:
+        # ``schema`` is the PRUNED read schema: passing its column list
+        # to the pyarrow dataset is the column-pruning path.
+        # .option("pushdown", "true") opts into the pushFilters variant
+        # (requires spark.sql.python.filterPushdown.enabled=true — the
+        # engine session sets it; a plain session must opt in itself).
+        opts = dict(self.options)
+        if str(opts.get("pushdown", "")).lower() == "true":
+            return _SnapshotPushdownReader(schema, opts)
+        return _SnapshotReader(schema, opts)
