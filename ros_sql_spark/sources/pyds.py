@@ -40,6 +40,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -177,6 +179,87 @@ class _SnapshotPushdownReader(_SnapshotReader):
         return rest
 
 
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("rosql_snapshot")`` — the open-API
+    exactly-once streaming sink over snapshot tables (the in-engine
+    twin is ``snapshot_write_stream``'s foreachBatch).  Two-phase like
+    every snapshot commit: executors write Arrow batches straight to
+    parquet in a PRE-COMMIT staging area outside ``{table}/data``
+    (vacuum never scans there, so in-flight files are safe without any
+    version-guessing), and the driver's ``commit(batchId)`` moves them
+    into a version-private data dir and publishes ONE manifest carrying
+    the ``batch:<id>`` watermark — redelivered batches delete their
+    staged files and touch nothing (exactly-once, asserted in tests).
+    ``abort`` removes the attempt's files; a crash that skips abort
+    leaves them in staging, and the next successful commit sweeps any
+    stale staging dirs (single-writer-per-store contract, same as every
+    snapshot sink)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._table = _local(options.get("path") or "")
+        if not self._table:
+            raise ValueError(
+                "rosql_snapshot sink: .option('path', <table>) / "
+                ".start(<table>) is required"
+            )
+        self._run = "attempt-" + os.urandom(6).hex()
+
+    def _staging_root(self) -> str:
+        return os.path.join(self._table, "_stream_staging")
+
+    def write(self, iterator):
+        import pyarrow.parquet as papq
+
+        out = None
+        writer = None
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                d = os.path.join(self._staging_root(), self._run)
+                os.makedirs(d, exist_ok=True)
+                out = os.path.join(d, f"part-{os.urandom(8).hex()}.parquet")
+                writer = papq.ParquetWriter(out, batch.schema)
+            writer.write_batch(batch)
+        if writer is not None:
+            writer.close()
+        return _StagedFile(out)
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803 (API name)
+        # runs in a JVM-less Python runner: the commit helper is pure
+        # Python IO by contract (snapshot.py docstring)
+        from ros_sql_spark.sources.snapshot import (
+            snapshot_commit_staged_files,
+        )
+
+        staged = [m.path for m in messages if m is not None and m.path]
+        snapshot_commit_staged_files(
+            self._table, staged, self._schema.json(), batchId
+        )
+        # stale-attempt sweep: anything still under staging after this
+        # commit belongs to a crashed attempt (single writer per store)
+        import shutil
+
+        root = self._staging_root()
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803 (API name)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._staging_root(), self._run),
+            ignore_errors=True,
+        )
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("rosql_snapshot")`` — module docstring."""
 
@@ -202,3 +285,14 @@ class SnapshotDataSource(DataSource):
         if str(opts.get("pushdown", "")).lower() == "true":
             return _SnapshotPushdownReader(schema, opts)
         return _SnapshotReader(schema, opts)
+
+    def streamWriter(  # noqa: N802 (API name)
+        self, schema: StructType, overwrite: bool
+    ) -> _SnapshotStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "rosql_snapshot sink supports append mode only "
+                "(snapshot append is metadata-only; use snapshot_commit "
+                "for overwrites)"
+            )
+        return _SnapshotStreamWriter(schema, dict(self.options))

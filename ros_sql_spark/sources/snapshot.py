@@ -61,6 +61,7 @@ __all__ = [
     "snapshot_append_batch",
     "snapshot_compact",
     "snapshot_write_stream",
+    "snapshot_commit_staged_files",
     "snapshot_merge",
     "snapshot_delete",
     "snapshot_delete_keys",
@@ -599,6 +600,130 @@ def snapshot_append_batch(
         df, table, mode="append", tag=f"batch:{batch_id}",
         stats_cols=stats_cols, meta=meta,
     )
+    return True
+
+
+def snapshot_commit_staged_files(
+    table: str,
+    staged: list[str],
+    schema_json: str,
+    batch_id: int,
+) -> bool:
+    """Exactly-once MANIFEST-ONLY append of parquet files an external
+    writer already produced (the Python DataSource stream sink,
+    sources/pyds.py): the executor-written files move from their
+    pre-commit staging area into a version-private data directory and
+    ONE manifest publish makes them visible — the same two-phase shape
+    as :func:`snapshot_commit`, with the write phase owned by the
+    caller.  Returns whether a commit happened (False = replayed
+    batch; the staged files are deleted, the table is untouched).
+
+    PURE-PYTHON IO throughout: the DataSource ``commit()`` hook runs in
+    a Python runner process with NO SparkSession/JVM, so this function
+    must not touch py4j — local/``file:`` paths only, like the
+    connector it serves.  The footer scan reuses :func:`_scan_footers`
+    (its local-path branch is pyarrow-only) and the manifest publish is
+    a temp-write + ``os.link`` (atomic no-overwrite on one filesystem:
+    readers see no manifest or a complete one, and a same-version race
+    loses with :class:`SnapshotConflict` exactly like the native path).
+
+    Staging must live OUTSIDE ``{table}/data`` (vacuum's file scan
+    covers data/ only, so unreferenced in-flight files are never its
+    concern); a crash between the move and the manifest strands the
+    files in a ≤-published-version data dir with no references — the
+    exact garbage class the next vacuum reclaims."""
+    import os
+
+    root = table[7:] if table.startswith("file://") else (
+        table[5:] if table.startswith("file:") else table
+    )
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    versions = (
+        sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if os.path.isdir(mdir)
+        else []
+    )
+    prev: dict = {}
+    if versions:
+        with open(os.path.join(mdir, f"v{versions[-1]:05d}.json")) as fh:
+            prev = json.load(fh)
+        committed = prev.get("last_batch")
+        if committed is None:
+            t = prev.get("tag", "")
+            if t.startswith("batch:"):
+                committed = int(t[6:])
+        if committed is not None and committed >= batch_id:
+            for p in staged:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return False
+        from pyspark.sql.types import StructType
+
+        prev_schema = StructType.fromJson(json.loads(prev["schema"]))
+        new_schema = StructType.fromJson(json.loads(schema_json))
+        if prev_schema.simpleString() != new_schema.simpleString():
+            raise ValueError(
+                "snapshot_commit_staged_files: schema mismatch — table "
+                f"has {prev_schema.simpleString()}, batch wrote "
+                f"{new_schema.simpleString()}"
+            )
+    latest = versions[-1] if versions else 0
+    new_version = latest + 1
+    dest = os.path.join(
+        root, "data", f"v{new_version:05d}-{uuid.uuid4().hex[:8]}"
+    )
+    moved: list[str] = []
+    if staged:
+        os.makedirs(dest, exist_ok=True)
+        for p in staged:
+            d = os.path.join(dest, os.path.basename(p))
+            os.replace(p, d)
+            moved.append(d)
+    stats_cols = prev.get("stats_cols")
+    # _scan_footers' local branch is pyarrow-only; spark=None is safe
+    # for the plain paths this connector supports
+    new_files, new_stats = _scan_footers(
+        None, moved, list(stats_cols) if stats_cols else None
+    )
+    carried = list(prev.get("files", []))
+    manifest = {
+        "version": new_version,
+        "files": carried + new_files,
+        "schema": prev["schema"] if versions else schema_json,
+        "tag": f"batch:{batch_id}",
+        "last_batch": max(batch_id, prev.get("last_batch") or 0),
+    }
+    if stats_cols:
+        prev_stats = prev.get("stats", {})
+        stats = {f: prev_stats[f] for f in carried if f in prev_stats}
+        stats.update(new_stats)
+        manifest["stats_cols"] = list(stats_cols)
+        if stats:
+            manifest["stats"] = stats
+    if prev.get("meta") is not None:
+        manifest["meta"] = prev["meta"]
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{new_version:05d}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    final = os.path.join(mdir, f"v{new_version:05d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {new_version} of {table} was published concurrently"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     return True
 
 

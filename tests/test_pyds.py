@@ -121,3 +121,135 @@ def test_pyds_empty_table_schema_true(registered, tmp_path):
     got = spark.read.format("rosql_snapshot").load(t)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["doc_id", "text"]
+
+
+def _stream_into(spark, src, t, ck):
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src)
+        .writeStream.format("rosql_snapshot")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start(t)
+    )
+    q.awaitTermination(180)
+
+
+def test_pyds_stream_sink_exactly_once_append(registered, tmp_path):
+    """writeStream.format("rosql_snapshot"): executor-written staged
+    parquet + one driver manifest per batch — contents match the
+    source, versions advance per batch, a restart on the same
+    checkpoint with no new data commits nothing, a delta appends only
+    itself, and the staging area is swept after every commit."""
+    import os
+
+    spark = registered
+    src, t, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ck"),
+    )
+    spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    ).repartition(3).write.parquet(src)
+
+    _stream_into(spark, src, t, ck)
+    got = snapshot_read(spark, t)
+    assert got.count() == 300 and got.select("doc_id").distinct().count() == 300
+
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    v1 = snapshot_versions(spark, t)
+    _stream_into(spark, src, t, ck)  # restart, no new data: full no-op
+    assert snapshot_versions(spark, t) == v1
+
+    spark.range(300, 400).select(
+        F.col("id").alias("doc_id"), F.lit("z").alias("text")
+    ).write.mode("append").parquet(src)
+    _stream_into(spark, src, t, ck)
+    assert snapshot_read(spark, t).count() == 400
+    assert len(snapshot_versions(spark, t)) == len(v1) + 1
+    # the connector's own reader sees the sink's output too
+    assert spark.read.format("rosql_snapshot").load(t).count() == 400
+    staging = os.path.join(t, "_stream_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_pyds_staged_commit_replay_and_schema_guard(registered, tmp_path):
+    """snapshot_commit_staged_files (the sink's pure-Python commit):
+    a replayed batch id deletes the staged file and commits nothing;
+    a staged batch with a different schema raises instead of
+    corrupting the table contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_commit_staged_files,
+        snapshot_versions,
+    )
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    schema_json = (
+        spark.createDataFrame([], "doc_id bigint, text string").schema.json()
+    )
+
+    def stage(rows):
+        d = str(tmp_path / "stage")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"part-{len(os.listdir(d))}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    assert snapshot_commit_staged_files(t, [stage([(1, "a")])], schema_json, 0)
+    p = stage([(2, "b")])
+    assert not snapshot_commit_staged_files(t, [p], schema_json, 0)  # replay
+    assert not os.path.exists(p)  # staged file reclaimed
+    assert snapshot_read(spark, t).count() == 1
+    assert snapshot_versions(spark, t) == [1]
+
+    other = spark.createDataFrame([], "doc_id bigint, n bigint").schema.json()
+    p2 = stage([(3, "c")])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_commit_staged_files(t, [p2], other, 1)
+
+
+def test_pyds_sink_interops_with_native_maintenance(registered, tmp_path):
+    """A sink-written table is a first-class snapshot table: native
+    append, compact and vacuum compose with it."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    spark = registered
+    src, t, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ck"),
+    )
+    spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("w").alias("text")
+    ).write.parquet(src)
+    _stream_into(spark, src, t, ck)
+    snapshot_commit(
+        spark.createDataFrame([(1000, "n")], "doc_id bigint, text string"),
+        t,
+        mode="append",
+    )
+    snapshot_compact(spark, t, target_files=1)
+    snapshot_vacuum(spark, t, keep_last=1)
+    assert snapshot_read(spark, t).count() == 101
+    assert len(snapshot_versions(spark, t)) == 1
