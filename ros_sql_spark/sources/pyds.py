@@ -39,8 +39,10 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -184,29 +186,19 @@ class _StagedFile(WriterCommitMessage):
         self.path = path
 
 
-class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
-    """``writeStream.format("rosql_snapshot")`` — the open-API
-    exactly-once streaming sink over snapshot tables (the in-engine
-    twin is ``snapshot_write_stream``'s foreachBatch).  Two-phase like
-    every snapshot commit: executors write Arrow batches straight to
-    parquet in a PRE-COMMIT staging area outside ``{table}/data``
-    (vacuum never scans there, so in-flight files are safe without any
-    version-guessing), and the driver's ``commit(batchId)`` moves them
-    into a version-private data dir and publishes ONE manifest carrying
-    the ``batch:<id>`` watermark — redelivered batches delete their
-    staged files and touch nothing (exactly-once, asserted in tests).
-    ``abort`` removes the attempt's files; a crash that skips abort
-    leaves them in staging, and the next successful commit sweeps any
-    stale staging dirs (single-writer-per-store contract, same as every
-    snapshot sink)."""
+class _StagedWriteMixin:
+    """Shared executor-side write phase of the batch and stream
+    writers: Arrow batches → one parquet file per non-empty partition
+    in a pre-commit staging area OUTSIDE ``{table}/data`` (vacuum's
+    file scan covers data/ only, so in-flight files are safe without
+    version guessing)."""
 
-    def __init__(self, schema: StructType, options: dict):
-        self._schema = schema
+    def _init_target(self, options: dict) -> None:
         self._table = _local(options.get("path") or "")
         if not self._table:
             raise ValueError(
                 "rosql_snapshot sink: .option('path', <table>) / "
-                ".start(<table>) is required"
+                ".save(<table>) / .start(<table>) is required"
             )
         self._run = "attempt-" + os.urandom(6).hex()
 
@@ -231,6 +223,72 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             writer.close()
         return _StagedFile(out)
 
+    def _sweep_staging(self) -> None:
+        import shutil
+
+        root = self._staging_root()
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def abort(self, messages, batchId=None) -> None:  # noqa: N803
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._staging_root(), self._run),
+            ignore_errors=True,
+        )
+
+
+class _SnapshotBatchWriter(_StagedWriteMixin, DataSourceArrowWriter):
+    """``df.write.format("rosql_snapshot")`` — the open-API batch
+    writer: same two-phase staged write as the streaming sink, one
+    un-watermarked manifest at commit.  ``mode("append")`` carries the
+    previous snapshot's files by reference; ``mode("overwrite")``
+    publishes exactly this write (old versions stay readable until
+    vacuum — native overwrite semantics)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._init_target(options)
+
+    def commit(self, messages) -> None:
+        from ros_sql_spark.sources.snapshot import (
+            snapshot_commit_staged_files,
+        )
+
+        staged = [m.path for m in messages if m is not None and m.path]
+        snapshot_commit_staged_files(
+            self._table,
+            staged,
+            self._schema.json(),
+            batch_id=None,
+            mode=self._mode,
+        )
+        self._sweep_staging()
+
+
+class _SnapshotStreamWriter(_StagedWriteMixin, DataSourceStreamArrowWriter):
+    """``writeStream.format("rosql_snapshot")`` — the open-API
+    exactly-once streaming sink over snapshot tables (the in-engine
+    twin is ``snapshot_write_stream``'s foreachBatch).  Two-phase like
+    every snapshot commit: executors write Arrow batches straight to
+    parquet in a PRE-COMMIT staging area outside ``{table}/data``
+    (vacuum never scans there, so in-flight files are safe without any
+    version-guessing), and the driver's ``commit(batchId)`` moves them
+    into a version-private data dir and publishes ONE manifest carrying
+    the ``batch:<id>`` watermark — redelivered batches delete their
+    staged files and touch nothing (exactly-once, asserted in tests).
+    ``abort`` removes the attempt's files; a crash that skips abort
+    leaves them in staging, and the next successful commit sweeps any
+    stale staging dirs (single-writer-per-store contract, same as every
+    snapshot sink)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._init_target(options)
+
     def commit(self, messages, batchId) -> None:  # noqa: N803 (API name)
         # runs in a JVM-less Python runner: the commit helper is pure
         # Python IO by contract (snapshot.py docstring)
@@ -244,20 +302,87 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         )
         # stale-attempt sweep: anything still under staging after this
         # commit belongs to a crashed attempt (single writer per store)
-        import shutil
+        self._sweep_staging()
 
-        root = self._staging_root()
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-    def abort(self, messages, batchId) -> None:  # noqa: N803 (API name)
-        import shutil
+class _SnapshotStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("rosql_snapshot")`` — the change
+    stream of an APPEND-ONLY snapshot table: offsets are manifest
+    version numbers, each micro-batch reads exactly the files the new
+    versions added (manifest set difference, one input partition per
+    new file — the in-engine twin is ``snapshot_read_incremental``).
+    Non-append history (overwrite / DML / compaction rewrites) is a
+    hard error, not silent double-reads: a version whose file set
+    drops files cannot be expressed as an append delta.  Offsets are
+    checkpointed by Spark; retention must cover reader lag (a vacuumed
+    start-version manifest raises with that guidance)."""
 
-        shutil.rmtree(
-            os.path.join(self._staging_root(), self._run),
-            ignore_errors=True,
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._table = options.get("path")
+        if not self._table:
+            raise ValueError("rosql_snapshot: .load(<table path>) is required")
+
+    def _versions(self) -> list[int]:
+        mdir = os.path.join(_local(self._table), "_manifests")
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
         )
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        vs = self._versions()
+        return {"version": vs[-1] if vs else 0}
+
+    def _files_at(self, version: int) -> set:
+        if version == 0:
+            return set()
+        vs = self._versions()
+        if version not in vs:
+            raise ValueError(
+                f"rosql_snapshot stream: version {version} of "
+                f"{self._table} is not retained (vacuumed?) — retention "
+                "must cover reader lag (keep_last >= the version span "
+                "between micro-batches)"
+            )
+        return set(_load_manifest(self._table, version)["files"])
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return [_FilePartition(None)]
+        before, after = self._files_at(lo), self._files_at(hi)
+        dropped = before - after
+        if dropped:
+            raise ValueError(
+                "rosql_snapshot stream: versions "
+                f"{lo}..{hi} of {self._table} dropped {len(dropped)} "
+                "file(s) — the change stream supports APPEND-ONLY "
+                "history (no overwrite/DML/compaction between read "
+                "offsets)"
+            )
+        new = sorted(after - before)
+        return [_FilePartition(p) for p in new] or [_FilePartition(None)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition.path is None:
+            return
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(_local(partition.path), format="parquet")
+        cols = [f.name for f in self._schema.fields]
+        for batch in ds.to_batches(columns=cols):
+            if batch.num_rows:
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class SnapshotDataSource(DataSource):
@@ -291,8 +416,18 @@ class SnapshotDataSource(DataSource):
     ) -> _SnapshotStreamWriter:
         if overwrite:
             raise ValueError(
-                "rosql_snapshot sink supports append mode only "
+                "rosql_snapshot stream sink supports append mode only "
                 "(snapshot append is metadata-only; use snapshot_commit "
                 "for overwrites)"
             )
         return _SnapshotStreamWriter(schema, dict(self.options))
+
+    def writer(
+        self, schema: StructType, overwrite: bool
+    ) -> _SnapshotBatchWriter:
+        return _SnapshotBatchWriter(schema, dict(self.options), overwrite)
+
+    def streamReader(  # noqa: N802 (API name)
+        self, schema: StructType
+    ) -> _SnapshotStreamReader:
+        return _SnapshotStreamReader(schema, dict(self.options))

@@ -607,7 +607,8 @@ def snapshot_commit_staged_files(
     table: str,
     staged: list[str],
     schema_json: str,
-    batch_id: int,
+    batch_id: int | None = None,
+    mode: str = "append",
 ) -> bool:
     """Exactly-once MANIFEST-ONLY append of parquet files an external
     writer already produced (the Python DataSource stream sink,
@@ -631,9 +632,17 @@ def snapshot_commit_staged_files(
     covers data/ only, so unreferenced in-flight files are never its
     concern); a crash between the move and the manifest strands the
     files in a ≤-published-version data dir with no references — the
-    exact garbage class the next vacuum reclaims."""
+    exact garbage class the next vacuum reclaims.
+
+    ``batch_id=None`` is the BATCH-writer form: no watermark check, no
+    tag (``last_batch`` carries forward).  ``mode="overwrite"`` makes
+    the new snapshot exactly the staged files (no carried references);
+    the schema contract is enforced either way, like the native
+    commit."""
     import os
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode={mode!r}")
     root = table[7:] if table.startswith("file://") else (
         table[5:] if table.startswith("file:") else table
     )
@@ -656,7 +665,11 @@ def snapshot_commit_staged_files(
             t = prev.get("tag", "")
             if t.startswith("batch:"):
                 committed = int(t[6:])
-        if committed is not None and committed >= batch_id:
+        if (
+            batch_id is not None
+            and committed is not None
+            and committed >= batch_id
+        ):
             for p in staged:
                 try:
                     os.remove(p)
@@ -691,14 +704,18 @@ def snapshot_commit_staged_files(
     new_files, new_stats = _scan_footers(
         None, moved, list(stats_cols) if stats_cols else None
     )
-    carried = list(prev.get("files", []))
+    carried = list(prev.get("files", [])) if mode == "append" else []
     manifest = {
         "version": new_version,
         "files": carried + new_files,
         "schema": prev["schema"] if versions else schema_json,
-        "tag": f"batch:{batch_id}",
-        "last_batch": max(batch_id, prev.get("last_batch") or 0),
     }
+    last_batch = prev.get("last_batch")
+    if batch_id is not None:
+        manifest["tag"] = f"batch:{batch_id}"
+        last_batch = max(batch_id, last_batch or 0)
+    if last_batch is not None:
+        manifest["last_batch"] = last_batch
     if stats_cols:
         prev_stats = prev.get("stats", {})
         stats = {f: prev_stats[f] for f in carried if f in prev_stats}

@@ -253,3 +253,90 @@ def test_pyds_sink_interops_with_native_maintenance(registered, tmp_path):
     snapshot_vacuum(spark, t, keep_last=1)
     assert snapshot_read(spark, t).count() == 101
     assert len(snapshot_versions(spark, t)) == 1
+
+
+def test_pyds_batch_writer_append_and_overwrite(registered, tmp_path):
+    """df.write.format("rosql_snapshot"): append carries the previous
+    files by reference, overwrite publishes exactly this write, old
+    versions stay readable until vacuum, and the native reader and the
+    connector reader agree."""
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    )
+    df.write.format("rosql_snapshot").mode("append").save(t)
+    df.selectExpr("doc_id + 100 AS doc_id", "'b' AS text").write.format(
+        "rosql_snapshot"
+    ).mode("append").save(t)
+    assert snapshot_read(spark, t).count() == 200
+    assert snapshot_versions(spark, t) == [1, 2]
+
+    spark.range(0, 7).select(
+        F.col("id").alias("doc_id"), F.lit("o").alias("text")
+    ).write.format("rosql_snapshot").mode("overwrite").save(t)
+    assert snapshot_read(spark, t).count() == 7
+    assert snapshot_read(spark, t, version=2).count() == 200  # time travel
+    assert spark.read.format("rosql_snapshot").load(t).count() == 7
+
+
+def test_pyds_stream_reader_append_cdc(registered, tmp_path):
+    """spark.readStream.format("rosql_snapshot"): version-offset change
+    stream — each restart reads exactly the appended delta; a
+    non-append version transition (compaction rewrote files) fails the
+    stream instead of double-reading."""
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    spark = registered
+    t = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    )
+    snapshot_commit(df, t)
+
+    def drain():
+        q = (
+            spark.readStream.format("rosql_snapshot")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    drain()
+    assert spark.read.parquet(out).count() == 100
+    snapshot_commit(
+        df.selectExpr("doc_id + 200 AS doc_id", "text"), t, mode="append"
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # only the delta was appended
+    assert got.select("doc_id").distinct().count() == 200
+
+    # compaction rewrites files: the next incremental read must FAIL
+    # (append-only contract), not silently re-read rewritten data
+    snapshot_commit(
+        df.selectExpr("doc_id + 400 AS doc_id", "text"), t, mode="append"
+    )
+    snapshot_compact(spark, t, target_files=1)
+    with pytest.raises(Exception, match="APPEND-ONLY|StreamingQuery"):
+        q = (
+            spark.readStream.format("rosql_snapshot")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
