@@ -2190,6 +2190,36 @@ ORACLES: dict[str, str] = {
                    AS slope_cents_per_day
         FROM m
     """,
+    # month-over-month revenue growth: lag on the POST-aggregate
+    # calendar-sized frame; ratio as one double division of exact
+    # decimal sums
+    "qx36_revenue_growth": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT m, CAST(rev AS DOUBLE) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE)
+                     - 1.0, 6) AS growth
+        FROM monthly
+    """,
+    # first-view -> first-purchase latency per converted user: one
+    # conditional-min pass, exact integer microseconds
+    "qx37_time_to_convert": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS v,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS p
+            FROM events GROUP BY 1
+        )
+        SELECT user_id, CAST(p - v AS BIGINT) AS delta_us
+        FROM firsts
+        WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+    """,
     # PMI over the lang x source contingency table from exact BIGINT
     # counts; one identical double expression per cell
     "qx31_pmi_matrix": """

@@ -3630,6 +3630,60 @@ def qx35_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx36_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting (round-10): monthly order revenue
+    with month-over-month growth — the lag-on-aggregate analytic shape
+    (the window rides the POST-AGGREGATE frame).  The unpartitioned
+    window is deliberate and scale-safe: months are O(calendar), not
+    O(data) — the frame the single task sorts is ~80 rows at ANY
+    corpus size (the q14 rule forbids unpartitioned windows over
+    DATA-sized frames, not calendar-sized ones).  Revenue through
+    DECIMAL, the growth ratio as one double division of the exact
+    decimals, round(·,6)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.sum(money(F.col("o_totalprice"))).alias("_rev"))
+    w = Window.orderBy("m")
+    prev = F.lag("_rev").over(w)
+    return monthly.select(
+        "m",
+        F.col("_rev").cast("double").alias("revenue"),
+        r6(
+            F.col("_rev").cast("double") / prev.cast("double") - F.lit(1.0)
+        ).alias("growth"),
+    )
+
+
+def qx37_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency (round-10): per user, µs from FIRST view to
+    FIRST purchase, converted users only (first purchase at or after
+    first view) — the funnel LATENCY metric beside q34's stage-reached
+    counts.  One conditional-min aggregation on the user partitioning
+    (no window, no join): both firsts come from the same pass, exact
+    integer µs."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", tus("ts_ns"))).alias(
+            "_v"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", tus("ts_ns"))
+        ).alias("_p"),
+    )
+    return (
+        firsts.filter(
+            F.col("_v").isNotNull()
+            & F.col("_p").isNotNull()
+            & (F.col("_p") >= F.col("_v"))
+        )
+        .select(
+            "user_id",
+            (F.col("_p") - F.col("_v")).cast("bigint").alias("delta_us"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3771,4 +3825,6 @@ QUERIES = {
     "qx33_triangle_count": qx33_triangle_count,
     "qx34_markov_transitions": qx34_markov_transitions,
     "qx35_rolling_slope": qx35_rolling_slope,
+    "qx36_revenue_growth": qx36_revenue_growth,
+    "qx37_time_to_convert": qx37_time_to_convert,
 }
