@@ -37,3 +37,7 @@ from ros_sql_spark.operators.skew import (  # noqa: F401
     salted_broadcast_left_join,
     split_skew_join,
 )
+from ros_sql_spark.operators.graph import (  # noqa: F401
+    pagerank,
+    triangle_count,
+)
