@@ -58,32 +58,25 @@ from pyspark.sql.types import StructType
 __all__ = ["SnapshotDataSource"]
 
 
-def _local(path: str) -> str:
-    if path.startswith("file://"):
-        return path[7:]
-    if path.startswith("file:"):
-        return path[5:]
-    return path
+from ros_sql_spark.sources.snapshot import (  # shared pure-Python
+    _local_manifest,  # local-FS primitives — ONE definition for the
+    _local_versions,  # committer and every reader (round-10 review)
+    _plain_local as _local,
+)
 
 
 def _load_manifest(table: str, version: int | None) -> dict:
-    mdir = os.path.join(_local(table), "_manifests")
-    if not os.path.isdir(mdir):
-        raise FileNotFoundError(f"not a snapshot table (no _manifests): {table}")
-    versions = sorted(
-        int(f[1:-5])
-        for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    versions = _local_versions(table)
     if not versions:
-        raise FileNotFoundError(f"snapshot table has no versions: {table}")
+        raise FileNotFoundError(
+            f"not a snapshot table (no versions): {table}"
+        )
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(
             f"version {v} not in retained versions {versions} of {table}"
         )
-    with open(os.path.join(mdir, f"v{v:05d}.json")) as f:
-        return json.load(f)
+    return _local_manifest(table, v)
 
 
 class _FilePartition(InputPartition):
@@ -92,15 +85,9 @@ class _FilePartition(InputPartition):
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, schema: StructType, options: dict):
+    def __init__(self, schema: StructType, options: dict, files: list):
         self._schema = schema
-        table = options.get("path")
-        if not table:
-            raise ValueError("rosql_snapshot: .load(<table path>) is required")
-        v = options.get("version")
-        self._files = _load_manifest(table, int(v) if v is not None else None)[
-            "files"
-        ]
+        self._files = files
         self._pushed: list = []
 
     def partitions(self):
@@ -153,8 +140,19 @@ class _SnapshotPushdownReader(_SnapshotReader):
         exact (row-level, not just row-group stats), so handled filters
         are NOT returned for re-evaluation.  Nested/struct columns and
         other filter shapes fall back to Spark."""
+        from pyspark.sql.types import DoubleType, FloatType
+
         rest = []
-        top = {f.name for f in self._schema.fields}
+        # float/double comparisons stay Spark-side: Arrow evaluates
+        # every NaN comparison as false where Spark's ordering puts
+        # NaN above all numbers (and NaN = NaN true) — a pushed float
+        # filter would silently drop NaN rows with no residual Filter
+        # to catch them (round-10 review)
+        fields = {
+            f.name: f.dataType
+            for f in self._schema.fields
+            if not isinstance(f.dataType, (DoubleType, FloatType))
+        }
         for f in filters:
             ok = (
                 isinstance(
@@ -170,7 +168,7 @@ class _SnapshotPushdownReader(_SnapshotReader):
                     ),
                 )
                 and len(f.attribute) == 1
-                and f.attribute[0] in top
+                and f.attribute[0] in fields
             )
             if ok:
                 self._pushed.append(
@@ -324,14 +322,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             raise ValueError("rosql_snapshot: .load(<table path>) is required")
 
     def _versions(self) -> list[int]:
-        mdir = os.path.join(_local(self._table), "_manifests")
-        if not os.path.isdir(mdir):
-            return []
-        return sorted(
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        return _local_versions(self._table)
 
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"version": 0}
@@ -392,13 +383,27 @@ class SnapshotDataSource(DataSource):
     def name(cls) -> str:
         return "rosql_snapshot"
 
+    def _manifest(self) -> dict:
+        """ONE manifest resolution per DataSource instance (= per read):
+        schema() and reader() must see the SAME snapshot — two
+        independent latest-version lookups could straddle a concurrent
+        commit and project the new file list through the old schema, a
+        mixed-version read snapshot isolation exists to prevent
+        (round-10 review)."""
+        if not hasattr(self, "_m"):
+            table = self.options.get("path")
+            if not table:
+                raise ValueError(
+                    "rosql_snapshot: .load(<table path>) is required"
+                )
+            v = self.options.get("version")
+            self._m = _load_manifest(
+                table, int(v) if v is not None else None
+            )
+        return self._m
+
     def schema(self) -> StructType:
-        table = self.options.get("path")
-        if not table:
-            raise ValueError("rosql_snapshot: .load(<table path>) is required")
-        v = self.options.get("version")
-        m = _load_manifest(table, int(v) if v is not None else None)
-        return StructType.fromJson(json.loads(m["schema"]))
+        return StructType.fromJson(json.loads(self._manifest()["schema"]))
 
     def reader(self, schema: StructType) -> _SnapshotReader:
         # ``schema`` is the PRUNED read schema: passing its column list
@@ -407,9 +412,10 @@ class SnapshotDataSource(DataSource):
         # (requires spark.sql.python.filterPushdown.enabled=true — the
         # engine session sets it; a plain session must opt in itself).
         opts = dict(self.options)
+        files = list(self._manifest()["files"])
         if str(opts.get("pushdown", "")).lower() == "true":
-            return _SnapshotPushdownReader(schema, opts)
-        return _SnapshotReader(schema, opts)
+            return _SnapshotPushdownReader(schema, opts, files)
+        return _SnapshotReader(schema, opts, files)
 
     def streamWriter(  # noqa: N802 (API name)
         self, schema: StructType, overwrite: bool

@@ -603,6 +603,46 @@ def snapshot_append_batch(
     return True
 
 
+def _plain_local(path: str) -> str:
+    """Strip a ``file:`` scheme to a plain OS path — THE shared
+    primitive of every pure-Python local-FS code path (the staged
+    commit below and the DataSource connector in sources/pyds.py);
+    one definition so scheme handling can never drift between the
+    committer and the readers (round-10 review)."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+def _local_versions(table: str) -> list[int]:
+    """Manifest versions of a LOCAL table via plain os.listdir — the
+    pure-Python twin of :func:`_list_versions` for code that runs
+    without a JVM (DataSource hooks).  Missing dir = no versions."""
+    import os
+
+    mdir = os.path.join(_plain_local(table), _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _local_manifest(table: str, version: int) -> dict:
+    """Pure-Python manifest read (local twin of :func:`_read_manifest`)."""
+    import os
+
+    p = os.path.join(
+        _plain_local(table), _MANIFEST_DIR, f"v{version:05d}.json"
+    )
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def snapshot_commit_staged_files(
     table: str,
     staged: list[str],
@@ -643,23 +683,12 @@ def snapshot_commit_staged_files(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode={mode!r}")
-    root = table[7:] if table.startswith("file://") else (
-        table[5:] if table.startswith("file:") else table
-    )
+    root = _plain_local(table)
     mdir = os.path.join(root, _MANIFEST_DIR)
-    versions = (
-        sorted(
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        if os.path.isdir(mdir)
-        else []
-    )
+    versions = _local_versions(table)
     prev: dict = {}
     if versions:
-        with open(os.path.join(mdir, f"v{versions[-1]:05d}.json")) as fh:
-            prev = json.load(fh)
+        prev = _local_manifest(table, versions[-1])
         committed = prev.get("last_batch")
         if committed is None:
             t = prev.get("tag", "")
@@ -697,7 +726,13 @@ def snapshot_commit_staged_files(
         for p in staged:
             d = os.path.join(dest, os.path.basename(p))
             os.replace(p, d)
-            moved.append(d)
+            # manifests record Hadoop-QUALIFIED paths ("file:/..."),
+            # exactly like every native commit: vacuum's live-set test
+            # compares manifest paths against Hadoop directory listings,
+            # and a scheme-less entry there reads as dead — vacuum
+            # deleted the CURRENT version's sink-written files
+            # (round-10 review, reproduced)
+            moved.append("file:" + os.path.abspath(d))
     stats_cols = prev.get("stats_cols")
     # _scan_footers' local branch is pyarrow-only; spark=None is safe
     # for the plain paths this connector supports

@@ -340,3 +340,84 @@ def test_pyds_stream_reader_append_cdc(registered, tmp_path):
         q.awaitTermination(180)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_pyds_sink_written_files_survive_vacuum_without_compaction(
+    registered, tmp_path
+):
+    """Round-10 review (reproduced data loss): the staged commit must
+    record Hadoop-QUALIFIED paths ("file:/...") like every native
+    commit — scheme-less manifest entries read as dead in vacuum's
+    live-set test and the CURRENT version's sink-written files were
+    deleted.  Vacuum directly after a sink write (no compaction in
+    between) must leave the table fully readable."""
+    from ros_sql_spark.sources.snapshot import snapshot_vacuum
+
+    spark = registered
+    src, t, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ck"),
+    )
+    spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("w").alias("text")
+    ).write.parquet(src)
+    snapshot_commit(
+        spark.createDataFrame([(999, "n")], "doc_id bigint, text string"), t
+    )
+    _stream_into(spark, src, t, ck)
+    assert snapshot_read(spark, t).count() == 51
+    snapshot_vacuum(spark, t, keep_last=1)
+    assert snapshot_read(spark, t).count() == 51  # nothing live deleted
+
+    # batch writer path too
+    spark.range(100, 120).select(
+        F.col("id").alias("doc_id"), F.lit("b").alias("text")
+    ).write.format("rosql_snapshot").mode("append").save(t)
+    snapshot_vacuum(spark, t, keep_last=1)
+    assert snapshot_read(spark, t).count() == 71
+
+
+def test_pyds_pushdown_keeps_float_filters_spark_side(registered, tmp_path):
+    """Round-10 review: Arrow evaluates every NaN comparison false
+    where Spark orders NaN above all numbers — float/double
+    comparisons must stay Spark-side so NaN rows survive a pushed-down
+    read identically to the native path."""
+    spark = registered
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        pytest.skip("filter pushdown conf off in this session")
+    t = str(tmp_path / "tbl")
+    rows = [(1, 1.0), (2, float("nan")), (3, 9.0)]
+    snapshot_commit(
+        spark.createDataFrame(rows, "doc_id bigint, score double"), t
+    )
+    q = (
+        spark.read.format("rosql_snapshot")
+        .option("pushdown", "true")
+        .load(t)
+        .filter(F.col("score") > 5.0)
+        .select("doc_id")
+    )
+    got = sorted(r.doc_id for r in q.collect())
+    want = sorted(
+        r.doc_id
+        for r in snapshot_read(spark, t)
+        .filter(F.col("score") > 5.0)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want  # NaN row treated identically to the native scan
+    # integer filters still push: no residual Spark Filter node
+    q2 = (
+        spark.read.format("rosql_snapshot")
+        .option("pushdown", "true")
+        .load(t)
+        .filter(F.col("doc_id") >= 3)
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in q2.collect()) == [3]
+    plan = q2._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter ", plan), plan
