@@ -2220,6 +2220,57 @@ ORACLES: dict[str, str] = {
         FROM firsts
         WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
     """,
+    # per-group Efraimidis–Spirakis sample: q82's md5-uniform priority
+    # ranked within each language, rounded before ranking, id tiebreak
+    "qx38_group_weighted_sample": """
+        SELECT lang, doc_id, rk, priority FROM (
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY priority DESC, doc_id) AS BIGINT) AS rk,
+                   priority
+            FROM (
+                SELECT lang, doc_id,
+                       round(pow(
+                           (CAST(concat('0x',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) + 0.5) / 4294967296.0,
+                           1.0 / n_chars), 9) AS priority
+                FROM documents WHERE n_chars > 0
+            )
+        )
+        WHERE rk <= 3
+    """,
+    # add-one-smoothed bigram LM from exact integer counts; the two
+    # parallel unnests zip positionally (DuckDB's multi-unnest)
+    "qx39_bigram_logprob": """
+        WITH base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM base),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i])) AS a,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i + 1])) AS b
+            FROM base WHERE len(tk) >= 2
+        ),
+        dtf AS (
+            SELECT doc_id, a, b, count(*) AS c FROM big GROUP BY 1, 2, 3
+        ),
+        cab AS (SELECT a, b, sum(c) AS cab FROM dtf GROUP BY 1, 2),
+        ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(-sum(CAST(c AS DOUBLE)
+                          * ln((CAST(cab AS DOUBLE) + 1.0)
+                               / (CAST(ca AS DOUBLE) + v)))
+                     / CAST(sum(c) AS DOUBLE), 6) AS nll
+        FROM dtf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        GROUP BY doc_id
+    """,
     # PMI over the lang x source contingency table from exact BIGINT
     # counts; one identical double expression per cell
     "qx31_pmi_matrix": """

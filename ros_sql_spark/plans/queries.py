@@ -3684,6 +3684,87 @@ def qx37_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx38_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP weighted sampling (round-10): top-3 docs per language
+    under the Efraimidis–Spirakis priority (u^(1/w), u the
+    deterministic md5 uniform, w = n_chars) — q82's global TakeOrdered
+    becomes one rank window per group, the per-stratum form quota/eval
+    sampling needs.  Priorities ROUNDED before ranking with doc_id
+    tiebreak (the qx28 deterministic-boundary discipline); one
+    lang-keyed exchange, no global stage."""
+    from ros_sql_spark.operators.sampling import uniform_from_id
+
+    docs = _t(spark, sf_dir, "documents")
+    u = uniform_from_id("doc_id")
+    pri = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("_pri"), F.col("doc_id")
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("lang", "doc_id", pri.alias("_pri"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "rk", F.col("_pri").alias("priority"))
+    )
+
+
+def qx39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring (round-10): per-doc mean
+    −ln p(wᵢ | wᵢ₋₁) under the corpus's own add-one-smoothed bigram
+    MLE — the CONTEXT-aware upgrade of qx08's unigram filter (templated
+    docs score low because their transitions are corpus-frequent).
+    p(b|a) = (c_ab + 1) / (c_a + V) from exact integer counts (c_ab
+    bigram count, c_a unigram-as-history count, V vocabulary size);
+    only ln/divide in doubles (q93 discipline).  Plan: ONE token
+    explode feeds both the per-doc bigram tf (lead over the doc
+    partitioning) and the corpus tables; the corpus bigram table joins
+    on its own (a,b) grain, the history table on its unigram grain
+    (vocabulary-sized — LEFT to the size-based planner, never forced
+    broadcast: at 100 TB a vocabulary can outgrow a broadcast), and
+    only the 1-row V scalar rides the crossJoin broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.split(F.lower("text"), " ")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term").isNotNull())
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("term").alias("a"),
+            F.lead("term").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    dtf = big.groupBy("doc_id", "a", "b").agg(F.count("*").alias("c"))
+    cab = dtf.groupBy("a", "b").agg(F.sum("c").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = toks.agg(
+        F.countDistinct("term").cast("double").alias("v")
+    )
+    p = (F.col("cab").cast("double") + F.lit(1.0)) / (
+        F.col("ca").cast("double") + F.col("v")
+    )
+    return (
+        dtf.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            r6(
+                -F.sum(F.col("c").cast("double") * F.log(p))
+                / F.sum("c").cast("double")
+            ).alias("nll"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3827,4 +3908,6 @@ QUERIES = {
     "qx35_rolling_slope": qx35_rolling_slope,
     "qx36_revenue_growth": qx36_revenue_growth,
     "qx37_time_to_convert": qx37_time_to_convert,
+    "qx38_group_weighted_sample": qx38_group_weighted_sample,
+    "qx39_bigram_logprob": qx39_bigram_logprob,
 }
