@@ -15,10 +15,10 @@ Parity rules applied throughout (SURVEY.md §1.3):
 - integer-typed outputs cast to BIGINT where DuckDB would widen to
   HUGEINT (sum of BIGINT).
 
-Oracle coverage: 118/121 queries are oracle-backed, including every
+Oracle coverage: 136/139 queries are oracle-backed, including every
 sketch/LSH/MinHash query (q26/q39/q40 run on deterministic md5-prefix /
 integer arithmetic that DuckDB reproduces bit-for-bit).  The only
-rows-only queries are q78_ann_ivf, q84_pq_ann and qx09_bpe_train —
+rows-only queries are q78_ann_ivf, q84_pq_ann and qx09_bpe_tokenize —
 iterative float convergence (KMeans / codebook training / merge argmax)
 whose recall and bit-identity are asserted in tests instead.
 """
