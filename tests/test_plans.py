@@ -792,6 +792,21 @@ def test_qx34_qx35_single_user_exchange(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_qx38_qx39_round10_shapes(spark):
+    """qx38 ranks inside ONE lang exchange (per-group sampling never
+    goes global); qx39's history table is NOT forced broadcast (a
+    vocabulary can outgrow a broadcast at 100 TB — the size-based
+    planner decides) and only the 1-row V scalar rides a broadcast."""
+    p = plan_of(spark, "qx38_group_weighted_sample")
+    assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(spark, "qx39_bigram_logprob")
+    assert "CartesianProduct" not in p, p
+    # the scalar V crossJoin is a 1-row BNLJ; no OTHER nested loop
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
 def test_qx29_pagerank_pinned_iteration_shape(spark):
     """The power iteration must run over the PINNED edge/degree tables
     (lazy localCheckpoint → ExistingRDD scans), never re-embed the
