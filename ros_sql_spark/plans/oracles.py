@@ -2271,6 +2271,29 @@ ORACLES: dict[str, str] = {
         FROM dtf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v
         GROUP BY doc_id
     """,
+    # MAD outliers: two exact medians (quantile_cont == the engine's
+    # rank-based interpolation), cut on the ROUNDED ratio so the 3-MAD
+    # boundary cannot flip on an interpolation ulp
+    "qx40_mad_outliers": """
+        WITH x AS (
+            SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x
+            FROM documents
+        ),
+        med AS (
+            SELECT source, quantile_cont(x, 0.5) AS med FROM x GROUP BY 1
+        ),
+        dev AS (
+            SELECT doc_id, source, x, abs(x - med) AS d
+            FROM x JOIN med USING (source)
+        ),
+        mad AS (
+            SELECT source, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+        )
+        SELECT source, doc_id, CAST(x AS BIGINT) AS n_chars,
+               round(d / mad, 6) AS dev_ratio
+        FROM dev JOIN mad USING (source)
+        WHERE mad > 0 AND round(d / mad, 6) > 3.0
+    """,
     # PMI over the lang x source contingency table from exact BIGINT
     # counts; one identical double expression per cell
     "qx31_pmi_matrix": """

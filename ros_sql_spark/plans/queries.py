@@ -3765,6 +3765,43 @@ def qx39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx40_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers (round-10): per source, docs
+    whose |n_chars − median| exceeds 3 MADs — the fully ROBUST member
+    of the outlier family (q88's z-score uses moments a single extreme
+    value corrupts; qx04 winsorizes; MAD's breakdown point is 50%).
+    Two rank-based exact medians (operators/percentile.py — bounded
+    task memory, never a value-buffering aggregate) broadcast back
+    onto the doc grain; the 3-MAD cut happens on the ROUNDED ratio
+    (qx28's deterministic-boundary discipline — the raw doubles can
+    differ in the last ulp between engines' interpolations)."""
+    from ros_sql_spark.operators.percentile import exact_percentiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("x")
+    )
+    med = exact_percentiles(docs, ["source"], "x", {"med": 0.5})
+    dev = docs.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        "x",
+        F.abs(F.col("x") - F.col("med")).alias("d"),
+    )
+    mad = exact_percentiles(dev, ["source"], "d", {"mad": 0.5})
+    ratio = r6(F.col("d") / F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(F.col("mad") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("x").cast("bigint").alias("n_chars"),
+            ratio.alias("dev_ratio"),
+        )
+        .filter(F.col("dev_ratio") > 3.0)
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3910,4 +3947,5 @@ QUERIES = {
     "qx37_time_to_convert": qx37_time_to_convert,
     "qx38_group_weighted_sample": qx38_group_weighted_sample,
     "qx39_bigram_logprob": qx39_bigram_logprob,
+    "qx40_mad_outliers": qx40_mad_outliers,
 }
