@@ -123,7 +123,13 @@ def pagerank(
     dangling-mass redistribution is performed — callers with dangling
     nodes should add self-loops or reverse edges first; the bipartite
     both-directions construction used by the declared query satisfies
-    this by construction).
+    this by construction).  Nodes with NO IN-edges are fine: each
+    iteration left-joins the inbound sums back onto the pinned node
+    set, so a source-only node keeps its teleport mass (1-d)/n
+    instead of silently vanishing from the score frame (round-11
+    advice: the old dst-keyed groupBy dropped src-only nodes and
+    broke Σp == 1 on contract-compliant inputs like
+    {(1,2),(2,1),(3,2)}).
 
     Returns (node, p) with Σp == 1 up to float error.  Deterministic
     given the edge set: the per-node inbound sums are float adds whose
@@ -177,9 +183,15 @@ def pagerank(
                 (F.col("p") / F.col("_deg")).alias("_c"),
             )
         )
-        # node set is closed under dst (both-directions contract), so
-        # the aggregation re-produces exactly the |V| score rows
-        p = contrib.groupBy("src").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("_c")).alias("p")
+        # total over the pinned node set: dst ⊆ deg (enforced above),
+        # but deg may hold src-only nodes the dst-keyed aggregation
+        # would drop — the left join restores them at teleport mass
+        inbound = contrib.groupBy("src").agg(F.sum("_c").alias("_s"))
+        p = deg.select("src").join(inbound, "src", "left").select(
+            "src",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+            ).alias("p"),
         )
     return p.select(F.col("src").alias("node"), "p")

@@ -66,6 +66,14 @@ from ros_sql_spark.sources.snapshot import (  # shared pure-Python
 
 
 def _load_manifest(table: str, version: int | None) -> dict:
+    # name the real failure for remote schemes up front — otherwise an
+    # s3://... path surfaces as the misleading "not a snapshot table"
+    if "://" in table and not table.startswith("file://"):
+        raise ValueError(
+            f"rosql_snapshot connector supports local/'file:' paths "
+            f"only (got {table!r}); use the native snapshot_read for "
+            "remote filesystems"
+        )
     versions = _local_versions(table)
     if not versions:
         raise FileNotFoundError(
@@ -82,6 +90,30 @@ def _load_manifest(table: str, version: int | None) -> dict:
 class _FilePartition(InputPartition):
     def __init__(self, path: str | None):
         self.path = path
+
+
+def _conform_batches(batches, schema: StructType):
+    """Yield non-empty Arrow batches cast to the arrow types Spark's
+    Python DataSource ingest expects for ``schema``.  Spark 4 writes
+    parquet timestamps as ``timestamp[ns]``, which the ingest rejects
+    (UNSUPPORTED_ARROWTYPE Timestamp(NANOSECOND)) — round-11 fix: cast
+    mismatching columns to the ``to_arrow_schema`` types (ns→µs
+    truncation matches Spark's own parquet NANOS read semantics, hence
+    safe=False on exactly the mismatching columns)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    for batch in batches:
+        if not batch.num_rows:
+            continue
+        if batch.schema.types != target.types:
+            arrays = [
+                col if col.type == t else col.cast(t, safe=False)
+                for col, t in zip(batch.columns, target.types)
+            ]
+            batch = pa.RecordBatch.from_arrays(arrays, schema=target)
+        yield batch
 
 
 class _SnapshotReader(DataSourceReader):
@@ -121,9 +153,9 @@ class _SnapshotReader(DataSourceReader):
                 expr = e if expr is None else (expr & e)
         ds = pads.dataset(_local(partition.path), format="parquet")
         cols = [f.name for f in self._schema.fields]
-        for batch in ds.to_batches(columns=cols, filter=expr):
-            if batch.num_rows:
-                yield batch
+        yield from _conform_batches(
+            ds.to_batches(columns=cols, filter=expr), self._schema
+        )
 
 
 class _SnapshotPushdownReader(_SnapshotReader):
@@ -140,18 +172,42 @@ class _SnapshotPushdownReader(_SnapshotReader):
         exact (row-level, not just row-group stats), so handled filters
         are NOT returned for re-evaluation.  Nested/struct columns and
         other filter shapes fall back to Spark."""
-        from pyspark.sql.types import DoubleType, FloatType
+        from pyspark.sql.types import (
+            BooleanType,
+            ByteType,
+            DateType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
 
         rest = []
-        # float/double comparisons stay Spark-side: Arrow evaluates
-        # every NaN comparison as false where Spark's ordering puts
-        # NaN above all numbers (and NaN = NaN true) — a pushed float
-        # filter would silently drop NaN rows with no residual Filter
-        # to catch them (round-10 review)
+        # Pushdown is an explicit ALLOWLIST of types whose pyarrow
+        # comparison semantics are verified to match Spark's:
+        # integrals, string, boolean, date.  Float/double stay
+        # Spark-side (Arrow evaluates every NaN comparison false where
+        # Spark orders NaN above all numbers — a pushed float filter
+        # would silently drop NaN rows, round-10 review).  Timestamps
+        # stay Spark-side too: the pyarrow scalar built from the pushed
+        # Python datetime need not match the parquet column's unit/tz
+        # and CRASHES every task with ArrowNotImplementedError
+        # ('greater' has no kernel for (timestamp[ns],
+        # timestamp[s, tz=UTC])) — round-11 advice.  Anything outside
+        # the allowlist falls back to a normal Spark Filter.
+        _PUSHABLE = (
+            BooleanType,
+            ByteType,
+            ShortType,
+            IntegerType,
+            LongType,
+            StringType,
+            DateType,
+        )
         fields = {
             f.name: f.dataType
             for f in self._schema.fields
-            if not isinstance(f.dataType, (DoubleType, FloatType))
+            if isinstance(f.dataType, _PUSHABLE)
         }
         for f in filters:
             ok = (
@@ -192,7 +248,14 @@ class _StagedWriteMixin:
     version guessing)."""
 
     def _init_target(self, options: dict) -> None:
-        self._table = _local(options.get("path") or "")
+        raw = options.get("path") or ""
+        if "://" in raw and not raw.startswith("file://"):
+            raise ValueError(
+                f"rosql_snapshot sink supports local/'file:' paths "
+                f"only (got {raw!r}); use the native snapshot writer "
+                "for remote filesystems"
+            )
+        self._table = _local(raw)
         if not self._table:
             raise ValueError(
                 "rosql_snapshot sink: .option('path', <table>) / "
@@ -368,9 +431,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         ds = pads.dataset(_local(partition.path), format="parquet")
         cols = [f.name for f in self._schema.fields]
-        for batch in ds.to_batches(columns=cols):
-            if batch.num_rows:
-                yield batch
+        yield from _conform_batches(
+            ds.to_batches(columns=cols), self._schema
+        )
 
     def commit(self, end: dict) -> None:
         pass

@@ -1135,3 +1135,39 @@ def test_pagerank_rejects_dangling_nodes(spark):
     dag = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="dangling|out-edge"):
         pagerank(dag, n_iter=2)
+
+
+def test_pagerank_keeps_source_only_nodes(spark):
+    """Round-11 advice: a node with out-edges but NO in-edges passes
+    the dangling check (it has an out-edge) but the old dst-keyed
+    aggregation dropped it from the score frame, returning 2 nodes
+    with Σp=0.871 on edges {(1,2),(2,1),(3,2)}.  The iteration is now
+    total over the pinned node set: node 3 keeps exactly its teleport
+    mass (1-d)/n every round, Σp == 1."""
+    from ros_sql_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.p for r in pagerank(df, n_iter=3).collect()}
+    assert set(got) == {1, 2, 3}, got
+
+    def ref(n_iter, d=0.85):
+        edges = [(1, 2), (2, 1), (3, 2)]
+        nodes = [1, 2, 3]
+        out = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+        p = {u: 1.0 / 3 for u in nodes}
+        base = (1.0 - d) / 3
+        for _ in range(n_iter):
+            p = {
+                v: base
+                + d * sum(p[u] / out[u] for u, w in edges if w == v)
+                for v in nodes
+            }
+        return p
+
+    want = ref(3)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert abs(got[3] - 0.05) < 1e-12  # pure teleport mass

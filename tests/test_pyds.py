@@ -421,3 +421,61 @@ def test_pyds_pushdown_keeps_float_filters_spark_side(registered, tmp_path):
     assert sorted(r.doc_id for r in q2.collect()) == [3]
     plan = q2._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"\bFilter ", plan), plan
+
+
+def test_pyds_pushdown_timestamp_stays_spark_side(registered, tmp_path):
+    """Round-11 advice: a pushed timestamp comparison crashed every
+    task (pyarrow scalar built from the Python datetime need not match
+    the parquet column's unit/tz — ArrowNotImplementedError).  The
+    allowlist keeps timestamp filters Spark-side; the read must give
+    the same rows as the native path instead of crashing."""
+    import datetime as dt
+
+    spark = registered
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        pytest.skip("filter pushdown conf off in this session")
+    t = str(tmp_path / "tbl")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, dt.datetime(2024, 6, 1, 12, 0, 0)),
+        (3, dt.datetime(2025, 1, 1, 0, 0, 0)),
+    ]
+    snapshot_commit(
+        spark.createDataFrame(rows, "doc_id bigint, ts timestamp"), t
+    )
+    cut = dt.datetime(2024, 3, 1)
+    q = (
+        spark.read.format("rosql_snapshot")
+        .option("pushdown", "true")
+        .load(t)
+        .filter(F.col("ts") > F.lit(cut))
+        .select("doc_id")
+    )
+    got = sorted(r.doc_id for r in q.collect())  # must not crash
+    want = sorted(
+        r.doc_id
+        for r in snapshot_read(spark, t)
+        .filter(F.col("ts") > F.lit(cut))
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want == [2, 3]
+
+
+def test_pyds_remote_scheme_named_error(registered, tmp_path):
+    """A remote scheme must fail with the named local-paths-only error
+    on BOTH the read and the sink path — not the misleading 'not a
+    snapshot table (no versions)'."""
+    spark = registered
+    with pytest.raises(Exception, match="local.*file.*paths"):
+        spark.read.format("rosql_snapshot").load(
+            "s3://bucket/tbl"
+        ).collect()
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(Exception, match="local.*file.*paths"):
+        df.write.format("rosql_snapshot").mode("append").save(
+            "hdfs://nn/tbl"
+        )
