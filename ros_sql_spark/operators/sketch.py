@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["KMV_DOMAIN", "kmv_hash", "bottom_k", "kmv_sketch",
            "kmv_estimate", "kmv_pair_overlap", "cm_build", "cm_estimate",
-           "quantile_sketch", "quantile_estimate"]
+           "quantile_sketch", "quantile_estimate", "topk_sketch"]
 
 # 15 hex digits → [0, 16^15) = [0, 2^60): fits BIGINT with headroom,
 # exactly representable (with its k-1 multiples) in a double.
@@ -312,3 +312,96 @@ def kmv_pair_overlap(
             F.round(jac * est_u, 6).alias("est_intersection"),
         )
     )
+
+
+def _mg_compress(counts: DataFrame, group_col: str, key_col: str,
+                 k: int) -> DataFrame:
+    """Deterministic Misra–Gries compress of exact per-key counters to
+    at most k survivors per group — ONE definition shared by the batch
+    sketch and the streaming merge (a drifted copy would break the
+    batch/stream guarantee chain).
+
+    ``counts``: (group_col, key_col, _c) exact counters, plus the prior
+    cumulative error in ``_err`` (0 for a fresh build).  t = the
+    (k+1)-th largest counter under (c DESC, md5(key) ASC) — the
+    md5 tie-break is the repo's cross-engine determinism idiom, so the
+    DuckDB oracle reproduces the kept set bit-for-bit.  Survivors store
+    the LOWER bound c - t; a sentinel row with key NULL carries the
+    group's cumulative error even when every counter drains to zero
+    (dropping it would silently tighten later merges' bounds).
+
+    Output: (group_col, key_col, c_low, err) — err constant per group;
+    true count ∈ [c_low, c_low + err] for kept keys, ≤ err for absent
+    ones, and err ≤ N/(k+1) cumulatively (Misra–Gries 1982; the merge
+    bound is Agarwal et al. 2012's mergeable-summaries argument: each
+    compress subtracts t from ≥ k+1 counters, so (k+1)·Σt ≤ N).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_c"), F.md5(F.col(key_col).cast("string"))
+    )
+    # rk ≤ k+1 compiles to a partial+final WindowGroupLimit: each map
+    # task forwards at most k+1 rows per group across the shuffle
+    ranked = counts.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k + 1
+    )
+    wg = Window.partitionBy(group_col)
+    t = F.max(
+        F.when(F.col("_rk") == k + 1, F.col("_c")).otherwise(F.lit(0))
+    ).over(wg)
+    ranked = ranked.withColumn("_t", t).withColumn(
+        "_preverr", F.max("_err").over(wg)
+    )
+    kept = ranked.filter(
+        (F.col("_rk") <= k) & (F.col("_c") > F.col("_t"))
+    ).select(
+        group_col,
+        key_col,
+        (F.col("_c") - F.col("_t")).cast("bigint").alias("c_low"),
+        (F.col("_t") + F.col("_preverr")).cast("bigint").alias("err"),
+    )
+    sentinel = (
+        ranked.filter(F.col("_rk") == 1)
+        .select(
+            group_col,
+            F.lit(None).cast(ranked.schema[key_col].dataType).alias(key_col),
+            F.lit(0).cast("bigint").alias("c_low"),
+            (F.col("_t") + F.col("_preverr")).cast("bigint").alias("err"),
+        )
+    )
+    return kept.unionByName(sentinel)
+
+
+def topk_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 8
+) -> DataFrame:
+    """Misra–Gries heavy-hitters summary per group — the fourth member
+    of the mergeable-sketch family (cardinality = KMV, frequency point
+    estimate = Count-Min, quantiles = bottom-k sample, top-k frequent
+    items = this): at most k+1 rows per group (k survivors + a NULL-key
+    sentinel) no matter how many rows or distinct keys flow in.
+
+    (group_col, key_col, c_low, err): every key whose true count
+    exceeds err survives; true count ∈ [c_low, c_low + err]; absent
+    keys have true count ≤ err; err ≤ N_group/(k+1).  The summary is
+    DETERMINISTIC — exact distributed counts compressed once under the
+    (count DESC, md5(key) ASC) order — so the DuckDB oracle rebuilds it
+    bit-for-bit (the qx00/qx03/qx05 sketch-parity discipline), and it
+    MERGES: streaming/sketch.py::topk_merge adds counters and
+    re-compresses, keeping the ε-guarantee under any micro-batch
+    partition of the input (Agarwal et al. 2012).
+
+    Scale shape: the heavy shuffle is the exact count on the FINE
+    (group, key) grain — partial-agged map-side and skew-immune (a hot
+    group spreads across its keys); the window then moves only the
+    aggregated counters, cut to ≤ k+1 rows per group per map task by
+    WindowGroupLimit before the exchange.  Deliberately NOT
+    repartition(group_col)-fused (the qx35 subset trick): clustering
+    raw rows by group alone would serialize a hot group onto one task
+    at 100 TB, the exact skew this sketch exists to survive.
+    """
+    counts = (
+        df.groupBy(group_col, key_col)
+        .agg(F.count("*").cast("bigint").alias("_c"))
+        .withColumn("_err", F.lit(0).cast("bigint"))
+    )
+    return _mg_compress(counts, group_col, key_col, k)

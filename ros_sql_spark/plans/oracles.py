@@ -2314,6 +2314,30 @@ ORACLES: dict[str, str] = {
         FROM cells JOIN ml USING (lang) JOIN ms USING (source)
         CROSS JOIN nt
     """,
+    # Misra-Gries heavy hitters rebuilt verbatim: exact counts, rank
+    # under (count DESC, md5(key) ASC), t = the (k+1)-th counter
+    # (k = 8), survivors keep c - t with c > t — pure deterministic
+    # integer arithmetic, bit-for-bit (the qx00/qx03/qx05 discipline)
+    "qx41_heavy_hitters": """
+        WITH counts AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY c DESC, md5(CAST(user_id AS VARCHAR))) AS rk
+            FROM counts
+        ), t AS (
+            SELECT event_type,
+                   coalesce(max(CASE WHEN rk = 9 THEN c END), 0) AS t
+            FROM ranked GROUP BY event_type
+        )
+        SELECT r.event_type, r.user_id,
+               CAST(r.c - t.t AS BIGINT) AS c_low,
+               CAST(t.t AS BIGINT) AS err
+        FROM ranked r JOIN t USING (event_type)
+        WHERE r.rk <= 8 AND r.c > t.t
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -3802,6 +3802,35 @@ def qx40_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx41_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (operators/sketch.py::topk_sketch) —
+    the fourth mergeable sketch (cardinality = qx00 KMV, frequency
+    point estimate = qx03 Count-Min, quantiles = qx05, top-k frequent
+    items = this): per event type, the ≤ k users whose activity count
+    survives the deterministic (count DESC, md5 ASC) compress, with
+    the c_low/err bounds (true count ∈ [c_low, c_low+err], every user
+    above err guaranteed present, err ≤ N/(k+1)).
+
+    100 TB story: O(groups·(k+1)) state however many users ever flow
+    ("top domains per shard under fixed memory" — the primitive real
+    pipelines reach for first); the heavy shuffle is the partial-agged
+    exact count on the FINE (type, user) grain, skew-immune, and the
+    window moves only counters already cut to k+1 per group per map
+    task by WindowGroupLimit.  Summaries MERGE (streaming twin
+    streaming/sketch.py::topk_sketch_stream, ε-guarantee across any
+    merge tree asserted in tests).  Deterministic integer arithmetic →
+    the DuckDB oracle rebuilds the summary bit-for-bit (the CLAUDE.md
+    sketch-parity trick).  The NULL-key sentinel rows are merge state,
+    not answers — filtered here."""
+    from ros_sql_spark.operators.sketch import topk_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = topk_sketch(ev, "event_type", "user_id", k=8)
+    return sk.filter(F.col("user_id").isNotNull()).select(
+        "event_type", "user_id", "c_low", "err"
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3948,4 +3977,5 @@ QUERIES = {
     "qx38_group_weighted_sample": qx38_group_weighted_sample,
     "qx39_bigram_logprob": qx39_bigram_logprob,
     "qx40_mad_outliers": qx40_mad_outliers,
+    "qx41_heavy_hitters": qx41_heavy_hitters,
 }

@@ -44,6 +44,7 @@ from ros_sql_spark.sources.snapshot import (
 )
 
 __all__ = ["kmv_merge", "kmv_sketch_batch", "kmv_sketch_stream",
+           "topk_merge", "topk_sketch_batch", "topk_sketch_stream",
            "kmv_sketch_read", "cm_merge", "cm_build_batch",
            "cm_build_stream", "quantile_merge", "quantile_sketch_batch",
            "quantile_sketch_stream"]
@@ -261,6 +262,114 @@ def quantile_sketch_stream(
         quantile_sketch_batch(
             df, batch_id, table, group_col, value_col, key_col, k
         )
+
+    from ros_sql_spark.streaming.util import start_foreach_batch
+
+    return start_foreach_batch(events, body, checkpoint_path, available_now)
+
+
+def topk_merge(
+    stored: DataFrame,
+    fresh: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Misra–Gries merge (Agarwal et al. 2012): add the two summaries'
+    counters key-wise, add their per-group cumulative errors, and
+    re-compress with the shared deterministic rule
+    (operators/sketch.py::_mg_compress).  Inputs are ≤ k+1 rows per
+    group, so every join/window here is bounded.  The per-group error
+    rides the NULL-key sentinel rows, so a group whose counters all
+    drained in one side still contributes its error — the full outer
+    join of the per-side errors is what keeps later bounds sound."""
+    from ros_sql_spark.operators.sketch import _mg_compress
+
+    g = group_col
+    e1 = stored.groupBy(g).agg(F.max("err").alias("_e1"))
+    e2 = fresh.groupBy(g).agg(F.max("err").alias("_e2"))
+    errs = e1.join(e2, g, "full").select(
+        g,
+        (
+            F.coalesce(F.col("_e1"), F.lit(0))
+            + F.coalesce(F.col("_e2"), F.lit(0))
+        ).cast("bigint").alias("_err"),
+    )
+    counts = (
+        stored.filter(F.col(key_col).isNotNull())
+        .select(g, key_col, "c_low")
+        .unionByName(
+            fresh.filter(F.col(key_col).isNotNull())
+            .select(g, key_col, "c_low")
+        )
+        .groupBy(g, key_col)
+        .agg(F.sum("c_low").cast("bigint").alias("_c"))
+    )
+    # right join keeps sentinel-only groups alive (key/_c NULL → the
+    # compress emits just their sentinel, carrying the summed error)
+    combined = counts.join(errs, g, "right")
+    return _mg_compress(combined, g, key_col, k)
+
+
+def topk_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table: str,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> bool:
+    """Merge one micro-batch's heavy-hitters summary into the stored
+    sketch table, idempotently (``batch:<id>`` watermark; OCC-pinned
+    overwrite like :func:`kmv_sketch_batch` — a replayed batch would
+    DOUBLE-COUNT survivors if re-merged).  Returns whether a commit
+    happened."""
+    from ros_sql_spark.operators.sketch import topk_sketch
+
+    spark = batch_df.sparkSession
+    fresh = topk_sketch(batch_df, group_col, key_col, k)
+    versions = _list_versions(spark, table)
+    expected = versions[-1] if versions else 0
+    if versions:
+        m = _read_manifest(spark, table, versions[-1])
+        committed = m.get("last_batch")
+        if committed is not None and committed >= batch_id:
+            return False  # replayed batch: re-merging would double-count
+        merged = topk_merge(
+            snapshot_read(spark, table), fresh, group_col, key_col, k
+        )
+    else:
+        merged = fresh
+    snapshot_commit(
+        merged, table, mode="overwrite", tag=f"batch:{batch_id}",
+        expected_version=expected,
+    )
+    return True
+
+
+def topk_sketch_stream(
+    events: DataFrame,
+    table: str,
+    checkpoint_path: str,
+    group_col: str,
+    key_col: str,
+    k: int = 8,
+    available_now: bool = True,
+):
+    """Continuous heavy-hitters tracking: O(groups·(k+1)) state forever
+    however much flows through; readers get (key, c_low, err) bounds
+    per group at any moment under snapshot isolation.  Unlike the
+    bottom-k twins the drained-stream summary is NOT bit-identical to
+    the one-shot batch sketch (Misra–Gries compresses per merge), but
+    it is DETERMINISTIC given the batch partition — equal to the left
+    fold of topk_merge over the per-batch sketches — and the
+    ε-guarantee (true count within err ≤ N/(k+1) of c_low, every key
+    above err present) holds across any merge tree (Agarwal et al.
+    2012; asserted in tests).  Single writer per table.  Returns the
+    StreamingQuery."""
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        topk_sketch_batch(df, batch_id, table, group_col, key_col, k)
 
     from ros_sql_spark.streaming.util import start_foreach_batch
 

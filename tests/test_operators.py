@@ -1171,3 +1171,108 @@ def test_pagerank_keeps_source_only_nodes(spark):
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
     assert abs(sum(got.values()) - 1.0) < 1e-12
     assert abs(got[3] - 0.05) < 1e-12  # pure teleport mass
+
+
+def test_topk_sketch_mg_guarantees(spark):
+    """Misra–Gries heavy hitters (operators/sketch.py::topk_sketch):
+    on adversarial input (zipf-ish skew, an exactly-uniform group
+    whose counters all drain, a small exact group) the summary holds
+    the published guarantees — c_low ≤ c_true ≤ c_low + err for kept
+    keys, c_true ≤ err for absent ones, every key above err present,
+    err ≤ N_group/(k+1) — keeps ≤ k+1 rows per group (survivors +
+    NULL-key sentinel), and is deterministic across runs."""
+    import collections
+    import random
+
+    from ros_sql_spark.operators.sketch import topk_sketch
+
+    rnd = random.Random(42)
+    rows = [
+        ("A", rnd.choice([1] * 40 + [2] * 20 + [3] * 10 + list(range(4, 60))))
+        for _ in range(2000)
+    ]
+    rows += [("B", i % 30) for i in range(300)]  # uniform: all drain
+    rows += [("C", i % 3) for i in range(30)]  # < k keys: exact, err 0
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    k = 8
+    got = topk_sketch(df, "g", "k", k=k).collect()
+
+    true = collections.Counter(rows)
+    ngroup = collections.Counter(g for g, _ in rows)
+    errs = {}
+    per_group = collections.Counter()
+    for r in got:
+        errs.setdefault(r.g, r.err)
+        assert r.err == errs[r.g]  # err constant per group
+        per_group[r.g] += 1
+        if r.k is not None:
+            assert r.c_low >= 1
+            assert r.c_low <= true[(r.g, r.k)] <= r.c_low + r.err, r
+    present = {(r.g, r.k) for r in got if r.k is not None}
+    for (g, kk), c in true.items():
+        if (g, kk) not in present:
+            assert c <= errs[g], (g, kk, c)  # no heavy key missing
+    for g, e in errs.items():
+        assert e <= ngroup[g] // (k + 1), (g, e)
+        assert per_group[g] <= k + 1
+    # every group keeps its sentinel, even fully-drained B
+    assert {r.g for r in got if r.k is None} == {"A", "B", "C"}
+    assert per_group["B"] == 1 and errs["B"] == 10  # uniform: all drained
+    # small group is exact
+    assert errs["C"] == 0
+    cvals = {r.k: r.c_low for r in got if r.g == "C" and r.k is not None}
+    assert cvals == {0: 10, 1: 10, 2: 10}
+    # determinism
+    again = topk_sketch(df, "g", "k", k=k).collect()
+    assert sorted(map(repr, got)) == sorted(map(repr, again))
+
+
+def test_topk_merge_keeps_guarantees_across_chain(spark):
+    """streaming/sketch.py::topk_merge — Agarwal et al. mergeable-MG:
+    a left fold of merges over 3 chunks keeps every guarantee against
+    the EXACT union counts, including the cumulative-error bound
+    err ≤ N/(k+1) ((k+1)·Σt ≤ N: each compress subtracts its t from
+    at least k+1 counters), and groups whose counters drained mid-chain
+    still carry their error through the sentinel."""
+    import collections
+    import random
+
+    from ros_sql_spark.operators.sketch import topk_sketch
+    from ros_sql_spark.streaming.sketch import topk_merge
+
+    rnd = random.Random(7)
+    rows = [
+        ("A", rnd.choice([1] * 50 + [2] * 25 + list(range(3, 80))))
+        for _ in range(3000)
+    ]
+    rows += [("B", i % 40) for i in range(600)]  # drains every compress
+    rows += [("C", rnd.randrange(5)) for _ in range(90)]
+    k = 8
+    chunks = [rows[0::3], rows[1::3], rows[2::3]]
+    sks = [
+        topk_sketch(
+            spark.createDataFrame(c, "g string, k bigint"), "g", "k", k=k
+        )
+        for c in chunks
+    ]
+    m = topk_merge(sks[0], sks[1], "g", "k", k)
+    got = topk_merge(m, sks[2], "g", "k", k).collect()
+
+    true = collections.Counter(rows)
+    ngroup = collections.Counter(g for g, _ in rows)
+    errs = {}
+    for r in got:
+        errs.setdefault(r.g, r.err)
+        assert r.err == errs[r.g]
+        if r.k is not None:
+            assert r.c_low <= true[(r.g, r.k)] <= r.c_low + r.err, r
+    present = {(r.g, r.k) for r in got if r.k is not None}
+    for (g, kk), c in true.items():
+        if (g, kk) not in present:
+            assert c <= errs[g], (g, kk, c)
+    for g, e in errs.items():
+        assert e <= ngroup[g] // (k + 1), (g, e, ngroup[g])
+    assert {r.g for r in got if r.k is None} == {"A", "B", "C"}
+    # the fully-drained group's error survived the chain via sentinels
+    assert errs["B"] > 0
+    assert not any(r.k is not None for r in got if r.g == "B")

@@ -820,3 +820,17 @@ def test_qx29_pagerank_pinned_iteration_shape(spark):
     assert "lineitem" not in p, p
     assert "orders" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_qx41_heavy_hitters_shape(spark):
+    """The Misra–Gries sketch counts on the FINE (event_type, user_id)
+    grain (skew-immune partial-agged shuffle), then the compress rank
+    is cut to k+1 rows per group per map task BEFORE the window
+    exchange (partial+final WindowGroupLimit — the qx38 discipline);
+    no join, no cartesian anywhere."""
+    p = plan_of(spark, "qx41_heavy_hitters")
+    assert "CartesianProduct" not in p, p
+    assert "Join" not in p, p
+    assert "WindowGroupLimit" in p, p
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 9, Partial", p), p
+    assert "HashAggregate" in p, p  # partial-agged exact counts

@@ -1134,3 +1134,75 @@ def test_setsim_partial_replay_after_vacuum_raises(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="partial replay"):
         setsim_ingest_batch(b1, 1, store, threshold=0.3)
+
+
+def test_topk_sketch_stream_guarantees_and_redelivery(spark, tmp_path):
+    """Continuous heavy hitters: after the stream drains, the stored
+    Misra–Gries state holds every ε-guarantee against the EXACT
+    per-(event_type, user_id) counts of everything that flowed
+    (c_low ≤ c ≤ c_low+err, absent ⇒ c ≤ err, err ≤ N/(k+1)), stays
+    ≤ k+1 rows per group, and a full redelivery from a fresh
+    checkpoint neither double-counts nor bumps the version (the
+    batch:<id> watermark)."""
+    import collections
+
+    from ros_sql_spark.sources.io import load_table
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from ros_sql_spark.streaming.sketch import topk_sketch_stream
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table = str(tmp_path / "hh")
+    k = 8
+
+    def run(ck):
+        q = topk_sketch_stream(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            table,
+            checkpoint_path=str(tmp_path / ck),
+            group_col="event_type",
+            key_col="user_id",
+            k=k,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    run("ck1")
+    got = snapshot_read(spark, table).collect()
+    true = collections.Counter(
+        (r.event_type, r.user_id) for r in ev.collect()
+    )
+    ngroup = collections.Counter(g for g, _ in true.elements())
+    errs, per_group = {}, collections.Counter()
+    for r in got:
+        errs.setdefault(r.event_type, r.err)
+        assert r.err == errs[r.event_type]
+        per_group[r.event_type] += 1
+        if r.user_id is not None:
+            c = true[(r.event_type, r.user_id)]
+            assert r.c_low <= c <= r.c_low + r.err, r
+    present = {
+        (r.event_type, r.user_id) for r in got if r.user_id is not None
+    }
+    for (g, u), c in true.items():
+        if (g, u) not in present:
+            assert c <= errs[g], (g, u, c)
+    for g, e in errs.items():
+        assert e <= ngroup[g] // (k + 1), (g, e)
+        assert per_group[g] <= k + 1
+    assert len(errs) == 5  # every event type summarized
+
+    v_before = snapshot_versions(spark, table)
+    run("ck2")  # full redelivery: every batch id replays
+    assert snapshot_versions(spark, table) == v_before
+    again = snapshot_read(spark, table).collect()
+    assert sorted(map(repr, again)) == sorted(map(repr, got))
