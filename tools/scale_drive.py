@@ -548,6 +548,120 @@ def main() -> int:
             and abs(dev.s - 1.0) < 1e-9
         )
 
+        # 10. Misra–Gries heavy hitters at 20x: the planted duplicate
+        # multiplicities give exact per-(source, text-digest) ground
+        # truth, so every published MG guarantee is a HARD check —
+        # survivor bounds hold, no key above err is missing, err and
+        # state size stay within N/(k+1) and k — all verified
+        # distributed (joins + counts, no driver-side materialization
+        # of the exact distribution).
+        from ros_sql_spark.operators.sketch import topk_sketch
+
+        def _hh():
+            k = 8
+            keyed = docs.select("source", F.md5("text").alias("key"))
+            # consumed by three separate check actions → eager pin
+            sk = topk_sketch(keyed, "source", "key", k=k).localCheckpoint(
+                eager=True
+            )
+            exact = (
+                keyed.groupBy("source", "key")
+                .agg(F.count("*").cast("bigint").alias("c"))
+                .localCheckpoint(eager=True)  # two consuming actions
+            )
+            surv = sk.filter(F.col("key").isNotNull())
+            bad_bounds = (
+                surv.join(exact, ["source", "key"])
+                .filter(
+                    (F.col("c_low") > F.col("c"))
+                    | (F.col("c") > F.col("c_low") + F.col("err"))
+                )
+                .count()
+            )
+            errs = sk.groupBy("source").agg(
+                F.max("err").alias("err"),
+                F.sum(
+                    F.when(F.col("key").isNotNull(), 1).otherwise(0)
+                ).alias("n_keys"),
+            )
+            missing_heavy = (
+                exact.join(F.broadcast(errs.select("source", "err")), "source")
+                .filter(F.col("c") > F.col("err"))
+                .join(surv.select("source", "key"), ["source", "key"],
+                      "left_anti")
+                .count()
+            )
+            n_per_group = keyed.groupBy("source").agg(
+                F.count("*").alias("n")
+            )
+            over = (
+                errs.join(n_per_group, "source")
+                .filter(
+                    (F.col("err") > F.col("n") / (k + 1))
+                    | (F.col("n_keys") > k)
+                )
+                .count()
+            )
+            return bad_bounds, missing_heavy, over
+
+        bad_bounds, missing_heavy, over = timed("heavy_hitters", _hh)
+        checks["hh_survivor_bounds_hold"] = bad_bounds == 0
+        checks["hh_no_heavy_key_missing"] = missing_heavy == 0
+        checks["hh_err_and_state_bounded"] = over == 0
+
+        # 11. open-connector quadrants at 20x (round-10 verdict: the
+        # pyds connector was tests-only): batch sink-write the corpus
+        # digests, read the table back via the connector AND via the
+        # native manifest scan (content hashes must match exactly),
+        # then change-stream it back and compare again — both read
+        # quadrants and the batch-write quadrant exercised at scale.
+        import os as _os
+
+        from ros_sql_spark.sources.pyds import SnapshotDataSource
+        from ros_sql_spark.sources.snapshot import snapshot_read
+
+        def _pyds():
+            spark.dataSource.register(SnapshotDataSource)
+            tbl = _os.path.join(work, "pyds_tbl")
+            docs.select("doc_id", F.md5("text").alias("digest")).write.format(
+                "rosql_snapshot"
+            ).mode("append").save(tbl)
+
+            def content(df: DataFrame):
+                row = df.agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws("#", "doc_id", "digest")),
+                                1, 15,
+                            ),
+                            16, 10,
+                        ).cast("bigint").cast("decimal(38,0)")
+                    ).alias("s"),  # decimal sum: 60-bit terms overflow BIGINT
+                ).collect()[0]
+                return (row.n, row.s)
+
+            native = content(snapshot_read(spark, tbl))
+            conn = content(spark.read.format("rosql_snapshot").load(tbl))
+            out_dir = _os.path.join(work, "pyds_out")
+            q = (
+                spark.readStream.format("rosql_snapshot")
+                .load(tbl)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", _os.path.join(work, "pyds_ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            streamed = content(spark.read.parquet(out_dir))
+            return native, conn, streamed
+
+        native, conn, streamed = timed("pyds_quadrants", _pyds)
+        checks["pyds_batch_read_matches_native"] = conn == native
+        checks["pyds_change_stream_matches_native"] = streamed == native
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
