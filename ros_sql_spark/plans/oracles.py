@@ -2338,6 +2338,89 @@ ORACLES: dict[str, str] = {
         FROM ranked r JOIN t USING (event_type)
         WHERE r.rk <= 8 AND r.c > t.t
     """,
+    # TPC-DS Q67 class: window over the ROLLUP aggregate; ranking
+    # compares the exact decimal revenue, the double cast is output-
+    # boundary only; NULLS FIRST spelled out (DuckDB defaults ASC
+    # NULLS LAST where Spark asc is nulls-first)
+    "qx42_rank_over_rollup": """
+        WITH base AS (
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT)
+                       AS o_month,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l.l_discount AS DECIMAL(18,2))) AS dp
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), roll AS (
+            SELECT n_name, o_year, o_month, sum(dp) AS rev,
+                   CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+                   CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+                   CAST(GROUPING(o_month) AS BIGINT) AS g_month
+            FROM base GROUP BY ROLLUP(n_name, o_year, o_month)
+        ), rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY n_name
+                ORDER BY rev DESC, g_year ASC, g_month ASC,
+                         o_year ASC NULLS FIRST,
+                         o_month ASC NULLS FIRST) AS rnk
+            FROM roll
+        )
+        SELECT n_name, o_year, o_month, g_nation, g_year, g_month,
+               CAST(rev AS DOUBLE) AS revenue, CAST(rnk AS BIGINT) AS rnk
+        FROM rk WHERE rnk <= 5
+    """,
+    # TPC-DS Q14/Q38 class: 3-channel INTERSECT of distinct key sets +
+    # scalar-average gate in EXACT arithmetic (tot*n > sum — a float
+    # average would flip boundary users on addition order)
+    "qx43_channel_intersect": """
+        WITH inter AS (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        ), per_user AS (
+            SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), gate AS (
+            SELECT sum(tot) AS sum_all, count(*) AS n_all FROM per_user
+        )
+        SELECT p.user_id, CAST(p.tot AS DOUBLE) AS purchase_total
+        FROM per_user p, gate g
+        WHERE p.user_id IN (SELECT user_id FROM inter)
+          AND p.tot * g.n_all > g.sum_all
+    """,
+    # TPC-DS Q64 class: the shared per-customer-per-year profile
+    # consumed twice in one statement; doubling gate in exact decimal
+    "qx44_shared_pipeline_selfjoin": """
+        WITH prof AS (
+            SELECT o.o_custkey AS c_custkey, n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS o_year,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev,
+                   CAST(count(DISTINCT o.o_orderkey) AS BIGINT)
+                       AS n_orders
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT a.c_custkey, a.n_name, a.o_year AS year_a,
+               CAST(a.rev AS DOUBLE) AS rev_a,
+               CAST(b.rev AS DOUBLE) AS rev_b,
+               a.n_orders AS orders_a, b.n_orders AS orders_b
+        FROM prof a JOIN prof b
+          ON a.c_custkey = b.c_custkey AND b.o_year = a.o_year + 1
+        WHERE b.rev > CAST(2 AS DECIMAL(18,2)) * a.rev
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

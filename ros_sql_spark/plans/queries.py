@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from ros_sql_spark.functions.parity import disc_price, money, r6, tus
+from ros_sql_spark.functions.parity import DECIMAL_MONEY, disc_price, money, r6, tus
 from ros_sql_spark.sources.io import load_table
 
 __all__ = ["QUERIES"]
@@ -3831,6 +3831,194 @@ def qx41_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx42_rank_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67-class shape (round-10 directive: the analytic idioms
+    TPC-H never exercises): a window function whose INPUT is a rollup
+    aggregate — revenue by ROLLUP(nation, year, month), then the top-5
+    rows per nation partition ACROSS rollup levels (a month, a year
+    subtotal and the nation total compete in one ranking; the grand-
+    total row ranks alone in its NULL partition).  The grouping-ID
+    columns disambiguate subtotal NULLs (q53's convention) and serve
+    as the deterministic tiebreak below revenue.
+
+    Plan shape: one fact-fact shuffle (lineitem⋈orders), customer and
+    nation ride broadcasts, the rollup expands each aggregated row
+    into its grouping sets BEFORE the final agg (Spark's Expand — one
+    exchange on the grouping-set keys), and the window runs over the
+    |nations·periods·levels|-sized AGGREGATE, never the fact table.
+    Ranking compares the EXACT decimal revenue (casting to double
+    first could flip a rank on an ulp; the double cast happens at the
+    output boundary only)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            disc_price().alias("_dp"),
+        )
+    )
+    roll = base.rollup("n_name", "o_year", "o_month").agg(
+        F.sum("_dp").alias("_rev"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+        F.grouping("o_year").cast("bigint").alias("g_year"),
+        F.grouping("o_month").cast("bigint").alias("g_month"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("_rev"),
+        F.asc("g_year"),
+        F.asc("g_month"),
+        F.asc_nulls_first("o_year"),
+        F.asc_nulls_first("o_month"),
+    )
+    return (
+        roll.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "n_name", "o_year", "o_month",
+            "g_nation", "g_year", "g_month",
+            F.col("_rev").cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+def qx43_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14/Q38-class shape: multi-channel INTERSECT of DISTINCT
+    key sets gated by a scalar-average subquery — users active in ALL
+    THREE event channels (click ∩ view ∩ purchase as set intersection,
+    not a 3-way join of multiplicities) whose purchase total beats the
+    all-users average.
+
+    Deterministic-boundary discipline (CLAUDE.md): the average gate is
+    evaluated as tot·n > Σtot in EXACT decimal/integer arithmetic —
+    comparing against a float average would put every boundary user
+    one addition-reorder away from flipping.  Plan shape: the
+    INTERSECTs compile to left-semi joins over distinct key sets (no
+    payload widening), the Σ/n scalar rides a 1-row broadcast, and the
+    per-user totals aggregate once and feed both the gate and the
+    output."""
+    ev = _t(spark, sf_dir, "events")
+
+    def channel(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t).select("user_id").distinct()
+        )
+
+    inter = (
+        channel("click").intersect(channel("view")).intersect(
+            channel("purchase")
+        )
+    )
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(money("value")).alias("_tot"))
+    )
+    gate = per_user.agg(
+        F.sum("_tot").alias("_sum_all"),
+        F.count("*").cast("bigint").alias("_n_all"),
+    )
+    return (
+        per_user.join(inter, "user_id", "left_semi")
+        .crossJoin(F.broadcast(gate))
+        .filter(F.col("_tot") * F.col("_n_all") > F.col("_sum_all"))
+        .select(
+            "user_id", F.col("_tot").cast("double").alias("purchase_total")
+        )
+    )
+
+
+def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64-class shape: ONE wide derived table (per-customer
+    per-year purchasing profile over lineitem⋈orders⋈customer⋈nation)
+    consumed TWICE inside a single action — the year-over-year
+    self-join (profile y ⋈ profile y+1 on custkey) listing customers
+    whose revenue more than doubled.
+
+    The decisive plan question (round-10 directive): checkpoint-pin
+    the shared profile, or rely on runtime exchange reuse?  Measured
+    both ways at sf0.1, local[32], min of 3: eager-localCheckpoint pin
+    2.80 s vs unpinned 3.29 s — the PIN wins ~15% here, the opposite
+    verdict from setsim_index's within-one-action case, because reuse
+    never actually fires: the two self-join sides project DIFFERENT
+    column sets out of the shared aggregate before their custkey
+    exchanges, so the exchange children aren't canonically equal and
+    AQE re-runs the upstream map work per side ("ReusedExchange" is
+    absent from the plan — checked, not assumed).  The profile is
+    |customers·years|-sized (tiny next to the fact scan), so the pin
+    costs one cheap materialization and saves a full second pipeline.
+    CLAUDE.md's within-one-action rule holds only when the shared
+    subtrees are IDENTICAL up to the exchange; this query is the
+    measured counter-case.  The year-adjacency is a post-join filter
+    on the custkey-only join (keying on (custkey, year+1) would hash
+    the sides differently by construction).  The doubling gate
+    compares EXACT decimals (rev2 > 2·rev1); doubles appear only at
+    the output boundary."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    prof = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            "c_custkey",
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(disc_price()).alias("_rev"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        # pinned: both self-join sides consume it with different
+        # projections, which defeats exchange reuse (docstring numbers)
+        .localCheckpoint(eager=True)
+    )
+    a = prof.select(
+        "c_custkey", "n_name",
+        F.col("o_year").alias("year_a"),
+        F.col("_rev").alias("_rev_a"),
+        F.col("n_orders").alias("orders_a"),
+    )
+    b = prof.select(
+        F.col("c_custkey").alias("_ck"),
+        F.col("o_year").alias("year_b"),
+        F.col("_rev").alias("_rev_b"),
+        F.col("n_orders").alias("orders_b"),
+    )
+    return (
+        a.join(b, F.col("c_custkey") == F.col("_ck"))
+        .filter(F.col("year_b") == F.col("year_a") + 1)
+        .filter(
+            F.col("_rev_b") > F.lit(2).cast(DECIMAL_MONEY) * F.col("_rev_a")
+        )
+        .select(
+            "c_custkey", "n_name", "year_a",
+            F.col("_rev_a").cast("double").alias("rev_a"),
+            F.col("_rev_b").cast("double").alias("rev_b"),
+            "orders_a", "orders_b",
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -3978,4 +4166,7 @@ QUERIES = {
     "qx39_bigram_logprob": qx39_bigram_logprob,
     "qx40_mad_outliers": qx40_mad_outliers,
     "qx41_heavy_hitters": qx41_heavy_hitters,
+    "qx42_rank_over_rollup": qx42_rank_over_rollup,
+    "qx43_channel_intersect": qx43_channel_intersect,
+    "qx44_shared_pipeline_selfjoin": qx44_shared_pipeline_selfjoin,
 }

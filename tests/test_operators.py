@@ -1276,3 +1276,56 @@ def test_topk_merge_keeps_guarantees_across_chain(spark):
     # the fully-drained group's error survived the chain via sentinels
     assert errs["B"] > 0
     assert not any(r.k is not None for r in got if r.g == "B")
+
+
+def test_qx29_scores_clear_of_rounding_boundaries(spark):
+    """qx29's oracle mirrors the float-sum recursion, but partition-
+    order float adds could in principle land a round(·,6) boundary
+    differently between engines.  Check the margin instead of assuming
+    it (round-10 verdict item).  Measuring first (this test's origin):
+    at sf0.01 the MINIMUM distance of any N-normalized score to a
+    0.5·10⁻⁶ rounding midpoint is ~8e-11 — so the verdict's suggested
+    1e-9 margin does NOT hold and is the wrong bar.  The relevant bar
+    is the achievable cross-engine drift: scores are sums of ≤ deg
+    terms of ~1e-4 magnitude, so addition-order drift is bounded by
+    ~n·eps ≈ 1e-15 in the normalized score — orders below the
+    measured 8e-11.  Assert distance > 1e-12 (1000× the drift bound,
+    comfortably under the data's real margin): a last-ulp difference
+    cannot flip any rounded value or the rounded-score+node tiebreak
+    cut, and future data/SF changes that erode the margin fail here
+    first instead of as a driver hash mismatch."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.operators.graph import pagerank
+    from tests.conftest import SF_MEDIUM
+
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .dropDuplicates(["c", "s"])
+    )
+    edges = pair.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionByName(
+        pair.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    pr = pagerank(edges, n_iter=3, damping=0.85, assume_distinct=True)
+    n = pr.count()
+    raw = [r.p * n for r in pr.collect()]
+    assert raw
+    for x in raw:
+        grid = x * 1e6
+        dist_to_midpoint = abs((grid - math.floor(grid)) - 0.5) * 1e-6
+        assert dist_to_midpoint > 1e-12, (
+            f"score {x!r} within 1e-12 of a rounding midpoint"
+        )

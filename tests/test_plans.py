@@ -834,3 +834,40 @@ def test_qx41_heavy_hitters_shape(spark):
     assert "WindowGroupLimit" in p, p
     assert re.search(r"WindowGroupLimit .*row_number\(\), 9, Partial", p), p
     assert "HashAggregate" in p, p  # partial-agged exact counts
+
+
+def test_qx42_rollup_window_shape(spark):
+    """Q67-class: the rollup expands AGGREGATED rows (Expand feeds the
+    grouping-set exchange), customer/nation ride broadcasts, exactly
+    one fact-fact shuffle join, and the rank window runs after the
+    aggregate — no cartesian anywhere."""
+    p = plan_of(spark, "qx42_rank_over_rollup")
+    assert "CartesianProduct" not in p, p
+    assert "Expand" in p, p
+    # customer+nation always broadcast; at test SF the size heuristic
+    # broadcasts the fact join too (unhinted, data-sized at scale)
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert re.search(r"WindowGroupLimit .*row_number\(\), 5, Partial", p), p
+
+
+def test_qx43_intersect_semi_shape(spark):
+    """Q14/Q38-class: the 3-channel INTERSECT compiles to semi joins
+    over distinct key sets (no payload widening), the Σ/n gate is a
+    1-row broadcast BNLJ, and nothing else nest-loops."""
+    p = plan_of(spark, "qx43_channel_intersect")
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_qx44_profile_pinned_once(spark):
+    """Q64-class: the shared profile must be checkpoint-pinned (the
+    measured 15% win — exchange reuse never fires across the two
+    differing projections), so the final plan joins two ExistingRDD
+    scans and contains NO second fact pipeline (no lineitem/orders
+    file scans at all)."""
+    p = plan_of(spark, "qx44_shared_pipeline_selfjoin")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert "lineitem" not in p, p
+    assert "orders.parquet" not in p, p
