@@ -15,6 +15,11 @@ mixes generations fails the membership check.
 
 from __future__ import annotations
 
+import pytest
+
+# ANN store churn soaks: slow tier by module (r11 duration profile)
+pytestmark = pytest.mark.slow
+
 import threading
 import time
 

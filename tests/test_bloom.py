@@ -111,6 +111,7 @@ def test_bloom_plan_broadcast_probe_no_corpus_shuffle_of_text(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_curate_bloom_decontam_matches_broadcast_on_clean_data(spark):
     """curate(decontam_method='bloom') must drop a superset of the
     broadcast path's decontam stage (equal when no FP lands) and keep

@@ -4,6 +4,7 @@ merges, same order — and the Arrow encoder must equal the reference
 priority-loop encode."""
 
 from __future__ import annotations
+import pytest
 
 import pyspark.sql.functions as F
 
@@ -146,6 +147,7 @@ def test_bpe_fallback_batches_disjoint_merges(spark):
     assert len(collects) == 1, f"{len(collects)} rounds (want 1)"
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_bpe_fallback_batched_equals_reference_property(spark):
     """Hypothesis sweep: the batched distributed loop must equal the
     sequential reference on arbitrary small corpora — the acceptance

@@ -470,6 +470,7 @@ def test_kmv_sketch_properties(spark):
     assert abs(r.est_intersection - 1000) / 1000 < 2 * band
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_setsim_join_equals_bruteforce(spark):
     """Prefix filtering must be LOSSLESS: setsim_join's pairs equal the
     quadratic all-pairs ground truth exactly (ids and rounded jaccard),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from ros_sql_spark.pipeline import curate
 from ros_sql_spark.sources.io import load_table
@@ -87,6 +88,7 @@ def test_curate_metrics_single_pass(spark):
     assert m["decontam"] == res.dropped["decontam"].count()
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_curate_semantic_stage(spark):
     """With embeddings supplied, the semantic stage drops
     paraphrase-level dups: survivors have no cosine>=threshold LSH pair
@@ -289,6 +291,7 @@ def test_publish_curated_snapshot(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_curate_span_dedup_stage(spark):
     """span_dedup_k= excises a planted cross-doc span before gating:
     the span vanishes from every surviving text, a wall-to-wall
@@ -355,6 +358,7 @@ def test_curate_near_dup_optional(spark):
     )
     assert dup.count() == 0
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_curate_setsim_method_and_incremental_ingest(spark):
     """near_dup_method='setsim' runs the EXACT join inside curate (no
     surviving pair at the threshold), and the incremental ingest shape

@@ -5,6 +5,7 @@ survive normalize→denormalize exactly.  Complements the fixed F1–F3
 fixtures with generated shapes."""
 
 from __future__ import annotations
+import pytest
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import types as T
@@ -122,6 +123,7 @@ def test_png_roundtrip_property(h, w, ch, data):
     data=st.data(),
 )
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_kmv_bottom_k_property(spark, n, k, salts, data):
     """The two-phase salted bottom-k must equal the exact sorted-prefix
     bottom-k for ANY member multiset, k, and salt count — and the

@@ -293,6 +293,7 @@ def test_playback_reads_snapshot_store(spark, tmp_path):
     assert [r.event_id for r in rows] == [r.event_id for r in expect]
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_snapshot_store_time_range_prunes_files(spark, tmp_path):
     """A [t0, t1) playback over a snapshot store must (a) return exactly
     the filter-after-full-replay rows and (b) OPEN fewer parquet files
@@ -352,6 +353,7 @@ def test_snapshot_store_time_range_prunes_files(spark, tmp_path):
     assert len(ranged.inputFiles()) < n_full_files
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_expire_retention_root_and_children(spark, tmp_path):
     """api.expire: messages older than the cutoff leave the snapshot
     store — root files wholly inside the expired range drop

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+
+# scale/property drives: slow tier by module (r11 duration profile)
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ros_sql_spark.operators.dedup import ngram_jaccard_pairs

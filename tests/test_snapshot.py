@@ -1255,6 +1255,7 @@ spark.stop()
 '''
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_cross_process_occ_soak(spark, tmp_path):
     """The r5 verdict's one untested claim: the rename-without-overwrite
     commit point must hold across SEPARATE JVMs, not just threads in
@@ -1389,6 +1390,7 @@ spark.stop()
 '''
 
 
+@pytest.mark.slow  # >=10s in the r11 duration profile
 def test_cross_process_keyed_dml_soak(spark, tmp_path):
     """r6 directive #5: the exact-file-candidacy REWRITE path (merge /
     delete_keys, expected_version-guarded, carry-by-reference for

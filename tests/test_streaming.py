@@ -7,6 +7,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+# streaming equivalence/crash-recovery suite: slow tier by module (r11 duration profile)
+pytestmark = pytest.mark.slow
+
 from ros_sql_spark.plans.queries import q16_sessionize
 from ros_sql_spark.sources.io import load_table
 from ros_sql_spark.streaming.replay import (

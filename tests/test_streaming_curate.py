@@ -12,6 +12,11 @@ first-come == min-id == batch keep-best.
 
 from __future__ import annotations
 
+import pytest
+
+# streaming curation equivalence suite: slow tier by module (r11 duration profile)
+pytestmark = pytest.mark.slow
+
 import pyspark.sql.functions as F
 
 from ros_sql_spark.pipeline import curate
