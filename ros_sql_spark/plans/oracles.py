@@ -2421,6 +2421,102 @@ ORACLES: dict[str, str] = {
           ON a.c_custkey = b.c_custkey AND b.o_year = a.o_year + 1
         WHERE b.rev > CAST(2 AS DECIMAL(18,2)) * a.rev
     """,
+    # EWMA-16 with dyadic weights: every term, partial sum and the
+    # quotient are EXACT doubles folded in one fixed order (see the
+    # query docstring) -- bit-identical cross-engine, stronger than the
+    # r6 sum-order argument; cents sum CAST back to BIGINT (HUGEINT rule)
+    "qx45_ewma_smooth": """
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT user_id, d, cents,
+                   lag(cents, 0) OVER (PARTITION BY user_id ORDER BY d) AS l0,
+                   lag(cents, 1) OVER (PARTITION BY user_id ORDER BY d) AS l1,
+                   lag(cents, 2) OVER (PARTITION BY user_id ORDER BY d) AS l2,
+                   lag(cents, 3) OVER (PARTITION BY user_id ORDER BY d) AS l3,
+                   lag(cents, 4) OVER (PARTITION BY user_id ORDER BY d) AS l4,
+                   lag(cents, 5) OVER (PARTITION BY user_id ORDER BY d) AS l5,
+                   lag(cents, 6) OVER (PARTITION BY user_id ORDER BY d) AS l6,
+                   lag(cents, 7) OVER (PARTITION BY user_id ORDER BY d) AS l7,
+                   lag(cents, 8) OVER (PARTITION BY user_id ORDER BY d) AS l8,
+                   lag(cents, 9) OVER (PARTITION BY user_id ORDER BY d) AS l9,
+                   lag(cents, 10) OVER (PARTITION BY user_id ORDER BY d) AS l10,
+                   lag(cents, 11) OVER (PARTITION BY user_id ORDER BY d) AS l11,
+                   lag(cents, 12) OVER (PARTITION BY user_id ORDER BY d) AS l12,
+                   lag(cents, 13) OVER (PARTITION BY user_id ORDER BY d) AS l13,
+                   lag(cents, 14) OVER (PARTITION BY user_id ORDER BY d) AS l14,
+                   lag(cents, 15) OVER (PARTITION BY user_id ORDER BY d) AS l15
+            FROM daily
+        )
+        SELECT user_id, d, cents AS day_cents,
+               round((coalesce(CAST(l0 AS DOUBLE), 0.0) * CAST(1.0 AS DOUBLE)
+                 + coalesce(CAST(l1 AS DOUBLE), 0.0) * CAST(0.5 AS DOUBLE)
+                 + coalesce(CAST(l2 AS DOUBLE), 0.0) * CAST(0.25 AS DOUBLE)
+                 + coalesce(CAST(l3 AS DOUBLE), 0.0) * CAST(0.125 AS DOUBLE)
+                 + coalesce(CAST(l4 AS DOUBLE), 0.0) * CAST(0.0625 AS DOUBLE)
+                 + coalesce(CAST(l5 AS DOUBLE), 0.0) * CAST(0.03125 AS DOUBLE)
+                 + coalesce(CAST(l6 AS DOUBLE), 0.0) * CAST(0.015625 AS DOUBLE)
+                 + coalesce(CAST(l7 AS DOUBLE), 0.0) * CAST(0.0078125 AS DOUBLE)
+                 + coalesce(CAST(l8 AS DOUBLE), 0.0) * CAST(0.00390625 AS DOUBLE)
+                 + coalesce(CAST(l9 AS DOUBLE), 0.0) * CAST(0.001953125 AS DOUBLE)
+                 + coalesce(CAST(l10 AS DOUBLE), 0.0) * CAST(0.0009765625 AS DOUBLE)
+                 + coalesce(CAST(l11 AS DOUBLE), 0.0) * CAST(0.00048828125 AS DOUBLE)
+                 + coalesce(CAST(l12 AS DOUBLE), 0.0) * CAST(0.000244140625 AS DOUBLE)
+                 + coalesce(CAST(l13 AS DOUBLE), 0.0) * CAST(0.0001220703125 AS DOUBLE)
+                 + coalesce(CAST(l14 AS DOUBLE), 0.0) * CAST(6.103515625e-05 AS DOUBLE)
+                 + coalesce(CAST(l15 AS DOUBLE), 0.0) * CAST(3.0517578125e-05 AS DOUBLE))
+                 / (CASE WHEN l0 IS NULL THEN 0.0 ELSE CAST(1.0 AS DOUBLE) END
+                 + CASE WHEN l1 IS NULL THEN 0.0 ELSE CAST(0.5 AS DOUBLE) END
+                 + CASE WHEN l2 IS NULL THEN 0.0 ELSE CAST(0.25 AS DOUBLE) END
+                 + CASE WHEN l3 IS NULL THEN 0.0 ELSE CAST(0.125 AS DOUBLE) END
+                 + CASE WHEN l4 IS NULL THEN 0.0 ELSE CAST(0.0625 AS DOUBLE) END
+                 + CASE WHEN l5 IS NULL THEN 0.0 ELSE CAST(0.03125 AS DOUBLE) END
+                 + CASE WHEN l6 IS NULL THEN 0.0 ELSE CAST(0.015625 AS DOUBLE) END
+                 + CASE WHEN l7 IS NULL THEN 0.0 ELSE CAST(0.0078125 AS DOUBLE) END
+                 + CASE WHEN l8 IS NULL THEN 0.0 ELSE CAST(0.00390625 AS DOUBLE) END
+                 + CASE WHEN l9 IS NULL THEN 0.0 ELSE CAST(0.001953125 AS DOUBLE) END
+                 + CASE WHEN l10 IS NULL THEN 0.0 ELSE CAST(0.0009765625 AS DOUBLE) END
+                 + CASE WHEN l11 IS NULL THEN 0.0 ELSE CAST(0.00048828125 AS DOUBLE) END
+                 + CASE WHEN l12 IS NULL THEN 0.0 ELSE CAST(0.000244140625 AS DOUBLE) END
+                 + CASE WHEN l13 IS NULL THEN 0.0 ELSE CAST(0.0001220703125 AS DOUBLE) END
+                 + CASE WHEN l14 IS NULL THEN 0.0 ELSE CAST(6.103515625e-05 AS DOUBLE) END
+                 + CASE WHEN l15 IS NULL THEN 0.0 ELSE CAST(3.0517578125e-05 AS DOUBLE) END)
+                 / CAST(100 AS DOUBLE), 6) AS ewma
+        FROM lagged
+    """,
+    # unpivot rebuilt as UNION ALL (DuckDB's UNPIVOT reorders rows; the
+    # hash compare is order-free but UNION ALL keeps it dialect-simple)
+    "qx46_unpivot_metrics": """
+        WITH wide AS (
+            SELECT source,
+                   CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+            FROM documents GROUP BY source
+        )
+        SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+        UNION ALL
+        SELECT source, 'total_chars', total_chars FROM wide
+        UNION ALL
+        SELECT source, 'avg_chars', avg_chars FROM wide
+    """,
+    # ntile under the deterministic (value, event_id) total order: both
+    # engines split n rows into 4 buckets with the same floor/ceil rule
+    "qx47_ntile_buckets": """
+        WITH t AS (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS quartile
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS lo, max(value) AS hi
+        FROM t GROUP BY 1, 2
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

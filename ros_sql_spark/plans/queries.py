@@ -4028,6 +4028,110 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def qx45_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing over each user's daily-spend series — the
+    exponential member of the time-series family (qx30 interpolates,
+    qx35 fits OLS, q91 carries forward; this weights history
+    geometrically, the standard smoother for drift/anomaly baselines).
+
+    BIT-EXACT cross-engine float design (stronger than the r6 sum-order
+    argument): the window is 16 explicit lag() terms with dyadic
+    weights 2⁻ᵏ — daily cents are exact BIGINTs, cents·2⁻ᵏ is an exact
+    double (< 2⁵³), every partial sum is an exact multiple of 2⁻¹⁵
+    below 2⁴⁴ (≤ 59 significant bits), and the terms fold in one FIXED
+    textual order in both engines — so numerator, normalizer (skip-null
+    weight sum) and their quotient are IDENTICAL doubles, not
+    merely-close ones.  One user_id exchange; all 16 lags ride a single
+    Window node over the per-day aggregate (never the raw events)."""
+    ev = _t(spark, sf_dir, "events")
+    # q91's day idiom: integer div of ns epochs (floor-division
+    # composes, so DuckDB's µs-truncated view lands identical days).
+    # repartition(user_id) satisfies BOTH the (user, day) groupBy and
+    # the lag window — one exchange end-to-end (the qx35 subset trick)
+    day = F.expr("ts_ns div 86400000000000")
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", day.alias("d"))
+        .agg(
+            F.sum(
+                (money("value") * F.lit(100)).cast("bigint")
+            ).alias("_cents")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    # materialize each lag ONCE — num and den below both reference it,
+    # and inlined window expressions would plan 2×16 _we slots
+    lagged = daily.select(
+        "user_id", "d", "_cents",
+        *[F.lag("_cents", k).over(w).alias(f"_l{k}") for k in range(16)],
+    )
+    num = None
+    den = None
+    for k in range(16):
+        lk = F.col(f"_l{k}")
+        wt = F.lit(float(2.0 ** -k))
+        t = F.coalesce(lk.cast("double"), F.lit(0.0)) * wt
+        d = F.when(lk.isNotNull(), wt).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return lagged.select(
+        "user_id",
+        "d",
+        F.col("_cents").alias("day_cents"),
+        r6(num / den / F.lit(100.0)).alias("ewma"),
+    )
+
+
+def qx46_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of q10's pivot and the one reshaping
+    primitive the suite lacked: the per-source documents summary (three
+    metric COLUMNS) melted into tidy (source, metric, value) rows via
+    the native ``DataFrame.unpivot`` (Spark's Expand — no join, no
+    shuffle beyond the aggregate).  Counts are exact in double
+    (< 2⁵³); the only float-derived metric rounds at 6dp BEFORE the
+    melt so the value column is deterministic everywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+    )
+    return wide.unpivot(
+        ["source"],
+        ["n_docs", "total_chars", "avg_chars"],
+        "metric",
+        "value",
+    )
+
+
+def qx47_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile() equi-count bucketing — the rank-family member the suite
+    lacked (row_number/rank/dense_rank/percent-rank shapes exist;
+    ntile is the one pipelines use to shard a sorted population into
+    equal slices): per event type, quartiles of the value distribution
+    under the deterministic (value, event_id) total order, then one
+    row per (type, quartile) with its population and value range.
+    Both engines assign ntile identically given the same total order
+    (floor/ceil split of n over 4); min/max are raw stored doubles, so
+    the only arithmetic is exact.  One event_type exchange serves the
+    window AND the downstream (type, quartile) aggregate (subset-
+    partitioning clustering, the qx35 discipline)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.repartition("event_type")
+        .select(
+            "event_type", "value", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4178,4 +4282,7 @@ QUERIES = {
     "qx42_rank_over_rollup": qx42_rank_over_rollup,
     "qx43_channel_intersect": qx43_channel_intersect,
     "qx44_shared_pipeline_selfjoin": qx44_shared_pipeline_selfjoin,
+    "qx45_ewma_smooth": qx45_ewma_smooth,
+    "qx46_unpivot_metrics": qx46_unpivot_metrics,
+    "qx47_ntile_buckets": qx47_ntile_buckets,
 }

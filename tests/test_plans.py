@@ -871,3 +871,22 @@ def test_qx44_profile_pinned_once(spark):
     assert "ExistingRDD" in p, p
     assert "lineitem" not in p, p
     assert "orders.parquet" not in p, p
+
+
+def test_qx45_qx46_qx47_round11_shapes(spark):
+    """qx45: all 16 EWMA lags ride ONE Window node on ONE user_id
+    exchange over the per-day aggregate; qx46: the melt is an Expand,
+    no join anywhere; qx47: one event_type exchange serves the ntile
+    window AND the quartile aggregate (subset-partitioning)."""
+    p = plan_of(spark, "qx45_ewma_smooth")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert p.count("Window ") == 1, p
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
+
+    p = plan_of(spark, "qx46_unpivot_metrics")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert "Expand" in p, p
+
+    p = plan_of(spark, "qx47_ntile_buckets")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
