@@ -2503,19 +2503,17 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT source, 'avg_chars', avg_chars FROM wide
     """,
-    # ntile under the deterministic (value, event_id) total order: both
-    # engines split n rows into 4 buckets with the same floor/ceil rule
-    "qx47_ntile_buckets": """
-        WITH t AS (
-            SELECT event_type, value,
-                   ntile(4) OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS quartile
-            FROM events WHERE value IS NOT NULL
-        )
-        SELECT event_type, quartile,
-               CAST(count(*) AS BIGINT) AS n,
-               min(value) AS lo, max(value) AS hi
-        FROM t GROUP BY 1, 2
+    # RANGE frame: membership decided by exact integer us arithmetic
+    # (boundary ties ALL included by RANGE semantics), spend in exact
+    # decimal -- bit-for-bit with no rounding argument
+    "qx47_range_frame": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS spend_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 }
 

@@ -4104,31 +4104,33 @@ def qx46_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def qx47_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile() equi-count bucketing — the rank-family member the suite
-    lacked (row_number/rank/dense_rank/percent-rank shapes exist;
-    ntile is the one pipelines use to shard a sorted population into
-    equal slices): per event type, quartiles of the value distribution
-    under the deterministic (value, event_id) total order, then one
-    row per (type, quartile) with its population and value range.
-    Both engines assign ntile identically given the same total order
-    (floor/ceil split of n over 4); min/max are raw stored doubles, so
-    the only arithmetic is exact.  One event_type exchange serves the
-    window AND the downstream (type, quartile) aggregate (subset-
-    partitioning clustering, the qx35 discipline)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.repartition("event_type")
-        .select(
-            "event_type", "value", F.ntile(4).over(w).alias("quartile")
-        )
-        .groupBy("event_type", "quartile")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
+def qx47_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frame — the one frame kind the suite
+    lacked (q47 covers ROWS frames; a RANGE frame bounds the window by
+    the ORDER VALUE, so "everything in the trailing hour" is exact
+    however many or few events landed there — the frame row counts
+    differ per row, which no ROWS spec can express): per user, the
+    trailing-1-hour event count and spend at every event.
+
+    Determinism is structural, not rounding-based: the frame membership
+    is decided by exact integer µs arithmetic (ties at the boundary are
+    ALL included by RANGE semantics — no order-dependence), the spend
+    sums exact decimal cents, and the count is exact — so the oracle
+    matches bit-for-bit with no r6 boundary argument needed.  One
+    user_id exchange; both frame aggregates ride one Window node."""
+    ev = _t(spark, sf_dir, "events")
+    us = tus("ts_ns")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(money("value")).over(w).cast("double").alias("spend_1h"),
     )
 
 
@@ -4284,5 +4286,5 @@ QUERIES = {
     "qx44_shared_pipeline_selfjoin": qx44_shared_pipeline_selfjoin,
     "qx45_ewma_smooth": qx45_ewma_smooth,
     "qx46_unpivot_metrics": qx46_unpivot_metrics,
-    "qx47_ntile_buckets": qx47_ntile_buckets,
+    "qx47_range_frame": qx47_range_frame,
 }
