@@ -2487,21 +2487,23 @@ ORACLES: dict[str, str] = {
                  / CAST(100 AS DOUBLE), 6) AS ewma
         FROM lagged
     """,
-    # unpivot rebuilt as UNION ALL (DuckDB's UNPIVOT reorders rows; the
-    # hash compare is order-free but UNION ALL keeps it dialect-simple)
-    "qx46_unpivot_metrics": """
-        WITH wide AS (
-            SELECT source,
-                   CAST(count(*) AS DOUBLE) AS n_docs,
-                   CAST(sum(n_chars) AS DOUBLE) AS total_chars,
-                   round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
-            FROM documents GROUP BY source
+    # bitwise aggregates: exact integer, associative+commutative --
+    # deterministic with no ordering argument
+    "qx46_bitmask_rollup": """
+        WITH m AS (
+            SELECT user_id, event_id,
+                   CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                        WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                        WHEN 'error' THEN 16 ELSE 32 END AS mask
+            FROM events
         )
-        SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
-        UNION ALL
-        SELECT source, 'total_chars', total_chars FROM wide
-        UNION ALL
-        SELECT source, 'avg_chars', avg_chars FROM wide
+        SELECT user_id,
+               CAST(bit_or(mask) AS BIGINT) AS type_mask,
+               CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_types,
+               bit_and(mask) <> 0 AS single_type,
+               CAST(bit_xor(event_id) AS BIGINT) AS id_parity,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM m GROUP BY user_id
     """,
     # RANGE frame: membership decided by exact integer us arithmetic
     # (boundary ties ALL included by RANGE semantics), spend in exact

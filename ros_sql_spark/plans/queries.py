@@ -4082,25 +4082,33 @@ def qx45_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def qx46_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot/melt — the inverse of q10's pivot and the one reshaping
-    primitive the suite lacked: the per-source documents summary (three
-    metric COLUMNS) melted into tidy (source, metric, value) rows via
-    the native ``DataFrame.unpivot`` (Spark's Expand — no join, no
-    shuffle beyond the aggregate).  Counts are exact in double
-    (< 2⁵³); the only float-derived metric rounds at 6dp BEFORE the
-    melt so the value column is deterministic everywhere."""
-    docs = _t(spark, sf_dir, "documents")
-    wide = docs.groupBy("source").agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.sum("n_chars").cast("double").alias("total_chars"),
-        r6(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+def qx46_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation (bit_or / bit_and / bit_xor) — the aggregate
+    family the suite lacked entirely (zero uses before round 11), and
+    the standard flag-rollup idiom at scale: encode each event's type
+    as a single-bit mask, OR them per user into a presence set, AND
+    them for the only-one-type predicate, XOR the event ids for the
+    order-free parity fingerprint replication checks use.  All exact
+    integer arithmetic (bitwise ops are associative + commutative, so
+    partial aggregation composes and no ordering argument is needed);
+    ``bit_count`` decodes the presence-set cardinality.  One
+    partial-agged exchange on user_id, no joins."""
+    ev = _t(spark, sf_dir, "events")
+    mask = (
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .when(F.col("event_type") == "view", F.lit(2))
+        .when(F.col("event_type") == "purchase", F.lit(4))
+        .when(F.col("event_type") == "signup", F.lit(8))
+        .when(F.col("event_type") == "error", F.lit(16))
+        .otherwise(F.lit(32))
+        .cast("bigint")
     )
-    return wide.unpivot(
-        ["source"],
-        ["n_docs", "total_chars", "avg_chars"],
-        "metric",
-        "value",
+    return ev.groupBy("user_id").agg(
+        F.bit_or(mask).alias("type_mask"),
+        F.bit_count(F.bit_or(mask)).cast("bigint").alias("n_types"),
+        (F.bit_and(mask) != F.lit(0)).alias("single_type"),
+        F.bit_xor(F.col("event_id")).alias("id_parity"),
+        F.count("*").cast("bigint").alias("n_events"),
     )
 
 
@@ -4285,6 +4293,6 @@ QUERIES = {
     "qx43_channel_intersect": qx43_channel_intersect,
     "qx44_shared_pipeline_selfjoin": qx44_shared_pipeline_selfjoin,
     "qx45_ewma_smooth": qx45_ewma_smooth,
-    "qx46_unpivot_metrics": qx46_unpivot_metrics,
+    "qx46_bitmask_rollup": qx46_bitmask_rollup,
     "qx47_range_frame": qx47_range_frame,
 }

@@ -875,17 +875,17 @@ def test_qx44_profile_pinned_once(spark):
 
 def test_qx45_qx46_qx47_round11_shapes(spark):
     """qx45: all 16 EWMA lags ride ONE Window node on ONE user_id
-    exchange over the per-day aggregate; qx46: the melt is an Expand,
-    no join anywhere; qx47: the trailing-hour frame is a RangeFrame (value-based)
+    exchange over the per-day aggregate; qx46: the bitwise aggregates
+    combine map-side (partial agg), no join anywhere; qx47: the trailing-hour frame is a RangeFrame (value-based)
     on one user_id exchange."""
     p = plan_of(spark, "qx45_ewma_smooth")
     assert "CartesianProduct" not in p and "Join" not in p, p
     assert p.count("Window ") == 1, p
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
 
-    p = plan_of(spark, "qx46_unpivot_metrics")
+    p = plan_of(spark, "qx46_bitmask_rollup")
     assert "CartesianProduct" not in p and "Join" not in p, p
-    assert "Expand" in p, p
+    assert "partial_" in p, p  # bitwise aggs combine map-side
 
     p = plan_of(spark, "qx47_range_frame")
     assert "CartesianProduct" not in p and "Join" not in p, p
