@@ -2505,17 +2505,16 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM m GROUP BY user_id
     """,
-    # RANGE frame: membership decided by exact integer us arithmetic
-    # (boundary ties ALL included by RANGE semantics), spend in exact
-    # decimal -- bit-for-bit with no rounding argument
-    "qx47_range_frame": """
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               CAST(count(*) OVER w AS BIGINT) AS n_1h,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                   AS spend_1h
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    # listagg under the exact (us, id) total order + boolean aggs --
+    # strings and booleans exact, no float anywhere
+    "qx47_seq_listagg": """
+        SELECT user_id,
+               string_agg(event_type, '>'
+                          ORDER BY epoch_us(ts), event_id) AS journey,
+               bool_or(event_type = 'purchase') AS any_purchase,
+               bool_and(value IS NOT NULL) AS all_valued,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
     """,
 }
 

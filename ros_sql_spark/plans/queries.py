@@ -4112,33 +4112,46 @@ def qx46_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def qx47_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VALUE-based (RANGE) window frame — the one frame kind the suite
-    lacked (q47 covers ROWS frames; a RANGE frame bounds the window by
-    the ORDER VALUE, so "everything in the trailing hour" is exact
-    however many or few events landed there — the frame row counts
-    differ per row, which no ROWS spec can express): per user, the
-    trailing-1-hour event count and spend at every event.
+def qx47_seq_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg) + boolean
+    aggregates — two aggregate families with ZERO prior uses in the
+    suite (verified by grep before writing, after three draft queries
+    this round turned out to duplicate q67/q77/q64): per user, the
+    chronological '>'-joined event-type journey string (the sequence-
+    mining/debug-rollup idiom), whether ANY purchase occurred
+    (bool_or) and whether EVERY event carried a value (bool_and).
 
-    Determinism is structural, not rounding-based: the frame membership
-    is decided by exact integer µs arithmetic (ties at the boundary are
-    ALL included by RANGE semantics — no order-dependence), the spend
-    sums exact decimal cents, and the count is exact — so the oracle
-    matches bit-for-bit with no r6 boundary argument needed.  One
-    user_id exchange; both frame aggregates ride one Window node."""
+    Determinism: the journey orders by the exact (µs, event_id) total
+    order — Spark builds it as sort_array(collect_list(struct(...)))
+    then transform + array_join (collect_list alone is
+    partition-order-nondeterministic; the sort_array makes the result
+    a pure function of the SET), which DuckDB replays as
+    string_agg(... ORDER BY ...).  Strings and booleans are exact.
+    Scale note: per-group state is the user's own event list — bounded
+    by the per-user activity, the same contract as q16's sessionizer;
+    the aggregation partial-combines map-side."""
     ev = _t(spark, sf_dir, "events")
     us = tus("ts_ns")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(us.alias("_us"))
-        .rangeBetween(-3_600_000_000, 0)
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        us.alias("u"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("t"),
+                    )
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        ">",
     )
-    return ev.select(
-        "user_id",
-        "event_id",
-        us.alias("ts_us"),
-        F.count("*").over(w).cast("bigint").alias("n_1h"),
-        F.sum(money("value")).over(w).cast("double").alias("spend_1h"),
+    return ev.groupBy("user_id").agg(
+        seq.alias("journey"),
+        F.bool_or(F.col("event_type") == "purchase").alias("any_purchase"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.count("*").cast("bigint").alias("n_events"),
     )
 
 
@@ -4294,5 +4307,5 @@ QUERIES = {
     "qx44_shared_pipeline_selfjoin": qx44_shared_pipeline_selfjoin,
     "qx45_ewma_smooth": qx45_ewma_smooth,
     "qx46_bitmask_rollup": qx46_bitmask_rollup,
-    "qx47_range_frame": qx47_range_frame,
+    "qx47_seq_listagg": qx47_seq_listagg,
 }

@@ -876,8 +876,8 @@ def test_qx44_profile_pinned_once(spark):
 def test_qx45_qx46_qx47_round11_shapes(spark):
     """qx45: all 16 EWMA lags ride ONE Window node on ONE user_id
     exchange over the per-day aggregate; qx46: the bitwise aggregates
-    combine map-side (partial agg), no join anywhere; qx47: the trailing-hour frame is a RangeFrame (value-based)
-    on one user_id exchange."""
+    combine map-side (partial agg), no join anywhere; qx47: the listagg/bool aggregate
+    partial-combines on one user_id exchange, no join."""
     p = plan_of(spark, "qx45_ewma_smooth")
     assert "CartesianProduct" not in p and "Join" not in p, p
     assert p.count("Window ") == 1, p
@@ -887,7 +887,7 @@ def test_qx45_qx46_qx47_round11_shapes(spark):
     assert "CartesianProduct" not in p and "Join" not in p, p
     assert "partial_" in p, p  # bitwise aggs combine map-side
 
-    p = plan_of(spark, "qx47_range_frame")
+    p = plan_of(spark, "qx47_seq_listagg")
     assert "CartesianProduct" not in p and "Join" not in p, p
-    assert "specifiedwindowframe(RangeFrame" in p, p
+    assert "partial_" in p, p  # collect_list/bool aggs combine map-side
     assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
