@@ -1530,11 +1530,19 @@ def snapshot_changes(
     ``'delete'`` rows the reverse (an update is a delete+insert pair).
     Multiset semantics (``exceptAll``) so duplicate rows diff by count.
 
-    Scale note: this is the STATELESS form — one hash-partitioned
-    anti-diff over both snapshots' files, no stored row ids.  Consumers
-    that can act on appends only should instead read the manifest delta
-    (files added between versions are pure inserts for append-only
-    tables — zero data diffed); this full diff is for
+    Scale note: this is the STATELESS form — no stored row ids — but
+    it is manifest-PRUNED (round 11): data files are immutable and
+    manifest-addressed, so any file present in BOTH versions
+    contributes identical rows to both multisets and cancels out of
+    the exceptAll exactly.  Each side therefore scans only ITS OWN
+    manifest's file-set difference: diffing adjacent versions of a
+    100 TB table where one file changed reads two files, not 200 TB
+    (verified by ``inputFiles()`` in tests).  A compaction between the
+    versions rewrites every path — nothing shared, the diff degrades
+    to the full scan and still returns the correct (empty) answer.
+    Consumers that can act on appends only should instead read the
+    manifest delta (files added between versions are pure inserts for
+    append-only tables — zero data diffed); this diff is for
     overwrite/merge/replace_where histories where files alone cannot
     tell which rows changed.
     """
@@ -1546,26 +1554,27 @@ def snapshot_changes(
     from pyspark.sql import functions as SF
     from pyspark.sql.types import StructType
 
-    new = snapshot_read(spark, table, version=to_v)
     old_manifest = _read_manifest(spark, table, from_version)
     # one manifest fetch, reused for the schema compare and the
     # evolution read (each _read_manifest is a driver round trip over
     # an O(files) JSON body — a CDC poll loop was paying it thrice)
     to_manifest = _read_manifest(spark, table, to_v)
-    if old_manifest["schema"] != to_manifest["schema"]:
-        # additive schema evolution between the versions: align the old
-        # side to the NEW (wider) schema so the diff compares rows, not
-        # schemas — old files surface NULL for columns they predate,
-        # exactly as the new snapshot reads those same carried files.
-        to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
-        old_files = old_manifest["files"]
-        old = (
-            spark.read.schema(to_schema).parquet(*old_files)
-            if old_files
-            else spark.createDataFrame([], to_schema)
-        )
-    else:
-        old = snapshot_read(spark, table, version=from_version)
+    # manifest pruning (docstring): shared immutable files cancel out
+    # of the multiset diff exactly — scan only each side's difference.
+    # Both sides read under the NEW schema (old files surface NULL for
+    # columns they predate, exactly as the new snapshot reads those
+    # same carried files), so evolution and pruning compose.
+    shared = set(old_manifest["files"]) & set(to_manifest["files"])
+    to_schema = StructType.fromJson(json.loads(to_manifest["schema"]))
+
+    def _side(manifest: dict) -> DataFrame:
+        files = [f for f in manifest["files"] if f not in shared]
+        if not files:
+            return spark.createDataFrame([], to_schema)
+        return spark.read.schema(to_schema).parquet(*files)
+
+    new = _side(to_manifest)
+    old = _side(old_manifest)
     ins = new.exceptAll(old).withColumn("_change", SF.lit("insert"))
     dels = old.exceptAll(new).withColumn("_change", SF.lit("delete"))
     return ins.unionByName(dels)

@@ -1575,3 +1575,63 @@ def test_vacuum_reclaims_dataless_staging_dirs(spark, tmp_path):
     assert not os.path.exists(os.path.dirname(ghost))
     # the live version's data is untouched
     assert snapshot_read(spark, t).count() == 20
+
+
+def test_changes_prunes_shared_files(spark, tmp_path):
+    """Round-11 manifest-pruned CDC: files present in BOTH versions
+    cancel out of the multiset diff exactly, so neither side may scan
+    them — diffing adjacent versions of a many-file table reads only
+    the delta files (inputFiles() is the proof), while the answer is
+    identical to the unpruned exceptAll."""
+    from ros_sql_spark.sources.snapshot import (
+        _read_manifest,
+        snapshot_changes,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    # v1: 4 files; v2: one appended file
+    snapshot_commit(_df(spark, 0, 100, "a").repartition(4), t)
+    snapshot_commit(_df(spark, 100, 120, "b").coalesce(1), t, mode="append")
+    diff = snapshot_changes(spark, t, 1, 2)
+    m1 = set(_read_manifest(spark, t, 1)["files"])
+    m2 = set(_read_manifest(spark, t, 2)["files"])
+    delta = (m1 | m2) - (m1 & m2)
+    assert len(m1 & m2) == 4  # the carried files really are shared
+    scanned = {f.replace("file://", "file:") for f in diff.inputFiles()}
+    normalized_delta = {f.replace("file://", "file:") for f in delta}
+    assert scanned <= normalized_delta, (scanned, normalized_delta)
+    # and the pruned answer equals the unpruned one
+    rows = diff.collect()
+    assert all(r._change == "insert" for r in rows)
+    assert sorted(r.id for r in rows) == list(range(100, 120))
+    old = snapshot_read(spark, t, version=1)
+    new = snapshot_read(spark, t, version=2)
+    want_ins = sorted(
+        r.id for r in new.exceptAll(old).collect()
+    )
+    assert sorted(r.id for r in rows) == want_ins
+
+
+def test_changes_empty_after_compaction_full_rewrite(spark, tmp_path):
+    """A compaction rewrites every path — nothing is shared, the diff
+    degrades to the full scan and must still return the correct
+    (empty) answer; a keyed merge AFTER the compaction diffs only the
+    touched rows."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100, "a").repartition(4), t)
+    snapshot_compact(spark, t, target_files=1)
+    assert snapshot_changes(spark, t, 1, 2).count() == 0
+    snapshot_merge(_df(spark, 10, 12, "upd"), t, keys=["id"])
+    ch = snapshot_changes(spark, t, 2, 3).collect()
+    got = sorted((r._change, r.id, r.tag) for r in ch)
+    assert got == [
+        ("delete", 10, "a"), ("delete", 11, "a"),
+        ("insert", 10, "upd"), ("insert", 11, "upd"),
+    ]
