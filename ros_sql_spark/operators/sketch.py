@@ -380,9 +380,11 @@ def topk_sketch(
     items = this): at most k+1 rows per group (k survivors + a NULL-key
     sentinel) no matter how many rows or distinct keys flow in.
 
-    (group_col, key_col, c_low, err): every key whose true count
-    exceeds err survives; true count ∈ [c_low, c_low + err]; absent
-    keys have true count ≤ err; err ≤ N_group/(k+1).  The summary is
+    (group_col, key_col, c_low, err): every NON-NULL key whose true
+    count exceeds err survives; true count ∈ [c_low, c_low + err];
+    absent keys have true count ≤ err; err ≤ N_group/(k+1), where N
+    counts the group's non-null-key rows (NULL keys are excluded —
+    see the inline comment).  The summary is
     DETERMINISTIC — exact distributed counts compressed once under the
     (count DESC, md5(key) ASC) order — so the DuckDB oracle rebuilds it
     bit-for-bit (the qx00/qx03/qx05 sketch-parity discipline), and it
@@ -399,8 +401,15 @@ def topk_sketch(
     raw rows by group alone would serialize a hot group onto one task
     at 100 TB, the exact skew this sketch exists to survive.
     """
+    # NULL keys are EXCLUDED from the summary (countDistinct-style
+    # semantics) — a NULL key would collide with the sentinel encoding
+    # below: it would survive as a (group, NULL, c_low, err) row that
+    # every consumer reads as the sentinel and topk_merge's
+    # isNotNull() filter would drop its counter, silently breaking the
+    # absent-key bound (round-11 review finding).
     counts = (
-        df.groupBy(group_col, key_col)
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(group_col, key_col)
         .agg(F.count("*").cast("bigint").alias("_c"))
         .withColumn("_err", F.lit(0).cast("bigint"))
     )

@@ -3914,9 +3914,17 @@ def qx43_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparing against a float average would put every boundary user
     one addition-reorder away from flipping.  Plan shape: the
     INTERSECTs compile to left-semi joins over distinct key sets (no
-    payload widening), the Σ/n scalar rides a 1-row broadcast, and the
-    per-user totals aggregate once and feed both the gate and the
-    output."""
+    payload widening); the Σ/n gate is an UNPARTITIONED window over
+    the per-user aggregate — the post-agg frame is |users|-sized, so
+    the single-partition pass is cheap, and the totals pipeline runs
+    ONCE (the first draft broadcast a self-agg of per_user, which
+    re-planned the whole purchase scan + aggregate for the build side
+    — CLAUDE.md's qx34 rule, caught by the round-11 review: the
+    semi-join below only the probe side makes the subtrees
+    non-canonical, so exchange reuse can never fire).  The gate window
+    runs BEFORE the semi join — its population is all purchase users,
+    and the optimizer cannot push the semi below a whole-frame
+    window."""
     ev = _t(spark, sf_dir, "events")
 
     def channel(t: str) -> DataFrame:
@@ -3929,18 +3937,16 @@ def qx43_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             channel("purchase")
         )
     )
+    wall = Window.partitionBy()
     per_user = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(money("value")).alias("_tot"))
-    )
-    gate = per_user.agg(
-        F.sum("_tot").alias("_sum_all"),
-        F.count("*").cast("bigint").alias("_n_all"),
+        .withColumn("_sum_all", F.sum("_tot").over(wall))
+        .withColumn("_n_all", F.count("*").over(wall).cast("bigint"))
     )
     return (
         per_user.join(inter, "user_id", "left_semi")
-        .crossJoin(F.broadcast(gate))
         .filter(F.col("_tot") * F.col("_n_all") > F.col("_sum_all"))
         .select(
             "user_id", F.col("_tot").cast("double").alias("purchase_total")
@@ -3969,11 +3975,16 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
     costs one cheap materialization and saves a full second pipeline.
     CLAUDE.md's within-one-action rule holds only when the shared
     subtrees are IDENTICAL up to the exchange; this query is the
-    measured counter-case.  The year-adjacency is a post-join filter
-    on the custkey-only join (keying on (custkey, year+1) would hash
-    the sides differently by construction).  The doubling gate
-    compares EXACT decimals (rev2 > 2·rev1); doubles appear only at
-    the output boundary."""
+    measured counter-case.  The year-adjacency rides IN the join keys
+    — (custkey, year_a+1) vs (custkey, year_b) is a composite
+    equi-join (each key expression references one side only, so both
+    sides hash consistently); the first draft joined on custkey alone
+    and filtered adjacency post-join, enumerating |years|² pairs per
+    customer and discarding ~6/7 of them (round-11 review).  With the
+    pinned profile both join inputs are the tiny ExistingRDD, so the
+    per-side exchanges cost nothing.  The doubling gate compares EXACT
+    decimals (rev2 > 2·rev1); doubles appear only at the output
+    boundary."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -4014,8 +4025,11 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_orders").alias("orders_b"),
     )
     return (
-        a.join(b, F.col("c_custkey") == F.col("_ck"))
-        .filter(F.col("year_b") == F.col("year_a") + 1)
+        a.join(
+            b,
+            (F.col("c_custkey") == F.col("_ck"))
+            & (F.col("year_b") == F.col("year_a") + 1),
+        )
         .filter(
             F.col("_rev_b") > F.lit(2).cast(DECIMAL_MONEY) * F.col("_rev_a")
         )

@@ -97,11 +97,33 @@ def _conform_batches(batches, schema: StructType):
     Python DataSource ingest expects for ``schema``.  Spark 4 writes
     parquet timestamps as ``timestamp[ns]``, which the ingest rejects
     (UNSUPPORTED_ARROWTYPE Timestamp(NANOSECOND)) — round-11 fix: cast
-    mismatching columns to the ``to_arrow_schema`` types (ns→µs
-    truncation matches Spark's own parquet NANOS read semantics, hence
-    safe=False on exactly the mismatching columns)."""
+    mismatching columns to the ``to_arrow_schema`` types.  ns→µs uses
+    FLOOR division, hand-built: pyarrow's cast truncates toward zero,
+    which reads pre-epoch sub-µs timestamps 1 µs HIGHER than Spark's
+    own floored parquet NANOS read (round-11 review, verified on
+    -1500 ns → cast gives -1 µs, Spark/DuckDB give -2 µs); everything
+    else is a plain cast(safe=False) on exactly the mismatching
+    columns."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    def _conform_col(col, t):
+        if col.type == t:
+            return col
+        if (
+            pa.types.is_timestamp(col.type)
+            and col.type.unit == "ns"
+            and pa.types.is_timestamp(t)
+            and t.unit == "us"
+        ):
+            ns = col.cast(pa.int64())
+            q = pc.divide(ns, 1000)  # truncates toward zero
+            # floor adjust: negative inputs with a remainder go 1 lower
+            rem = pc.subtract(ns, pc.multiply(q, 1000))
+            adj = pc.cast(pc.less(rem, 0), pa.int64())
+            return pc.subtract(q, adj).cast(t)
+        return col.cast(t, safe=False)
 
     target = to_arrow_schema(schema)
     for batch in batches:
@@ -109,7 +131,7 @@ def _conform_batches(batches, schema: StructType):
             continue
         if batch.schema.types != target.types:
             arrays = [
-                col if col.type == t else col.cast(t, safe=False)
+                _conform_col(col, t)
                 for col, t in zip(batch.columns, target.types)
             ]
             batch = pa.RecordBatch.from_arrays(arrays, schema=target)

@@ -1330,3 +1330,49 @@ def test_qx29_scores_clear_of_rounding_boundaries(spark):
         assert dist_to_midpoint > 1e-12, (
             f"score {x!r} within 1e-12 of a rounding midpoint"
         )
+
+
+def test_topk_sketch_excludes_null_keys(spark):
+    """Round-11 review finding: a NULL input key would collide with
+    the sentinel encoding — surviving as a row every consumer reads as
+    the sentinel, and dropped from counters by topk_merge's
+    isNotNull() filter (breaking the absent-key bound after one
+    merge).  NULL keys are excluded at build: the summary, its error
+    and its N are those of the non-null-key rows only, and merges of
+    null-heavy chunks stay sound."""
+    import collections
+
+    from ros_sql_spark.operators.sketch import topk_sketch
+    from ros_sql_spark.streaming.sketch import topk_merge
+
+    rows = [("A", None)] * 500 + [("A", i % 10) for i in range(200)]
+    rows += [("B", None)] * 50  # group with ONLY null keys
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    k = 4
+    got = topk_sketch(df, "g", "k", k=k).collect()
+    # B contributed nothing countable: no rows at all (not even a
+    # sentinel), and A's err reflects only its 200 non-null rows
+    assert {r.g for r in got} == {"A"}
+    errs = {r.err for r in got}
+    assert all(e <= 200 // (k + 1) for e in errs), errs
+    true = collections.Counter(kk for g, kk in rows if g == "A" and kk is not None)
+    for r in got:
+        if r.k is not None:
+            assert r.c_low <= true[r.k] <= r.c_low + r.err, r
+    # merge of two null-heavy chunks keeps the guarantees
+    sks = [
+        topk_sketch(
+            spark.createDataFrame(rows[i::2], "g string, k bigint"),
+            "g", "k", k=k,
+        )
+        for i in range(2)
+    ]
+    m = topk_merge(sks[0], sks[1], "g", "k", k).collect()
+    merr = {r.g: r.err for r in m}
+    present = {(r.g, r.k) for r in m if r.k is not None}
+    for kk, c in true.items():
+        if ("A", kk) in present:
+            row = next(r for r in m if r.g == "A" and r.k == kk)
+            assert row.c_low <= c <= row.c_low + row.err
+        else:
+            assert c <= merr["A"], (kk, c, merr)

@@ -857,7 +857,11 @@ def test_qx43_intersect_semi_shape(spark):
     p = plan_of(spark, "qx43_channel_intersect")
     assert "CartesianProduct" not in p, p
     assert "LeftSemi" in p, p
-    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    # round-11 review fix: the Σ/n gate is a window over the per-user
+    # aggregate, NOT a broadcast self-agg — the purchase scan+aggregate
+    # pipeline must appear exactly once and nothing nest-loops
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("partial_sum(cast(value") == 1, p
 
 
 def test_qx44_profile_pinned_once(spark):

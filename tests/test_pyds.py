@@ -479,3 +479,33 @@ def test_pyds_remote_scheme_named_error(registered, tmp_path):
         df.write.format("rosql_snapshot").mode("append").save(
             "hdfs://nn/tbl"
         )
+
+
+def test_conform_batches_floors_ns_to_us(registered):
+    """Round-11 review: pyarrow's ns→µs cast truncates toward zero,
+    but Spark/DuckDB read parquet NANOS floored — a pre-epoch
+    timestamp with sub-µs nanos must floor (−1500 ns → −2 µs, not
+    −1 µs).  Spark-written tables are µs-grain so the branch is
+    dormant there, but the conform primitive is shared by every
+    reader and must match native semantics for any producer."""
+    import datetime as dt
+
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from ros_sql_spark.sources.pyds import _conform_batches
+
+    ns = pa.array([-1500, -999, -1000, 0, 999, 1001], pa.timestamp("ns"))
+    ids = pa.array([1, 2, 3, 4, 5, 6], pa.int64())
+    batch = pa.RecordBatch.from_arrays([ids, ns], ["doc_id", "ts"])
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("ts", TimestampType())]
+    )
+    out = list(_conform_batches(iter([batch]), schema))
+    assert len(out) == 1
+    got = out[0].column(1).cast(pa.int64()).to_pylist()
+    assert got == [-2, -1, -1, 0, 0, 1]  # floored, not truncated
+    # and the µs values round-trip as the datetimes Spark would show
+    assert out[0].column(1).to_pylist()[0] == dt.datetime(
+        1969, 12, 31, 23, 59, 59, 999998, tzinfo=dt.timezone.utc
+    )
