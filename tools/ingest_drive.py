@@ -74,6 +74,7 @@ def main() -> int:
         store = f"{work}/store"
         per = copies // n_super
         per_batch: list[float] = []
+        hh_sec: list[float] = []
         kept = dropped = seen = 0
         dedup_in = 0  # rows that reached the dedup ingest (labels grain)
         ledger_ok = True
@@ -118,6 +119,24 @@ def main() -> int:
             kept += st["n_kept"]
             dropped += st["n_dropped"]
             seen += st["n_batch"]
+            # heavy-hitters twin rides the same batch cadence (round
+            # 11): per-source top-text summaries merged into O(k)
+            # state per group, timed OUTSIDE per_batch so the dedup
+            # slope check stays pure
+            from ros_sql_spark.streaming.sketch import topk_sketch_batch
+
+            t0 = time.time()
+            topk_sketch_batch(
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ).select("source", F.md5("text").alias("key")),
+                b,
+                f"{work}/hh",
+                "source",
+                "key",
+                k=8,
+            )
+            hh_sec.append(round(time.time() - t0, 2))
 
         checks: dict[str, bool] = {}
         if curate_mode:
@@ -166,6 +185,57 @@ def main() -> int:
         early = sum(per_batch[1 : 1 + w]) / w
         late = sum(per_batch[-w:]) / w
         checks["per_batch_flat_within_2x"] = late <= 2 * early
+        # heavy-hitters twin at 100x: the drained merge chain must hold
+        # every MG guarantee against the EXACT full-corpus counts, and
+        # its per-batch cost must be flat too (O(k) state per group)
+        from ros_sql_spark.sources.snapshot import snapshot_read
+
+        hh = snapshot_read(spark, f"{work}/hh").localCheckpoint(eager=True)
+        keyed = docs.select("source", F.md5("text").alias("key"))
+        exact = (
+            keyed.groupBy("source", "key")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        surv = hh.filter(F.col("key").isNotNull())
+        bad_bounds = (
+            surv.join(exact, ["source", "key"])
+            .filter(
+                (F.col("c_low") > F.col("c"))
+                | (F.col("c") > F.col("c_low") + F.col("err"))
+            )
+            .count()
+        )
+        errs = hh.groupBy("source").agg(
+            F.max("err").alias("err"),
+            F.sum(
+                F.when(F.col("key").isNotNull(), 1).otherwise(0)
+            ).alias("n_keys"),
+        )
+        missing_heavy = (
+            exact.join(F.broadcast(errs.select("source", "err")), "source")
+            .filter(F.col("c") > F.col("err"))
+            .join(surv.select("source", "key"), ["source", "key"],
+                  "left_anti")
+            .count()
+        )
+        over = (
+            errs.join(
+                keyed.groupBy("source").agg(F.count("*").alias("n")),
+                "source",
+            )
+            .filter(
+                (F.col("err") > F.col("n") / 9) | (F.col("n_keys") > 8)
+            )
+            .count()
+        )
+        checks["hh_stream_bounds_hold"] = bad_bounds == 0
+        checks["hh_stream_no_heavy_key_missing"] = missing_heavy == 0
+        checks["hh_stream_err_and_state_bounded"] = over == 0
+        hw = max(1, min(3, (n_super - 1) // 2))
+        checks["hh_per_batch_flat_within_2x"] = (
+            sum(hh_sec[-hw:]) / hw <= 2 * (sum(hh_sec[1 : 1 + hw]) / hw)
+        )
         out = {
             "metric": "ingest_drive",
             "mode": "curate" if curate_mode else "setsim",
@@ -175,6 +245,7 @@ def main() -> int:
             "kept": kept,
             "synth_sec": synth_sec,
             "per_batch_sec": per_batch,
+            "hh_per_batch_sec": hh_sec,
             "checks": checks,
         }
         print(json.dumps(out))
