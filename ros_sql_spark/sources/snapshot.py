@@ -1546,11 +1546,19 @@ def snapshot_changes(
     overwrite/merge/replace_where histories where files alone cannot
     tell which rows changed.
     """
-    to_v = (
-        to_version
-        if to_version is not None
-        else _list_versions(spark, table)[-1]
-    )
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    to_v = to_version if to_version is not None else versions[-1]
+    # validate BOTH endpoints against retained versions up front — the
+    # manifest-direct reads below would otherwise surface a vacuumed
+    # from_version as a bare missing-file error (round-11 review note)
+    for v in (from_version, to_v):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not in retained versions {versions} of "
+                f"{table} (vacuumed?)"
+            )
     from pyspark.sql import functions as SF
     from pyspark.sql.types import StructType
 

@@ -1635,3 +1635,24 @@ def test_changes_empty_after_compaction_full_rewrite(spark, tmp_path):
         ("delete", 10, "a"), ("delete", 11, "a"),
         ("insert", 10, "upd"), ("insert", 11, "upd"),
     ]
+
+
+def test_changes_vacuumed_version_named_error(spark, tmp_path):
+    """A vacuumed (or never-existing) endpoint must fail with the
+    named retained-versions error, not a bare missing-manifest read."""
+    import pytest
+
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_changes,
+        snapshot_vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10, "a"), t)
+    snapshot_commit(_df(spark, 10, 20, "b"), t, mode="append")
+    snapshot_commit(_df(spark, 20, 30, "c"), t, mode="append")
+    snapshot_vacuum(spark, t, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="retained versions"):
+        snapshot_changes(spark, t, 1, 3)
+    with pytest.raises(FileNotFoundError, match="retained versions"):
+        snapshot_changes(spark, t, 3, 99)
