@@ -3914,17 +3914,30 @@ def qx43_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparing against a float average would put every boundary user
     one addition-reorder away from flipping.  Plan shape: the
     INTERSECTs compile to left-semi joins over distinct key sets (no
-    payload widening); the Σ/n gate is an UNPARTITIONED window over
-    the per-user aggregate — the post-agg frame is |users|-sized, so
-    the single-partition pass is cheap, and the totals pipeline runs
-    ONCE (the first draft broadcast a self-agg of per_user, which
-    re-planned the whole purchase scan + aggregate for the build side
-    — CLAUDE.md's qx34 rule, caught by the round-11 review: the
-    semi-join below only the probe side makes the subtrees
-    non-canonical, so exchange reuse can never fire).  The gate window
-    runs BEFORE the semi join — its population is all purchase users,
-    and the optimizer cannot push the semi below a whole-frame
-    window."""
+    payload widening); the Σ/n gate is a 1-ROW scalar aggregate
+    crossJoin-broadcast onto the per-user frame (qx21 idiom).  Two
+    rejected alternatives, both measured: (a) broadcast(self-agg of
+    the live per_user plan) re-plans the whole purchase scan+aggregate
+    for the build side (CLAUDE.md's qx34 rule — the semi below only
+    the probe side makes the subtrees non-canonical, exchange reuse
+    never fires); (b) the round-11 shipping version used an
+    unpartitioned window over per_user, which is a SinglePartition
+    SORT of a |purchase-users|-sized frame — fine at sf0.1, one task
+    sorting 10⁸–10⁹ rows at 100 TB (round-11 verdict's one `weak`).
+    The fix is the qx44 pin: per_user is eagerly localCheckpoint-ed
+    (tiny: one row per purchasing user, already aggregated), the
+    scalar (Σ, n) aggregate reads the PINNED frame so the purchase
+    pipeline still runs exactly once, and the gate rides a 1-row
+    BroadcastNestedLoopJoin — the only remaining SinglePartition
+    exchange is the scalar aggregate's own constant-rows-per-partition
+    combine, never a data-sized sort.  Gate population is all purchase
+    users (computed from the pinned frame BEFORE the semi join), same
+    as the window version.  Measured sf0.1 local[32] min-of-3 solo,
+    back-to-back same host: window 0.83 s, pinned+broadcast 0.89 s —
+    the eager pin costs ~7% locally (its materialization is inside
+    the timed region), which is the price of deleting the one shape
+    that cannot survive 100×; CLAUDE.md's bench-noise band swallows
+    the difference in-suite."""
     ev = _t(spark, sf_dir, "events")
 
     def channel(t: str) -> DataFrame:
@@ -3937,16 +3950,19 @@ def qx43_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             channel("purchase")
         )
     )
-    wall = Window.partitionBy()
     per_user = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(money("value")).alias("_tot"))
-        .withColumn("_sum_all", F.sum("_tot").over(wall))
-        .withColumn("_n_all", F.count("*").over(wall).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    gate = per_user.agg(
+        F.sum("_tot").alias("_sum_all"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_all"),
     )
     return (
-        per_user.join(inter, "user_id", "left_semi")
+        per_user.crossJoin(F.broadcast(gate))
+        .join(inter, "user_id", "left_semi")
         .filter(F.col("_tot") * F.col("_n_all") > F.col("_sum_all"))
         .select(
             "user_id", F.col("_tot").cast("double").alias("purchase_total")

@@ -852,16 +852,26 @@ def test_qx42_rollup_window_shape(spark):
 
 def test_qx43_intersect_semi_shape(spark):
     """Q14/Q38-class: the 3-channel INTERSECT compiles to semi joins
-    over distinct key sets (no payload widening), the Σ/n gate is a
-    1-row broadcast BNLJ, and nothing else nest-loops."""
+    over distinct key sets (no payload widening), and the Σ/n gate is
+    a 1-row scalar broadcast over the PINNED per-user aggregate
+    (round-12 fix: the round-11 version ran an unpartitioned window —
+    a SinglePartition SORT of a |users|-sized frame, the verdict's one
+    `weak`)."""
     p = plan_of(spark, "qx43_channel_intersect")
     assert "CartesianProduct" not in p, p
     assert "LeftSemi" in p, p
-    # round-11 review fix: the Σ/n gate is a window over the per-user
-    # aggregate, NOT a broadcast self-agg — the purchase scan+aggregate
-    # pipeline must appear exactly once and nothing nest-loops
-    assert "BroadcastNestedLoopJoin" not in p, p
-    assert p.count("partial_sum(cast(value") == 1, p
+    # the gate: exactly one nest-loop, and it is the 1-row identity
+    # broadcast (qx21 idiom) — never a data-sized build
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "IdentityBroadcastMode" in p, p
+    # per_user is checkpoint-pinned: the purchase scan+aggregate runs
+    # ONCE (outside this plan); both gate and probe read ExistingRDD
+    assert "ExistingRDD" in p, p
+    assert "partial_sum(cast(value" not in p, p
+    # the only SinglePartition is the scalar aggregate's combine
+    # (constant rows per partition) — never a Sort/Window over data
+    assert "Window" not in p, p
+    assert not re.search(r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p), p
 
 
 def test_qx44_profile_pinned_once(spark):
@@ -895,3 +905,57 @@ def test_qx45_qx46_qx47_round11_shapes(spark):
     assert "CartesianProduct" not in p and "Join" not in p, p
     assert "partial_" in p, p  # collect_list/bool aggs combine map-side
     assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
+
+
+# ---------------------------------------------------------------------------
+# Suite-wide invariants (round-12 directive #2): the SinglePartition
+# claim lived as SURVEY prose re-checked by hand, and a new hazard
+# (qx43's |users|-sized window) slipped in the same round the prose was
+# written.  This test compiles EVERY declared query and enforces the
+# allowlist mechanically.  Marked slow: ~150 plan compilations.
+# ---------------------------------------------------------------------------
+
+# Queries allowed to sort/window a single partition: the frame must be
+# provably CONSTANT-sized (not data-sized).  qx36's global window runs
+# over the month calendar (~|months| rows) — documented exception.
+_GLOBAL_SORT_ALLOW = {"qx36_revenue_growth"}
+
+# Parent node a SinglePartition exchange may feed outside the allowlist:
+# a KEYLESS aggregate combine — its input is one partial-agg row per
+# upstream partition (constant per partition), never the data itself.
+_SCALAR_COMBINE = re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
+
+
+@pytest.mark.slow
+def test_suite_wide_single_partition_allowlist(spark):
+    """Every `Exchange SinglePartition` in every declared plan must be
+    the combine stage of a 1-row scalar aggregate (parent = keyless
+    aggregate), unless the query is in the constant-frame allowlist.
+    Also re-asserts the two audit invariants that were previously
+    prose: zero CartesianProduct and zero row-at-a-time Python
+    (BatchEvalPython) anywhere in the suite."""
+    bad: list[str] = []
+    for name in sorted(QUERIES):
+        p = plan_of(spark, name)
+        if "CartesianProduct" in p:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in p:
+            bad.append(f"{name}: row-at-a-time Python (BatchEvalPython)")
+        lines = p.split("\n")
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            parent = lines[i - 1] if i else ""
+            if _SCALAR_COMBINE.search(parent):
+                continue  # benign: constant rows per partition
+            if name in _GLOBAL_SORT_ALLOW:
+                continue
+            bad.append(
+                f"{name}: SinglePartition feeding "
+                f"{parent.strip()[:80]!r} — a data-sized global "
+                "sort/window/exchange (one task at 100 TB); use the "
+                "qx43 pin+broadcast idiom or justify in the allowlist"
+            )
+    assert not bad, "\n".join(bad)
