@@ -2320,8 +2320,12 @@ ORACLES: dict[str, str] = {
     # integer arithmetic, bit-for-bit (the qx00/qx03/qx05 discipline)
     "qx41_heavy_hitters": """
         WITH counts AS (
+            -- round-12 advice: topk_sketch EXCLUDES NULL input keys at
+            -- build (a NULL heavy hitter is indistinguishable from the
+            -- merge sentinel); the oracle must mirror that, not rely
+            -- on the fixture having no NULL user_ids
             SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
-            FROM events GROUP BY 1, 2
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
         ), ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY event_type

@@ -123,6 +123,45 @@ def _conform_batches(batches, schema: StructType):
             rem = pc.subtract(ns, pc.multiply(q, 1000))
             adj = pc.cast(pc.less(rem, 0), pa.int64())
             return pc.subtract(q, adj).cast(t)
+        # round-12 advice fix: a timestamp[ns] NESTED inside a struct or
+        # (large_)list must get the same floored conversion — the plain
+        # cast would truncate toward zero and reintroduce the pre-epoch
+        # 1 µs off-by-one for third-party producers.  Rebuild the
+        # container around recursively-conformed children, preserving
+        # the container's own validity bitmap.
+        if pa.types.is_struct(col.type) and pa.types.is_struct(t):
+            kids = [
+                _conform_col(col.field(i), t.field(i).type)
+                for i in range(t.num_fields)
+            ]
+            return pa.StructArray.from_arrays(
+                kids, fields=list(t), mask=pc.is_null(col)
+            )
+        if (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)) and (
+            pa.types.is_list(t) or pa.types.is_large_list(t)
+        ):
+            # conform the flat child values, rebuild around the same
+            # list structure.  Offsets are rebased to 0 (from_arrays
+            # rejects a validity mask with sliced offsets) and the
+            # values window sliced to match.
+            off_t = pa.int64() if pa.types.is_large_list(t) else pa.int32()
+            start = col.offsets[0].as_py()
+            offsets = (
+                pc.subtract(col.offsets, col.offsets[0])
+                if start
+                else col.offsets
+            ).cast(off_t)
+            vals = col.values.slice(start) if start else col.values
+            cls = (
+                pa.LargeListArray
+                if pa.types.is_large_list(t)
+                else pa.ListArray
+            )
+            return cls.from_arrays(
+                offsets,
+                _conform_col(vals, t.value_type),
+                mask=pc.is_null(col) if col.null_count else None,
+            )
         return col.cast(t, safe=False)
 
     target = to_arrow_schema(schema)
@@ -136,6 +175,78 @@ def _conform_batches(batches, schema: StructType):
             ]
             batch = pa.RecordBatch.from_arrays(arrays, schema=target)
         yield batch
+
+
+_EPOCH_UTC = None  # lazily built datetime(1970,1,1,UTC)
+
+
+def _dt_to_epoch_us(value) -> int:
+    """tz-aware datetime → integer epoch microseconds (exact: pure
+    timedelta arithmetic, no float seconds)."""
+    import datetime as dt
+
+    global _EPOCH_UTC
+    if _EPOCH_UTC is None:
+        _EPOCH_UTC = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    d = value - _EPOCH_UTC
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
+def _ts_filter_expr(kind: str, colname: str, epoch_us: int, ftype):
+    """Build the pyarrow dataset expression for a pushed TIMESTAMP
+    comparison, exact against Spark's read semantics (round-12, closing
+    the round-11 allowlist fallback).
+
+    Spark compares in the µs domain AFTER this reader's conform step:
+    ns storage is FLOOR-divided to µs, s/ms storage widens exactly.
+    Arrow timestamp storage is always an epoch count (the tz label is
+    display metadata; naive columns are treated as UTC instants by the
+    conform cast), so the comparison is pure integer logic against the
+    file's own (unit, tz) type — the scalar is built IN that type,
+    which is what made the naive version crash with kernel-mismatch
+    (round-11 advice).  The pushed boundary X is µs-grain (Spark
+    TimestampType precision), so for ns files the five comparisons
+    translate to half-open ns ranges (floor(t/1000) > X ⟺
+    t ≥ (X+1)·1000, etc.); for s/ms files to floor/ceil-adjusted
+    boundaries; equality against a non-unit-aligned boundary is
+    provably empty."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fld = pc.field(colname)
+
+    def sc(n: int):
+        return pa.scalar(n, type=ftype)
+
+    if ftype.unit == "ns":
+        lo, hi = epoch_us * 1000, (epoch_us + 1) * 1000
+        return {
+            "GreaterThan": fld >= sc(hi),
+            "GreaterThanOrEqual": fld >= sc(lo),
+            "LessThan": fld < sc(lo),
+            "LessThanOrEqual": fld < sc(hi),
+            "EqualTo": (fld >= sc(lo)) & (fld < sc(hi)),
+        }[kind]
+    if ftype.unit == "us":
+        v = sc(epoch_us)
+        return {
+            "GreaterThan": fld > v,
+            "GreaterThanOrEqual": fld >= v,
+            "LessThan": fld < v,
+            "LessThanOrEqual": fld <= v,
+            "EqualTo": fld == v,
+        }[kind]
+    k = 1_000_000 if ftype.unit == "s" else 1_000  # coarse units
+    q, r = divmod(epoch_us, k)  # Python divmod floors (negatives too)
+    if kind == "GreaterThan":
+        return fld > sc(q)
+    if kind == "GreaterThanOrEqual":
+        return fld >= sc(q + (1 if r else 0))
+    if kind == "LessThan":
+        return fld < sc(q + (1 if r else 0))
+    if kind == "LessThanOrEqual":
+        return fld <= sc(q)
+    return fld == sc(q) if r == 0 else pc.scalar(False)
 
 
 class _SnapshotReader(DataSourceReader):
@@ -157,6 +268,7 @@ class _SnapshotReader(DataSourceReader):
             return
         import pyarrow.dataset as pads
 
+        ds = pads.dataset(_local(partition.path), format="parquet")
         expr = None
         if self._pushed:
             import pyarrow.compute as pc
@@ -170,10 +282,14 @@ class _SnapshotReader(DataSourceReader):
                 "IsNull": lambda c, v: pc.field(c).is_null(),
                 "IsNotNull": lambda c, v: ~pc.field(c).is_null(),
             }
-            for kind, colname, value in self._pushed:
-                e = ops[kind](colname, value)
+            for kind, colname, value, is_ts in self._pushed:
+                if is_ts:
+                    e = _ts_filter_expr(
+                        kind, colname, value, ds.schema.field(colname).type
+                    )
+                else:
+                    e = ops[kind](colname, value)
                 expr = e if expr is None else (expr & e)
-        ds = pads.dataset(_local(partition.path), format="parquet")
         cols = [f.name for f in self._schema.fields]
         yield from _conform_batches(
             ds.to_batches(columns=cols, filter=expr), self._schema
@@ -194,6 +310,8 @@ class _SnapshotPushdownReader(_SnapshotReader):
         exact (row-level, not just row-group stats), so handled filters
         are NOT returned for re-evaluation.  Nested/struct columns and
         other filter shapes fall back to Spark."""
+        import datetime as dt
+
         from pyspark.sql.types import (
             BooleanType,
             ByteType,
@@ -202,21 +320,28 @@ class _SnapshotPushdownReader(_SnapshotReader):
             LongType,
             ShortType,
             StringType,
+            TimestampType,
         )
 
         rest = []
         # Pushdown is an explicit ALLOWLIST of types whose pyarrow
         # comparison semantics are verified to match Spark's:
-        # integrals, string, boolean, date.  Float/double stay
-        # Spark-side (Arrow evaluates every NaN comparison false where
-        # Spark orders NaN above all numbers — a pushed float filter
-        # would silently drop NaN rows, round-10 review).  Timestamps
-        # stay Spark-side too: the pyarrow scalar built from the pushed
-        # Python datetime need not match the parquet column's unit/tz
-        # and CRASHES every task with ArrowNotImplementedError
-        # ('greater' has no kernel for (timestamp[ns],
-        # timestamp[s, tz=UTC])) — round-11 advice.  Anything outside
-        # the allowlist falls back to a normal Spark Filter.
+        # integrals, string, boolean, date, timestamp.  Float/double
+        # stay Spark-side (Arrow evaluates every NaN comparison false
+        # where Spark orders NaN above all numbers — a pushed float
+        # filter would silently drop NaN rows, round-10 review).
+        # Timestamp comparisons — the single most common predicate on
+        # event tables — are translated per-file by _ts_filter_expr
+        # (round-12): the boundary scalar is built in the file column's
+        # own (unit, tz) type from the instant's integer epoch count,
+        # with floor-exact boundary adjustment for ns/s/ms grains, so
+        # the round-11 kernel-mismatch crash class is structurally gone
+        # and a pushed time-range scan prunes parquet row groups
+        # instead of decoding them all.  The pushed value must be a
+        # tz-aware datetime (Spark sends the instant with its session
+        # zone attached); a naive value has no defined instant and
+        # falls back to a Spark Filter, as does TimestampNTZ.  Anything
+        # outside the allowlist falls back to a normal Spark Filter.
         _PUSHABLE = (
             BooleanType,
             ByteType,
@@ -231,26 +356,39 @@ class _SnapshotPushdownReader(_SnapshotReader):
             for f in self._schema.fields
             if isinstance(f.dataType, _PUSHABLE)
         }
+        ts_fields = {
+            f.name
+            for f in self._schema.fields
+            if isinstance(f.dataType, TimestampType)
+        }
+        _CMP = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
         for f in filters:
-            ok = (
-                isinstance(
-                    f,
-                    (
-                        EqualTo,
-                        GreaterThan,
-                        GreaterThanOrEqual,
-                        LessThan,
-                        LessThanOrEqual,
-                        IsNull,
-                        IsNotNull,
-                    ),
-                )
+            if not (
+                isinstance(f, _CMP + (IsNull, IsNotNull))
                 and len(f.attribute) == 1
-                and f.attribute[0] in fields
-            )
-            if ok:
+            ):
+                rest.append(f)
+                continue
+            col = f.attribute[0]
+            value = getattr(f, "value", None)
+            if col in fields or (
+                col in ts_fields and isinstance(f, (IsNull, IsNotNull))
+            ):
+                self._pushed.append((type(f).__name__, col, value, False))
+            elif (
+                col in ts_fields
+                and isinstance(f, _CMP)
+                and isinstance(value, dt.datetime)
+                and value.tzinfo is not None
+            ):
                 self._pushed.append(
-                    (type(f).__name__, f.attribute[0], getattr(f, "value", None))
+                    (type(f).__name__, col, _dt_to_epoch_us(value), True)
                 )
             else:
                 rest.append(f)

@@ -423,12 +423,13 @@ def test_pyds_pushdown_keeps_float_filters_spark_side(registered, tmp_path):
     assert not re.search(r"\bFilter ", plan), plan
 
 
-def test_pyds_pushdown_timestamp_stays_spark_side(registered, tmp_path):
-    """Round-11 advice: a pushed timestamp comparison crashed every
-    task (pyarrow scalar built from the Python datetime need not match
-    the parquet column's unit/tz — ArrowNotImplementedError).  The
-    allowlist keeps timestamp filters Spark-side; the read must give
-    the same rows as the native path instead of crashing."""
+def test_pyds_pushdown_timestamp_pushes_to_worker(registered, tmp_path):
+    """Round-12 (closes round-11's allowlist fallback): a timestamp
+    range filter — the most common predicate on event tables — must be
+    FULLY handled by the connector (no residual Spark Filter node), by
+    building the boundary scalar in the file column's own (unit, tz)
+    type instead of letting pyarrow infer one from the datetime (the
+    round-11 kernel-mismatch crash)."""
     import datetime as dt
 
     spark = registered
@@ -452,9 +453,10 @@ def test_pyds_pushdown_timestamp_stays_spark_side(registered, tmp_path):
         .option("pushdown", "true")
         .load(t)
         .filter(F.col("ts") > F.lit(cut))
-        .select("doc_id")
+        .select("doc_id")  # ts filtered but NOT projected — the
+        # pruned-read + fully-pushed-filter combination
     )
-    got = sorted(r.doc_id for r in q.collect())  # must not crash
+    got = sorted(r.doc_id for r in q.collect())
     want = sorted(
         r.doc_id
         for r in snapshot_read(spark, t)
@@ -463,6 +465,86 @@ def test_pyds_pushdown_timestamp_stays_spark_side(registered, tmp_path):
         .collect()
     )
     assert got == want == [2, 3]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bFilter ", plan), (
+        "timestamp filter must be fully pushed (no Spark-side "
+        "re-evaluation):\n" + plan
+    )
+
+
+def _commit_ns_file(tmp_path, ns_values):
+    """Hand-write a TIMESTAMP(NANOS) parquet (third-party producer
+    shape) and publish it as a snapshot table."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ros_sql_spark.sources.snapshot import snapshot_commit_staged_files
+
+    t = str(tmp_path / "ns_tbl")
+    staged = str(tmp_path / "staged.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(ns_values) + 1), pa.int64()),
+            "ts": pa.array(ns_values, pa.timestamp("ns", tz="UTC")),
+        }
+    )
+    papq.write_table(tbl, staged, store_schema=False)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("ts", TimestampType())]
+    )
+    assert snapshot_commit_staged_files(t, [staged], schema.json())
+    return t
+
+
+def test_pyds_pushdown_timestamp_ns_floor_boundary(registered, tmp_path):
+    """The pushed comparison must match Spark's post-FLOOR µs domain
+    exactly on a ns-grain file: the advice repro −1500 ns floors to
+    −2 µs, so `ts >= −2 µs` keeps it, `ts > −2 µs` drops it, and
+    `ts == −2 µs` matches the whole [−2000, −1001] ns bucket — all
+    evaluated worker-side with no residual Filter."""
+    import datetime as dt
+
+    spark = registered
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        pytest.skip("filter pushdown conf off in this session")
+    # ns values: floors to µs = [-2, -1, -1, 0, 0, 1]
+    t = _commit_ns_file(tmp_path, [-1500, -999, -1000, 0, 999, 1001])
+    cut = dt.datetime(1969, 12, 31, 23, 59, 59, 999998, tzinfo=dt.timezone.utc)
+
+    def ids(cond):
+        q = (
+            spark.read.format("rosql_snapshot")
+            .option("pushdown", "true")
+            .load(t)
+            .filter(cond)
+            .select("doc_id")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bFilter ", plan), plan
+        return sorted(r.doc_id for r in q.collect())
+
+    assert ids(F.col("ts") >= F.lit(cut)) == [1, 2, 3, 4, 5, 6]
+    assert ids(F.col("ts") > F.lit(cut)) == [2, 3, 4, 5, 6]
+    assert ids(F.col("ts") == F.lit(cut)) == [1]
+    assert ids(F.col("ts") <= F.lit(cut)) == [1]
+    assert ids(F.col("ts") < F.lit(cut)) == []
+    # and the same rows as the unpushed connector read (conform-floored)
+    plain = (
+        spark.read.format("rosql_snapshot")
+        .load(t)
+        .filter(F.col("ts") >= F.lit(cut))
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in plain.collect()) == [1, 2, 3, 4, 5, 6]
 
 
 def test_pyds_remote_scheme_named_error(registered, tmp_path):
@@ -509,3 +591,62 @@ def test_conform_batches_floors_ns_to_us(registered):
     assert out[0].column(1).to_pylist()[0] == dt.datetime(
         1969, 12, 31, 23, 59, 59, 999998, tzinfo=dt.timezone.utc
     )
+
+
+def test_conform_batches_floors_nested_ns(registered):
+    """Round-12 advice: a timestamp[ns] nested inside a struct or list
+    column must get the same FLOORED ns→µs conversion as a top-level
+    one — the plain cast fallback truncated toward zero, reintroducing
+    the pre-epoch 1 µs off-by-one for third-party producers."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ros_sql_spark.sources.pyds import _conform_batches
+
+    ns_t = pa.timestamp("ns")
+    st = pa.array(
+        [{"t": -1500, "k": 1}, None, {"t": 999, "k": 3}],
+        pa.struct([("t", ns_t), ("k", pa.int64())]),
+    )
+    ls = pa.array([[-1500, -999], None, [1001]], pa.list_(ns_t))
+    ids = pa.array([1, 2, 3], pa.int64())
+    batch = pa.RecordBatch.from_arrays([ids, st, ls], ["doc_id", "s", "a"])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(
+                "s",
+                StructType(
+                    [
+                        StructField("t", TimestampType()),
+                        StructField("k", LongType()),
+                    ]
+                ),
+            ),
+            StructField("a", ArrayType(TimestampType())),
+        ]
+    )
+    out = list(_conform_batches(iter([batch]), schema))
+    assert len(out) == 1
+    s_col, a_col = out[0].column(1), out[0].column(2)
+    # struct: floored (not truncated), container nulls preserved
+    assert s_col[1].as_py() is None
+    assert int(s_col[0]["t"].cast(pa.int64()).as_py()) == -2
+    assert int(s_col[2]["t"].cast(pa.int64()).as_py()) == 0
+    assert s_col[0]["k"].as_py() == 1 and s_col[2]["k"].as_py() == 3
+    # list: floored elementwise, null entry preserved
+    assert a_col[1].as_py() is None
+    flat = a_col.flatten().cast(pa.int64()).to_pylist()
+    assert flat == [-2, -1, 1]
+    # and a SLICED nested batch (offsets not starting at 0) conforms too
+    sliced = batch.slice(1)
+    out2 = list(_conform_batches(iter([sliced]), schema))
+    a2 = out2[0].column(2)
+    assert a2[0].as_py() is None
+    assert a2.flatten().cast(pa.int64()).to_pylist() == [1]

@@ -125,6 +125,7 @@ def main() -> int:
             # slope check stays pure
             from ros_sql_spark.streaming.sketch import topk_sketch_batch
 
+            HH_K = 8  # one binding for the sketch AND its bound checks
             t0 = time.time()
             topk_sketch_batch(
                 docs.filter(
@@ -134,7 +135,7 @@ def main() -> int:
                 f"{work}/hh",
                 "source",
                 "key",
-                k=8,
+                k=HH_K,
             )
             hh_sec.append(round(time.time() - t0, 2))
 
@@ -225,7 +226,8 @@ def main() -> int:
                 "source",
             )
             .filter(
-                (F.col("err") > F.col("n") / 9) | (F.col("n_keys") > 8)
+                (F.col("err") > F.col("n") / (HH_K + 1))
+                | (F.col("n_keys") > HH_K)
             )
             .count()
         )
