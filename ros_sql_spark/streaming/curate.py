@@ -56,10 +56,35 @@ Semantics vs batch ``curate()`` (documented, tested):
   case: a text dup of a published doc usually carries a near-identical
   embedding too, putting the published doc in the semantic cluster);
   the labels table tracks TEXT-dedup clusters only, so semantic drops
-  are not covered by its published-canonical invariant.  Mixture (cumulative token budgets) stays batch-only: its
-  budget must count post-dedup tokens of the FINAL corpus, which a
-  stream cannot know until its dedup decisions land — a pre-dedup
-  budget would overfill by the duplicate rate.
+  are not covered by its published-canonical invariant.
+- **mixture** (optional ``budgets``, round-12 — the last batch-only
+  stage gets a continuous twin): per-source token budgets are spent
+  against the RUNNING POST-DEDUP spend of the published corpus, so
+  the duplicate-rate overfill a pre-dedup budget would suffer cannot
+  happen — the stage runs strictly AFTER this batch's docs commit, on
+  exactly the batch docs that were published, and its state is a
+  ninth snapshot table ``mix`` ((batch_id, doc_id, source, n_tok),
+  one row per doc admitted to the mix) under the same ``batch:<id>``
+  watermark.  Each batch reads the PRE-batch spend (sum of n_tok per
+  source — an O(sources) bounded collect over the increment-append
+  table), subtracts it from the budgets driver-side, and applies the
+  BATCH operator (``token_budget_mix``: same id-ascending order, same
+  keep-iff-tokens-BEFORE-fit boundary rule) with the residual
+  budgets.  Spending kept-doc tokens only is EXACTLY the batch cum
+  semantics: before a source crosses its budget every ordered doc is
+  kept (spend == full prefix sum); the crossing doc is admitted and
+  pushes spend >= budget; after it the residual budget is 0 forever —
+  precisely the batch rule that every doc after the boundary drops.
+  EQUIVALENCE REGIME (tested): drained-stream mix == batch
+  ``curate(budgets=...)`` whenever batches arrive in per-source
+  id-ascending order (the natural ingest cadence) and the dedup twins
+  agree; out-of-order arrival spends in ARRIVAL order — the
+  documented never-retro-edit divergence, same class as
+  boilerplate/span batch-locality.  Unlike batch curate() (whose
+  output frame IS post-mixture), the published corpus stays the full
+  dedup survivor set and the mix is a SELECTION over it
+  (``curate_mix_read`` = docs ∩ mix) — recipes can be re-spent from
+  the corpus without re-ingesting.
 
 LEDGER (the observation-ledger reconciliation the batch pipeline gets
 from CollectMetrics): a sixth snapshot table ``ledger`` appends one
@@ -100,11 +125,13 @@ __all__ = [
     "curate_ingest_stream",
     "curate_ledger_read",
     "curate_corpus_read",
+    "curate_mix_read",
 ]
 
 _T_LEDGER = "ledger"
 _T_VECS = "vecs"
 _T_VBUCKETS = "vbuckets"
+_T_MIX = "mix"
 
 _LEDGER_SCHEMA = (
     "batch_id bigint, n_batch bigint, n_boilerplate bigint, "
@@ -138,6 +165,9 @@ def curate_ingest_batch(
     embedding_col: str = "embedding",
     embedding_dim: int = 64,
     cosine_threshold: float = 0.7,
+    budgets: dict[str, int] | None = None,
+    budget_source_col: str = "source",
+    budget_token_col=None,
 ) -> dict:
     """Curate one micro-batch into the corpus at ``store`` (the five
     setsim-ingest tables + ``ledger``; with ``embeddings`` also
@@ -487,6 +517,82 @@ def curate_ingest_batch(
                 tag=f"batch:{batch_id}",
             )
 
+    # 3. streaming mixture (module docstring): spend per-source token
+    #    budgets against the RUNNING post-dedup spend, on exactly this
+    #    batch's PUBLISHED docs — never pre-dedup, so the duplicate
+    #    rate can't overfill a budget.  State = the ``mix`` table; the
+    #    pre-batch spend comes from _pre_state's time travel, so a
+    #    crash replay re-spends against the same balance it saw the
+    #    first time (deterministic kept set, idempotent commit).
+    if budgets is not None:
+        if budget_source_col not in batch_df.columns:
+            raise ValueError(
+                f"curate mixture mode needs {budget_source_col!r} on the "
+                "input batch (budgets are per-source)"
+            )
+        mix_pre, mix_done = _pre_state(spark, f"{store}/{_T_MIX}", batch_id)
+        if not mix_done:
+            from ros_sql_spark.functions.text import token_count_bpe
+            from ros_sql_spark.operators.sampling import token_budget_mix
+
+            # this batch's published survivors, with CLEANED text (the
+            # token count the batch pipeline budgets) + arrival source.
+            # Unique-ids-across-the-stream is the ingest contract, so
+            # cur ∩ docs is exactly this batch's kept set.
+            pub = (
+                cur.join(
+                    snapshot_read(spark, f"{store}/{_T_DOCS}").select(
+                        id_col
+                    ),
+                    id_col,
+                    "left_semi",
+                )
+                .join(
+                    batch_df.select(
+                        F.col(id_col).cast("bigint").alias(id_col),
+                        F.col(budget_source_col).alias("source"),
+                    ),
+                    id_col,
+                )
+            )
+            # O(sources) bounded collect — mixtures are O(10²) sources
+            # by contract (token_budget_mix broadcasts them as a map)
+            spent: dict = {}
+            if mix_pre is not None:
+                spent = {
+                    r["source"]: r["t"]
+                    for r in mix_pre.groupBy("source")
+                    .agg(F.sum("n_tok").alias("t"))
+                    .collect()
+                }
+            residual = {
+                s: max(0, int(b) - int(spent.get(s, 0)))
+                for s, b in budgets.items()
+            }
+            tok = (
+                budget_token_col
+                if budget_token_col is not None
+                else token_count_bpe(text_col)
+            )
+            kept_mix = token_budget_mix(
+                pub,
+                residual,
+                token_col=tok,
+                source_col="source",
+                id_col=id_col,
+            ).select(
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                F.col(id_col).cast("bigint").alias(id_col),
+                "source",
+                F.col("_n_tok").alias("n_tok"),
+            )
+            snapshot_commit(
+                kept_mix,
+                f"{store}/{_T_MIX}",
+                mode="append",
+                tag=f"batch:{batch_id}",
+            )
+
     row = {
         "batch_id": batch_id,
         "n_batch": n_batch,
@@ -569,6 +675,21 @@ def curate_ledger_read(spark: SparkSession, store: str) -> DataFrame:
     per row n_batch == sum of stage drops + n_kept; across rows
     sum(n_kept) == rows of :func:`setsim_corpus_read`."""
     return snapshot_read(spark, f"{store}/{_T_LEDGER}")
+
+
+def curate_mix_read(
+    spark: SparkSession, store: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The training MIX as of now: the published corpus restricted to
+    the docs the streaming mixture stage admitted (docs ∩ mix), plus
+    each doc's source and budgeted token count — the streaming twin of
+    batch ``curate(budgets=...)``'s output frame.  Per-source spend =
+    ``sum(n_tok)`` grouped on source; the running balance every batch
+    spent against is this aggregate at the pre-batch version."""
+    mix = snapshot_read(spark, f"{store}/{_T_MIX}")
+    return setsim_corpus_read(spark, store).join(
+        mix.select(id_col, "source", "n_tok"), id_col
+    )
 
 
 def curate_corpus_read(spark: SparkSession, store: str) -> DataFrame:

@@ -657,3 +657,125 @@ def test_streaming_curate_edge_inputs_ledger_identity(spark, tmp_path):
     )
     kept = {r.doc_id for r in curate_corpus_read(spark, store).collect()}
     assert kept == {4} and row["n_kept"] == 1
+
+
+def test_streaming_curate_mixture_equals_batch(spark, tmp_path):
+    """Round-12: the streaming mixture twin.  Same corpus regime as
+    the main twin test plus a source column; the 'code' budget is
+    sized to exhaust DURING batch 2, so equality proves the running
+    spend carries across batches (not just per-batch budgeting).
+    Sources: survivors get 'code', everything else 'web' (big budget),
+    and the unlisted source 'forum' must vanish from the mix while
+    staying in the corpus."""
+    rows1 = _mk_batch(0, first=True)
+    rows2 = _mk_batch(100, first=False)
+
+    def src_of(doc_id: int, base: int) -> str:
+        off = doc_id - base
+        if 30 <= off < 35:
+            return "code"     # the plain unique survivors
+        if off < 6:
+            return "forum"    # header docs: unlisted -> out of mix
+        return "web"
+
+    rows = [(i, t, src_of(i, 0 if i < 100 else 100)) for i, t in rows1 + rows2]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+
+    # budget sized from the DATA (not hand-predicted token counts):
+    # 1.2x one batch's code tokens -> batch-1 code all kept, batch-2
+    # exhausts after ~1-2 docs
+    from ros_sql_spark.functions.text import token_count_bpe
+
+    code1 = docs.filter(
+        (F.col("source") == "code") & (F.col("doc_id") < 100)
+    ).agg(F.sum(token_count_bpe("text")).alias("t")).collect()[0]["t"]
+    budgets = {"code": int(1.2 * code1), "web": 10_000_000}
+
+    res = curate(
+        docs,
+        near_dup_threshold=0.5,
+        near_dup_method="setsim",
+        shingle_k=5,
+        boilerplate_passage_tokens=10,
+        budgets=budgets,
+        **_POLICY,
+    )
+    batch_kept = {
+        (r.doc_id, r.text)
+        for r in res.docs.select("doc_id", "text").collect()
+    }
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [r for r in rows if r[0] < 100], docs.schema
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [r for r in rows if r[0] >= 100], docs.schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "store")
+    q = curate_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src),
+        store,
+        checkpoint_path=str(tmp_path / "ck1"),
+        threshold=0.5,
+        k=5,
+        budgets=budgets,
+        **_POLICY,
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    from ros_sql_spark.streaming.curate import curate_mix_read
+
+    mix = curate_mix_read(spark, store).collect()
+    assert {(r.doc_id, r.text) for r in mix} == batch_kept
+
+    # cross-batch spend engaged: batch 1's five code docs all kept,
+    # batch 2 only until the budget crossed — strictly between
+    n_code = sum(1 for r in mix if r.source == "code")
+    assert 5 < n_code < 10, n_code
+    # unlisted source absent from the mix, present in the corpus
+    assert all(r.source != "forum" for r in mix)
+    corpus_ids = {
+        r.doc_id for r in curate_corpus_read(spark, store).collect()
+    }
+    assert any(
+        i for (i, _t, s) in rows if s == "forum" and i in corpus_ids
+    )
+    # the mix is a SELECTION over the published corpus (docstring)
+    assert {r.doc_id for r in mix} <= corpus_ids
+    # per-source spend never exceeds budget by more than one boundary
+    # doc (the keep-iff-tokens-BEFORE-fit rule)
+    spend = {}
+    for r in mix:
+        spend[r.source] = spend.get(r.source, 0) + r.n_tok
+    for s, spent in spend.items():
+        over = spent - budgets[s]
+        assert over <= max(r.n_tok for r in mix if r.source == s), (s, over)
+
+    # redelivery from a fresh checkpoint: mix versions untouched
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    v = snapshot_versions(spark, f"{store}/mix")[-1]
+    q2 = curate_ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src),
+        store,
+        checkpoint_path=str(tmp_path / "ck2"),
+        threshold=0.5,
+        k=5,
+        budgets=budgets,
+        **_POLICY,
+    )
+    q2.awaitTermination(240)
+    assert snapshot_versions(spark, f"{store}/mix")[-1] == v
+    assert {
+        (r.doc_id, r.text) for r in curate_mix_read(spark, store).collect()
+    } == batch_kept
