@@ -2520,6 +2520,94 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id
     """,
+    # bounded-depth BFS min-hops: the suite's first RECURSIVE-CTE
+    # oracle.  UNION (deduplicating) recursion mirrors the Spark
+    # side's per-level distinct — UNION ALL would enumerate paths
+    "qx48_bfs_reach": """
+        WITH RECURSIVE pair AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+            SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pair
+            UNION ALL
+            SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pair
+        ), reach(node, hops) AS (
+            SELECT c_custkey * 2, 0 FROM customer WHERE c_nationkey = 1
+            UNION
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.hops < 3
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+    """,
+    # relational division, data-driven divisor: per-user distinct-type
+    # count equals the corpus-wide distinct-type count.  Exact integer
+    # gate; decimal purchase totals; double only at the boundary
+    "qx49_division": """
+        WITH per AS (
+            SELECT user_id,
+                   count(DISTINCT event_type) AS nt,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS tot
+            FROM events GROUP BY user_id
+        ), d AS (
+            SELECT count(DISTINCT event_type) AS nd FROM events
+        )
+        SELECT p.user_id, p.n_events,
+               CAST(p.tot AS DOUBLE) AS purchase_total
+        FROM per p, d WHERE p.nt = d.nd
+    """,
+    # chi-square independence: terms from exact BIGINT counts with a
+    # FIXED double op order (products < 2^53 where exactness matters),
+    # per-term round(9), associative DECIMAL sum, final round(6)
+    "qx50_chisq_independence": """
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY lang, source
+        ), rmar AS (
+            SELECT lang, sum(c) AS r FROM cells GROUP BY lang
+        ), cmar AS (
+            SELECT source, sum(c) AS k FROM cells GROUP BY source
+        ), tot AS (
+            SELECT sum(c) AS n,
+                   CAST((count(DISTINCT lang) - 1)
+                        * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+            FROM cells
+        )
+        SELECT round(CAST(sum(CAST(round(
+                   (CAST(t.n AS DOUBLE) * ce.c - CAST(rm.r AS DOUBLE) * cm.k)
+                   * (CAST(t.n AS DOUBLE) * ce.c - CAST(rm.r AS DOUBLE) * cm.k)
+                   / (CAST(t.n AS DOUBLE) * CAST(rm.r AS DOUBLE) * CAST(cm.k AS DOUBLE)),
+                   9) AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+               t.dof AS dof, CAST(t.n AS BIGINT) AS n
+        FROM cells ce
+        JOIN rmar rm ON ce.lang = rm.lang
+        JOIN cmar cm ON ce.source = cm.source
+        CROSS JOIN tot t
+        GROUP BY t.dof, t.n
+    """,
+    # time-weighted average: exact µs segment durations (lead over the
+    # (µs, event_id) total order), DECIMAL value·duration products,
+    # one deterministic double division at the end
+    "qx51_twap": """
+        WITH seg AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY epoch_us(ts), event_id
+                   ) - epoch_us(ts) AS dus
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT user_id, day,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               round(CAST(sum(v * dus) AS DOUBLE) / sum(dus), 6) AS twap
+        FROM seg WHERE dus IS NOT NULL
+        GROUP BY user_id, day
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -4185,6 +4185,204 @@ def qx47_seq_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx48_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (min-hops) over the bipartite customer↔
+    supplier trade graph (qx29's node encoding) from a nation-seeded
+    frontier — the shortest-path/reachability primitive the graph
+    family lacked (components answers "connected to WHOM", pagerank
+    "how CENTRAL"; this answers "how FAR").
+
+    Spark-first shape: the depth bound is a STATIC 3, so the traversal
+    unrolls into three frontier⋈edges joins inside ONE declarative
+    plan — no driver loop.  The per-level ``distinct`` is the
+    UNION-dedup recursion (not UNION ALL): it keeps every frontier
+    |V|-bounded, so a dense bipartite graph costs 3 edge-sized hash
+    shuffles instead of enumerating the exponentially-many paths.
+    min-hops = one groupBy MIN over the union of hop-labeled levels.
+    The edge list is LAZILY checkpoint-pinned (graph.py's pagerank
+    precedent): the three hop joins consume edges under non-identical
+    frontier siblings, so exchange reuse never fires — measured at
+    sf0.1: ReusedExchange count 0 and lineitem scanned 12× unpinned;
+    pin 2.14 s vs unpinned 2.61 s solo min-of-2, and at 100 TB the
+    unpinned shape re-scans the fact table per hop per union side.
+    Oracle: DuckDB ``WITH RECURSIVE … UNION`` (the deduplicating form)
+    under the same depth bound — the suite's first recursive-CTE
+    oracle, value-exact (pure integers)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .dropDuplicates(["c", "s"])
+    )
+    edges = (
+        pair.select(
+            (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+        )
+        .unionByName(
+            pair.select(
+                (F.col("s") * 2 + 1).alias("src"),
+                (F.col("c") * 2).alias("dst"),
+            )
+        )
+        # pinned: 3 hop joins, reuse never fires (docstring numbers)
+        .localCheckpoint(eager=False)
+    )
+    seeds = cust.filter(F.col("c_nationkey") == 1).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+
+    def hop(frontier: DataFrame) -> DataFrame:
+        return (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+
+    l1 = hop(seeds)
+    l2 = hop(l1)
+    l3 = hop(l2)
+    labeled = (
+        seeds.withColumn("_h", F.lit(0))
+        .unionByName(l1.withColumn("_h", F.lit(1)))
+        .unionByName(l2.withColumn("_h", F.lit(2)))
+        .unionByName(l3.withColumn("_h", F.lit(3)))
+    )
+    return labeled.groupBy("node").agg(
+        F.min("_h").cast("bigint").alias("hops")
+    )
+
+
+def qx49_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION with a DATA-DRIVEN divisor: users active in
+    EVERY event type present in the corpus.  qx43's INTERSECT covers
+    the static-3-channel case; division generalizes to "all of
+    whatever exists" — the divisor is the distinct event-type set
+    itself, so new types tighten the gate without a query change.
+
+    Plan shape (the count-distinct-equality decomposition, not an
+    N-way semi chain): one per-user aggregate (countDistinct riding
+    the same user_id exchange as the payload aggregates) gated against
+    the 1-row divisor cardinality via crossJoin-broadcast (qx21
+    idiom).  Exact arithmetic throughout — integer equality gate,
+    decimal purchase totals, doubles only at the output boundary."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    per = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("_nt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", money("value"))
+            .otherwise(F.lit(0).cast(DECIMAL_MONEY))
+        ).alias("_tot"),
+    )
+    divisor = ev.agg(F.countDistinct("event_type").alias("_nd"))
+    return (
+        per.crossJoin(F.broadcast(divisor))
+        .filter(F.col("_nt") == F.col("_nd"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("_tot").cast("double").alias("purchase_total"),
+        )
+    )
+
+
+def qx50_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence for the documents lang × source
+    contingency — the cross-tab statistics primitive (is language mix
+    independent of source?).  Output: one row (chi2, dof, n).
+
+    Plan shape: aggregate to the CELL grain first (one corpus-sized
+    shuffle on (lang, source)), then eager-pin the |langs×sources|
+    cell frame (qx44 idiom: row/column/total marginals are three
+    DIFFERENT projections of it — re-aggregation without the pin
+    re-plans the documents scan once per marginal, the qx34 hazard);
+    every marginal is then a tiny broadcast back onto the pinned
+    cells.  Float determinism: each cell term is computed from exact
+    BIGINT counts with a FIXED double op order — products ≤ n² stay
+    under 2⁵³ so (n·c − r·col) is exact; the term is rounded to 9 dp
+    and summed as DECIMAL (associative), with one final round(6) —
+    no order-dependent float summation anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    rmar = cells.groupBy("lang").agg(F.sum("_c").alias("_r"))
+    cmar = cells.groupBy("source").agg(F.sum("_c").alias("_k"))
+    tot = cells.agg(
+        F.sum("_c").alias("_n"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+    d = F.col("_n").cast("double") * F.col("_c").cast("double") - F.col(
+        "_r"
+    ).cast("double") * F.col("_k").cast("double")
+    denom = (
+        F.col("_n").cast("double")
+        * F.col("_r").cast("double")
+        * F.col("_k").cast("double")
+    )
+    term = F.round(d * d / denom, 9).cast("decimal(28,9)")
+    return (
+        cells.join(F.broadcast(rmar), "lang")
+        .join(F.broadcast(cmar), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("dof", "_n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("chi2"))
+        .select("chi2", "dof", F.col("_n").cast("bigint").alias("n"))
+    )
+
+
+def qx51_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average value per (user, day) — the temporal
+    integration primitive (plain avg() weights a value by how OFTEN it
+    was observed; TWAP weights it by how LONG it held, the difference
+    that matters for any sampled metric).  Segment weight = µs until
+    the user's next same-day event (lead over the exact µs order with
+    event_id tiebreak); the day's last observation carries no segment.
+
+    Exactness discipline: durations are exact µs BIGINTs from the ns
+    long (integer div — never float), values go through DECIMAL(18,2)
+    per-operand BEFORE the duration product, so Σ(v·Δ) and ΣΔ are both
+    exact and the ONE double division at the end is deterministic on
+    both engines.  Plan: the lead window and the (user, day) aggregate
+    ride one user_id-superset exchange family — no global stage."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            money("value").alias("_v"),
+            tus("ts_ns").alias("_tus"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("_tus", "event_id")
+    seg = ev.withColumn(
+        "_dus", F.lead("_tus").over(w) - F.col("_tus")
+    ).filter(F.col("_dus").isNotNull())
+    return seg.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            (F.sum(F.col("_v") * F.col("_dus")).cast("double"))
+            / F.sum("_dus"),
+            6,
+        ).alias("twap"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4338,4 +4536,8 @@ QUERIES = {
     "qx45_ewma_smooth": qx45_ewma_smooth,
     "qx46_bitmask_rollup": qx46_bitmask_rollup,
     "qx47_seq_listagg": qx47_seq_listagg,
+    "qx48_bfs_reach": qx48_bfs_reach,
+    "qx49_division": qx49_division,
+    "qx50_chisq_independence": qx50_chisq_independence,
+    "qx51_twap": qx51_twap,
 }

@@ -959,3 +959,43 @@ def test_suite_wide_single_partition_allowlist(spark):
                 "qx43 pin+broadcast idiom or justify in the allowlist"
             )
     assert not bad, "\n".join(bad)
+
+
+def test_qx48_bfs_pinned_edges_no_fact_rescans(spark):
+    """BFS unrolled to 3 declarative hops over the PINNED edge list:
+    exchange reuse never fires across the hop joins (measured — 12
+    lineitem scans unpinned), so the final plan must read the edges
+    ExistingRDD and contain NO fact scans at all; the per-level
+    distinct (UNION-dedup recursion) keeps frontiers |V|-bounded."""
+    p = plan_of(spark, "qx48_bfs_reach")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert "lineitem" not in p and "orders.parquet" not in p, p
+    assert p.count("Exchange SinglePartition") == 0, p
+
+
+def test_qx49_qx50_qx51_round12_shapes(spark):
+    """qx49: division gate is a 1-row broadcast (never a shuffle join),
+    the only SinglePartition is the divisor's scalar combine; qx50:
+    the cell frame is eager-pinned (no documents scan in the final
+    plan), marginals ride broadcasts, the Σ/dof gate is the 1-row
+    identity broadcast; qx51: lead window and (user, day) aggregate
+    share ONE user_id-family exchange, no join anywhere."""
+    p = plan_of(spark, "qx49_division")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert re.search(
+        r"HashAggregate\(keys=\[\][^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+    p = plan_of(spark, "qx50_chisq_independence")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p and "documents" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+    assert "IdentityBroadcastMode" in p, p
+
+    p = plan_of(spark, "qx51_twap")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert p.count("Window ") == 1, p
+    assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p, p

@@ -662,6 +662,161 @@ def main() -> int:
         checks["pyds_batch_read_matches_native"] = conn == native
         checks["pyds_change_stream_matches_native"] = streamed == native
 
+        # 8. declared-suite scale probe (round-12 directive #6): the
+        # bench constants (broadcast sizes, bucket counts, k+1 window
+        # cuts) are tuned at sf0.1 — run the TOP-10 heavy declared
+        # queries against a `copies`x sf-dir (documents/embeddings
+        # reuse this drive's synthetic corpus; events and the fact
+        # tables are key-offset replicas; dims symlink unchanged) and
+        # assert (a) plan shape stays clean at the bigger size — no
+        # cartesian, no row-Python, no DATA-SIZED SinglePartition
+        # (keyless-aggregate combines are the benign allowlisted
+        # shape, same rule as tests/test_plans.py's suite guard) —
+        # and (b) wall time stays within a generous linear envelope
+        # (3x copies + 30 s slack vs the same query at sf0.1: loose
+        # enough for host band + driver floors, tight enough that a
+        # quadratic candidate generator at copies=20 lands ~400x and
+        # fails loudly).
+        import re as _re
+
+        from ros_sql_spark.plans.queries import QUERIES
+
+        _PROBE = [
+            "qx26_curate_full",
+            "qx10_components_incremental",
+            "qx29_pagerank",
+            "qx07_setsim_incremental",
+            "qx44_shared_pipeline_selfjoin",
+            "qx06_curate_report",
+            "qx02_setsim_join",
+            "qx43_channel_intersect",
+            "q26_dedup_minhash",
+            "q40_ann_lsh",
+        ]
+        _SCALAR_COMBINE = _re.compile(
+            r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+        )
+
+        def _probe_dir() -> str:
+            pd = _os.path.join(work, "probe")
+            _os.makedirs(pd, exist_ok=True)
+            _os.symlink(
+                _os.path.join(work, "documents"),
+                _os.path.join(pd, "documents.parquet"),
+            )
+            _os.symlink(
+                _os.path.join(work, "embeddings"),
+                _os.path.join(pd, "embeddings.parquet"),
+            )
+            for t in ("region", "nation", "customer", "supplier", "part"):
+                _os.symlink(
+                    f"{sf_dir}/{t}.parquet", _os.path.join(pd, f"{t}.parquet")
+                )
+            # events: raw int64 ts normalized to the bare-INT64=ns
+            # convention the loader probe documents (multiply by the
+            # PROBED unit — never assume ns; ns epochs fit int64)
+            from ros_sql_spark.sources.io import (
+                _EVENTS_SCHEMA,
+                _TS_UNIT_NS,
+                _probe_events_ts_unit,
+            )
+
+            unit, probed = _probe_events_ts_unit(
+                f"{sf_dir}/events.parquet"
+            )
+            assert probed, "events unit probe must succeed on testdata"
+            mult = _TS_UNIT_NS[unit]
+            ev = spark.read.schema(_EVENTS_SCHEMA).parquet(
+                f"{sf_dir}/events.parquet"
+            )
+            evs = [
+                ev.select(
+                    (F.col("event_id") + i * 10_000_000_000).alias(
+                        "event_id"
+                    ),
+                    (F.col("ts") * mult).alias("ts"),
+                    (F.col("user_id") + i * 10_000_000).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                for i in range(copies)
+            ]
+            big_ev = evs[0]
+            for p in evs[1:]:
+                big_ev = big_ev.unionByName(p)
+            big_ev.repartition(32).write.parquet(f"{pd}/events.parquet")
+            # facts: orderkey-offset replicas, customers reused (more
+            # orders per customer — the realistic growth axis)
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            OK = 1_000_000_000
+            ob = [
+                orders.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + i * OK
+                )
+                for i in range(copies)
+            ]
+            lb = [
+                li.withColumn("l_orderkey", F.col("l_orderkey") + i * OK)
+                for i in range(copies)
+            ]
+            obig, lbig = ob[0], lb[0]
+            for p in ob[1:]:
+                obig = obig.unionByName(p)
+            for p in lb[1:]:
+                lbig = lbig.unionByName(p)
+            obig.repartition(32).write.parquet(f"{pd}/orders.parquet")
+            lbig.repartition(32).write.parquet(f"{pd}/lineitem.parquet")
+            return pd
+
+        pd_dir = timed("probe_synth", _probe_dir)
+
+        def _noop(df: DataFrame) -> None:
+            df.write.format("noop").mode("overwrite").save()
+            cached = getattr(df, "_rosql_cached", None)
+            if cached is not None:
+                cached.unpersist()
+
+        def _probe_run(d: str) -> dict:
+            t = {}
+            for name in _PROBE:
+                t0 = time.time()
+                _noop(QUERIES[name](spark, d))
+                t[name] = round(time.time() - t0, 2)
+            return t
+
+        t_small = timed("probe_small_sf", lambda: _probe_run(sf_dir))
+
+        def _probe_plans() -> list[str]:
+            bad = []
+            for name in _PROBE:
+                p = (
+                    QUERIES[name](spark, pd_dir)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                if "CartesianProduct" in p:
+                    bad.append(f"{name}: cartesian")
+                if "BatchEvalPython" in p:
+                    bad.append(f"{name}: row-python")
+                lines = p.split("\n")
+                for j, line in enumerate(lines):
+                    if "Exchange SinglePartition" not in line:
+                        continue
+                    if not _SCALAR_COMBINE.search(lines[j - 1] if j else ""):
+                        bad.append(f"{name}: data-sized SinglePartition")
+            return bad
+
+        plan_bad = timed("probe_plans", _probe_plans)
+        t_big = timed("probe_big", lambda: _probe_run(pd_dir))
+        checks["probe_plans_clean_at_scale"] = plan_bad == []
+        checks["probe_walltime_slope_sane"] = all(
+            t_big[n] <= 3 * copies * max(t_small[n], 0.3) + 30
+            for n in _PROBE
+        )
+
         out = {
             "metric": "scale_drive",
             "copies": copies,
@@ -669,6 +824,7 @@ def main() -> int:
             "embeddings": emb.count(),
             "minhash_pairs": n_pairs,
             "lsh_recall": round(recall, 3),
+            "probe": {"small": t_small, "big": t_big, "bad": plan_bad},
             "stages": stages,
             "op_total_sec": round(
                 sum(v for k, v in stages.items() if k != "synth"), 2
