@@ -779,3 +779,107 @@ def test_streaming_curate_mixture_equals_batch(spark, tmp_path):
     assert {
         (r.doc_id, r.text) for r in curate_mix_read(spark, store).collect()
     } == batch_kept
+
+
+def test_streaming_curate_mixture_crash_seams(spark, tmp_path, monkeypatch):
+    """Round-12: crash injection at BOTH mixture seams.  (a) Crash
+    AFTER docs committed, BEFORE the mix commit: the replay must
+    re-spend against the PRE-batch balance (time travel) and land
+    exactly the kept set the un-crashed run would have.  (b) Crash
+    AFTER mix, BEFORE ledger: the replay must skip the mix table
+    (watermark) and never double-spend — one mix version, stable
+    across a further full replay."""
+    import ros_sql_spark.streaming.curate as sc
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+    from ros_sql_spark.streaming.curate import curate_mix_read
+
+    rows = [
+        (i, " ".join("the" if j % 7 == 0 else f"m{i}w{j}" for j in range(20)),
+         "code" if i % 2 == 0 else "web")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    budgets = {"code": 120, "web": 10_000_000}
+    store = str(tmp_path / "store")
+    real_commit = sc.snapshot_commit
+
+    # --- seam (a): crash before the FIRST mix commit
+    state = {"crashed": False}
+
+    def crash_mix(df, table, **kw):
+        if table.endswith("/mix") and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before mix commit")
+        return real_commit(df, table, **kw)
+
+    monkeypatch.setattr(sc, "snapshot_commit", crash_mix)
+    try:
+        curate_ingest_batch(docs, 0, store, threshold=0.5, k=5,
+                            budgets=budgets)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sc, "snapshot_commit", real_commit)
+    row = curate_ingest_batch(docs, 0, store, threshold=0.5, k=5,
+                              budgets=budgets)
+    mix0 = {(r.doc_id, r.n_tok) for r in curate_mix_read(spark, store).collect()}
+    assert mix0, "mixture kept nothing"
+    spend0 = sum(t for (_i, t) in mix0 if _i % 2 == 0)
+    # the boundary rule: code spend exceeds budget by at most one doc
+    assert spend0 - budgets["code"] <= max(
+        t for (i, t) in mix0 if i % 2 == 0
+    )
+
+    # --- seam (b): batch 1 crashes between mix and ledger
+    rows2 = [
+        (100 + i,
+         " ".join("the" if j % 7 == 0 else f"z{i}y{j}" for j in range(20)),
+         "code" if i % 2 == 0 else "web")
+        for i in range(30)
+    ]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id bigint, text string, source string"
+    )
+    state2 = {"crashed": False}
+
+    def crash_ledger(df, table, **kw):
+        if table.endswith("/ledger") and not state2["crashed"]:
+            state2["crashed"] = True
+            raise RuntimeError("injected crash before ledger commit")
+        return real_commit(df, table, **kw)
+
+    monkeypatch.setattr(sc, "snapshot_commit", crash_ledger)
+    try:
+        curate_ingest_batch(docs2, 1, store, threshold=0.5, k=5,
+                            budgets=budgets)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sc, "snapshot_commit", real_commit)
+    v_mix = snapshot_versions(spark, f"{store}/mix")[-1]
+    curate_ingest_batch(docs2, 1, store, threshold=0.5, k=5,
+                        budgets=budgets)
+    # replay skipped the already-committed mix (no double-spend)
+    assert snapshot_versions(spark, f"{store}/mix")[-1] == v_mix
+    led = sorted(
+        curate_ledger_read(spark, store).collect(), key=lambda r: r.batch_id
+    )
+    assert [r.batch_id for r in led] == [0, 1]
+    # cross-batch spend: batch-1 code admissions bounded by the
+    # RESIDUAL (already-exhausted-or-nearly budget), not a fresh one
+    mix_all = curate_mix_read(spark, store).collect()
+    code_spend = sum(r.n_tok for r in mix_all if r.source == "code")
+    assert code_spend - budgets["code"] <= max(
+        (r.n_tok for r in mix_all if r.source == "code"), default=0
+    )
+    # a further FULL replay of both batches changes nothing
+    vs = {
+        n: snapshot_versions(spark, f"{store}/{n}")[-1]
+        for n in ("docs", "mix", "ledger")
+    }
+    curate_ingest_batch(docs, 0, store, threshold=0.5, k=5, budgets=budgets)
+    curate_ingest_batch(docs2, 1, store, threshold=0.5, k=5, budgets=budgets)
+    for n, v in vs.items():
+        assert snapshot_versions(spark, f"{store}/{n}")[-1] == v, n
