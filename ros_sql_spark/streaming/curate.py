@@ -65,9 +65,11 @@ Semantics vs batch ``curate()`` (documented, tested):
   exactly the batch docs that were published, and its state is a
   ninth snapshot table ``mix`` ((batch_id, doc_id, source, n_tok),
   one row per doc admitted to the mix) under the same ``batch:<id>``
-  watermark.  Each batch reads the PRE-batch spend (sum of n_tok per
-  source — an O(sources) bounded collect over the increment-append
-  table), subtracts it from the budgets driver-side, and applies the
+  watermark.  Each batch reads the PRE-batch spend from the mix
+  manifest's carried ``meta`` (the docs table's acct idiom — an O(1)
+  manifest read, never an O(|mix|) re-aggregation of stored state;
+  the incremental-probe discipline), subtracts it from the budgets
+  driver-side, and applies the
   BATCH operator (``token_budget_mix``: same id-ascending order, same
   keep-iff-tokens-BEFORE-fit boundary rule) with the residual
   budgets.  Spending kept-doc tokens only is EXACTLY the batch cum
@@ -534,6 +536,7 @@ def curate_ingest_batch(
         if not mix_done:
             from ros_sql_spark.functions.text import token_count_bpe
             from ros_sql_spark.operators.sampling import token_budget_mix
+            from ros_sql_spark.sources.snapshot import snapshot_meta
 
             # this batch's published survivors, with CLEANED text (the
             # token count the batch pipeline budgets) + arrival source.
@@ -555,18 +558,29 @@ def curate_ingest_batch(
                     id_col,
                 )
             )
-            # O(sources) bounded collect — mixtures are O(10²) sources
-            # by contract (token_budget_mix broadcasts them as a map)
+            # pre-batch balance: the RUNNING spend rides the mix
+            # manifest's ``meta`` (the docs table's acct idiom) — an
+            # O(1) manifest read per batch, NOT an O(|mix|) re-
+            # aggregation of the stored table (the incremental-probe
+            # discipline: per-batch cost must track the increment).
+            # When ``not mix_done`` the head precedes this batch, so
+            # its carried meta IS the pre-batch balance; maintenance
+            # commits carry meta forward.  Fallback for meta-less
+            # stores: one aggregate over the pre-state frame.
             spent: dict = {}
             if mix_pre is not None:
-                spent = {
-                    r["source"]: r["t"]
-                    for r in mix_pre.groupBy("source")
-                    .agg(F.sum("n_tok").alias("t"))
-                    .collect()
-                }
+                m = snapshot_meta(spark, f"{store}/{_T_MIX}")
+                if m is not None and "spend" in m:
+                    spent = {s: int(v) for s, v in m["spend"].items()}
+                else:  # pragma: no cover - legacy store
+                    spent = {
+                        r["source"]: int(r["t"])
+                        for r in mix_pre.groupBy("source")
+                        .agg(F.sum("n_tok").alias("t"))
+                        .collect()
+                    }
             residual = {
-                s: max(0, int(b) - int(spent.get(s, 0)))
+                s: max(0, int(b) - spent.get(s, 0))
                 for s, b in budgets.items()
             }
             tok = (
@@ -585,12 +599,26 @@ def curate_ingest_batch(
                 F.col(id_col).cast("bigint").alias(id_col),
                 "source",
                 F.col("_n_tok").alias("n_tok"),
-            )
+            ).localCheckpoint(eager=False)  # two consumers: spend agg + commit
+            # O(sources) bounded collect of THIS batch's admissions
+            # (mixtures are O(10²) sources; token_budget_mix already
+            # broadcasts them as a literal map)
+            batch_spend = {
+                r["source"]: int(r["t"])
+                for r in kept_mix.groupBy("source")
+                .agg(F.sum("n_tok").alias("t"))
+                .collect()
+            }
+            new_spend = {
+                s: spent.get(s, 0) + batch_spend.get(s, 0)
+                for s in set(spent) | set(batch_spend)
+            }
             snapshot_commit(
                 kept_mix,
                 f"{store}/{_T_MIX}",
                 mode="append",
                 tag=f"batch:{batch_id}",
+                meta={"spend": new_spend},
             )
 
     row = {

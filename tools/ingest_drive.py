@@ -73,6 +73,22 @@ def main() -> int:
 
         store = f"{work}/store"
         per = copies // n_super
+        budgets = None
+        if curate_mode:
+            # mixture twin rides the curate path (round-12): per-source
+            # budgets sized from the FIRST super-batch's token mass x1.5
+            # so every budget exhausts early in the run — later batches
+            # must stay cheap (residual-0 spending is still
+            # increment-sized) and spend must stop at the boundary
+            from ros_sql_spark.functions.text import token_count_bpe
+
+            budgets = {
+                r["source"]: int(1.5 * r["t"])
+                for r in docs.filter(F.col("doc_id") < per * 1_000_000)
+                .groupBy("source")
+                .agg(F.sum(token_count_bpe("text")).alias("t"))
+                .collect()
+            }
         per_batch: list[float] = []
         hh_sec: list[float] = []
         kept = dropped = seen = 0
@@ -83,7 +99,7 @@ def main() -> int:
             hi = (b + 1) * per * 1_000_000
             batch = docs.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).select("doc_id", "text")
+            ).select("doc_id", "text", "source")
             t0 = time.time()
             if curate_mode:
                 from ros_sql_spark.streaming.curate import curate_ingest_batch
@@ -99,6 +115,7 @@ def main() -> int:
                     min_stopword_ratio=-1.0,
                     boilerplate_max_df=50,
                     span_dedup_k=8, span_min_docs=25,
+                    budgets=budgets,
                 )
                 st = {
                     "n_batch": row["n_batch"],
@@ -142,6 +159,47 @@ def main() -> int:
         checks: dict[str, bool] = {}
         if curate_mode:
             checks["curate_ledger_rows_reconcile"] = ledger_ok
+            # mixture twin: the mix is a selection over the corpus,
+            # every source's spend stopped AT its budget boundary
+            # (bites from below, bounded from above by one doc), and
+            # the O(1) manifest-meta running spend equals the table
+            from ros_sql_spark.sources.snapshot import snapshot_meta
+            from ros_sql_spark.streaming.curate import (
+                curate_corpus_read,
+                curate_mix_read,
+            )
+
+            mixagg = {
+                r["source"]: (int(r["t"]), int(r["mx"]))
+                for r in curate_mix_read(spark, store)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_tok").alias("t"), F.max("n_tok").alias("mx")
+                )
+                .collect()
+            }
+            checks["curate_mix_subset_of_corpus"] = (
+                curate_mix_read(spark, store)
+                .join(
+                    curate_corpus_read(spark, store).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+                .count()
+                == 0
+            )
+            checks["curate_mix_spend_bounded"] = all(
+                t - budgets[s] <= mx for s, (t, mx) in mixagg.items()
+            )
+            checks["curate_mix_budget_bites"] = all(
+                t >= budgets[s] - mx for s, (t, mx) in mixagg.items()
+            )
+            meta_spend = (snapshot_meta(spark, f"{store}/mix") or {}).get(
+                "spend", {}
+            )
+            checks["curate_mix_meta_matches_table"] = {
+                s: t for s, (t, _m) in mixagg.items()
+            } == {s: int(v) for s, v in meta_spend.items() if int(v)}
         checks["ledger_reconciles"] = (
             seen == n_docs and kept + dropped == n_docs
         )
