@@ -12,16 +12,20 @@ formats implementable exactly from their public specifications:
   bottom-up and top-down, with 4-byte row padding;
 - **PPM**: binary P6 netpbm with maxval 255 (the netpbm format spec),
   including whitespace/comment-tolerant header parsing;
-- **PNG**: 8- and 16-bit gray/RGB/palette/gray-alpha/RGBA, plain and
-  Adam7-interlaced, per the public W3C spec — stdlib zlib inflate plus
-  all five scanline filters (Sub reconstructed as a per-lane mod-256
-  cumulative sum; Average/Paeth sequential where the spec's recurrence
-  demands it); only sub-byte palette depths remain gated;
-- **JPEG**: baseline sequential DCT per ITU-T T.81 — full decoder
-  (tables read from the file, 1/3 components, 4:4:4 and 4:2:0) and an
-  Annex-K-table encoder, numpy DCT; progressive/arithmetic/12-bit/
-  restart-interval streams raise NotImplementedError naming the
-  feature.  Entropy coding is per-symbol Python (correctness-first;
+- **PNG**: every spec bit depth (1/2/4/8/16) for gray and palette,
+  8/16 for RGB/gray-alpha/RGBA, plain and Adam7-interlaced, per the
+  public W3C spec — stdlib zlib inflate plus all five scanline filters
+  (Sub reconstructed as a per-lane mod-256 cumulative sum;
+  Average/Paeth sequential where the spec's recurrence demands it);
+  sub-byte rows unfilter as packed bytes (bpp=1 per spec) then
+  bit-unpack MSB-first (round-12: the last PNG gate closed);
+- **JPEG**: sequential DCT per ITU-T T.81 — baseline (SOF0/SOF1) and
+  PROGRESSIVE (SOF2: spectral selection + successive approximation,
+  EOB runs) decoders, tables read from the file, 1/3 components,
+  4:4:4 and 4:2:0, plus Annex-K-table baseline and progressive
+  encoders, numpy DCT; arithmetic/12-bit/restart-interval streams
+  raise NotImplementedError naming the feature.  Entropy coding is
+  per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
   cost is the accepted trade);
 - **GIF**: 87a/89a palette images with a REAL variable-width LZW
@@ -293,13 +297,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} (8 and 16 supported; sub-byte "
-            "palette depths unsupported)"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth} is invalid")
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
+    if depth < 8 and color_type not in (0, 3):
+        # spec: sub-byte depths exist only for grayscale and palette
+        raise ValueError(
+            f"PNG color type {color_type} with bit depth {depth} is invalid"
+        )
     if depth == 16 and color_type == 3:
         raise ValueError("PNG palette color with 16-bit depth is invalid")
     if interlace not in (0, 1):
@@ -309,8 +315,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG compression/filter method {comp}/{filt_method}"
         )
     ch = _PNG_CHANNELS[color_type]
-    sb = depth // 8  # bytes per sample
-    bpp = ch * sb  # the filters' left-neighbor distance is in BYTES
+    sb = max(1, depth // 8)  # bytes per sample (sub-byte packs below)
+    # the filters' left-neighbor distance is in BYTES; for sub-byte
+    # depths the spec pins it to ONE byte (round-12: the 8/16 gate
+    # closed — 1/2/4-bit grayscale and palette rows are filtered as
+    # packed bytes, then bit-unpacked MSB-first in to_samples)
+    bpp = ch * sb if depth >= 8 else 1
+
+    def rowbytes(cols: int) -> int:
+        return (cols * ch * depth + 7) // 8
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -362,14 +375,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     def to_samples(rows_bytes: np.ndarray, rows: int, cols: int) -> np.ndarray:
         """(rows, rowbytes) byte matrix → (rows, cols, ch) uint8 — for
         16-bit, samples are big-endian pairs and the HIGH byte is kept
-        (PIL's 16→8 conversion)."""
+        (PIL's 16→8 conversion); sub-byte depths unpack MSB-first and
+        drop the row-pad bits (spec: rows pad to a byte boundary)."""
         a = rows_bytes.astype(np.uint8)
+        if depth < 8:
+            bits = np.unpackbits(a, axis=1)
+            nsamp = bits.shape[1] // depth
+            vals = bits[:, : nsamp * depth].reshape(rows, nsamp, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            s = (vals * weights).sum(axis=2).astype(np.uint8)
+            return s[:, :cols].reshape(rows, cols, 1)
         if sb == 1:
             return a.reshape(rows, cols, ch)
         return a.reshape(rows, cols, ch, 2)[..., 0]
 
     if interlace == 0:
-        img, _ = unfilter(0, h, w * bpp)
+        img, _ = unfilter(0, h, rowbytes(w))
         px = to_samples(img, h, w)
     else:
         # Adam7: seven independent sub-images in one zlib stream, each
@@ -382,9 +403,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = unfilter(off, ph, pw * bpp)
+            sub, off = unfilter(off, ph, rowbytes(pw))
             px[y0::dy, x0::dx] = to_samples(sub, ph, pw)
     if color_type == 0:
+        if depth < 8:
+            # scale to full 8-bit range (255/(2^d - 1) is integral)
+            px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
         return px.copy()
@@ -708,10 +732,11 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
 
 
 # --------------------------------------------------------------- JPEG
-# Baseline sequential DCT JPEG (ITU-T T.81, public spec), pure
-# numpy/stdlib.  Scope: 8-bit baseline (SOF0), 1 or 3 components,
+# Sequential DCT JPEG (ITU-T T.81, public spec), pure numpy/stdlib.
+# Scope: 8-bit baseline (SOF0/SOF1) AND progressive (SOF2 — spectral
+# selection, successive approximation, EOB runs), 1 or 3 components,
 # sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
-# Progressive (SOF2), arithmetic coding, 12-bit, and restart intervals
+# Arithmetic coding, 12-bit, and restart intervals
 # raise NotImplementedError NAMING the feature.  The decoder reads
 # quant/huffman tables FROM THE FILE (real-world interop does not
 # depend on the encoder's built-in tables); the encoder embeds the

@@ -459,10 +459,10 @@ def test_png_rgba_gray_palette_paths():
 
 
 def test_png_gates_name_the_feature():
-    """16-bit depth and Adam7 now DECODE (round-7; their own tests
-    below); the remaining gate is sub-byte palette depths, and
-    structural corruption still raises ValueError, never an opaque
-    numpy error."""
+    """16-bit depth and Adam7 decode since round 7, sub-byte depths
+    since round 12 (their own tests below) — the 1-bit stream here now
+    DECODES; structural corruption still raises ValueError, never an
+    opaque numpy error."""
     import struct
     import zlib
 
@@ -484,8 +484,7 @@ def test_png_gates_name_the_feature():
         sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00")) + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth 1"):
-        decode_png(b1)
+    assert np.array_equal(decode_png(b1), np.zeros((1, 8, 3), np.uint8))
     good = encode_png(_img(4, 4, seed=3))
     with pytest.raises(ValueError, match="truncated"):
         # drop IEND and half the IDAT payload
@@ -864,13 +863,89 @@ def test_png_adam7_16bit_gray():
     assert np.array_equal(got, np.repeat((px16 >> 8).astype(np.uint8), 3, axis=2))
 
 
-def test_png_subbyte_depth_still_gated():
+def _pack_subbyte(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) samples < 2^depth → (h, rowbytes) packed rows, MSB-first
+    with zero pad to the byte boundary (the PNG spec's packing)."""
+    bits = (
+        (samples[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(samples.shape[0], -1), axis=1)
+
+
+def test_png_subbyte_palette_and_gray():
+    """Round-12: the 1/2/4-bit gate CLOSED.  4-bit palette with Up/Sub
+    filters over the packed bytes, odd width (pad bits exercised);
+    1-bit grayscale scales to 0/255; invalid spec combos still raise
+    (they are ValueError now — corrupt, not unimplemented)."""
     from ros_sql_spark.operators.codecs import decode_png
 
-    payload = _png_chunks(4, 4, 4, 3, b"\x00" * 12,
-                          palette=np.zeros((16, 3), np.uint8))
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_png(payload)
+    rng = np.random.default_rng(17)
+    # --- 4-bit palette, w=5 (2.5 -> 3 packed bytes/row), mixed filters
+    idx = rng.integers(0, 16, (4, 5), dtype=np.uint8)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    packed = _pack_subbyte(idx, 4)
+    raw = bytearray()
+    prev = bytes(packed.shape[1])
+    for y in range(4):
+        row = packed[y].tobytes()
+        ft = (0, 2, 1)[y % 3]
+        if ft == 0:
+            raw += b"\x00" + row
+        elif ft == 2:  # Up over packed bytes
+            raw += b"\x02" + bytes(
+                (row[i] - prev[i]) & 255 for i in range(len(row))
+            )
+        else:  # Sub with bpp = 1 byte (the spec's sub-byte rule)
+            raw += b"\x01" + bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 255
+                for i in range(len(row))
+            )
+        prev = row
+    got = decode_png(_png_chunks(5, 4, 4, 3, bytes(raw), palette=palette))
+    assert np.array_equal(got, palette[idx])
+
+    # --- 1-bit grayscale, w=10 (pad bits), full-range scaling
+    bw = rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + _pack_subbyte(bw[y : y + 1], 1).tobytes() for y in range(3)
+    )
+    got = decode_png(_png_chunks(10, 3, 1, 0, raw))
+    assert np.array_equal(got, np.repeat((bw * 255)[..., None], 3, axis=2))
+
+    # --- 2-bit grayscale scales by 85
+    g2 = np.array([[0, 1, 2, 3, 2]], dtype=np.uint8)
+    raw = b"\x00" + _pack_subbyte(g2, 2).tobytes()
+    got = decode_png(_png_chunks(5, 1, 2, 0, raw))
+    assert np.array_equal(got[..., 0], g2 * 85)
+
+    # --- spec-invalid combos are corrupt input, not missing features
+    with pytest.raises(ValueError, match="bit depth 4"):
+        decode_png(_png_chunks(4, 4, 4, 2, b"\x00" * 12))
+    with pytest.raises(ValueError, match="bit depth 3"):
+        decode_png(_png_chunks(4, 4, 3, 0, b"\x00" * 12))
+
+
+def test_png_subbyte_adam7():
+    """Sub-byte packing is PER PASS under Adam7 (each pass's rows pack
+    to their own byte boundary) — 2-bit gray on a 5x3 image hits
+    partial and empty passes."""
+    from ros_sql_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 4, (5, 3), dtype=np.uint8)
+    grid = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + _pack_subbyte(sub[y : y + 1], 2).tobytes()
+    got = decode_png(_png_chunks(3, 5, 2, 0, bytes(raw), interlace=1))
+    assert np.array_equal(got, np.repeat((px * 85)[..., None], 3, axis=2))
 
 
 def test_jpeg_progressive_decodes_identically_to_baseline():
