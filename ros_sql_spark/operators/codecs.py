@@ -23,8 +23,9 @@ formats implementable exactly from their public specifications:
   PROGRESSIVE (SOF2: spectral selection + successive approximation,
   EOB runs) decoders, tables read from the file, 1/3 components,
   4:4:4 and 4:2:0, plus Annex-K-table baseline and progressive
-  encoders, numpy DCT; arithmetic/12-bit/restart-interval streams
-  raise NotImplementedError naming the feature.  Entropy coding is
+  encoders, numpy DCT, and baseline restart intervals (DRI + RSTn
+  sequence-checked, round-12); arithmetic/12-bit streams and
+  progressive-with-DRI raise NotImplementedError naming the feature.  Entropy coding is
   per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
   cost is the accepted trade);
@@ -736,7 +737,8 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
 # Scope: 8-bit baseline (SOF0/SOF1) AND progressive (SOF2 — spectral
 # selection, successive approximation, EOB runs), 1 or 3 components,
 # sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
-# Arithmetic coding, 12-bit, and restart intervals
+# Baseline restart intervals (DRI) decode and encode; arithmetic
+# coding, 12-bit, and progressive-with-DRI
 # raise NotImplementedError NAMING the feature.  The decoder reads
 # quant/huffman tables FROM THE FILE (real-world interop does not
 # depend on the encoder's built-in tables); the encoder embeds the
@@ -870,15 +872,19 @@ def _mag_bits(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, subsample: bool = False
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline JFIF
     JPEG bytes with the Annex-K quant/huffman tables (4:4:4, or 4:2:0
-    when ``subsample``; grayscale is always single-component)."""
+    when ``subsample``; grayscale is always single-component).
+    ``restart_interval``: emit a DRI segment and an RSTn marker (with
+    DC-predictor reset and byte alignment) every that-many MCUs — the
+    error-resilience feature real camera files carry."""
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim == 2:
         return _encode_jpeg_planes(
-            [arr], [(1, 1)], arr.shape[0], arr.shape[1]
+            [arr], [(1, 1)], arr.shape[0], arr.shape[1],
+            ri=restart_interval,
         )
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) or (H, W) uint8, got {arr.shape}")
@@ -900,10 +906,10 @@ def encode_jpeg(
             )
     else:
         hs = [(1, 1), (1, 1), (1, 1)]
-    return _encode_jpeg_planes(planes, hs, h, w)
+    return _encode_jpeg_planes(planes, hs, h, w, ri=restart_interval)
 
 
-def _encode_jpeg_planes(planes, hs, h: int, w: int) -> bytes:
+def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
     """Shared entropy-encode + header assembly for 1 (grayscale) or 3
     (YCbCr) planes; component 0 uses the luma tables, the rest
     chroma."""
@@ -937,6 +943,11 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int) -> bytes:
     pred = [0] * ncomp
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            mcu = my * mcus_x + mx
+            if ri and mcu and mcu % ri == 0:
+                bw.flush()  # pad to the byte edge with 1-bits (spec)
+                bw.buf += bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8])
+                pred = [0] * ncomp
             for ci in range(ncomp):
                 hf, vf = hs[ci]
                 for by in range(vf):
@@ -996,6 +1007,8 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int) -> bytes:
     for tc_th, spec in htabs:
         bits, vals = spec
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
     sos = bytearray([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -1309,6 +1322,24 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: drop the
+        pad bits to the byte edge, require 0xFFD0-D7, return n (the
+        caller checks the mod-8 sequence per T.81)."""
+        self._n = 0  # discard pad bits
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG truncated at restart marker")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                "expected RSTn restart marker at interval boundary, got "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        n = self.data[self.pos + 1] & 7
+        self.pos += 2
+        return n
+
     def symbol(self, table: dict[tuple[int, int], int]) -> int:
         code = 0
         for ln in range(1, 17):
@@ -1337,6 +1368,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
+    ri = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -1392,7 +1424,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "progressive SOF2 supported)"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI)")
+            # round-12: the baseline DRI gate closed — restart interval
+            # in MCUs (0 disables); the scan decoder byte-aligns,
+            # checks the RSTn sequence and resets DC predictors
+            ri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -1421,7 +1456,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if end < 0:
                 raise ValueError("JPEG missing EOI")
             return _decode_scan(
-                payload[data_start:end], sof, scan, qts, huff
+                payload[data_start:end], sof, scan, qts, huff, ri
             )
         pos += 2 + ln
     raise ValueError("JPEG has no scan (SOS) segment")
@@ -1529,7 +1564,13 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 grids.append((bh_pad, bw_pad, -(-chh // 8), -(-cw // 8)))
                 coef.append(np.zeros((bh_pad, bw_pad, 64), np.int64))
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI)")
+            # baseline DRI decodes (round-12); the progressive
+            # combination stays gated — restart state interacts with
+            # EOB runs and successive-approximation correction bits
+            raise NotImplementedError(
+                "JPEG restart intervals in PROGRESSIVE streams "
+                "(baseline DRI is supported)"
+            )
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -1713,7 +1754,7 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
                 refine_range(blk, k, se)
 
 
-def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:
+def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
     h, w, comps = sof
     by_id = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
     hmax = max(c[1] for c in comps)
@@ -1735,6 +1776,15 @@ def _decode_scan(data, sof, scan, qts, huff) -> np.ndarray:
     pred = [0] * len(scan)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            mcu = my * mcus_x + mx
+            if ri and mcu and mcu % ri == 0:
+                n = br.restart()
+                if n != (mcu // ri - 1) % 8:
+                    raise ValueError(
+                        f"JPEG restart marker out of sequence: RST{n} "
+                        f"where RST{(mcu // ri - 1) % 8} expected"
+                    )
+                pred = [0] * len(scan)
             for ci, (hf, vf, qt, dct_, act_) in enumerate(meta):
                 for by in range(vf):
                     for bx in range(hf):

@@ -564,10 +564,14 @@ def test_jpeg_constant_exact_and_grayscale():
 
 
 def test_jpeg_gates_name_the_feature():
-    """AC successive-approximation refinement, DRI, and truncation
-    produce NAMED errors; a baseline stream mislabeled SOF2 is a
-    structural error (its interleaved full-band scan is not a legal
-    progressive scan), not a crash."""
+    """AC successive-approximation refinement and truncation produce
+    NAMED errors; a baseline stream mislabeled SOF2 is a structural
+    error (its interleaved full-band scan is not a legal progressive
+    scan), not a crash.  DRI decodes since round 12 — a DRI segment
+    whose declared interval promises RSTn markers the stream does not
+    carry is now CORRUPTION (ValueError naming the missing marker),
+    and an ineffective interval (no boundary ever reached) is
+    harmless."""
     import struct as st
 
     from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
@@ -577,10 +581,13 @@ def test_jpeg_gates_name_the_feature():
     prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
     with pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg(bytes(prog))
-    # inject a DRI segment right after SOI
-    dri = good[:2] + b"\xff\xdd" + st.pack(">HH", 4, 8) + good[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(bytes(dri))
+    # DRI=4 on a 4-MCU stream: no boundary reached, decodes unchanged
+    dri4 = good[:2] + b"\xff\xdd" + st.pack(">HH", 4, 4) + good[2:]
+    assert np.array_equal(decode_jpeg(bytes(dri4)), decode_jpeg(bytes(good)))
+    # DRI=1 promises RSTn after every MCU; the stream has none
+    dri1 = good[:2] + b"\xff\xdd" + st.pack(">HH", 4, 1) + good[2:]
+    with pytest.raises(ValueError, match="RSTn"):
+        decode_jpeg(bytes(dri1))
     with pytest.raises(ValueError, match="EOI"):
         decode_jpeg(bytes(good[:-2]))  # EOI chopped
 
@@ -1016,3 +1023,43 @@ def test_jpeg_progressive_through_decode_image(spark):
     px = _smooth(12, 15)
     b = encode_jpeg_progressive(px)
     assert np.array_equal(decode_image(b), decode_jpeg(b))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """Round-12: baseline DRI closed.  A DRI stream must decode
+    BIT-IDENTICALLY to the no-DRI stream of the same image (same
+    tables, same quantization — restart only re-aligns and resets
+    predictors), across RGB 4:4:4, 4:2:0 and grayscale; the bytes
+    must really carry RSTn markers; an out-of-sequence marker raises
+    a named ValueError."""
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    for shape, kw in (
+        ((24, 40, 3), {}),            # 3x5 MCUs at 4:4:4
+        ((24, 40, 3), {"subsample": True}),  # 2x3 MCUs at 4:2:0
+        ((17, 31), {}),               # grayscale, ragged dims
+    ):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        plain = encode_jpeg(px, **kw)
+        dri = encode_jpeg(px, restart_interval=2, **kw)
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in dri for i in range(8)
+        ), "DRI stream carries no RSTn markers"
+        assert b"\xff\xdd" in dri  # the DRI segment itself
+        assert np.array_equal(decode_jpeg(dri), decode_jpeg(plain))
+
+    # >8 intervals: the RSTn index must WRAP mod 8 and still decode
+    px = rng.integers(0, 256, (8, 8 * 20, 3), dtype=np.uint8)
+    dri = encode_jpeg(px, restart_interval=1)
+    assert np.array_equal(
+        decode_jpeg(dri), decode_jpeg(encode_jpeg(px))
+    )
+
+    # corrupt the first RSTn into the WRONG index -> named error
+    i = dri.find(b"\xff\xd0")
+    assert i > 0
+    bad = bytearray(dri)
+    bad[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
