@@ -650,3 +650,70 @@ def test_conform_batches_floors_nested_ns(registered):
     a2 = out2[0].column(2)
     assert a2[0].as_py() is None
     assert a2.flatten().cast(pa.int64()).to_pylist() == [1]
+
+
+def test_pyds_pushdown_timestamp_coarse_units(registered, tmp_path):
+    """The s/ms-grain branch of _ts_filter_expr: a µs-grain boundary
+    that does NOT land on the file's unit must floor/ceil-adjust per
+    comparison (>, >=, <, <=) and prove ==-against-unaligned is empty
+    — all fully pushed, rows exactly matching the floored-µs domain
+    Spark sees after conform."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ros_sql_spark.sources.snapshot import snapshot_commit_staged_files
+
+    spark = registered
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        pytest.skip("filter pushdown conf off in this session")
+    t = str(tmp_path / "ms_tbl")
+    staged = str(tmp_path / "staged.parquet")
+    # ms counts 1..5 (i.e. 1000µs .. 5000µs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("ms", tz="UTC")),
+        }
+    )
+    papq.write_table(tbl, staged, store_schema=False)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("ts", TimestampType())]
+    )
+    assert snapshot_commit_staged_files(t, [staged], schema.json())
+
+    def ids(cond):
+        q = (
+            spark.read.format("rosql_snapshot")
+            .option("pushdown", "true")
+            .load(t)
+            .filter(cond)
+            .select("doc_id")
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"\bFilter ", plan), plan
+        return sorted(r.doc_id for r in q.collect())
+
+    # unaligned boundary: 2500 µs (between rows 2 and 3)
+    cut = dt.datetime(1970, 1, 1, 0, 0, 0, 2500, tzinfo=dt.timezone.utc)
+    assert ids(F.col("ts") > F.lit(cut)) == [3, 4, 5]
+    assert ids(F.col("ts") >= F.lit(cut)) == [3, 4, 5]
+    assert ids(F.col("ts") < F.lit(cut)) == [1, 2]
+    assert ids(F.col("ts") <= F.lit(cut)) == [1, 2]
+    assert ids(F.col("ts") == F.lit(cut)) == []  # provably empty
+    # aligned boundary: 3000 µs == row 3 exactly
+    cut3 = dt.datetime(1970, 1, 1, 0, 0, 0, 3000, tzinfo=dt.timezone.utc)
+    assert ids(F.col("ts") > F.lit(cut3)) == [4, 5]
+    assert ids(F.col("ts") >= F.lit(cut3)) == [3, 4, 5]
+    assert ids(F.col("ts") <= F.lit(cut3)) == [1, 2, 3]
+    assert ids(F.col("ts") == F.lit(cut3)) == [3]
