@@ -2608,6 +2608,73 @@ ORACLES: dict[str, str] = {
         FROM seg WHERE dus IS NOT NULL
         GROUP BY user_id, day
     """,
+    # one-row-per-column profile: exact counts; numeric min/max as
+    # rounded doubles; string/timestamp min/max intentionally absent
+    # (cross-engine formatting is parity quicksand)
+    "qx52_column_profile": """
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+        SELECT p.*, n.n_rows FROM n, (
+          SELECT 'l_orderkey' AS "column",
+                 CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+                     AS n_null,
+                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                 round(CAST(min(l_orderkey) AS DOUBLE), 6) AS min_num,
+                 round(CAST(max(l_orderkey) AS DOUBLE), 6) AS max_num
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity',
+                 CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT l_quantity) AS BIGINT),
+                 round(CAST(min(l_quantity) AS DOUBLE), 6),
+                 round(CAST(max(l_quantity) AS DOUBLE), 6)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag',
+                 CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_shipdate',
+                 CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT),
+                 CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          FROM lineitem
+        ) p
+    """,
+    # Deequ-class constraint report: exact violation counts per rule
+    "qx53_data_quality": """
+        SELECT 'l_orderkey_not_null' AS "constraint",
+               CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+                   AS n_violations,
+               count(*) FILTER (l_orderkey IS NULL) = 0 AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity_in_1_50',
+               CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                     OR l_quantity > 50) AS BIGINT),
+               count(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                OR l_quantity > 50) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice_positive',
+               CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT),
+               count(*) FILTER (l_extendedprice <= 0) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_linenumber_unique',
+               CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0)
+                    AS BIGINT),
+               coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) = 0
+        FROM (SELECT count(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'l_orderkey_fk_orders',
+               CAST(count(*) AS BIGINT),
+               count(*) = 0
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -4383,6 +4383,140 @@ def qx51_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS column profiler (the data-engineering report q99's
+    per-source card doesn't give): null count, exact distinct count,
+    numeric min/max per column, emitted as one row PER COLUMN — the
+    shape every dataset onboarding starts from.
+
+    Spark-first shape: every statistic for every profiled column lives
+    in a SINGLE aggregate over one scan (the multi-count-distinct
+    compiles to one Expand — rows × #distinct-aggs before the partial
+    combine, the documented cost of exactness in one pass; swap in
+    approx_count_distinct when estimates suffice), then a ``stack``
+    pivots the flat aggregate into per-column rows driver-free.
+    String min/max are intentionally absent (cross-engine float/date
+    formatting is parity quicksand); numerics are rounded doubles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+
+    def stats(c: str, numeric: bool):
+        out = [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+        ]
+        if numeric:
+            out += [
+                r6(F.min(c).cast("double")).alias(f"_mn_{c}"),
+                r6(F.max(c).cast("double")).alias(f"_mx_{c}"),
+            ]
+        return out
+
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        *stats("l_orderkey", True),
+        *stats("l_quantity", True),
+        *stats("l_returnflag", False),
+        *stats("l_shipdate", False),
+    )
+    return agg.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            "stack(4,"
+            " 'l_orderkey', _nn_l_orderkey, _nd_l_orderkey,"
+            "   _mn_l_orderkey, _mx_l_orderkey,"
+            " 'l_quantity', _nn_l_quantity, _nd_l_quantity,"
+            "   _mn_l_quantity, _mx_l_quantity,"
+            " 'l_returnflag', _nn_l_returnflag, _nd_l_returnflag,"
+            "   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            " 'l_shipdate', _nn_l_shipdate, _nd_l_shipdate,"
+            "   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            ") AS (column, n_null, n_distinct, min_num, max_num)"
+        ),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
+
+
+def qx53_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality CONSTRAINT report (the Deequ-class
+    surface): completeness, range, compound-key uniqueness and
+    referential integrity over lineitem/orders, one row per
+    constraint with its violation count — what a pipeline gates a
+    publish on.
+
+    Plan shape — the WHOLE 5-constraint report is ONE LINEAR pipeline
+    over ONE fact scan (the naive per-constraint form scans lineitem
+    once per constraint family; a pin can't save it because the
+    branches project different columns — the qx44 reuse-defeat):
+    every row-level violation count aggregates to the uniqueness
+    key's grain FIRST (sums are grain-invariant), the FK flag rides a
+    single data-sized LEFT JOIN against the orders keyset AT that
+    reduced grain, and one global aggregate folds all five counts,
+    which ``stack`` pivots into the report rows.  NULL FKs are the
+    not-null rule's finding, not the FK rule's (standard SQL FK
+    semantics).  All counts exact BIGINTs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    keyed = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ).cast("bigint")
+        ).alias("_q"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("bigint")).alias("_p"),
+    )
+    flagged = keyed.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        "*",
+        (
+            F.col("o_orderkey").isNull() & F.col("l_orderkey").isNotNull()
+        ).alias("_fk_miss"),
+    )
+    report = flagged.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("l_orderkey").isNull(), F.col("_n")).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        ).alias("_c1"),
+        F.coalesce(F.sum("_q"), F.lit(0)).alias("_c2"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("_c3"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("_c4"),
+        F.coalesce(
+            F.sum(F.when(F.col("_fk_miss"), F.col("_n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("_c5"),
+    ).select(
+        F.expr(
+            "stack(5,"
+            " 'l_orderkey_not_null', _c1,"
+            " 'l_quantity_in_1_50', _c2,"
+            " 'l_extendedprice_positive', _c3,"
+            " 'orderkey_linenumber_unique', _c4,"
+            " 'l_orderkey_fk_orders', _c5"
+            ") AS (constraint, n_violations)"
+        )
+    )
+    return report.select(
+        "constraint",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4540,4 +4674,6 @@ QUERIES = {
     "qx49_division": qx49_division,
     "qx50_chisq_independence": qx50_chisq_independence,
     "qx51_twap": qx51_twap,
+    "qx52_column_profile": qx52_column_profile,
+    "qx53_data_quality": qx53_data_quality,
 }

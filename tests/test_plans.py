@@ -999,3 +999,20 @@ def test_qx49_qx50_qx51_round12_shapes(spark):
     assert p.count("Window ") == 1, p
     assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 1, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_qx52_qx53_single_pass_shapes(spark):
+    """qx52: the whole per-column profile rides ONE lineitem scan and
+    ONE aggregate (the multi-count-distinct Expand is the documented
+    exactness cost); qx53: the 5-constraint report is ONE linear
+    pipeline — one lineitem scan, one orders scan, one join, no
+    per-constraint re-scans."""
+    p = plan_of(spark, "qx52_column_profile")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    assert p.count("FileScan parquet") == 1, p
+    assert "Expand" in p, p
+
+    p = plan_of(spark, "qx53_data_quality")
+    assert "CartesianProduct" not in p, p
+    assert p.count("FileScan parquet") == 2, p  # lineitem + orders, once each
+    assert p.count("lineitem") == 1, p
