@@ -1059,6 +1059,7 @@ def snapshot_merge(
     tag: str | None = None,
     evolve_schema: bool = False,
     stats_cols: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE, WHEN NOT MATCHED
     INSERT, whole-row form): the new snapshot is (previous rows whose
@@ -1087,12 +1088,19 @@ def snapshot_merge(
     Pass ``stats_cols=keys`` for a table whose only DML is this merge;
     once recorded, later commits inherit the setting (snapshot_commit's
     stats_cols defaulting), so passing it on every call is idempotent.
+
+    ``meta``: replaces the carried cross-table binding on this commit
+    (omitted = the previous snapshot's meta carries forward unchanged
+    — snapshot_commit's rule); the streaming quality monitor rides its
+    running counters here so state + counters land in ONE atomic
+    commit.
     """
     spark = df.sparkSession
     versions = _list_versions(spark, table)
     if not versions:
         return snapshot_commit(
-            df, table, mode="overwrite", tag=tag, stats_cols=stats_cols
+            df, table, mode="overwrite", tag=tag, stats_cols=stats_cols,
+            meta=meta,
         )
     latest = versions[-1]
     manifest = _read_manifest(spark, table, latest)
@@ -1135,6 +1143,7 @@ def snapshot_merge(
         carry_files=carried or None,
         evolve_schema=evolve_schema,
         stats_cols=stats_cols,
+        meta=meta,
     )
 
 
