@@ -91,6 +91,7 @@ def main() -> int:
             }
         per_batch: list[float] = []
         hh_sec: list[float] = []
+        qual_sec: list[float] = []
         kept = dropped = seen = 0
         dedup_in = 0  # rows that reached the dedup ingest (labels grain)
         ledger_ok = True
@@ -155,6 +156,35 @@ def main() -> int:
                 k=HH_K,
             )
             hh_sec.append(round(time.time() - t0, 2))
+
+            # quality-monitor twin (round 12), same cadence: per-batch
+            # constraint fold + keyed-multiplicity merge.  Batch key
+            # ranges are disjoint (the ingest cadence), so the merge's
+            # stats-pruning keeps per-batch cost INCREMENT-sized —
+            # except the planted collisions (every 1000th doc maps
+            # into batch 0's key range), which prune to batch-0 files
+            # only: the O(touched-files) contract, demonstrated.
+            from ros_sql_spark.streaming.quality import (
+                quality_ingest_batch,
+            )
+
+            t0 = time.time()
+            qb = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select(
+                F.when(
+                    F.col("doc_id") % 1000 == 0,
+                    F.col("doc_id") % (per * 1_000_000),
+                )
+                .otherwise(F.col("doc_id"))
+                .alias("k"),
+                "n_chars",
+            )
+            quality_ingest_batch(
+                qb, b, f"{work}/qual", ["k"],
+                {"n_chars_positive": F.col("n_chars") <= 0},
+            )
+            qual_sec.append(round(time.time() - t0, 2))
 
         checks: dict[str, bool] = {}
         if curate_mode:
@@ -296,6 +326,35 @@ def main() -> int:
         checks["hh_per_batch_flat_within_2x"] = (
             sum(hh_sec[-hw:]) / hw <= 2 * (sum(hh_sec[1 : 1 + hw]) / hw)
         )
+        # quality twin: end-state dup count must equal an exact
+        # from-scratch recompute over EVERYTHING ingested, and the
+        # per-batch cost curve must stay flat (range-disjoint merges)
+        from ros_sql_spark.sources.snapshot import snapshot_meta
+
+        qmeta = snapshot_meta(spark, f"{work}/qual/counts")["checks"]
+        recompute = (
+            docs.select(
+                F.when(
+                    F.col("doc_id") % 1000 == 0,
+                    F.col("doc_id")
+                    % (per * 1_000_000),
+                )
+                .otherwise(F.col("doc_id"))
+                .alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        checks["quality_unique_matches_recompute"] = (
+            int(qmeta["k_unique"]) == int(recompute)
+        )
+        checks["quality_dups_planted_and_found"] = int(recompute) > 0
+        checks["quality_per_batch_flat_within_2x"] = (
+            sum(qual_sec[-hw:]) / hw <= 2 * (sum(qual_sec[1 : 1 + hw]) / hw)
+        )
         out = {
             "metric": "ingest_drive",
             "mode": "curate" if curate_mode else "setsim",
@@ -306,6 +365,7 @@ def main() -> int:
             "synth_sec": synth_sec,
             "per_batch_sec": per_batch,
             "hh_per_batch_sec": hh_sec,
+            "quality_per_batch_sec": qual_sec,
             "checks": checks,
         }
         print(json.dumps(out))
