@@ -692,6 +692,7 @@ def main() -> int:
             "qx43_channel_intersect",
             "q26_dedup_minhash",
             "q40_ann_lsh",
+            "qx48_bfs_reach",  # round-12: unrolled BFS over the scaled facts
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
