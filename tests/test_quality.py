@@ -173,3 +173,40 @@ def test_quality_monitor_real_stream(spark, tmp_path):
         for r in quality_report_read(spark, store).collect()
     }
     assert got == want
+
+
+def test_quality_monitor_survives_compaction(spark, tmp_path):
+    """Mid-stream maintenance: compacting (key-clustering) the counts
+    table between batches must carry BOTH the batch watermark (no
+    re-ingest) and the meta counters (no balance loss) — the
+    carried-forward contract of snapshot_compact, composed with the
+    monitor."""
+    from ros_sql_spark.sources.snapshot import snapshot_compact
+
+    store = str(tmp_path / "q")
+    seen = []
+    for b, rows in enumerate((B0, B1)):
+        seen += rows
+        quality_ingest_batch(
+            spark.createDataFrame(rows, _SCHEMA), b, store,
+            ["k1", "k2"], _checks(),
+        )
+    snapshot_compact(
+        spark, f"{store}/counts", target_files=2, cluster_by=["k1"]
+    )
+    # redelivery of batch 1 after compaction: still a no-op
+    from ros_sql_spark.sources.snapshot import snapshot_versions
+
+    v = snapshot_versions(spark, f"{store}/counts")[-1]
+    quality_ingest_batch(
+        spark.createDataFrame(B1, _SCHEMA), 1, store, ["k1", "k2"], _checks()
+    )
+    assert snapshot_versions(spark, f"{store}/counts")[-1] == v
+    # and batch 2 folds correctly on the compacted state
+    seen += B2
+    got = quality_ingest_batch(
+        spark.createDataFrame(B2, _SCHEMA), 2, store, ["k1", "k2"], _checks()
+    )
+    want = _batch_report(spark, seen, REF)
+    want.pop("ref_fk")
+    assert got == want
