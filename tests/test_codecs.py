@@ -1063,3 +1063,45 @@ def test_jpeg_restart_intervals_roundtrip():
     bad[i + 1] = 0xD3
     with pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(bytes(bad))
+
+
+def test_png_subbyte_property_roundtrip():
+    """Property test (round 12): random sub-byte depths, dims and
+    palettes — packed rows (filter 0) must decode to exactly the
+    palette lookup / scaled grayscale, for every width mod-8 phase."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ros_sql_spark.operators.codecs import decode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        depth=st.sampled_from([1, 2, 4]),
+        h=st.integers(1, 6),
+        w=st.integers(1, 19),
+        ctype=st.sampled_from([0, 3]),
+        seed=st.integers(0, 10_000),
+    )
+    def case(depth, h, w, ctype, seed):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 1 << depth, (h, w), dtype=np.uint8)
+        packed = _pack_subbyte(vals, depth)
+        raw = b"".join(
+            b"\x00" + packed[y].tobytes() for y in range(h)
+        )
+        palette = (
+            rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+            if ctype == 3
+            else None
+        )
+        got = decode_png(
+            _png_chunks(w, h, depth, ctype, raw, palette=palette)
+        )
+        if ctype == 3:
+            want = palette[vals]
+        else:
+            scale = 255 // ((1 << depth) - 1)
+            want = np.repeat((vals * scale)[..., None], 3, axis=2)
+        assert np.array_equal(got, want), (depth, h, w, ctype)
+
+    case()

@@ -717,3 +717,76 @@ def test_pyds_pushdown_timestamp_coarse_units(registered, tmp_path):
     assert ids(F.col("ts") >= F.lit(cut3)) == [3, 4, 5]
     assert ids(F.col("ts") <= F.lit(cut3)) == [1, 2, 3]
     assert ids(F.col("ts") == F.lit(cut3)) == [3]
+
+
+def test_ts_filter_expr_property_matches_floored_domain():
+    """Property test (round 12): for EVERY unit (s/ms/us/ns), every
+    comparison, and adversarial µs boundaries around the unit edges,
+    _ts_filter_expr's pyarrow evaluation over raw counts must equal
+    the brute-force comparison in Spark's post-conform µs domain
+    (coarse units widen exactly; ns FLOORS) — negatives included."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ros_sql_spark.sources.pyds import _ts_filter_expr
+
+    _K = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}
+
+    def to_us(count: int, unit: str) -> int:
+        if unit == "ns":
+            return count // 1000  # Python floor division == conform
+        return count * _K[unit]
+
+    _PY_OP = {
+        "GreaterThan": lambda a, b: a > b,
+        "GreaterThanOrEqual": lambda a, b: a >= b,
+        "LessThan": lambda a, b: a < b,
+        "LessThanOrEqual": lambda a, b: a <= b,
+        "EqualTo": lambda a, b: a == b,
+    }
+
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        unit=st.sampled_from(["s", "ms", "us", "ns"]),
+        kind=st.sampled_from(list(_PY_OP)),
+        counts=st.lists(
+            st.integers(-5000, 5000), min_size=1, max_size=40
+        ),
+        boundary_us=st.integers(-4000, 4000),
+    )
+    def case(unit, kind, counts, boundary_us):
+        ftype = pa.timestamp(unit, tz="UTC")
+        path = os.path.join(tmp, f"t_{unit}.parquet")
+        papq.write_table(
+            pa.table(
+                {
+                    "i": pa.array(range(len(counts)), pa.int64()),
+                    "ts": pa.array(counts, ftype),
+                }
+            ),
+            path,
+            store_schema=False,
+        )
+        ds = pads.dataset(path, format="parquet")
+        expr = _ts_filter_expr(
+            kind, "ts", boundary_us, ds.schema.field("ts").type
+        )
+        got = sorted(
+            ds.to_table(filter=expr).column("i").to_pylist()
+        )
+        want = sorted(
+            i
+            for i, c in enumerate(counts)
+            if _PY_OP[kind](to_us(c, unit), boundary_us)
+        )
+        assert got == want, (unit, kind, boundary_us, counts)
+
+    case()
