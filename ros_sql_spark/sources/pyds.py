@@ -130,10 +130,20 @@ def _conform_batches(batches, schema: StructType):
         # container around recursively-conformed children, preserving
         # the container's own validity bitmap.
         if pa.types.is_struct(col.type) and pa.types.is_struct(t):
-            kids = [
-                _conform_col(col.field(i), t.field(i).type)
-                for i in range(t.num_fields)
-            ]
+            # children matched BY NAME, not position — a third-party
+            # file may order struct fields differently than the
+            # manifest schema (round-12 self-review; positional match
+            # would silently swap fields of compatible types)
+            kids = []
+            for i in range(t.num_fields):
+                name = t.field(i).name
+                idx = col.type.get_field_index(name)
+                if idx < 0:
+                    raise ValueError(
+                        f"struct field {name!r} missing from file "
+                        f"column (file has {[f.name for f in col.type]})"
+                    )
+                kids.append(_conform_col(col.field(idx), t.field(i).type))
             return pa.StructArray.from_arrays(
                 kids, fields=list(t), mask=pc.is_null(col)
             )

@@ -790,3 +790,49 @@ def test_ts_filter_expr_property_matches_floored_domain():
         assert got == want, (unit, kind, boundary_us, counts)
 
     case()
+
+
+def test_conform_batches_struct_fields_matched_by_name(registered):
+    """Round-12 self-review: a file whose struct fields are ORDERED
+    differently than the manifest schema must conform by NAME (a
+    positional match would silently swap same-typed fields); a missing
+    field is a named error."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ros_sql_spark.sources.pyds import _conform_batches
+
+    # file order (k, t); target order (t, k)
+    st_arr = pa.array(
+        [{"k": 7, "t": -1500}, {"k": 8, "t": 2000}],
+        pa.struct([("k", pa.int64()), ("t", pa.timestamp("ns"))]),
+    )
+    batch = pa.RecordBatch.from_arrays([st_arr], ["s"])
+    schema = StructType(
+        [
+            StructField(
+                "s",
+                StructType(
+                    [
+                        StructField("t", TimestampType()),
+                        StructField("k", LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    out = list(_conform_batches(iter([batch]), schema))[0]
+    s = out.column(0)
+    assert s[0]["k"].as_py() == 7 and s[1]["k"].as_py() == 8
+    assert int(s[0]["t"].cast(pa.int64()).as_py()) == -2  # floored too
+    # missing field: named error, not a silent null
+    bad = pa.RecordBatch.from_arrays(
+        [pa.array([{"k": 1}], pa.struct([("k", pa.int64())]))], ["s"]
+    )
+    with pytest.raises(ValueError, match="missing from file"):
+        list(_conform_batches(iter([bad]), schema))
