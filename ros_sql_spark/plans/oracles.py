@@ -2675,6 +2675,51 @@ ORACLES: dict[str, str] = {
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderkey IS NULL
     """,
+    # TPC-DS Q51: full-outer alignment of two cumulative series,
+    # running-max forward fill, crossover predicate in exact DECIMAL
+    "qx54_cumulative_crossover": """
+        WITH b AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ), cb AS (
+            SELECT user_id, d, sum(v) OVER (
+                PARTITION BY user_id ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM b
+        ), c AS (
+            SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events
+            WHERE event_type = 'click' AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ), cc AS (
+            SELECT user_id, d, sum(v) OVER (
+                PARTITION BY user_id ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM c
+        ), j AS (
+            SELECT coalesce(cb.user_id, cc.user_id) AS user_id,
+                   coalesce(cb.d, cc.d) AS d,
+                   cb.cum AS bcum, cc.cum AS ccum
+            FROM cb FULL JOIN cc
+              ON cb.user_id = cc.user_id AND cb.d = cc.d
+        ), f AS (
+            SELECT user_id, d,
+                   max(bcum) OVER (PARTITION BY user_id ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS fb,
+                   max(ccum) OVER (PARTITION BY user_id ORDER BY d
+                                   ROWS UNBOUNDED PRECEDING) AS fv
+            FROM j
+        )
+        SELECT user_id, d,
+               CAST(fb AS DOUBLE) AS cum_purchase,
+               CAST(fv AS DOUBLE) AS cum_click
+        FROM f
+        WHERE fb IS NOT NULL AND fv IS NOT NULL AND fb > fv
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

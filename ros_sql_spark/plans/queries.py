@@ -4517,6 +4517,80 @@ def qx53_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx54_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two INDEPENDENT per-key cumulative series
+    (daily purchase-value vs click-value running totals) aligned by
+    FULL OUTER join on the composite (user, day) key, forward-filled
+    by RUNNING MAX (a monotone cumulative's running max IS its
+    last-known value — the Q51 trick; q91's last(ignorenulls) fills a
+    dense axis, this fills the OTHER SERIES' days with no axis at
+    all), then the crossover predicate cum_purchase > cum_click on the
+    filled frames.
+
+    Plan shape (the EXCHANGE-MINIMAL form, measured against the naive
+    one): the naive translation windows each channel's cumulative
+    BEFORE the join — but a join requires co-partitioning on its FULL
+    key set (subset satisfaction is an aggregate/window rule, NOT a
+    join rule: requireAllClusterKeysForCoPartition defaults true), so
+    each side pays (u,d) agg exchange → u window exchange → (u,d)
+    join re-exchange: SEVEN exchanges.  Instead the DAILY aggregates
+    join directly — the full outer reuses each side's own (u, day)
+    aggregation partitioning with ZERO join exchange — and both
+    cumulative series are built AFTER the join on one shared user
+    window as running sums of the coalesced deltas, NULL-gated by the
+    channel's running count (Σ of deltas ≡ the forward-filled
+    cumulative; count>0 ≡ the series has started): THREE exchanges
+    end-to-end, one Window node carrying all four functions.  NULL
+    users are filtered at the source (a NULL key never equi-matches:
+    the outer join would keep both sides' NULL-user rows separate and
+    their intra-day window order is engine-dependent).  All
+    comparisons in exact DECIMAL; doubles only at the boundary."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.expr("ts_ns div 86400000000000")
+
+    def chan_daily(t: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id", day.alias("d"))
+            .agg(F.sum(money("value")).alias(alias))
+        )
+
+    j = chan_daily("purchase", "_b").join(
+        chan_daily("click", "_v"), ["user_id", "d"], "full"
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    zero = F.lit(0).cast(DECIMAL_MONEY)
+    filled = j.select(
+        "user_id",
+        "d",
+        F.when(
+            F.count("_b").over(wf) > 0,
+            F.sum(F.coalesce(F.col("_b"), zero)).over(wf),
+        ).alias("_fb"),
+        F.when(
+            F.count("_v").over(wf) > 0,
+            F.sum(F.coalesce(F.col("_v"), zero)).over(wf),
+        ).alias("_fv"),
+    )
+    return (
+        filled.filter(
+            F.col("_fb").isNotNull()
+            & F.col("_fv").isNotNull()
+            & (F.col("_fb") > F.col("_fv"))
+        )
+        .select(
+            "user_id",
+            "d",
+            F.col("_fb").cast("double").alias("cum_purchase"),
+            F.col("_fv").cast("double").alias("cum_click"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4676,4 +4750,5 @@ QUERIES = {
     "qx51_twap": qx51_twap,
     "qx52_column_profile": qx52_column_profile,
     "qx53_data_quality": qx53_data_quality,
+    "qx54_cumulative_crossover": qx54_cumulative_crossover,
 }

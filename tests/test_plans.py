@@ -1016,3 +1016,18 @@ def test_qx52_qx53_single_pass_shapes(spark):
     assert "CartesianProduct" not in p, p
     assert p.count("FileScan parquet") == 2, p  # lineitem + orders, once each
     assert p.count("lineitem") == 1, p
+
+
+def test_qx54_exchange_minimal_crossover(spark):
+    """Q51-class: the full outer must reuse the daily aggregates' own
+    (user, day) partitioning (ZERO join exchange — joins need FULL-key
+    co-partitioning, so windowing before the join would force a
+    re-exchange per side: 7 exchanges measured on the naive form), and
+    all four fill functions ride ONE user window: exactly 3 exchanges
+    end-to-end, no SinglePartition anywhere."""
+    p = plan_of(spark, "qx54_cumulative_crossover")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window ") == 1, p
+    assert len(re.findall(r"Exchange (hash|range)partitioning", p)) == 3, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "FullOuter" in p, p
