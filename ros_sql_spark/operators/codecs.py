@@ -23,9 +23,10 @@ formats implementable exactly from their public specifications:
   PROGRESSIVE (SOF2: spectral selection + successive approximation,
   EOB runs) decoders, tables read from the file, 1/3 components,
   4:4:4 and 4:2:0, plus Annex-K-table baseline and progressive
-  encoders, numpy DCT, and baseline restart intervals (DRI + RSTn
-  sequence-checked, round-12); arithmetic/12-bit streams and
-  progressive-with-DRI raise NotImplementedError naming the feature.  Entropy coding is
+  encoders, numpy DCT, and restart intervals in BOTH modes (DRI +
+  RSTn sequence-checked; progressive resets DC predictors and EOB
+  runs per scan walk — round-12); arithmetic and 12-bit streams
+  raise NotImplementedError naming the feature.  Entropy coding is
   per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
   cost is the accepted trade);
@@ -737,8 +738,8 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
 # Scope: 8-bit baseline (SOF0/SOF1) AND progressive (SOF2 — spectral
 # selection, successive approximation, EOB runs), 1 or 3 components,
 # sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
-# Baseline restart intervals (DRI) decode and encode; arithmetic
-# coding, 12-bit, and progressive-with-DRI
+# Restart intervals (DRI) decode and encode in both modes; arithmetic
+# coding and 12-bit
 # raise NotImplementedError NAMING the feature.  The decoder reads
 # quant/huffman tables FROM THE FILE (real-world interop does not
 # depend on the encoder's built-in tables); the encoder embeds the
@@ -1035,6 +1036,7 @@ def encode_jpeg_progressive(
     dc_successive: bool = False,
     ac_successive: bool = False,
     sa_levels: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → PROGRESSIVE JPEG
     (SOF2) bytes: spectral selection with a DC-first scan script
@@ -1044,7 +1046,19 @@ def encode_jpeg_progressive(
     Al=1 (high bits) and an Ah=1 refinement delivering the low bit per
     block — exercising the decoder's successive-approximation path.
     4:4:4 only — the point is generating REAL multi-scan progressive
-    streams for the decoder's tests, mirroring encode_png/encode_bmp."""
+    streams for the decoder's tests, mirroring encode_png/encode_bmp.
+    ``restart_interval``: emit DRI + sequence-correct RSTn markers
+    every N data units in the DC scans (first and refinement) and the
+    AC first scans — predictors reset, EOB runs flushed BEFORE the
+    boundary per spec; not combined with ``ac_successive`` (the
+    refinement scan's lookahead EOBn folding would need boundary
+    splitting this test encoder doesn't attempt — the DECODER handles
+    that combination via the shared restart machinery)."""
+    if restart_interval and ac_successive:
+        raise ValueError(
+            "restart_interval with ac_successive is not supported by "
+            "this test encoder (decoder supports it)"
+        )
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim == 2:
         planes = [arr]
@@ -1101,6 +1115,20 @@ def encode_jpeg_progressive(
     for tc_th, spec_ in htabs:
         bits, vals = spec_
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def rst_boundary(bwr, unit: int, on_reset=None) -> None:
+        """At a restart boundary: byte-align (1-pad), emit the
+        sequence-correct RSTn, run the scan's state reset."""
+        if not restart_interval or unit == 0 or unit % restart_interval:
+            return
+        bwr.flush()
+        bwr.buf += bytes(
+            [0xFF, 0xD0 + (unit // restart_interval - 1) % 8]
+        )
+        if on_reset is not None:
+            on_reset()
 
     # scan 1: DC, all components interleaved (1x1 → one block per MCU);
     # with dc_successive the first pass codes dc >> 1 at Al=1
@@ -1108,6 +1136,10 @@ def encode_jpeg_progressive(
     bwr = _BitWriter()
     pred = [0] * ncomp
     for bi in range(bh * bw_):
+        rst_boundary(
+            bwr, bi,
+            lambda: pred.__setitem__(slice(None), [0] * ncomp),
+        )
         for ci in range(ncomp):
             v = int(zzs[ci][bi, 0]) >> al0
             diff = v - pred[ci]
@@ -1129,6 +1161,7 @@ def encode_jpeg_progressive(
         # block in the same interleaved order
         bwr = _BitWriter()
         for bi in range(bh * bw_):
+            rst_boundary(bwr, bi)  # no predictor state in refinement
             for ci in range(ncomp):
                 bwr.write(int(zzs[ci][bi, 0]) & 1, 1)
         bwr.flush()
@@ -1159,6 +1192,9 @@ def encode_jpeg_progressive(
             eobrun = 0
 
         for bi in range(bh * bw_):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush()  # an EOB run may not cross a restart (spec)
+                rst_boundary(bwr, bi)
             band = [
                 (1 if v > 0 else -1) * (abs(int(v)) >> al)
                 for v in zzs[ci][bi, ss : se + 1]
@@ -1464,14 +1500,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _entropy_end(payload: bytes, start: int) -> int:
     """Index of the first REAL marker after `start` (skips 0xFF00 byte
-    stuffing and 0xFF fill bytes) — where a progressive scan's entropy
-    data ends."""
+    stuffing, 0xFF fill bytes, AND RST0–RST7 — restart markers are
+    part of the entropy segment, round-12) — where a progressive
+    scan's entropy data ends."""
     i = start
     n = len(payload)
     while i + 1 < n:
         if payload[i] == 0xFF:
             nxt = payload[i + 1]
-            if nxt == 0x00:
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 i += 2
                 continue
             if nxt == 0xFF:
@@ -1501,6 +1538,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
+    ri = 0
     coef: list[np.ndarray] = []
     grids: list[tuple[int, int, int, int]] = []  # (bh_pad, bw_pad, bh_c, bw_c)
     while pos + 2 <= len(payload):
@@ -1564,13 +1602,12 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 grids.append((bh_pad, bw_pad, -(-chh // 8), -(-cw // 8)))
                 coef.append(np.zeros((bh_pad, bw_pad, 64), np.int64))
         elif marker == 0xDD:
-            # baseline DRI decodes (round-12); the progressive
-            # combination stays gated — restart state interacts with
-            # EOB runs and successive-approximation correction bits
-            raise NotImplementedError(
-                "JPEG restart intervals in PROGRESSIVE streams "
-                "(baseline DRI is supported)"
-            )
+            # round-12: progressive DRI decodes too — each scan walk
+            # byte-aligns at its interval boundary, checks the RSTn
+            # mod-8 sequence and resets its entropy state (DC
+            # predictors / EOB run); DRI may be redefined between
+            # scans, as the spec allows
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -1585,7 +1622,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             end = _entropy_end(payload, start)
             _prog_scan(
                 payload[start:end], sof, scan, ss, se, ah, al,
-                coef, grids, huff,
+                coef, grids, huff, ri,
             )
             pos = end
             continue
@@ -1622,12 +1659,34 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
+def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff, ri=0):
     """Apply one progressive scan's entropy data to the coefficient
-    buffers (T.81 G.2 decode procedures, AC refinement excepted)."""
+    buffers (T.81 G.2 decode procedures).  ``ri``: restart interval in
+    MCUs (interleaved DC scans) / data units (single-component scans);
+    at each boundary the reader byte-aligns onto a sequence-checked
+    RSTn and the scan's entropy state resets — DC predictors here, the
+    EOB run in the AC walks (an EOB run may not legally cross a
+    restart; a stream that tries is reset, matching the common-decoder
+    behavior, not rejected)."""
     hh, ww, comps, hmax, vmax, mcus_x, mcus_y = sof
     idx_by_id = {c[0]: i for i, c in enumerate(comps)}
     br = _BitReader(data)
+    rst_seq = [0]
+
+    def maybe_restart(unit: int) -> bool:
+        """True exactly at interval boundaries (after consuming the
+        marker and bumping the sequence) — callers reset their own
+        entropy state on True."""
+        if not ri or unit == 0 or unit % ri:
+            return False
+        n = br.restart()
+        if n != rst_seq[0] % 8:
+            raise ValueError(
+                "JPEG restart marker out of sequence in progressive "
+                f"scan: RST{n} where RST{rst_seq[0] % 8} expected"
+            )
+        rst_seq[0] += 1
+        return True
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
@@ -1656,6 +1715,8 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
         if len(scan) > 1:
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if maybe_restart(my * mcus_x + mx):
+                        pred = {m: 0 for m in members}
                     for ci in members:
                         _cid, hf, vf, _tq = comps[ci]
                         for by in range(vf):
@@ -1666,6 +1727,8 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
             _, _, bh_c, bw_c = grids[ci]
             for by in range(bh_c):
                 for bx in range(bw_c):
+                    if maybe_restart(by * bw_c + bx):
+                        pred = {m: 0 for m in members}
                     dc_unit(ci, by, bx)
         return
     # AC scan: single component by spec
@@ -1681,6 +1744,8 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
     if ah == 0:
         for by in range(bh_c):
             for bx in range(bw_c):
+                if maybe_restart(by * bw_c + bx):
+                    eobrun = 0
                 if eobrun:
                     eobrun -= 1
                     continue
@@ -1715,6 +1780,8 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff):
 
     for by in range(bh_c):
         for bx in range(bw_c):
+            if maybe_restart(by * bw_c + bx):
+                eobrun = 0
             blk = coef[ci][by, bx]
             if eobrun:
                 refine_range(blk, ss, se)

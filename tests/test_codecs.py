@@ -1105,3 +1105,50 @@ def test_png_subbyte_property_roundtrip():
         assert np.array_equal(got, want), (depth, h, w, ctype)
 
     case()
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Round-12 part 2: progressive + DRI decodes.  Multi-scan streams
+    with restart markers in the DC scan, the DC refinement scan and
+    every AC band scan must decode BIT-IDENTICALLY to the no-DRI
+    progressive stream of the same image; RSTn indices wrap mod 8;
+    a wrong-sequence marker raises the named error; the test encoder
+    honestly refuses the one combination it doesn't emit."""
+    from ros_sql_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    for shape, kw in (
+        ((24, 40, 3), {}),                       # plain spectral scans
+        ((24, 40, 3), {"dc_successive": True}),  # + DC refinement scan
+        ((17, 25), {}),                          # grayscale ragged
+    ):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        plain = encode_jpeg_progressive(px, **kw)
+        dri = encode_jpeg_progressive(px, restart_interval=2, **kw)
+        assert b"\xff\xdd" in dri
+        assert any(bytes([0xFF, 0xD0 + i]) in dri for i in range(8))
+        assert np.array_equal(decode_jpeg(dri), decode_jpeg(plain))
+
+    # >8 boundaries in one scan: mod-8 wrap exercised
+    px = rng.integers(0, 256, (8, 8 * 20, 3), dtype=np.uint8)
+    dri = encode_jpeg_progressive(px, restart_interval=1)
+    assert np.array_equal(
+        decode_jpeg(dri), decode_jpeg(encode_jpeg_progressive(px))
+    )
+
+    # wrong-sequence marker: named error
+    i = dri.find(b"\xff\xd0")
+    assert i > 0
+    bad = bytearray(dri)
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
+
+    # the test encoder's honest gate for the unemitted combination
+    with pytest.raises(ValueError, match="ac_successive"):
+        encode_jpeg_progressive(
+            px, ac_successive=True, restart_interval=2
+        )
