@@ -23,10 +23,12 @@ formats implementable exactly from their public specifications:
   PROGRESSIVE (SOF2: spectral selection + successive approximation,
   EOB runs) decoders, tables read from the file, 1/3 components,
   4:4:4 and 4:2:0, plus Annex-K-table baseline and progressive
-  encoders, numpy DCT, and restart intervals in BOTH modes (DRI +
-  RSTn sequence-checked; progressive resets DC predictors and EOB
-  runs per scan walk — round-12); arithmetic and 12-bit streams
-  raise NotImplementedError naming the feature.  Entropy coding is
+  encoders, numpy DCT, restart intervals in BOTH modes (DRI + RSTn
+  sequence-checked; progressive resets DC predictors and EOB runs per
+  scan walk) and 12-BIT extended sequential (SOF1: 16-bit DQT, DC
+  categories to 15, level shift 2048, high-8-bit output — round-12);
+  arithmetic coding and 12-bit PROGRESSIVE streams raise
+  NotImplementedError naming the feature.  Entropy coding is
   per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
   cost is the accepted trade);
@@ -735,11 +737,12 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
 
 # --------------------------------------------------------------- JPEG
 # Sequential DCT JPEG (ITU-T T.81, public spec), pure numpy/stdlib.
-# Scope: 8-bit baseline (SOF0/SOF1) AND progressive (SOF2 — spectral
+# Scope: 8-bit baseline (SOF0/SOF1), 12-bit extended (SOF1) AND progressive (SOF2 — spectral
 # selection, successive approximation, EOB runs), 1 or 3 components,
 # sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
-# Restart intervals (DRI) decode and encode in both modes; arithmetic
-# coding and 12-bit
+# Restart intervals (DRI) decode and encode in both modes; 12-bit
+# extended sequential (SOF1) decodes and encodes; arithmetic coding
+# and 12-bit progressive
 # raise NotImplementedError NAMING the feature.  The decoder reads
 # quant/huffman tables FROM THE FILE (real-world interop does not
 # depend on the encoder's built-in tables); the encoder embeds the
@@ -873,19 +876,29 @@ def _mag_bits(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    pixels: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline JFIF
     JPEG bytes with the Annex-K quant/huffman tables (4:4:4, or 4:2:0
     when ``subsample``; grayscale is always single-component).
     ``restart_interval``: emit a DRI segment and an RSTn marker (with
     DC-predictor reset and byte alignment) every that-many MCUs — the
-    error-resilience feature real camera files carry."""
+    error-resilience feature real camera files carry.
+    ``precision=12``: EXTENDED sequential (SOF1) 12-bit samples —
+    input values 0..4095 (uint16), 16-bit DQT entries, a DC table
+    covering categories up to 15; decode keeps the high 8 bits
+    (round-12 — the 12-bit gate closed for sequential mode)."""
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG precision {precision} (8 or 12)")
     arr = np.asarray(pixels, dtype=np.float64)
+    mid = float(1 << (precision - 1))
     if arr.ndim == 2:
         return _encode_jpeg_planes(
             [arr], [(1, 1)], arr.shape[0], arr.shape[1],
-            ri=restart_interval,
+            ri=restart_interval, prec=precision,
         )
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) or (H, W) uint8, got {arr.shape}")
@@ -893,8 +906,8 @@ def encode_jpeg(
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     planes = [
         0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + mid,
+        0.5 * r - 0.418688 * g - 0.081312 * b + mid,
     ]
     if subsample:
         hs = [(2, 2), (1, 1), (1, 1)]
@@ -907,10 +920,14 @@ def encode_jpeg(
             )
     else:
         hs = [(1, 1), (1, 1), (1, 1)]
-    return _encode_jpeg_planes(planes, hs, h, w, ri=restart_interval)
+    return _encode_jpeg_planes(
+        planes, hs, h, w, ri=restart_interval, prec=precision
+    )
 
 
-def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
+def _encode_jpeg_planes(
+    planes, hs, h: int, w: int, ri: int = 0, prec: int = 8
+) -> bytes:
     """Shared entropy-encode + header assembly for 1 (grayscale) or 3
     (YCbCr) planes; component 0 uses the luma tables, the rest
     chroma."""
@@ -922,12 +939,18 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
 
     T = _dct_matrix()
     qts = [_QT_LUMA] + [_QT_CHROMA] * (ncomp - 1)
-    dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
-        _huff_codes(*_HUFF_DC_CHROMA)
-    ] * (ncomp - 1)
-    ac_codes = [_huff_codes(*_HUFF_AC_LUMA)] + [
-        _huff_codes(*_HUFF_AC_CHROMA)
-    ] * (ncomp - 1)
+    if prec == 12:
+        # DC diffs reach category 15; the flat tables cover them (the
+        # Annex-K 8-bit tables stop at 11/size-10)
+        dc_codes = [_huff_codes(*_HUFF_DC12)] * ncomp
+        ac_codes = [_huff_codes(*_HUFF_AC_PROG)] * ncomp
+    else:
+        dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
+            _huff_codes(*_HUFF_DC_CHROMA)
+        ] * (ncomp - 1)
+        ac_codes = [_huff_codes(*_HUFF_AC_LUMA)] + [
+            _huff_codes(*_HUFF_AC_CHROMA)
+        ] * (ncomp - 1)
 
     padded = []
     for (hf, vf), plane in zip(hs, planes):
@@ -937,7 +960,7 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
         padded.append(
             np.pad(
                 plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge"
-            ) - 128.0
+            ) - float(1 << (prec - 1))
         )
 
     bw = _BitWriter()
@@ -993,18 +1016,34 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qtabs = [(0, _QT_LUMA)] + ([(1, _QT_CHROMA)] if ncomp > 1 else [])
     for tid, qt in qtabs:
-        out += seg(
-            0xDB,
-            bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG]),
-        )
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        if prec == 12:  # 16-bit DQT entries (pq=1), exercising that parse
+            out += seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(
+                    struct.pack(">H", int(x))
+                    for x in qt.flatten()[_ZIGZAG]
+                ),
+            )
+        else:
+            out += seg(
+                0xDB,
+                bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG]),
+            )
+    sof = bytearray([prec]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hf, vf = hs[ci]
         sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-    htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
-    if ncomp > 1:
-        htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    # 12-bit is extended sequential: SOF1
+    out += seg(0xC1 if prec == 12 else 0xC0, bytes(sof))
+    if prec == 12:
+        htabs = [(0x00, _HUFF_DC12), (0x10, _HUFF_AC_PROG)]
+        if ncomp > 1:
+            htabs += [(0x01, _HUFF_DC12), (0x11, _HUFF_AC_PROG)]
+    else:
+        htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+        if ncomp > 1:
+            htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
     for tc_th, spec in htabs:
         bits, vals = spec
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
@@ -1018,6 +1057,16 @@ def _encode_jpeg_planes(planes, hs, h: int, w: int, ri: int = 0) -> bytes:
     out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# DC table covering categories 0..15 for 12-BIT sequential scans
+# (Annex-K DC tables stop at category 11): 15 symbols at 4 bits + 1 at
+# 5 — Kraft 15/16 + 1/32 < 1, canonical assignment leaves the all-ones
+# code unused as the spec requires.
+_HUFF_DC12 = (
+    [0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
 
 
 # Flat AC table for PROGRESSIVE scans: all 256 run/size symbols at 9–10
@@ -1425,12 +1474,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
                 q = np.zeros(64, np.int64)
-                q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                if pq == 0:
+                    q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                    o += 65
+                elif pq == 1:  # 16-bit entries (12-bit streams use them)
+                    q[_ZIGZAG] = np.frombuffer(
+                        body, ">u2", 64, o + 1
+                    ).astype(np.int64)
+                    o += 129
+                else:
+                    raise ValueError(f"JPEG DQT precision field {pq}")
                 qts[tq] = q.reshape(8, 8)
-                o += 65
         elif marker == 0xC4:
             o = 0
             while o < len(body):
@@ -1442,15 +1497,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:
             prec = body[0]
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            # 12-bit is EXTENDED sequential only (T.81 table B.2):
+            # SOF0 must be 8-bit, SOF1 may be 8 or 12
+            if prec not in ((8,) if marker == 0xC0 else (8, 12)):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision for SOF{marker - 0xC0}"
+                )
             hh, ww = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            sof = (hh, ww, comps)
+            sof = (hh, ww, comps, prec)
         elif marker == 0xC2:
             return _decode_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -1822,7 +1881,8 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff, ri=0):
 
 
 def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
-    h, w, comps = sof
+    h, w, comps, prec = sof
+    mid = 1 << (prec - 1)  # level shift: 128 (8-bit) / 2048 (12-bit)
     by_id = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1884,7 +1944,7 @@ def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
                         blk = T.T @ (coef.reshape(8, 8) * qt) @ T
                         y0 = (my * vf + by) * 8
                         x0 = (mx * hf + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + mid
     full = []
     for ci, (hf, vf, _, _, _) in enumerate(meta):
         p = planes[ci]
@@ -1893,15 +1953,21 @@ def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
         if vf < vmax:
             p = p.repeat(vmax // vf, axis=0)
         full.append(p[:h, :w])
+    # 12-bit: clip in the 12-bit domain, keep the HIGH 8 bits (the
+    # PNG-16 high-byte convention)
+    def out8(a):
+        v = np.clip(np.round(a), 0, (1 << prec) - 1).astype(np.int64)
+        return (v >> (prec - 8)).astype(np.uint8)
+
     if len(full) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        y = out8(full[0])
         return np.repeat(y[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - float(mid), full[2] - float(mid)
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=-1,
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return out8(rgb)
 
 
 def encode_wav(

@@ -1152,3 +1152,50 @@ def test_jpeg_progressive_restart_intervals():
         encode_jpeg_progressive(
             px, ac_successive=True, restart_interval=2
         )
+
+
+def test_jpeg_12bit_sequential():
+    """Round-12 part 3: 12-bit EXTENDED sequential (SOF1) closed —
+    16-bit DQT entries, DC categories to 15, level shift 2048, decode
+    keeps the high 8 bits.  Constant even values round-trip EXACTLY;
+    smooth gradients land within quantization tolerance of the
+    high-byte reference; DRI composes bit-identically; mislabeling
+    12-bit as SOF0 stays a named error."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    # constants (even -> DC quant divides exactly): gray and RGB
+    for v in (0, 512, 2046, 4094):
+        g12 = np.full((16, 16), v, dtype=np.uint16)
+        got = decode_jpeg(encode_jpeg(g12, precision=12))
+        assert np.array_equal(got, np.full((16, 16, 3), v >> 4, np.uint8))
+        c12 = np.full((8, 16, 3), v, dtype=np.uint16)
+        got = decode_jpeg(encode_jpeg(c12, precision=12))
+        assert np.array_equal(got, (c12 >> 4).astype(np.uint8))
+
+    # smooth gradient: within quant tolerance of the high-byte truth
+    y, x = np.mgrid[0:24, 0:40]
+    g12 = ((y * 60 + x * 40) % 4096).astype(np.uint16)
+    sm = ((y + x) * 32).clip(0, 4095).astype(np.uint16)  # gentle ramp
+    got = decode_jpeg(encode_jpeg(sm, precision=12))
+    diff = np.abs(got[..., 0].astype(int) - (sm >> 4).astype(int))
+    assert diff.max() <= 3, diff.max()
+
+    # DRI composes: bit-identical to the no-DRI 12-bit stream's decode
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 4096, (24, 40, 3), dtype=np.uint16)
+    a = decode_jpeg(encode_jpeg(px, precision=12))
+    b = decode_jpeg(encode_jpeg(px, precision=12, restart_interval=2))
+    assert np.array_equal(a, b)
+
+    # 12-bit under SOF0 is spec-invalid -> named gate
+    good = bytearray(encode_jpeg(px, precision=12))
+    i = bytes(good).find(b"\xff\xc1")
+    assert i > 0
+    bad = good[:i] + b"\xff\xc0" + good[i + 2 :]
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(bad))
+    # and the precision guard on the encoder
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(px, precision=10)
