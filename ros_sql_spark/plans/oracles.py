@@ -2720,6 +2720,21 @@ ORACLES: dict[str, str] = {
         FROM f
         WHERE fb IS NOT NULL AND fv IS NOT NULL AND fb > fv
     """,
+    # Skyline / Pareto frontier: the oracle is the textbook all-pairs
+    # NOT EXISTS dominance test (quadratic — lives ONLY here; the
+    # Spark side runs the distributive prefix-max decomposition)
+    "qx55_skyline": """
+        SELECT p_partkey, p_name, p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+        ORDER BY p_partkey
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

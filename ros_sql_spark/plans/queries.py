@@ -4591,6 +4591,113 @@ def qx54_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx55_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over part: the non-dominated set under
+    (minimize p_retailprice, maximize p_size) — no other part is
+    cheaper-or-equal AND larger-or-equal with at least one strict.
+    The classic research operator (Börzsönyi et al., ICDE 2001); the
+    naive form is the all-pairs NOT EXISTS the oracle runs — O(n²)
+    and forbidden here.
+
+    Scale shape — a GLOBAL-ORDER running aggregate WITHOUT a global
+    window (the distributed prefix-max decomposition; skyline is
+    DISTRIBUTIVE, so per-range local frontiers compose exactly):
+    1. group to the DISTINCT-PRICE grain first (gmax = max size per
+       price) — load-bearing twice: the strictly-cheaper dominance
+       test needs strictly-lower ORDER rows (row frames over duplicate
+       orderBy values split ties arbitrarily), and same-price
+       dominance reduces to `size = gmax(price)`;
+    2. eager-pin the price frame (qx50 idiom: the scalar [lo, hi],
+       the bucket maxima and the main path are THREE different
+       projections — unpinned, exchange reuse is defeated and the
+       part scan + aggregation re-plan per consumer);
+    3. bucket prices by a monotone affine map into B=64 fixed ranges
+       off the crossJoin-broadcast 1-row [lo, hi] (qx21 idiom — the
+       bucketing floats are INTERNAL: any deterministic monotone
+       assignment yields the same skyline, so no cross-engine float
+       boundary exists);
+    4. prefix max across STRICTLY-LOWER buckets = B×B broadcast
+       self-join of the ≤64-row bucket-max frame (never a
+       SinglePartition window — the qx43 lesson);
+    5. within-bucket strict-prefix max on a _bkt-PARTITIONED window;
+       dominated prices are where greatest(cross-bucket, in-bucket)
+       prefix max ≥ gmax (monotone bucket map ⇒ lower bucket ⇒
+       strictly lower price, so the two prefixes together cover
+       exactly the strictly-cheaper set);
+    6. LEFT SEMI join part back on (price, size=gmax) — equal
+       (price, size) duplicates are mutually non-dominating and all
+       kept.  At 100 TB the surviving-price frame is typically tiny
+       (AQE converts the semi to broadcast at runtime); the static
+       plan stays a safe shuffle semi.
+    Cost: two part scans (grain agg + final semi), one corpus-sized
+    exchange on price, constant-frame bucket machinery."""
+    part = _t(spark, sf_dir, "part")
+    pg = (
+        part.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("_gmax"))
+        .localCheckpoint(eager=True)
+    )
+    lohi = pg.agg(
+        F.min("p_retailprice").alias("_lo"),
+        F.max("p_retailprice").alias("_hi"),
+    )
+    n_buckets = 64
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("p_retailprice") - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    pb = pg.crossJoin(F.broadcast(lohi)).select(
+        "p_retailprice", "_gmax", bkt.alias("_bkt")
+    )
+    bmax = pb.groupBy("_bkt").agg(F.max("_gmax").alias("_bmax"))
+    prev = (
+        bmax.alias("a")
+        .join(
+            F.broadcast(bmax.select(
+                F.col("_bkt").alias("_pb"), F.col("_bmax").alias("_pm")
+            )),
+            F.col("_pb") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.max("_pm").alias("_prevmax"))
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_prices = (
+        pb.join(F.broadcast(prev), "_bkt", "left")
+        .select(
+            "p_retailprice",
+            "_gmax",
+            F.greatest(
+                F.col("_prevmax"), F.max("_gmax").over(w)
+            ).alias("_m"),
+        )
+        .filter(F.col("_m").isNull() | (F.col("_m") < F.col("_gmax")))
+        .select("p_retailprice", F.col("_gmax").alias("_sz"))
+    )
+    return (
+        part.join(
+            sky_prices,
+            (part["p_retailprice"] == sky_prices["p_retailprice"])
+            & (part["p_size"] == sky_prices["_sz"]),
+            "left_semi",
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4751,4 +4858,5 @@ QUERIES = {
     "qx52_column_profile": qx52_column_profile,
     "qx53_data_quality": qx53_data_quality,
     "qx54_cumulative_crossover": qx54_cumulative_crossover,
+    "qx55_skyline": qx55_skyline,
 }

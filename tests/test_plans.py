@@ -1018,6 +1018,28 @@ def test_qx52_qx53_single_pass_shapes(spark):
     assert p.count("lineitem") == 1, p
 
 
+def test_qx55_skyline_distributed_prefix_max(spark):
+    """Skyline rides the DISTRIBUTED prefix-max decomposition, never a
+    global window: the distinct-price frame is pinned (ExistingRDD —
+    three consumers with different projections defeat exchange reuse),
+    the only Window node is partitioned by the bucket id, the
+    cross-bucket prefix is a ≤B-row broadcast self-join, and every
+    SinglePartition exchange is a keyless scalar combine (no
+    data-sized global sort — the qx43 rule).  Exactly ONE part
+    FileScan survives in the final plan (the semi-join probe; the
+    grain aggregate ran once at pin time)."""
+    p = plan_of(spark, "qx55_skyline")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Window ") == 1, p
+    assert re.search(r"Window \[[^\n]*\], \[_bkt", p), p
+    assert "LeftSemi" in p, p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
