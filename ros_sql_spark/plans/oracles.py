@@ -2735,6 +2735,38 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY p_partkey
     """,
+    # A-priori association rules: DISTINCT-items self-join pair counts
+    # (per-basket double-explode enumeration on the Spark side is
+    # count-identical); exact-integer gates, fixed-op-order metrics
+    "qx56_assoc_rules": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS b, p_brand AS i
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        supp AS (SELECT i, count(*) AS s FROM items GROUP BY 1),
+        freq AS (SELECT i, s FROM supp, nb WHERE 8 * s >= n),
+        fitems AS (
+            SELECT b, items.i FROM items JOIN freq ON items.i = freq.i
+        ), pairs AS (
+            SELECT a.i AS ant, c.i AS cons, count(*) AS pc
+            FROM fitems a JOIN fitems c
+              ON a.b = c.b AND a.i <> c.i
+            GROUP BY 1, 2
+        )
+        SELECT ant, cons, pc AS pair_cnt,
+               round(CAST(pc AS DOUBLE) / CAST(nb.n AS DOUBLE), 6)
+                   AS support,
+               round(CAST(pc AS DOUBLE) / CAST(fa.s AS DOUBLE), 6)
+                   AS confidence,
+               round((CAST(pc AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                     / (CAST(fa.s AS DOUBLE) * CAST(fc.s AS DOUBLE)),
+                     6) AS lift
+        FROM pairs
+        JOIN freq fa ON pairs.ant = fa.i
+        JOIN freq fc ON pairs.cons = fc.i, nb
+        WHERE 50 * pc >= nb.n AND 20 * pc >= 3 * fa.s
+        ORDER BY ant, cons
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -4698,6 +4698,99 @@ def qx55_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx56_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (A-priori, Agrawal-Srikant class) over order
+    baskets at brand grain: directed rules ant→cons with support,
+    confidence and lift, under three EXACT-INTEGER gates (no float
+    thresholds anywhere): item support 8·s ≥ n (12.5%), pair support
+    50·c ≥ n (2%), confidence 20·c ≥ 3·s_ant (15%).  At sf0.01 the
+    gates all bite: 25 items → 22 frequent, 462 directed pairs → 404
+    → 232 rules.
+
+    Scale shape — the distributed frequent-itemset idiom:
+    - pair CANDIDATES are never a basket self-join: baskets are
+      collect_set-grouped once (the only corpus exchange on the
+      basket key), the frequent-item prune lands BEFORE enumeration
+      (the A-priori property — at real vocabularies the infrequent
+      tail is most of the items), and ordered pairs are enumerated
+      per basket by a double explode of the pruned set — |basket|²
+      work bounded by the (constant) frequent vocabulary, zero join;
+    - the basket frame is lazily pinned (three consumers — the n
+      scalar, supports, the pair path — project it differently, so
+      exchange reuse is structurally defeated: the qx44 rule);
+    - `freq` (≤|vocab| rows, carrying n from the crossJoin-broadcast
+      1-row count: qx21 idiom) is EAGERLY pinned: its three consumers
+      (enumeration prune, ant/cons support joins) would otherwise
+      each re-run the corpus-sized supports aggregation (the qx50
+      marginal hazard);
+    - metrics are single-division doubles in a FIXED op order from
+      exact BIGINT counts, round(6) both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("_its"))
+        .localCheckpoint(eager=False)
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    items = baskets.select(
+        "l_orderkey", F.explode("_its").alias("_i")
+    )
+    supports = items.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s")
+    )
+    freq = (
+        supports.crossJoin(F.broadcast(n))
+        .filter(F.lit(8) * F.col("_s") >= F.col("_n"))
+        .localCheckpoint(eager=True)
+    )
+    fb = (
+        items.join(F.broadcast(freq.select("_i")), "_i")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("_i").alias("_f"))
+    )
+    pairs = (
+        fb.select(F.explode("_f").alias("ant"), "_f")
+        .select("ant", F.explode("_f").alias("cons"))
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+    )
+    rules = (
+        pairs.join(
+            F.broadcast(freq.select(
+                F.col("_i").alias("ant"),
+                F.col("_s").alias("_sa"),
+                "_n",
+            )),
+            "ant",
+        )
+        .join(
+            F.broadcast(freq.select(
+                F.col("_i").alias("cons"), F.col("_s").alias("_sb")
+            )),
+            "cons",
+        )
+        .filter(
+            (F.lit(50) * F.col("pair_cnt") >= F.col("_n"))
+            & (F.lit(20) * F.col("pair_cnt")
+               >= F.lit(3) * F.col("_sa"))
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return rules.select(
+        "ant",
+        "cons",
+        "pair_cnt",
+        r6(d("pair_cnt") / d("_n")).alias("support"),
+        r6(d("pair_cnt") / d("_sa")).alias("confidence"),
+        r6((d("pair_cnt") * d("_n")) / (d("_sa") * d("_sb"))).alias(
+            "lift"
+        ),
+    ).orderBy("ant", "cons")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4859,4 +4952,5 @@ QUERIES = {
     "qx53_data_quality": qx53_data_quality,
     "qx54_cumulative_crossover": qx54_cumulative_crossover,
     "qx55_skyline": qx55_skyline,
+    "qx56_assoc_rules": qx56_assoc_rules,
 }

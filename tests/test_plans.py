@@ -1040,6 +1040,29 @@ def test_qx55_skyline_distributed_prefix_max(spark):
     ), p
 
 
+def test_qx56_apriori_prune_before_enumeration(spark):
+    """Association rules: pair candidates are enumerated per basket
+    (double explode of the PRUNED item set — never a basket
+    self-join), the frequent-item prune is a broadcast join BELOW the
+    re-collect (A-priori property applied before enumeration), and
+    both pins landed (baskets lazy, freq eager → the final plan reads
+    ExistingRDDs, zero file scans — corpus work ran once at pin
+    time).  Exactly two hash exchanges survive: the frequent-item
+    re-collect on the basket key and the (ant, cons) pair count."""
+    p = plan_of(spark, "qx56_assoc_rules")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert p.count("Generate explode") == 3, p  # prune + pair pair
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
+    assert "Exchange SinglePartition" not in p, p
+    # the prune join sits BELOW the re-collect in the tree: the last
+    # (deepest) broadcast join feeds the collect_set aggregate
+    assert p.rindex("BroadcastHashJoin") > p.index(
+        "ObjectHashAggregate"
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
