@@ -2767,6 +2767,55 @@ ORACLES: dict[str, str] = {
         WHERE 50 * pc >= nb.n AND 20 * pc >= 3 * fa.s
         ORDER BY ant, cons
     """,
+    # Welch t-test: exact BIGINT/DECIMAL sufficient statistics, doubles
+    # assembled in the same fixed op order as the Spark side, round(6)
+    "qx57_welch_ttest": """
+        WITH g AS (
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   count(CASE WHEN event_type = 'purchase'
+                              THEN value END) AS n1,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2)) END) AS q1,
+                   count(CASE WHEN event_type = 'click'
+                              THEN value END) AS n2,
+                   sum(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+                   sum(CASE WHEN event_type = 'click'
+                            THEN CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2)) END) AS q2
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1
+        ), m AS (
+            SELECT dow, n1, n2,
+                   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                   ((CAST(q1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0))
+                   / CAST(n1 AS DOUBLE) AS e1,
+                   ((CAST(q2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) - 1.0))
+                   / CAST(n2 AS DOUBLE) AS e2
+            FROM g WHERE n1 > 1 AND n2 > 1
+        )
+        SELECT dow, n1 AS n_purchase, n2 AS n_click,
+               round(m1, 6) AS mean_purchase,
+               round(m2, 6) AS mean_click,
+               round((m1 - m2) / sqrt(e1 + e2), 6) AS t_stat,
+               round(((e1 + e2) * (e1 + e2))
+                     / ((e1 * e1) / (CAST(n1 AS DOUBLE) - 1.0)
+                        + (e2 * e2) / (CAST(n2 AS DOUBLE) - 1.0)),
+                     6) AS welch_df
+        FROM m WHERE (e1 + e2) > 0
+        ORDER BY dow
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

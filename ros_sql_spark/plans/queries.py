@@ -4791,6 +4791,77 @@ def qx56_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ant", "cons")
 
 
+def qx57_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH two-sample t-test per day-of-week: does mean purchase
+    value differ from mean click value?  t statistic + Welch
+    (Satterthwaite) degrees of freedom — the mean-comparison member
+    of the stats family (qx50 covers independence, q88/qx40 cover
+    outliers; none compares group means with unequal variances).
+
+    Float-parity discipline (the qx50 regime): every sufficient
+    statistic is EXACT — counts as BIGINT, Σv as DECIMAL(18,2) sums,
+    Σv² as DECIMAL(38,4) sums of the squared money cast — and the
+    t/df doubles are assembled from those exact inputs in ONE fixed
+    op order, round(6) both engines.  Spark's double aggregation
+    never runs (order-nondeterministic float sums can't appear).
+
+    Scale shape: ONE events scan, ONE exchange to the 7-row dow grain
+    (conditional aggregates compute both samples' moments in the same
+    pass — never two filtered scans joined; map-side partials reduce
+    the shuffle to 7 rows per task).  dow from the ns epoch by
+    integer arithmetic only ((days + 4) mod 7, 1970-01-01 = Thursday
+    — the `div`-never-`/` rule)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    dow = (F.expr("ts_ns div 86400000000000") + F.lit(4)) % F.lit(7)
+    is_p = F.col("event_type") == "purchase"
+    v = money("value")
+    vv = v * v
+
+    def moments(cond, tag: str):
+        return [
+            F.count(F.when(cond, F.col("value"))).alias(f"_n{tag}"),
+            F.sum(F.when(cond, v)).alias(f"_s{tag}"),
+            F.sum(F.when(cond, vv)).alias(f"_q{tag}"),
+        ]
+
+    g = (
+        ev.groupBy(dow.alias("dow"))
+        .agg(*moments(is_p, "1"), *moments(~is_p, "2"))
+        .filter((F.col("_n1") > 1) & (F.col("_n2") > 1))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def var(s, q, n):
+        # (Σv² − (Σv)²/n) / (n−1), every operand exact before the cast
+        return (d(q) - d(s) * d(s) / d(n)) / (d(n) - F.lit(1.0))
+
+    g = g.select(
+        "dow", "_n1", "_n2",
+        (d("_s1") / d("_n1")).alias("_m1"),
+        (d("_s2") / d("_n2")).alias("_m2"),
+        (var("_s1", "_q1", "_n1") / d("_n1")).alias("_e1"),
+        (var("_s2", "_q2", "_n2") / d("_n2")).alias("_e2"),
+    ).filter((F.col("_e1") + F.col("_e2")) > 0)
+    se2 = F.col("_e1") + F.col("_e2")
+    return g.select(
+        "dow",
+        F.col("_n1").alias("n_purchase"),
+        F.col("_n2").alias("n_click"),
+        r6(F.col("_m1")).alias("mean_purchase"),
+        r6(F.col("_m2")).alias("mean_click"),
+        r6((F.col("_m1") - F.col("_m2")) / F.sqrt(se2)).alias("t_stat"),
+        r6(
+            (se2 * se2)
+            / (
+                (F.col("_e1") * F.col("_e1")) / (d("_n1") - F.lit(1.0))
+                + (F.col("_e2") * F.col("_e2")) / (d("_n2") - F.lit(1.0))
+            )
+        ).alias("welch_df"),
+    ).orderBy("dow")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -4953,4 +5024,5 @@ QUERIES = {
     "qx54_cumulative_crossover": qx54_cumulative_crossover,
     "qx55_skyline": qx55_skyline,
     "qx56_assoc_rules": qx56_assoc_rules,
+    "qx57_welch_ttest": qx57_welch_ttest,
 }

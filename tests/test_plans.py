@@ -1063,6 +1063,21 @@ def test_qx56_apriori_prune_before_enumeration(spark):
     ), p
 
 
+def test_qx57_single_pass_moments(spark):
+    """Welch t-test: both samples' sufficient statistics ride ONE
+    events scan (conditional aggregates — never two filtered scans
+    joined), the type filter is pushed to parquet, partials combine
+    map-side, and the only exchanges are the 7-row dow grain + the
+    output sort.  No join, no SinglePartition anywhere."""
+    p = plan_of(spark, "qx57_welch_ttest")
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert p.count("FileScan parquet") == 1, p
+    assert re.search(r"PushedFilters: \[[^\]]*In\(event_type", p), p
+    assert "partial_count" in p and "partial_sum" in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p, p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
