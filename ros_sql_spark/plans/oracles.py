@@ -2816,6 +2816,43 @@ ORACLES: dict[str, str] = {
         FROM m WHERE (e1 + e2) > 0
         ORDER BY dow
     """,
+    # Seasonal decomposition: exact DECIMAL 7-day window sums (trend is
+    # never divided until the double boundary), dow seasonal index from
+    # exact sum ratios, fixed-op-order remainder
+    "qx58_seasonal_decompose": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ), tr AS (
+            SELECT day, rev,
+                   sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                  AND 3 FOLLOWING) AS t7,
+                   count(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                    AND 3 FOLLOWING) AS c7
+            FROM daily
+        ), tf AS (
+            SELECT day,
+                   (date_diff('day', DATE '1970-01-01', day) + 4) % 7
+                       AS dow,
+                   rev, t7
+            FROM tr WHERE c7 = 7
+        ), idx AS (
+            SELECT dow, sum(7 * rev) AS sr, sum(t7) AS st
+            FROM tf GROUP BY 1
+        )
+        SELECT day, tf.dow,
+               CAST(rev AS DOUBLE) AS revenue,
+               round(CAST(t7 AS DOUBLE) / 7.0, 6) AS trend,
+               round(CAST(sr AS DOUBLE) / CAST(st AS DOUBLE), 6)
+                   AS seasonal_idx,
+               round(CAST(rev AS DOUBLE)
+                     / ((CAST(t7 AS DOUBLE) / 7.0)
+                        * (CAST(sr AS DOUBLE) / CAST(st AS DOUBLE))),
+                     6) AS remainder
+        FROM tf JOIN idx ON tf.dow = idx.dow
+        ORDER BY day
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

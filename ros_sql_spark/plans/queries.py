@@ -4862,6 +4862,73 @@ def qx57_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dow")
 
 
+def qx58_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative SEASONAL DECOMPOSITION of daily order revenue
+    (STL-lite): centered 7-observation moving trend, day-of-week
+    seasonal index, remainder = rev / (trend · index) — the
+    seasonality member of the time-series family (qx36 = growth,
+    qx45 = smoothing, qx51 = integration; none separates trend from
+    weekly seasonality).
+
+    Scale shape: ONE orders scan aggregates to the DAILY grain
+    (calendar-bounded: ~2,400 rows at EVERY sf — the frame grows with
+    time, not data, the qx36 exception class), so the global trend
+    window's single-partition sort is over a constant-sized frame —
+    and it runs at PIN time: the trended frame is eagerly
+    checkpointed (two consumers — the dow-index aggregate and the
+    final join — project it differently; the qx50 marginal rule), so
+    the final plan reads an ExistingRDD.
+
+    Float parity (the qx50 regime): the trend is kept as the EXACT
+    7-day DECIMAL window sum (never an avg — decimal division scale
+    rules diverge across engines); the seasonal index is
+    Σ(7·rev)/Σ(trend7) per dow, BOTH sums exact decimals, ONE double
+    division; remainder assembled in a fixed op order, round(6).
+    Trend rows require the full 7-observation window (count == 7 —
+    edge days carry no trend), and dow is pure integer arithmetic
+    ((epoch_days + 4) mod 7)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(money("o_totalprice")).alias("_rev"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    dow = (
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        + F.lit(4)
+    ) % F.lit(7)
+    trended = (
+        daily.select(
+            "day",
+            "_rev",
+            F.sum("_rev").over(w7).alias("_t7"),
+            F.count("_rev").over(w7).alias("_c7"),
+        )
+        .filter(F.col("_c7") == 7)
+        .select("day", dow.alias("dow"), "_rev", "_t7")
+        .localCheckpoint(eager=True)
+    )
+    idx = trended.groupBy("dow").agg(
+        F.sum(F.lit(7) * F.col("_rev")).alias("_sr"),
+        F.sum("_t7").alias("_st"),
+    )
+    trend_d = F.col("_t7").cast("double") / F.lit(7.0)
+    idx_d = F.col("_sr").cast("double") / F.col("_st").cast("double")
+    return (
+        trended.join(F.broadcast(idx), "dow")
+        .select(
+            "day",
+            "dow",
+            F.col("_rev").cast("double").alias("revenue"),
+            r6(trend_d).alias("trend"),
+            r6(idx_d).alias("seasonal_idx"),
+            r6(
+                F.col("_rev").cast("double") / (trend_d * idx_d)
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5025,4 +5092,5 @@ QUERIES = {
     "qx55_skyline": qx55_skyline,
     "qx56_assoc_rules": qx56_assoc_rules,
     "qx57_welch_ttest": qx57_welch_ttest,
+    "qx58_seasonal_decompose": qx58_seasonal_decompose,
 }

@@ -1078,6 +1078,22 @@ def test_qx57_single_pass_moments(spark):
     assert "Exchange SinglePartition" not in p, p
 
 
+def test_qx58_calendar_pin_and_broadcast_index(spark):
+    """Seasonal decomposition: the calendar-sized trend window runs
+    once at pin time (final plan reads the ExistingRDD — the index
+    aggregate and the output join are differing projections, the qx50
+    rule), the 7-row dow index comes back by broadcast, and the final
+    plan carries no file scan, no SinglePartition, exactly one hash
+    exchange (the dow grain)."""
+    p = plan_of(spark, "qx58_seasonal_decompose")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert "BroadcastHashJoin" in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p, p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
