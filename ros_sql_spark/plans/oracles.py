@@ -2853,6 +2853,28 @@ ORACLES: dict[str, str] = {
         FROM tf JOIN idx ON tf.dow = idx.dow
         ORDER BY day
     """,
+    # Sorted-neighborhood (merge/purge): the oracle uses the textbook
+    # GLOBAL row_number + band self-join; the Spark side derives the
+    # same global rank from bucket prefix sums and equi-joins on it
+    "qx59_sorted_neighborhood": """
+        WITH o AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS s,
+                   row_number() OVER (ORDER BY lower(text), doc_id)
+                       AS rn
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s)) AS DOUBLE),
+                     6) AS jaccard
+        FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND 3
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(a.s) + len(b.s)
+                     - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        ORDER BY da, db
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

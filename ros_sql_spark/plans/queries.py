@@ -4929,6 +4929,89 @@ def qx58_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD dedup (Hernández-Stolfo merge/purge): sort
+    the corpus by a key, compare each record only to its w−1=3
+    successors in that order, keep pairs with token-set Jaccard ≥ 0.5
+    — the classic windowed blocking strategy the dedup family lacked
+    (bands/prefix/q-gram/LSH are all hash- or content-blocked; this
+    one is ORDER-blocked).
+
+    Scale shape — an EXACT global row number with no global window
+    (the qx55 prefix decomposition, applied to ranks instead of
+    maxima):
+    1. bucket by the sort key's first character (buckets are
+       CONTIGUOUS ranges of the key order by construction — a prefix
+       of the key);
+    2. bucket start offsets = prefix sums of the ≤|alphabet|-row
+       bucket-count frame via its B×B broadcast self-join;
+    3. rn = bucket_start + row_number over the bucket-PARTITIONED
+       window — equal to the global row number for ANY bucket sizes
+       (no minimum-bucket assumption, no boundary special cases);
+    4. the band predicate 1 ≤ rn_b − rn_a ≤ 3 becomes an EQUI-join:
+       each left row explodes to probes rn+1..rn+3 and joins on rn —
+       a plain integer-keyed shuffle, w× amplification, never an
+       inequality/cartesian;
+    5. Jaccard verifies on the carried distinct-token sets (JVM
+       array_intersect — the q32 discipline), one double division,
+       identical gate expression both engines.
+    The token-set frame is lazily pinned (left, right and the count
+    frame are three differing projections of it — the qx44 rule)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    o = (
+        docs.select(
+            "doc_id",
+            F.lower("text").alias("_k"),
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("_s"),
+        )
+        .withColumn("_bkt", F.substring("_k", 1, 1))
+        .localCheckpoint(eager=False)
+    )
+    counts = o.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    starts = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.select(
+                F.col("_bkt").alias("_pb"), F.col("_c").alias("_pc")
+            )),
+            F.col("_pb") < F.col("a._bkt"),
+            "left",
+        )
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("_pc"), F.lit(0)).alias("_start"))
+    )
+    wb = Window.partitionBy("_bkt").orderBy("_k", "doc_id")
+    ranked = (
+        o.join(F.broadcast(starts), "_bkt")
+        .select(
+            "doc_id",
+            "_s",
+            (F.col("_start") + F.row_number().over(wb)).alias("_rn"),
+        )
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("da"),
+        F.col("_s").alias("_sa"),
+        F.explode(
+            F.array(F.col("_rn") + 1, F.col("_rn") + 2, F.col("_rn") + 3)
+        ).alias("_probe"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("db"),
+        F.col("_s").alias("_sb"),
+        F.col("_rn").alias("_probe"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        left.join(right, "_probe")
+        .filter(jac >= F.lit(0.5))
+        .select("da", "db", r6(jac).alias("jaccard"))
+        .orderBy("da", "db")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5093,4 +5176,5 @@ QUERIES = {
     "qx56_assoc_rules": qx56_assoc_rules,
     "qx57_welch_ttest": qx57_welch_ttest,
     "qx58_seasonal_decompose": qx58_seasonal_decompose,
+    "qx59_sorted_neighborhood": qx59_sorted_neighborhood,
 }

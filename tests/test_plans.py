@@ -1094,6 +1094,24 @@ def test_qx58_calendar_pin_and_broadcast_index(spark):
     assert "Exchange SinglePartition" not in p, p
 
 
+def test_qx59_band_join_is_equi_and_rank_is_partitioned(spark):
+    """Sorted-neighborhood: the global row number is derived from
+    bucket prefix sums (every row_number window is PARTITIONED by the
+    bucket — no global sort anywhere), and the rank-band predicate is
+    an EQUI SortMergeJoin on the exploded probe ranks — never an
+    inequality join or cartesian.  The token-set frame is pinned
+    (ExistingRDD; zero file scans in the final plan)."""
+    p = plan_of(spark, "qx59_sorted_neighborhood")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert re.search(r"SortMergeJoin \[_probe", p), p
+    # every window is bucket-partitioned
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", p):
+        assert m.group(1).startswith("_bkt"), p
+    assert "Exchange SinglePartition" not in p, p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
