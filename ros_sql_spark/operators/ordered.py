@@ -1,0 +1,163 @@
+"""Order-blocked constructions that replace GLOBAL sorts/windows with
+bucket-decomposed equivalents (SURVEY §2.3 qx55/qx59; the qx43 rule:
+a data-sized ``Window.partitionBy()`` is one task at 100 TB).
+
+Both operators rest on the same identity: if a bucket column is a
+CONTIGUOUS-RANGE function of the leading sort key (a prefix, a monotone
+binning), then any prefix aggregate over the global order decomposes
+into
+  (prefix aggregate across strictly-lower buckets — a ≤B-row frame)
+  ∘ (prefix aggregate within the bucket — a PARTITIONED window),
+because every row of a lower bucket precedes every row of a higher one.
+The cross-bucket half is computed by a B×B broadcast self-join of the
+bucket summary (never a SinglePartition window — B is small but the
+rule is mechanical, tests/test_plans.py enforces it suite-wide).
+
+``global_row_number`` instantiates the identity for COUNT (an exact
+global rank), ``skyline_2d`` for MAX (the Pareto-dominance prefix
+maximum).  Property-tested against the single-partition textbook forms
+in tests/test_ordered_ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["global_row_number", "skyline_2d"]
+
+
+def _bucket_prefix(
+    summary: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    out: str,
+    how: str = "sum",
+) -> DataFrame:
+    """Prefix aggregate (sum or max) of ``value_col`` over
+    STRICTLY-LOWER buckets of the (small) per-bucket summary frame: a
+    B×B broadcast left self-join — rows with no lower bucket surface
+    NULL in ``out``."""
+    lower = summary.select(
+        F.col(bucket_col).alias("_pb"), F.col(value_col).alias("_pv")
+    )
+    agg = F.sum("_pv") if how == "sum" else F.max("_pv")
+    return (
+        summary.alias("a")
+        .join(
+            F.broadcast(lower),
+            F.col("_pb") < F.col(f"a.{bucket_col}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{bucket_col}").alias(bucket_col))
+        .agg(agg.alias(out))
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    out: str = "_rn",
+) -> DataFrame:
+    """Exact 1-based GLOBAL row number over
+    ``ORDER BY (bucket_col, *order_cols)`` with no global sort:
+    rn = (Σ counts of strictly-lower buckets) + row_number within the
+    bucket.  Correct for ANY bucket sizes (empty ranges included —
+    the prefix sum just skips them); the caller's only obligation is
+    that ``bucket_col`` leads the intended total order (e.g. a key
+    prefix or monotone binning of the first order column) and that
+    ``(bucket_col, *order_cols)`` is a TOTAL order (ties would make
+    the rank engine-dependent).
+
+    Cost: one tiny per-bucket count, a B×B broadcast join, one
+    bucket-partitioned exchange + window.  Input is consumed twice
+    (count + rank paths) — pin upstream if its lineage is expensive
+    (qx59 pins the tokenized frame)."""
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_c"))
+    starts = _bucket_prefix(counts, bucket_col, "_c", "_start")
+    starts = starts.select(
+        bucket_col, F.coalesce("_start", F.lit(0)).alias("_start")
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(starts), bucket_col)
+        .withColumn(out, F.col("_start") + F.row_number().over(w))
+        .drop("_start")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """SKYLINE (Pareto frontier) of ``df`` under (minimize x,
+    maximize y): rows for which no other row has x ≤, y ≥ with at
+    least one strict.  Equal (x, y) duplicates are mutually
+    non-dominating and all kept; NULL x/y rows are excluded (they
+    have no dominance order).
+
+    The distributive decomposition (Börzsönyi ICDE'01 + the prefix
+    identity above): group to the distinct-x grain (gmax = max y per
+    x — same-x dominance collapses to ``y = gmax``, and the strict
+    prefix below needs distinct order keys), pin it (three differing
+    projections), bin x by a monotone affine map into ``n_buckets``
+    fixed ranges off the crossJoin-broadcast 1-row [lo, hi] (binning
+    floats are INTERNAL — any deterministic monotone assignment
+    yields the same frontier), prefix max across strictly-lower
+    buckets via the B×B join, strict prefix max within the bucket on
+    a PARTITIONED window, then LEFT SEMI ``df`` back on
+    (x, y = gmax)."""
+    x, y = F.col(minimize_col), F.col(maximize_col)
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    pg = (
+        base.groupBy(minimize_col)
+        .agg(F.max(maximize_col).alias("_gmax"))
+        .localCheckpoint(eager=True)
+    )
+    lohi = pg.agg(
+        F.min(minimize_col).alias("_lo"), F.max(minimize_col).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((x - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    pb = pg.crossJoin(F.broadcast(lohi)).select(
+        minimize_col, "_gmax", bkt.alias("_bkt")
+    )
+    bmax = pb.groupBy("_bkt").agg(F.max("_gmax").alias("_bm"))
+    prev = _bucket_prefix(bmax, "_bkt", "_bm", "_prevmax", how="max")
+    wbkt = (
+        Window.partitionBy("_bkt")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pb.join(F.broadcast(prev), "_bkt")
+        .select(
+            minimize_col,
+            "_gmax",
+            F.greatest(
+                F.col("_prevmax"), F.max("_gmax").over(wbkt)
+            ).alias("_m"),
+        )
+        .filter(F.col("_m").isNull() | (F.col("_m") < F.col("_gmax")))
+        .select(
+            F.col(minimize_col).alias("_sx"), F.col("_gmax").alias("_sy")
+        )
+    )
+    return base.join(
+        sky,
+        (x == sky["_sx"]) & (y == sky["_sy"]),
+        "left_semi",
+    )

@@ -4630,69 +4630,15 @@ def qx55_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
        (AQE converts the semi to broadcast at runtime); the static
        plan stays a safe shuffle semi.
     Cost: two part scans (grain agg + final semi), one corpus-sized
-    exchange on price, constant-frame bucket machinery."""
+    exchange on price, constant-frame bucket machinery.  The
+    construction lives in operators/ordered.py::skyline_2d
+    (property-tested against brute-force dominance on random point
+    sets in tests/test_ordered_ops.py)."""
     part = _t(spark, sf_dir, "part")
-    pg = (
-        part.groupBy("p_retailprice")
-        .agg(F.max("p_size").alias("_gmax"))
-        .localCheckpoint(eager=True)
-    )
-    lohi = pg.agg(
-        F.min("p_retailprice").alias("_lo"),
-        F.max("p_retailprice").alias("_hi"),
-    )
-    n_buckets = 64
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("p_retailprice") - F.col("_lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    pb = pg.crossJoin(F.broadcast(lohi)).select(
-        "p_retailprice", "_gmax", bkt.alias("_bkt")
-    )
-    bmax = pb.groupBy("_bkt").agg(F.max("_gmax").alias("_bmax"))
-    prev = (
-        bmax.alias("a")
-        .join(
-            F.broadcast(bmax.select(
-                F.col("_bkt").alias("_pb"), F.col("_bmax").alias("_pm")
-            )),
-            F.col("_pb") < F.col("a._bkt"),
-            "left",
-        )
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(F.max("_pm").alias("_prevmax"))
-    )
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sky_prices = (
-        pb.join(F.broadcast(prev), "_bkt", "left")
-        .select(
-            "p_retailprice",
-            "_gmax",
-            F.greatest(
-                F.col("_prevmax"), F.max("_gmax").over(w)
-            ).alias("_m"),
-        )
-        .filter(F.col("_m").isNull() | (F.col("_m") < F.col("_gmax")))
-        .select("p_retailprice", F.col("_gmax").alias("_sz"))
-    )
+    from ros_sql_spark.operators.ordered import skyline_2d
+
     return (
-        part.join(
-            sky_prices,
-            (part["p_retailprice"] == sky_prices["p_retailprice"])
-            & (part["p_size"] == sky_prices["_sz"]),
-            "left_semi",
-        )
+        skyline_2d(part, "p_retailprice", "p_size")
         .select("p_partkey", "p_name", "p_size", "p_retailprice")
         .orderBy("p_partkey")
     )
@@ -4956,7 +4902,12 @@ def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
        array_intersect — the q32 discipline), one double division,
        identical gate expression both engines.
     The token-set frame is lazily pinned (left, right and the count
-    frame are three differing projections of it — the qx44 rule)."""
+    frame are three differing projections of it — the qx44 rule).
+    The rank construction lives in
+    operators/ordered.py::global_row_number (property-tested equal to
+    the textbook global window in tests/test_ordered_ops.py)."""
+    from ros_sql_spark.operators.ordered import global_row_number
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     o = (
         docs.select(
@@ -4967,27 +4918,8 @@ def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_bkt", F.substring("_k", 1, 1))
         .localCheckpoint(eager=False)
     )
-    counts = o.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
-    starts = (
-        counts.alias("a")
-        .join(
-            F.broadcast(counts.select(
-                F.col("_bkt").alias("_pb"), F.col("_c").alias("_pc")
-            )),
-            F.col("_pb") < F.col("a._bkt"),
-            "left",
-        )
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(F.coalesce(F.sum("_pc"), F.lit(0)).alias("_start"))
-    )
-    wb = Window.partitionBy("_bkt").orderBy("_k", "doc_id")
-    ranked = (
-        o.join(F.broadcast(starts), "_bkt")
-        .select(
-            "doc_id",
-            "_s",
-            (F.col("_start") + F.row_number().over(wb)).alias("_rn"),
-        )
+    ranked = global_row_number(o, "_bkt", ["_k", "doc_id"]).select(
+        "doc_id", "_s", "_rn"
     )
     left = ranked.select(
         F.col("doc_id").alias("da"),

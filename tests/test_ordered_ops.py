@@ -1,0 +1,112 @@
+"""Property tests for operators/ordered.py: the bucket-decomposed
+constructions must equal their single-partition textbook forms on
+arbitrary inputs — empty buckets, all-equal keys, duplicate points,
+single rows, constant x (the degenerate one-bucket binning), negative
+values.  The textbook forms (a global window / brute-force dominance)
+are fine HERE: inputs are tiny and the point is the reference
+semantics, not the plan."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ros_sql_spark.operators.ordered import global_row_number, skyline_2d
+
+pytestmark = pytest.mark.slow  # ~1 Spark job per hypothesis example
+
+
+# bucket ints from a small range → collisions AND empty ranges likely
+rows = st.lists(
+    st.tuples(st.integers(-3, 3), st.integers(0, 50)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=rows)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_row_number_equals_global_window(spark, data):
+    # unique id per row makes (bkt, key, id) a total order
+    df = spark.createDataFrame(
+        [(b, k, i) for i, (b, k) in enumerate(data)],
+        "bkt int, key int, id int",
+    )
+    got = {
+        (r["bkt"], r["key"], r["id"]): r["_rn"]
+        for r in global_row_number(df, "bkt", ["key", "id"]).collect()
+    }
+    w = Window.orderBy("bkt", "key", "id")
+    want = {
+        (r["bkt"], r["key"], r["id"]): r["_rn"]
+        for r in df.withColumn(
+            "_rn", F.row_number().over(w)
+        ).collect()
+    }
+    assert got == want
+
+
+points = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(data=points)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_equals_brute_force(spark, data):
+    df = spark.createDataFrame(
+        [(x, y, i) for i, (x, y) in enumerate(data)],
+        "x int, y int, id int",
+    )
+    got = sorted(
+        r["id"] for r in skyline_2d(df, "x", "y", n_buckets=4).collect()
+    )
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(data)
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y)
+            for qx, qy in data
+        )
+    )
+    assert got == want
+
+
+def test_skyline_constant_x_keeps_only_max_y(spark):
+    """Degenerate binning: lo == hi collapses every row into bucket 0;
+    the frontier is exactly the max-y rows (ties all kept)."""
+    df = spark.createDataFrame(
+        [(7, 1, 0), (7, 9, 1), (7, 9, 2), (7, 3, 3)], "x int, y int, id int"
+    )
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+    assert got == [1, 2]
+
+
+def test_global_row_number_string_buckets(spark):
+    """qx59's real shape: string buckets (key prefixes), string order
+    columns, bucket sizes 1..n with gaps in the alphabet."""
+    data = [
+        ("a", "apple", 1),
+        ("a", "axe", 2),
+        ("c", "car", 3),
+        ("f", "fig", 4),
+        ("f", "fig", 5),  # tie on key broken by id
+    ]
+    df = spark.createDataFrame(data, "bkt string, key string, id int")
+    got = {
+        r["id"]: r["_rn"]
+        for r in global_row_number(df, "bkt", ["key", "id"]).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
