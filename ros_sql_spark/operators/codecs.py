@@ -880,6 +880,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     precision: int = 8,
+    interleave: bool = True,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline JFIF
     JPEG bytes with the Annex-K quant/huffman tables (4:4:4, or 4:2:0
@@ -890,7 +891,11 @@ def encode_jpeg(
     ``precision=12``: EXTENDED sequential (SOF1) 12-bit samples —
     input values 0..4095 (uint16), 16-bit DQT entries, a DC table
     covering categories up to 15; decode keeps the high 8 bits
-    (round-12 — the 12-bit gate closed for sequential mode)."""
+    (round-12 — the 12-bit gate closed for sequential mode).
+    ``interleave=False``: emit one SOS PER COMPONENT (T.81
+    non-interleaved order — data units in each component's own block
+    raster), the multi-scan shape some encoders produce; pixel-exact
+    with the interleaved encoding of the same input."""
     if precision not in (8, 12):
         raise ValueError(f"JPEG precision {precision} (8 or 12)")
     arr = np.asarray(pixels, dtype=np.float64)
@@ -898,7 +903,7 @@ def encode_jpeg(
     if arr.ndim == 2:
         return _encode_jpeg_planes(
             [arr], [(1, 1)], arr.shape[0], arr.shape[1],
-            ri=restart_interval, prec=precision,
+            ri=restart_interval, prec=precision, interleave=interleave,
         )
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) or (H, W) uint8, got {arr.shape}")
@@ -921,12 +926,14 @@ def encode_jpeg(
     else:
         hs = [(1, 1), (1, 1), (1, 1)]
     return _encode_jpeg_planes(
-        planes, hs, h, w, ri=restart_interval, prec=precision
+        planes, hs, h, w, ri=restart_interval, prec=precision,
+        interleave=interleave,
     )
 
 
 def _encode_jpeg_planes(
-    planes, hs, h: int, w: int, ri: int = 0, prec: int = 8
+    planes, hs, h: int, w: int, ri: int = 0, prec: int = 8,
+    interleave: bool = True,
 ) -> bytes:
     """Shared entropy-encode + header assembly for 1 (grayscale) or 3
     (YCbCr) planes; component 0 uses the luma tables, the rest
@@ -952,62 +959,113 @@ def _encode_jpeg_planes(
             _huff_codes(*_HUFF_AC_CHROMA)
         ] * (ncomp - 1)
 
-    padded = []
-    for (hf, vf), plane in zip(hs, planes):
-        need_h = mcus_y * vf * 8
-        need_w = mcus_x * hf * 8
-        ph, pw = plane.shape
-        padded.append(
-            np.pad(
-                plane, ((0, need_h - ph), (0, need_w - pw)), mode="edge"
-            ) - float(1 << (prec - 1))
-        )
+    def enc_block(bw, blk, qt, dcc, acc, pred: int) -> int:
+        coef = T @ blk @ T.T
+        q = np.round(coef / qt).astype(np.int64)
+        zz = q.flatten()[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s, mb = _mag_bits(diff)
+        c, ln = dcc[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(mb, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = acc[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s, mb = _mag_bits(v)
+            c, ln = acc[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(mb, s)
+            run = 0
+        if run:
+            c, ln = acc[0x00]  # EOB
+            bw.write(c, ln)
+        return pred
 
-    bw = _BitWriter()
-    pred = [0] * ncomp
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            mcu = my * mcus_x + mx
-            if ri and mcu and mcu % ri == 0:
-                bw.flush()  # pad to the byte edge with 1-bits (spec)
-                bw.buf += bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8])
-                pred = [0] * ncomp
-            for ci in range(ncomp):
-                hf, vf = hs[ci]
-                for by in range(vf):
-                    for bx in range(hf):
-                        y0 = (my * vf + by) * 8
-                        x0 = (mx * hf + bx) * 8
-                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        coef = T @ blk @ T.T
-                        q = np.round(coef / qts[ci]).astype(np.int64)
-                        zz = q.flatten()[_ZIGZAG]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        s, mb = _mag_bits(diff)
-                        c, ln = dc_codes[ci][s]
-                        bw.write(c, ln)
-                        if s:
-                            bw.write(mb, s)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                c, ln = ac_codes[ci][0xF0]  # ZRL
-                                bw.write(c, ln)
-                                run -= 16
-                            s, mb = _mag_bits(v)
-                            c, ln = ac_codes[ci][(run << 4) | s]
-                            bw.write(c, ln)
-                            bw.write(mb, s)
-                            run = 0
-                        if run:
-                            c, ln = ac_codes[ci][0x00]  # EOB
-                            bw.write(c, ln)
-    bw.flush()
+    mid = float(1 << (prec - 1))
+    # entropy-coded scans: [(component list, bytes)] — ONE scan listing
+    # every component (interleaved MCU order), or one scan PER
+    # component (round-12 non-interleaved: data units in the
+    # component's own block raster, per-scan DC pred + RSTn counters)
+    scans: list[tuple[list[int], bytes]] = []
+    if interleave or ncomp == 1:
+        padded = []
+        for (hf, vf), plane in zip(hs, planes):
+            need_h = mcus_y * vf * 8
+            need_w = mcus_x * hf * 8
+            ph, pw = plane.shape
+            padded.append(
+                np.pad(
+                    plane, ((0, need_h - ph), (0, need_w - pw)),
+                    mode="edge",
+                ) - mid
+            )
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = my * mcus_x + mx
+                if ri and mcu and mcu % ri == 0:
+                    bw.flush()  # pad to the byte edge with 1-bits (spec)
+                    bw.buf += bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8])
+                    pred = [0] * ncomp
+                for ci in range(ncomp):
+                    hf, vf = hs[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            y0 = (my * vf + by) * 8
+                            x0 = (mx * hf + bx) * 8
+                            pred[ci] = enc_block(
+                                bw,
+                                padded[ci][y0 : y0 + 8, x0 : x0 + 8],
+                                qts[ci],
+                                dc_codes[ci],
+                                ac_codes[ci],
+                                pred[ci],
+                            )
+        bw.flush()
+        scans.append((list(range(ncomp)), bytes(bw.buf)))
+    else:
+        for ci in range(ncomp):
+            hf, vf = hs[ci]
+            cw = -(-w * hf // hmax)
+            chh = -(-h * vf // vmax)
+            bw_c, bh_c = -(-cw // 8), -(-chh // 8)
+            ph, pw = planes[ci].shape
+            plane = (
+                np.pad(
+                    planes[ci],
+                    ((0, bh_c * 8 - ph), (0, bw_c * 8 - pw)),
+                    mode="edge",
+                )
+                - mid
+            )
+            bw = _BitWriter()
+            pred0 = 0
+            for i in range(bh_c * bw_c):
+                if ri and i and i % ri == 0:
+                    bw.flush()
+                    bw.buf += bytes([0xFF, 0xD0 + (i // ri - 1) % 8])
+                    pred0 = 0
+                by, bx = divmod(i, bw_c)
+                pred0 = enc_block(
+                    bw,
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qts[ci],
+                    dc_codes[ci],
+                    ac_codes[ci],
+                    pred0,
+                )
+            bw.flush()
+            scans.append(([ci], bytes(bw.buf)))
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -1049,12 +1107,13 @@ def _encode_jpeg_planes(
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if ri:
         out += seg(0xDD, struct.pack(">H", ri))
-    sos = bytearray([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
-    out += bw.buf
+    for comp_ids, entropy in scans:
+        sos = bytearray([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, bytes(sos))
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1441,12 +1500,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) uint8 RGB (grayscale replicated).
+    """Baseline/extended-sequential JPEG bytes → (H, W, 3) uint8 RGB
+    (grayscale replicated).
 
     Tables come FROM THE FILE; sampling factors 1–2 supported (chroma
-    upsampled by replication).  Progressive / arithmetic / 12-bit /
-    restart-interval streams raise NotImplementedError naming the
-    feature; structural corruption raises ValueError."""
+    upsampled by replication); progressive (SOF2), 12-bit (SOF1),
+    restart intervals and NON-INTERLEAVED one-component-per-SOS scans
+    (round-12) all decode.  Arithmetic/lossless SOFs and partial
+    (2-of-3 component) interleaved scans raise NotImplementedError
+    naming the feature; structural corruption raises ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1454,6 +1516,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
     ri = 0
+    got: dict[int, np.ndarray] = {}  # non-interleaved planes by comp id
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -1532,28 +1595,76 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "grayscale / 3 YCbCr; CMYK/YCCK unsupported)"
                 )
             ns = body[0]
-            if ns != len(sof[2]):
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG: scan "
-                    f"has {ns} of {len(sof[2])} components"
-                )
-            if ns == 1 and (sof[2][0][1] > 1 or sof[2][0][2] > 1):
-                raise NotImplementedError(
-                    "single-component scan with sampling factors > 1 "
-                    "(T.81 non-interleaved data-unit order unsupported)"
-                )
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
             data_start = pos + 2 + ln
-            end = payload.rfind(b"\xff\xd9")
-            if end < 0:
-                raise ValueError("JPEG missing EOI")
-            return _decode_scan(
-                payload[data_start:end], sof, scan, qts, huff, ri
+            one_comp_needs_du_order = ns == 1 and (
+                sof[2][0][1] > 1 or sof[2][0][2] > 1
             )
+            if ns == len(sof[2]) and not one_comp_needs_du_order:
+                end = payload.rfind(b"\xff\xd9")
+                if end < 0:
+                    raise ValueError("JPEG missing EOI")
+                return _decode_scan(
+                    payload[data_start:end], sof, scan, qts, huff, ri
+                )
+            if ns != 1:
+                raise NotImplementedError(
+                    f"JPEG partial interleaved scan ({ns} of "
+                    f"{len(sof[2])} components; full-interleave and "
+                    "one-component scans supported)"
+                )
+            # round-12: NON-INTERLEAVED baseline — one component per
+            # SOS (the gate this replaced); accumulate planes across
+            # scans (tables/DRI may be redefined between them) and
+            # reconstruct once every SOF component has arrived
+            hh, ww, comps, prec = sof
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("JPEG sampling factors > 2")
+            cs, td, ta = scan[0]
+            try:
+                hf, vf, tq = next(
+                    (c[1], c[2], c[3]) for c in comps if c[0] == cs
+                )
+            except StopIteration:
+                raise ValueError(f"JPEG scan component {cs} not in SOF")
+            end = _entropy_end(payload, data_start)
+            cw = -(-ww * hf // hmax)
+            ch = -(-hh * vf // vmax)
+            bw_c = -(-cw // 8)
+            bh_c = -(-ch // 8)
+            got[cs] = _decode_noninterleaved(
+                payload[data_start:end],
+                qts[tq],
+                huff[td],
+                huff[0x10 | ta],
+                prec,
+                ri,
+                bh_c,
+                bw_c,
+            )
+            if len(got) == len(comps):
+                return _jpeg_finish(
+                    [got[c[0]] for c in comps],
+                    [(c[1], c[2]) for c in comps],
+                    hmax,
+                    vmax,
+                    hh,
+                    ww,
+                    prec,
+                )
+            pos = end
+            continue
         pos += 2 + ln
+    if got:
+        raise ValueError(
+            f"JPEG non-interleaved stream ended with {len(got)} of "
+            f"{len(sof[2])} component scans present"
+        )
     raise ValueError("JPEG has no scan (SOS) segment")
 
 
@@ -1880,6 +1991,69 @@ def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff, ri=0):
                 refine_range(blk, k, se)
 
 
+def _read_block(br: "_BitReader", dct_, act_, pred: int):
+    """Decode ONE sequential data unit: returns (zigzag int64[64] with
+    the absolute DC already in slot 0, new DC predictor).  Shared by
+    the interleaved MCU walk and the round-12 non-interleaved
+    per-component walk."""
+    zz = np.zeros(64, np.int64)
+    s = br.symbol(dct_)
+    if s:
+        pred += _extend(br.bits(s), s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.symbol(act_)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        sz = rs & 0xF
+        if sz == 0:
+            raise ValueError(
+                f"invalid JPEG AC symbol 0x{rs:02X} "
+                "(nonzero run with size 0)"
+            )
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _extend(br.bits(sz), sz)
+        k += 1
+    return zz, pred
+
+
+def _jpeg_finish(planes, factors, hmax, vmax, h, w, prec) -> np.ndarray:
+    """Upsample-by-replication + crop + level handling + color
+    transform shared by the interleaved and non-interleaved decode
+    paths.  ``planes`` are spatial component planes (level-shifted
+    back, i.e. mid already added) in SOF order."""
+    full = []
+    for (hf, vf), p in zip(factors, planes):
+        if hf < hmax:
+            p = p.repeat(hmax // hf, axis=1)
+        if vf < vmax:
+            p = p.repeat(vmax // vf, axis=0)
+        full.append(p[:h, :w])
+    mid = 1 << (prec - 1)
+
+    # 12-bit: clip in the 12-bit domain, keep the HIGH 8 bits (the
+    # PNG-16 high-byte convention)
+    def out8(a):
+        v = np.clip(np.round(a), 0, (1 << prec) - 1).astype(np.int64)
+        return (v >> (prec - 8)).astype(np.uint8)
+
+    if len(full) == 1:
+        y = out8(full[0])
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - float(mid), full[2] - float(mid)
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return out8(rgb)
+
+
 def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
     h, w, comps, prec = sof
     mid = 1 << (prec - 1)  # level shift: 128 (8-bit) / 2048 (12-bit)
@@ -1915,59 +2089,49 @@ def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
             for ci, (hf, vf, qt, dct_, act_) in enumerate(meta):
                 for by in range(vf):
                     for bx in range(hf):
-                        zz = np.zeros(64, np.int64)
-                        s = br.symbol(dct_)
-                        if s:
-                            pred[ci] += _extend(br.bits(s), s)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.symbol(act_)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            sz = rs & 0xF
-                            if sz == 0:
-                                raise ValueError(
-                                    f"invalid JPEG AC symbol 0x{rs:02X} "
-                                    "(nonzero run with size 0)"
-                                )
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(br.bits(sz), sz)
-                            k += 1
+                        zz, pred[ci] = _read_block(br, dct_, act_, pred[ci])
                         coef = np.zeros(64, np.int64)
                         coef[_ZIGZAG] = zz
                         blk = T.T @ (coef.reshape(8, 8) * qt) @ T
                         y0 = (my * vf + by) * 8
                         x0 = (mx * hf + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + mid
-    full = []
-    for ci, (hf, vf, _, _, _) in enumerate(meta):
-        p = planes[ci]
-        if hf < hmax:
-            p = p.repeat(hmax // hf, axis=1)
-        if vf < vmax:
-            p = p.repeat(vmax // vf, axis=0)
-        full.append(p[:h, :w])
-    # 12-bit: clip in the 12-bit domain, keep the HIGH 8 bits (the
-    # PNG-16 high-byte convention)
-    def out8(a):
-        v = np.clip(np.round(a), 0, (1 << prec) - 1).astype(np.int64)
-        return (v >> (prec - 8)).astype(np.uint8)
-
-    if len(full) == 1:
-        y = out8(full[0])
-        return np.repeat(y[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - float(mid), full[2] - float(mid)
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-        axis=-1,
+    return _jpeg_finish(
+        planes, [(m[0], m[1]) for m in meta], hmax, vmax, h, w, prec
     )
-    return out8(rgb)
+
+
+def _decode_noninterleaved(
+    data: bytes, qt, dct_, act_, prec: int, ri: int, bh_c: int, bw_c: int
+) -> np.ndarray:
+    """Round-12: decode ONE component's non-interleaved sequential
+    scan — data units in the component's own raster order over its
+    ACTUAL block grid (T.81 F.2.2: ceil of the scaled component dims,
+    never the MCU-padded grid), each data unit its own restart-counted
+    MCU, RSTn sequence and DC predictor reset per the interleaved
+    rules."""
+    T = _dct_matrix()
+    mid = 1 << (prec - 1)
+    plane = np.zeros((bh_c * 8, bw_c * 8), np.float64)
+    br = _BitReader(data)
+    pred = 0
+    for i in range(bh_c * bw_c):
+        if ri and i and i % ri == 0:
+            n = br.restart()
+            if n != (i // ri - 1) % 8:
+                raise ValueError(
+                    f"JPEG restart marker out of sequence: RST{n} "
+                    f"where RST{(i // ri - 1) % 8} expected"
+                )
+            pred = 0
+        zz, pred = _read_block(br, dct_, act_, pred)
+        coef = np.zeros(64, np.int64)
+        coef[_ZIGZAG] = zz
+        by, bx = divmod(i, bw_c)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            T.T @ (coef.reshape(8, 8) * qt) @ T + mid
+        )
+    return plane
 
 
 def encode_wav(

@@ -703,7 +703,12 @@ def test_jpeg_interop_gates_r6_review():
     with pytest.raises(NotImplementedError, match="4 components"):
         decode_jpeg(cmyk)
 
-    # rewrite SOS to a single-component scan of a 3-component image
+    # rewrite SOS to a single-component scan of a 3-component image:
+    # since round 12 this PARSES as a non-interleaved stream — the
+    # luma scan decodes, then the file ends without the two missing
+    # component scans, which is structural truncation by NAME (the
+    # r6-era NotImplementedError gate is closed; full non-interleaved
+    # coverage lives in test_jpeg_noninterleaved_multiscan)
     j = good.find(b"\xff\xda")
     sos_new = bytes([1, 1, 0x00, 0, 63, 0])
     multi = (
@@ -712,7 +717,7 @@ def test_jpeg_interop_gates_r6_review():
         + sos_new
         + good[j + 4 + st.unpack_from(">H", good, j + 2)[0] - 2 :]
     )
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="1 of 3 component scans"):
         decode_jpeg(multi)
 
 
@@ -1199,3 +1204,59 @@ def test_jpeg_12bit_sequential():
     # and the precision guard on the encoder
     with pytest.raises(ValueError, match="precision"):
         encode_jpeg(px, precision=10)
+
+
+def test_jpeg_noninterleaved_multiscan():
+    """Round-12 part 4: NON-INTERLEAVED baseline closed — one SOS per
+    component, data units in each component's own block raster (T.81
+    F.2.2 actual-grid dims, never MCU padding).  The decode is
+    PIXEL-IDENTICAL to the interleaved encoding of the same input
+    (same coefficients, same tables — only the scan order differs),
+    across 4:4:4 / 4:2:0 / restart intervals / 12-bit; a partial
+    2-of-3-component interleaved scan stays a NAMED gate."""
+    import struct as st
+
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    img = _smooth(37, 53)
+    for sub in (False, True):
+        for ri in (0, 5):
+            a = decode_jpeg(
+                encode_jpeg(img, subsample=sub, restart_interval=ri)
+            )
+            b = decode_jpeg(
+                encode_jpeg(
+                    img, subsample=sub, restart_interval=ri,
+                    interleave=False,
+                )
+            )
+            assert np.array_equal(a, b), (sub, ri)
+    # grayscale: single component — interleave flag is a no-op
+    g = img[..., 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, interleave=False)),
+        decode_jpeg(encode_jpeg(g)),
+    )
+    # 12-bit extended sequential composes with non-interleaved scans
+    im12 = img.astype(np.uint16) << 4
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(im12, precision=12, interleave=False)),
+        decode_jpeg(encode_jpeg(im12, precision=12)),
+    )
+    # partial interleaved scan (2 of 3 components): named gate.
+    # Build it by hand: take a non-interleaved file and splice the
+    # first SOS to CLAIM two components — the decoder must refuse by
+    # NAME before touching entropy data.
+    raw = bytearray(encode_jpeg(img, interleave=False))
+    i = bytes(raw).find(b"\xff\xda")
+    ln = st.unpack_from(">H", raw, i + 2)[0]
+    two = (
+        raw[:i]
+        + b"\xff\xda"
+        + st.pack(">H", 2 + 1 + 4 + 3)
+        + bytes([2, 1, 0x00, 2, 0x11])
+        + bytes([0, 63, 0])
+        + raw[i + 2 + ln :]
+    )
+    with pytest.raises(NotImplementedError, match="partial interleaved"):
+        decode_jpeg(bytes(two))
