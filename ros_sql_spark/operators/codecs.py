@@ -1145,6 +1145,7 @@ def encode_jpeg_progressive(
     ac_successive: bool = False,
     sa_levels: int = 1,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → PROGRESSIVE JPEG
     (SOF2) bytes: spectral selection with a DC-first scan script
@@ -1167,6 +1168,9 @@ def encode_jpeg_progressive(
             "restart_interval with ac_successive is not supported by "
             "this test encoder (decoder supports it)"
         )
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG precision {precision} (8 or 12)")
+    mid = float(1 << (precision - 1))
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim == 2:
         planes = [arr]
@@ -1174,8 +1178,8 @@ def encode_jpeg_progressive(
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + mid,
+            0.5 * r - 0.418688 * g - 0.081312 * b + mid,
         ]
     else:
         raise ValueError(f"expected (H, W, 3) or (H, W), got {arr.shape}")
@@ -1189,7 +1193,7 @@ def encode_jpeg_progressive(
     for ci, plane in enumerate(planes):
         p = np.pad(
             plane, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge"
-        ) - 128.0
+        ) - mid
         blocks = np.empty((bh * bw_, 64), np.int64)
         for by in range(bh):
             for bx in range(bw_):
@@ -1198,9 +1202,13 @@ def encode_jpeg_progressive(
                 blocks[by * bw_ + bx] = q.flatten()[_ZIGZAG]
         zzs.append(blocks)
 
-    dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
-        _huff_codes(*_HUFF_DC_CHROMA)
-    ] * (ncomp - 1)
+    if precision == 12:
+        # DC diffs reach category 15 (the 12-bit sequential precedent)
+        dc_codes = [_huff_codes(*_HUFF_DC12)] * ncomp
+    else:
+        dc_codes = [_huff_codes(*_HUFF_DC_LUMA)] + [
+            _huff_codes(*_HUFF_DC_CHROMA)
+        ] * (ncomp - 1)
     ac_prog = _huff_codes(*_HUFF_AC_PROG)
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1210,16 +1218,32 @@ def encode_jpeg_progressive(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qtabs = [(0, _QT_LUMA)] + ([(1, _QT_CHROMA)] if ncomp > 1 else [])
     for tid, qt in qtabs:
-        out += seg(
-            0xDB, bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG])
-        )
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+        if precision == 12:  # 16-bit DQT entries (pq=1)
+            out += seg(
+                0xDB,
+                bytes([0x10 | tid])
+                + b"".join(
+                    struct.pack(">H", int(x))
+                    for x in qt.flatten()[_ZIGZAG]
+                ),
+            )
+        else:
+            out += seg(
+                0xDB,
+                bytes([tid]) + bytes(int(x) for x in qt.flatten()[_ZIGZAG]),
+            )
+    sof = bytearray([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
     out += seg(0xC2, bytes(sof))
-    htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_PROG)]
-    if ncomp > 1:
-        htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_PROG)]
+    if precision == 12:
+        htabs = [(0x00, _HUFF_DC12), (0x10, _HUFF_AC_PROG)]
+        if ncomp > 1:
+            htabs += [(0x01, _HUFF_DC12), (0x11, _HUFF_AC_PROG)]
+    else:
+        htabs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_PROG)]
+        if ncomp > 1:
+            htabs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_PROG)]
     for tc_th, spec_ in htabs:
         bits, vals = spec_
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
@@ -1709,6 +1733,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     huff: dict[int, dict[tuple[int, int], int]] = {}
     sof = None
     ri = 0
+    prec = 8
     coef: list[np.ndarray] = []
     grids: list[tuple[int, int, int, int]] = []  # (bh_pad, bw_pad, bh_c, bw_c)
     while pos + 2 <= len(payload):
@@ -1730,12 +1755,18 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
                 q = np.zeros(64, np.int64)
-                q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                if pq == 0:
+                    q[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                    o += 65
+                elif pq == 1:  # 16-bit entries (12-bit streams)
+                    q[_ZIGZAG] = np.frombuffer(
+                        body, ">u2", 64, o + 1
+                    ).astype(np.int64)
+                    o += 129
+                else:
+                    raise ValueError(f"JPEG DQT precision field {pq}")
                 qts[tq] = q.reshape(8, 8)
-                o += 65
         elif marker == 0xC4:
             o = 0
             while o < len(body):
@@ -1746,8 +1777,12 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 huff[tc_th] = _huff_lookup(bits, vals)
                 o += 17 + nv
         elif marker == 0xC2:
-            if body[0] != 8:
+            # round-12: 12-bit progressive closed (the last huffman
+            # precision gate) — prec flows into the level shift and
+            # the shared high-byte output via _jpeg_finish
+            if body[0] not in (8, 12):
                 raise NotImplementedError(f"{body[0]}-bit JPEG precision")
+            prec = body[0]
             hh, ww = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             if ncomp not in (1, 3):
@@ -1801,7 +1836,8 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
         raise ValueError("progressive JPEG has no frame/scan data")
     hh, ww, comps, hmax, vmax, _, _ = sof
     T = _dct_matrix()
-    full = []
+    mid = float(1 << (prec - 1))
+    planes = []
     for ci, (_cid, hf, vf, tq) in enumerate(comps):
         bh_pad, bw_pad, _, _ = grids[ci]
         qt = qts[tq]
@@ -1811,22 +1847,12 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 c64 = np.zeros(64, np.int64)
                 c64[_ZIGZAG] = coef[ci][by, bx]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    T.T @ (c64.reshape(8, 8) * qt) @ T + 128.0
+                    T.T @ (c64.reshape(8, 8) * qt) @ T + mid
                 )
-        if hf < hmax:
-            plane = plane.repeat(hmax // hf, axis=1)
-        if vf < vmax:
-            plane = plane.repeat(vmax // vf, axis=0)
-        full.append(plane[:hh, :ww])
-    if len(full) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[..., None], 3, axis=2)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-        axis=-1,
+        planes.append(plane)
+    return _jpeg_finish(
+        planes, [(c[1], c[2]) for c in comps], hmax, vmax, hh, ww, prec
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _prog_scan(data, sof, scan, ss, se, ah, al, coef, grids, huff, ri=0):

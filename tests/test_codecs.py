@@ -1260,3 +1260,50 @@ def test_jpeg_noninterleaved_multiscan():
     )
     with pytest.raises(NotImplementedError, match="partial interleaved"):
         decode_jpeg(bytes(two))
+
+
+def test_jpeg_12bit_progressive():
+    """Round-12 part 5: 12-bit PROGRESSIVE closed (the last huffman
+    precision gate) — 16-bit DQT parse, category-15 DC table, 2048
+    level shift through the shared _jpeg_finish high-byte output.
+    Every scan-script variant (plain spectral selection, DC
+    successive approximation, AC successive approximation, restart
+    intervals) decodes IDENTICALLY to the 12-bit sequential encoding
+    of the same input; constants are exact; 8-bit progressive output
+    is unchanged."""
+    from ros_sql_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 21, 19
+    img8 = np.clip(
+        np.linspace(0, 255, h)[:, None, None]
+        + rng.integers(-15, 15, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    im12 = img8.astype(np.uint16) << 4
+    seq = decode_jpeg(encode_jpeg(im12, precision=12))
+    for kwargs in (
+        {},
+        {"dc_successive": True},
+        {"ac_successive": True},
+        {"restart_interval": 3},
+    ):
+        got = decode_jpeg(
+            encode_jpeg_progressive(im12, precision=12, **kwargs)
+        )
+        assert np.array_equal(got, seq), kwargs
+    for v in (0, 512, 4094):
+        c = np.full((16, 16, 3), v, np.uint16)
+        got = decode_jpeg(encode_jpeg_progressive(c, precision=12))
+        assert np.array_equal(got, (c >> 4).astype(np.uint8)), v
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img8)),
+        decode_jpeg(encode_jpeg(img8)),
+    )
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_progressive(img8, precision=10)
