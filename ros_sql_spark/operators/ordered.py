@@ -60,29 +60,49 @@ def global_row_number(
     bucket_col: str,
     order_cols: list[str],
     out: str = "_rn",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact 1-based GLOBAL row number over
-    ``ORDER BY (bucket_col, *order_cols)`` with no global sort:
-    rn = (Σ counts of strictly-lower buckets) + row_number within the
-    bucket.  Correct for ANY bucket sizes (empty ranges included —
-    the prefix sum just skips them); the caller's only obligation is
-    that ``bucket_col`` leads the intended total order (e.g. a key
-    prefix or monotone binning of the first order column) and that
-    ``(bucket_col, *order_cols)`` is a TOTAL order (ties would make
-    the rank engine-dependent).
+    """Exact 1-based row number over
+    ``ORDER BY (bucket_col, *order_cols)`` — globally, or WITHIN each
+    ``partition_cols`` group — with no global (or group-global) sort:
+    rn = (Σ counts of the group's strictly-lower buckets) +
+    row_number within the (group, bucket) cell.  Correct for ANY
+    bucket sizes (empty ranges included — the prefix sum just skips
+    them); the caller's only obligation is that ``bucket_col`` leads
+    the intended order within a group (a key prefix or monotone
+    binning of the first order column) and that the combination is a
+    TOTAL order (ties would make the rank engine-dependent).
 
-    Cost: one tiny per-bucket count, a B×B broadcast join, one
-    bucket-partitioned exchange + window.  Input is consumed twice
-    (count + rank paths) — pin upstream if its lineage is expensive
-    (qx59 pins the tokenized frame)."""
-    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_c"))
-    starts = _bucket_prefix(counts, bucket_col, "_c", "_start")
-    starts = starts.select(
-        bucket_col, F.coalesce("_start", F.lit(0)).alias("_start")
+    ``partition_cols`` is the SKEW lever: ranking within a
+    low-cardinality group (5 market segments over a 100 TB fact) via
+    ``Window.partitionBy(group)`` sorts 1/5th of the corpus on one
+    task; here the window partitions on (group, bucket) — B× finer —
+    and the per-group prefix rides the tiny counts frame.
+
+    Cost: one small per-(group, bucket) count, a (G·B)² broadcast
+    join, one (group, bucket)-partitioned exchange + window.  Input
+    is consumed twice (count + rank paths) — pin upstream if its
+    lineage is expensive (qx59 pins the tokenized frame)."""
+    pcols = list(partition_cols or [])
+    keys = pcols + [bucket_col]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    lower = counts.select(
+        *[F.col(c).alias(f"_p_{c}") for c in pcols],
+        F.col(bucket_col).alias("_pb"),
+        F.col("_c").alias("_pv"),
     )
-    w = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    cond = F.col("_pb") < F.col(f"a.{bucket_col}")
+    for c in pcols:
+        cond = cond & (F.col(f"_p_{c}") == F.col(f"a.{c}"))
+    starts = (
+        counts.alias("a")
+        .join(F.broadcast(lower), cond, "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in keys])
+        .agg(F.coalesce(F.sum("_pv"), F.lit(0)).alias("_start"))
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
     return (
-        df.join(F.broadcast(starts), bucket_col)
+        df.join(F.broadcast(starts), keys)
         .withColumn(out, F.col("_start") + F.row_number().over(w))
         .drop("_start")
     )

@@ -2875,6 +2875,33 @@ ORACLES: dict[str, str] = {
                      - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
         ORDER BY da, db
     """,
+    # Gini per segment: the oracle ranks with the textbook per-group
+    # window (fine on oracle-sized data); exact decimal Σx / Σ(i·x),
+    # one double division, same rank formula
+    "qx60_gini_concentration": """
+        WITH totals AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1
+        ), ranked AS (
+            SELECT c_mktsegment, x,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY x, c_custkey) AS i
+            FROM totals JOIN customer ON o_custkey = c_custkey
+        ), g AS (
+            SELECT c_mktsegment, count(*) AS n,
+                   sum(x) AS sx, sum(i * x) AS six
+            FROM ranked GROUP BY 1
+        )
+        SELECT c_mktsegment AS segment,
+               n AS n_customers,
+               CAST(sx AS DOUBLE) AS total_revenue,
+               round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM g
+        ORDER BY segment
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -4944,6 +4944,90 @@ def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI coefficient of customer order-revenue per market segment —
+    the concentration/inequality member of the stats family (qx50 =
+    independence, qx57 = mean comparison; none measures how unequally
+    a quantity is distributed).  Rank formula over values ascending:
+    G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) — equal values commute inside
+    Σ(i·xᵢ), so the custkey tie-break changes nothing.
+
+    The scale hazard this query exists to demonstrate: the rank is
+    WITHIN a 5-value segment key, and `Window.partitionBy(segment)`
+    would sort 1/5th of the corpus on one task at 100 TB.  Instead the
+    rank comes from operators/ordered.py::global_row_number with
+    partition_cols=[segment] (round-12): value-range buckets off the
+    crossJoin-broadcast [lo, hi] scalar make the window partition
+    (segment, bucket) — B× finer — and per-segment bucket offsets ride
+    the tiny counts frame (property-tested equal to the per-group
+    window).  The joined per-customer frame is eagerly pinned (three
+    differing projections: the scalar, the counts, the rank path).
+
+    Exactness: x = DECIMAL(18,2) revenue sums; Σx and Σ(i·x) are exact
+    decimal aggregates (bigint·decimal products); the single double
+    division happens on the assembled exact numerator/denominator,
+    round(6)."""
+    from ros_sql_spark.operators.ordered import global_row_number
+
+    totals = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("_x"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = (
+        totals.join(cust, totals["o_custkey"] == cust["c_custkey"])
+        .select("c_mktsegment", "c_custkey", "_x")
+        .localCheckpoint(eager=True)
+    )
+    lohi = j.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+    n_buckets = 64
+    width = (
+        F.col("_hi").cast("double") - F.col("_lo").cast("double")
+    ) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("_x").cast("double")
+                     - F.col("_lo").cast("double")) / width
+                ),
+            )
+        )
+        .cast("int")
+    )
+    binned = j.crossJoin(F.broadcast(lohi)).select(
+        "c_mktsegment", "c_custkey", "_x", bkt.alias("_bkt")
+    )
+    ranked = global_row_number(
+        binned,
+        "_bkt",
+        ["_x", "c_custkey"],
+        out="_i",
+        partition_cols=["c_mktsegment"],
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    num = (
+        F.lit(2) * F.col("_six")
+        - (F.col("n_customers") + F.lit(1)) * F.col("_sx")
+    )
+    den = F.col("n_customers") * F.col("_sx")
+    return g.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_customers",
+        F.col("_sx").cast("double").alias("total_revenue"),
+        r6(num.cast("double") / den.cast("double")).alias("gini"),
+    ).orderBy("segment")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5109,4 +5193,5 @@ QUERIES = {
     "qx57_welch_ttest": qx57_welch_ttest,
     "qx58_seasonal_decompose": qx58_seasonal_decompose,
     "qx59_sorted_neighborhood": qx59_sorted_neighborhood,
+    "qx60_gini_concentration": qx60_gini_concentration,
 }

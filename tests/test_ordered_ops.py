@@ -110,3 +110,38 @@ def test_global_row_number_string_buckets(spark):
         for r in global_row_number(df, "bkt", ["key", "id"]).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+part_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-3, 3), st.integers(0, 50)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=part_rows)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_partitioned_row_number_equals_group_window(spark, data):
+    """partition_cols: the rank restarts per group and equals the
+    textbook per-group window for arbitrary group/bucket collisions
+    (including groups missing whole bucket ranges)."""
+    df = spark.createDataFrame(
+        [(g, b, k, i) for i, (g, b, k) in enumerate(data)],
+        "grp int, bkt int, key int, id int",
+    )
+    got = {
+        r["id"]: r["_rn"]
+        for r in global_row_number(
+            df, "bkt", ["key", "id"], partition_cols=["grp"]
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("bkt", "key", "id")
+    want = {
+        r["id"]: r["_rn"]
+        for r in df.withColumn("_rn", F.row_number().over(w)).collect()
+    }
+    assert got == want

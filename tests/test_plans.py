@@ -1112,6 +1112,25 @@ def test_qx59_band_join_is_equi_and_rank_is_partitioned(spark):
     assert "Exchange SinglePartition" not in p, p
 
 
+def test_qx60_segment_rank_is_bucket_partitioned(spark):
+    """Gini per segment: ranking within a 5-value segment key must NOT
+    be a Window.partitionBy(segment) — that sorts 1/5th of the corpus
+    on one task.  The window partitions on (segment, bucket); the
+    per-segment bucket offsets ride a broadcast of the tiny counts
+    frame; the joined per-customer frame is pinned; the only
+    SinglePartition is the [lo, hi] scalar combine."""
+    p = plan_of(spark, "qx60_gini_concentration")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert re.search(
+        r"windowspecdefinition\(c_mktsegment#\d+, _bkt#\d+,", p
+    ), p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
