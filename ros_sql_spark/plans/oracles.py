@@ -2902,6 +2902,63 @@ ORACLES: dict[str, str] = {
         FROM g
         ORDER BY segment
     """,
+    # Closed-form OLS: identical exact-decimal moments, identical
+    # cofactor-expansion determinant text, round(6)
+    "qx61_ols_regression": """
+        WITH g AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                   sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+                   sum(CAST(l_discount AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS spq,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS spd
+            FROM lineitem
+            GROUP BY 1
+            HAVING count(*) >= 3
+        ), m AS (
+            SELECT l_returnflag, n,
+                   CAST(n AS DOUBLE) AS dn,
+                   CAST(sq AS DOUBLE) AS dsq, CAST(sd AS DOUBLE) AS dsd,
+                   CAST(sp AS DOUBLE) AS dsp,
+                   CAST(sqq AS DOUBLE) AS dsqq,
+                   CAST(sdd AS DOUBLE) AS dsdd,
+                   CAST(sqd AS DOUBLE) AS dsqd,
+                   CAST(spq AS DOUBLE) AS dspq,
+                   CAST(spd AS DOUBLE) AS dspd
+            FROM g
+        ), dets AS (
+            SELECT l_returnflag, n,
+                   dn * (dsqq * dsdd - dsqd * dsqd)
+                   - dsq * (dsq * dsdd - dsqd * dsd)
+                   + dsd * (dsq * dsqd - dsqq * dsd) AS det,
+                   dsp * (dsqq * dsdd - dsqd * dsqd)
+                   - dsq * (dspq * dsdd - dsqd * dspd)
+                   + dsd * (dspq * dsqd - dsqq * dspd) AS d0,
+                   dn * (dspq * dsdd - dsqd * dspd)
+                   - dsp * (dsq * dsdd - dsqd * dsd)
+                   + dsd * (dsq * dspd - dspq * dsd) AS d1,
+                   dn * (dsqq * dspd - dspq * dsqd)
+                   - dsq * (dsq * dspd - dspq * dsd)
+                   + dsp * (dsq * dsqd - dsqq * dsd) AS d2
+            FROM m
+        )
+        SELECT l_returnflag, n AS n_rows,
+               round(d0 / det, 6) AS intercept,
+               round(d1 / det, 6) AS beta_quantity,
+               round(d2 / det, 6) AS beta_discount
+        FROM dets
+        WHERE det <> 0.0
+        ORDER BY l_returnflag
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5028,6 +5028,70 @@ def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
+def qx61_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form MULTIPLE linear regression per group — OLS of
+    extendedprice on (quantity, discount) per returnflag via the
+    normal equations (X'X)β = X'y solved by Cramer's rule.  The
+    distributed-ML training shape: model fitting reduces to ONE
+    moment-aggregation pass (9 sufficient statistics), so a 100 TB
+    fit costs exactly one scan + one tiny exchange — qx35's
+    single-regressor slope generalized to the multivariate case.
+
+    Exactness (qx50/qx57 regime): every moment is an exact DECIMAL
+    sum (quantity/discount/price all exact at 2 dp; pairwise products
+    exact decimal multiplication), the 3×3 determinants are assembled
+    from the exact moments in ONE fixed double op order (textbook
+    cofactor expansion, identical expression text in both engines),
+    round(6).  Groups need n ≥ 3 and a nonzero determinant — both
+    gates on exactly-computed values."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DECIMAL_MONEY)
+    d_ = F.col("l_discount").cast(DECIMAL_MONEY)
+    p = money("l_extendedprice")
+    g = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(q).alias("_sq"),
+            F.sum(d_).alias("_sd"),
+            F.sum(p).alias("_sp"),
+            F.sum(q * q).alias("_sqq"),
+            F.sum(d_ * d_).alias("_sdd"),
+            F.sum(q * d_).alias("_sqd"),
+            F.sum(p * q).alias("_spq"),
+            F.sum(p * d_).alias("_spd"),
+        )
+        .filter(F.col("_n") >= 3)
+    )
+    c = lambda name: F.col(name).cast("double")  # noqa: E731
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    n, sq, sd = c("_n"), c("_sq"), c("_sd")
+    sp, sqq, sdd = c("_sp"), c("_sqq"), c("_sdd")
+    sqd, spq, spd = c("_sqd"), c("_spq"), c("_spd")
+    det = det3(n, sq, sd, sq, sqq, sqd, sd, sqd, sdd)
+    d0 = det3(sp, sq, sd, spq, sqq, sqd, spd, sqd, sdd)
+    d1 = det3(n, sp, sd, sq, spq, sqd, sd, spd, sdd)
+    d2 = det3(n, sq, sp, sq, sqq, spq, sd, sqd, spd)
+    return (
+        g.filter(det != F.lit(0.0))
+        .select(
+            "l_returnflag",
+            F.col("_n").alias("n_rows"),
+            r6(d0 / det).alias("intercept"),
+            r6(d1 / det).alias("beta_quantity"),
+            r6(d2 / det).alias("beta_discount"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5194,4 +5258,5 @@ QUERIES = {
     "qx58_seasonal_decompose": qx58_seasonal_decompose,
     "qx59_sorted_neighborhood": qx59_sorted_neighborhood,
     "qx60_gini_concentration": qx60_gini_concentration,
+    "qx61_ols_regression": qx61_ols_regression,
 }

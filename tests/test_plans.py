@@ -1131,6 +1131,18 @@ def test_qx60_segment_rank_is_bucket_partitioned(spark):
     ), p
 
 
+def test_qx61_single_pass_moment_fit(spark):
+    """Closed-form OLS: all nine sufficient statistics ride ONE
+    lineitem scan and ONE aggregate (map-side partials); no join, no
+    SinglePartition — model fitting at 100 TB is exactly one scan."""
+    p = plan_of(spark, "qx61_ols_regression")
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert p.count("FileScan parquet") == 1, p
+    assert "partial_sum" in p and "partial_count" in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "Exchange SinglePartition" not in p, p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
