@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["global_row_number", "skyline_2d"]
+__all__ = ["global_row_number", "global_running_sum", "skyline_2d"]
 
 
 def _bucket_prefix(
@@ -105,6 +105,59 @@ def global_row_number(
         df.join(F.broadcast(starts), keys)
         .withColumn(out, F.col("_start") + F.row_number().over(w))
         .drop("_start")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "_cum",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` over
+    ``ORDER BY (bucket_col, *order_cols)`` — globally, or within each
+    ``partition_cols`` group — with no global window: the prefix
+    identity instantiated for SUM (count → :func:`global_row_number`,
+    max → :func:`skyline_2d`'s dominance prefix).  cum = (Σ value of
+    the group's strictly-lower buckets) + inclusive running sum
+    within the (group, bucket) cell.  NULL values contribute nothing
+    (SQL sum semantics) but their rows still appear with the running
+    total so far.  Same contract as global_row_number: bucket_col
+    must lead the intended order; the combination must be total."""
+    pcols = list(partition_cols or [])
+    keys = pcols + [bucket_col]
+    sums = df.groupBy(*keys).agg(F.sum(value_col).alias("_bs"))
+    lower = sums.select(
+        *[F.col(c).alias(f"_p_{c}") for c in pcols],
+        F.col(bucket_col).alias("_pb"),
+        F.col("_bs").alias("_pv"),
+    )
+    cond = F.col("_pb") < F.col(f"a.{bucket_col}")
+    for c in pcols:
+        cond = cond & (F.col(f"_p_{c}") == F.col(f"a.{c}"))
+    starts = (
+        sums.alias("a")
+        .join(F.broadcast(lower), cond, "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in keys])
+        .agg(F.sum("_pv").alias("_soff"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(value_col).over(w)
+    return (
+        df.join(F.broadcast(starts), keys)
+        .withColumn(
+            out,
+            F.when(
+                F.col("_soff").isNull(), run
+            ).otherwise(F.col("_soff") + run),
+        )
+        .drop("_soff")
     )
 
 

@@ -2959,6 +2959,29 @@ ORACLES: dict[str, str] = {
         WHERE det <> 0.0
         ORDER BY l_returnflag
     """,
+    # CUSUM changepoint: scaled statistic n·C_t − t·T keeps everything
+    # exact (no mean, no division); identical top-3 ordering
+    "qx62_changepoint": """
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   sum(CAST(value AS DECIMAL(18,2))) AS x
+            FROM events GROUP BY 1
+        ), nt AS (
+            SELECT count(*) AS n, sum(x) AS tt FROM daily
+        ), c AS (
+            SELECT day,
+                   row_number() OVER (ORDER BY day) AS t,
+                   sum(x) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily
+        )
+        SELECT day,
+               CAST(n * cum - t * tt AS DOUBLE) AS cusum,
+               CAST(abs(n * cum - t * tt) AS DOUBLE) AS score
+        FROM c, nt
+        ORDER BY score DESC, day ASC
+        LIMIT 3
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

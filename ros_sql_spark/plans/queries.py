@@ -5092,6 +5092,62 @@ def qx61_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection on the daily event-value series —
+    the drift-detection member of the time-series family (qx58 =
+    seasonality, qx45 = smoothing): the top-3 candidate days by the
+    scaled CUSUM statistic |S'_t| where S'_t = n·C_t − t·T (C_t =
+    cumulative sum through day t, T = series total, t = day rank).
+    S' is the classic Σ(xᵢ − x̄) CUSUM scaled by n — identical argmax,
+    but EVERY quantity stays exact (bigint · decimal products; no
+    mean, no division): cross-engine parity is structural, not a
+    rounding accident.
+
+    Scale shape: one events scan to the ~|days| daily grain
+    (calendar-bounded — 30 rows at sf0.01 and at 100× that corpus),
+    eagerly pinned; rank and cumulative sum both come from
+    operators/ordered.py (global_row_number + global_running_sum over
+    day-range buckets — no unpartitioned window even on the tiny
+    frame, the suite-wide rule stays mechanical); the (n, T) scalar
+    is a crossJoin-broadcast 1-row aggregate (qx21 idiom); final
+    top-3 by (|S'| desc, day asc) is a LIMIT sort."""
+    from ros_sql_spark.operators.ordered import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.expr("ts_ns div 86400000000000").alias("day")
+        )
+        .agg(F.sum(money("value")).alias("_x"))
+        .withColumn("_bkt", F.expr("day div 8").cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    nt = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_tt"),
+    )
+    ranked = global_row_number(daily, "_bkt", ["day"], out="_t")
+    cum = global_running_sum(ranked, "_bkt", ["day"], "_x", out="_c")
+    s = cum.crossJoin(F.broadcast(nt)).select(
+        "day",
+        (
+            F.col("_n") * F.col("_c") - F.col("_t") * F.col("_tt")
+        ).alias("_s"),
+    )
+    return (
+        s.select(
+            "day",
+            F.col("_s").cast("double").alias("cusum"),
+            F.abs(F.col("_s")).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("day"))
+        .limit(3)
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5259,4 +5315,5 @@ QUERIES = {
     "qx59_sorted_neighborhood": qx59_sorted_neighborhood,
     "qx60_gini_concentration": qx60_gini_concentration,
     "qx61_ols_regression": qx61_ols_regression,
+    "qx62_changepoint": qx62_changepoint,
 }

@@ -145,3 +145,40 @@ def test_partitioned_row_number_equals_group_window(spark, data):
         for r in df.withColumn("_rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+sum_rows = st.lists(
+    st.tuples(st.integers(-3, 3), st.integers(0, 50), st.integers(-9, 9)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=sum_rows)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_running_sum_equals_global_window(spark, data):
+    from ros_sql_spark.operators.ordered import global_running_sum
+
+    df = spark.createDataFrame(
+        [(b, k, i, v) for i, (b, k, v) in enumerate(data)],
+        "bkt int, key int, id int, v int",
+    )
+    got = {
+        r["id"]: r["_cum"]
+        for r in global_running_sum(
+            df, "bkt", ["key", "id"], "v"
+        ).collect()
+    }
+    w = (
+        Window.orderBy("bkt", "key", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["_cum"]
+        for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -1143,6 +1143,24 @@ def test_qx61_single_pass_moment_fit(spark):
     assert "Exchange SinglePartition" not in p, p
 
 
+def test_qx62_no_unpartitioned_window_even_on_calendar(spark):
+    """Changepoint: rank AND cumulative sum both come from the bucket
+    decompositions (every window is _bkt-partitioned — the suite-wide
+    no-SinglePartition rule stays mechanical even on the tiny daily
+    frame); the daily grain is pinned, the (n, T) scalar broadcast,
+    the top-3 a TakeOrdered, zero file scans in the final plan."""
+    p = plan_of(spark, "qx62_changepoint")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", p):
+        assert m.group(1).startswith("_bkt"), p
+    assert "TakeOrderedAndProject" in p, p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
