@@ -2982,6 +2982,39 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, day ASC
         LIMIT 3
     """,
+    # Two-sample KS: argmax on the exact scaled statistic; every
+    # windowed BIGINT sum cast back (HUGEINT → float64 trap)
+    "qx63_ks_test": """
+        WITH vals AS (
+            SELECT value AS v,
+                   count(CASE WHEN event_type = 'purchase'
+                              THEN 1 END) AS d1,
+                   count(CASE WHEN event_type = 'click'
+                              THEN 1 END) AS d2
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+              AND value IS NOT NULL
+            GROUP BY 1
+        ), c AS (
+            SELECT v,
+                   CAST(sum(d1) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+                   CAST(sum(d2) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+            FROM vals
+        ), nt AS (
+            SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2
+            FROM vals
+        )
+        SELECT v AS at_value, n1, n2,
+               CAST(abs(n2 * c1 - n1 * c2) AS BIGINT) AS d_scaled,
+               round(CAST(abs(n2 * c1 - n1 * c2) AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE), 6) AS ks
+        FROM c, nt
+        ORDER BY d_scaled DESC, at_value ASC
+        LIMIT 1
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

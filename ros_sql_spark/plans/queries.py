@@ -5148,6 +5148,86 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx63_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test: does the purchase value
+    distribution differ from the click value distribution?  The
+    NONPARAMETRIC member of the stats family (qx57 compares means,
+    qx50 independence) — KS = sup_v |F₁(v) − F₂(v)| over the pooled
+    distinct-value grid, reported with its location.
+
+    Exactness: the supremum is found on the SCALED statistic
+    |n₂·c₁(v) − n₁·c₂(v)| — pure BIGINT arithmetic (identical argmax,
+    no ECDF division until the final reported ks value), so parity is
+    structural.
+
+    Scale shape: unlike qx62's calendar frame, the distinct-value
+    grid is CORPUS-sized — the bucket-decomposed running sum
+    (operators/ordered.py) is load-bearing, not just discipline:
+    per-value conditional counts in one pass (eagerly pinned — the
+    [lo, hi] scalar, the (n₁, n₂) scalar and the cumulative path are
+    three differing projections), value-range buckets off the
+    broadcast scalar, BOTH samples' cumulative counts on one shared
+    (bucket) window pass, TakeOrdered top-1."""
+    from ros_sql_spark.operators.ordered import global_running_sum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    is_p = F.col("event_type") == "purchase"
+    grid = (
+        ev.groupBy(F.col("value").alias("v"))
+        .agg(
+            F.count(F.when(is_p, 1)).alias("_d1"),
+            F.count(F.when(~is_p, 1)).alias("_d2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lohi = grid.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    nt = grid.agg(
+        F.sum("_d1").alias("_n1"), F.sum("_d2").alias("_n2")
+    )
+    n_buckets = 64
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    binned = grid.crossJoin(F.broadcast(lohi)).select(
+        "v", "_d1", "_d2", bkt.alias("_bkt")
+    )
+    c1 = global_running_sum(binned, "_bkt", ["v"], "_d1", out="_c1")
+    c2 = global_running_sum(c1, "_bkt", ["v"], "_d2", out="_c2")
+    s = c2.crossJoin(F.broadcast(nt)).select(
+        F.col("v").alias("at_value"),
+        "_n1",
+        "_n2",
+        F.abs(
+            F.col("_n2") * F.col("_c1") - F.col("_n1") * F.col("_c2")
+        ).alias("d_scaled"),
+    )
+    return (
+        s.select(
+            "at_value",
+            F.col("_n1").alias("n1"),
+            F.col("_n2").alias("n2"),
+            "d_scaled",
+            r6(
+                F.col("d_scaled").cast("double")
+                / (F.col("_n1") * F.col("_n2")).cast("double")
+            ).alias("ks"),
+        )
+        .orderBy(F.desc("d_scaled"), F.asc("at_value"))
+        .limit(1)
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5316,4 +5396,5 @@ QUERIES = {
     "qx60_gini_concentration": qx60_gini_concentration,
     "qx61_ols_regression": qx61_ols_regression,
     "qx62_changepoint": qx62_changepoint,
+    "qx63_ks_test": qx63_ks_test,
 }

@@ -1161,6 +1161,25 @@ def test_qx62_no_unpartitioned_window_even_on_calendar(spark):
     ), p
 
 
+def test_qx63_corpus_sized_cumulative_is_bucketed(spark):
+    """KS test: the distinct-value grid is DATA-sized (unlike qx62's
+    calendar frame), so the bucket-decomposed running sums are
+    load-bearing — every window is _bkt-partitioned, the grid is
+    pinned, the type filter reached the parquet scan at pin time, and
+    the top-1 is a TakeOrdered.  No SinglePartition outside scalar
+    combines."""
+    p = plan_of(spark, "qx63_ks_test")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", p):
+        assert m.group(1).startswith("_bkt"), p
+    assert "TakeOrderedAndProject" in p, p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
