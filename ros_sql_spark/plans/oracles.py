@@ -3015,6 +3015,28 @@ ORACLES: dict[str, str] = {
         ORDER BY d_scaled DESC, at_value ASC
         LIMIT 1
     """,
+    # Weighted median: exact integer crossing test; cumW monotone in
+    # price, so the crossing value is MIN over the qualifying suffix
+    "qx64_weighted_median": """
+        WITH g AS (
+            SELECT l_returnflag AS f, l_extendedprice AS p,
+                   CAST(sum(l_quantity) AS BIGINT) AS wt
+            FROM lineitem GROUP BY 1, 2
+        ), tot AS (
+            SELECT f, CAST(sum(wt) AS BIGINT) AS w FROM g GROUP BY 1
+        ), c AS (
+            SELECT f, p,
+                   CAST(sum(wt) OVER (PARTITION BY f ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+            FROM g
+        )
+        SELECT c.f AS returnflag, tot.w AS total_weight,
+               min(p) AS weighted_median
+        FROM c JOIN tot ON c.f = tot.f
+        WHERE 2 * cw >= w
+        GROUP BY 1, 2
+        ORDER BY returnflag
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

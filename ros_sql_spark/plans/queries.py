@@ -5228,6 +5228,72 @@ def qx63_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEDIAN of extendedprice (weighted by quantity) per
+    returnflag — the weighted member of the percentile family
+    (q44/q45 are unweighted; no existing query weights the
+    distribution): the smallest value v with 2·cumW(v) ≥ W.
+
+    Exactness: weights are integral quantities summed as exact
+    BIGINTs, the crossing test 2·cumW ≥ W is pure integer arithmetic,
+    and the median value is a passthrough double — nothing is ever
+    rounded, parity is structural.
+
+    Scale shape: the (flag, price) grain is corpus-sized (~distinct
+    prices per flag), so the PARTITIONED bucket-decomposed running
+    sum is load-bearing — global_running_sum(partition_cols=[flag])
+    partitions the window on (flag, price-bucket), never
+    Window.partitionBy(flag) alone (3 groups = 1/3 corpus per task,
+    the qx60 hazard).  Because cumW is monotone in price within a
+    flag, the qualifying rows form a suffix and the crossing value is
+    their MIN — an aggregate, not another window.  Grain pinned
+    (scalar [lo, hi], per-flag totals, cumulative path = three
+    differing projections)."""
+    from ros_sql_spark.operators.ordered import global_running_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("f"),
+            F.col("l_extendedprice").alias("p"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("_wt"))
+        .localCheckpoint(eager=True)
+    )
+    lohi = g.agg(F.min("p").alias("_lo"), F.max("p").alias("_hi"))
+    tot = g.groupBy("f").agg(F.sum("_wt").alias("_w"))
+    n_buckets = 64
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("p") - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    binned = g.crossJoin(F.broadcast(lohi)).select(
+        "f", "p", "_wt", bkt.alias("_bkt")
+    )
+    cum = global_running_sum(
+        binned, "_bkt", ["p"], "_wt", out="_cw", partition_cols=["f"]
+    )
+    return (
+        cum.join(F.broadcast(tot), "f")
+        .filter(F.lit(2) * F.col("_cw") >= F.col("_w"))
+        .groupBy("f", "_w")
+        .agg(F.min("p").alias("weighted_median"))
+        .select(
+            F.col("f").alias("returnflag"),
+            F.col("_w").alias("total_weight"),
+            "weighted_median",
+        )
+        .orderBy("returnflag")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5397,4 +5463,5 @@ QUERIES = {
     "qx61_ols_regression": qx61_ols_regression,
     "qx62_changepoint": qx62_changepoint,
     "qx63_ks_test": qx63_ks_test,
+    "qx64_weighted_median": qx64_weighted_median,
 }

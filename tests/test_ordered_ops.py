@@ -182,3 +182,38 @@ def test_global_running_sum_equals_global_window(spark, data):
         for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-3, 3),
+              st.integers(-5, 5)),
+    min_size=1, max_size=30,
+))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_partitioned_running_sum_equals_group_window(spark, data):
+    from ros_sql_spark.operators.ordered import global_running_sum
+
+    df = spark.createDataFrame(
+        [(g, b, i, v) for i, (g, b, v) in enumerate(data)],
+        "grp int, bkt int, id int, v int",
+    )
+    got = {
+        r["id"]: r["_cum"]
+        for r in global_running_sum(
+            df, "bkt", ["id"], "v", partition_cols=["grp"]
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bkt", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["_cum"]
+        for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

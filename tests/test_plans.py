@@ -1180,6 +1180,21 @@ def test_qx63_corpus_sized_cumulative_is_bucketed(spark):
     ), p
 
 
+def test_qx64_partitioned_cumulative_is_bucketed(spark):
+    """Weighted median: the per-flag cumulative weight must partition
+    its window on (flag, bucket) — 3 flags alone would put 1/3 of the
+    corpus-sized price grain on one task; the crossing value is an
+    aggregate MIN over the qualifying suffix (no second window)."""
+    p = plan_of(spark, "qx64_weighted_median")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert re.search(r"windowspecdefinition\(f#\d+, _bkt#\d+,", p), p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
