@@ -693,6 +693,11 @@ def main() -> int:
             "q26_dedup_minhash",
             "q40_ann_lsh",
             "qx48_bfs_reach",  # round-12: unrolled BFS over the scaled facts
+            # round-12 session 2: the two heaviest new-family members —
+            # A-priori basket enumeration and the order-blocked dedup's
+            # rank-band equi join (both corpus-amplifying shapes)
+            "qx56_assoc_rules",
+            "qx59_sorted_neighborhood",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
