@@ -13,11 +13,22 @@ The cross-bucket half is computed by a B×B broadcast self-join of the
 bucket summary (never a SinglePartition window — B is small but the
 rule is mechanical, tests/test_plans.py enforces it suite-wide).
 
-``global_row_number`` instantiates the identity for COUNT (an exact
-global rank), ``skyline_2d`` for MAX (the Pareto-dominance prefix
-maximum).  Property-tested against the single-partition textbook forms
-in tests/test_ordered_ops.py.
-"""
+``bucketed_row_number`` instantiates the identity for COUNT (an exact
+global rank), ``bucketed_running_sum`` for SUM, ``skyline_2d`` for MAX
+(the Pareto-dominance prefix maximum).  Property-tested against the
+single-partition textbook forms in tests/test_ordered_ops.py.
+
+Relationship to operators/rank.py::global_row_number (q14's engine):
+rank.py is SELF-TUNING — ``repartitionByRange`` samples its own
+boundaries, so it ranks any orderable key with no caller input, at the
+cost of the range sampler's extra child execution (the CLAUDE.md
+repartitionByRange hazard) and no per-group variant.  This module is
+CALLER-BUCKETED — the caller supplies a monotone bucket column (a key
+prefix, an affine bin, ``day div k``), buying: no sampling job, a
+per-group ``partition_cols`` mode (the skew lever qx60/qx64 need), and
+the same identity extended to running SUMs and dominance prefixes,
+which a range partitioner cannot express.  Two tools, one rule: never
+a data-sized SinglePartition sort."""
 
 from __future__ import annotations
 
@@ -25,7 +36,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["global_row_number", "global_running_sum", "skyline_2d"]
+__all__ = ["bucketed_row_number", "bucketed_running_sum", "skyline_2d"]
 
 
 def _bucket_prefix(
@@ -55,7 +66,7 @@ def _bucket_prefix(
     )
 
 
-def global_row_number(
+def bucketed_row_number(
     df: DataFrame,
     bucket_col: str,
     order_cols: list[str],
@@ -108,7 +119,7 @@ def global_row_number(
     )
 
 
-def global_running_sum(
+def bucketed_running_sum(
     df: DataFrame,
     bucket_col: str,
     order_cols: list[str],
@@ -119,12 +130,12 @@ def global_running_sum(
     """Exact INCLUSIVE running sum of ``value_col`` over
     ``ORDER BY (bucket_col, *order_cols)`` — globally, or within each
     ``partition_cols`` group — with no global window: the prefix
-    identity instantiated for SUM (count → :func:`global_row_number`,
+    identity instantiated for SUM (count → :func:`bucketed_row_number`,
     max → :func:`skyline_2d`'s dominance prefix).  cum = (Σ value of
     the group's strictly-lower buckets) + inclusive running sum
     within the (group, bucket) cell.  NULL values contribute nothing
     (SQL sum semantics) but their rows still appear with the running
-    total so far.  Same contract as global_row_number: bucket_col
+    total so far.  Same contract as bucketed_row_number: bucket_col
     must lead the intended order; the combination must be total."""
     pcols = list(partition_cols or [])
     keys = pcols + [bucket_col]

@@ -4904,9 +4904,9 @@ def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token-set frame is lazily pinned (left, right and the count
     frame are three differing projections of it — the qx44 rule).
     The rank construction lives in
-    operators/ordered.py::global_row_number (property-tested equal to
+    operators/ordered.py::bucketed_row_number (property-tested equal to
     the textbook global window in tests/test_ordered_ops.py)."""
-    from ros_sql_spark.operators.ordered import global_row_number
+    from ros_sql_spark.operators.ordered import bucketed_row_number
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     o = (
@@ -4918,7 +4918,7 @@ def qx59_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_bkt", F.substring("_k", 1, 1))
         .localCheckpoint(eager=False)
     )
-    ranked = global_row_number(o, "_bkt", ["_k", "doc_id"]).select(
+    ranked = bucketed_row_number(o, "_bkt", ["_k", "doc_id"]).select(
         "doc_id", "_s", "_rn"
     )
     left = ranked.select(
@@ -4955,7 +4955,7 @@ def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale hazard this query exists to demonstrate: the rank is
     WITHIN a 5-value segment key, and `Window.partitionBy(segment)`
     would sort 1/5th of the corpus on one task at 100 TB.  Instead the
-    rank comes from operators/ordered.py::global_row_number with
+    rank comes from operators/ordered.py::bucketed_row_number with
     partition_cols=[segment] (round-12): value-range buckets off the
     crossJoin-broadcast [lo, hi] scalar make the window partition
     (segment, bucket) — B× finer — and per-segment bucket offsets ride
@@ -4967,7 +4967,7 @@ def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal aggregates (bigint·decimal products); the single double
     division happens on the assembled exact numerator/denominator,
     round(6)."""
-    from ros_sql_spark.operators.ordered import global_row_number
+    from ros_sql_spark.operators.ordered import bucketed_row_number
 
     totals = (
         _t(spark, sf_dir, "orders")
@@ -5003,7 +5003,7 @@ def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = j.crossJoin(F.broadcast(lohi)).select(
         "c_mktsegment", "c_custkey", "_x", bkt.alias("_bkt")
     )
-    ranked = global_row_number(
+    ranked = bucketed_row_number(
         binned,
         "_bkt",
         ["_x", "c_custkey"],
@@ -5106,14 +5106,14 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one events scan to the ~|days| daily grain
     (calendar-bounded — 30 rows at sf0.01 and at 100× that corpus),
     eagerly pinned; rank and cumulative sum both come from
-    operators/ordered.py (global_row_number + global_running_sum over
+    operators/ordered.py (bucketed_row_number + bucketed_running_sum over
     day-range buckets — no unpartitioned window even on the tiny
     frame, the suite-wide rule stays mechanical); the (n, T) scalar
     is a crossJoin-broadcast 1-row aggregate (qx21 idiom); final
     top-3 by (|S'| desc, day asc) is a LIMIT sort."""
     from ros_sql_spark.operators.ordered import (
-        global_row_number,
-        global_running_sum,
+        bucketed_row_number,
+        bucketed_running_sum,
     )
 
     ev = _t(spark, sf_dir, "events")
@@ -5129,8 +5129,8 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum("_x").alias("_tt"),
     )
-    ranked = global_row_number(daily, "_bkt", ["day"], out="_t")
-    cum = global_running_sum(ranked, "_bkt", ["day"], "_x", out="_c")
+    ranked = bucketed_row_number(daily, "_bkt", ["day"], out="_t")
+    cum = bucketed_running_sum(ranked, "_bkt", ["day"], "_x", out="_c")
     s = cum.crossJoin(F.broadcast(nt)).select(
         "day",
         (
@@ -5168,7 +5168,7 @@ def qx63_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     three differing projections), value-range buckets off the
     broadcast scalar, BOTH samples' cumulative counts on one shared
     (bucket) window pass, TakeOrdered top-1."""
-    from ros_sql_spark.operators.ordered import global_running_sum
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
 
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
@@ -5202,8 +5202,8 @@ def qx63_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = grid.crossJoin(F.broadcast(lohi)).select(
         "v", "_d1", "_d2", bkt.alias("_bkt")
     )
-    c1 = global_running_sum(binned, "_bkt", ["v"], "_d1", out="_c1")
-    c2 = global_running_sum(c1, "_bkt", ["v"], "_d2", out="_c2")
+    c1 = bucketed_running_sum(binned, "_bkt", ["v"], "_d1", out="_c1")
+    c2 = bucketed_running_sum(c1, "_bkt", ["v"], "_d2", out="_c2")
     s = c2.crossJoin(F.broadcast(nt)).select(
         F.col("v").alias("at_value"),
         "_n1",
@@ -5241,7 +5241,7 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the (flag, price) grain is corpus-sized (~distinct
     prices per flag), so the PARTITIONED bucket-decomposed running
-    sum is load-bearing — global_running_sum(partition_cols=[flag])
+    sum is load-bearing — bucketed_running_sum(partition_cols=[flag])
     partitions the window on (flag, price-bucket), never
     Window.partitionBy(flag) alone (3 groups = 1/3 corpus per task,
     the qx60 hazard).  Because cumW is monotone in price within a
@@ -5249,7 +5249,7 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     their MIN — an aggregate, not another window.  Grain pinned
     (scalar [lo, hi], per-flag totals, cumulative path = three
     differing projections)."""
-    from ros_sql_spark.operators.ordered import global_running_sum
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
 
     li = _t(spark, sf_dir, "lineitem")
     g = (
@@ -5277,7 +5277,7 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = g.crossJoin(F.broadcast(lohi)).select(
         "f", "p", "_wt", bkt.alias("_bkt")
     )
-    cum = global_running_sum(
+    cum = bucketed_running_sum(
         binned, "_bkt", ["p"], "_wt", out="_cw", partition_cols=["f"]
     )
     return (

@@ -13,7 +13,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ros_sql_spark.operators.ordered import global_row_number, skyline_2d
+from ros_sql_spark.operators.ordered import bucketed_row_number, skyline_2d
 
 pytestmark = pytest.mark.slow  # ~1 Spark job per hypothesis example
 
@@ -32,7 +32,7 @@ rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_global_row_number_equals_global_window(spark, data):
+def test_bucketed_row_number_equals_global_window(spark, data):
     # unique id per row makes (bkt, key, id) a total order
     df = spark.createDataFrame(
         [(b, k, i) for i, (b, k) in enumerate(data)],
@@ -40,7 +40,7 @@ def test_global_row_number_equals_global_window(spark, data):
     )
     got = {
         (r["bkt"], r["key"], r["id"]): r["_rn"]
-        for r in global_row_number(df, "bkt", ["key", "id"]).collect()
+        for r in bucketed_row_number(df, "bkt", ["key", "id"]).collect()
     }
     w = Window.orderBy("bkt", "key", "id")
     want = {
@@ -94,7 +94,7 @@ def test_skyline_constant_x_keeps_only_max_y(spark):
     assert got == [1, 2]
 
 
-def test_global_row_number_string_buckets(spark):
+def test_bucketed_row_number_string_buckets(spark):
     """qx59's real shape: string buckets (key prefixes), string order
     columns, bucket sizes 1..n with gaps in the alphabet."""
     data = [
@@ -107,7 +107,7 @@ def test_global_row_number_string_buckets(spark):
     df = spark.createDataFrame(data, "bkt string, key string, id int")
     got = {
         r["id"]: r["_rn"]
-        for r in global_row_number(df, "bkt", ["key", "id"]).collect()
+        for r in bucketed_row_number(df, "bkt", ["key", "id"]).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
 
@@ -135,7 +135,7 @@ def test_partitioned_row_number_equals_group_window(spark, data):
     )
     got = {
         r["id"]: r["_rn"]
-        for r in global_row_number(
+        for r in bucketed_row_number(
             df, "bkt", ["key", "id"], partition_cols=["grp"]
         ).collect()
     }
@@ -160,8 +160,8 @@ sum_rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_global_running_sum_equals_global_window(spark, data):
-    from ros_sql_spark.operators.ordered import global_running_sum
+def test_bucketed_running_sum_equals_global_window(spark, data):
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
 
     df = spark.createDataFrame(
         [(b, k, i, v) for i, (b, k, v) in enumerate(data)],
@@ -169,7 +169,7 @@ def test_global_running_sum_equals_global_window(spark, data):
     )
     got = {
         r["id"]: r["_cum"]
-        for r in global_running_sum(
+        for r in bucketed_running_sum(
             df, "bkt", ["key", "id"], "v"
         ).collect()
     }
@@ -195,7 +195,7 @@ def test_global_running_sum_equals_global_window(spark, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_partitioned_running_sum_equals_group_window(spark, data):
-    from ros_sql_spark.operators.ordered import global_running_sum
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
 
     df = spark.createDataFrame(
         [(g, b, i, v) for i, (g, b, v) in enumerate(data)],
@@ -203,7 +203,7 @@ def test_partitioned_running_sum_equals_group_window(spark, data):
     )
     got = {
         r["id"]: r["_cum"]
-        for r in global_running_sum(
+        for r in bucketed_running_sum(
             df, "bkt", ["id"], "v", partition_cols=["grp"]
         ).collect()
     }
