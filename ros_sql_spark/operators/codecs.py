@@ -431,10 +431,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing decode → (H, W, 3) uint8 RGB.
 
-    BMP, P6 PPM, (8-bit non-interlaced) PNG, baseline JPEG and GIF
-    decode natively; anything else tries PIL if it is importable (import-try
-    gate — not installed in this container) and otherwise raises
-    NotImplementedError naming the format.
+    BMP, P6 PPM, (8-bit non-interlaced) PNG, baseline JPEG, GIF and
+    baseline TIFF decode natively; anything else tries PIL if it is
+    importable (import-try gate — not installed in this container) and
+    otherwise raises NotImplementedError naming the format.
     """
     native = None
     if payload[:2] == b"BM":
@@ -447,6 +447,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         native = decode_jpeg
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         native = decode_gif
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        native = decode_tiff
     gate: NotImplementedError | None = None
     if native is not None:
         try:
@@ -464,8 +466,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
-            "cover BMP, P6 PPM, 8-bit PNG, baseline JPEG and GIF; "
-            "install Pillow for other formats"
+            "cover BMP, P6 PPM, 8-bit PNG, baseline JPEG, GIF and "
+            "baseline TIFF; install Pillow for other formats"
         ) from None
     with Image.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
@@ -2158,6 +2160,394 @@ def _decode_noninterleaved(
             T.T @ (coef.reshape(8, 8) * qt) @ T + mid
         )
     return plane
+
+
+# --------------------------------------------------------------- TIFF
+# Baseline TIFF 6.0 (Adobe public spec), pure numpy/stdlib.  Scope:
+# 8-bit grayscale (photometric 0/1) and 8-bit RGB, strip organization,
+# BOTH byte orders, compression none (1) / LZW (5, with the TIFF
+# early-change variant and horizontal-differencing predictor 2) /
+# PackBits (32773).  Tiled files, planar configuration 2, palette
+# color, non-8-bit depths and the exotic compressions (CCITT fax,
+# JPEG-in-TIFF, Deflate) raise NotImplementedError naming the feature;
+# structural corruption raises ValueError.
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing over a
+    fixed 256-symbol byte alphabet, ClearCode 256 / EOI 257, and the
+    EARLY code-width bump — width grows when the table reaches
+    2^w − 1 entries, ONE code earlier than GIF's variant (the
+    classic interop trap; the GIF decoder above is LSB-first without
+    it)."""
+    acc = 0
+    nacc = 0
+    di = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal acc, nacc, di
+        while nacc < width:
+            if di >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[di]
+            nacc += 8
+            di += 1
+        nacc -= width
+        v = (acc >> nacc) & ((1 << width) - 1)
+        acc &= (1 << nacc) - 1
+        return v
+
+    while len(out) < expect:
+        code = read()
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"invalid TIFF LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"invalid TIFF LZW code {code}")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError(
+            f"TIFF strip short: {len(out)} of {expect} bytes"
+        )
+    del out[expect:]
+    return out
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder twin of :func:`_tiff_lzw_decode` — same early-change
+    schedule (width bumps when the just-assigned code reaches
+    2^w − 1), table reset at 4094 entries per the spec."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+            acc &= (1 << nacc) - 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    width = 9
+    write(256, width)  # leading Clear, as the spec requires
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        write(table[cur], width)
+        table[nxt] = next_code
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4094:
+            write(256, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        write(table[cur], width)
+    write(257, width)  # EOI
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytearray:
+    """PackBits RLE (TIFF 6.0 §9): n∈[0,127] → n+1 literals,
+    n∈[-127,-1] → next byte repeated 1−n times, −128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("TIFF PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("TIFF PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    del out[expect:]
+    return out
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of ≥3 as replicates, the rest as
+    literals (the reference strategy in the spec's sample code)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (H, W, 3) uint8 RGB (grayscale
+    replicated; WhiteIsZero inverted).  First IFD only (the multimodal
+    contract is one image per asset); see the section comment for the
+    supported/gated feature matrix."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (missing byte-order mark)")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"TIFF magic {magic} != 42")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF truncated before first IFD")
+    (n_ent,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_ent):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue  # unknown types: skip per spec
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        voff = off + 8 if size <= 4 else struct.unpack_from(
+            bo + "I", payload, off + 8
+        )[0]
+        if voff + size > len(payload):
+            raise ValueError(f"TIFF tag {tag} value out of bounds")
+        if typ == 3:
+            vals = list(
+                struct.unpack_from(bo + f"{cnt}H", payload, voff)
+            )
+        elif typ == 4:
+            vals = list(
+                struct.unpack_from(bo + f"{cnt}I", payload, voff)
+            )
+        elif typ in (1, 2):
+            vals = list(payload[voff : voff + cnt])
+        else:  # RATIONAL — unused by this decoder
+            vals = []
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
+        raise NotImplementedError("tiled TIFF (strip organization only)")
+    w = one(256)
+    h = one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [1])
+    comp = one(259, 1)
+    photo = one(262, 1 if spp == 1 else 2)
+    planar = one(284, 1)
+    pred = one(317, 1)
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} (8-bit only)"
+        )
+    if photo == 3:
+        raise NotImplementedError("TIFF palette color")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric interpretation {photo}"
+        )
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF with {spp} samples per pixel"
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (none/LZW/PackBits only)"
+        )
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/byte-counts inconsistent")
+    rps = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            raise ValueError("TIFF more strips than rows")
+        expect = nrows * row_bytes
+        chunk = payload[so : so + sc]
+        if comp == 1:
+            if len(chunk) < expect:
+                raise ValueError("TIFF uncompressed strip short")
+            strip = bytearray(chunk[:expect])
+        elif comp == 5:
+            strip = _tiff_lzw_decode(chunk, expect)
+        else:
+            strip = _packbits_decode(chunk, expect)
+        raw += strip
+    a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing: undo by per-row cumulative sum in
+        # uint8 modulo arithmetic, per channel
+        a = np.cumsum(a.astype(np.uint64), axis=1).astype(np.uint8)
+    if photo == 0:  # WhiteIsZero
+        a = 255 - a
+    if spp == 1:
+        a = np.repeat(a, 3, axis=2)
+    return a
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline TIFF
+    bytes.  ``compression``: "none" / "lzw" / "packbits";
+    ``predictor`` applies horizontal differencing (predictor 2, the
+    LZW companion); ``rows_per_strip`` defaults to whole-image;
+    ``big_endian`` writes MM byte order (decode-path coverage for the
+    other endianness)."""
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(f"compression {compression!r}")
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(f"expected (H, W[, 1|3]) uint8, got {arr.shape}")
+    h, w, spp = arr.shape
+    bo = ">" if big_endian else "<"
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    data = arr
+    if predictor:
+        data = np.concatenate(
+            [arr[:, :1], np.diff(arr.astype(np.int16), axis=1)
+             .astype(np.uint8)],
+            axis=1,
+        ).astype(np.uint8)
+    strips: list[bytes] = []
+    for r0 in range(0, h, rps):
+        chunk = data[r0 : r0 + rps].tobytes()
+        if compression == "lzw":
+            strips.append(_tiff_lzw_encode(chunk))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(chunk))
+        else:
+            strips.append(chunk)
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II")
+    out += struct.pack(bo + "HI", 42, 0)  # IFD offset patched below
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) % 2:
+        out += b"\x00"  # IFDs are word-aligned
+
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def ent(tag: int, typ: int, vals: list[int]) -> None:
+        cnt = len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack(bo + f"{cnt}{fmt}", *vals)
+        entries.append((tag, typ, cnt, packed))
+
+    ent(256, 4, [w])
+    ent(257, 4, [h])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [comp_code])
+    ent(262, 3, [1 if spp == 1 else 2])
+    ent(273, 4, strip_offsets)
+    ent(277, 3, [spp])
+    ent(278, 4, [rps])
+    ent(279, 4, [len(s) for s in strips])
+    if predictor:
+        ent(317, 3, [2])
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+
+    # lay out: IFD, then overflow value area
+    ifd_off = len(out)
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
+    overflow = bytearray()
+    ov_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, cnt, packed in entries:
+        if len(packed) <= 4:
+            val = packed + b"\x00" * (4 - len(packed))
+        else:
+            val = struct.pack(bo + "I", ov_base + len(overflow))
+            overflow += packed
+            if len(overflow) % 2:
+                overflow += b"\x00"
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    out += ifd + overflow
+    struct.pack_into(bo + "I", out, 4, ifd_off)
+    return bytes(out)
 
 
 def encode_wav(

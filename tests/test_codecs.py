@@ -1307,3 +1307,90 @@ def test_jpeg_12bit_progressive():
     )
     with pytest.raises(ValueError, match="precision"):
         encode_jpeg_progressive(img8, precision=10)
+
+
+# ----------------------------------------------------------- TIFF
+def _tiff_tag_patch(payload: bytes, tag: int, new_value: int) -> bytes:
+    """Patch an inline IFD tag value in a little-endian encode_tiff
+    payload (test helper for photometric/gate splicing)."""
+    import struct as st
+
+    buf = bytearray(payload)
+    ifd = st.unpack_from("<I", buf, 4)[0]
+    n = st.unpack_from("<H", buf, ifd)[0]
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        t = st.unpack_from("<H", buf, off)[0]
+        if t == tag:
+            st.pack_into("<I", buf, off + 8, new_value)
+            return bytes(buf)
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_tiff_roundtrip_matrix():
+    """Round-12: baseline TIFF codec — none/LZW(+predictor)/PackBits ×
+    strip sizes × BOTH byte orders, gray and RGB, exact round-trips.
+    The LZW is the TIFF variant (MSB-first, EARLY code-width change) —
+    deliberately a separate implementation from the GIF LZW above
+    (LSB-first, no early change)."""
+    from ros_sql_spark.operators.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    g = img[..., 0]
+    for comp in ("none", "lzw", "packbits"):
+        for pred in (False, True):
+            for rps in (None, 1, 4):
+                for be in (False, True):
+                    got = decode_tiff(
+                        encode_tiff(img, comp, pred, rps, be)
+                    )
+                    assert np.array_equal(got, img), (comp, pred, rps, be)
+                    gg = decode_tiff(encode_tiff(g, comp, pred, rps, be))
+                    assert np.array_equal(
+                        gg, np.repeat(g[..., None], 3, axis=2)
+                    )
+    # LZW table growth + in-stream reset (needs > 4094 codes)
+    big = np.tile(np.arange(256, dtype=np.uint8), (64, 40)).reshape(64, -1)
+    got = decode_tiff(encode_tiff(big, "lzw"))
+    assert np.array_equal(got, np.repeat(big[..., None], 3, axis=2))
+
+
+def test_tiff_photometric_and_sniffer():
+    from ros_sql_spark.operators.codecs import (
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    g = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    raw = encode_tiff(g)  # photometric 1 (BlackIsZero)
+    inv = _tiff_tag_patch(raw, 262, 0)  # WhiteIsZero → decoder inverts
+    assert np.array_equal(
+        decode_tiff(inv), np.repeat((255 - g)[..., None], 3, axis=2)
+    )
+    img = np.random.default_rng(1).integers(0, 256, (4, 4, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_tiff(img, "lzw")), img)
+
+
+def test_tiff_gates_and_corruption():
+    """Feature gates name the feature; structural damage is
+    ValueError."""
+    from ros_sql_spark.operators.codecs import decode_tiff, encode_tiff
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    raw = encode_tiff(img)
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(_tiff_tag_patch(raw, 262, 3))
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(_tiff_tag_patch(raw, 259, 7))
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        decode_tiff(_tiff_tag_patch(encode_tiff(img[..., 0]), 258, 16))
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + raw[2:])
+    with pytest.raises(ValueError, match="truncated|short|bounds"):
+        decode_tiff(raw[: len(raw) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        from ros_sql_spark.operators.codecs import _tiff_lzw_decode
+
+        _tiff_lzw_decode(b"\x00", 100)
