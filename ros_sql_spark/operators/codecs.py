@@ -2416,9 +2416,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF with {spp} samples per pixel"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (none/LZW/PackBits only)"
+            f"TIFF compression {comp} (none/LZW/Deflate/PackBits only)"
         )
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
@@ -2443,6 +2443,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             strip = bytearray(chunk[:expect])
         elif comp == 5:
             strip = _tiff_lzw_decode(chunk, expect)
+        elif comp in (8, 32946):  # Adobe / legacy Deflate: zlib streams
+            import zlib
+
+            try:
+                strip = bytearray(zlib.decompress(bytes(chunk)))
+            except zlib.error as e:
+                raise ValueError(f"TIFF deflate strip corrupt: {e}")
+            if len(strip) < expect:
+                raise ValueError("TIFF deflate strip short")
+            del strip[expect:]
         else:
             strip = _packbits_decode(chunk, expect)
         raw += strip
@@ -2471,7 +2481,7 @@ def encode_tiff(
     LZW companion); ``rows_per_strip`` defaults to whole-image;
     ``big_endian`` writes MM byte order (decode-path coverage for the
     other endianness)."""
-    if compression not in ("none", "lzw", "packbits"):
+    if compression not in ("none", "lzw", "packbits", "deflate"):
         raise ValueError(f"compression {compression!r}")
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -2495,9 +2505,15 @@ def encode_tiff(
             strips.append(_tiff_lzw_encode(chunk))
         elif compression == "packbits":
             strips.append(_packbits_encode(chunk))
+        elif compression == "deflate":
+            import zlib
+
+            strips.append(zlib.compress(chunk, 6))
         else:
             strips.append(chunk)
-    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_code = {
+        "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
+    }[compression]
 
     out = bytearray()
     out += (b"MM" if big_endian else b"II")

@@ -1338,7 +1338,7 @@ def test_tiff_roundtrip_matrix():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
     g = img[..., 0]
-    for comp in ("none", "lzw", "packbits"):
+    for comp in ("none", "lzw", "packbits", "deflate"):
         for pred in (False, True):
             for rps in (None, 1, 4):
                 for be in (False, True):
