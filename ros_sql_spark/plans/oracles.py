@@ -3037,6 +3037,42 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY returnflag
     """,
+    # Quantile normalization: textbook per-group window rank in the
+    # oracle; exact integer bins, conditional-aggregation reference
+    "qx65_quantile_normalize": """
+        WITH ev AS (
+            SELECT event_type AS g, value AS v, event_id
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+              AND value IS NOT NULL
+        ), r AS (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY v, event_id) AS rk,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM ev
+        ), b AS (
+            SELECT g, ((rk - 1) * 20) // n AS bin,
+                   CAST(count(*) AS BIGINT) AS c,
+                   sum(CAST(v AS DECIMAL(18,2))) AS s
+            FROM r GROUP BY 1, 2
+        ), p AS (
+            SELECT bin,
+                   max(CASE WHEN g = 'purchase'
+                            THEN CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                       END) AS mp,
+                   max(CASE WHEN g = 'click'
+                            THEN CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                       END) AS mc
+            FROM b GROUP BY 1
+        )
+        SELECT b.g AS grp, b.bin AS bin, b.c AS n_rows,
+               round(CAST(b.s AS DOUBLE) / CAST(b.c AS DOUBLE), 6)
+                   AS group_mean,
+               round((mp + mc) / 2.0, 6) AS normalized
+        FROM b JOIN p ON b.bin = p.bin
+        ORDER BY grp, bin
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5294,6 +5294,93 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx65_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of the purchase vs click value
+    distributions (the batch-effect-correction transform: replace
+    each distribution's K=20 quantile-bin means with the cross-group
+    reference profile) — the distribution-ALIGNMENT member of the
+    stats family (qx63 measures the gap, this one removes it).
+
+    Exactness: within-group ranks come from
+    operators/ordered.py::bucketed_row_number(partition_cols=[g])
+    over the (value, event_id) total order; bin = ((rk−1)·K) div n_g
+    is exact integer arithmetic; per-(group, bin) sums are exact
+    DECIMAL; the reference profile (mp + mc)/2 and the reported means
+    are fixed-op-order doubles, round(6) — the two group means enter
+    by CONDITIONAL aggregation, never an order-dependent float sum.
+
+    Scale shape: the ranked frame is corpus-sized → the (g, bucket)
+    partitioned rank (never partitionBy(g) alone — 2 groups = half
+    the corpus on one task); the tokenless source frame is lazily
+    pinned (rank-op counts, per-group totals and the rank path are
+    three differing projections); the 40-row bin frame is eagerly
+    pinned before its two consumers (qx50 marginal rule)."""
+    from ros_sql_spark.operators.ordered import bucketed_row_number
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    o = ev.select(
+        F.col("event_type").alias("g"),
+        F.col("value").alias("v"),
+        "event_id",
+    ).localCheckpoint(eager=False)
+    lohi = o.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    n_buckets = 64
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("_lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    binned = o.crossJoin(F.broadcast(lohi)).select(
+        "g", "v", "event_id", bkt.alias("_bkt")
+    )
+    ranked = bucketed_row_number(
+        binned, "_bkt", ["v", "event_id"], out="_rk",
+        partition_cols=["g"],
+    )
+    ng = o.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    K = 20
+    b = (
+        ranked.join(F.broadcast(ng), "g")
+        .withColumn(
+            "bin", F.expr(f"((_rk - 1) * {K}) div _n").cast("bigint")
+        )
+        .groupBy("g", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(money("v")).alias("_s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gm = d("_s") / d("n_rows")
+    p = b.groupBy("bin").agg(
+        F.max(F.when(F.col("g") == "purchase", gm)).alias("_mp"),
+        F.max(F.when(F.col("g") == "click", gm)).alias("_mc"),
+    )
+    return (
+        b.join(F.broadcast(p), "bin")
+        .select(
+            F.col("g").alias("grp"),
+            "bin",
+            "n_rows",
+            r6(gm).alias("group_mean"),
+            r6((F.col("_mp") + F.col("_mc")) / F.lit(2.0)).alias(
+                "normalized"
+            ),
+        )
+        .orderBy("grp", "bin")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5464,4 +5551,5 @@ QUERIES = {
     "qx62_changepoint": qx62_changepoint,
     "qx63_ks_test": qx63_ks_test,
     "qx64_weighted_median": qx64_weighted_median,
+    "qx65_quantile_normalize": qx65_quantile_normalize,
 }

@@ -1195,6 +1195,24 @@ def test_qx64_partitioned_cumulative_is_bucketed(spark):
     ), p
 
 
+def test_qx65_two_group_rank_is_bucket_partitioned(spark):
+    """Quantile normalization: the corpus-sized rank/bin pipeline runs
+    ONCE at eager-pin time (its (g, bucket)-partitioned rank shape is
+    the bucketed_row_number property-tested + qx60/qx64-guarded
+    construction), so the FINAL plan reads the 40-row bin ExistingRDD
+    with a broadcast reference join — no file scan, no window, no
+    data-sized SinglePartition anywhere."""
+    p = plan_of(spark, "qx65_quantile_normalize")
+    assert "CartesianProduct" not in p, p
+    assert "ExistingRDD" in p, p
+    assert p.count("FileScan parquet") == 0, p
+    assert "Window" not in p, p  # rank ran at pin time
+    assert "BroadcastHashJoin" in p, p
+    assert not re.search(
+        r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
+    ), p
+
+
 def test_qx54_exchange_minimal_crossover(spark):
     """Q51-class: the full outer must reuse the daily aggregates' own
     (user, day) partitioning (ZERO join exchange — joins need FULL-key
