@@ -5110,11 +5110,11 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-range buckets — no unpartitioned window even on the tiny
     frame, the suite-wide rule stays mechanical); the (n, T) scalar
     is a crossJoin-broadcast 1-row aggregate (qx21 idiom); final
-    top-3 by (|S'| desc, day asc) is a LIMIT sort."""
-    from ros_sql_spark.operators.ordered import (
-        bucketed_row_number,
-        bucketed_running_sum,
-    )
+    top-3 by (|S'| desc, day asc) is a LIMIT sort.  The statistic
+    lives in operators/drift.py::cusum_scores — shared verbatim with
+    the CONTINUOUS drift monitor (streaming/drift.py), so the
+    stream-equals-batch equivalence is structural."""
+    from ros_sql_spark.operators.drift import cusum_scores
 
     ev = _t(spark, sf_dir, "events")
     daily = (
@@ -5122,27 +5122,10 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ts_ns div 86400000000000").alias("day")
         )
         .agg(F.sum(money("value")).alias("_x"))
-        .withColumn("_bkt", F.expr("day div 8").cast("int"))
         .localCheckpoint(eager=True)
     )
-    nt = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum("_x").alias("_tt"),
-    )
-    ranked = bucketed_row_number(daily, "_bkt", ["day"], out="_t")
-    cum = bucketed_running_sum(ranked, "_bkt", ["day"], "_x", out="_c")
-    s = cum.crossJoin(F.broadcast(nt)).select(
-        "day",
-        (
-            F.col("_n") * F.col("_c") - F.col("_t") * F.col("_tt")
-        ).alias("_s"),
-    )
     return (
-        s.select(
-            "day",
-            F.col("_s").cast("double").alias("cusum"),
-            F.abs(F.col("_s")).cast("double").alias("score"),
-        )
+        cusum_scores(daily)
         .orderBy(F.desc("score"), F.asc("day"))
         .limit(3)
     )
