@@ -2167,10 +2167,11 @@ def _decode_noninterleaved(
 # 8-bit grayscale (photometric 0/1) and 8-bit RGB, strip organization,
 # BOTH byte orders, compression none (1) / LZW (5, with the TIFF
 # early-change variant and horizontal-differencing predictor 2) /
-# PackBits (32773).  Tiled files, planar configuration 2, palette
-# color, non-8-bit depths and the exotic compressions (CCITT fax,
-# JPEG-in-TIFF, Deflate) raise NotImplementedError naming the feature;
-# structural corruption raises ValueError.
+# Deflate (8 and legacy 32946 — zlib strips) / PackBits (32773).
+# Tiled files, planar configuration 2, palette color, non-8-bit
+# depths and the exotic compressions (CCITT fax, JPEG-in-TIFF) raise
+# NotImplementedError naming the feature; structural corruption
+# raises ValueError.
 
 
 def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
@@ -2476,7 +2477,7 @@ def encode_tiff(
     big_endian: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline TIFF
-    bytes.  ``compression``: "none" / "lzw" / "packbits";
+    bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate";
     ``predictor`` applies horizontal differencing (predictor 2, the
     LZW companion); ``rows_per_strip`` defaults to whole-image;
     ``big_endian`` writes MM byte order (decode-path coverage for the

@@ -36,7 +36,52 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["bucketed_row_number", "bucketed_running_sum", "skyline_2d"]
+__all__ = [
+    "affine_bucket",
+    "bucketed_row_number",
+    "bucketed_running_sum",
+    "skyline_2d",
+]
+
+
+def affine_bucket(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 64,
+    out: str = "_bkt",
+) -> DataFrame:
+    """Append a MONOTONE ``n_buckets``-range binning of ``col`` — the
+    bucket column the operators below require, shared so the
+    degenerate-range and boundary-capping logic lives once (round-12
+    self-review: five hand-copied sites).  The [lo, hi] scalar is a
+    keyless combine crossJoin-broadcast onto every row (qx21 idiom);
+    the binning floats are INTERNAL — any deterministic monotone
+    assignment yields identical downstream results, so no cross-engine
+    float boundary exists.  lo == hi (constant column) collapses to
+    bucket 0.  Consumes ``df`` twice (scalar + main) — pin upstream if
+    lineage is expensive."""
+    lohi = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    width = (
+        F.col("_hi").cast("double") - F.col("_lo").cast("double")
+    ) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(col).cast("double")
+                     - F.col("_lo").cast("double")) / width
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.crossJoin(F.broadcast(lohi))
+        .withColumn(out, bkt)
+        .drop("_lo", "_hi")
+    )
 
 
 def _bucket_prefix(
@@ -160,13 +205,22 @@ def bucketed_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run = F.sum(value_col).over(w)
+    # textbook window-sum NULL semantics (round-12 self-review fix):
+    # NULL only when NO non-null value exists anywhere ≤ current row —
+    # _soff NULL means "no values in lower buckets", run NULL means
+    # "none so far within the bucket"; either alone must not poison
+    # the carried total
+    zero = F.lit(0)
     return (
         df.join(F.broadcast(starts), keys)
         .withColumn(
             out,
             F.when(
-                F.col("_soff").isNull(), run
-            ).otherwise(F.col("_soff") + run),
+                F.col("_soff").isNull() & run.isNull(),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col("_soff"), zero) + F.coalesce(run, zero)
+            ),
         )
         .drop("_soff")
     )
@@ -202,23 +256,7 @@ def skyline_2d(
         .agg(F.max(maximize_col).alias("_gmax"))
         .localCheckpoint(eager=True)
     )
-    lohi = pg.agg(
-        F.min(minimize_col).alias("_lo"), F.max(minimize_col).alias("_hi")
-    )
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((x - F.col("_lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    pb = pg.crossJoin(F.broadcast(lohi)).select(
-        minimize_col, "_gmax", bkt.alias("_bkt")
-    )
+    pb = affine_bucket(pg, minimize_col, n_buckets)
     bmax = pb.groupBy("_bkt").agg(F.max("_gmax").alias("_bm"))
     prev = _bucket_prefix(bmax, "_bkt", "_bm", "_prevmax", how="max")
     wbkt = (

@@ -2965,7 +2965,7 @@ ORACLES: dict[str, str] = {
         WITH daily AS (
             SELECT epoch_us(ts) // 86400000000 AS day,
                    sum(CAST(value AS DECIMAL(18,2))) AS x
-            FROM events GROUP BY 1
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
         ), nt AS (
             SELECT count(*) AS n, sum(x) AS tt FROM daily
         ), c AS (

@@ -4982,27 +4982,9 @@ def qx60_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_custkey", "_x")
         .localCheckpoint(eager=True)
     )
-    lohi = j.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
-    n_buckets = 64
-    width = (
-        F.col("_hi").cast("double") - F.col("_lo").cast("double")
-    ) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (F.col("_x").cast("double")
-                     - F.col("_lo").cast("double")) / width
-                ),
-            )
-        )
-        .cast("int")
-    )
-    binned = j.crossJoin(F.broadcast(lohi)).select(
-        "c_mktsegment", "c_custkey", "_x", bkt.alias("_bkt")
-    )
+    from ros_sql_spark.operators.ordered import affine_bucket
+
+    binned = affine_bucket(j, "_x")
     ranked = bucketed_row_number(
         binned,
         "_bkt",
@@ -5116,7 +5098,10 @@ def qx62_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-equals-batch equivalence is structural."""
     from ros_sql_spark.operators.drift import cusum_scores
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL timestamps have no day (self-review fix: an unfiltered NULL
+    # day would inflate the (n, T) scalar yet vanish from the rank
+    # path's key join — and the streaming twin already filters)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts_ns").isNotNull())
     daily = (
         ev.groupBy(
             F.expr("ts_ns div 86400000000000").alias("day")
@@ -5166,25 +5151,12 @@ def qx63_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    lohi = grid.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    from ros_sql_spark.operators.ordered import affine_bucket
+
     nt = grid.agg(
         F.sum("_d1").alias("_n1"), F.sum("_d2").alias("_n2")
     )
-    n_buckets = 64
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("v") - F.col("_lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    binned = grid.crossJoin(F.broadcast(lohi)).select(
-        "v", "_d1", "_d2", bkt.alias("_bkt")
-    )
+    binned = affine_bucket(grid, "v")
     c1 = bucketed_running_sum(binned, "_bkt", ["v"], "_d1", out="_c1")
     c2 = bucketed_running_sum(c1, "_bkt", ["v"], "_d2", out="_c2")
     s = c2.crossJoin(F.broadcast(nt)).select(
@@ -5243,23 +5215,10 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("bigint").alias("_wt"))
         .localCheckpoint(eager=True)
     )
-    lohi = g.agg(F.min("p").alias("_lo"), F.max("p").alias("_hi"))
+    from ros_sql_spark.operators.ordered import affine_bucket
+
     tot = g.groupBy("f").agg(F.sum("_wt").alias("_w"))
-    n_buckets = 64
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("p") - F.col("_lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    binned = g.crossJoin(F.broadcast(lohi)).select(
-        "f", "p", "_wt", bkt.alias("_bkt")
-    )
+    binned = affine_bucket(g, "p")
     cum = bucketed_running_sum(
         binned, "_bkt", ["p"], "_wt", out="_cw", partition_cols=["f"]
     )
@@ -5309,22 +5268,9 @@ def qx65_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
         "event_id",
     ).localCheckpoint(eager=False)
-    lohi = o.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
-    n_buckets = 64
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
-    bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("v") - F.col("_lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    binned = o.crossJoin(F.broadcast(lohi)).select(
-        "g", "v", "event_id", bkt.alias("_bkt")
-    )
+    from ros_sql_spark.operators.ordered import affine_bucket
+
+    binned = affine_bucket(o, "v")
     ranked = bucketed_row_number(
         binned, "_bkt", ["v", "event_id"], out="_rk",
         partition_cols=["g"],

@@ -73,7 +73,14 @@ def drift_ingest_batch(
         .groupBy(
             F.expr(f"{ts_col} div 86400000000000").alias("day")
         )
-        .agg(F.sum(money(value_col)).cast(_S_TYPE).alias("_d"))
+        # coalesce: a day whose batch values are ALL NULL must store
+        # s=0, not NULL — a NULL s re-counts as a "new day" on every
+        # later touch and poisons the n_days counter (self-review fix)
+        .agg(
+            F.coalesce(
+                F.sum(money(value_col)), F.lit(0)
+            ).cast(_S_TYPE).alias("_d")
+        )
         .localCheckpoint(eager=False)  # consumed by probe + merge
     )
     if pre is not None:

@@ -217,3 +217,39 @@ def test_partitioned_running_sum_equals_group_window(spark, data):
         for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(-3, 3),
+              st.one_of(st.none(), st.integers(-5, 5))),
+    min_size=1, max_size=25,
+))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_running_sum_null_values(spark, data):
+    """Round-12 self-review fix: NULL values contribute nothing but
+    must NOT poison the carried total — the result is NULL exactly
+    when no non-null value exists at-or-before the row (textbook
+    window-sum semantics), including all-NULL leading buckets."""
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [(b, i, v) for i, (b, v) in enumerate(data)],
+        "bkt int, id int, v int",
+    )
+    got = {
+        r["id"]: r["_cum"]
+        for r in bucketed_running_sum(df, "bkt", ["id"], "v").collect()
+    }
+    w = (
+        Window.orderBy("bkt", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["_cum"]
+        for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
