@@ -59,13 +59,23 @@ def affine_bucket(
     assignment yields identical downstream results, so no cross-engine
     float boundary exists.  lo == hi (constant column) collapses to
     bucket 0.  Consumes ``df`` twice (scalar + main) — pin upstream if
-    lineage is expensive."""
+    lineage is expensive.
+
+    NON-NULL PRECONDITION (round-13 ADVICE): ``col`` must not be NULL —
+    a NULL value has no place in the monotone order the downstream
+    operators require, so it maps to a NULL bucket (floor(NULL) stays
+    NULL; F.least is NOT allowed to skip it into the top bucket, the
+    silent-misrank trap ADVICE flagged).  A NULL bucket then drops the
+    row at the equi-join in bucketed_row_number/bucketed_running_sum —
+    loudly absent beats silently misranked.  Callers filter NULLs
+    first, exactly as skyline_2d does."""
     lohi = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
     width = (
         F.col("_hi").cast("double") - F.col("_lo").cast("double")
     ) / F.lit(float(n_buckets))
     bkt = (
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        F.when(F.col(col).isNull(), F.lit(None))
+        .when(F.col("_hi") == F.col("_lo"), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_buckets - 1),

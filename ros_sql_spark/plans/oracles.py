@@ -2788,6 +2788,7 @@ ORACLES: dict[str, str] = {
                                * CAST(value AS DECIMAL(18,2)) END) AS q2
             FROM events
             WHERE event_type IN ('purchase', 'click')
+              AND ts IS NOT NULL
             GROUP BY 1
         ), m AS (
             SELECT dow, n1, n2,

@@ -4756,9 +4756,14 @@ def qx57_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — never two filtered scans joined; map-side partials reduce
     the shuffle to 7 rows per task).  dow from the ns epoch by
     integer arithmetic only ((days + 4) mod 7, 1970-01-01 = Thursday
-    — the `div`-never-`/` rule)."""
+    — the `div`-never-`/` rule).  NULL timestamps are dropped (qx62's
+    rule, round-13 ADVICE): a NULL dow group would sort NULLS FIRST in
+    Spark but NULLS LAST in DuckDB, breaking the order-sensitive
+    driver hash; shipped data has none, but the filter makes the
+    contract engine-independent."""
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("ts_ns").isNotNull()
     )
     dow = (F.expr("ts_ns div 86400000000000") + F.lit(4)) % F.lit(7)
     is_p = F.col("event_type") == "purchase"

@@ -66,7 +66,10 @@ def drift_ingest_batch(
     table = f"{store}/{_T_DAILY}"
     pre, done = _pre_state(spark, table, batch_id)
     if done:
-        return int(snapshot_meta(spark, table)["n_days"])
+        # defensive read (round-13 ADVICE): a head manifest written
+        # outside this module may lack meta — a redelivered batch must
+        # no-op, never raise
+        return int((snapshot_meta(spark, table) or {}).get("n_days", 0))
 
     delta = (
         batch_df.filter(F.col(ts_col).isNotNull())
