@@ -25,9 +25,9 @@ formats implementable exactly from their public specifications:
   4:4:4 and 4:2:0, plus Annex-K-table baseline and progressive
   encoders, numpy DCT, restart intervals in BOTH modes (DRI + RSTn
   sequence-checked; progressive resets DC predictors and EOB runs per
-  scan walk) and 12-BIT extended sequential (SOF1: 16-bit DQT, DC
-  categories to 15, level shift 2048, high-8-bit output — round-12);
-  arithmetic coding and 12-bit PROGRESSIVE streams raise
+  scan walk) and 12-BIT samples in BOTH modes (16-bit DQT, DC
+  categories to 15, level shift 2048, high-8-bit output — sequential
+  AND progressive closed in round-12); arithmetic coding raises
   NotImplementedError naming the feature.  Entropy coding is
   per-symbol Python (correctness-first;
   decode happens inside Arrow-batched mapInPandas where per-asset
@@ -44,6 +44,23 @@ to PIL if (and only if) it happens to be importable, so a user with
 Pillow installed gets their JPEG/PNG support for free through the same
 interface; genuinely unsupported payloads still raise
 NotImplementedError — the honest gate shrinks, it does not move.
+
+Named gates — the AUTHORITATIVE list is the ``GATES`` registry right
+below ``__all__`` (slug → description), mirrored here for the reader;
+``CLOSED`` records formerly-gated features now implemented.  Prose in
+this file may describe gates, but the registry is the contract:
+tests/test_codecs.py::test_gate_registry_matches_behavior constructs a
+real stream per GATES slug and asserts the NotImplementedError, decodes
+one stream per CLOSED slug, and asserts this docstring block lists
+exactly the open slugs — the round-12 doc-rot class (12-bit progressive
+listed as a gate months after it closed) is now a red test, the
+SinglePartition-allowlist precedent applied to docs.
+
+  open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
+  jpeg-precision jpeg-components jpeg-partial-interleave jpeg-sampling
+  tiff-tiled tiff-planar2 tiff-depth tiff-palette tiff-photometric
+  tiff-spp tiff-compression tiff-predictor wav-format-tag wav-depth
+  y4m-colorspace unknown-image-magic
 """
 
 from __future__ import annotations
@@ -74,7 +91,62 @@ __all__ = [
     "encode_y4m",
     "decode_y4m",
     "video_features",
+    "GATES",
+    "CLOSED",
 ]
+
+#: Honest-gate registry — THE authoritative list of named
+#: NotImplementedError gates in this module.  The module docstring's
+#: "open:" block, this dict, and actual decoder behavior are kept in
+#: three-way agreement by tests/test_codecs.py (a constructed stream
+#: per slug must raise; a CLOSED slug must decode; the docstring block
+#: must equal GATES' keys).  Adding a feature = move its slug from
+#: GATES to CLOSED, update the docstring line, and the test's
+#: constructor flips from "expect raise" to "expect decode".
+GATES = {
+    "bmp-non-24bit": "BMP bpp != 24 or compressed (BI_RGB 24-bit only)",
+    "ppm-maxval": "PPM maxval != 255",
+    "png-color-type": "PNG color types outside the spec five (0/2/3/4/6)",
+    "jpeg-arithmetic-sof": "arithmetic-coded (SOF9/SOF10 — a QM-coder "
+                           "can't be validated against external streams "
+                           "in this container) and lossless/hierarchical "
+                           "SOF3/5/6/7/11/13/14/15 JPEG",
+    "jpeg-precision": "JPEG sample precisions other than 8/12 "
+                      "(and 12-bit under SOF0, illegal per T.81 B.2)",
+    "jpeg-components": "JPEG component counts other than 1/3 (CMYK/YCCK)",
+    "jpeg-partial-interleave": "partial (2-of-3 component) interleaved "
+                               "scans",
+    "jpeg-sampling": "JPEG sampling factors > 2",
+    "tiff-tiled": "tiled TIFF (strip organization only)",
+    "tiff-planar2": "TIFF planar configuration 2",
+    "tiff-depth": "TIFF bits-per-sample != 8",
+    "tiff-palette": "TIFF palette color (photometric 3)",
+    "tiff-photometric": "TIFF photometric interpretations beyond 0/1/2",
+    "tiff-spp": "TIFF samples-per-pixel other than 1/3",
+    "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
+                        "PackBits (CCITT fax, JPEG-in-TIFF)",
+    "tiff-predictor": "TIFF predictors other than 1/2",
+    "wav-format-tag": "WAVE non-integer-PCM format tags "
+                      "(IEEE float, A-law, µ-law, extensible)",
+    "wav-depth": "WAVE integer PCM bit depths other than 8/16/32",
+    "y4m-colorspace": "y4m colorspaces other than the C420 family / C444",
+    "unknown-image-magic": "image payloads no native codec recognizes "
+                           "(when Pillow is not importable)",
+}
+
+#: Formerly-gated features, now implemented — the doc-rot guard's
+#: decode-must-succeed list (each slug has a constructor in the test).
+CLOSED = (
+    "jpeg-12bit-sequential",   # round-12 (SOF1, 16-bit DQT)
+    "jpeg-12bit-progressive",  # round-12 (SOF2 prec 12)
+    "jpeg-dri",                # restart intervals, both modes
+    "jpeg-non-interleaved",    # one SOS per component
+    "png-sub-byte-depth",      # 1/2/4-bit gray + palette
+    "png-adam7",               # interlaced decode
+    "png-16bit",               # 16-bit gray/RGB
+    "tiff-deflate",            # compression 8 + legacy 32946
+    "tiff-big-endian",         # MM byte order
+)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -455,7 +527,7 @@ def decode_image(payload: bytes) -> np.ndarray:
             return native(payload)
         except NotImplementedError as e:
             # a recognized format whose SUBFORMAT the native codec
-            # gates (progressive JPEG, Adam7 PNG, ...): PIL — when
+            # gates (arithmetic JPEG, tiled TIFF, ...): PIL — when
             # importable — must still get its chance, as documented
             gate = e
     try:
@@ -466,8 +538,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         head = bytes(payload[:4])
         raise NotImplementedError(
             f"unsupported image payload (magic {head!r}): native codecs "
-            "cover BMP, P6 PPM, 8-bit PNG, baseline JPEG, GIF and "
-            "baseline TIFF; install Pillow for other formats"
+            "cover BMP, P6 PPM, PNG, baseline/progressive JPEG, GIF "
+            "and baseline TIFF; install Pillow for other formats"
         ) from None
     with Image.open(io.BytesIO(payload)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
@@ -743,9 +815,9 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
 # selection, successive approximation, EOB runs), 1 or 3 components,
 # sampling factors 1–2 (4:4:4 and 4:2:0), JFIF color math.
 # Restart intervals (DRI) decode and encode in both modes; 12-bit
-# extended sequential (SOF1) decodes and encodes; arithmetic coding
-# and 12-bit progressive
-# raise NotImplementedError NAMING the feature.  The decoder reads
+# samples decode and encode in both modes (SOF1 extended sequential
+# AND SOF2 progressive — round-12); arithmetic coding raises
+# NotImplementedError NAMING the feature.  The decoder reads
 # quant/huffman tables FROM THE FILE (real-world interop does not
 # depend on the encoder's built-in tables); the encoder embeds the
 # Annex-K tables, producing legal baseline JPEGs any decoder reads.
