@@ -47,19 +47,36 @@ __all__ = [
 def affine_bucket(
     df: DataFrame,
     col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     out: str = "_bkt",
+    target_rows: int = 1_000_000,
+    min_buckets: int = 64,
+    max_buckets: int = 4096,
 ) -> DataFrame:
-    """Append a MONOTONE ``n_buckets``-range binning of ``col`` — the
-    bucket column the operators below require, shared so the
-    degenerate-range and boundary-capping logic lives once (round-12
-    self-review: five hand-copied sites).  The [lo, hi] scalar is a
-    keyless combine crossJoin-broadcast onto every row (qx21 idiom);
-    the binning floats are INTERNAL — any deterministic monotone
-    assignment yields identical downstream results, so no cross-engine
-    float boundary exists.  lo == hi (constant column) collapses to
+    """Append a MONOTONE range binning of ``col`` — the bucket column
+    the operators below require, shared so the degenerate-range and
+    boundary-capping logic lives once (round-12 self-review: five
+    hand-copied sites).  The [lo, hi] scalar is a keyless combine
+    crossJoin-broadcast onto every row (qx21 idiom); the binning
+    floats are INTERNAL — any deterministic monotone assignment
+    yields identical downstream results, so no cross-engine float
+    boundary exists.  lo == hi (constant column) collapses to
     bucket 0.  Consumes ``df`` twice (scalar + main) — pin upstream if
     lineage is expensive.
+
+    Bucket count is DATA-SCALED by default (round-13 directive #1 —
+    the fixed B=64 capped corpus-sized-grain consumers at 64-way
+    parallelism under the 100× lens): the same 1-row scalar that
+    carries [lo, hi] also counts the frame, and
+    B = clamp(ceil(N / target_rows), min_buckets, max_buckets)
+    rides the broadcast as a column — no extra job, no driver action.
+    ``target_rows`` bounds the expected per-bucket sort a downstream
+    partitioned window pays; ``max_buckets`` keeps the B×B
+    bucket-summary broadcast join safe (4096² = 16.8M cheap int
+    comparisons, still map-side).  At local test scale the clamp floor
+    keeps B = 64 — plans and measured numbers unchanged; at 10¹¹ rows
+    B hits the cap and per-bucket work stays ~target_rows.  Pass an
+    explicit ``n_buckets`` int to pin B (tests, known-tiny frames).
 
     NON-NULL PRECONDITION (round-13 ADVICE): ``col`` must not be NULL —
     a NULL value has no place in the monotone order the downstream
@@ -69,20 +86,34 @@ def affine_bucket(
     row at the equi-join in bucketed_row_number/bucketed_running_sum —
     loudly absent beats silently misranked.  Callers filter NULLs
     first, exactly as skyline_2d does."""
-    lohi = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    lohi = df.agg(
+        F.min(col).alias("_lo"),
+        F.max(col).alias("_hi"),
+        F.count(F.lit(1)).alias("_bn"),
+    )
+    if n_buckets is not None:
+        b = F.lit(int(n_buckets))
+    else:
+        b = F.least(
+            F.lit(max_buckets),
+            F.greatest(
+                F.lit(min_buckets),
+                F.ceil(F.col("_bn") / F.lit(float(target_rows))),
+            ),
+        ).cast("int")
     width = (
         F.col("_hi").cast("double") - F.col("_lo").cast("double")
-    ) / F.lit(float(n_buckets))
+    ) / b.cast("double")
     bkt = (
         F.when(F.col(col).isNull(), F.lit(None))
         .when(F.col("_hi") == F.col("_lo"), F.lit(0))
         .otherwise(
             F.least(
-                F.lit(n_buckets - 1),
+                b - F.lit(1),
                 F.floor(
                     (F.col(col).cast("double")
                      - F.col("_lo").cast("double")) / width
-                ),
+                ).cast("int"),
             )
         )
         .cast("int")
@@ -90,7 +121,7 @@ def affine_bucket(
     return (
         df.crossJoin(F.broadcast(lohi))
         .withColumn(out, bkt)
-        .drop("_lo", "_hi")
+        .drop("_lo", "_hi", "_bn")
     )
 
 
@@ -240,7 +271,7 @@ def skyline_2d(
     df: DataFrame,
     minimize_col: str,
     maximize_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """SKYLINE (Pareto frontier) of ``df`` under (minimize x,
     maximize y): rows for which no other row has x ≤, y ≥ with at

@@ -253,3 +253,45 @@ def test_bucketed_running_sum_null_values(spark, data):
         for r in df.withColumn("_cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_affine_bucket_data_scaled_and_null(spark):
+    """Round-13 directive #1: with no explicit n_buckets the bucket
+    count derives from the frame size — clamp(ceil(N/target),
+    min, max) — and the rank built over the data-scaled binning still
+    equals the textbook global rank (the identity holds for ANY
+    monotone binning).  NULL input values map to a NULL bucket (the
+    ADVICE trap: F.least must not smuggle them into the top bucket)."""
+    from ros_sql_spark.operators.ordered import affine_bucket
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 211) for i in range(n)], "id int, v int"
+    )
+    # target 10 rows/bucket, clamp [2, 32]: 500/10 = 50 → capped at 32
+    b = affine_bucket(
+        df, "v", target_rows=10, min_buckets=2, max_buckets=32
+    )
+    nb = b.select("_bkt").distinct().count()
+    assert 16 <= nb <= 32  # many buckets materialize, cap respected
+    assert b.agg(F.max("_bkt")).collect()[0][0] <= 31
+    # clamp floor: huge target → min_buckets bound, still correct
+    ranked = bucketed_row_number(
+        affine_bucket(df, "v", target_rows=10, min_buckets=2,
+                      max_buckets=32),
+        "_bkt",
+        ["v", "id"],
+    )
+    got = {r["id"]: r["_rn"] for r in ranked.collect()}
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["_rn"]
+        for r in df.withColumn("_rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # NULL value → NULL bucket, non-null rows unaffected
+    dn = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "id int, v int"
+    )
+    out = {r["id"]: r["_bkt"] for r in affine_bucket(dn, "v").collect()}
+    assert out[2] is None and out[1] is not None and out[3] is not None

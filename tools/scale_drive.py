@@ -698,6 +698,13 @@ def main() -> int:
             # rank-band equi join (both corpus-amplifying shapes)
             "qx56_assoc_rules",
             "qx59_sorted_neighborhood",
+            # round-13 directive #1: the ordered.py bucket-decomposed
+            # family's corpus-sized-grain consumers — now data-scaled
+            # B, probed sublinear with plans clean at copies>1
+            "qx60_gini_concentration",
+            "qx63_ks_test",
+            "qx64_weighted_median",
+            "qx65_quantile_normalize",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
