@@ -38,6 +38,8 @@ def main() -> None:
                     help="comma-separated query names (solo re-measure)")
     ap.add_argument("--runs", type=int, default=2,
                     help="runs per query, min taken (solo protocol: 3)")
+    ap.add_argument("--no-floors", action="store_true",
+                    help="skip the post-suite top-10 solo floor pass")
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,6 +85,24 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
 
+    # Round-13 directive #3: machine-readable SOLO FLOORS in the
+    # artifact itself.  The in-suite heavy tail carries host-band noise
+    # (q15 read 5.06 s in BENCH_r12 vs a 2.01 s solo floor); judges and
+    # the 2x gate previously had to re-derive the floors from SURVEY
+    # prose.  After the suite, re-time the top-10 slowest back-to-back
+    # (min-of-3 each — the solo protocol, now in-process): a full-suite
+    # reading within ~30% of its floor is host band, not plan drift.
+    floors: dict[str, float] = {}
+    if not args.only and not args.no_floors:
+        tail = sorted(timings, key=timings.get, reverse=True)[:10]
+        for name in tail:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(queries[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            floors[name] = round(best, 4)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
@@ -91,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "floors": floors,
+                "floors_ts": int(time.time()),
                 "sf": sf_val,
             }
         )
@@ -112,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "top10_slowest": top10,
+                "floors": floors,
                 "sf": sf_val,
             }
         )
