@@ -58,7 +58,7 @@ SinglePartition-allowlist precedent applied to docs.
 
   open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
   jpeg-precision jpeg-components jpeg-partial-interleave jpeg-sampling
-  tiff-tiled tiff-planar2 tiff-depth tiff-palette tiff-photometric
+  tiff-planar2 tiff-depth tiff-palette tiff-photometric
   tiff-spp tiff-compression tiff-predictor wav-format-tag wav-depth
   y4m-colorspace unknown-image-magic
 """
@@ -117,7 +117,6 @@ GATES = {
     "jpeg-partial-interleave": "partial (2-of-3 component) interleaved "
                                "scans",
     "jpeg-sampling": "JPEG sampling factors > 2",
-    "tiff-tiled": "tiled TIFF (strip organization only)",
     "tiff-planar2": "TIFF planar configuration 2",
     "tiff-depth": "TIFF bits-per-sample != 8",
     "tiff-palette": "TIFF palette color (photometric 3)",
@@ -146,6 +145,7 @@ CLOSED = (
     "png-16bit",               # 16-bit gray/RGB
     "tiff-deflate",            # compression 8 + legacy 32946
     "tiff-big-endian",         # MM byte order
+    "tiff-tiled",              # round-13 (§15 tile grids, tags 322-325)
 )
 
 
@@ -2236,14 +2236,16 @@ def _decode_noninterleaved(
 
 # --------------------------------------------------------------- TIFF
 # Baseline TIFF 6.0 (Adobe public spec), pure numpy/stdlib.  Scope:
-# 8-bit grayscale (photometric 0/1) and 8-bit RGB, strip organization,
+# 8-bit grayscale (photometric 0/1) and 8-bit RGB, BOTH strip and
+# TILE organizations (§15 tile grids, tags 322-325 — round-13),
 # BOTH byte orders, compression none (1) / LZW (5, with the TIFF
 # early-change variant and horizontal-differencing predictor 2) /
-# Deflate (8 and legacy 32946 — zlib strips) / PackBits (32773).
-# Tiled files, planar configuration 2, palette color, non-8-bit
-# depths and the exotic compressions (CCITT fax, JPEG-in-TIFF) raise
-# NotImplementedError naming the feature; structural corruption
-# raises ValueError.
+# Deflate (8 and legacy 32946 — zlib segments) / PackBits (32773).
+# Planar configuration 2, palette color, non-8-bit depths and the
+# exotic compressions (CCITT fax, JPEG-in-TIFF) raise
+# NotImplementedError naming the feature (the authoritative list is
+# the GATES registry at the top); structural corruption raises
+# ValueError.
 
 
 def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
@@ -2463,8 +2465,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
-        raise NotImplementedError("tiled TIFF (strip organization only)")
+    tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
     w = one(256)
     h = one(257)
     spp = one(277, 1)
@@ -2495,45 +2496,86 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/byte-counts inconsistent")
-    rps = one(278, h)
-    row_bytes = w * spp
-    raw = bytearray()
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
+
+    def seg(so: int, sc: int, expect: int, what: str) -> bytearray:
+        """Decompress one strip/tile segment to exactly ``expect``
+        bytes (shared by both organizations — compression applies per
+        segment identically, TIFF 6.0 §15.1)."""
         if so + sc > len(payload):
-            raise ValueError("TIFF strip out of bounds")
-        nrows = min(rps, h - si * rps)
-        if nrows <= 0:
-            raise ValueError("TIFF more strips than rows")
-        expect = nrows * row_bytes
+            raise ValueError(f"TIFF {what} out of bounds")
         chunk = payload[so : so + sc]
         if comp == 1:
             if len(chunk) < expect:
-                raise ValueError("TIFF uncompressed strip short")
-            strip = bytearray(chunk[:expect])
-        elif comp == 5:
-            strip = _tiff_lzw_decode(chunk, expect)
-        elif comp in (8, 32946):  # Adobe / legacy Deflate: zlib streams
+                raise ValueError(f"TIFF uncompressed {what} short")
+            return bytearray(chunk[:expect])
+        if comp == 5:
+            return _tiff_lzw_decode(chunk, expect)
+        if comp in (8, 32946):  # Adobe / legacy Deflate: zlib streams
             import zlib
 
             try:
-                strip = bytearray(zlib.decompress(bytes(chunk)))
+                out = bytearray(zlib.decompress(bytes(chunk)))
             except zlib.error as e:
-                raise ValueError(f"TIFF deflate strip corrupt: {e}")
-            if len(strip) < expect:
-                raise ValueError("TIFF deflate strip short")
-            del strip[expect:]
-        else:
-            strip = _packbits_decode(chunk, expect)
-        raw += strip
-    a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-    if pred == 2:
-        # horizontal differencing: undo by per-row cumulative sum in
-        # uint8 modulo arithmetic, per channel
-        a = np.cumsum(a.astype(np.uint64), axis=1).astype(np.uint8)
+                raise ValueError(f"TIFF deflate {what} corrupt: {e}")
+            if len(out) < expect:
+                raise ValueError(f"TIFF deflate {what} short")
+            del out[expect:]
+            return out
+        return _packbits_decode(chunk, expect)
+
+    if tiled:
+        # Tile organization (TIFF 6.0 §15, round-13 — the gate the
+        # verdict ranked likeliest to be hit by real corpora): tiles
+        # are ALWAYS full tw×tl (edge tiles padded by the encoder,
+        # cropped here), ordered left-to-right, top-to-bottom; the
+        # predictor restarts per tile row, so it is undone PER TILE
+        # before placement (the strip path can cumsum whole image
+        # rows; a tile row is not an image row).
+        tw = one(322)
+        tl = one(323)
+        toffs = tags.get(324)
+        tcnts = tags.get(325)
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"TIFF tile size {tw}x{tl} invalid")
+        if not toffs or not tcnts or len(toffs) != len(tcnts):
+            raise ValueError("TIFF tile offsets/byte-counts inconsistent")
+        ntx = (w + tw - 1) // tw
+        nty = (h + tl - 1) // tl
+        if len(toffs) != ntx * nty:
+            raise ValueError(
+                f"TIFF tile count {len(toffs)} != grid {ntx}x{nty}"
+            )
+        a = np.empty((h, w, spp), np.uint8)
+        expect = tl * tw * spp
+        for ti, (so, sc) in enumerate(zip(toffs, tcnts)):
+            ty, tx = divmod(ti, ntx)
+            t = np.frombuffer(
+                bytes(seg(so, sc, expect, f"tile {ti}")), np.uint8
+            ).reshape(tl, tw, spp)
+            if pred == 2:
+                t = np.cumsum(t.astype(np.uint64), axis=1).astype(np.uint8)
+            y0, x0 = ty * tl, tx * tw
+            a[y0 : y0 + tl, x0 : x0 + tw] = t[
+                : min(tl, h - y0), : min(tw, w - x0)
+            ]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip offsets/byte-counts inconsistent")
+        rps = one(278, h)
+        row_bytes = w * spp
+        raw = bytearray()
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - si * rps)
+            if nrows <= 0:
+                raise ValueError("TIFF more strips than rows")
+            raw += seg(so, sc, nrows * row_bytes, f"strip {si}")
+        a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        if pred == 2:
+            # horizontal differencing: undo by per-row cumulative sum
+            # in uint8 modulo arithmetic, per channel
+            a = np.cumsum(a.astype(np.uint64), axis=1).astype(np.uint8)
     if photo == 0:  # WhiteIsZero
         a = 255 - a
     if spp == 1:
@@ -2547,13 +2589,19 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline TIFF
     bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate";
     ``predictor`` applies horizontal differencing (predictor 2, the
     LZW companion); ``rows_per_strip`` defaults to whole-image;
     ``big_endian`` writes MM byte order (decode-path coverage for the
-    other endianness)."""
+    other endianness).  ``tile_size=(tw, tl)`` switches to TILE
+    organization (TIFF 6.0 §15: multiples of 16 per spec, tags
+    322–325, edge tiles zero-padded to full size, left-to-right
+    top-to-bottom order; predictor restarts per tile row) — round-13,
+    so tiled round-trips exercise the decoder's likeliest
+    real-corpus path."""
     if compression not in ("none", "lzw", "packbits", "deflate"):
         raise ValueError(f"compression {compression!r}")
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -2564,26 +2612,46 @@ def encode_tiff(
     h, w, spp = arr.shape
     bo = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
-    data = arr
-    if predictor:
-        data = np.concatenate(
-            [arr[:, :1], np.diff(arr.astype(np.int16), axis=1)
+
+    def _diff(block: np.ndarray) -> np.ndarray:
+        return np.concatenate(
+            [block[:, :1], np.diff(block.astype(np.int16), axis=1)
              .astype(np.uint8)],
             axis=1,
         ).astype(np.uint8)
-    strips: list[bytes] = []
-    for r0 in range(0, h, rps):
-        chunk = data[r0 : r0 + rps].tobytes()
+
+    def _compress(chunk: bytes) -> bytes:
         if compression == "lzw":
-            strips.append(_tiff_lzw_encode(chunk))
-        elif compression == "packbits":
-            strips.append(_packbits_encode(chunk))
-        elif compression == "deflate":
+            return _tiff_lzw_encode(chunk)
+        if compression == "packbits":
+            return _packbits_encode(chunk)
+        if compression == "deflate":
             import zlib
 
-            strips.append(zlib.compress(chunk, 6))
-        else:
-            strips.append(chunk)
+            return zlib.compress(chunk, 6)
+        return chunk
+
+    strips: list[bytes] = []
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError(
+                f"tile size {tw}x{tl} (spec: positive multiples of 16)"
+            )
+        ph = ((h + tl - 1) // tl) * tl
+        pw = ((w + tw - 1) // tw) * tw
+        padded = np.zeros((ph, pw, spp), np.uint8)
+        padded[:h, :w] = arr
+        for y0 in range(0, ph, tl):
+            for x0 in range(0, pw, tw):
+                t = padded[y0 : y0 + tl, x0 : x0 + tw]
+                if predictor:
+                    t = _diff(t)
+                strips.append(_compress(t.tobytes()))
+    else:
+        data = _diff(arr) if predictor else arr
+        for r0 in range(0, h, rps):
+            strips.append(_compress(data[r0 : r0 + rps].tobytes()))
     comp_code = {
         "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
     }[compression]
@@ -2611,10 +2679,16 @@ def encode_tiff(
     ent(258, 3, [8] * spp)
     ent(259, 3, [comp_code])
     ent(262, 3, [1 if spp == 1 else 2])
-    ent(273, 4, strip_offsets)
     ent(277, 3, [spp])
-    ent(278, 4, [rps])
-    ent(279, 4, [len(s) for s in strips])
+    if tile_size is not None:
+        ent(322, 4, [tile_size[0]])
+        ent(323, 4, [tile_size[1]])
+        ent(324, 4, strip_offsets)
+        ent(325, 4, [len(s) for s in strips])
+    else:
+        ent(273, 4, strip_offsets)
+        ent(278, 4, [rps])
+        ent(279, 4, [len(s) for s in strips])
     if predictor:
         ent(317, 3, [2])
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order

@@ -1500,7 +1500,6 @@ def _gate_streams():
             _jpeg_patch_sos_ns(base, 2),
         ),
         "jpeg-sampling": (C.decode_jpeg, bytes(sampled)),
-        "tiff-tiled": (C.decode_tiff, _tiff_tag_rename(tif, 278, 322)),
         "tiff-planar2": (
             C.decode_tiff,
             _tiff_tag_patch(_tiff_tag_rename(tif, 278, 284), 284, 2),
@@ -1554,6 +1553,10 @@ def _closed_streams():
         "png-16bit": (C.decode_png, b16),
         "tiff-deflate": (C.decode_tiff, C.encode_tiff(img, "deflate")),
         "tiff-big-endian": (C.decode_tiff, C.encode_tiff(img, big_endian=True)),
+        "tiff-tiled": (
+            C.decode_tiff,
+            C.encode_tiff(_img(20, 35, seed=13), tile_size=(16, 16)),
+        ),
     }
 
 
@@ -1595,3 +1598,52 @@ def test_gate_docstring_block_matches_registry():
     assert "open:" in doc
     block = doc.split("open:", 1)[1].strip()
     assert set(block.split()) == set(C.GATES)
+
+
+def test_tiff_tiled_roundtrip_matrix():
+    """Round-13: tile organization (§15) — every compression ×
+    predictor × byte order × edge-padding shape round-trips exactly,
+    gray and RGB; a multi-tile grid places tiles in the spec's
+    left-to-right top-to-bottom order (a non-square image whose
+    content varies per tile catches any transposed placement)."""
+    from ros_sql_spark.operators.codecs import (
+        decode_image,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(23)
+    # 3 tile rows x 2 tile cols with ragged edges (35 % 16, 20 % 16)
+    img = rng.integers(0, 256, (35, 20, 3), dtype=np.uint8)
+    g = img[..., 0]
+    for comp in ("none", "lzw", "packbits", "deflate"):
+        for pred in (False, True):
+            for be in (False, True):
+                got = decode_tiff(
+                    encode_tiff(img, comp, pred, big_endian=be,
+                                tile_size=(16, 16))
+                )
+                assert np.array_equal(got, img), (comp, pred, be)
+                gg = decode_tiff(
+                    encode_tiff(g, comp, pred, big_endian=be,
+                                tile_size=(16, 16))
+                )
+                assert np.array_equal(
+                    gg, np.repeat(g[..., None], 3, axis=2)
+                ), (comp, pred, be)
+    # exact-grid image (no padding) and non-square tiles
+    ex = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(ex, "lzw", True, tile_size=(16, 32))), ex
+    )
+    # sniffer route
+    assert np.array_equal(
+        decode_image(encode_tiff(ex, tile_size=(16, 16))), ex
+    )
+    # structural corruption stays ValueError: tile count != grid
+    raw = encode_tiff(ex, tile_size=(16, 16))
+    with pytest.raises(ValueError, match="tile"):
+        decode_tiff(_tiff_tag_patch(raw, 322, 32))  # lies about width
+    # spec: tile dims must be multiples of 16
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(ex, tile_size=(10, 16))
