@@ -55,6 +55,7 @@ __all__ = [
     "extract_features",
     "resize_media",
     "sample_frames",
+    "audio_roundtrip_stats",
     "FEATURE_DIM",
 ]
 
@@ -349,3 +350,77 @@ def sample_frames(
             )
 
     return assets.mapInPandas(gen, out_schema)
+
+
+def audio_roundtrip_stats(
+    df: DataFrame, id_col: str = "doc_id", rate: int = 16_000
+) -> DataFrame:
+    """REAL audio column path, value-exact (round-13 — the sketch
+    parity trick applied to a codec): per id, synthesize a
+    deterministic int16 PCM signal from the CLOSED FORM
+
+        x_i = ((id·1103515245 + i·12345 + 12345) mod 65535) − 32767,
+        n   = 80 + (id mod 5)·40  samples,
+
+    push it through the real RIFF/WAVE encoder AND decoder
+    (operators/codecs.py::encode_wav/decode_wav — chunk walk, fmt
+    parse, 16-bit PCM quantization) inside Arrow-batched mapInPandas,
+    and emit EXACT integer statistics of the DECODED samples: count,
+    container size, Σx, Σx², zero crossings.  Because the closed form
+    is pure integer arithmetic, a SQL oracle regenerates every
+    statistic bit-for-bit from documents.doc_id alone — so a hash
+    match proves the real encode→decode loop is lossless and the fmt
+    metadata (rate, sizes) parses correctly, not just that rows came
+    back.  The quantization round-trips exactly: x/32767 re-scaled by
+    the encoder's ·32767 lands within 2 ulp of the integer (round
+    recovers it), and the decoder's /32768 is a pure power-of-two
+    scale (y = rint(dec·32768) == pcm).
+
+    100 TB shape: embarrassingly parallel — one mapInPandas over a
+    single pruned column, no shuffle, no state; the signal length is
+    bounded (≤240 samples) so Arrow batches stay small.  Float-derived
+    outputs (duration, RMS) are assembled OUTSIDE the UDF from the
+    exact integers in one fixed op order (the qx50 regime)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("sample_rate", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sum_s", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("n_zero_cross", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ros_sql_spark.operators.codecs import decode_wav, encode_wav
+
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for d in pdf["_id"]:
+                d = int(d)
+                n = 80 + (d % 5) * 40
+                i = np.arange(n, dtype=np.int64)
+                x = (d * 1103515245 + i * 12345 + 12345) % 65535 - 32767
+                wav = encode_wav(x.astype(np.float64) / 32767.0, rate)
+                dec, r = decode_wav(wav)
+                y = np.rint(dec[:, 0] * 32768.0).astype(np.int64)
+                neg = y < 0
+                out["_id"].append(d)
+                out["n_samples"].append(len(y))
+                out["sample_rate"].append(int(r))
+                out["n_bytes"].append(len(wav))
+                out["sum_s"].append(int(y.sum()))
+                out["sum_sq"].append(int((y * y).sum()))
+                out["n_zero_cross"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )

@@ -3074,6 +3074,45 @@ ORACLES: dict[str, str] = {
         FROM b JOIN p ON b.bin = p.bin
         ORDER BY grp, bin
     """,
+    # Audio round-trip: the oracle regenerates the closed-form int16
+    # signal (id*1103515245 + i*12345 + 12345 mod 65535 - 32767, n =
+    # 80 + id%5*40) and every integer statistic of it — a hash match
+    # proves the Spark side's REAL WAV encode->decode loop is lossless
+    # (container size 44 + 2n checks the RIFF layout too).  The
+    # zero-cross predecessor is the same closed form at i-1, inline —
+    # no window.  DuckDB integer sums return HUGEINT -> CAST BIGINT.
+    "qx66_audio_stats": """
+        WITH d AS (
+            SELECT doc_id, 80 + (doc_id % 5) * 40 AS n FROM documents
+        ), s AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+            FROM d
+        ), x AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 1103515245 + i * 12345 + 12345) % 65535)
+                       - 32767 AS x,
+                   CASE WHEN i > 0 THEN
+                       ((doc_id * 1103515245 + (i - 1) * 12345 + 12345)
+                           % 65535) - 32767
+                   END AS xp
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes,
+               CAST(sum(x) AS BIGINT) AS sum_s,
+               CAST(sum(x * x) AS BIGINT) AS sum_sq,
+               CAST(sum(CASE WHEN xp IS NOT NULL
+                             AND ((x < 0) != (xp < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_cross,
+               round(CAST(max(n) AS DOUBLE) / 16000.0, 6) AS duration_s,
+               round(sqrt(CAST(sum(x * x) AS DOUBLE)
+                          / CAST(max(n) AS DOUBLE)) / 32768.0, 6) AS rms
+        FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the
