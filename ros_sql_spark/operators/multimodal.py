@@ -56,6 +56,7 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "audio_roundtrip_stats",
+    "video_roundtrip_stats",
     "FEATURE_DIM",
 ]
 
@@ -417,6 +418,92 @@ def audio_roundtrip_stats(
                 out["sum_s"].append(int(y.sum()))
                 out["sum_sq"].append(int((y * y).sum()))
                 out["n_zero_cross"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def video_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video column path, value-exact (round-13, qx66's audio
+    discipline applied to the third modality): per id, synthesize
+    GRAYSCALE 8×8 frames from the pure-integer closed form
+
+        v(f, r, c) = (id·7 + f·13 + r·31 + c·17 + 11) mod 256,
+        n_frames   = 2 + (id mod 3),
+
+    push them through the real YUV4MPEG2 encoder AND decoder
+    (operators/codecs.py::encode_y4m/decode_y4m — header parse, frame
+    walk, BT.601 color math, 4:2:0 chroma subsampling) inside Arrow
+    mapInPandas, and emit EXACT integer statistics of the decoded
+    luma: frame count, dimensions, fps, container bytes, Σv, Σv² and
+    the inter-frame motion sum Σ|v_f − v_{f−1}|.  Gray content is the
+    exactness trick: r=g=b=v maps to (Y=v, U=V=128) whose 2×2 chroma
+    mean stays 128 and whose decode returns exactly v on every
+    channel (verified empirically for all 256 values) — so the lossy
+    4:2:0 pipeline is LOSSLESS on this signal family and a SQL oracle
+    regenerates every statistic from doc_id alone.  Container size
+    39 + 102·n_frames checks the header/FRAME layout byte-for-byte.
+
+    100 TB shape: identical to audio_roundtrip_stats — one pruned
+    column, embarrassingly parallel, bounded per-row work."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("fps_num", T.LongType(), False),
+            T.StructField("fps_den", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sum_luma", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("motion_abs", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ros_sql_spark.operators.codecs import decode_y4m, encode_y4m
+
+        ri, ci = np.meshgrid(
+            np.arange(8, dtype=np.int64),
+            np.arange(8, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for d in pdf["_id"]:
+                d = int(d)
+                nf = 2 + d % 3
+                v = np.stack(
+                    [
+                        (d * 7 + fi * 13 + ri * 31 + ci * 17 + 11) % 256
+                        for fi in range(nf)
+                    ]
+                )
+                payload = encode_y4m(
+                    np.repeat(v[..., None], 3, axis=3).astype(np.uint8)
+                )
+                dec, fps = decode_y4m(payload)
+                y = dec[..., 0].astype(np.int64)
+                out["_id"].append(d)
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["fps_num"].append(int(fps[0]))
+                out["fps_den"].append(int(fps[1]))
+                out["n_bytes"].append(len(payload))
+                out["sum_luma"].append(int(y.sum()))
+                out["sum_sq"].append(int((y * y).sum()))
+                out["motion_abs"].append(
+                    int(np.abs(np.diff(y, axis=0)).sum())
+                )
             yield pd.DataFrame(out)
 
     return (

@@ -3113,6 +3113,51 @@ ORACLES: dict[str, str] = {
                           / CAST(max(n) AS DOUBLE)) / 32768.0, 6) AS rms
         FROM x GROUP BY doc_id ORDER BY doc_id
     """,
+    # Video round-trip: regenerate the closed-form 8x8 gray frames
+    # (v = (id*7 + f*13 + r*31 + c*17 + 11) % 256, nf = 2 + id%3) on
+    # three chained unnest grids; gray content is bit-exact through
+    # the 4:2:0 pipeline, so every integer matches the Spark side's
+    # REAL encode->decode.  Container = 39-byte header + 102/frame.
+    # The motion predecessor is the closed form at f-1, window-free.
+    "qx67_video_stats": """
+        WITH d AS (
+            SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+        ), f AS (
+            SELECT doc_id, nf,
+                   unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS fi
+            FROM d
+        ), r AS (
+            SELECT doc_id, nf, fi,
+                   unnest(generate_series(0, CAST(7 AS BIGINT))) AS ri
+            FROM f
+        ), c AS (
+            SELECT doc_id, nf, fi, ri,
+                   unnest(generate_series(0, CAST(7 AS BIGINT))) AS ci
+            FROM r
+        ), x AS (
+            SELECT doc_id, nf, fi,
+                   (doc_id * 7 + fi * 13 + ri * 31 + ci * 17 + 11)
+                       % 256 AS v,
+                   CASE WHEN fi > 0 THEN
+                       (doc_id * 7 + (fi - 1) * 13 + ri * 31 + ci * 17
+                           + 11) % 256
+                   END AS vp
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(max(nf) AS BIGINT) AS n_frames,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(25 AS BIGINT) AS fps_num,
+               CAST(1 AS BIGINT) AS fps_den,
+               CAST(39 + max(nf) * 102 AS BIGINT) AS n_bytes,
+               CAST(sum(v) AS BIGINT) AS sum_luma,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(sum(CASE WHEN vp IS NOT NULL THEN abs(v - vp)
+                             ELSE 0 END) AS BIGINT) AS motion_abs,
+               round(CAST(max(nf) AS DOUBLE) / 25.0, 6) AS duration_s
+        FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

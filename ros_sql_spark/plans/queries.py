@@ -5357,6 +5357,40 @@ def qx66_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx67_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO COLUMN round-trip statistics, VALUE-EXACT through the
+    real YUV4MPEG2 codec (round-13 — with qx66 this puts a declared
+    value-exact query on all three modalities): grayscale closed-form
+    frames encode→decode through the full BT.601 + 4:2:0 pipeline
+    (gray is the exactness family — chroma stays 128 through the 2×2
+    mean and decode returns the luma bit-for-bit), exact integer
+    stats of the decoded frames out, oracle regenerates them from
+    doc_id via three chained unnest(generate_series) grids.  See
+    operators/multimodal.py::video_roundtrip_stats for the details;
+    the container-size column checks the header/FRAME byte layout.
+
+    Scale: one pruned-column scan, shuffle-free mapInPandas, ≤256
+    luma samples per row."""
+    from ros_sql_spark.operators.multimodal import video_roundtrip_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    s = video_roundtrip_stats(docs, "doc_id")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        "fps_num",
+        "fps_den",
+        "n_bytes",
+        "sum_luma",
+        "sum_sq",
+        "motion_abs",
+        r6(d("n_frames") / F.lit(25.0)).alias("duration_s"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5529,4 +5563,5 @@ QUERIES = {
     "qx64_weighted_median": qx64_weighted_median,
     "qx65_quantile_normalize": qx65_quantile_normalize,
     "qx66_audio_stats": qx66_audio_stats,
+    "qx67_video_stats": qx67_video_stats,
 }

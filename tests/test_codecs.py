@@ -1647,3 +1647,17 @@ def test_tiff_tiled_roundtrip_matrix():
     # spec: tile dims must be multiples of 16
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_tiff(ex, tile_size=(10, 16))
+
+
+def test_y4m_gray_family_exact_all_values():
+    """qx67's exactness premise as a test: GRAY frames (r=g=b=v) are
+    bit-exact through encode_y4m/decode_y4m for ALL 256 luma values —
+    U=V stay 128 through the BT.601 transform and 2x2 chroma mean, so
+    the lossy 4:2:0 pipeline is lossless on this family."""
+    from ros_sql_spark.operators.codecs import decode_y4m, encode_y4m
+
+    v = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    rgb = np.repeat(v[..., None], 3, axis=3)
+    dec, fps = decode_y4m(encode_y4m(rgb))
+    assert np.array_equal(dec, rgb)
+    assert fps == (25, 1)
