@@ -58,8 +58,8 @@ SinglePartition-allowlist precedent applied to docs.
 
   open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
   jpeg-precision jpeg-components jpeg-partial-interleave jpeg-sampling
-  tiff-planar2 tiff-depth tiff-palette tiff-photometric
-  tiff-spp tiff-compression tiff-predictor wav-format-tag wav-depth
+  tiff-depth tiff-photometric tiff-spp tiff-compression tiff-predictor
+  tiff-predictor-subbyte tiff-planar2-tiled wav-format-tag wav-depth
   y4m-colorspace unknown-image-magic
 """
 
@@ -117,10 +117,13 @@ GATES = {
     "jpeg-partial-interleave": "partial (2-of-3 component) interleaved "
                                "scans",
     "jpeg-sampling": "JPEG sampling factors > 2",
-    "tiff-planar2": "TIFF planar configuration 2",
-    "tiff-depth": "TIFF bits-per-sample != 8",
-    "tiff-palette": "TIFF palette color (photometric 3)",
-    "tiff-photometric": "TIFF photometric interpretations beyond 0/1/2",
+    "tiff-depth": "TIFF bits-per-sample outside 1/4/8/16 "
+                  "(and mixed-depth channels)",
+    "tiff-predictor-subbyte": "TIFF predictor 2 on 1/4-bit samples "
+                              "(undefined by the spec's byte model)",
+    "tiff-planar2-tiled": "TIFF planar configuration 2 with tile "
+                          "organization (strips decode)",
+    "tiff-photometric": "TIFF photometric interpretations beyond 0-3",
     "tiff-spp": "TIFF samples-per-pixel other than 1/3",
     "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
                         "PackBits (CCITT fax, JPEG-in-TIFF)",
@@ -146,6 +149,10 @@ CLOSED = (
     "tiff-deflate",            # compression 8 + legacy 32946
     "tiff-big-endian",         # MM byte order
     "tiff-tiled",              # round-13 (§15 tile grids, tags 322-325)
+    "tiff-palette",            # round-13 (photometric 3, ColorMap 320)
+    "tiff-planar2",            # round-13 (per-plane strip sequences)
+    "tiff-16bit",              # round-13 (high-byte output, both orders)
+    "tiff-subbyte",            # round-13 (1/4-bit gray, MSB-first rows)
 )
 
 
@@ -2236,16 +2243,18 @@ def _decode_noninterleaved(
 
 # --------------------------------------------------------------- TIFF
 # Baseline TIFF 6.0 (Adobe public spec), pure numpy/stdlib.  Scope:
-# 8-bit grayscale (photometric 0/1) and 8-bit RGB, BOTH strip and
-# TILE organizations (§15 tile grids, tags 322-325 — round-13),
-# BOTH byte orders, compression none (1) / LZW (5, with the TIFF
-# early-change variant and horizontal-differencing predictor 2) /
-# Deflate (8 and legacy 32946 — zlib segments) / PackBits (32773).
-# Planar configuration 2, palette color, non-8-bit depths and the
-# exotic compressions (CCITT fax, JPEG-in-TIFF) raise
-# NotImplementedError naming the feature (the authoritative list is
-# the GATES registry at the top); structural corruption raises
-# ValueError.
+# grayscale (photometric 0/1) at 1/4/8/16 bits, RGB at 8/16 bits
+# (16-bit output keeps the high byte, both byte orders), PALETTE
+# color (photometric 3, ColorMap tag 320), BOTH strip and TILE
+# organizations (§15 tile grids, tags 322-325), planar configuration
+# 2 (per-plane strip sequences), compression none (1) / LZW (5, with
+# the TIFF early-change variant and horizontal-differencing
+# predictor 2 at 8/16 bits) / Deflate (8 and legacy 32946 — zlib
+# segments) / PackBits (32773) — all round-13 axes round-trip-tested.
+# The exotic compressions (CCITT fax, JPEG-in-TIFF), depths outside
+# 1/4/8/16 and the residual combos raise NotImplementedError naming
+# the feature (the authoritative list is the GATES registry at the
+# top); structural corruption raises ValueError.
 
 
 def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
@@ -2474,15 +2483,20 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = one(262, 1 if spp == 1 else 2)
     planar = one(284, 1)
     pred = one(317, 1)
-    if planar != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
-    if any(b != 8 for b in bits):
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar}")
+    if any(b != bits[0] for b in bits):
+        raise NotImplementedError(f"TIFF mixed bits-per-sample {bits}")
+    b0 = bits[0]
+    if b0 not in (1, 4, 8, 16):
         raise NotImplementedError(
-            f"TIFF bits-per-sample {bits} (8-bit only)"
+            f"TIFF bits-per-sample {bits} (1/4/8/16 supported)"
         )
-    if photo == 3:
-        raise NotImplementedError("TIFF palette color")
-    if photo not in (0, 1, 2):
+    if b0 in (1, 4) and spp != 1:
+        raise NotImplementedError(
+            f"TIFF {b0}-bit with {spp} samples per pixel"
+        )
+    if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"TIFF photometric interpretation {photo}"
         )
@@ -2496,6 +2510,28 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
+    if pred == 2 and b0 not in (8, 16):
+        raise NotImplementedError(
+            f"TIFF predictor 2 with {b0}-bit samples"
+        )
+    if planar == 2 and spp == 1:
+        planar = 1  # single-channel planes ARE chunky
+    if planar == 2 and tiled:
+        raise NotImplementedError("TIFF planar configuration 2 tiles")
+    cmap = None
+    if photo == 3:  # palette color (round-13): ColorMap tag 320,
+        # 3·2^bits SHORTs plane-major (R.. G.. B..), 16-bit entries
+        # whose high byte is the 8-bit channel value
+        if spp != 1 or b0 not in (4, 8):
+            raise ValueError(
+                f"TIFF palette with spp={spp}, bits={b0} is invalid"
+            )
+        cm = tags.get(320)
+        if not cm or len(cm) != 3 * (1 << b0):
+            raise ValueError("TIFF palette ColorMap missing or mis-sized")
+        cmap = (
+            np.array(cm, np.uint16).reshape(3, 1 << b0).T >> 8
+        ).astype(np.uint8)
 
     def seg(so: int, sc: int, expect: int, what: str) -> bytearray:
         """Decompress one strip/tile segment to exactly ``expect``
@@ -2523,6 +2559,33 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return out
         return _packbits_decode(chunk, expect)
 
+    def rb(width: int, nch: int) -> int:
+        """Bytes per scanline of ``width`` px × ``nch`` channels at b0
+        bits (TIFF rows pad to the byte boundary)."""
+        return (width * nch * b0 + 7) // 8
+
+    def samples(sb: bytes, nrows: int, width: int, nch: int) -> np.ndarray:
+        """Decompressed segment bytes → (nrows, width, nch) int
+        samples at NATIVE depth (predictor undone here — it operates
+        on raw samples, per segment row, BEFORE any depth scaling;
+        16-bit samples follow the file byte order)."""
+        if b0 == 8:
+            a = np.frombuffer(sb, np.uint8).reshape(nrows, width, nch)
+        elif b0 == 16:
+            a = np.frombuffer(sb, dtype=bo + "u2").reshape(
+                nrows, width, nch
+            )
+        else:  # 1/4-bit gray or palette indices, MSB-first packed
+            packed = np.frombuffer(sb, np.uint8).reshape(nrows, rb(width, 1))
+            bits_arr = np.unpackbits(packed, axis=1)[:, : width * b0]
+            a = (
+                bits_arr.reshape(nrows, width, b0)
+                * (1 << np.arange(b0 - 1, -1, -1, dtype=np.uint8))
+            ).sum(axis=2, dtype=np.int64)[..., None]
+        if pred == 2:
+            a = np.cumsum(a.astype(np.uint64), axis=1) & ((1 << b0) - 1)
+        return a.astype(np.int64)
+
     if tiled:
         # Tile organization (TIFF 6.0 §15, round-13 — the gate the
         # verdict ranked likeliest to be hit by real corpora): tiles
@@ -2545,15 +2608,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"TIFF tile count {len(toffs)} != grid {ntx}x{nty}"
             )
-        a = np.empty((h, w, spp), np.uint8)
-        expect = tl * tw * spp
+        a = np.empty((h, w, spp), np.int64)
+        expect = tl * rb(tw, spp)
         for ti, (so, sc) in enumerate(zip(toffs, tcnts)):
             ty, tx = divmod(ti, ntx)
-            t = np.frombuffer(
-                bytes(seg(so, sc, expect, f"tile {ti}")), np.uint8
-            ).reshape(tl, tw, spp)
-            if pred == 2:
-                t = np.cumsum(t.astype(np.uint64), axis=1).astype(np.uint8)
+            t = samples(
+                bytes(seg(so, sc, expect, f"tile {ti}")), tl, tw, spp
+            )
             y0, x0 = ty * tl, tx * tw
             a[y0 : y0 + tl, x0 : x0 + tw] = t[
                 : min(tl, h - y0), : min(tw, w - x0)
@@ -2564,18 +2625,58 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF strip offsets/byte-counts inconsistent")
         rps = one(278, h)
-        row_bytes = w * spp
-        raw = bytearray()
-        for si, (so, sc) in enumerate(zip(offsets, counts)):
-            nrows = min(rps, h - si * rps)
-            if nrows <= 0:
-                raise ValueError("TIFF more strips than rows")
-            raw += seg(so, sc, nrows * row_bytes, f"strip {si}")
-        a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-        if pred == 2:
-            # horizontal differencing: undo by per-row cumulative sum
-            # in uint8 modulo arithmetic, per channel
-            a = np.cumsum(a.astype(np.uint64), axis=1).astype(np.uint8)
+        spw = (h + rps - 1) // rps  # strips per plane
+        if planar == 2:
+            # separate planes (§ PlanarConfiguration 2): all of plane
+            # 0's strips, then plane 1's, then plane 2's — each strip
+            # a single-channel scanline block (round-13)
+            if len(offsets) != spp * spw:
+                raise ValueError(
+                    f"TIFF planar-2 strip count {len(offsets)} != "
+                    f"{spp}x{spw}"
+                )
+            planes = []
+            for p in range(spp):
+                rows = []
+                for si in range(spw):
+                    nrows = min(rps, h - si * rps)
+                    if nrows <= 0:
+                        raise ValueError("TIFF more strips than rows")
+                    so, sc = offsets[p * spw + si], counts[p * spw + si]
+                    rows.append(
+                        samples(
+                            bytes(seg(so, sc, nrows * rb(w, 1),
+                                      f"strip {p}/{si}")),
+                            nrows, w, 1,
+                        )
+                    )
+                planes.append(np.vstack(rows)[..., 0])
+            a = np.stack(planes, axis=2)
+        else:
+            blocks = []
+            for si, (so, sc) in enumerate(zip(offsets, counts)):
+                nrows = min(rps, h - si * rps)
+                if nrows <= 0:
+                    raise ValueError("TIFF more strips than rows")
+                blocks.append(
+                    samples(
+                        bytes(seg(so, sc, nrows * rb(w, spp),
+                                  f"strip {si}")),
+                        nrows, w, spp,
+                    )
+                )
+            a = np.vstack(blocks)
+    if cmap is not None:
+        return cmap[a[..., 0]]
+    # depth-normalize to 8-bit output (16-bit keeps the high byte —
+    # the PNG-decoder convention; sub-byte scales to full range)
+    if b0 == 16:
+        a = a >> 8
+    elif b0 == 4:
+        a = a * 17
+    elif b0 == 1:
+        a = a * 255
+    a = a.astype(np.uint8)
     if photo == 0:  # WhiteIsZero
         a = 255 - a
     if spp == 1:
@@ -2590,35 +2691,69 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     big_endian: bool = False,
     tile_size: tuple[int, int] | None = None,
+    bits: int = 8,
+    palette: np.ndarray | None = None,
+    planar: bool = False,
 ) -> bytes:
-    """(H, W, 3) uint8 RGB — or (H, W) grayscale — → baseline TIFF
+    """(H, W, 3) RGB — or (H, W) grayscale/index — → baseline TIFF
     bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate";
     ``predictor`` applies horizontal differencing (predictor 2, the
-    LZW companion); ``rows_per_strip`` defaults to whole-image;
-    ``big_endian`` writes MM byte order (decode-path coverage for the
-    other endianness).  ``tile_size=(tw, tl)`` switches to TILE
-    organization (TIFF 6.0 §15: multiples of 16 per spec, tags
-    322–325, edge tiles zero-padded to full size, left-to-right
-    top-to-bottom order; predictor restarts per tile row) — round-13,
-    so tiled round-trips exercise the decoder's likeliest
-    real-corpus path."""
+    LZW companion; bits 8/16 only); ``rows_per_strip`` defaults to
+    whole-image; ``big_endian`` writes MM byte order.
+    ``tile_size=(tw, tl)`` switches to TILE organization (TIFF 6.0
+    §15: multiples of 16 per spec, tags 322–325, edge tiles
+    zero-padded to full size; predictor restarts per tile row).
+    Round-13 depth/layout axes: ``bits`` ∈ {1, 4, 8, 16} (sub-byte =
+    grayscale/palette only, MSB-first row packing; 16 = uint16 input
+    in the file byte order); ``palette`` = (2^bits, 3) uint8 colormap
+    → photometric 3 with tag 320 (entries ·257, the spec's 16-bit
+    ramp); ``planar=True`` writes PlanarConfiguration 2 (per-plane
+    strip sequences, RGB only, strips only)."""
     if compression not in ("none", "lzw", "packbits", "deflate"):
         raise ValueError(f"compression {compression!r}")
-    arr = np.asarray(pixels, dtype=np.uint8)
+    if bits not in (1, 4, 8, 16):
+        raise ValueError(f"bits {bits}")
+    dt = np.uint16 if bits == 16 else np.uint8
+    arr = np.asarray(pixels, dtype=dt)
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
-        raise ValueError(f"expected (H, W[, 1|3]) uint8, got {arr.shape}")
+        raise ValueError(f"expected (H, W[, 1|3]), got {arr.shape}")
     h, w, spp = arr.shape
+    if bits in (1, 4):
+        if spp != 1:
+            raise ValueError(f"{bits}-bit is single-channel only")
+        if predictor:
+            raise ValueError(f"predictor 2 undefined for {bits}-bit")
+        if arr.max(initial=0) >= (1 << bits):
+            raise ValueError(f"{bits}-bit sample out of range")
+    if palette is not None and (spp != 1 or bits not in (4, 8)):
+        raise ValueError("palette needs (H, W) indices at 4/8 bits")
+    if planar and (spp != 3 or tile_size is not None or bits not in (8, 16)):
+        raise ValueError("planar=True: RGB strips at 8/16 bits only")
     bo = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
 
     def _diff(block: np.ndarray) -> np.ndarray:
+        wide = np.int32 if bits == 16 else np.int16
         return np.concatenate(
-            [block[:, :1], np.diff(block.astype(np.int16), axis=1)
-             .astype(np.uint8)],
+            [block[:, :1], np.diff(block.astype(wide), axis=1).astype(dt)],
             axis=1,
+        ).astype(dt)
+
+    def _ser(block: np.ndarray) -> bytes:
+        """(rows, width, nch) → file bytes at the target depth."""
+        if bits == 16:
+            return block.astype(bo + "u2").tobytes()
+        if bits == 8:
+            return block.astype(np.uint8).tobytes()
+        rows, width, _ = block.shape
+        expanded = (
+            (block[:, :, 0, None] >> np.arange(bits - 1, -1, -1)) & 1
         ).astype(np.uint8)
+        return np.packbits(
+            expanded.reshape(rows, width * bits), axis=1
+        ).tobytes()
 
     def _compress(chunk: bytes) -> bytes:
         if compression == "lzw":
@@ -2640,18 +2775,24 @@ def encode_tiff(
             )
         ph = ((h + tl - 1) // tl) * tl
         pw = ((w + tw - 1) // tw) * tw
-        padded = np.zeros((ph, pw, spp), np.uint8)
+        padded = np.zeros((ph, pw, spp), dt)
         padded[:h, :w] = arr
         for y0 in range(0, ph, tl):
             for x0 in range(0, pw, tw):
                 t = padded[y0 : y0 + tl, x0 : x0 + tw]
                 if predictor:
                     t = _diff(t)
-                strips.append(_compress(t.tobytes()))
+                strips.append(_compress(_ser(t)))
+    elif planar:
+        for p in range(spp):
+            plane = arr[:, :, p : p + 1]
+            data = _diff(plane) if predictor else plane
+            for r0 in range(0, h, rps):
+                strips.append(_compress(_ser(data[r0 : r0 + rps])))
     else:
         data = _diff(arr) if predictor else arr
         for r0 in range(0, h, rps):
-            strips.append(_compress(data[r0 : r0 + rps].tobytes()))
+            strips.append(_compress(_ser(data[r0 : r0 + rps])))
     comp_code = {
         "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
     }[compression]
@@ -2676,10 +2817,20 @@ def encode_tiff(
 
     ent(256, 4, [w])
     ent(257, 4, [h])
-    ent(258, 3, [8] * spp)
+    ent(258, 3, [bits] * spp)
     ent(259, 3, [comp_code])
-    ent(262, 3, [1 if spp == 1 else 2])
+    if palette is not None:
+        ent(262, 3, [3])
+        pal = np.asarray(palette, np.uint16)
+        if pal.shape != (1 << bits, 3):
+            raise ValueError(f"palette shape {pal.shape}")
+        # plane-major R..G..B.., 16-bit ramp (v*257: high byte = v)
+        ent(320, 3, list((pal.T.reshape(-1) * 257).astype(int)))
+    else:
+        ent(262, 3, [1 if spp == 1 else 2])
     ent(277, 3, [spp])
+    if planar:
+        ent(284, 3, [2])
     if tile_size is not None:
         ent(322, 4, [tile_size[0]])
         ent(323, 4, [tile_size[1]])

@@ -1380,12 +1380,15 @@ def test_tiff_gates_and_corruption():
 
     img = np.zeros((4, 4, 3), np.uint8)
     raw = encode_tiff(img)
-    with pytest.raises(NotImplementedError, match="palette"):
+    # round-13: palette DECODES now — RGB mislabeled photometric 3
+    # without a ColorMap is corruption, not a gate
+    with pytest.raises(ValueError, match="palette|ColorMap"):
         decode_tiff(_tiff_tag_patch(raw, 262, 3))
     with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(_tiff_tag_patch(raw, 259, 7))
+    # round-13: 16-bit decodes (depth matrix test); 32 stays a gate
     with pytest.raises(NotImplementedError, match="bits-per-sample"):
-        decode_tiff(_tiff_tag_patch(encode_tiff(img[..., 0]), 258, 16))
+        decode_tiff(_tiff_tag_patch(encode_tiff(img[..., 0]), 258, 32))
     with pytest.raises(ValueError, match="byte-order"):
         decode_tiff(b"XX" + raw[2:])
     with pytest.raises(ValueError, match="truncated|short|bounds"):
@@ -1500,16 +1503,25 @@ def _gate_streams():
             _jpeg_patch_sos_ns(base, 2),
         ),
         "jpeg-sampling": (C.decode_jpeg, bytes(sampled)),
-        "tiff-planar2": (
-            C.decode_tiff,
-            _tiff_tag_patch(_tiff_tag_rename(tif, 278, 284), 284, 2),
-        ),
         "tiff-depth": (
             C.decode_tiff,
-            _tiff_tag_patch(C.encode_tiff(gray), 258, 16),
+            _tiff_tag_patch(C.encode_tiff(gray), 258, 32),
         ),
-        "tiff-palette": (C.decode_tiff, _tiff_tag_patch(tif, 262, 3)),
-        "tiff-photometric": (C.decode_tiff, _tiff_tag_patch(tif, 262, 4)),
+        "tiff-predictor-subbyte": (
+            C.decode_tiff,
+            _tiff_tag_patch(
+                _tiff_tag_rename(
+                    C.encode_tiff((gray > 127).astype(np.uint8), bits=1),
+                    278, 317,
+                ),
+                317, 2,
+            ),
+        ),
+        "tiff-planar2-tiled": (
+            C.decode_tiff,
+            _tiff_tag_rename(C.encode_tiff(img, planar=True), 278, 322),
+        ),
+        "tiff-photometric": (C.decode_tiff, _tiff_tag_patch(tif, 262, 5)),
         "tiff-spp": (C.decode_tiff, _tiff_tag_patch(tif, 277, 2)),
         "tiff-compression": (C.decode_tiff, _tiff_tag_patch(tif, 259, 7)),
         "tiff-predictor": (C.decode_tiff, _tiff_tag_patch(tifp, 317, 3)),
@@ -1556,6 +1568,23 @@ def _closed_streams():
         "tiff-tiled": (
             C.decode_tiff,
             C.encode_tiff(_img(20, 35, seed=13), tile_size=(16, 16)),
+        ),
+        "tiff-palette": (
+            C.decode_tiff,
+            C.encode_tiff(
+                (img[..., 0] % 16),
+                bits=4,
+                palette=np.arange(48, dtype=np.uint8).reshape(16, 3),
+            ),
+        ),
+        "tiff-planar2": (C.decode_tiff, C.encode_tiff(img, planar=True)),
+        "tiff-16bit": (
+            C.decode_tiff,
+            C.encode_tiff(img.astype(np.uint16) * 257, bits=16),
+        ),
+        "tiff-subbyte": (
+            C.decode_tiff,
+            C.encode_tiff((gray > 127).astype(np.uint8), bits=1),
         ),
     }
 
@@ -1661,3 +1690,85 @@ def test_y4m_gray_family_exact_all_values():
     dec, fps = decode_y4m(encode_y4m(rgb))
     assert np.array_equal(dec, rgb)
     assert fps == (25, 1)
+
+
+def test_tiff_depth_palette_planar_matrix():
+    """Round-13 part 2: the depth/layout axes — 1/4-bit gray (MSB-first
+    rows, full-range scaling), 16-bit gray/RGB (high-byte output, both
+    byte orders, predictor on 16-bit samples), palette color
+    (photometric 3 via ColorMap), planar configuration 2 (per-plane
+    strips) — each × compression, exact round-trips."""
+    from ros_sql_spark.operators.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    g = img[..., 0]
+
+    # --- 1-bit and 4-bit gray: decode scales to the full 8-bit range
+    b1 = (g > 127).astype(np.uint8)
+    b4 = (g % 16).astype(np.uint8)
+    for comp in ("none", "lzw", "packbits", "deflate"):
+        got1 = decode_tiff(encode_tiff(b1, comp, bits=1))
+        assert np.array_equal(got1, np.repeat((b1 * 255)[..., None], 3, 2))
+        got4 = decode_tiff(encode_tiff(b4, comp, bits=4, rows_per_strip=2))
+        assert np.array_equal(got4, np.repeat((b4 * 17)[..., None], 3, 2))
+    # WhiteIsZero bilevel: photometric 0 inverts after scaling
+    inv = decode_tiff(_tiff_tag_patch(encode_tiff(b1, bits=1), 262, 0))
+    assert np.array_equal(inv, np.repeat((255 - b1 * 255)[..., None], 3, 2))
+
+    # --- 16-bit: high byte comes back; predictor runs on u16 samples
+    x16 = rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16)
+    for be in (False, True):
+        for comp, pred in (("none", False), ("lzw", True),
+                           ("deflate", True), ("packbits", False)):
+            got = decode_tiff(
+                encode_tiff(x16, comp, pred, big_endian=be, bits=16)
+            )
+            assert np.array_equal(got, (x16 >> 8).astype(np.uint8)), (
+                be, comp, pred)
+        g16 = decode_tiff(
+            encode_tiff(x16[..., 0], "lzw", True, big_endian=be, bits=16)
+        )
+        assert np.array_equal(
+            g16, np.repeat((x16[..., 0] >> 8)[..., None], 3, 2).astype(np.uint8)
+        )
+    # 16-bit tiles too (rb() is depth-aware in the tile path)
+    t16 = rng.integers(0, 65536, (20, 35, 3), dtype=np.uint16)
+    got = decode_tiff(encode_tiff(t16, "deflate", bits=16, tile_size=(16, 16)))
+    assert np.array_equal(got, (t16 >> 8).astype(np.uint8))
+
+    # --- palette color: indices map through the ColorMap high byte
+    pal8 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx8 = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(idx8, "lzw", palette=pal8)), pal8[idx8]
+    )
+    pal4 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx4 = rng.integers(0, 16, (5, 9), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(idx4, bits=4, palette=pal4)), pal4[idx4]
+    )
+    # mis-sized ColorMap is corruption, not a gate
+    bad = _tiff_tag_patch(encode_tiff(idx8, palette=pal8), 258, 4)
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bad)
+
+    # --- planar configuration 2: per-plane strip sequences
+    for comp in ("none", "lzw", "packbits", "deflate"):
+        for pred in (False, True):
+            for rps in (None, 2):
+                got = decode_tiff(
+                    encode_tiff(img, comp, pred, rows_per_strip=rps,
+                                planar=True)
+                )
+                assert np.array_equal(got, img), (comp, pred, rps)
+    # planar 16-bit
+    gotp16 = decode_tiff(encode_tiff(x16, "lzw", True, planar=True, bits=16))
+    assert np.array_equal(gotp16, (x16 >> 8).astype(np.uint8))
+    # planar with spp=1 in the tag is just chunky gray — decodes
+    chunky = _tiff_tag_patch(
+        _tiff_tag_rename(encode_tiff(g), 278, 284), 284, 2
+    )
+    assert np.array_equal(
+        decode_tiff(chunky), np.repeat(g[..., None], 3, 2)
+    )
