@@ -57,7 +57,7 @@ listed as a gate months after it closed) is now a red test, the
 SinglePartition-allowlist precedent applied to docs.
 
   open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
-  jpeg-precision jpeg-components jpeg-partial-interleave jpeg-sampling
+  jpeg-precision jpeg-components jpeg-sampling
   tiff-depth tiff-photometric tiff-spp tiff-compression tiff-predictor
   tiff-predictor-subbyte tiff-planar2-tiled wav-format-tag wav-depth
   y4m-colorspace unknown-image-magic
@@ -114,8 +114,6 @@ GATES = {
     "jpeg-precision": "JPEG sample precisions other than 8/12 "
                       "(and 12-bit under SOF0, illegal per T.81 B.2)",
     "jpeg-components": "JPEG component counts other than 1/3 (CMYK/YCCK)",
-    "jpeg-partial-interleave": "partial (2-of-3 component) interleaved "
-                               "scans",
     "jpeg-sampling": "JPEG sampling factors > 2",
     "tiff-depth": "TIFF bits-per-sample outside 1/4/8/16 "
                   "(and mixed-depth channels)",
@@ -143,6 +141,7 @@ CLOSED = (
     "jpeg-12bit-progressive",  # round-12 (SOF2 prec 12)
     "jpeg-dri",                # restart intervals, both modes
     "jpeg-non-interleaved",    # one SOS per component
+    "jpeg-partial-interleave",  # round-13 ([Y] + [Cb,Cr] split scans)
     "png-sub-byte-depth",      # 1/2/4-bit gray + palette
     "png-adam7",               # interlaced decode
     "png-16bit",               # 16-bit gray/RGB
@@ -976,7 +975,11 @@ def encode_jpeg(
     ``interleave=False``: emit one SOS PER COMPONENT (T.81
     non-interleaved order — data units in each component's own block
     raster), the multi-scan shape some encoders produce; pixel-exact
-    with the interleaved encoding of the same input."""
+    with the interleaved encoding of the same input.
+    ``interleave="partial"`` (round-13): the [Cb, Cr] pair in ONE
+    MCU-interleaved scan on the frame-global grid plus Y in its own
+    non-interleaved scan — the 2-of-3-component shape that was the
+    decoder's last sequential scan gate."""
     if precision not in (8, 12):
         raise ValueError(f"JPEG precision {precision} (8 or 12)")
     arr = np.asarray(pixels, dtype=np.float64)
@@ -1073,32 +1076,34 @@ def _encode_jpeg_planes(
 
     mid = float(1 << (prec - 1))
     # entropy-coded scans: [(component list, bytes)] — ONE scan listing
-    # every component (interleaved MCU order), or one scan PER
-    # component (round-12 non-interleaved: data units in the
-    # component's own block raster, per-scan DC pred + RSTn counters)
+    # every component (interleaved MCU order), one scan PER component
+    # (round-12 non-interleaved: data units in the component's own
+    # block raster, per-scan DC pred + RSTn counters), or the
+    # round-13 PARTIAL split ([Y] non-interleaved + [Cb, Cr]
+    # MCU-interleaved on the frame-global grid)
     scans: list[tuple[list[int], bytes]] = []
-    if interleave or ncomp == 1:
-        padded = []
-        for (hf, vf), plane in zip(hs, planes):
+
+    def write_interleaved(cis: list[int]) -> bytes:
+        padded = {}
+        for ci in cis:
+            hf, vf = hs[ci]
             need_h = mcus_y * vf * 8
             need_w = mcus_x * hf * 8
-            ph, pw = plane.shape
-            padded.append(
-                np.pad(
-                    plane, ((0, need_h - ph), (0, need_w - pw)),
-                    mode="edge",
-                ) - mid
-            )
+            ph, pw = planes[ci].shape
+            padded[ci] = np.pad(
+                planes[ci], ((0, need_h - ph), (0, need_w - pw)),
+                mode="edge",
+            ) - mid
         bw = _BitWriter()
-        pred = [0] * ncomp
+        pred = {ci: 0 for ci in cis}
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 mcu = my * mcus_x + mx
                 if ri and mcu and mcu % ri == 0:
                     bw.flush()  # pad to the byte edge with 1-bits (spec)
                     bw.buf += bytes([0xFF, 0xD0 + (mcu // ri - 1) % 8])
-                    pred = [0] * ncomp
-                for ci in range(ncomp):
+                    pred = {ci: 0 for ci in cis}
+                for ci in cis:
                     hf, vf = hs[ci]
                     for by in range(vf):
                         for bx in range(hf):
@@ -1113,40 +1118,48 @@ def _encode_jpeg_planes(
                                 pred[ci],
                             )
         bw.flush()
-        scans.append((list(range(ncomp)), bytes(bw.buf)))
+        return bytes(bw.buf)
+
+    if interleave == "partial" and ncomp == 3:
+        scans.append(([1, 2], write_interleaved([1, 2])))
+        noninterleaved = [0]  # Y gets its own one-component scan below
+    elif interleave is True or interleave == "partial" or ncomp == 1:
+        scans.append((list(range(ncomp)), write_interleaved(list(range(ncomp)))))
+        noninterleaved = []
     else:
-        for ci in range(ncomp):
-            hf, vf = hs[ci]
-            cw = -(-w * hf // hmax)
-            chh = -(-h * vf // vmax)
-            bw_c, bh_c = -(-cw // 8), -(-chh // 8)
-            ph, pw = planes[ci].shape
-            plane = (
-                np.pad(
-                    planes[ci],
-                    ((0, bh_c * 8 - ph), (0, bw_c * 8 - pw)),
-                    mode="edge",
-                )
-                - mid
+        noninterleaved = list(range(ncomp))
+    for ci in noninterleaved:
+        hf, vf = hs[ci]
+        cw = -(-w * hf // hmax)
+        chh = -(-h * vf // vmax)
+        bw_c, bh_c = -(-cw // 8), -(-chh // 8)
+        ph, pw = planes[ci].shape
+        plane = (
+            np.pad(
+                planes[ci],
+                ((0, bh_c * 8 - ph), (0, bw_c * 8 - pw)),
+                mode="edge",
             )
-            bw = _BitWriter()
-            pred0 = 0
-            for i in range(bh_c * bw_c):
-                if ri and i and i % ri == 0:
-                    bw.flush()
-                    bw.buf += bytes([0xFF, 0xD0 + (i // ri - 1) % 8])
-                    pred0 = 0
-                by, bx = divmod(i, bw_c)
-                pred0 = enc_block(
-                    bw,
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    qts[ci],
-                    dc_codes[ci],
-                    ac_codes[ci],
-                    pred0,
-                )
-            bw.flush()
-            scans.append(([ci], bytes(bw.buf)))
+            - mid
+        )
+        bw = _BitWriter()
+        pred0 = 0
+        for i in range(bh_c * bw_c):
+            if ri and i and i % ri == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + (i // ri - 1) % 8])
+                pred0 = 0
+            by, bx = divmod(i, bw_c)
+            pred0 = enc_block(
+                bw,
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                qts[ci],
+                dc_codes[ci],
+                ac_codes[ci],
+                pred0,
+            )
+        bw.flush()
+        scans.append(([ci], bytes(bw.buf)))
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -1610,10 +1623,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Tables come FROM THE FILE; sampling factors 1–2 supported (chroma
     upsampled by replication); progressive (SOF2), 12-bit (SOF1),
-    restart intervals and NON-INTERLEAVED one-component-per-SOS scans
-    (round-12) all decode.  Arithmetic/lossless SOFs and partial
-    (2-of-3 component) interleaved scans raise NotImplementedError
-    naming the feature; structural corruption raises ValueError."""
+    restart intervals, NON-INTERLEAVED one-component-per-SOS scans
+    (round-12) and PARTIAL interleaved scans (any component subset
+    per SOS on the frame-global MCU grid — round-13) all decode.
+    Arithmetic/lossless SOFs raise NotImplementedError naming the
+    feature; structural corruption raises ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1716,15 +1730,34 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     payload[data_start:end], sof, scan, qts, huff, ri
                 )
             if ns != 1:
-                raise NotImplementedError(
-                    f"JPEG partial interleaved scan ({ns} of "
-                    f"{len(sof[2])} components; full-interleave and "
-                    "one-component scans supported)"
+                # round-13: PARTIAL interleaved scan (e.g. the common
+                # [Y], [Cb, Cr] split) — MCU geometry is frame-global
+                # (T.81 A.2.3) even for a component subset; planes
+                # accumulate across scans like the non-interleaved
+                # path (the gate this replaces)
+                end = _entropy_end(payload, data_start)
+                planes = _scan_planes(
+                    payload[data_start:end], sof, scan, qts, huff, ri
                 )
+                for (cs, _, _), plane in zip(scan, planes):
+                    got[cs] = plane
+                if len(got) == len(sof[2]):
+                    hh, ww, comps, prec = sof
+                    return _jpeg_finish(
+                        [got[c[0]] for c in comps],
+                        [(c[1], c[2]) for c in comps],
+                        max(c[1] for c in comps),
+                        max(c[2] for c in comps),
+                        hh,
+                        ww,
+                        prec,
+                    )
+                pos = end
+                continue
             # round-12: NON-INTERLEAVED baseline — one component per
-            # SOS (the gate this replaced); accumulate planes across
-            # scans (tables/DRI may be redefined between them) and
-            # reconstruct once every SOF component has arrived
+            # SOS; accumulate planes across scans (tables/DRI may be
+            # redefined between them) and reconstruct once every SOF
+            # component has arrived
             hh, ww, comps, prec = sof
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
@@ -2161,7 +2194,11 @@ def _jpeg_finish(planes, factors, hmax, vmax, h, w, prec) -> np.ndarray:
     return out8(rgb)
 
 
-def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
+def _scan_planes(data, sof, scan, qts, huff, ri: int = 0) -> list:
+    """Decode ONE MCU-interleaved scan (any subset of the frame's
+    components — T.81 A.2.3: the MCU grid derives from the FRAME
+    dimensions and the frame-wide hmax/vmax even when the scan lists
+    fewer components) into spatial planes, scan order."""
     h, w, comps, prec = sof
     mid = 1 << (prec - 1)  # level shift: 128 (8-bit) / 2048 (12-bit)
     by_id = {cid: (hf, vf, tq) for cid, hf, vf, tq in comps}
@@ -2175,6 +2212,8 @@ def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
     planes = []
     meta = []
     for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan component {cs} not in SOF")
         hf, vf, tq = by_id[cs]
         planes.append(
             np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), np.float64)
@@ -2203,8 +2242,21 @@ def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
                         y0 = (my * vf + by) * 8
                         x0 = (mx * hf + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + mid
+    return planes
+
+
+def _decode_scan(data, sof, scan, qts, huff, ri: int = 0) -> np.ndarray:
+    h, w, comps, prec = sof
+    by_id = {cid: (hf, vf) for cid, hf, vf, _ in comps}
+    planes = _scan_planes(data, sof, scan, qts, huff, ri)
     return _jpeg_finish(
-        planes, [(m[0], m[1]) for m in meta], hmax, vmax, h, w, prec
+        planes,
+        [by_id[cs] for cs, _, _ in scan],
+        max(c[1] for c in comps),
+        max(c[2] for c in comps),
+        h,
+        w,
+        prec,
     )
 
 

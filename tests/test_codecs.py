@@ -1212,10 +1212,7 @@ def test_jpeg_noninterleaved_multiscan():
     F.2.2 actual-grid dims, never MCU padding).  The decode is
     PIXEL-IDENTICAL to the interleaved encoding of the same input
     (same coefficients, same tables — only the scan order differs),
-    across 4:4:4 / 4:2:0 / restart intervals / 12-bit; a partial
-    2-of-3-component interleaved scan stays a NAMED gate."""
-    import struct as st
-
+    across 4:4:4 / 4:2:0 / restart intervals / 12-bit."""
     from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
 
     img = _smooth(37, 53)
@@ -1243,23 +1240,9 @@ def test_jpeg_noninterleaved_multiscan():
         decode_jpeg(encode_jpeg(im12, precision=12, interleave=False)),
         decode_jpeg(encode_jpeg(im12, precision=12)),
     )
-    # partial interleaved scan (2 of 3 components): named gate.
-    # Build it by hand: take a non-interleaved file and splice the
-    # first SOS to CLAIM two components — the decoder must refuse by
-    # NAME before touching entropy data.
-    raw = bytearray(encode_jpeg(img, interleave=False))
-    i = bytes(raw).find(b"\xff\xda")
-    ln = st.unpack_from(">H", raw, i + 2)[0]
-    two = (
-        raw[:i]
-        + b"\xff\xda"
-        + st.pack(">H", 2 + 1 + 4 + 3)
-        + bytes([2, 1, 0x00, 2, 0x11])
-        + bytes([0, 63, 0])
-        + raw[i + 2 + ln :]
-    )
-    with pytest.raises(NotImplementedError, match="partial interleaved"):
-        decode_jpeg(bytes(two))
+    # (the partial 2-of-3 interleaved scan CLOSED in round-13 — see
+    # test_jpeg_partial_interleave_decodes_identically; a stream whose
+    # SOS lies about its component list is now plain corruption)
 
 
 def test_jpeg_12bit_progressive():
@@ -1410,14 +1393,6 @@ def test_tiff_gates_and_corruption():
 # fails one of the three assertions below.
 
 
-def _jpeg_patch_sos_ns(payload: bytes, ns: int) -> bytes:
-    buf = bytearray(payload)
-    i = payload.find(b"\xff\xda")
-    assert i >= 0
-    buf[i + 4] = ns  # marker(2) + length(2) + Ns byte
-    return bytes(buf)
-
-
 def _jpeg_two_component() -> bytes:
     """Minimal SOI + SOF0(2 components) + SOS — the component-count
     check fires at SOS before any table is needed."""
@@ -1498,10 +1473,6 @@ def _gate_streams():
             jp12[:i1] + b"\xff\xc0" + jp12[i1 + 2 :],  # 12-bit under SOF0
         ),
         "jpeg-components": (C.decode_jpeg, _jpeg_two_component()),
-        "jpeg-partial-interleave": (
-            C.decode_jpeg,
-            _jpeg_patch_sos_ns(base, 2),
-        ),
         "jpeg-sampling": (C.decode_jpeg, bytes(sampled)),
         "tiff-depth": (
             C.decode_tiff,
@@ -1557,6 +1528,10 @@ def _closed_streams():
         ),
         "jpeg-dri": (C.decode_jpeg, C.encode_jpeg(img, restart_interval=1)),
         "jpeg-non-interleaved": (C.decode_jpeg, C.encode_jpeg(img, interleave=False)),
+        "jpeg-partial-interleave": (
+            C.decode_jpeg,
+            C.encode_jpeg(img, interleave="partial"),
+        ),
         "png-sub-byte-depth": (C.decode_png, _png_chunks(8, 8, 1, 0, raw1)),
         "png-adam7": (
             C.decode_png,
@@ -1771,4 +1746,34 @@ def test_tiff_depth_palette_planar_matrix():
     )
     assert np.array_equal(
         decode_tiff(chunky), np.repeat(g[..., None], 3, 2)
+    )
+
+
+def test_jpeg_partial_interleave_decodes_identically():
+    """Round-13: the [Y] + [Cb, Cr] split — Y non-interleaved, chroma
+    pair MCU-interleaved on the frame-global grid — decodes
+    pixel-identical to the single full-interleave scan of the same
+    input, across 4:4:4 / 4:2:0 (where the frame-global MCU geometry
+    actually differs from the pair's own), restart intervals and
+    12-bit precision."""
+    from ros_sql_spark.operators.codecs import decode_jpeg, encode_jpeg
+
+    for h, w in ((16, 16), (17, 23)):
+        img = _smooth(h, w)
+        for subsample in (False, True):
+            for ri in (0, 2):
+                full = decode_jpeg(
+                    encode_jpeg(img, subsample=subsample,
+                                restart_interval=ri)
+                )
+                part = decode_jpeg(
+                    encode_jpeg(img, subsample=subsample,
+                                restart_interval=ri,
+                                interleave="partial")
+                )
+                assert np.array_equal(full, part), (h, w, subsample, ri)
+    im12 = (_img(16, 16, seed=31).astype(np.uint16) * 16) % 4096
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(im12, precision=12)),
+        decode_jpeg(encode_jpeg(im12, precision=12, interleave="partial")),
     )
