@@ -3158,6 +3158,38 @@ ORACLES: dict[str, str] = {
                round(CAST(max(nf) AS DOUBLE) / 25.0, 6) AS duration_s
         FROM x GROUP BY doc_id ORDER BY doc_id
     """,
+    # Spatial radius join: the oracle is deliberately the NAIVE
+    # all-pairs distance filter — a hash match proves the Spark side's
+    # 3x3-cell grid candidate generator is COMPLETE (no neighbor pair
+    # escapes its cell neighborhood).  Pure integers; the argmin rides
+    # one packed BIGINT (d2*1e6 + custkey) exactly like the Spark code.
+    "qx68_spatial_radius_join": """
+        WITH c AS (
+            SELECT c_custkey AS b_id,
+                   (c_custkey * 48271 + 11) % 10000 AS bx,
+                   (c_custkey * 69621 + 7) % 10000 AS by
+            FROM customer
+        ), s AS (
+            SELECT s_suppkey AS p_id,
+                   (s_suppkey * 16807 + 3) % 10000 AS px,
+                   (s_suppkey * 39709 + 19) % 10000 AS py
+            FROM supplier
+        ), p AS (
+            SELECT p_id,
+                   (px - bx) * (px - bx) + (py - by) * (py - by) AS d2,
+                   b_id
+            FROM s, c
+            WHERE (px - bx) * (px - bx) + (py - by) * (py - by)
+                  <= 500 * 500
+        )
+        SELECT p_id AS s_suppkey,
+               CAST(count(*) AS BIGINT) AS n_within,
+               CAST(min(d2 * 1000000 + b_id) // 1000000 AS BIGINT)
+                   AS min_d2,
+               CAST(min(d2 * 1000000 + b_id) % 1000000 AS BIGINT)
+                   AS nearest_cust
+        FROM p GROUP BY p_id ORDER BY p_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5391,6 +5391,55 @@ def qx67_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx68_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL RADIUS JOIN (round-13 — a new operator
+    family: 2-D distance predicates, previously uncovered): suppliers
+    and customers get closed-form integer coordinates on a 10000²
+    grid, and each supplier reports how many customers sit within
+    Euclidean distance 500, the nearest one and its exact squared
+    distance.
+
+    The Spark plan is operators/spatial.py::grid_radius_join — the
+    supplier side expands to its 3×3 cell neighborhood (cell size =
+    radius makes that candidate set provably COMPLETE), the join is a
+    plain cell-key equi-join, and the exact d² ≤ r² check runs only
+    on candidates; the DuckDB oracle is the NAIVE all-pairs distance
+    filter, so a hash match proves the grid generator loses no pair —
+    the dedup-suite completeness discipline applied to geometry.  No
+    CartesianProduct anywhere in the Spark plan (suite guard).
+
+    Exactness: everything is integer (closed-form coords, squared
+    distances); the argmin carries its tie-break in one BIGINT —
+    min(d2·10⁶ + custkey) — decoded after the aggregate (the
+    exact-integer argmax idiom, CLAUDE.md)."""
+    from ros_sql_spark.operators.spatial import grid_radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("b_id"),
+        ((F.col("c_custkey") * 48271 + 11) % 10000).alias("bx"),
+        ((F.col("c_custkey") * 69621 + 7) % 10000).alias("by"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p_id"),
+        ((F.col("s_suppkey") * 16807 + 3) % 10000).alias("px"),
+        ((F.col("s_suppkey") * 39709 + 19) % 10000).alias("py"),
+    )
+    pairs = grid_radius_join(supp, cust, radius=500)
+    packed = F.col("d2") * F.lit(1_000_000) + F.col("b_id")
+    agg = pairs.groupBy(F.col("p_id").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_within"),
+        F.min(packed).alias("_m"),
+    )
+    return agg.select(
+        "s_suppkey",
+        "n_within",
+        F.expr("_m div 1000000").cast("bigint").alias("min_d2"),
+        (F.col("_m") % F.lit(1_000_000)).cast("bigint").alias(
+            "nearest_cust"
+        ),
+    ).orderBy("s_suppkey")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5564,4 +5613,5 @@ QUERIES = {
     "qx65_quantile_normalize": qx65_quantile_normalize,
     "qx66_audio_stats": qx66_audio_stats,
     "qx67_video_stats": qx67_video_stats,
+    "qx68_spatial_radius_join": qx68_spatial_radius_join,
 }
