@@ -3190,6 +3190,62 @@ ORACLES: dict[str, str] = {
                    AS nearest_cust
         FROM p GROUP BY p_id ORDER BY p_id
     """,
+    # Kaplan-Meier: day arithmetic on µs epochs (ns truncation never
+    # crosses a day boundary), the after-first-click gate compares at
+    # µs exactly like the Spark side; at-risk = suffix sum over the
+    # calendar-bounded duration grid; S(t) = exp(prefix ln-sum) in the
+    # same ascending order, integer zero-flag instead of ln(0).
+    "qx69_kaplan_meier": """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_type IN ('click', 'purchase')
+        ), fc AS (
+            SELECT user_id, min(us) AS c_us
+            FROM ev WHERE event_type = 'click' GROUP BY user_id
+        ), hz AS (
+            SELECT max(us // 86400000000) AS hday FROM ev
+        ), fp AS (
+            SELECT ev.user_id, min(ev.us) AS p_us
+            FROM ev JOIN fc ON ev.user_id = fc.user_id
+            WHERE ev.event_type = 'purchase' AND ev.us >= fc.c_us
+            GROUP BY ev.user_id
+        ), pu AS (
+            SELECT CASE WHEN p_us IS NOT NULL
+                        THEN p_us // 86400000000 - c_us // 86400000000
+                        ELSE hday - c_us // 86400000000
+                   END AS dur,
+                   CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS e
+            FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id, hz
+        ), grid AS (
+            SELECT dur, CAST(sum(e) AS BIGINT) AS n_events,
+                   CAST(sum(1 - e) AS BIGINT) AS n_censored
+            FROM pu GROUP BY dur
+        ), km AS (
+            SELECT dur, n_events, n_censored,
+                   sum(n_events + n_censored) OVER (
+                       ORDER BY dur ROWS BETWEEN CURRENT ROW AND
+                       UNBOUNDED FOLLOWING) AS n_risk
+            FROM grid
+        ), acc AS (
+            SELECT dur, n_risk, n_events, n_censored,
+                   max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                       OVER w AS z,
+                   sum(CASE WHEN n_events > 0 AND n_events < n_risk
+                            THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE))
+                            ELSE 0.0 END) OVER w AS ls
+            FROM km
+            WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW)
+        )
+        SELECT dur AS duration_days,
+               CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+               CASE WHEN z = 1 THEN 0.0 ELSE round(exp(ls), 6) END
+                   AS survival
+        FROM acc ORDER BY duration_days
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

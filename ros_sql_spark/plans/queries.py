@@ -5440,6 +5440,112 @@ def qx68_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
+def qx69_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for click→purchase conversion —
+    the CENSORING-AWARE member of the time-to-event family (qx37's
+    time-to-convert silently drops users who never convert; survival
+    analysis is the statistically honest treatment, and no declared
+    query covered it): per user, duration = days from first click to
+    first subsequent purchase (event) or to the corpus horizon
+    (censored); the curve is S(t) = Π_{s≤t} (1 − d_s/n_s) over the
+    duration grid with d = events and n = at-risk.
+
+    Exactness: d/c/n are pure BIGINT (days by integer `div`, at-risk
+    as a suffix sum); S(t) is exp(Σ ln(1 − d/n)) accumulated in
+    ASCENDING duration order — the same fixed op order both engines
+    (the qx58 window-float discipline) — with an exact integer
+    zero-flag prefix so a (d == n) extinction point reports 0.0
+    without either engine evaluating ln(0).  round(6).  NULL
+    timestamps filtered (the qx57 rule).
+
+    Scale shape: one events scan feeds both the first-click and
+    first-purchase aggregates on the SAME user_id exchange family;
+    the horizon is a keyless-combine scalar broadcast; the grid is
+    DURATION-days — calendar-bounded (~10³ rows at every sf, the
+    qx36 exception class) — and its windows run at PIN time (eager
+    checkpoint, the qx58 idiom), so the final plan reads an
+    ExistingRDD and the suite's SinglePartition guard sees only the
+    scalar combine."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts_ns").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+        & F.col("user_id").isNotNull()
+    ).localCheckpoint(eager=False)  # three consumers, cheap frame
+    day = lambda c: F.expr(f"{c} div 86400000000000")  # noqa: E731
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("_c_ns"))
+    )
+    horizon = ev.agg(F.max(day("ts_ns")).alias("_hday"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        # µs-floored comparison: DuckDB sees TIMESTAMP(NANOS) truncated
+        # to µs, so the after-first-click gate must not depend on
+        # sub-µs order (CLAUDE.md time discipline)
+        .filter(
+            F.expr("ts_ns div 1000") >= F.expr("_c_ns div 1000")
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("_p_ns"))
+    )
+    per_user = (
+        first_click.join(purch, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_p_ns").isNotNull(),
+                day("_p_ns") - day("_c_ns"),
+            )
+            .otherwise(F.col("_hday") - day("_c_ns"))
+            .cast("bigint")
+            .alias("dur"),
+            F.col("_p_ns").isNotNull().cast("int").alias("_e"),
+        )
+    )
+    grid = per_user.groupBy("dur").agg(
+        F.sum("_e").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("_e")).cast("bigint").alias("n_censored"),
+    )
+    wpre = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wsuf = Window.orderBy("dur").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    n_risk = F.sum(F.col("n_events") + F.col("n_censored")).over(wsuf)
+    km = grid.select(
+        "dur", "n_events", "n_censored", n_risk.alias("n_risk")
+    )
+    factor_zero = (F.col("n_events") == F.col("n_risk")).cast("int")
+    lnterm = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    km = km.select(
+        "dur",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.max(factor_zero).over(wpre).alias("_z"),
+        F.sum(lnterm).over(wpre).alias("_ls"),
+    ).localCheckpoint(eager=True)  # windows run here (qx58 idiom)
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("_z") == 1, F.lit(0.0))
+        .otherwise(r6(F.exp(F.col("_ls"))))
+        .alias("survival"),
+    ).orderBy("duration_days")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5614,4 +5720,5 @@ QUERIES = {
     "qx66_audio_stats": qx66_audio_stats,
     "qx67_video_stats": qx67_video_stats,
     "qx68_spatial_radius_join": qx68_spatial_radius_join,
+    "qx69_kaplan_meier": qx69_kaplan_meier,
 }
