@@ -59,7 +59,7 @@ SinglePartition-allowlist precedent applied to docs.
   open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
   jpeg-precision jpeg-components jpeg-sampling
   tiff-depth tiff-photometric tiff-spp tiff-compression tiff-predictor
-  tiff-predictor-subbyte tiff-planar2-tiled wav-format-tag wav-depth
+  tiff-predictor-subbyte wav-format-tag wav-depth
   y4m-colorspace unknown-image-magic
 """
 
@@ -119,8 +119,6 @@ GATES = {
                   "(and mixed-depth channels)",
     "tiff-predictor-subbyte": "TIFF predictor 2 on 1/4-bit samples "
                               "(undefined by the spec's byte model)",
-    "tiff-planar2-tiled": "TIFF planar configuration 2 with tile "
-                          "organization (strips decode)",
     "tiff-photometric": "TIFF photometric interpretations beyond 0-3",
     "tiff-spp": "TIFF samples-per-pixel other than 1/3",
     "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
@@ -150,6 +148,7 @@ CLOSED = (
     "tiff-tiled",              # round-13 (§15 tile grids, tags 322-325)
     "tiff-palette",            # round-13 (photometric 3, ColorMap 320)
     "tiff-planar2",            # round-13 (per-plane strip sequences)
+    "tiff-planar2-tiled",      # round-13 (per-plane tile sequences)
     "tiff-16bit",              # round-13 (high-byte output, both orders)
     "tiff-subbyte",            # round-13 (1/4-bit gray, MSB-first rows)
 )
@@ -2568,8 +2567,6 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         )
     if planar == 2 and spp == 1:
         planar = 1  # single-channel planes ARE chunky
-    if planar == 2 and tiled:
-        raise NotImplementedError("TIFF planar configuration 2 tiles")
     cmap = None
     if photo == 3:  # palette color (round-13): ColorMap tag 320,
         # 3·2^bits SHORTs plane-major (R.. G.. B..), 16-bit entries
@@ -2656,21 +2653,31 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raise ValueError("TIFF tile offsets/byte-counts inconsistent")
         ntx = (w + tw - 1) // tw
         nty = (h + tl - 1) // tl
-        if len(toffs) != ntx * nty:
+        # planar 2 (round-13): the tile sequence repeats PER PLANE
+        # (§15: "tiles are stored in planar order"), each tile a
+        # single-channel block
+        nplanes = spp if planar == 2 else 1
+        nch = 1 if planar == 2 else spp
+        if len(toffs) != ntx * nty * nplanes:
             raise ValueError(
-                f"TIFF tile count {len(toffs)} != grid {ntx}x{nty}"
+                f"TIFF tile count {len(toffs)} != grid "
+                f"{ntx}x{nty}x{nplanes}"
             )
         a = np.empty((h, w, spp), np.int64)
-        expect = tl * rb(tw, spp)
+        expect = tl * rb(tw, nch)
         for ti, (so, sc) in enumerate(zip(toffs, tcnts)):
-            ty, tx = divmod(ti, ntx)
+            pi, cell = divmod(ti, ntx * nty)
+            ty, tx = divmod(cell, ntx)
             t = samples(
-                bytes(seg(so, sc, expect, f"tile {ti}")), tl, tw, spp
+                bytes(seg(so, sc, expect, f"tile {ti}")), tl, tw, nch
             )
             y0, x0 = ty * tl, tx * tw
-            a[y0 : y0 + tl, x0 : x0 + tw] = t[
-                : min(tl, h - y0), : min(tw, w - x0)
-            ]
+            tgt = a[y0 : y0 + tl, x0 : x0 + tw]
+            crop = t[: min(tl, h - y0), : min(tw, w - x0)]
+            if planar == 2:
+                tgt[:, :, pi] = crop[:, :, 0]
+            else:
+                tgt[:] = crop
     else:
         offsets = tags.get(273)
         counts = tags.get(279)
@@ -2760,7 +2767,8 @@ def encode_tiff(
     in the file byte order); ``palette`` = (2^bits, 3) uint8 colormap
     → photometric 3 with tag 320 (entries ·257, the spec's 16-bit
     ramp); ``planar=True`` writes PlanarConfiguration 2 (per-plane
-    strip sequences, RGB only, strips only)."""
+    strip sequences, or per-plane tile sequences with
+    ``tile_size``; RGB only)."""
     if compression not in ("none", "lzw", "packbits", "deflate"):
         raise ValueError(f"compression {compression!r}")
     if bits not in (1, 4, 8, 16):
@@ -2781,8 +2789,8 @@ def encode_tiff(
             raise ValueError(f"{bits}-bit sample out of range")
     if palette is not None and (spp != 1 or bits not in (4, 8)):
         raise ValueError("palette needs (H, W) indices at 4/8 bits")
-    if planar and (spp != 3 or tile_size is not None or bits not in (8, 16)):
-        raise ValueError("planar=True: RGB strips at 8/16 bits only")
+    if planar and (spp != 3 or bits not in (8, 16)):
+        raise ValueError("planar=True: RGB at 8/16 bits only")
     bo = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
 
@@ -2829,12 +2837,18 @@ def encode_tiff(
         pw = ((w + tw - 1) // tw) * tw
         padded = np.zeros((ph, pw, spp), dt)
         padded[:h, :w] = arr
-        for y0 in range(0, ph, tl):
-            for x0 in range(0, pw, tw):
-                t = padded[y0 : y0 + tl, x0 : x0 + tw]
-                if predictor:
-                    t = _diff(t)
-                strips.append(_compress(_ser(t)))
+        plane_slices = (
+            [padded[:, :, p : p + 1] for p in range(spp)]
+            if planar
+            else [padded]
+        )
+        for pl in plane_slices:
+            for y0 in range(0, ph, tl):
+                for x0 in range(0, pw, tw):
+                    t = pl[y0 : y0 + tl, x0 : x0 + tw]
+                    if predictor:
+                        t = _diff(t)
+                    strips.append(_compress(_ser(t)))
     elif planar:
         for p in range(spp):
             plane = arr[:, :, p : p + 1]
