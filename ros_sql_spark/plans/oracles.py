@@ -3246,6 +3246,54 @@ ORACLES: dict[str, str] = {
                    AS survival
         FROM acc ORDER BY duration_days
     """,
+    # DBSCAN: naive all-pairs ε-graph (the completeness proof for the
+    # Spark side's grid generation, again) + recursive-CTE min-label
+    # components over core-core edges (the q15 pattern); border points
+    # take the MIN cluster among their core neighbors, noise excluded.
+    "qx70_dbscan": """
+        WITH RECURSIVE
+        pts AS (
+            SELECT c_custkey AS id,
+                   (c_custkey * 48271 + 11) % 10000 AS x,
+                   (c_custkey * 69621 + 7) % 10000 AS y
+            FROM customer WHERE c_custkey < 1500
+        ),
+        nb AS (
+            SELECT a.id AS ia, b.id AS ib
+            FROM pts a, pts b
+            WHERE (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= 300 * 300
+        ),
+        core AS (
+            SELECT ia AS id FROM nb GROUP BY ia HAVING count(*) >= 4
+        ),
+        edges AS (
+            SELECT ia AS a, ib AS b FROM nb
+            WHERE ia <> ib
+              AND ia IN (SELECT id FROM core)
+              AND ib IN (SELECT id FROM core)
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+        ),
+        comp AS (
+            SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        ),
+        border AS (
+            SELECT nb.ia AS id, min(comp.cluster) AS cluster
+            FROM nb JOIN comp ON nb.ib = comp.id
+            WHERE nb.ia NOT IN (SELECT id FROM core)
+            GROUP BY nb.ia
+        )
+        SELECT id AS c_custkey, CAST(cluster AS BIGINT) AS cluster,
+               TRUE AS is_core
+        FROM comp
+        UNION ALL
+        SELECT id, CAST(cluster AS BIGINT), FALSE FROM border
+        ORDER BY c_custkey
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5546,6 +5546,96 @@ def qx69_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("duration_days")
 
 
+def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (round-13 — the DENSITY member of the
+    clustering family; IVF-KMeans is centroid-based, components are
+    similarity-graph-based, nothing covered density): customers on
+    closed-form integer coordinates, ε = 300, minPts = 4 over a FIXED
+    key cohort (custkey < 1500 — DBSCAN parameters are density-tied,
+    and a fixed cohort keeps the density scale-free exactly like q15's
+    doc_id < 40 component cohort).
+
+    Composition of two scale-safe operators: neighborhoods from
+    operators/spatial.py::grid_radius_join (3×3-cell complete
+    candidate generation — the all-pairs ε-graph without a cartesian),
+    clusters from operators/dedup.py::connected_components_star over
+    the core-core edges (O(log²) rounds on ANY topology — near the
+    percolation threshold DBSCAN clusters can be long chains, where
+    min-label propagation needs a round per hop).  Border points
+    attach to the MIN cluster label among their core neighbors
+    (deterministic tie-break; plain DBSCAN leaves it
+    arrival-order-dependent), noise is excluded.  Everything integer
+    except nothing — the whole query is exact.
+
+    Oracle: naive all-pairs ε-graph + recursive-CTE min-label
+    components (the q15 pattern) — the hash match again proves grid
+    completeness, now composed through a clustering endgame."""
+    from ros_sql_spark.operators.dedup import connected_components_star
+    from ros_sql_spark.operators.spatial import grid_radius_join
+
+    eps, minpts = 300, 4
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 1500)
+        .select(
+            F.col("c_custkey").alias("p_id"),
+            ((F.col("c_custkey") * 48271 + 11) % 10000).alias("px"),
+            ((F.col("c_custkey") * 69621 + 7) % 10000).alias("py"),
+        )
+        .localCheckpoint(eager=False)  # probe + base + later joins
+    )
+    base = cust.select(
+        F.col("p_id").alias("b_id"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+    )
+    # ε-neighborhoods INCLUDING self (|N_ε(p)| ∋ p, the textbook
+    # definition minPts counts against); pinned — degree, core-core
+    # edges and border attachment are three differing projections
+    nb = grid_radius_join(cust, base, eps).select(
+        "p_id", "b_id"
+    ).localCheckpoint(eager=False)
+    core = (
+        nb.groupBy("p_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= minpts)
+        .select(F.col("p_id").alias("id"))
+        .localCheckpoint(eager=True)  # consumed by 3 separate actions
+    )
+    core_edges = (
+        nb.filter(F.col("p_id") < F.col("b_id"))
+        .join(core.select(F.col("id").alias("p_id")), "p_id", "left_semi")
+        .join(core.select(F.col("id").alias("b_id")), "b_id", "left_semi")
+        .select("p_id", "b_id")
+    )
+    comp = connected_components_star(
+        core_edges, nodes=core, src_col="p_id", dst_col="b_id"
+    )  # (id, component)
+    core_out = comp.select(
+        F.col("id").alias("c_custkey"),
+        F.col("component").cast("bigint").alias("cluster"),
+        F.lit(True).alias("is_core"),
+    )
+    border_out = (
+        nb.join(core.select(F.col("id").alias("p_id")), "p_id", "left_anti")
+        .join(
+            comp.select(
+                F.col("id").alias("b_id"),
+                F.col("component").alias("_cl"),
+            ),
+            "b_id",
+        )
+        .groupBy("p_id")
+        .agg(F.min("_cl").cast("bigint").alias("cluster"))
+        .select(
+            F.col("p_id").alias("c_custkey"),
+            "cluster",
+            F.lit(False).alias("is_core"),
+        )
+    )
+    return core_out.unionByName(border_out).orderBy("c_custkey")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5721,4 +5811,5 @@ QUERIES = {
     "qx67_video_stats": qx67_video_stats,
     "qx68_spatial_radius_join": qx68_spatial_radius_join,
     "qx69_kaplan_meier": qx69_kaplan_meier,
+    "qx70_dbscan": qx70_dbscan,
 }
