@@ -47,6 +47,10 @@ def grid_radius_join(
     pid, px, py = probe_cols
     bid, bx, by = base_cols
     r = int(radius)
+    if r <= 0:
+        # div 0 would NULL every cell key and silently drop all pairs
+        # (or raise mid-job under ANSI mode) — round-13 review
+        raise ValueError(f"radius must be a positive integer, got {radius}")
     cells = F.array(
         *[
             F.struct(

@@ -3184,10 +3184,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT p_id AS s_suppkey,
                CAST(count(*) AS BIGINT) AS n_within,
-               CAST(min(d2 * 1000000 + b_id) // 1000000 AS BIGINT)
-                   AS min_d2,
-               CAST(min(d2 * 1000000 + b_id) % 1000000 AS BIGINT)
-                   AS nearest_cust
+               CAST(min(d2 * 34359738368 + b_id) // 34359738368
+                    AS BIGINT) AS min_d2,
+               CAST(min(d2 * 34359738368 + b_id) % 34359738368
+                    AS BIGINT) AS nearest_cust
         FROM p GROUP BY p_id ORDER BY p_id
     """,
     # Kaplan-Meier: day arithmetic on µs epochs (ns truncation never

@@ -5410,8 +5410,12 @@ def qx68_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: everything is integer (closed-form coords, squared
     distances); the argmin carries its tie-break in one BIGINT —
-    min(d2·10⁶ + custkey) — decoded after the aggregate (the
-    exact-integer argmax idiom, CLAUDE.md)."""
+    min(d2·2³⁵ + custkey) — decoded after the aggregate (the
+    exact-integer argmax idiom, CLAUDE.md).  The 2³⁵ multiplier is
+    domain-proof (round-13 review — 10⁶ overflowed into the d2 field
+    for custkey ≥ 10⁶, i.e. TPC-H sf ≳ 7): d² ≤ 2·9999² needs 28
+    bits, keys up to 2³⁵ ≈ 34 B fit below, and the product stays
+    under 2⁶³."""
     from ros_sql_spark.operators.spatial import grid_radius_join
 
     cust = _t(spark, sf_dir, "customer").select(
@@ -5425,7 +5429,8 @@ def qx68_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 39709 + 19) % 10000).alias("py"),
     )
     pairs = grid_radius_join(supp, cust, radius=500)
-    packed = F.col("d2") * F.lit(1_000_000) + F.col("b_id")
+    m = 34_359_738_368  # 2^35
+    packed = F.col("d2").cast("bigint") * F.lit(m) + F.col("b_id")
     agg = pairs.groupBy(F.col("p_id").alias("s_suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_within"),
         F.min(packed).alias("_m"),
@@ -5433,10 +5438,8 @@ def qx68_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "s_suppkey",
         "n_within",
-        F.expr("_m div 1000000").cast("bigint").alias("min_d2"),
-        (F.col("_m") % F.lit(1_000_000)).cast("bigint").alias(
-            "nearest_cust"
-        ),
+        F.expr(f"_m div {m}").cast("bigint").alias("min_d2"),
+        (F.col("_m") % F.lit(m)).cast("bigint").alias("nearest_cust"),
     ).orderBy("s_suppkey")
 
 

@@ -88,8 +88,12 @@ def drift_ingest_batch(
     )
     if pre is not None:
         # incremental-probe discipline: old sums of exactly the
-        # touched days, stored side semi-reduced first
-        old = pre.join(delta.select("day"), ["day"], "left_semi")
+        # touched days, stored side semi-reduced first (touched-day
+        # keys BROADCAST — the state is calendar-bounded here, but the
+        # hint keeps the rule mechanical across all three monitors)
+        old = pre.join(
+            F.broadcast(delta.select("day")), ["day"], "left_semi"
+        )
         joined = delta.join(old, ["day"], "left").select(
             "day", "_d", F.col("s").alias("_old")
         )

@@ -30,11 +30,15 @@ running report.
 Value canonicalization: the state key is the value CAST TO STRING
 (one uniform state schema across profiled columns).  Spark's string
 cast is injective on the profiled types (integers, decimals, strings,
-dates; doubles render shortest-round-trip), so string-keyed distinct
-== native distinct — the equivalence test asserts exactly that against
-a from-scratch countDistinct at every batch boundary.  NULLs are not
-values (countDistinct semantics): they count into n_null, never into
-the state table.
+dates; doubles render shortest-round-trip) EXCEPT for the signed
+zero, where countDistinct's NormalizeFloatingNumbers treats -0.0 ==
+0.0 but the cast renders two strings — numeric columns therefore
+canonicalize with ``+ 0`` before the cast (IEEE: -0.0 + 0 == 0.0;
+identity on integers/decimals; round-13 review + regression test).
+String-keyed distinct == native distinct — the equivalence test
+asserts exactly that against a from-scratch countDistinct at every
+batch boundary.  NULLs are not values (countDistinct semantics): they
+count into n_null, never into the state table.
 
 Reference parity: strawlab/ros_sql has no profiling tooling; this is
 the engine-extension surface (SURVEY qx52 family) made continuous.
@@ -47,6 +51,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ros_sql_spark.sources.snapshot import snapshot_merge, snapshot_meta
 from ros_sql_spark.streaming.dedup import _pre_state
+from ros_sql_spark.streaming.util import (
+    merged_multiplicities,
+    multiplicity_delta,
+)
 
 __all__ = [
     "profile_ingest_batch",
@@ -74,7 +82,10 @@ def profile_ingest_batch(
     table = f"{store}/{_T_VALUES}"
     pre, done = _pre_state(spark, table, batch_id)
     if done:
-        return dict(snapshot_meta(spark, table)["profile"])
+        # defensive read (the drift.py round-13 ADVICE precedent): a
+        # head written outside this module may lack meta — a
+        # redelivered batch must no-op, never raise
+        return dict((snapshot_meta(spark, table) or {}).get("profile", {}))
 
     prev = (snapshot_meta(spark, table) or {}).get("profile", {}) if (
         pre is not None
@@ -113,9 +124,17 @@ def profile_ingest_batch(
     # One scan melts every profiled column to (col, v) rows via stack
     # (bare stack of cheap casts — the explode/generate hazard is about
     # expensive exprs, CLAUDE.md), NULL values dropped (not values).
+    # Numeric columns canonicalize with `+ 0` before the string cast:
+    # -0.0 + 0 == 0.0 (IEEE), so the state key matches countDistinct's
+    # NormalizeFloatingNumbers semantics (round-13 review — CAST alone
+    # renders '0.0' and '-0.0' as two keys); `+ 0` is the identity on
+    # integers/decimals.
     n = len(columns)
     stack_args = ", ".join(
-        f"'{c}', CAST(`{c}` AS STRING)" for c in columns
+        f"'{c}', CAST((`{c}` + 0) AS STRING)"
+        if numeric
+        else f"'{c}', CAST(`{c}` AS STRING)"
+        for c, numeric in columns.items()
     )
     keyed = (
         batch_df.selectExpr(
@@ -126,21 +145,7 @@ def profile_ingest_batch(
         .agg(F.count(F.lit(1)).alias("_d"))
         .localCheckpoint(eager=False)  # consumed by probe + merge
     )
-    if pre is not None:
-        old = pre.join(
-            keyed.select("col", "v"), ["col", "v"], "left_semi"
-        )
-        joined = keyed.join(old, ["col", "v"], "left").select(
-            "col",
-            "v",
-            "_d",
-            F.coalesce(F.col("n"), F.lit(0)).alias("_old"),
-        )
-    else:
-        joined = keyed.select(
-            "col", "v", "_d", F.lit(0).cast("bigint").alias("_old")
-        )
-    joined = joined.localCheckpoint(eager=True)  # Δdistinct + merge rows
+    joined = multiplicity_delta(pre, keyed, ["col", "v"])
     fresh = {
         r["col"]: int(r["_f"])
         for r in joined.filter(F.col("_old") == 0)
@@ -152,9 +157,7 @@ def profile_ingest_batch(
         p = prof.setdefault(c, {})
         p["n_distinct"] = int(p.get("n_distinct", 0)) + fresh.get(c, 0)
 
-    new_rows = joined.select(
-        "col", "v", (F.col("_old") + F.col("_d")).cast("bigint").alias("n")
-    )
+    new_rows = merged_multiplicities(joined, ["col", "v"])
     prof["_n_rows"] = n_rows
     # ONE atomic commit: merged multiplicities + running profile
     snapshot_merge(

@@ -46,6 +46,10 @@ from ros_sql_spark.sources.snapshot import (
     snapshot_read,
 )
 from ros_sql_spark.streaming.dedup import _pre_state
+from ros_sql_spark.streaming.util import (
+    merged_multiplicities,
+    multiplicity_delta,
+)
 
 __all__ = [
     "quality_ingest_batch",
@@ -81,7 +85,8 @@ def quality_ingest_batch(
     table = f"{store}/{_T_COUNTS}"
     pre, done = _pre_state(spark, table, batch_id)
     if done:
-        return dict(snapshot_meta(spark, table)["checks"])
+        # defensive read (the drift.py round-13 ADVICE precedent)
+        return dict((snapshot_meta(spark, table) or {}).get("checks", {}))
 
     prev = (snapshot_meta(spark, table) or {}).get("checks", {}) if (
         pre is not None
@@ -131,19 +136,7 @@ def quality_ingest_batch(
         .agg(F.count(F.lit(1)).alias("_d"))
         .localCheckpoint(eager=False)  # consumed by probe + merge
     )
-    if pre is not None:
-        # incremental-probe discipline: old multiplicities of exactly
-        # the touched keys — semi-reduce the stored side FIRST
-        old = pre.join(keyed.select(*key_cols), key_cols, "left_semi")
-        joined = keyed.join(old, key_cols, "left").select(
-            *key_cols,
-            "_d",
-            F.coalesce(F.col("n"), F.lit(0)).alias("_old"),
-        )
-    else:
-        joined = keyed.select(
-            *key_cols, "_d", F.lit(0).cast("bigint").alias("_old")
-        )
+    joined = multiplicity_delta(pre, keyed, key_cols)
     pos = lambda c: F.greatest(c, F.lit(0))  # noqa: E731
     delta_row = joined.agg(
         F.coalesce(
@@ -155,9 +148,7 @@ def quality_ingest_batch(
     ).collect()[0]
     checks[uq] = checks.get(uq, 0) + int(delta_row["_dd"])
 
-    new_rows = joined.select(
-        *key_cols, (F.col("_old") + F.col("_d")).cast("bigint").alias("n")
-    )
+    new_rows = merged_multiplicities(joined, key_cols)
     # ONE atomic commit: merged multiplicities + running counters
     snapshot_merge(
         new_rows,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["start_foreach_batch"]
+__all__ = ["start_foreach_batch", "multiplicity_delta", "merged_multiplicities"]
 
 
 def start_foreach_batch(
@@ -33,3 +33,49 @@ def start_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def multiplicity_delta(pre, keyed, key_cols: list[str]):
+    """Increment-probe join for KEYED-MULTIPLICITY state (round-13
+    review: quality.py and profile.py carried line-for-line copies of
+    this machinery, and a defensive-read fix had already been
+    hand-propagated to one but not the other — one definition now).
+
+    ``keyed``: this batch's per-key counts (key_cols..., _d).
+    ``pre``: the pre-batch state table (key_cols..., n) or None.
+    Returns (key_cols..., _d, _old) with _old = the stored
+    multiplicity of exactly the increment-touched keys — the stored
+    side is semi-reduced by BROADCASTING the touched keys before the
+    join (the CLAUDE.md incremental-probe discipline: the state table
+    is corpus-sized, the increment is not; without the hint a
+    stats-less lazy frame can draw a sort-merge plan that shuffles
+    the whole state every micro-batch).  Eagerly checkpointed: every
+    caller consumes it in at least two SEPARATE actions (delta
+    statistics + the merge commit), the several-actions pin rule."""
+    import pyspark.sql.functions as F
+
+    if pre is not None:
+        old = pre.join(
+            F.broadcast(keyed.select(*key_cols)), key_cols, "left_semi"
+        )
+        joined = keyed.join(old, key_cols, "left").select(
+            *key_cols,
+            "_d",
+            F.coalesce(F.col("n"), F.lit(0)).alias("_old"),
+        )
+    else:
+        joined = keyed.select(
+            *key_cols, "_d", F.lit(0).cast("bigint").alias("_old")
+        )
+    return joined.localCheckpoint(eager=True)
+
+
+def merged_multiplicities(joined, key_cols: list[str]):
+    """(key_cols..., n = _old + _d) — the merge rows every
+    multiplicity consumer commits."""
+    import pyspark.sql.functions as F
+
+    return joined.select(
+        *key_cols,
+        (F.col("_old") + F.col("_d")).cast("bigint").alias("n"),
+    )

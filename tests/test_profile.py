@@ -175,3 +175,18 @@ def test_profile_monitor_real_stream(spark, tmp_path):
         assert rep[c].n_rows == n_rows
         assert rep[c].n_null == p["n_null"]
         assert rep[c].n_distinct == p["n_distinct"]
+
+
+def test_profile_negative_zero_matches_countdistinct(spark, tmp_path):
+    """Round-13 review: -0.0 and 0.0 are ONE distinct value under
+    Spark's countDistinct (NormalizeFloatingNumbers) — the monitor's
+    string-keyed state must agree (`+ 0` canonicalization before the
+    cast), or the advertised batch-equivalence contract breaks on the
+    first signed zero."""
+    store = str(tmp_path / "p")
+    rows = [(1, 0.0, "A"), (2, -0.0, "A"), (3, -0.0, "B")]
+    got = profile_ingest_batch(
+        spark.createDataFrame(rows, _SCHEMA), 0, store, _COLS
+    )
+    assert _norm(got) == _norm(_batch_profile(spark, rows))
+    assert got["qty"]["n_distinct"] == 1

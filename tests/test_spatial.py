@@ -40,3 +40,12 @@ def test_grid_radius_join_equals_bruteforce(spark, a, b, r):
         if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
     }
     assert got == want
+
+
+def test_grid_radius_join_rejects_nonpositive_radius(spark):
+    """radius <= 0 would NULL every cell key (x div 0) and silently
+    return zero pairs — a named error instead (round-13 review)."""
+    df = spark.createDataFrame([(1, 0, 0)], "p_id int, px int, py int")
+    db = spark.createDataFrame([(1, 0, 0)], "b_id int, bx int, by int")
+    with pytest.raises(ValueError, match="radius"):
+        grid_radius_join(df, db, 0)

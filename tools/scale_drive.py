@@ -705,6 +705,11 @@ def main() -> int:
             "qx63_ks_test",
             "qx64_weighted_median",
             "qx65_quantile_normalize",
+            # round-13: the heaviest new query — real-codec video
+            # round-trip through Arrow mapInPandas (embarrassingly
+            # parallel; the probe asserts the plan stays shuffle-free
+            # and the slope linear in docs)
+            "qx67_video_stats",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
