@@ -5564,7 +5564,13 @@ def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters from operators/dedup.py::connected_components_star over
     the core-core edges (O(log²) rounds on ANY topology — near the
     percolation threshold DBSCAN clusters can be long chains, where
-    min-label propagation needs a round per hop).  Border points
+    min-label propagation needs a round per hop; MEASURED on this
+    exact graph (1,072 cores / 1,684 edges / 14 clusters): the
+    propagation loop does NOT converge in its 50-hop budget while
+    star finishes — the engine choice is load-bearing).  The ~6 s
+    local cost is ~a dozen star rounds of per-job driver overhead on
+    a FIXED 1,500-point cohort — constant at every sf, not a scale
+    term.  Border points
     attach to the MIN cluster label among their core neighbors
     (deterministic tie-break; plain DBSCAN leaves it
     arrival-order-dependent), noise is excluded.  Everything integer
