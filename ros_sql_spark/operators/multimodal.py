@@ -57,6 +57,7 @@ __all__ = [
     "sample_frames",
     "audio_roundtrip_stats",
     "video_roundtrip_stats",
+    "image_roundtrip_stats",
     "FEATURE_DIM",
 ]
 
@@ -504,6 +505,95 @@ def video_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["motion_abs"].append(
                     int(np.abs(np.diff(y, axis=0)).sum())
                 )
+            yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def image_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image-codec cross-verification, value-exact (round-13 —
+    completes the modality trilogy's driver-gate coverage: qx66 audio,
+    qx67 video, this one puts ALL FIVE lossless image codecs under the
+    oracle): per id, closed-form grayscale pixels
+
+        v(r, c) = (id·31 + r·17 + c·7 + 5) mod 256,
+        w = 8 + (id mod 2)·4,  h = 8,
+
+    are encoded through BMP, P6 PPM, PNG, GIF and TIFF (LZW +
+    predictor 2) and decoded back through the magic-sniffing
+    ``decode_image`` — every decode MUST equal the source exactly
+    (any codec bug raises at task time; lossless is the contract for
+    all five), then exact integer statistics and the two
+    byte-predictable container sizes come out.  BMP: 54 + padded
+    stride·h; PPM: "P6\\n{w} {h}\\n255\\n" + 3wh.  PNG/GIF/TIFF sizes
+    are entropy-coded and intentionally NOT emitted (zlib/LZW output
+    length is not SQL-reproducible); their verification is the
+    in-UDF equality check, which the n_codecs_verified column pins
+    at 5.
+
+    100 TB shape: identical to the audio/video twins — one pruned
+    column, shuffle-free mapInPandas, ≤96·5 codec passes per row."""
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("sum_v", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("bmp_bytes", T.LongType(), False),
+            T.StructField("ppm_bytes", T.LongType(), False),
+            T.StructField("n_codecs_verified", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ros_sql_spark.operators import codecs as C
+
+        ri, ci = np.meshgrid(
+            np.arange(8, dtype=np.int64),
+            np.arange(12, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for d in pdf["_id"]:
+                d = int(d)
+                w = 8 + (d % 2) * 4
+                v = (d * 31 + ri[:, :w] * 17 + ci[:, :w] * 7 + 5) % 256
+                rgb = np.repeat(
+                    v[..., None].astype(np.uint8), 3, axis=2
+                )
+                encoded = (
+                    C.encode_bmp(rgb),
+                    C.encode_ppm(rgb),
+                    C.encode_png(rgb),
+                    C.encode_gif(rgb),
+                    C.encode_tiff(rgb, "lzw", predictor=True),
+                )
+                for payload in encoded:
+                    got = C.decode_image(payload)
+                    if not np.array_equal(got, rgb):
+                        raise ValueError(
+                            f"lossless codec round-trip diverged for "
+                            f"id {d} (magic {bytes(payload[:2])!r})"
+                        )
+                out["_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(8)
+                out["n_pixels"].append(8 * w)
+                out["sum_v"].append(int(v.sum()))
+                out["sum_sq"].append(int((v * v).sum()))
+                out["bmp_bytes"].append(len(encoded[0]))
+                out["ppm_bytes"].append(len(encoded[1]))
+                out["n_codecs_verified"].append(len(encoded))
             yield pd.DataFrame(out)
 
     return (

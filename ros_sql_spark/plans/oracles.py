@@ -3294,6 +3294,41 @@ ORACLES: dict[str, str] = {
         SELECT id, CAST(cluster AS BIGINT), FALSE FROM border
         ORDER BY c_custkey
     """,
+    # Image codec cross-verification: regenerate the closed-form
+    # pixels on two chained unnest grids; the Spark side raises
+    # in-task if ANY of the five lossless decodes diverges, so a hash
+    # match certifies the codecs.  BMP = 54 + 4-byte-padded stride*h;
+    # PPM = len("P6\n{w} {h}\n255\n") + 3wh.
+    "qx71_image_stats": """
+        WITH d AS (
+            SELECT doc_id, 8 + (doc_id % 2) * 4 AS w FROM documents
+        ), r AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(7 AS BIGINT))) AS ri
+            FROM d
+        ), c AS (
+            SELECT doc_id, w, ri,
+                   unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS ci
+            FROM r
+        ), x AS (
+            SELECT doc_id, w,
+                   (doc_id * 31 + ri * 17 + ci * 7 + 5) % 256 AS v
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(max(w) AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(8 * max(w) AS BIGINT) AS n_pixels,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(54 + ((3 * max(w) + 3) // 4) * 4 * 8 AS BIGINT)
+                   AS bmp_bytes,
+               CAST(9 + length(CAST(max(w) AS VARCHAR))
+                      + length('8') + 3 * 8 * max(w) AS BIGINT)
+                   AS ppm_bytes,
+               CAST(5 AS BIGINT) AS n_codecs_verified
+        FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

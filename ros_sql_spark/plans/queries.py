@@ -5645,6 +5645,27 @@ def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_out.unionByName(border_out).orderBy("c_custkey")
 
 
+def qx71_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE CODEC cross-verification under the oracle (round-13 —
+    with qx66/qx67 every modality's REAL codec path is now
+    driver-gate-visible, not just locally tested): closed-form
+    grayscale pixels per document are encoded through ALL FIVE
+    lossless image codecs (BMP, PPM, PNG, GIF, TIFF-LZW+predictor),
+    decoded back through the magic-sniffing decode_image, asserted
+    EQUAL to the source in-task, and the exact integer statistics +
+    the two byte-predictable container sizes come out
+    (operators/multimodal.py::image_roundtrip_stats).  A DuckDB hash
+    match therefore certifies five encode→decode loops lossless and
+    the BMP/PPM byte layouts correct, per document.
+
+    Scale: one pruned column, shuffle-free mapInPandas, bounded
+    per-row work (≤96 px × 5 codecs)."""
+    from ros_sql_spark.operators.multimodal import image_roundtrip_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_roundtrip_stats(docs, "doc_id").orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5821,4 +5842,5 @@ QUERIES = {
     "qx68_spatial_radius_join": qx68_spatial_radius_join,
     "qx69_kaplan_meier": qx69_kaplan_meier,
     "qx70_dbscan": qx70_dbscan,
+    "qx71_image_stats": qx71_image_stats,
 }
