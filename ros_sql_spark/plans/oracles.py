@@ -3302,6 +3302,7 @@ ORACLES: dict[str, str] = {
     "qx71_image_stats": """
         WITH d AS (
             SELECT doc_id, 8 + (doc_id % 2) * 4 AS w FROM documents
+            WHERE doc_id % 10 = 0
         ), r AS (
             SELECT doc_id, w,
                    unnest(generate_series(0, CAST(7 AS BIGINT))) AS ri
