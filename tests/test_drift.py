@@ -126,3 +126,50 @@ def test_drift_real_stream(spark, tmp_path):
         for r in drift_report_read(spark, store).collect()
     ]
     assert got == _batch_reference(ev)
+
+
+def test_drift_monitor_survives_compaction(spark, tmp_path):
+    """Mid-stream maintenance on the daily table: watermark + meta
+    counters carried through compaction (the quality/profile
+    contract, asserted for the drift twin too — round 13)."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_versions,
+    )
+    from ros_sql_spark.streaming.drift import (
+        drift_ingest_batch,
+        drift_report_read,
+    )
+
+    store = str(tmp_path / "d")
+    day = 86_400_000_000_000
+    b0 = [(0 * day + 5, 10.0), (1 * day + 7, 20.0)]
+    b1 = [(1 * day + 9, 5.0), (2 * day + 1, 40.0)]
+    b2 = [(0 * day + 8, 15.0)]
+    schema = "ts_ns bigint, value double"
+    for b, rows in enumerate((b0, b1)):
+        drift_ingest_batch(
+            spark.createDataFrame(rows, schema), b, store
+        )
+    snapshot_compact(
+        spark, f"{store}/daily", target_files=1, cluster_by=["day"]
+    )
+    v = snapshot_versions(spark, f"{store}/daily")[-1]
+    drift_ingest_batch(spark.createDataFrame(b1, schema), 1, store)
+    assert snapshot_versions(spark, f"{store}/daily")[-1] == v
+    n = drift_ingest_batch(spark.createDataFrame(b2, schema), 2, store)
+    assert n == 3
+    rep = {
+        r["day"]: r for r in drift_report_read(spark, store).collect()
+    }
+    # day sums survived the compaction + post-compaction fold
+    got = {d: float(rep[d]["cusum"]) for d in rep}
+    daily = {0: 25.0, 1: 25.0, 2: 40.0}
+    t = sum(daily.values())
+    cum, want = 0.0, {}
+    for i, d in enumerate(sorted(daily)):
+        cum += daily[d]
+        want[d] = 3 * cum - (i + 1) * t
+    assert got == want

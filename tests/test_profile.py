@@ -190,3 +190,34 @@ def test_profile_negative_zero_matches_countdistinct(spark, tmp_path):
     )
     assert _norm(got) == _norm(_batch_profile(spark, rows))
     assert got["qty"]["n_distinct"] == 1
+
+
+def test_profile_monitor_survives_compaction(spark, tmp_path):
+    """Mid-stream maintenance: compacting the values table between
+    batches must carry BOTH the batch watermark (no re-ingest) and
+    the meta profile (no counter loss) — the quality monitor's
+    compaction contract, asserted for this twin too (round 13)."""
+    from ros_sql_spark.sources.snapshot import (
+        snapshot_compact,
+        snapshot_versions,
+    )
+
+    store = str(tmp_path / "p")
+    for b, rows in enumerate((B0, B1)):
+        profile_ingest_batch(
+            spark.createDataFrame(rows, _SCHEMA), b, store, _COLS
+        )
+    snapshot_compact(
+        spark, f"{store}/values", target_files=2, cluster_by=["col"]
+    )
+    # redelivery of batch 1 after compaction: still a no-op
+    v = snapshot_versions(spark, f"{store}/values")[-1]
+    profile_ingest_batch(
+        spark.createDataFrame(B1, _SCHEMA), 1, store, _COLS
+    )
+    assert snapshot_versions(spark, f"{store}/values")[-1] == v
+    # and batch 2 folds correctly on the compacted state
+    got = profile_ingest_batch(
+        spark.createDataFrame(B2, _SCHEMA), 2, store, _COLS
+    )
+    assert _norm(got) == _norm(_batch_profile(spark, B0 + B1 + B2))
