@@ -221,3 +221,34 @@ def test_profile_monitor_survives_compaction(spark, tmp_path):
         spark.createDataFrame(B2, _SCHEMA), 2, store, _COLS
     )
     assert _norm(got) == _norm(_batch_profile(spark, B0 + B1 + B2))
+
+
+def test_multiplicity_delta_contract(spark):
+    """Unit contract of streaming/util.py::multiplicity_delta (the
+    machinery quality/profile now share): _old is the stored
+    multiplicity for touched keys, 0 for unseen keys; untouched stored
+    keys never appear; the bootstrap (pre=None) zeroes everything; the
+    merged rows are _old + _d."""
+    import pyspark.sql.functions as F
+
+    from ros_sql_spark.streaming.util import (
+        merged_multiplicities,
+        multiplicity_delta,
+    )
+
+    pre = spark.createDataFrame(
+        [("a", 2), ("b", 1), ("z", 9)], "k string, n bigint"
+    )
+    keyed = spark.createDataFrame(
+        [("a", 3), ("c", 1)], "k string, _d bigint"
+    )
+    j = {r["k"]: (r["_d"], r["_old"])
+         for r in multiplicity_delta(pre, keyed, ["k"]).collect()}
+    assert j == {"a": (3, 2), "c": (1, 0)}  # z untouched, absent
+    m = {r["k"]: r["n"]
+         for r in merged_multiplicities(
+             multiplicity_delta(pre, keyed, ["k"]), ["k"]).collect()}
+    assert m == {"a": 5, "c": 1}
+    b = {r["k"]: (r["_d"], r["_old"])
+         for r in multiplicity_delta(None, keyed, ["k"]).collect()}
+    assert b == {"a": (3, 0), "c": (1, 0)}
