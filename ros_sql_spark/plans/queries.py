@@ -5567,10 +5567,15 @@ def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation needs a round per hop; MEASURED on this
     exact graph (1,072 cores / 1,684 edges / 14 clusters): the
     propagation loop does NOT converge in its 50-hop budget while
-    star finishes — the engine choice is load-bearing).  The ~6 s
-    local cost is ~a dozen star rounds of per-job driver overhead on
-    a FIXED 1,500-point cohort — constant at every sf, not a scale
-    term.  Border points
+    star finishes — the engine choice is load-bearing).  The local
+    cost is the star loop's per-materialization driver overhead on a
+    FIXED 1,500-point cohort — constant at every sf, not a scale term;
+    round 14 cut it ~2× (6.07 s → ~3 s floor) by fusing two
+    double-rounds per checkpoint (lazy mid truncation) and picking
+    ``strategy="window"`` (one exchange per star; safe here because
+    the max component size is cohort-bounded ≤ 1,072 — see the
+    strategy contract in connected_components_star's docstring).
+    Border points
     attach to the MIN cluster label among their core neighbors
     (deterministic tie-break; plain DBSCAN leaves it
     arrival-order-dependent), noise is excluded.  Everything integer
@@ -5618,7 +5623,8 @@ def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "b_id")
     )
     comp = connected_components_star(
-        core_edges, nodes=core, src_col="p_id", dst_col="b_id"
+        core_edges, nodes=core, src_col="p_id", dst_col="b_id",
+        strategy="window",  # cohort-bounded groups — see docstrings
     )  # (id, component)
     core_out = comp.select(
         F.col("id").alias("c_custkey"),

@@ -976,6 +976,58 @@ def test_star_components_keep_self_loop_only_nodes(spark):
     assert (5, 5) in got
 
 
+def test_star_components_strategies_and_finisher_agree(spark):
+    """Round-14 contract: the four physical paths through
+    connected_components_star — small-graph union-find finisher
+    (default thresholds), forced star loop in both strategies
+    (join/window), and a MID-LOOP handoff (threshold between the
+    initial and contracted edge counts) — all produce identical
+    labels, equal to the propagation operator.  Random graph + a long
+    chain (star's specialty regime; propagation is the oracle only on
+    the random graph, whose diameter fits its hop budget)."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rows, x = [], 12345
+    for _ in range(800):
+        x = (x * 48271) % 2147483647
+        a = x % 300
+        x = (x * 48271) % 2147483647
+        rows.append((a, x % 300))
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    want = {
+        (r.id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    for kw in (
+        {},  # finisher path (800 canonical edges << default threshold)
+        {"small_graph_edges": 0, "strategy": "join"},
+        {"small_graph_edges": 0, "strategy": "window"},
+    ):
+        got = {
+            (r.id, r.component)
+            for r in connected_components_star(edges, **kw).collect()
+        }
+        assert got == want, kw
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], "id_a long, id_b long"
+    )
+    want_chain = {(i, 0) for i in range(601)}
+    for kw in (
+        {},  # immediate finisher
+        {"small_graph_edges": 300},  # handoff after star contraction
+        {"small_graph_edges": 0},  # full star loop to the fixed point
+    ):
+        got = {
+            (r.id, r.component)
+            for r in connected_components_star(chain, **kw).collect()
+        }
+        assert got == want_chain, kw
+
+
 def test_edit_distance_pairs_complete_vs_quadratic(spark):
     """Randomized completeness: the q-gram + length-band blocking must
     find EVERY pair within the threshold (the count-bound guarantee
