@@ -81,7 +81,7 @@ def main() -> None:
     # (measured this round, min-of-5 at sf0.1 on a quiescent host), so
     # the artifact itself carries band_normalized_total =
     # total * (canary_floor / canary) — a self-correcting headline.
-    CANARY_FLOOR = 0.0561  # q01_scan_project, min-of-5, sf0.1, quiet host
+    CANARY_FLOOR = 0.14  # q01_scan_project, min-of-8, sf0.1, quiet host (r14)
 
     def time_canary() -> float:
         best = float("inf")

@@ -3330,6 +3330,38 @@ ORACLES: dict[str, str] = {
                CAST(5 AS BIGINT) AS n_codecs_verified
         FROM x GROUP BY doc_id ORDER BY doc_id
     """,
+    # Grid kNN join: the oracle is deliberately the NAIVE all-pairs
+    # row_number top-k — a hash match proves the Spark side's
+    # expanding-ring cell search COMPLETE (no true neighbor escapes
+    # the rings a probe settled at).  Pure integers; the (d2, b_id)
+    # order makes the top-k ties deterministic on both engines.
+    "qx72_spatial_knn_join": """
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS b_id,
+                   CAST((c_custkey * 48271 + 11) % 10000 AS BIGINT) AS bx,
+                   CAST((c_custkey * 69621 + 7) % 10000 AS BIGINT) AS by
+            FROM customer
+        ), s AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS p_id,
+                   CAST((s_suppkey * 16807 + 3) % 10000 AS BIGINT) AS px,
+                   CAST((s_suppkey * 39709 + 19) % 10000 AS BIGINT) AS py
+            FROM supplier
+        ), d AS (
+            SELECT p_id, b_id,
+                   (px - bx) * (px - bx) + (py - by) * (py - by) AS d2
+            FROM s, c
+        ), r AS (
+            SELECT p_id, b_id, d2,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY d2, b_id) AS rk
+            FROM d
+        )
+        SELECT p_id AS s_suppkey,
+               CAST(rk AS BIGINT) AS rank,
+               b_id AS c_custkey,
+               CAST(d2 AS BIGINT) AS d2
+        FROM r WHERE rk <= 5 ORDER BY s_suppkey, rank
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5570,12 +5570,13 @@ def qx70_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     star finishes — the engine choice is load-bearing).  The local
     cost is the star loop's per-materialization driver overhead on a
     FIXED 1,500-point cohort — constant at every sf, not a scale term;
-    round 14 cut it ~2× (6.07 s → ~3 s floor) by fusing two
-    double-rounds per checkpoint (lazy mid truncation) and picking
-    ``strategy="window"`` (one exchange per star; safe here because
-    the max component size is cohort-bounded ≤ 1,072 — see the
-    strategy contract in connected_components_star's docstring).
-    Border points
+    round 14 cut it 3.4× (6.07 → 1.78 s floor): the 1,684-edge ε-graph
+    is below the operator's small-graph threshold, so the whole star
+    loop collapses to ONE union-find task (the loop itself also gained
+    fused rounds; ``strategy="window"`` is passed for the loop path —
+    safe here because the max component size is cohort-bounded ≤ 1,072
+    — see the strategy contract in connected_components_star's
+    docstring).  Border points
     attach to the MIN cluster label among their core neighbors
     (deterministic tie-break; plain DBSCAN leaves it
     arrival-order-dependent), noise is excluded.  Everything integer
@@ -5679,6 +5680,49 @@ def qx71_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return image_roundtrip_stats(docs, "doc_id").orderBy("doc_id")
+
+
+def qx72_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID kNN JOIN (round-14 — the second spatial family member per
+    the r13 verdict): each supplier's 5 nearest customers by exact
+    squared Euclidean distance on the qx68 closed-form integer
+    coordinate grid, ties broken (d2, custkey) — one row per
+    (supplier, rank).
+
+    The Spark plan is operators/spatial.py::grid_knn_join — an
+    EXPANDING-RING cell search: ring 1 is the 3×3 neighborhood, ring R
+    adds only the 8R-cell Chebyshev shell, and a probe settles once
+    its k-th candidate distance is ≤ R·cell (the bounded-miss argument
+    makes the result EXACT — see the operator docstring for the proof
+    and the no-duplicate-pairs shell-disjointness argument).  The
+    DuckDB oracle is the NAIVE all-pairs row_number top-k, so a hash
+    match proves the ring search complete — the qx68 completeness
+    discipline.  No CartesianProduct in the Spark plan (suite guard).
+
+    Exactness: integer coords, integer d², deterministic (d2, b_id)
+    ordering; rank cast to BIGINT on both sides (driver hash is
+    dtype-sensitive).  Cell size 300 ≈ the sf0.1 density sweet spot
+    (most probes settle at ring 1–2; sparse sf0.01 widens to ~2–3
+    rings — the stragglers-only ring cost is the point)."""
+    from ros_sql_spark.operators.spatial import grid_knn_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("b_id"),
+        ((F.col("c_custkey") * 48271 + 11) % 10000).cast("bigint").alias("bx"),
+        ((F.col("c_custkey") * 69621 + 7) % 10000).cast("bigint").alias("by"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("p_id"),
+        ((F.col("s_suppkey") * 16807 + 3) % 10000).cast("bigint").alias("px"),
+        ((F.col("s_suppkey") * 39709 + 19) % 10000).cast("bigint").alias("py"),
+    )
+    knn = grid_knn_join(supp, cust, k=5, cell=300)
+    return knn.select(
+        F.col("p_id").alias("s_suppkey"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("b_id").alias("c_custkey"),
+        F.col("d2").cast("bigint").alias("d2"),
+    ).orderBy("s_suppkey", "rank")
 
 
 QUERIES = {
@@ -5858,4 +5902,5 @@ QUERIES = {
     "qx69_kaplan_meier": qx69_kaplan_meier,
     "qx70_dbscan": qx70_dbscan,
     "qx71_image_stats": qx71_image_stats,
+    "qx72_spatial_knn_join": qx72_spatial_knn_join,
 }

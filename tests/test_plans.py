@@ -920,6 +920,13 @@ def test_qx45_qx46_qx47_round11_shapes(spark):
 # over the month calendar (~|months| rows) — documented exception.
 _GLOBAL_SORT_ALLOW = {"qx36_revenue_growth"}
 
+# Benign SinglePartition parents besides the keyless-agg combine: the
+# star-components small-graph finisher (round-14) repartition(1)s into
+# its union-find MapInPandas ONLY when the Observation-carried edge
+# count is ≤ small_graph_edges (200k default) — COUNT-GATED, never
+# data-sized; at 100 TB a big graph keeps looping star rounds instead.
+_BOUNDED_SINGLE_TASK = re.compile(r"MapInPandas _uf\(")
+
 # Parent node a SinglePartition exchange may feed outside the allowlist:
 # a KEYLESS aggregate combine — its input is one partial-agg row per
 # upstream partition (constant per partition), never the data itself.
@@ -950,6 +957,8 @@ def test_suite_wide_single_partition_allowlist(spark):
             parent = lines[i - 1] if i else ""
             if _SCALAR_COMBINE.search(parent):
                 continue  # benign: constant rows per partition
+            if _BOUNDED_SINGLE_TASK.search(parent):
+                continue  # benign: count-gated single-task finisher
             if name in _GLOBAL_SORT_ALLOW:
                 continue
             bad.append(

@@ -49,3 +49,85 @@ def test_grid_radius_join_rejects_nonpositive_radius(spark):
     db = spark.createDataFrame([(1, 0, 0)], "b_id int, bx int, by int")
     with pytest.raises(ValueError, match="radius"):
         grid_radius_join(df, db, 0)
+
+
+def _naive_knn(a, b, k):
+    out = set()
+    for i, (px, py) in enumerate(a):
+        cands = sorted(
+            ((px - bx) ** 2 + (py - by) ** 2, j) for j, (bx, by) in
+            enumerate(b)
+        )
+        for rank, (d2, j) in enumerate(cands[:k], 1):
+            out.add((i, rank, j, d2))
+    return out
+
+
+@given(a=pts, b=pts, k=st.integers(1, 6), g=st.integers(1, 30))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grid_knn_join_equals_bruteforce(spark, a, b, k, g):
+    """Round-14: the expanding-ring search must equal brute-force
+    top-k under arbitrary geometry/cell-size combinations — k larger
+    than the base, ties at equal d2 (broken by b_id), probes whose
+    ring-1 neighborhood is empty, single-cell domains."""
+    from ros_sql_spark.operators.spatial import grid_knn_join
+
+    probe = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(a)],
+        "p_id int, px int, py int",
+    )
+    base = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(b)],
+        "b_id int, bx int, by int",
+    )
+    got = {
+        (row["p_id"], row["rank"], row["b_id"], row["d2"])
+        for row in grid_knn_join(probe, base, k, g).collect()
+    }
+    assert got == _naive_knn(a, b, k)
+
+
+def test_grid_knn_join_multi_ring_sparse(spark):
+    """Deterministic multi-ring regime (not left to hypothesis):
+    far-apart sparse points force rings ≥ 2 for every probe, and the
+    result must still be the exact brute-force top-k."""
+    from ros_sql_spark.operators.spatial import grid_knn_join
+
+    import random
+
+    rng = random.Random(77)
+    a = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(20)]
+    b = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(30)]
+    probe = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(a)],
+        "p_id int, px int, py int",
+    )
+    base = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(b)],
+        "b_id int, bx int, by int",
+    )
+    got = {
+        (row["p_id"], row["rank"], row["b_id"], row["d2"])
+        for row in grid_knn_join(probe, base, 5, 200).collect()
+    }
+    assert got == _naive_knn(a, b, 5)
+
+
+def test_grid_knn_join_guards(spark):
+    from ros_sql_spark.operators.spatial import grid_knn_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "p_id int, px int, py int")
+    db = spark.createDataFrame([(1, 0, 0)], "b_id int, bx int, by int")
+    with pytest.raises(ValueError, match="cell"):
+        grid_knn_join(df, db, 3, 0)
+    with pytest.raises(ValueError, match="k"):
+        grid_knn_join(df, db, 0, 10)
+    far = spark.createDataFrame(
+        [(1, 0, 0), (2, 10_000_000, 0)], "b_id int, bx int, by int"
+    )
+    with pytest.raises(ValueError, match="max_rings"):
+        grid_knn_join(df, far, 1, 10)

@@ -710,6 +710,10 @@ def main() -> int:
             # parallel; the probe asserts the plan stays shuffle-free
             # and the slope linear in docs)
             "qx67_video_stats",
+            # round-14: expanding-ring grid kNN — denser data settles
+            # MORE probes at ring 1, so the slope should be sublinear
+            # in copies; the plan check catches any cartesian fallback
+            "qx72_spatial_knn_join",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
