@@ -59,7 +59,8 @@ SinglePartition-allowlist precedent applied to docs.
   open: bmp-non-24bit ppm-maxval png-color-type jpeg-arithmetic-sof
   jpeg-precision jpeg-components jpeg-sampling
   tiff-depth tiff-photometric tiff-spp tiff-compression tiff-predictor
-  tiff-predictor-subbyte wav-format-tag wav-depth
+  tiff-predictor-subbyte tiff-fillorder tiff-g4-extension
+  wav-format-tag wav-depth
   y4m-colorspace unknown-image-magic
 """
 
@@ -122,7 +123,11 @@ GATES = {
     "tiff-photometric": "TIFF photometric interpretations beyond 0-3",
     "tiff-spp": "TIFF samples-per-pixel other than 1/3",
     "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
-                        "PackBits (CCITT fax, JPEG-in-TIFF)",
+                        "PackBits/CCITT-G4 (G3 1-D/2-D MH/MR, "
+                        "JPEG-in-TIFF)",
+    "tiff-fillorder": "TIFF FillOrder 2 (LSB-first bit packing)",
+    "tiff-g4-extension": "CCITT G4 extension codes (T.6 uncompressed "
+                         "mode)",
     "tiff-predictor": "TIFF predictors other than 1/2",
     "wav-format-tag": "WAVE non-integer-PCM format tags "
                       "(IEEE float, A-law, µ-law, extensible)",
@@ -151,6 +156,7 @@ CLOSED = (
     "tiff-planar2-tiled",      # round-13 (per-plane tile sequences)
     "tiff-16bit",              # round-13 (high-byte output, both orders)
     "tiff-subbyte",            # round-13 (1/4-bit gray, MSB-first rows)
+    "tiff-g4",                 # round-14 (CCITT Group 4 / T.6 MMR)
 )
 
 
@@ -2301,8 +2307,9 @@ def _decode_noninterleaved(
 # 2 (per-plane strip sequences), compression none (1) / LZW (5, with
 # the TIFF early-change variant and horizontal-differencing
 # predictor 2 at 8/16 bits) / Deflate (8 and legacy 32946 — zlib
-# segments) / PackBits (32773) — all round-13 axes round-trip-tested.
-# The exotic compressions (CCITT fax, JPEG-in-TIFF), depths outside
+# segments) / PackBits (32773) / CCITT Group 4 (4 — T.6 MMR bilevel,
+# round-14) — all axes round-trip-tested.
+# The remaining exotic compressions (CCITT G3, JPEG-in-TIFF), depths outside
 # 1/4/8/16 and the residual combos raise NotImplementedError naming
 # the feature (the authoritative list is the GATES registry at the
 # top); structural corruption raises ValueError.
@@ -2475,6 +2482,304 @@ def _packbits_encode(data: bytes) -> bytes:
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
+
+# ----------------------------------------------------- TIFF CCITT G4
+# ITU-T T.6 (Group 4 / MMR) bilevel coding, round-14: the verdict
+# ranked CCITT Group 4 fax the likeliest remaining real-world TIFF
+# gate (scanned-document corpora).  Pure-Python per-RUN (not per-pixel)
+# 2-D coding against the reference line, with the public T.4 modified
+# Huffman run-length tables (terminating 0-63, makeup 64-1728 per
+# color, extended makeup 1792-2560 shared).  Table integrity is pinned
+# three ways in tests/test_codecs.py: a prefix-freeness sweep over
+# every (mode ∪ runs) code set, hand-assembled spec vectors (an
+# all-white row IS the single bit V0=1; an all-black 8-px row IS
+# 001+white0+black8), and encoder↔decoder round-trips across strip /
+# tile / byte-order / ragged-width matrices.  Sample semantics: a
+# WHITE run decodes to sample value 0 (the fax convention —
+# photometric 0 renders it white via the standard inversion);
+# extension codes (uncompressed mode) are a named gate.
+
+_T4_WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011",
+    14: "110100", 15: "110101", 16: "101010", 17: "101011",
+    18: "0100111", 19: "0001100", 20: "0001000", 21: "0010111",
+    22: "0000011", 23: "0000100", 24: "0101000", 25: "0101011",
+    26: "0010011", 27: "0100100", 28: "0011000", 29: "00000010",
+    30: "00000011", 31: "00011010", 32: "00011011", 33: "00010010",
+    34: "00010011", 35: "00010100", 36: "00010101", 37: "00010110",
+    38: "00010111", 39: "00101000", 40: "00101001", 41: "00101010",
+    42: "00101011", 43: "00101100", 44: "00101101", 45: "00000100",
+    46: "00000101", 47: "00001010", 48: "00001011", 49: "01010010",
+    50: "01010011", 51: "01010100", 52: "01010101", 53: "00100100",
+    54: "00100101", 55: "01011000", 56: "01011001", 57: "01011010",
+    58: "01011011", 59: "01001010", 60: "01001011", 61: "00110010",
+    62: "00110011", 63: "00110100",
+}
+_T4_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100",
+    512: "01100101", 576: "01101000", 640: "01100111",
+    704: "011001100", 768: "011001101", 832: "011010010",
+    896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+_T4_BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+}
+_T4_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+_T4_EXT_MAKEUP = {  # shared by both colors (T.4 table 3)
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _t4_decode_map(color: int) -> dict[str, int]:
+    """bitstring → run length for one color (terminating + makeup +
+    extended makeup); built once, cached on the function."""
+    cache = getattr(_t4_decode_map, "_cache", None)
+    if cache is None:
+        cache = {}
+        for c, (term, mk) in enumerate(
+            ((_T4_WHITE_TERM, _T4_WHITE_MAKEUP),
+             (_T4_BLACK_TERM, _T4_BLACK_MAKEUP))
+        ):
+            m = {}
+            for run, code in term.items():
+                m[code] = run
+            for run, code in mk.items():
+                m[code] = run
+            for run, code in _T4_EXT_MAKEUP.items():
+                m[code] = run
+            cache[c] = m
+        _t4_decode_map._cache = cache
+    return cache[color]
+
+
+class _Bits:
+    """MSB-first bit cursor over bytes (TIFF FillOrder 1)."""
+
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def take(self) -> int:
+        if self.pos >= self.n:
+            raise ValueError("CCITT G4 stream exhausted mid-code")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+
+def _g4_read_run(bits: _Bits, color: int) -> int:
+    """One T.4 run length (zero or more makeups + one terminating)."""
+    table = _t4_decode_map(color)
+    total = 0
+    while True:
+        code = ""
+        val = None
+        for _ in range(14):  # longest T.4 code is 13 bits
+            code += "01"[bits.take()]
+            val = table.get(code)
+            if val is not None:
+                break
+        if val is None:
+            raise ValueError(f"CCITT G4 bad run code {code!r}")
+        total += val
+        if val < 64:  # terminating code ends the run
+            return total
+
+
+def _ccitt_g4_decode(data: bytes, width: int, nrows: int) -> bytearray:
+    """T.6 MMR bytes → packed 1-bit rows (MSB-first, rows padded to
+    bytes; bit 0 = white sample).  Decodes exactly ``nrows`` rows and
+    ignores trailing padding/EOFB.  Extension codes (0000001xxx —
+    uncompressed mode) raise NotImplementedError (registry slug
+    tiff-g4-extension)."""
+    bits = _Bits(data)
+    rowbytes = (width + 7) // 8
+    out = bytearray(rowbytes * nrows)
+    ref = [width, width]  # reference-line transitions (line 0: all white)
+    import bisect
+
+    for y in range(nrows):
+        curt: list[int] = []
+        a0 = -1
+        color = 0  # 0 = white, 1 = black
+        while a0 < width:
+            # b1: first reference transition > a0 flipping TO the color
+            # opposite the current one (even index = white→black)
+            i = bisect.bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else width
+            b2 = ref[i + 1] if i + 1 < len(ref) else width
+            # mode code: walk the prefix tree bit by bit
+            if bits.take():  # 1 → V0
+                a1 = b1
+                mode = "v"
+            elif bits.take():  # 01x
+                a1 = b1 + 1 if bits.take() else b1 - 1  # 011/010
+                mode = "v"
+            elif bits.take():  # 001 → horizontal
+                mode = "h"
+            elif bits.take():  # 0001 → pass
+                mode = "p"
+            elif bits.take():  # 00001x
+                a1 = b1 + 2 if bits.take() else b1 - 2
+                mode = "v"
+            elif bits.take():  # 000001x
+                a1 = b1 + 3 if bits.take() else b1 - 3
+                mode = "v"
+            elif bits.take():  # 0000001 → 2-D extensions
+                raise NotImplementedError(
+                    "CCITT G4 extension code (uncompressed mode)"
+                )
+            else:  # ≥ 7 zeros: EOL/EOFB — illegal mid-image
+                raise ValueError("CCITT G4 premature EOL/EOFB")
+            if mode == "p":
+                a0 = b2
+                continue
+            if mode == "h":
+                r1 = _g4_read_run(bits, color)
+                r2 = _g4_read_run(bits, 1 - color)
+                a1 = (a0 if a0 > 0 else 0) + r1
+                a2 = a1 + r2
+                if a2 > width or a1 > width:
+                    raise ValueError("CCITT G4 horizontal run overruns row")
+                curt.extend((a1, a2))
+                a0 = a2
+                continue
+            # vertical
+            if a1 < 0 or a1 > width:
+                raise ValueError("CCITT G4 vertical move out of row")
+            curt.append(a1)
+            a0 = a1
+            color ^= 1
+        if len(curt) & 1:
+            curt.append(width)
+        # render: black between even/odd transition pairs
+        row = np.zeros(width, np.uint8)
+        for k in range(0, len(curt), 2):
+            row[curt[k]: curt[k + 1]] = 1
+        out[y * rowbytes: (y + 1) * rowbytes] = np.packbits(row).tobytes()
+        ref = curt + [width, width]
+    return out
+
+
+def _ccitt_g4_encode(rows: np.ndarray) -> bytes:
+    """(H, W) 0/1 (1 = black sample) → T.6 MMR bytes + EOFB.
+    Mode choice per the spec: pass when b2 < a1, vertical when
+    |a1 − b1| ≤ 3, else horizontal."""
+    h, w = rows.shape
+    buf = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: str) -> None:
+        nonlocal acc, nacc
+        for ch in code:
+            acc = (acc << 1) | (ch == "1")
+            nacc += 1
+            if nacc == 8:
+                buf.append(acc)
+                acc = 0
+                nacc = 0
+
+    def emit_run(n: int, color: int) -> None:
+        term = _T4_BLACK_TERM if color else _T4_WHITE_TERM
+        mk = _T4_BLACK_MAKEUP if color else _T4_WHITE_MAKEUP
+        while n >= 64:
+            if n >= 1792:
+                v = min(2560, (n // 64) * 64)
+                emit(_T4_EXT_MAKEUP[v])
+            else:
+                v = (n // 64) * 64
+                emit(mk[v])
+            n -= v
+        emit(term[n])
+
+    import bisect
+
+    ref = [w, w]
+    for y in range(h):
+        r = rows[y]
+        ch = (np.flatnonzero(r[1:] != r[:-1]) + 1).tolist()
+        curt = ([0] + ch if r[0] else ch)
+        trans = curt + [w, w]
+        a0 = -1
+        color = 0
+        ti = 0  # next coding-line transition index > a0
+        while a0 < w:
+            while ti < len(trans) and trans[ti] <= a0:
+                ti += 1
+            a1 = trans[ti] if ti < len(trans) else w
+            i = bisect.bisect_right(ref, a0)
+            if (i & 1) != color:
+                i += 1
+            b1 = ref[i] if i < len(ref) else w
+            b2 = ref[i + 1] if i + 1 < len(ref) else w
+            if b2 < a1:
+                emit("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                emit({0: "1", 1: "011", -1: "010", 2: "000011",
+                      -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = trans[ti + 1] if ti + 1 < len(trans) else w
+                emit("001")
+                base = a0 if a0 > 0 else 0
+                emit_run(a1 - base, color)
+                emit_run(a2 - a1, 1 - color)
+                a0 = a2
+        ref = curt + [w, w]
+    emit("000000000001" * 2)  # EOFB
+    if nacc:
+        buf.append(acc << (8 - nacc))
+    return bytes(buf)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF bytes → (H, W, 3) uint8 RGB (grayscale
     replicated; WhiteIsZero inverted).  First IFD only (the multimodal
@@ -2555,9 +2860,20 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF with {spp} samples per pixel"
         )
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (none/LZW/Deflate/PackBits only)"
+            f"TIFF compression {comp} (none/CCITT-G4/LZW/Deflate/"
+            "PackBits only)"
+        )
+    if one(266, 1) != 1:
+        raise NotImplementedError(
+            "TIFF FillOrder 2 (LSB-first bit packing)"
+        )
+    if comp == 4 and (b0 != 1 or spp != 1 or pred != 1):
+        # T.6 is DEFINED over bilevel data only — not a gate, invalid
+        raise ValueError(
+            f"TIFF CCITT G4 with bits={b0}, spp={spp}, predictor="
+            f"{pred} is invalid (bilevel only)"
         )
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
@@ -2582,13 +2898,21 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             np.array(cm, np.uint16).reshape(3, 1 << b0).T >> 8
         ).astype(np.uint8)
 
-    def seg(so: int, sc: int, expect: int, what: str) -> bytearray:
+    def seg(
+        so: int, sc: int, expect: int, what: str,
+        dims: tuple[int, int] | None = None,
+    ) -> bytearray:
         """Decompress one strip/tile segment to exactly ``expect``
         bytes (shared by both organizations — compression applies per
-        segment identically, TIFF 6.0 §15.1)."""
+        segment identically, TIFF 6.0 §15.1).  ``dims`` = (nrows,
+        width) of the segment, needed only by CCITT G4 (2-D coding
+        restarts with an all-white reference line per segment)."""
         if so + sc > len(payload):
             raise ValueError(f"TIFF {what} out of bounds")
         chunk = payload[so : so + sc]
+        if comp == 4:
+            assert dims is not None
+            return _ccitt_g4_decode(bytes(chunk), dims[1], dims[0])
         if comp == 1:
             if len(chunk) < expect:
                 raise ValueError(f"TIFF uncompressed {what} short")
@@ -2669,7 +2993,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             pi, cell = divmod(ti, ntx * nty)
             ty, tx = divmod(cell, ntx)
             t = samples(
-                bytes(seg(so, sc, expect, f"tile {ti}")), tl, tw, nch
+                bytes(seg(so, sc, expect, f"tile {ti}", dims=(tl, tw))),
+                tl, tw, nch,
             )
             y0, x0 = ty * tl, tx * tw
             tgt = a[y0 : y0 + tl, x0 : x0 + tw]
@@ -2705,7 +3030,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                     rows.append(
                         samples(
                             bytes(seg(so, sc, nrows * rb(w, 1),
-                                      f"strip {p}/{si}")),
+                                      f"strip {p}/{si}",
+                                      dims=(nrows, w))),
                             nrows, w, 1,
                         )
                     )
@@ -2720,7 +3046,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 blocks.append(
                     samples(
                         bytes(seg(so, sc, nrows * rb(w, spp),
-                                  f"strip {si}")),
+                                  f"strip {si}", dims=(nrows, w))),
                         nrows, w, spp,
                     )
                 )
@@ -2769,7 +3095,7 @@ def encode_tiff(
     ramp); ``planar=True`` writes PlanarConfiguration 2 (per-plane
     strip sequences, or per-plane tile sequences with
     ``tile_size``; RGB only)."""
-    if compression not in ("none", "lzw", "packbits", "deflate"):
+    if compression not in ("none", "lzw", "packbits", "deflate", "g4"):
         raise ValueError(f"compression {compression!r}")
     if bits not in (1, 4, 8, 16):
         raise ValueError(f"bits {bits}")
@@ -2780,6 +3106,8 @@ def encode_tiff(
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError(f"expected (H, W[, 1|3]), got {arr.shape}")
     h, w, spp = arr.shape
+    if compression == "g4" and (bits != 1 or predictor):
+        raise ValueError("g4 is bilevel (bits=1) and predictor-free")
     if bits in (1, 4):
         if spp != 1:
             raise ValueError(f"{bits}-bit is single-channel only")
@@ -2815,6 +3143,15 @@ def encode_tiff(
             expanded.reshape(rows, width * bits), axis=1
         ).tobytes()
 
+    def _block(block: np.ndarray) -> bytes:
+        """Serialize + compress one strip/tile block.  G4 codes the 2-D
+        0/1 sample block directly (1 = black under the photometric-0
+        header this encoder writes for it); everything else serializes
+        to row bytes first."""
+        if compression == "g4":
+            return _ccitt_g4_encode(block[:, :, 0].astype(np.uint8))
+        return _compress(_ser(block))
+
     def _compress(chunk: bytes) -> bytes:
         if compression == "lzw":
             return _tiff_lzw_encode(chunk)
@@ -2848,19 +3185,19 @@ def encode_tiff(
                     t = pl[y0 : y0 + tl, x0 : x0 + tw]
                     if predictor:
                         t = _diff(t)
-                    strips.append(_compress(_ser(t)))
+                    strips.append(_block(t))
     elif planar:
         for p in range(spp):
             plane = arr[:, :, p : p + 1]
             data = _diff(plane) if predictor else plane
             for r0 in range(0, h, rps):
-                strips.append(_compress(_ser(data[r0 : r0 + rps])))
+                strips.append(_block(data[r0 : r0 + rps]))
     else:
         data = _diff(arr) if predictor else arr
         for r0 in range(0, h, rps):
-            strips.append(_compress(_ser(data[r0 : r0 + rps])))
+            strips.append(_block(data[r0 : r0 + rps]))
     comp_code = {
-        "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
+        "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8, "g4": 4,
     }[compression]
 
     out = bytearray()
@@ -2892,6 +3229,8 @@ def encode_tiff(
             raise ValueError(f"palette shape {pal.shape}")
         # plane-major R..G..B.., 16-bit ramp (v*257: high byte = v)
         ent(320, 3, list((pal.T.reshape(-1) * 257).astype(int)))
+    elif compression == "g4":
+        ent(262, 3, [0])  # fax convention: 0 = white (WhiteIsZero)
     else:
         ent(262, 3, [1 if spp == 1 else 2])
     ent(277, 3, [spp])

@@ -1492,6 +1492,24 @@ def _gate_streams():
         "tiff-spp": (C.decode_tiff, _tiff_tag_patch(tif, 277, 2)),
         "tiff-compression": (C.decode_tiff, _tiff_tag_patch(tif, 259, 7)),
         "tiff-predictor": (C.decode_tiff, _tiff_tag_patch(tifp, 317, 3)),
+        # FillOrder 2: no encoder writes tag 266, so repurpose the
+        # whole-image-strip encode's RowsPerStrip slot (decode defaults
+        # rps=h, so renaming 278 away is harmless)
+        "tiff-fillorder": (
+            C.decode_tiff,
+            _tiff_tag_patch(
+                _tiff_tag_rename(tif, 278, 266), 266, 2
+            ),
+        ),
+        # T.6 extension code: overwrite the strip's first bits with
+        # 0000001 (the 2-D-extensions escape) — strip data starts at
+        # byte 8 in encode_tiff's layout (header, then strips)
+        "tiff-g4-extension": (
+            C.decode_tiff,
+            (lambda raw: raw[:8] + b"\x03\xc0" + raw[10:])(
+                C.encode_tiff(np.zeros((1, 8), np.uint8), "g4", bits=1)
+            ),
+        ),
         "wav-format-tag": (C.decode_wav, _wav_patch(wav, 20, 3)),
         "wav-depth": (C.decode_wav, _wav_patch(wav, 34, 24)),
         "y4m-colorspace": (
@@ -1562,6 +1580,10 @@ def _closed_streams():
         "tiff-subbyte": (
             C.decode_tiff,
             C.encode_tiff((gray > 127).astype(np.uint8), bits=1),
+        ),
+        "tiff-g4": (
+            C.decode_tiff,
+            C.encode_tiff((gray > 127).astype(np.uint8), "g4", bits=1),
         ),
     }
 
@@ -1803,3 +1825,121 @@ def test_tiff_planar_tiled_roundtrip():
                     tile_size=(32, 16))
     )
     assert np.array_equal(got, (x16 >> 8).astype(np.uint8))
+
+
+def test_t4_code_tables_prefix_free():
+    """Round-14 table-integrity pin: within each decoding context the
+    applicable T.4/T.6 code set must be PREFIX-FREE — a memorized-table
+    typo that collides two codes (the failure mode round-trips cannot
+    catch alone) fails here.  Contexts: white runs, black runs (each =
+    terminating + makeup + shared extended makeup), and the G4 mode
+    alphabet.  Also pins the spec's structural counts and code-length
+    bounds (terminating ≤ 13 bits, 64 codes per color)."""
+    from ros_sql_spark.operators import codecs as C
+
+    def assert_prefix_free(codes, what):
+        seen = sorted(codes)
+        for a, b in zip(seen, seen[1:]):
+            assert not b.startswith(a), (what, a, b)
+        assert len(set(seen)) == len(seen), what
+
+    white = {**C._T4_WHITE_TERM, **C._T4_WHITE_MAKEUP, **C._T4_EXT_MAKEUP}
+    black = {**C._T4_BLACK_TERM, **C._T4_BLACK_MAKEUP, **C._T4_EXT_MAKEUP}
+    assert len(C._T4_WHITE_TERM) == 64 and len(C._T4_BLACK_TERM) == 64
+    assert len(C._T4_WHITE_MAKEUP) == 27 and len(C._T4_BLACK_MAKEUP) == 27
+    assert len(C._T4_EXT_MAKEUP) == 13
+    assert len(white) == len(C._T4_WHITE_TERM) + len(C._T4_WHITE_MAKEUP) \
+        + len(C._T4_EXT_MAKEUP), "value collision across white tables"
+    assert_prefix_free(white.values(), "white")
+    assert_prefix_free(black.values(), "black")
+    assert all(len(c) <= 13 for c in white.values())
+    assert all(len(c) <= 13 for c in black.values())
+    modes = ["1", "011", "010", "001", "0001", "000011", "000010",
+             "0000011", "0000010", "0000001"]
+    assert_prefix_free(modes, "modes")
+    # run values are the spec grid: terms 0-63, makeups 64k to 1728,
+    # extended 1792..2560 step 64
+    assert sorted(C._T4_WHITE_TERM) == list(range(64))
+    assert sorted(C._T4_BLACK_TERM) == list(range(64))
+    assert sorted(C._T4_WHITE_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(C._T4_BLACK_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(C._T4_EXT_MAKEUP) == [1792 + 64 * i for i in range(13)]
+
+
+def test_ccitt_g4_hand_vectors():
+    """Spec-assembled streams (decoder side, no encoder involved — the
+    round-trip blind spot): an all-white row is the single V0 bit; an
+    all-black 8-px row is horizontal + white-run-0 (00110101) +
+    black-run-8 (000101); and the encoder reproduces both bit-exactly
+    (plus the trailing EOFB 2×000000000001)."""
+    from ros_sql_spark.operators import codecs as C
+
+    assert C._ccitt_g4_decode(bytes([0b10000000]), 8, 1) == bytearray([0])
+    assert C._ccitt_g4_decode(bytes([0x26, 0xA2, 0x80]), 8, 1) == (
+        bytearray([0xFF])
+    )
+    assert C._ccitt_g4_encode(np.zeros((1, 8), np.uint8)).hex() == (
+        "80080080"  # V0 + EOFB
+    )
+    assert C._ccitt_g4_encode(np.ones((1, 8), np.uint8)).hex() == (
+        "26a280080080"  # H + W0 + B8 + EOFB
+    )
+    # a run long enough to need extended + ordinary makeup + terminal:
+    # 2560 + 1728 + 63 = 4351 white px in one row
+    row = np.zeros((1, 4351), np.uint8)
+    raw = C._ccitt_g4_encode(row)
+    assert C._ccitt_g4_decode(raw, 4351, 1) == bytearray(
+        (4351 + 7) // 8
+    )
+
+
+def test_tiff_g4_roundtrip_matrix():
+    """Round-14: CCITT Group 4 — strip sizes (incl. ragged multi-strip,
+    where the 2-D reference line must reset per strip) × byte order ×
+    tile organization × non-byte-aligned widths, over bilevel patterns
+    chosen to drive every coding mode (pass: checkerboard-ish blocks;
+    vertical: diagonals; horizontal: sparse dots and long runs).
+    Display semantics: G4 writes photometric 0, so sample 0 (white run)
+    renders 255."""
+    from ros_sql_spark.operators.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(14)
+    cases = {
+        "random": rng.integers(0, 2, (23, 35)).astype(np.uint8),
+        "all_white": np.zeros((5, 40), np.uint8),
+        "all_black": np.ones((5, 40), np.uint8),
+        "vstripes": np.tile(np.arange(41) % 2, (6, 1)).astype(np.uint8),
+        "diag": (np.add.outer(np.arange(13), np.arange(29)) % 2
+                 ).astype(np.uint8),
+        "dots": (rng.random((17, 50)) < 0.05).astype(np.uint8),
+        "blocks": np.kron(
+            rng.integers(0, 2, (5, 7)), np.ones((4, 5))
+        ).astype(np.uint8),
+    }
+    for name, img in cases.items():
+        want = np.repeat(
+            (255 * (1 - img)).astype(np.uint8)[..., None], 3, axis=2
+        )
+        for kw in (
+            {},
+            {"rows_per_strip": 3},
+            {"rows_per_strip": 1},
+            {"big_endian": True},
+            {"tile_size": (16, 16)},
+            {"tile_size": (16, 32), "big_endian": True},
+        ):
+            got = decode_tiff(encode_tiff(img, "g4", bits=1, **kw))
+            assert np.array_equal(got, want), (name, kw)
+
+
+def test_tiff_g4_guards():
+    """G4 over non-bilevel data is INVALID per T.6 (ValueError, not a
+    gate), on both encode and decode sides."""
+    from ros_sql_spark.operators import codecs as C
+
+    img = np.zeros((4, 4), np.uint8)
+    with pytest.raises(ValueError, match="bilevel"):
+        C.encode_tiff(img, "g4", bits=8)
+    raw = C.encode_tiff(img, "g4", bits=1)
+    with pytest.raises(ValueError, match="bilevel"):
+        C.decode_tiff(_tiff_tag_patch(raw, 258, 8))
