@@ -40,11 +40,34 @@ asserts exactly that against a from-scratch countDistinct at every
 batch boundary.  NULLs are not values (countDistinct semantics): they
 count into n_null, never into the state table.
 
+Numeric precision contract (round-13 ADVICE, documented bound):
+running min/max aggregate AS DOUBLE, so integer/decimal values with
+magnitude > 2^53 round in the running profile exactly as they would in
+qx52's double-typed report columns — the report shape this module
+twins.  Callers needing exact extrema beyond 2^53 should profile such
+columns through a dedicated exact pipeline, not this report.
+
+QUANTILES (round-14, directive #6): pass ``quantile_key`` (a
+row-unique, non-null id column) and every numeric column additionally
+maintains a deterministic bottom-k value sample
+(operators/sketch.py::quantile_sketch — md5-prefix rank over the key,
+ties (h, v)-ordered).  Bottom-k MERGES exactly (bottom-k of a union ==
+bottom-k of concatenated bottom-k's), so the running sample equals a
+from-scratch batch sketch over everything ingested at every batch
+boundary — asserted in tests — and it rides the SAME manifest meta as
+the counters (≤ k (h, v) pairs per column, one atomic commit, O(1)
+read; no second state table, no crash seam).
+:func:`profile_quantiles_read` interpolates estimates from the sample
+with bit-identical arithmetic to Spark's ``percentile()`` (the
+operators/percentile.py formula).
+
 Reference parity: strawlab/ros_sql has no profiling tooling; this is
 the engine-extension surface (SURVEY qx52 family) made continuous.
 """
 
 from __future__ import annotations
+
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -59,10 +82,27 @@ from ros_sql_spark.streaming.util import (
 __all__ = [
     "profile_ingest_batch",
     "profile_report_read",
+    "profile_quantiles_read",
     "profile_ingest_stream",
 ]
 
 _T_VALUES = "values"
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_idents(names) -> None:
+    """Round-13 ADVICE: column names are interpolated into selectExpr
+    (stack literals + backtick quoting) — a name containing a quote or
+    backtick would break the parse or silently mislabel the state key,
+    corrupting the distinct-count state.  Fail fast with a named error
+    instead; plain identifiers are all the profiled tables use."""
+    for c in names:
+        if not _IDENT.match(c):
+            raise ValueError(
+                f"profiler column name {c!r} is not a plain identifier "
+                "([A-Za-z_][A-Za-z0-9_]*) — rename/alias it upstream"
+            )
 
 
 def profile_ingest_batch(
@@ -70,15 +110,23 @@ def profile_ingest_batch(
     batch_id: int,
     store: str,
     columns: dict[str, bool],
+    quantile_key: str | None = None,
+    quantile_k: int = 128,
 ) -> dict:
     """Fold one micro-batch into the profile state at ``store``.
 
     ``columns``: {column name → is_numeric} (numeric columns carry
     running min/max; the qx52 convention — string min/max is
-    cross-engine parity quicksand and intentionally absent).  Returns
-    the running profile as {column: {n_null, n_distinct, min, max}}
-    plus ``_n_rows``.  Idempotent under redelivery."""
+    cross-engine parity quicksand and intentionally absent; min/max
+    are double-typed — see the module precision contract).
+    ``quantile_key``: optional row-unique non-null id column enabling
+    the per-numeric-column bottom-k value sample (module docstring).
+    Returns the running profile as {column: {n_null, n_distinct, min,
+    max[, qsample]}} plus ``_n_rows``.  Idempotent under redelivery."""
     spark = batch_df.sparkSession
+    _check_idents(
+        list(columns) + ([quantile_key] if quantile_key else [])
+    )
     table = f"{store}/{_T_VALUES}"
     pre, done = _pre_state(spark, table, batch_id)
     if done:
@@ -157,6 +205,46 @@ def profile_ingest_batch(
         p = prof.setdefault(c, {})
         p["n_distinct"] = int(p.get("n_distinct", 0)) + fresh.get(c, 0)
 
+    # --- quantile sample (round-14): bottom-k (h, v) per numeric
+    # column over THIS batch (distributed, salted two-phase), merged
+    # driver-side with the ≤ k stored pairs — bottom-k of a union ==
+    # bottom-k of concatenated bottom-k's, so the running sample
+    # equals the from-scratch sketch exactly.  Rows enter once
+    # (append stream + row-unique key; a redelivered batch no-ops at
+    # the watermark above), so concatenation never duplicates a row.
+    if quantile_key is not None:
+        nums = [c for c, numeric in columns.items() if numeric]
+        prev_k = prev.get("_quantile_k")
+        if prev_k is not None and int(prev_k) != quantile_k:
+            raise ValueError(
+                f"quantile_k={quantile_k} differs from the store's "
+                f"{prev_k} — the sample is only mergeable at one k"
+            )
+        prof["_quantile_k"] = quantile_k
+        if nums:
+            from ros_sql_spark.operators.sketch import quantile_sketch
+
+            stack_q = ", ".join(
+                f"'{c}', CAST(`{c}` AS DOUBLE)" for c in nums
+            )
+            melted = batch_df.filter(
+                F.col(quantile_key).isNotNull()
+            ).selectExpr(
+                f"`{quantile_key}` AS _qk",
+                f"stack({len(nums)}, {stack_q}) AS (col, qv)",
+            )
+            sk = quantile_sketch(
+                melted, "col", "qv", "_qk", k=quantile_k
+            ).collect()  # bounded: ≤ |numeric cols| × k rows
+            by_col: dict[str, list] = {c: [] for c in nums}
+            for r in sk:
+                by_col[r["col"]].append((int(r["h"]), float(r["v"])))
+            for c in nums:
+                p = prof.setdefault(c, {})
+                old_s = [tuple(x) for x in p.get("qsample", [])]
+                merged = sorted(old_s + by_col[c])[:quantile_k]
+                p["qsample"] = [[h, v] for h, v in merged]
+
     new_rows = merged_multiplicities(joined, ["col", "v"])
     prof["_n_rows"] = n_rows
     # ONE atomic commit: merged multiplicities + running profile
@@ -187,6 +275,7 @@ def profile_report_read(spark: SparkSession, store: str) -> DataFrame:
             round(p["max"], 6) if p.get("max") is not None else None,
         )
         for c, p in sorted(prof.items())
+        if not c.startswith("_")  # scalars ride the same dict
     ]
     return spark.createDataFrame(
         rows,
@@ -195,18 +284,74 @@ def profile_report_read(spark: SparkSession, store: str) -> DataFrame:
     )
 
 
+def profile_quantiles_read(
+    spark: SparkSession,
+    store: str,
+    ps: dict[str, float] | None = None,
+) -> DataFrame:
+    """Quantile estimates from the running bottom-k samples: one row
+    per sampled column — (column, n_sample, <one DOUBLE per ps
+    entry>).  Driver-side interpolation over the ≤ k stored values
+    with BIT-IDENTICAL arithmetic to Spark's ``percentile()`` /
+    operators/percentile.py: pos = p·(n−1), k = floor(pos), frac==0 →
+    lo, else (1−frac)·lo + frac·hi (NOT the algebraically-equal lerp —
+    last-ulp parity).  Estimates are exact whenever the column's whole
+    value multiset fit the sample; columns profiled without
+    ``quantile_key`` are absent.  O(1) manifest-meta read."""
+    import math
+
+    if ps is None:
+        ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    for name, p in ps.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"{name}: percentile {p} outside [0, 1]")
+    prof = dict(snapshot_meta(spark, f"{store}/{_T_VALUES}")["profile"])
+    rows = []
+    for c, p in sorted(prof.items()):
+        if c.startswith("_") or not isinstance(p, dict):
+            continue
+        sample = p.get("qsample")
+        if sample is None:
+            continue
+        vals = sorted(float(v) for _h, v in sample)
+        n = len(vals)
+        ests = []
+        for name, frac_p in ps.items():
+            if n == 0:
+                ests.append(None)
+                continue
+            pos = float(frac_p) * float(n - 1)
+            k = math.floor(pos)
+            frac = pos - float(k)
+            ests.append(
+                vals[k]
+                if frac == 0.0
+                else (1.0 - frac) * vals[k] + frac * vals[k + 1]
+            )
+        rows.append((c, n, *ests))
+    schema = "column string, n_sample bigint, " + ", ".join(
+        f"{name} double" for name in ps
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def profile_ingest_stream(
     src: DataFrame,
     store: str,
     checkpoint_path: str,
     columns: dict[str, bool],
     available_now: bool = True,
+    quantile_key: str | None = None,
+    quantile_k: int = 128,
 ):
     """Continuous profiling: every micro-batch folds into the state via
     :func:`profile_ingest_batch`.  Returns the StreamingQuery."""
 
     def body(df: DataFrame, batch_id: int) -> None:
-        profile_ingest_batch(df, batch_id, store, columns)
+        profile_ingest_batch(
+            df, batch_id, store, columns,
+            quantile_key=quantile_key, quantile_k=quantile_k,
+        )
 
     from ros_sql_spark.streaming.util import start_foreach_batch
 

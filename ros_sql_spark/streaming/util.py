@@ -35,7 +35,9 @@ def start_foreach_batch(
     return writer.start()
 
 
-def multiplicity_delta(pre, keyed, key_cols: list[str]):
+def multiplicity_delta(
+    pre, keyed, key_cols: list[str], broadcast_max_keys: int = 2_000_000
+):
     """Increment-probe join for KEYED-MULTIPLICITY state (round-13
     review: quality.py and profile.py carried line-for-line copies of
     this machinery, and a defensive-read fix had already been
@@ -49,15 +51,23 @@ def multiplicity_delta(pre, keyed, key_cols: list[str]):
     join (the CLAUDE.md incremental-probe discipline: the state table
     is corpus-sized, the increment is not; without the hint a
     stats-less lazy frame can draw a sort-merge plan that shuffles
-    the whole state every micro-batch).  Eagerly checkpointed: every
+    the whole state every micro-batch).  The hint presumes a BOUNDED
+    micro-batch; a backfill/bootstrap batch whose touched-key set
+    exceeds ``broadcast_max_keys`` (round-13 ADVICE: e.g. the
+    profiler touches every distinct (col, value) pair of the batch)
+    falls back to the un-hinted semi-join — slower per batch, but it
+    cannot blow the driver/broadcast memory limit the way a forced
+    multi-GB broadcast build would.  Eagerly checkpointed: every
     caller consumes it in at least two SEPARATE actions (delta
     statistics + the merge commit), the several-actions pin rule."""
     import pyspark.sql.functions as F
 
     if pre is not None:
-        old = pre.join(
-            F.broadcast(keyed.select(*key_cols)), key_cols, "left_semi"
-        )
+        touched = keyed.select(*key_cols)
+        if keyed.limit(broadcast_max_keys).count() >= broadcast_max_keys:
+            old = pre.join(touched, key_cols, "left_semi")
+        else:
+            old = pre.join(F.broadcast(touched), key_cols, "left_semi")
         joined = keyed.join(old, key_cols, "left").select(
             *key_cols,
             "_d",

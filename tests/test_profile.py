@@ -252,3 +252,171 @@ def test_multiplicity_delta_contract(spark):
     b = {r["k"]: (r["_d"], r["_old"])
          for r in multiplicity_delta(None, keyed, ["k"]).collect()}
     assert b == {"a": (3, 0), "c": (1, 0)}
+
+
+# ---------------------------------------------------------------- quantiles
+_QSCHEMA = "uid bigint, qty double, score bigint, flag string"
+_QCOLS = {"qty": True, "score": True, "flag": False}
+
+Q0 = [(i, float(i % 7) + 0.5, i * 3, "AB"[i % 2]) for i in range(10)]
+Q1 = [(100 + i, float(i) * 2.25, None if i == 3 else i - 4, "C")
+      for i in range(8)]
+Q2 = [(200 + i, None if i % 4 == 0 else -float(i), i * i, "A")
+      for i in range(12)]
+
+
+def _scratch_sketch(spark, rows, k):
+    """From-scratch reference: quantile_sketch over the UNION of every
+    ingested row, melted exactly like the monitor melts."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from ros_sql_spark.operators.sketch import quantile_sketch
+
+    df = spark.createDataFrame(rows, _QSCHEMA)
+    nums = [c for c, n in _QCOLS.items() if n]
+    stack = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in nums)
+    melted = df.selectExpr(
+        "uid AS _qk", f"stack({len(nums)}, {stack}) AS (col, qv)"
+    )
+    return quantile_sketch(melted, "col", "qv", "_qk", k=k)
+
+
+def _sample_of(sketch_df):
+    out: dict = {}
+    for r in sketch_df.collect():
+        out.setdefault(r["col"], []).append((int(r["h"]), float(r["v"])))
+    return {c: sorted(v) for c, v in out.items()}
+
+
+@pytest.mark.slow  # snapshot commits per batch (quality-twin class)
+def test_profile_quantile_sample_equals_scratch_at_every_boundary(
+    spark, tmp_path
+):
+    """Round-14 directive #6: the running bottom-k sample == the
+    from-scratch batch sketch over everything ingested, at EVERY batch
+    boundary (merge associativity made observable), and the
+    driver-side estimates == quantile_estimate over that sketch,
+    double-for-double.  k=8 < rows so real eviction happens; NULL
+    values excluded; the string column carries no sample."""
+    from ros_sql_spark.operators.sketch import quantile_estimate
+    from ros_sql_spark.streaming.profile import profile_quantiles_read
+
+    store = str(tmp_path / "p")
+    k = 8
+    seen = []
+    for b, rows in enumerate((Q0, Q1, Q2)):
+        seen += rows
+        got = profile_ingest_batch(
+            spark.createDataFrame(rows, _QSCHEMA), b, store, _QCOLS,
+            quantile_key="uid", quantile_k=k,
+        )
+        want = _sample_of(_scratch_sketch(spark, seen, k))
+        for c in ("qty", "score"):
+            assert [tuple(x) for x in got[c]["qsample"]] == want[c], (
+                b, c,
+            )
+        assert "qsample" not in got.get("flag", {})
+    ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75}
+    want_est = {
+        r["col"]: r
+        for r in quantile_estimate(
+            _scratch_sketch(spark, seen, k), "col", ps
+        ).collect()
+    }
+    rep = {
+        r["column"]: r
+        for r in profile_quantiles_read(spark, store, ps).collect()
+    }
+    assert set(rep) == {"qty", "score"}
+    for c in rep:
+        assert rep[c]["n_sample"] == want_est[c]["n_sample"]
+        for name in ps:
+            assert rep[c][name] == want_est[c][name], (c, name)
+
+
+def test_profile_quantile_crash_and_redelivery(spark, tmp_path, monkeypatch):
+    """The sample rides the SAME atomic commit as the counters: a crash
+    in the commit leaves the pre-batch sample; the replay lands the
+    exact un-crashed sample; a redelivered batch is a no-op on it."""
+    import ros_sql_spark.streaming.profile as pr
+
+    store = str(tmp_path / "p")
+    k = 8
+    profile_ingest_batch(
+        spark.createDataFrame(Q0, _QSCHEMA), 0, store, _QCOLS,
+        quantile_key="uid", quantile_k=k,
+    )
+    real = pr.snapshot_merge
+    state = {"crashed": False}
+
+    def crashing(*a, **kw):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pr, "snapshot_merge", crashing)
+    with pytest.raises(RuntimeError):
+        profile_ingest_batch(
+            spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS,
+            quantile_key="uid", quantile_k=k,
+        )
+    monkeypatch.setattr(pr, "snapshot_merge", real)
+    got = profile_ingest_batch(
+        spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS,
+        quantile_key="uid", quantile_k=k,
+    )
+    want = _sample_of(_scratch_sketch(spark, Q0 + Q1, k))
+    assert [tuple(x) for x in got["qty"]["qsample"]] == want["qty"]
+    # redelivery: no-op, sample unchanged
+    again = profile_ingest_batch(
+        spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS,
+        quantile_key="uid", quantile_k=k,
+    )
+    assert again["qty"]["qsample"] == got["qty"]["qsample"]
+    # a different k against existing state is a named error
+    with pytest.raises(ValueError, match="quantile_k"):
+        profile_ingest_batch(
+            spark.createDataFrame(Q2, _QSCHEMA), 2, store, _QCOLS,
+            quantile_key="uid", quantile_k=16,
+        )
+
+
+def test_profile_rejects_hostile_column_names(spark, tmp_path):
+    """Round-13 ADVICE: names are interpolated into selectExpr — a
+    backtick/quote would break the parse or silently corrupt the state
+    key.  Named error at entry instead."""
+    df = spark.createDataFrame([(1,)], "ok bigint")
+    for bad in ("a`b", "a'b", "a b", "1a", "a;drop"):
+        with pytest.raises(ValueError, match="identifier"):
+            profile_ingest_batch(
+                df, 0, str(tmp_path / "p"), {bad: True}
+            )
+    with pytest.raises(ValueError, match="identifier"):
+        profile_ingest_batch(
+            df, 0, str(tmp_path / "p"), {"ok": True},
+            quantile_key="u`id",
+        )
+
+
+def test_multiplicity_delta_large_batch_fallback(spark):
+    """Round-13 ADVICE: above broadcast_max_keys touched keys the probe
+    must fall back to the un-hinted semi-join (a bootstrap batch can
+    exceed the broadcast limit) — same results either way."""
+    from ros_sql_spark.streaming.util import multiplicity_delta
+
+    pre = spark.createDataFrame(
+        [("a", 2), ("b", 1), ("z", 9)], "k string, n bigint"
+    )
+    keyed = spark.createDataFrame(
+        [("a", 3), ("c", 1)], "k string, _d bigint"
+    )
+    want = {("a", 3, 2), ("c", 1, 0)}
+    for thresh in (1, 2):  # both below the 2-key batch → fallback path
+        got = {
+            (r["k"], r["_d"], r["_old"])
+            for r in multiplicity_delta(
+                pre, keyed, ["k"], broadcast_max_keys=thresh
+            ).collect()
+        }
+        assert got == want, thresh
