@@ -123,11 +123,11 @@ GATES = {
     "tiff-photometric": "TIFF photometric interpretations beyond 0-3",
     "tiff-spp": "TIFF samples-per-pixel other than 1/3",
     "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
-                        "PackBits/CCITT-G4 (G3 1-D/2-D MH/MR, "
-                        "JPEG-in-TIFF)",
+                        "PackBits/CCITT (MH/G3/G4): JPEG-in-TIFF "
+                        "(old 6 / new 7), JBIG, JPEG2000",
     "tiff-fillorder": "TIFF FillOrder 2 (LSB-first bit packing)",
-    "tiff-g4-extension": "CCITT G4 extension codes (T.6 uncompressed "
-                         "mode)",
+    "tiff-g4-extension": "CCITT 2-D extension codes (T.4/T.6 "
+                         "uncompressed mode)",
     "tiff-predictor": "TIFF predictors other than 1/2",
     "wav-format-tag": "WAVE non-integer-PCM format tags "
                       "(IEEE float, A-law, µ-law, extensible)",
@@ -157,6 +157,9 @@ CLOSED = (
     "tiff-16bit",              # round-13 (high-byte output, both orders)
     "tiff-subbyte",            # round-13 (1/4-bit gray, MSB-first rows)
     "tiff-g4",                 # round-14 (CCITT Group 4 / T.6 MMR)
+    "tiff-mh",                 # round-14 (compression 2: per-line MH)
+    "tiff-t4",                 # round-14 (compression 3, 1-D + EOLs)
+    "tiff-t4-2d",              # round-14 (compression 3, T4Options 2-D)
 )
 
 
@@ -2307,9 +2310,10 @@ def _decode_noninterleaved(
 # 2 (per-plane strip sequences), compression none (1) / LZW (5, with
 # the TIFF early-change variant and horizontal-differencing
 # predictor 2 at 8/16 bits) / Deflate (8 and legacy 32946 — zlib
-# segments) / PackBits (32773) / CCITT Group 4 (4 — T.6 MMR bilevel,
-# round-14) — all axes round-trip-tested.
-# The remaining exotic compressions (CCITT G3, JPEG-in-TIFF), depths outside
+# segments) / PackBits (32773) / the CCITT bilevel family (2 = per-line
+# modified Huffman, 3 = T.4/G3 with EOLs in 1-D and 2-D T4Options
+# modes, 4 = T.6/G4 MMR — round-14) — all axes round-trip-tested.
+# The remaining exotic compressions (JPEG-in-TIFF, JBIG), depths outside
 # 1/4/8/16 and the residual combos raise NotImplementedError naming
 # the feature (the authoritative list is the GATES registry at the
 # top); structural corruption raises ValueError.
@@ -2629,155 +2633,321 @@ def _g4_read_run(bits: _Bits, color: int) -> int:
             return total
 
 
-def _ccitt_g4_decode(data: bytes, width: int, nrows: int) -> bytearray:
-    """T.6 MMR bytes → packed 1-bit rows (MSB-first, rows padded to
-    bytes; bit 0 = white sample).  Decodes exactly ``nrows`` rows and
-    ignores trailing padding/EOFB.  Extension codes (0000001xxx —
-    uncompressed mode) raise NotImplementedError (registry slug
-    tiff-g4-extension)."""
-    bits = _Bits(data)
-    rowbytes = (width + 7) // 8
-    out = bytearray(rowbytes * nrows)
-    ref = [width, width]  # reference-line transitions (line 0: all white)
+def _ccitt_2d_line_decode(bits: _Bits, ref: list[int], width: int) -> list[int]:
+    """Decode ONE 2-D-coded line (shared by T.6/G4 and T.4/G3 2-D
+    lines — the mode alphabet and b1/b2 resolution are identical) →
+    the line's transition list (even index = white→black).  ``ref`` is
+    the reference line's transitions padded with two ``width``
+    sentinels.  Extension codes (0000001…, uncompressed mode) raise
+    NotImplementedError (registry slug tiff-g4-extension)."""
     import bisect
 
-    for y in range(nrows):
-        curt: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white, 1 = black
-        while a0 < width:
-            # b1: first reference transition > a0 flipping TO the color
-            # opposite the current one (even index = white→black)
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            # mode code: walk the prefix tree bit by bit
-            if bits.take():  # 1 → V0
-                a1 = b1
-                mode = "v"
-            elif bits.take():  # 01x
-                a1 = b1 + 1 if bits.take() else b1 - 1  # 011/010
-                mode = "v"
-            elif bits.take():  # 001 → horizontal
-                mode = "h"
-            elif bits.take():  # 0001 → pass
-                mode = "p"
-            elif bits.take():  # 00001x
-                a1 = b1 + 2 if bits.take() else b1 - 2
-                mode = "v"
-            elif bits.take():  # 000001x
-                a1 = b1 + 3 if bits.take() else b1 - 3
-                mode = "v"
-            elif bits.take():  # 0000001 → 2-D extensions
-                raise NotImplementedError(
-                    "CCITT G4 extension code (uncompressed mode)"
-                )
-            else:  # ≥ 7 zeros: EOL/EOFB — illegal mid-image
-                raise ValueError("CCITT G4 premature EOL/EOFB")
-            if mode == "p":
-                a0 = b2
-                continue
-            if mode == "h":
-                r1 = _g4_read_run(bits, color)
-                r2 = _g4_read_run(bits, 1 - color)
-                a1 = (a0 if a0 > 0 else 0) + r1
-                a2 = a1 + r2
-                if a2 > width or a1 > width:
-                    raise ValueError("CCITT G4 horizontal run overruns row")
-                curt.extend((a1, a2))
-                a0 = a2
-                continue
-            # vertical
-            if a1 < 0 or a1 > width:
-                raise ValueError("CCITT G4 vertical move out of row")
-            curt.append(a1)
-            a0 = a1
-            color ^= 1
-        if len(curt) & 1:
-            curt.append(width)
-        # render: black between even/odd transition pairs
+    curt: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white, 1 = black
+    while a0 < width:
+        # b1: first reference transition > a0 flipping TO the color
+        # opposite the current one (even index = white→black)
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        # mode code: walk the prefix tree bit by bit
+        if bits.take():  # 1 → V0
+            a1 = b1
+            mode = "v"
+        elif bits.take():  # 01x
+            a1 = b1 + 1 if bits.take() else b1 - 1  # 011/010
+            mode = "v"
+        elif bits.take():  # 001 → horizontal
+            mode = "h"
+        elif bits.take():  # 0001 → pass
+            mode = "p"
+        elif bits.take():  # 00001x
+            a1 = b1 + 2 if bits.take() else b1 - 2
+            mode = "v"
+        elif bits.take():  # 000001x
+            a1 = b1 + 3 if bits.take() else b1 - 3
+            mode = "v"
+        elif bits.take():  # 0000001 → 2-D extensions
+            raise NotImplementedError(
+                "CCITT 2-D extension code (uncompressed mode)"
+            )
+        else:  # ≥ 7 zeros: EOL/EOFB — illegal mid-line
+            raise ValueError("CCITT premature EOL/EOFB inside a 2-D line")
+        if mode == "p":
+            a0 = b2
+            continue
+        if mode == "h":
+            r1 = _g4_read_run(bits, color)
+            r2 = _g4_read_run(bits, 1 - color)
+            a1 = (a0 if a0 > 0 else 0) + r1
+            a2 = a1 + r2
+            if a2 > width or a1 > width:
+                raise ValueError("CCITT horizontal run overruns row")
+            curt.extend((a1, a2))
+            a0 = a2
+            continue
+        # vertical
+        if a1 < 0 or a1 > width:
+            raise ValueError("CCITT vertical move out of row")
+        curt.append(a1)
+        a0 = a1
+        color ^= 1
+    if len(curt) & 1:
+        curt.append(width)
+    return curt
+
+
+def _ccitt_1d_line_decode(bits: _Bits, width: int) -> list[int]:
+    """Decode ONE 1-D (modified-Huffman) line → transition list:
+    alternating runs starting WHITE (a black-first row begins with the
+    white run-length-0 code), each run a T.4 makeup/terminating
+    sequence, until the runs sum to exactly ``width``."""
+    curt: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _g4_read_run(bits, color)
+        pos += run
+        if pos > width:
+            raise ValueError("CCITT 1-D run overruns row")
+        curt.append(pos)
+        color ^= 1
+    # curt holds every run boundary incl. the terminal ``width`` entry
+    # — the same shape the 2-D decoder produces (its final vertical
+    # lands at width): entries at ``width`` are interchangeable with
+    # the reference-line sentinels in every b1/b2 lookup, so no
+    # normalization is needed between 1-D and 2-D lines
+    return curt
+
+
+def _render_rows(trans_rows: list[list[int]], width: int) -> bytearray:
+    """Transition lists → packed 1-bit rows (MSB-first, byte-padded;
+    bit 1 = black sample)."""
+    rowbytes = (width + 7) // 8
+    out = bytearray(rowbytes * len(trans_rows))
+    for y, curt in enumerate(trans_rows):
+        t = list(curt)
+        if len(t) & 1:
+            t.append(width)
         row = np.zeros(width, np.uint8)
-        for k in range(0, len(curt), 2):
-            row[curt[k]: curt[k + 1]] = 1
+        for k in range(0, len(t), 2):
+            row[t[k]: t[k + 1]] = 1
         out[y * rowbytes: (y + 1) * rowbytes] = np.packbits(row).tobytes()
-        ref = curt + [width, width]
     return out
 
 
-def _ccitt_g4_encode(rows: np.ndarray) -> bytes:
-    """(H, W) 0/1 (1 = black sample) → T.6 MMR bytes + EOFB.
-    Mode choice per the spec: pass when b2 < a1, vertical when
-    |a1 − b1| ≤ 3, else horizontal."""
-    h, w = rows.shape
-    buf = bytearray()
-    acc = 0
-    nacc = 0
+def _ccitt_g4_decode(data: bytes, width: int, nrows: int) -> bytearray:
+    """T.6 MMR bytes → packed 1-bit rows (MSB-first, rows padded to
+    bytes; bit 0 = white sample).  Decodes exactly ``nrows`` rows and
+    ignores trailing padding/EOFB."""
+    bits = _Bits(data)
+    ref = [width, width]  # reference-line transitions (line 0: all white)
+    rows = []
+    for _ in range(nrows):
+        curt = _ccitt_2d_line_decode(bits, ref, width)
+        rows.append(curt)
+        ref = curt + [width, width]
+    return _render_rows(rows, width)
 
-    def emit(code: str) -> None:
-        nonlocal acc, nacc
+
+def _ccitt_mh_decode(data: bytes, width: int, nrows: int) -> bytearray:
+    """TIFF compression 2 (CCITT RLE / modified Huffman): every line
+    1-D coded independently, each line starting on a BYTE boundary
+    (TIFF 6.0 §10), no EOL codes."""
+    bits = _Bits(data)
+    rows = []
+    for _ in range(nrows):
+        if bits.pos & 7:
+            bits.pos += 8 - (bits.pos & 7)  # byte-align per line
+        rows.append(_ccitt_1d_line_decode(bits, width))
+    return _render_rows(rows, width)
+
+
+def _ccitt_t4_eol(bits: _Bits) -> int:
+    """Consume one T.4 EOL (≥ 11 zeros then 1 — extra zeros are legal
+    FILL bits, T4Options bit 2 or plain T.4 fill).  Returns the number
+    of zeros seen (callers may sanity-check ≥ 11)."""
+    zeros = 0
+    while not bits.take():
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("CCITT T.4 runaway fill/EOL")
+    if zeros < 11:
+        raise ValueError(f"CCITT T.4 expected EOL, got {zeros} zeros")
+    return zeros
+
+
+def _ccitt_t4_decode(
+    data: bytes, width: int, nrows: int, two_d: bool
+) -> bytearray:
+    """TIFF compression 3 (CCITT T.4 / Group 3): an EOL precedes every
+    line (fill bits tolerated); in 2-D mode (T4Options bit 0) each EOL
+    carries a tag bit — 1 = the next line is 1-D, 0 = 2-D against the
+    previous line.  RTC/EOFB after the last row is ignored (the row
+    count drives termination)."""
+    bits = _Bits(data)
+    ref = [width, width]
+    rows = []
+    for _ in range(nrows):
+        _ccitt_t4_eol(bits)
+        if two_d and bits.take() == 0:
+            curt = _ccitt_2d_line_decode(bits, ref, width)
+        else:
+            curt = _ccitt_1d_line_decode(bits, width)
+        rows.append(curt)
+        ref = curt + [width, width]
+    return _render_rows(rows, width)
+
+
+class _CcittWriter:
+    """MSB-first bit emitter with the shared T.4 run-length coder."""
+
+    __slots__ = ("buf", "acc", "nacc")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def emit(self, code: str) -> None:
         for ch in code:
-            acc = (acc << 1) | (ch == "1")
-            nacc += 1
-            if nacc == 8:
-                buf.append(acc)
-                acc = 0
-                nacc = 0
+            self.acc = (self.acc << 1) | (ch == "1")
+            self.nacc += 1
+            if self.nacc == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nacc = 0
 
-    def emit_run(n: int, color: int) -> None:
+    def emit_run(self, n: int, color: int) -> None:
         term = _T4_BLACK_TERM if color else _T4_WHITE_TERM
         mk = _T4_BLACK_MAKEUP if color else _T4_WHITE_MAKEUP
         while n >= 64:
             if n >= 1792:
                 v = min(2560, (n // 64) * 64)
-                emit(_T4_EXT_MAKEUP[v])
+                self.emit(_T4_EXT_MAKEUP[v])
             else:
                 v = (n // 64) * 64
-                emit(mk[v])
+                self.emit(mk[v])
             n -= v
-        emit(term[n])
+        self.emit(term[n])
 
+    def byte_align(self) -> None:
+        if self.nacc:
+            self.buf.append(self.acc << (8 - self.nacc))
+            self.acc = 0
+            self.nacc = 0
+
+    def done(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+def _row_transitions(r: np.ndarray) -> list[int]:
+    ch = (np.flatnonzero(r[1:] != r[:-1]) + 1).tolist()
+    return [0] + ch if r[0] else ch
+
+
+def _ccitt_2d_line_encode(
+    wtr: _CcittWriter, curt: list[int], ref: list[int], w: int
+) -> None:
+    """Encode ONE line 2-D against ``ref`` (both transition lists; ref
+    padded with sentinels).  Mode choice per the spec: pass when
+    b2 < a1, vertical when |a1 − b1| ≤ 3, else horizontal."""
     import bisect
 
+    trans = curt + [w, w]
+    a0 = -1
+    color = 0
+    ti = 0  # next coding-line transition index > a0
+    while a0 < w:
+        while ti < len(trans) and trans[ti] <= a0:
+            ti += 1
+        a1 = trans[ti] if ti < len(trans) else w
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        if b2 < a1:
+            wtr.emit("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            wtr.emit({0: "1", 1: "011", -1: "010", 2: "000011",
+                      -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = trans[ti + 1] if ti + 1 < len(trans) else w
+            wtr.emit("001")
+            base = a0 if a0 > 0 else 0
+            wtr.emit_run(a1 - base, color)
+            wtr.emit_run(a2 - a1, 1 - color)
+            a0 = a2
+
+
+def _ccitt_1d_line_encode(wtr: _CcittWriter, curt: list[int], w: int) -> None:
+    """Encode ONE line as alternating T.4 runs starting white."""
+    pos = 0
+    color = 0
+    for t in curt + [w]:
+        if t > w:
+            raise ValueError("transition past row end")
+        wtr.emit_run(t - pos, color)
+        pos = t
+        color ^= 1
+        if pos == w:
+            break
+
+
+def _ccitt_g4_encode(rows: np.ndarray) -> bytes:
+    """(H, W) 0/1 (1 = black sample) → T.6 MMR bytes + EOFB."""
+    h, w = rows.shape
+    wtr = _CcittWriter()
     ref = [w, w]
     for y in range(h):
-        r = rows[y]
-        ch = (np.flatnonzero(r[1:] != r[:-1]) + 1).tolist()
-        curt = ([0] + ch if r[0] else ch)
-        trans = curt + [w, w]
-        a0 = -1
-        color = 0
-        ti = 0  # next coding-line transition index > a0
-        while a0 < w:
-            while ti < len(trans) and trans[ti] <= a0:
-                ti += 1
-            a1 = trans[ti] if ti < len(trans) else w
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else w
-            b2 = ref[i + 1] if i + 1 < len(ref) else w
-            if b2 < a1:
-                emit("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                emit({0: "1", 1: "011", -1: "010", 2: "000011",
-                      -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = trans[ti + 1] if ti + 1 < len(trans) else w
-                emit("001")
-                base = a0 if a0 > 0 else 0
-                emit_run(a1 - base, color)
-                emit_run(a2 - a1, 1 - color)
-                a0 = a2
+        curt = _row_transitions(rows[y])
+        _ccitt_2d_line_encode(wtr, curt, ref, w)
         ref = curt + [w, w]
-    emit("000000000001" * 2)  # EOFB
-    if nacc:
-        buf.append(acc << (8 - nacc))
-    return bytes(buf)
+    wtr.emit("000000000001" * 2)  # EOFB
+    return wtr.done()
+
+
+def _ccitt_mh_encode(rows: np.ndarray) -> bytes:
+    """(H, W) 0/1 → TIFF compression-2 bytes: 1-D per line, each line
+    byte-aligned, no EOLs."""
+    h, w = rows.shape
+    wtr = _CcittWriter()
+    for y in range(h):
+        _ccitt_1d_line_encode(wtr, _row_transitions(rows[y]), w)
+        wtr.byte_align()
+    return wtr.done()
+
+
+def _ccitt_t4_encode(rows: np.ndarray, two_d: bool) -> bytes:
+    """(H, W) 0/1 → TIFF compression-3 bytes: EOL (+tag bit in 2-D
+    mode) before every line; in 2-D mode the first line is 1-D and the
+    rest code against their predecessor (K = ∞ is legal for TIFF —
+    K only bounds error propagation on real fax links)."""
+    h, w = rows.shape
+    wtr = _CcittWriter()
+    ref = [w, w]
+    for y in range(h):
+        curt = _row_transitions(rows[y])
+        wtr.emit("000000000001")  # EOL
+        if two_d:
+            one_d = y == 0
+            wtr.emit("1" if one_d else "0")  # tag bit
+            if one_d:
+                _ccitt_1d_line_encode(wtr, curt, w)
+            else:
+                _ccitt_2d_line_encode(wtr, curt, ref, w)
+        else:
+            _ccitt_1d_line_encode(wtr, curt, w)
+        ref = curt + [w, w]
+    return wtr.done()
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -2860,21 +3030,23 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF with {spp} samples per pixel"
         )
-    if comp not in (1, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} (none/CCITT-G4/LZW/Deflate/"
-            "PackBits only)"
+            f"TIFF compression {comp} (none/CCITT-MH/G3/G4/LZW/"
+            "Deflate/PackBits only)"
         )
     if one(266, 1) != 1:
         raise NotImplementedError(
             "TIFF FillOrder 2 (LSB-first bit packing)"
         )
-    if comp == 4 and (b0 != 1 or spp != 1 or pred != 1):
-        # T.6 is DEFINED over bilevel data only — not a gate, invalid
+    if comp in (2, 3, 4) and (b0 != 1 or spp != 1 or pred != 1):
+        # CCITT coding is DEFINED over bilevel data only — not a
+        # gate, invalid
         raise ValueError(
-            f"TIFF CCITT G4 with bits={b0}, spp={spp}, predictor="
-            f"{pred} is invalid (bilevel only)"
+            f"TIFF CCITT compression {comp} with bits={b0}, spp={spp},"
+            f" predictor={pred} is invalid (bilevel only)"
         )
+    t4_2d = bool(one(292, 0) & 1) if comp == 3 else False
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
     if pred == 2 and b0 not in (8, 16):
@@ -2910,9 +3082,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if so + sc > len(payload):
             raise ValueError(f"TIFF {what} out of bounds")
         chunk = payload[so : so + sc]
-        if comp == 4:
+        if comp in (2, 3, 4):
             assert dims is not None
-            return _ccitt_g4_decode(bytes(chunk), dims[1], dims[0])
+            nr, wd = dims
+            if comp == 4:
+                return _ccitt_g4_decode(bytes(chunk), wd, nr)
+            if comp == 3:
+                return _ccitt_t4_decode(bytes(chunk), wd, nr, t4_2d)
+            return _ccitt_mh_decode(bytes(chunk), wd, nr)
         if comp == 1:
             if len(chunk) < expect:
                 raise ValueError(f"TIFF uncompressed {what} short")
@@ -3095,7 +3272,8 @@ def encode_tiff(
     ramp); ``planar=True`` writes PlanarConfiguration 2 (per-plane
     strip sequences, or per-plane tile sequences with
     ``tile_size``; RGB only)."""
-    if compression not in ("none", "lzw", "packbits", "deflate", "g4"):
+    if compression not in ("none", "lzw", "packbits", "deflate",
+                           "g4", "mh", "t4", "t4-2d"):
         raise ValueError(f"compression {compression!r}")
     if bits not in (1, 4, 8, 16):
         raise ValueError(f"bits {bits}")
@@ -3106,8 +3284,11 @@ def encode_tiff(
     if arr.ndim != 3 or arr.shape[2] not in (1, 3):
         raise ValueError(f"expected (H, W[, 1|3]), got {arr.shape}")
     h, w, spp = arr.shape
-    if compression == "g4" and (bits != 1 or predictor):
-        raise ValueError("g4 is bilevel (bits=1) and predictor-free")
+    _ccitt = compression in ("g4", "mh", "t4", "t4-2d")
+    if _ccitt and (bits != 1 or predictor):
+        raise ValueError(
+            f"{compression} is bilevel (bits=1) and predictor-free"
+        )
     if bits in (1, 4):
         if spp != 1:
             raise ValueError(f"{bits}-bit is single-channel only")
@@ -3148,8 +3329,13 @@ def encode_tiff(
         0/1 sample block directly (1 = black under the photometric-0
         header this encoder writes for it); everything else serializes
         to row bytes first."""
-        if compression == "g4":
-            return _ccitt_g4_encode(block[:, :, 0].astype(np.uint8))
+        if _ccitt:
+            bl = block[:, :, 0].astype(np.uint8)
+            if compression == "g4":
+                return _ccitt_g4_encode(bl)
+            if compression == "mh":
+                return _ccitt_mh_encode(bl)
+            return _ccitt_t4_encode(bl, compression == "t4-2d")
         return _compress(_ser(block))
 
     def _compress(chunk: bytes) -> bytes:
@@ -3197,7 +3383,8 @@ def encode_tiff(
         for r0 in range(0, h, rps):
             strips.append(_block(data[r0 : r0 + rps]))
     comp_code = {
-        "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8, "g4": 4,
+        "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
+        "g4": 4, "mh": 2, "t4": 3, "t4-2d": 3,
     }[compression]
 
     out = bytearray()
@@ -3229,7 +3416,7 @@ def encode_tiff(
             raise ValueError(f"palette shape {pal.shape}")
         # plane-major R..G..B.., 16-bit ramp (v*257: high byte = v)
         ent(320, 3, list((pal.T.reshape(-1) * 257).astype(int)))
-    elif compression == "g4":
+    elif _ccitt:
         ent(262, 3, [0])  # fax convention: 0 = white (WhiteIsZero)
     else:
         ent(262, 3, [1 if spp == 1 else 2])
@@ -3245,6 +3432,8 @@ def encode_tiff(
         ent(273, 4, strip_offsets)
         ent(278, 4, [rps])
         ent(279, 4, [len(s) for s in strips])
+    if compression == "t4-2d":
+        ent(292, 4, [1])  # T4Options: bit 0 = 2-D coding
     if predictor:
         ent(317, 3, [2])
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order

@@ -1585,6 +1585,20 @@ def _closed_streams():
             C.decode_tiff,
             C.encode_tiff((gray > 127).astype(np.uint8), "g4", bits=1),
         ),
+        "tiff-mh": (
+            C.decode_tiff,
+            C.encode_tiff((gray > 127).astype(np.uint8), "mh", bits=1),
+        ),
+        "tiff-t4": (
+            C.decode_tiff,
+            C.encode_tiff((gray > 127).astype(np.uint8), "t4", bits=1),
+        ),
+        "tiff-t4-2d": (
+            C.decode_tiff,
+            C.encode_tiff(
+                (gray > 127).astype(np.uint8), "t4-2d", bits=1
+            ),
+        ),
     }
 
 
@@ -1943,3 +1957,85 @@ def test_tiff_g4_guards():
     raw = C.encode_tiff(img, "g4", bits=1)
     with pytest.raises(ValueError, match="bilevel"):
         C.decode_tiff(_tiff_tag_patch(raw, 258, 8))
+
+
+def test_tiff_g3_mh_roundtrip_matrix():
+    """Round-14: the full CCITT family — compression 2 (per-line MH,
+    byte-aligned lines), 3 in 1-D mode (EOL per line) and 3 in 2-D
+    mode (EOL + tag bit, lines coded against their predecessor) —
+    round-trips the same mode-diverse bilevel patterns as the G4
+    matrix across strip/tile/byte-order/ragged-width axes."""
+    from ros_sql_spark.operators.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(41)
+    cases = {
+        "random": rng.integers(0, 2, (19, 37)).astype(np.uint8),
+        "all_white": np.zeros((4, 33), np.uint8),
+        "all_black": np.ones((4, 33), np.uint8),
+        "vstripes": np.tile(np.arange(37) % 2, (5, 1)).astype(np.uint8),
+        "dots": (rng.random((11, 45)) < 0.06).astype(np.uint8),
+        "long_runs": np.repeat(
+            rng.integers(0, 2, (3, 5)), [50, 30, 20, 40, 10], axis=1
+        ).astype(np.uint8)[:, :97],
+    }
+    for comp in ("mh", "t4", "t4-2d"):
+        for name, img in cases.items():
+            want = np.repeat(
+                (255 * (1 - img)).astype(np.uint8)[..., None], 3, axis=2
+            )
+            for kw in (
+                {},
+                {"rows_per_strip": 3},
+                {"big_endian": True},
+                {"tile_size": (16, 16)},
+            ):
+                got = decode_tiff(encode_tiff(img, comp, bits=1, **kw))
+                assert np.array_equal(got, want), (comp, name, kw)
+
+
+def test_ccitt_mh_hand_vectors():
+    """Spec-assembled 1-D streams: an all-white 8-px line is the white
+    run-8 code 10011 alone; an all-black 8-px line is white-run-0 +
+    black-run-8 (00110101 000101); per-line BYTE alignment for
+    compression 2 means two 4-px all-white lines decode from two
+    separate bytes (white-4 = 1011)."""
+    from ros_sql_spark.operators import codecs as C
+
+    assert C._ccitt_mh_decode(bytes([0b10011000]), 8, 1) == bytearray([0])
+    assert C._ccitt_mh_decode(
+        bytes([0b00110101, 0b00010100]), 8, 1
+    ) == bytearray([0xFF])
+    assert C._ccitt_mh_decode(
+        bytes([0b10110000, 0b10110000]), 4, 2
+    ) == bytearray([0x00, 0x00])
+    # encoder reproduces them
+    assert C._ccitt_mh_encode(np.zeros((1, 8), np.uint8)) == bytes(
+        [0b10011000]
+    )
+    assert C._ccitt_mh_encode(np.ones((1, 8), np.uint8)) == bytes(
+        [0b00110101, 0b00010100]
+    )
+
+
+def test_ccitt_t4_fill_bits_tolerated(spark=None):
+    """T.4 fill: extra zeros before an EOL are legal padding — a
+    stream with 8 fill bits before the second line's EOL must decode
+    identically."""
+    from ros_sql_spark.operators import codecs as C
+
+    img = np.array([[1, 0, 1, 0, 1, 0, 1, 0]], np.uint8)
+    img2 = np.vstack([img, 1 - img])
+    raw = C._ccitt_t4_encode(img2, two_d=False)
+    # splice 8 zero FILL bits before the second EOL: find the second
+    # EOL by re-encoding line 1 alone and measuring its bit length
+    one = C._ccitt_t4_encode(img, two_d=False)
+    # easier: decoder must accept an encoder that byte-aligns before
+    # each EOL — emulate by building a stream by hand
+    w = C._CcittWriter()
+    w.emit("000000000001")
+    C._ccitt_1d_line_encode(w, C._row_transitions(img2[0]), 8)
+    w.emit("00000000")  # fill
+    w.emit("000000000001")
+    C._ccitt_1d_line_encode(w, C._row_transitions(img2[1]), 8)
+    got = C._ccitt_t4_decode(w.done(), 8, 2, two_d=False)
+    assert got == C._ccitt_t4_decode(raw, 8, 2, two_d=False)
