@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, Window
 
-__all__ = ["grid_radius_join", "grid_knn_join"]
+__all__ = ["grid_radius_join", "grid_knn_join", "grid_bbox_join"]
 
 
 def grid_radius_join(
@@ -256,3 +256,102 @@ def grid_knn_join(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def grid_bbox_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell: int,
+    point_cols: tuple[str, str, str] = ("p_id", "px", "py"),
+    box_cols: tuple[str, str, str, str, str] = (
+        "b_id", "x1", "y1", "x2", "y2"
+    ),
+    max_cells_per_box: int = 64,
+) -> DataFrame:
+    """All (point, box) pairs with the point INSIDE the axis-aligned
+    rectangle [x1, x2] × [y1, y2] (inclusive bounds) — the third
+    spatial family member (round-14): containment via the same grid
+    discipline as radius/kNN.
+
+    Each BOX rasterizes to the grid cells its rectangle covers
+    (sequence × sequence of cell indices), each POINT maps 1:1 to its
+    own cell, and the candidate join is an ordinary cell-key
+    equi-join: a contained point's cell is necessarily among its
+    box's covered cells (x1 ≤ px ≤ x2 ⇒ x1 div g ≤ px div g ≤
+    x2 div g), so the generator is COMPLETE; the exact BETWEEN check
+    runs only on candidates.  No cartesian anywhere.
+
+    The fan-out side is the BOX (÷cell rasterization), so ``cell``
+    should be sized to the box extent — a box spanning more than
+    ``max_cells_per_box`` cells raises mid-scan (an assert_true rides
+    the row filter, so the guard cannot be pruned away) instead of
+    silently exploding the build side.  Degenerate boxes (x2 < x1)
+    yield no cells and no pairs, matching BETWEEN semantics.
+    Coordinates must be NON-NEGATIVE integers (div-as-floor).
+
+    100 TB shape: shuffle keys are cell ids; per-cell skew is bounded
+    by cell occupancy exactly like grid_radius_join; the 9×-class
+    expansion rides the box side by contract.  explode_outer dodges
+    the InferFiltersFromGenerate re-evaluation hazard (the cell
+    array is data-dependent, not a literal — CLAUDE.md discipline);
+    empty arrays (degenerate boxes) produce a NULL cell row that the
+    equi-join drops.
+    """
+    pid, px, py = point_cols
+    bid, x1, y1, x2, y2 = box_cols
+    g = int(cell)
+    if g <= 0:
+        raise ValueError(f"cell must be a positive integer, got {cell}")
+    ncx = F.expr(f"{x2} div {g}") - F.expr(f"{x1} div {g}") + 1
+    ncy = F.expr(f"{y2} div {g}") - F.expr(f"{y1} div {g}") + 1
+    cells = F.when(
+        (F.col(x2) >= F.col(x1)) & (F.col(y2) >= F.col(y1)),
+        F.flatten(
+            F.transform(
+                F.sequence(
+                    F.expr(f"{x1} div {g}"), F.expr(f"{x2} div {g}")
+                ),
+                lambda cx: F.transform(
+                    F.sequence(
+                        F.expr(f"{y1} div {g}"), F.expr(f"{y2} div {g}")
+                    ),
+                    lambda cy: F.struct(
+                        cx.alias("_cx"), cy.alias("_cy")
+                    ),
+                ),
+            )
+        ),
+    )
+    guard = F.assert_true(
+        (F.col(x2) < F.col(x1)) | (F.col(y2) < F.col(y1))
+        | (ncx * ncy <= F.lit(max_cells_per_box)),
+        F.lit(
+            f"grid_bbox_join: a box covers more than "
+            f"{max_cells_per_box} cells of size {g} — use a coarser "
+            "cell or smaller boxes"
+        ),
+    )
+    rast = (
+        boxes.select(bid, x1, y1, x2, y2, cells.alias("_cells"), guard.alias("_g"))
+        .filter(F.col("_g").isNull())  # assert_true: NULL when it holds
+        .select(
+            bid, x1, y1, x2, y2, F.explode_outer("_cells").alias("_c")
+        )
+        .select(
+            bid, x1, y1, x2, y2,
+            F.col("_c._cx").alias("_cx"), F.col("_c._cy").alias("_cy"),
+        )
+    )
+    pts = points.select(
+        pid, px, py,
+        F.expr(f"{px} div {g}").alias("_cx"),
+        F.expr(f"{py} div {g}").alias("_cy"),
+    )
+    return (
+        pts.join(rast, ["_cx", "_cy"])
+        .filter(
+            F.col(px).between(F.col(x1), F.col(x2))
+            & F.col(py).between(F.col(y1), F.col(y2))
+        )
+        .drop("_cx", "_cy")
+    )

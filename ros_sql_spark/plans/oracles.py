@@ -3362,6 +3362,33 @@ ORACLES: dict[str, str] = {
                CAST(d2 AS BIGINT) AS d2
         FROM r WHERE rk <= 5 ORDER BY s_suppkey, rank
     """,
+    # Bounding-box containment: naive all-pairs BETWEEN — the hash
+    # match proves the box-rasterization candidate generator complete.
+    "qx73_spatial_bbox_join": """
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS p_id,
+                   CAST((c_custkey * 48271 + 11) % 10000 AS BIGINT) AS px,
+                   CAST((c_custkey * 69621 + 7) % 10000 AS BIGINT) AS py
+            FROM customer
+        ), b AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+                   CAST((s_suppkey * 16807 + 3) % 9600 AS BIGINT) AS x1,
+                   CAST((s_suppkey * 39709 + 19) % 9600 AS BIGINT) AS y1,
+                   CAST((s_suppkey * 16807 + 3) % 9600
+                        + (s_suppkey * 25173 + 5) % 400 AS BIGINT) AS x2,
+                   CAST((s_suppkey * 39709 + 19) % 9600
+                        + (s_suppkey * 30103 + 1) % 400 AS BIGINT) AS y2
+            FROM supplier
+        )
+        SELECT b_id AS s_suppkey,
+               CAST(count(*) AS BIGINT) AS n_in,
+               CAST(sum(p_id) AS BIGINT) AS sum_keys,
+               CAST(min(p_id) AS BIGINT) AS min_key,
+               CAST(max(p_id) AS BIGINT) AS max_key
+        FROM c, b
+        WHERE px BETWEEN x1 AND x2 AND py BETWEEN y1 AND y2
+        GROUP BY b_id ORDER BY s_suppkey
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

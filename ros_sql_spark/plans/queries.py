@@ -5725,6 +5725,54 @@ def qx72_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey", "rank")
 
 
+def qx73_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDING-BOX CONTAINMENT JOIN (round-14 — the third spatial
+    family member the r13 verdict named): each supplier owns a
+    closed-form axis-aligned rectangle (corner from one hash pair,
+    extent < 400 from another), and the query reports, per box with at
+    least one hit, how many customers' points fall inside plus the
+    exact integer key statistics of the contained set.
+
+    Spark plan: operators/spatial.py::grid_bbox_join — boxes rasterize
+    to their ≤ 2×2 covered cells of size 400 (extent < cell ⇒ at most
+    4), points map 1:1 to their cell, candidates come from a plain
+    cell-key equi-join and only candidates pay the exact BETWEEN check
+    (no cartesian; suite guard).  The DuckDB oracle is the naive
+    all-pairs BETWEEN filter — a hash match proves the rasterized
+    candidate generator complete.  Everything integer-exact."""
+    from ros_sql_spark.operators.spatial import grid_bbox_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("p_id"),
+        ((F.col("c_custkey") * 48271 + 11) % 10000).cast("bigint").alias("px"),
+        ((F.col("c_custkey") * 69621 + 7) % 10000).cast("bigint").alias("py"),
+    )
+    boxes = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("b_id"),
+        ((F.col("s_suppkey") * 16807 + 3) % 9600).cast("bigint").alias("x1"),
+        ((F.col("s_suppkey") * 39709 + 19) % 9600).cast("bigint").alias("y1"),
+        (
+            (F.col("s_suppkey") * 16807 + 3) % 9600
+            + (F.col("s_suppkey") * 25173 + 5) % 400
+        ).cast("bigint").alias("x2"),
+        (
+            (F.col("s_suppkey") * 39709 + 19) % 9600
+            + (F.col("s_suppkey") * 30103 + 1) % 400
+        ).cast("bigint").alias("y2"),
+    )
+    pairs = grid_bbox_join(cust, boxes, cell=400)
+    return (
+        pairs.groupBy(F.col("b_id").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+            F.sum("p_id").cast("bigint").alias("sum_keys"),
+            F.min("p_id").cast("bigint").alias("min_key"),
+            F.max("p_id").cast("bigint").alias("max_key"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5903,4 +5951,5 @@ QUERIES = {
     "qx70_dbscan": qx70_dbscan,
     "qx71_image_stats": qx71_image_stats,
     "qx72_spatial_knn_join": qx72_spatial_knn_join,
+    "qx73_spatial_bbox_join": qx73_spatial_bbox_join,
 }

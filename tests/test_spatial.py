@@ -131,3 +131,68 @@ def test_grid_knn_join_guards(spark):
     )
     with pytest.raises(ValueError, match="max_rings"):
         grid_knn_join(df, far, 1, 10)
+
+
+@given(
+    p=pts,
+    b=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40),
+                  st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=10,
+    ),
+    g=st.integers(1, 25),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grid_bbox_join_equals_bruteforce(spark, p, b, g):
+    """Round-14: box rasterization must equal the brute-force BETWEEN
+    join under arbitrary geometry/cell combinations — boxes straddling
+    cell boundaries, inclusive edges, single-point boxes."""
+    from ros_sql_spark.operators.spatial import grid_bbox_join
+
+    boxes = [(100 + i, x1, y1, x1 + w, y1 + h)
+             for i, (x1, y1, w, h) in enumerate(b)]
+    probe = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(p)],
+        "p_id int, px int, py int",
+    )
+    bdf = spark.createDataFrame(
+        boxes, "b_id int, x1 int, y1 int, x2 int, y2 int"
+    )
+    got = {
+        (r["p_id"], r["b_id"])
+        for r in grid_bbox_join(probe, bdf, g,
+                                max_cells_per_box=10_000).collect()
+    }
+    want = {
+        (i, bid)
+        for i, (x, y) in enumerate(p)
+        for bid, x1, y1, x2, y2 in boxes
+        if x1 <= x <= x2 and y1 <= y <= y2
+    }
+    assert got == want
+
+
+def test_grid_bbox_join_guards_and_degenerate(spark):
+    """The cell-blowup guard raises mid-scan (assert_true riding the
+    row filter — not prunable); a degenerate box (x2 < x1) yields no
+    pairs, matching BETWEEN."""
+    from ros_sql_spark.operators.spatial import grid_bbox_join
+
+    pts_df = spark.createDataFrame(
+        [(1, 5, 5)], "p_id int, px int, py int"
+    )
+    big = spark.createDataFrame(
+        [(1, 0, 0, 999, 999)], "b_id int, x1 int, y1 int, x2 int, y2 int"
+    )
+    with pytest.raises(Exception, match="covers more than"):
+        grid_bbox_join(pts_df, big, 10, max_cells_per_box=16).collect()
+    degen = spark.createDataFrame(
+        [(1, 9, 0, 3, 9)], "b_id int, x1 int, y1 int, x2 int, y2 int"
+    )
+    assert grid_bbox_join(pts_df, degen, 10).count() == 0
+    with pytest.raises(ValueError, match="cell"):
+        grid_bbox_join(pts_df, degen, 0)
