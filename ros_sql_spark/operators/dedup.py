@@ -726,6 +726,51 @@ def minhash_pairs_incremental(
     return out
 
 
+def _smallgraph_labels(edges_uv: DataFrame) -> DataFrame:
+    """(_n, _c) component labels of a SMALL edge set — one
+    single-partition mapInPandas union-find task (union-by-min keeps
+    root = component min id, so labels equal min-label propagation /
+    star contraction exactly).  The shared small-graph finisher for
+    every components operator: callers gate it on an
+    Observation-carried edge count (≤ small_graph_edges), so the
+    repartition(1) is COUNT-GATED, never data-sized (the plan guard's
+    _BOUNDED_SINGLE_TASK allowance).  Duplicate edges, both-direction
+    symmetric rows and self-loops are all harmless to union-find."""
+    out_schema = "_n bigint, _c bigint"
+
+    def _uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        rows = []
+        for b in batches:
+            rows.append(b)
+        if rows:
+            allb = pd.concat(rows, ignore_index=True)
+            for u, v in zip(allb["u"].to_numpy(), allb["v"].to_numpy()):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    # union-by-min keeps root = component min id
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            nodes = set(map(int, allb["u"])) | set(map(int, allb["v"]))
+            yield pd.DataFrame(
+                {"_n": sorted(nodes),
+                 "_c": [find(n) for n in sorted(nodes)]}
+            )
+
+    return edges_uv.repartition(1).mapInPandas(_uf, out_schema)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -733,6 +778,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(id, component) — component = MIN node id reachable from ``id``
     through ``edges`` (undirected).  The dedup endgame: candidate pairs
@@ -762,6 +808,19 @@ def connected_components(
 
     ``nodes``: optionally the full node universe (isolated docs keep
     their own id as component; without it only endpoint nodes appear).
+    If given, it must COVER the edge endpoints whose connectivity
+    matters — labels only propagate through listed nodes (the star
+    operator's universe semantics, shared contract).
+
+    SMALL-GRAPH fast path (round-14): the symmetrized edge count rides
+    the pinning job's Observation for free, and a graph at or under
+    ``small_graph_edges`` skips the loop entirely for ONE union-find
+    task (:func:`_smallgraph_labels`) — identical labels, and the
+    2-4 materialization rounds a dup graph needs become one job
+    (measured, quiet solo min-of-3 at sf0.1: qx10 incremental
+    3.47 → ~1.8 s, q15 1.56 → ~0.9 s; qx26 unchanged within its
+    documented ±25% band — its cost is the shingle stages, not the
+    components loop).
     """
     sym = edges.select(
         F.col(src_col).cast("bigint").alias("a"),
@@ -776,12 +835,33 @@ def connected_components(
     # (Measured, twice: neither coalescing the checkpoint to 1
     # partition nor trimming map-side task count moves the ~0.3s/round
     # local floor — it is per-job driver/AQE overhead, so the only real
-    # lever is FEWER rounds, which the two-hop fusion below provides.)
-    sym = sym.unionByName(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    # lever is FEWER rounds: the two-hop fusion below, and the
+    # small-graph union-find fast path above it.)
+    ob_sym = Observation()
+    sym = (
+        sym.unionByName(
+            sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .observe(ob_sym, F.count(F.lit(1)).alias("n_sym"))
+        .localCheckpoint(eager=True)
+    )
+    n_sym = ob_sym.get["n_sym"] or 0
     if nodes is None:
         nodes = sym.select(F.col("a").alias(id_col)).distinct()
+    if n_sym <= 2 * small_graph_edges:  # sym carries each edge twice
+        # PINNED like the loop path's checkpointed labels frame:
+        # components output is consumed across several separate
+        # actions by the dedup/curate pipelines, and an un-pinned
+        # finisher re-ran union-find per consumer (measured: qx26
+        # regressed until this eager checkpoint landed)
+        lbl = _smallgraph_labels(
+            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        ).localCheckpoint(eager=True)
+        return nodes.select(
+            F.col(id_col).cast("bigint").alias(id_col)
+        ).join(lbl, F.col(id_col) == F.col("_n"), "left").select(
+            id_col, F.coalesce("_c", F.col(id_col)).alias("component")
+        )
     # No initial checkpoint for labels: its lineage is just the nodes
     # scan (or a distinct over the checkpointed edges), and round 1's
     # output checkpoint truncates it anyway — one fewer setup job.
@@ -1030,47 +1110,11 @@ def connected_components_star(
     # ≡ min-label components); ≤ small_graph_edges × 16 B in one
     # task's memory.  qx70's 1,684-edge ε-graph skips the loop
     # entirely: 8 double-rounds → one job (measured ~2× on the query).
-    def _finish_small(edges_uv: DataFrame) -> DataFrame:
-        out_schema = "_n bigint, _c bigint"
-
-        def _uf(batches):
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            rows = []
-            for b in batches:
-                rows.append(b)
-            if rows:
-                allb = pd.concat(rows, ignore_index=True)
-                for u, v in zip(allb["u"].to_numpy(),
-                                allb["v"].to_numpy()):
-                    ru, rv = find(int(u)), find(int(v))
-                    if ru != rv:
-                        # union-by-min keeps root = component min id
-                        if ru < rv:
-                            parent[rv] = ru
-                        else:
-                            parent[ru] = rv
-                nodes = set(map(int, allb["u"])) | set(
-                    map(int, allb["v"])
-                )
-                yield pd.DataFrame(
-                    {"_n": sorted(nodes),
-                     "_c": [find(n) for n in sorted(nodes)]}
-                )
-
-        return edges_uv.repartition(1).mapInPandas(_uf, out_schema)
-
     stable = False
     if n_cur <= small_graph_edges:
-        lbl = _finish_small(cur)
+        # pinned for the same several-consumers reason as the
+        # propagation operator's fast path (qx70 reads comp twice)
+        lbl = _smallgraph_labels(cur).localCheckpoint(eager=True)
         stable = True
     else:
         for _ in range((max_iter + 1) // 2):
@@ -1087,7 +1131,9 @@ def connected_components_star(
             )
             n_next = ob.get["n_edges"] or 0
             if n_next <= small_graph_edges:
-                lbl = _finish_small(nxt)
+                lbl = _smallgraph_labels(nxt).localCheckpoint(
+                    eager=True
+                )
                 stable = True
                 break
             # fixed point: both stars leave the canonical edge set

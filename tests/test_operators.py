@@ -1027,6 +1027,27 @@ def test_star_components_strategies_and_finisher_agree(spark):
         }
         assert got == want_chain, kw
 
+    # the PROPAGATION operator's small-graph fast path (round-14):
+    # identical labels to its own forced loop, on the random graph,
+    # with and without an explicit node universe (isolated node 400)
+    nodes = spark.range(0, 401).selectExpr("id")
+    for kw2 in ({"nodes": None}, {"nodes": nodes}):
+        fast = {
+            (r.id, r.component)
+            for r in connected_components(edges, **kw2).collect()
+        }
+        loop = {
+            (r.id, r.component)
+            for r in connected_components(
+                edges, small_graph_edges=0, **kw2
+            ).collect()
+        }
+        assert fast == loop, kw2
+    assert (400, 400) in {
+        (r.id, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+
 
 def test_edit_distance_pairs_complete_vs_quadratic(spark):
     """Randomized completeness: the q-gram + length-band blocking must

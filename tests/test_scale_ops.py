@@ -1027,8 +1027,17 @@ def test_star_components_long_chain_beyond_propagation_budget(spark):
         for r in connected_components_star(chain, max_iter=20).collect()
     }
     assert got == {(i, 0) for i in range(61)}
+    # the propagation LOOP still fails loudly past its hop budget —
+    # force past the round-14 small-graph fast path (which solves any
+    # sub-threshold chain in one union-find task, so the budget only
+    # bites on graphs too big for the finisher)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=20)
+        connected_components(chain, max_iter=20, small_graph_edges=0)
+    got_fast = {
+        (r.id, r.component)
+        for r in connected_components(chain, max_iter=20).collect()
+    }
+    assert got_fast == {(i, 0) for i in range(61)}
 
 
 def test_asof_join_null_right_ts_never_matches(spark):
