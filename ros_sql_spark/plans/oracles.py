@@ -3389,6 +3389,91 @@ ORACLES: dict[str, str] = {
         WHERE px BETWEEN x1 AND x2 AND py BETWEEN y1 AND y2
         GROUP BY b_id ORDER BY s_suppkey
     """,
+    # Naive Bayes: identical count/prior/smoothing expressions from
+    # exact integer counts; ln + round(6) per the q93 float discipline.
+    # Token INSTANCES sum ln(c+1) (multiplicity matters); unseen terms
+    # smooth to ln(1) = 0 via COALESCE.
+    "qx74_naive_bayes": """
+        WITH tr AS (
+            SELECT doc_id, lang, lower(text) AS t FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 5 <> 0
+        ), tok AS (
+            SELECT lang, unnest(string_split(t, ' ')) AS term FROM tr
+        ), cnt AS (
+            SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), tot AS (
+            SELECT lang, sum(c) AS n_l FROM cnt GROUP BY 1
+        ), voc AS (
+            SELECT count(DISTINCT term) AS v FROM tok
+        ), pri AS (
+            SELECT lang, count(*) AS d_l FROM tr GROUP BY 1
+        ), dd AS (
+            SELECT count(*) AS d FROM tr
+        ), te AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+            WHERE lang IS NOT NULL AND doc_id % 5 = 0
+        ), ntk AS (
+            SELECT doc_id, count(*) AS n_tok FROM te GROUP BY 1
+        ), grid AS (
+            SELECT te.doc_id, p.lang,
+                   sum(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE))) AS s
+            FROM te
+            CROSS JOIN pri p
+            LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.term = te.term
+            GROUP BY te.doc_id, p.lang
+        )
+        SELECT g.doc_id, g.lang,
+               CAST(ntk.n_tok AS BIGINT) AS n_tok,
+               round(g.s + ln(CAST(p.d_l AS DOUBLE))
+                     - ln(CAST(dd.d AS DOUBLE))
+                     - CAST(ntk.n_tok AS DOUBLE)
+                       * ln(CAST(t.n_l + v.v AS DOUBLE)), 6) AS score
+        FROM grid g
+        JOIN ntk USING (doc_id)
+        JOIN pri p ON p.lang = g.lang
+        JOIN tot t ON t.lang = g.lang
+        CROSS JOIN voc v CROSS JOIN dd
+        ORDER BY g.doc_id, g.lang
+    """,
+    # Mann-Whitney U: doubled midranks keep ties integer-exact
+    # (m2 = 2s + c + 1); the z divides once on aggregated scalars,
+    # identical expression + round(6).
+    "qx75_mann_whitney": """
+        WITH v AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g1
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+        ), per AS (
+            SELECT q, count(*) AS c, sum(g1) AS c1 FROM v GROUP BY q
+        ), run AS (
+            SELECT q, c, c1,
+                   sum(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cum
+            FROM per
+        ), agg AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c1 * (2 * cum - c + 1)) AS BIGINT) AS r1_x2,
+                   CAST(sum(c * c * c - c) AS BIGINT) AS tie_t
+            FROM run
+        )
+        SELECT n1,
+               CAST(n - n1 AS BIGINT) AS n2,
+               r1_x2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               tie_t,
+               round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+                     / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                            / 3.0
+                            * (CAST(n + 1 AS DOUBLE)
+                               - CAST(tie_t AS DOUBLE)
+                                 / (CAST(n AS DOUBLE)
+                                    * CAST(n - 1 AS DOUBLE)))), 6) AS z
+        FROM agg
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

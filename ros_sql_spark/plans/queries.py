@@ -5773,6 +5773,164 @@ def qx73_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx74_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED multinomial Naive Bayes scorer (round-14 — the first
+    supervised train/apply member: qx35's lang-id is a fixed
+    heuristic; this LEARNS from a labeled split): train on the
+    doc_id % 5 != 0 documents (lang = label, q93's whitespace
+    tokenization), score every held-out (doc, class) pair with
+    Laplace-smoothed log-likelihoods:
+
+        score(d, l) = Σ_t ln(c_{l,t} + 1)             (per token inst.)
+                    + ln(docs_l) − ln(docs_total)      (class prior)
+                    − n_tok(d) · ln(N_l + V)           (normalizer)
+
+    The full per-(doc, lang) ROUNDED score grid is the output — no
+    float argmax decision crosses the engine boundary (a 1e-15
+    summation difference could flip a tie; emitting the grid keeps
+    parity at the suite's round-6 float discipline while testing every
+    count, prior, vocabulary and smoothing term).  All counts integer;
+    ln/round(6) identical expressions both engines (q93 precedent).
+
+    Scale: the train-side (lang, term) count frame is LAZILY
+    checkpointed — three consumers (score join, per-class totals,
+    vocabulary) project different column sets, which defeats exchange
+    reuse (CLAUDE.md), and the LogicalRDD boundary makes the corpus
+    aggregate run once; the test-side fan-out is |classes|-bounded via
+    a broadcast nested-loop join (never a cartesian of two data-sized
+    frames); the score join shuffles on (lang, term)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    ttok = train.select(
+        "lang",
+        F.explode_outer(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    counts = (
+        ttok.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = counts.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
+    dtot = train.agg(F.count(F.lit(1)).alias("d"))
+    classes = (
+        priors.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dtot))
+    )  # tiny: one row per class
+    stok = test.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    ntk = stok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    grid = (
+        stok.crossJoin(F.broadcast(classes.select("lang")))
+        .join(counts, ["lang", "term"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double"))
+            ).alias("_s")
+        )
+    )
+    return (
+        grid.join(F.broadcast(classes), "lang")
+        .join(ntk, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.round(
+                F.col("_s")
+                + F.log(F.col("d_l").cast("double"))
+                - F.log(F.col("d").cast("double"))
+                - F.col("n_tok").cast("double")
+                * F.log((F.col("n_l") + F.col("v")).cast("double")),
+                6,
+            ).alias("score"),
+        )
+        .orderBy("doc_id", "lang")
+    )
+
+
+def qx75_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test (round-14 — the NONPARAMETRIC
+    two-sample member of the statistics battery: qx57's Welch t is
+    parametric, qx63's KS compares whole CDFs; the rank-sum U is the
+    standard distribution-free location test, and integer quantities
+    make it a heavy-TIES exercise): 'A'-returnflag vs 'R'-returnflag
+    lineitem quantities.
+
+    Exact-integer discipline (CLAUDE.md: scale the statistic instead
+    of normalizing it): tied ranks use MIDRANKS, which are half-
+    integers — so everything carries DOUBLED ranks: for a value with
+    c ties after s smaller samples, m2 = 2·midrank = 2s + c + 1 is
+    always an integer, Σc1·m2 = 2·R1 and U1×2 = 2R1 − n1(n1+1) stay
+    BIGINT-exact, as does the tie-correction Σ(c³−c).  Only the final
+    z-score divides — once, on the already-aggregated scalars, with
+    the identical expression both engines + round(6).
+
+    Scale shape: one hash aggregate to per-value counts (50 distinct
+    quantities), the exclusive prefix count via
+    operators/ordered.py::bucketed_running_sum (bucket = q div 10 —
+    monotone, so NO SinglePartition window anywhere), one keyless
+    final combine (the allowlisted 1-row scalar shape)."""
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").isNotNull()
+    )
+    per = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            (F.col("l_returnflag") == "A").cast("bigint").alias("g1"),
+        )
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("g1").alias("c1"))
+        .withColumn("_bk", F.expr("q div 10"))
+    )
+    run = bucketed_running_sum(
+        per, bucket_col="_bk", order_cols=["q"], value_col="c",
+        out="_cum",
+    )
+    m2 = 2 * F.col("_cum") - F.col("c") + 1  # doubled midrank
+    agg = run.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c1") * m2).cast("bigint").alias("r1_x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).cast("bigint").alias("tie_t"),
+    )
+    n1, n, r1, t = F.col("n1"), F.col("n"), F.col("r1_x2"), F.col("tie_t")
+    n2 = n - n1
+    u1x2 = r1 - n1 * (n1 + 1)
+    var_x4 = (
+        n1.cast("double") * n2.cast("double") / 3.0
+        * (
+            (n + 1).cast("double")
+            - t.cast("double") / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )  # Var(2·U1) = 4·Var(U1)
+    return agg.select(
+        n1,
+        n2.cast("bigint").alias("n2"),
+        r1,
+        u1x2.cast("bigint").alias("u1_x2"),
+        t,
+        F.round(
+            (u1x2.cast("double") - n1.cast("double") * n2.cast("double"))
+            / F.sqrt(var_x4),
+            6,
+        ).alias("z"),
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -5952,4 +6110,6 @@ QUERIES = {
     "qx71_image_stats": qx71_image_stats,
     "qx72_spatial_knn_join": qx72_spatial_knn_join,
     "qx73_spatial_bbox_join": qx73_spatial_bbox_join,
+    "qx74_naive_bayes": qx74_naive_bayes,
+    "qx75_mann_whitney": qx75_mann_whitney,
 }
