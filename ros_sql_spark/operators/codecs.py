@@ -129,8 +129,9 @@ GATES = {
     "tiff-g4-extension": "CCITT 2-D extension codes (T.4/T.6 "
                          "uncompressed mode)",
     "tiff-predictor": "TIFF predictors other than 1/2",
-    "wav-format-tag": "WAVE non-integer-PCM format tags "
-                      "(IEEE float, A-law, µ-law, extensible)",
+    "wav-format-tag": "WAVE format tags beyond integer PCM / IEEE "
+                      "float / G.711 A-law+µ-law (extensible 0xFFFE, "
+                      "ADPCM)",
     "wav-depth": "WAVE integer PCM bit depths other than 8/16/32",
     "y4m-colorspace": "y4m colorspaces other than the C420 family / C444",
     "unknown-image-magic": "image payloads no native codec recognizes "
@@ -160,6 +161,9 @@ CLOSED = (
     "tiff-mh",                 # round-14 (compression 2: per-line MH)
     "tiff-t4",                 # round-14 (compression 3, 1-D + EOLs)
     "tiff-t4-2d",              # round-14 (compression 3, T4Options 2-D)
+    "wav-float",               # round-14 (IEEE float 32/64, tag 3)
+    "wav-alaw",                # round-14 (G.711 A-law, tag 6)
+    "wav-mulaw",               # round-14 (G.711 µ-law, tag 7)
 )
 
 
@@ -3458,24 +3462,102 @@ def encode_tiff(
     return bytes(out)
 
 
+# ------------------------------------------------------ G.711 companding
+# ITU-T G.711 A-law / µ-law (round-14): the classic public companding
+# algorithms (the segment/bias arithmetic documented in the spec and
+# the well-known public-domain g711 reference code), vectorized in
+# numpy.  Both are BIJECTIONS between the 256 code bytes and their
+# linear values, so the all-256-codes encode(decode(byte)) == byte
+# round-trip in tests pins every code path exactly.
+
+_G711_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def _mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """(n,) uint8 µ-law codes → int16-range linear values."""
+    c = (~codes.astype(np.int64)) & 0xFF
+    t = (((c & 0x0F) << 3) + _G711_BIAS) << ((c & 0x70) >> 4)
+    return np.where(c & 0x80, _G711_BIAS - t, t - _G711_BIAS).astype(
+        np.int64
+    )
+
+
+def _mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """(n,) int16-range linear values → uint8 µ-law codes."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(np.where(x < 0, -x, x)), _MULAW_CLIP)
+    mag = mag + _G711_BIAS
+    # segment = position of the highest set bit above bit 7 (0..7)
+    seg = np.maximum(
+        np.int64(np.ceil(0)),
+        (np.floor(np.log2(mag)) - 7).astype(np.int64),
+    )
+    seg = np.clip(seg, 0, 7)
+    uval = sign | (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+    return ((~uval) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """(n,) uint8 A-law codes → int16-range linear values."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int64)
+
+
+def _alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """(n,) int16-range linear values → uint8 A-law codes."""
+    x = pcm.astype(np.int64)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    pval = np.where(x >= 0, x, -x - 1) >> 3  # 13-bit magnitude
+    pv = np.maximum(pval, 1)
+    seg = np.clip((np.floor(np.log2(pv)) - 4).astype(np.int64), 0, 8)
+    seg = np.where(pval <= 0x1F, 0, seg)
+    aval = seg << 4
+    low = np.where(seg < 2, (pval >> 1) & 0x0F, pval >> seg & 0x0F)
+    aval = np.where(seg >= 8, 0x7F, aval | low)
+    return (aval ^ mask).astype(np.uint8)
+
+
 def encode_wav(
-    samples: np.ndarray, sample_rate: int = 16_000
+    samples: np.ndarray, sample_rate: int = 16_000, fmt: str = "pcm16"
 ) -> bytes:
-    """(n,) or (n, channels) float in [-1, 1] → 16-bit PCM RIFF/WAVE
-    bytes (the canonical fmt-chunk layout from the public RIFF spec).
-    The encode side exists so tests can synthesize REAL audio bytes to
-    push through the Spark plumbing, mirroring encode_bmp/encode_ppm."""
+    """(n,) or (n, channels) float in [-1, 1] → RIFF/WAVE bytes (the
+    canonical fmt-chunk layout from the public RIFF spec).  ``fmt``:
+    "pcm16" (integer PCM, tag 1), "float32" (IEEE float, tag 3),
+    "alaw"/"mulaw" (G.711 companded 8-bit, tags 6/7 — quantized to
+    int16 first, then companded; round-14).  The encode side exists so
+    tests can synthesize REAL audio bytes to push through the Spark
+    plumbing, mirroring encode_bmp/encode_ppm."""
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError(f"expected (n,) or (n, ch), got {arr.shape}")
-    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
-    data = pcm.tobytes()
     ch = arr.shape[1]
-    block = ch * 2
+    if fmt == "pcm16":
+        tag, bits = 1, 16
+        data = np.clip(
+            np.round(arr * 32767.0), -32768, 32767
+        ).astype("<i2").tobytes()
+    elif fmt == "float32":
+        tag, bits = 3, 32
+        data = arr.astype("<f4").tobytes()
+    elif fmt in ("alaw", "mulaw"):
+        tag, bits = (6, 8) if fmt == "alaw" else (7, 8)
+        pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(
+            np.int64
+        )
+        enc = _alaw_encode if fmt == "alaw" else _mulaw_encode
+        data = enc(pcm.reshape(-1)).tobytes()
+    else:
+        raise ValueError(f"fmt {fmt!r}: pcm16|float32|alaw|mulaw")
+    block = ch * (bits // 8)
     fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+        "<HHIIHH", tag, ch, sample_rate, sample_rate * block, block, bits
     )
     body = (
         b"WAVE"
@@ -3494,9 +3576,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
     Walks the chunk list (tolerating LIST/INFO and other metadata
     chunks, including the spec's odd-size padding byte), supports
-    integer PCM at 8/16/32 bits (format tag 1) — anything else raises
-    NotImplementedError naming the tag, the same honest-gate discipline
-    as decode_image."""
+    integer PCM at 8/16/32 bits (tag 1), IEEE float at 32/64 bits
+    (tag 3), and G.711 A-law/µ-law (tags 6/7 — exact integer
+    companding tables, scaled /32768 like 16-bit PCM; round-14) —
+    anything else (extensible 0xFFFE, ADPCM, ...) raises
+    NotImplementedError naming the tag, the same honest-gate
+    discipline as decode_image."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             f"not a RIFF/WAVE payload (magic {bytes(payload[:4])!r})"
@@ -3516,11 +3601,28 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise NotImplementedError("WAVE missing fmt/data chunk")
     tag, ch, rate, _, _, bits = fmt
-    if tag != 1:
+    if tag not in (1, 3, 6, 7):
         raise NotImplementedError(
-            f"only integer PCM (format tag 1) supported, got tag {tag}"
+            f"WAVE format tag {tag} unsupported (integer PCM 1, "
+            "IEEE float 3, G.711 A-law 6 / µ-law 7 only)"
         )
-    if bits == 16:
+    if tag == 3:
+        if bits == 32:
+            arr = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"IEEE float bit depth {bits}")
+    elif tag in (6, 7):
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 tag {tag} with bit depth {bits}"
+            )
+        dec = _alaw_decode if tag == 6 else _mulaw_decode
+        arr = dec(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.float64
+        ) / 32768.0
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:  # 8-bit WAV is unsigned per the spec
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

@@ -237,8 +237,10 @@ def test_wav_rejects_non_pcm_and_bad_magic():
     with pytest.raises(NotImplementedError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
     b = bytearray(encode_wav(_tone(100, n=10), 8000))
-    _s.pack_into("<H", b, 20, 3)  # format tag 3 = IEEE float
-    with pytest.raises(NotImplementedError, match="tag 3"):
+    # round-14: tag 3 (IEEE float) is now CLOSED — the remaining gate
+    # is extensible (0xFFFE) and other exotic tags
+    _s.pack_into("<H", b, 20, 0xFFFE)
+    with pytest.raises(NotImplementedError, match="tag 65534"):
         decode_wav(bytes(b))
 
 
@@ -1510,7 +1512,7 @@ def _gate_streams():
                 C.encode_tiff(np.zeros((1, 8), np.uint8), "g4", bits=1)
             ),
         ),
-        "wav-format-tag": (C.decode_wav, _wav_patch(wav, 20, 3)),
+        "wav-format-tag": (C.decode_wav, _wav_patch(wav, 20, 0xFFFE)),
         "wav-depth": (C.decode_wav, _wav_patch(wav, 34, 24)),
         "y4m-colorspace": (
             C.decode_y4m,
@@ -1529,6 +1531,7 @@ def _closed_streams():
     gray = img[..., 0]
     im12 = (img.astype(np.uint16) * 16) % 4096
     px = _img(8, 8, seed=12)
+    sig = np.sin(np.linspace(0, 20, 200)) * 0.5
     packed1 = _pack_subbyte((gray > 127).astype(np.uint8), 1)
     raw1 = b"".join(b"\x00" + packed1[y].tobytes() for y in range(8))
     b16 = _png_chunks(
@@ -1599,6 +1602,9 @@ def _closed_streams():
                 (gray > 127).astype(np.uint8), "t4-2d", bits=1
             ),
         ),
+        "wav-float": (C.decode_wav, C.encode_wav(sig, fmt="float32")),
+        "wav-alaw": (C.decode_wav, C.encode_wav(sig, fmt="alaw")),
+        "wav-mulaw": (C.decode_wav, C.encode_wav(sig, fmt="mulaw")),
     }
 
 
@@ -2039,3 +2045,58 @@ def test_ccitt_t4_fill_bits_tolerated(spark=None):
     C._ccitt_1d_line_encode(w, C._row_transitions(img2[1]), 8)
     got = C._ccitt_t4_decode(w.done(), 8, 2, two_d=False)
     assert got == C._ccitt_t4_decode(raw, 8, 2, two_d=False)
+
+
+def test_g711_bijection_and_known_values():
+    """Round-14 G.711: encode(decode(code)) == code for ALL 256 codes
+    of BOTH laws — except µ-law 0x7F, the spec's NEGATIVE ZERO, whose
+    linear value 0 re-encodes as positive zero 0xFF (the well-known
+    two-zeros collapse; A-law has no zero code, ±8 are its smallest
+    magnitudes).  Plus spec landmarks: µ-law 0xFF = 0, A-law 0xD5 = +8
+    / 0x55 = −8, and encode matches the reference segment search over
+    the ENTIRE int16 domain by construction of the decode table."""
+    from ros_sql_spark.operators import codecs as C
+
+    codes = np.arange(256, dtype=np.uint8)
+    md, ad = C._mulaw_decode(codes), C._alaw_decode(codes)
+    me, ae = C._mulaw_encode(md), C._alaw_encode(ad)
+    assert (ae == codes).all()
+    diff = np.nonzero(me != codes)[0]
+    assert list(diff) == [0x7F] and me[0x7F] == 0xFF and md[0x7F] == 0
+    assert md[0xFF] == 0
+    assert ad[0xD5] == 8 and ad[0x55] == -8
+    # decode is monotone within each sign (valid quantizer ordering);
+    # µ-law's value 0 appears TWICE by design (codes 0x7F and 0xFF) —
+    # exclude the negative zero and the rest must be duplicate-free
+    pos = sorted(int(md[c]) for c in range(256) if md[c] >= 0 and c != 0x7F)
+    assert pos == sorted(set(pos))
+    apos = sorted(int(v) for v in ad if v > 0)
+    assert apos == sorted(set(apos))
+
+
+def test_wav_format_roundtrip_matrix():
+    """float32 WAV round-trips f32-exactly; A-law/µ-law round-trip to
+    exactly decode(encode(pcm16)) with the real container; stereo and
+    odd lengths included."""
+    from ros_sql_spark.operators import codecs as C
+
+    rng = np.random.default_rng(9)
+    mono = rng.uniform(-1, 1, 333)
+    stereo = rng.uniform(-1, 1, (200, 2))
+    for sig in (mono, stereo):
+        arr32, rate = C.decode_wav(C.encode_wav(sig, 22050, fmt="float32"))
+        want = np.asarray(sig, np.float64)
+        if want.ndim == 1:
+            want = want[:, None]
+        assert rate == 22050
+        assert np.array_equal(arr32, want.astype(np.float32))
+        pcm = np.clip(np.round(want * 32767.0), -32768, 32767).astype(
+            np.int64
+        )
+        for fmt, enc, dec in (
+            ("alaw", C._alaw_encode, C._alaw_decode),
+            ("mulaw", C._mulaw_encode, C._mulaw_decode),
+        ):
+            got, _ = C.decode_wav(C.encode_wav(sig, 22050, fmt=fmt))
+            want_lin = dec(enc(pcm.reshape(-1))).reshape(pcm.shape)
+            assert np.array_equal(got * 32768.0, want_lin.astype(float)), fmt
