@@ -3474,6 +3474,47 @@ ORACLES: dict[str, str] = {
                                     * CAST(n - 1 AS DOUBLE)))), 6) AS z
         FROM agg
     """,
+    # Interval-union coverage: the identical integer sweep in SQL
+    # windows; half-open seams collapse in the per-position delta sum.
+    "qx76_interval_coverage": """
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + ((event_id % 590) + 10) * 1000000 AS e
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), bounds AS (
+            SELECT user_id, s AS pos, 1 AS d FROM iv
+            UNION ALL
+            SELECT user_id, e AS pos, -1 AS d FROM iv
+        ), seg AS (
+            SELECT user_id, pos, sum(d) AS dd
+            FROM bounds GROUP BY user_id, pos
+        ), run AS (
+            SELECT user_id, pos,
+                   sum(dd) OVER (PARTITION BY user_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                 CURRENT ROW) AS depth,
+                   lead(pos) OVER (PARTITION BY user_id
+                                   ORDER BY pos) AS nxt
+            FROM seg
+        ), cover AS (
+            SELECT user_id,
+                   CAST(max(depth) AS BIGINT) AS peak_depth,
+                   CAST(sum(CASE WHEN depth > 0 AND nxt IS NOT NULL
+                                 THEN nxt - pos ELSE 0 END)
+                        AS BIGINT) AS covered_us
+            FROM run GROUP BY user_id
+        ), raw AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(e - s) AS BIGINT) AS raw_us
+            FROM iv GROUP BY user_id
+        )
+        SELECT raw.user_id, n_intervals, raw_us, covered_us, peak_depth
+        FROM raw JOIN cover ON raw.user_id = cover.user_id
+        ORDER BY raw.user_id
+    """,
 }
 
 # Driver-window discipline: iteration order == sorted(numeric) order, so the

@@ -5931,6 +5931,77 @@ def qx75_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx76_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-UNION COVERAGE by sweep line (round-14 — the temporal
+    MEASURE primitive the interval family lacked: q42 joins interval
+    PAIRS, qx32 reconstructs SCD2 validity, q16 sessionizes by gaps;
+    nothing computed the union length / peak concurrency of
+    OVERLAPPING intervals — the classic 'total active time' /
+    'max concurrent sessions' analytics pair): each event opens a
+    half-open interval [ts, ts + dur) with a closed-form integer
+    duration from its event_id; per user the query reports the
+    interval count, the summed RAW lengths, the UNION-covered µs and
+    the peak sweep depth.
+
+    Exact sweep line in three partitioned steps: ±delta boundary rows
+    (start +1, end −1) → groupBy (user, pos) collapses coincident
+    boundaries (which also makes back-to-back [a,b)+[b,c) seamless —
+    the half-open semantics fall out of summing deltas BEFORE scanning)
+    → one window per user ordered by pos gives depth = running Σdelta,
+    and covered = Σ (next_pos − pos) over segments with depth > 0.
+    Everything integer µs (ns floored per timestamp, the q42 oracle-
+    domain rule); windows all partition on user_id — no global sort,
+    no SinglePartition (suite guard).
+
+    Oracle: the identical sweep in SQL windows — plus the raw-length
+    sum, which double-checks the boundary melt loses no interval."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts_ns").isNotNull() & F.col("user_id").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        tus("ts_ns").alias("s"),
+        (
+            tus("ts_ns")
+            + ((F.col("event_id") % 590) + 10) * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    bounds = iv.select(
+        "user_id", F.col("s").alias("pos"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("pos"), F.lit(-1).alias("d"))
+    )
+    seg = (
+        bounds.groupBy("user_id", "pos")
+        .agg(F.sum("d").alias("dd"))
+    )
+    w = Window.partitionBy("user_id").orderBy("pos")
+    run = seg.select(
+        "user_id",
+        "pos",
+        F.sum("dd").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("depth"),
+        F.lead("pos").over(w).alias("nxt"),
+    )
+    cover = run.groupBy("user_id").agg(
+        F.max("depth").cast("bigint").alias("peak_depth"),
+        F.sum(
+            F.when(
+                (F.col("depth") > 0) & F.col("nxt").isNotNull(),
+                F.col("nxt") - F.col("pos"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("covered_us"),
+    )
+    raw = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("raw_us"),
+    )
+    return raw.join(cover, "user_id").select(
+        "user_id", "n_intervals", "raw_us", "covered_us", "peak_depth"
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -6112,4 +6183,5 @@ QUERIES = {
     "qx73_spatial_bbox_join": qx73_spatial_bbox_join,
     "qx74_naive_bayes": qx74_naive_bayes,
     "qx75_mann_whitney": qx75_mann_whitney,
+    "qx76_interval_coverage": qx76_interval_coverage,
 }
