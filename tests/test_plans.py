@@ -465,13 +465,30 @@ def test_connected_components_round_job_budget(spark):
 
     with mock.patch.object(DataFrame, "localCheckpoint", spy_ckpt), \
             mock.patch.object(DataFrame, "count", spy_count):
-        comp = connected_components(edges)
+        # force the LOOP: the round-14 small-graph fast path would
+        # solve this chain in one union-find task (budget asserted
+        # separately below)
+        comp = connected_components(edges, small_graph_edges=0)
     assert len(ckpts) == 5, (
         f"{len(ckpts)} materializations (want 1 setup + 4 two-hop rounds)"
     )
     assert not counts, "convergence must ride the checkpoint, not count()"
     got = sorted((r.id, r.component) for r in comp.collect())
     assert got == [(i, 1) for i in range(1, 7)] + [(10, 10), (11, 10)]
+
+    # round-14 fast path: 1 edge pin + 1 pinned union-find label frame,
+    # still zero driver count() actions, identical labels
+    ckpts.clear()
+    counts.clear()
+    with mock.patch.object(DataFrame, "localCheckpoint", spy_ckpt), \
+            mock.patch.object(DataFrame, "count", spy_count):
+        comp_fast = connected_components(edges)
+    assert len(ckpts) == 2, (
+        f"{len(ckpts)} materializations (want edge pin + finisher pin)"
+    )
+    assert not counts
+    got_fast = sorted((r.id, r.component) for r in comp_fast.collect())
+    assert got_fast == got
 
 
 def test_qx07_qx08_plan_shapes(spark):
