@@ -3567,6 +3567,9 @@ def encode_wav(
         + b"data"
         + struct.pack("<I", len(data))
         + data
+        # RIFF chunks pad to even offsets; G.711 mono with odd n is the
+        # first format here whose data chunk can be odd (round-14)
+        + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -3483,6 +3483,7 @@ ORACLES: dict[str, str] = {
                    + ((event_id % 590) + 10) * 1000000 AS e
             FROM events
             WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL
         ), bounds AS (
             SELECT user_id, s AS pos, 1 AS d FROM iv
             UNION ALL

@@ -5955,8 +5955,13 @@ def qx76_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the identical sweep in SQL windows — plus the raw-length
     sum, which double-checks the boundary melt loses no interval."""
+    # event_id also non-null DEFENSIVELY (qx57 lesson: a NULL boundary
+    # position would sort NULLS FIRST in Spark windows, NULLS LAST in
+    # DuckDB — filter the divergence out instead of relying on data)
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("ts_ns").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts_ns").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
     )
     iv = ev.select(
         "user_id",

@@ -220,6 +220,18 @@ def profile_ingest_batch(
                 f"quantile_k={quantile_k} differs from the store's "
                 f"{prev_k} — the sample is only mergeable at one k"
             )
+        if prev_k is None and int(prev.get("_n_rows", 0)) > 0:
+            # round-14 self-review: enabling quantiles MID-STREAM would
+            # silently produce a sample over a suffix of the corpus
+            # while the report contract promises equality with a
+            # from-scratch sketch over EVERYTHING ingested — fail
+            # loudly instead
+            raise ValueError(
+                "quantile_key enabled on a store that already ingested "
+                "batches without it — the bottom-k sample cannot be "
+                "reconstructed retroactively; start a new store or "
+                "profile without quantiles"
+            )
         prof["_quantile_k"] = quantile_k
         if nums:
             from ros_sql_spark.operators.sketch import quantile_sketch

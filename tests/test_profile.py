@@ -420,3 +420,19 @@ def test_multiplicity_delta_large_batch_fallback(spark):
             ).collect()
         }
         assert got == want, thresh
+
+
+def test_profile_quantiles_cannot_enable_mid_stream(spark, tmp_path):
+    """Round-14 self-review: enabling quantile_key on a store that
+    already ingested batches without it would produce a sample over a
+    SUFFIX of the corpus while the contract promises from-scratch
+    equality — a named error instead."""
+    store = str(tmp_path / "p")
+    profile_ingest_batch(
+        spark.createDataFrame(Q0, _QSCHEMA), 0, store, _QCOLS
+    )
+    with pytest.raises(ValueError, match="retroactively"):
+        profile_ingest_batch(
+            spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS,
+            quantile_key="uid",
+        )
