@@ -818,8 +818,8 @@ def connected_components(
     task (:func:`_smallgraph_labels`) — identical labels, and the
     2-4 materialization rounds a dup graph needs become one job
     (measured, quiet solo min-of-3 at sf0.1: qx10 incremental
-    3.47 → ~1.8 s, q15 1.56 → ~0.9 s; qx26 unchanged within its
-    documented ±25% band — its cost is the shingle stages, not the
+    3.47 → 1.8–2.1 s, q15 1.56 → 0.9–1.4 s across two quiet windows;
+    qx26 5.64 → ~5.1 — its cost is the shingle stages, not the
     components loop).
     """
     sym = edges.select(
