@@ -32,6 +32,20 @@ from ros_sql_spark.plans.queries import QUERIES
 from ros_sql_spark.session import get_spark
 
 
+def normalize_total(total: float, canary_start: float, canary_end: float,
+                    floor: float) -> float:
+    """Band-normalized headline: scale the raw total by floor/canary.
+
+    Each canary reading is CLAMPED at the floor (r14 verdict:
+    BENCH_r14's end canary read 0.076 < floor=0.14 and the normalized
+    total claimed a better-than-quiet host) — normalization only ever
+    corrects DOWNWARD for degraded bands, never inflates a quiet run,
+    so normalized <= raw always.
+    """
+    mean = (max(canary_start, floor) + max(canary_end, floor)) / 2.0
+    return round(total * (floor / mean), 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
@@ -81,7 +95,10 @@ def main() -> None:
     # (measured this round, min-of-5 at sf0.1 on a quiescent host), so
     # the artifact itself carries band_normalized_total =
     # total * (canary_floor / canary) — a self-correcting headline.
-    CANARY_FLOOR = 0.14  # q01_scan_project, min-of-8, sf0.1, quiet host (r14)
+    # q01_scan_project, min-of-5, sf0.1, quiet host (measured r14).
+    # The default is one specific host's quiet floor — overridable via
+    # env so other machines don't silently mis-normalize (r14 advice).
+    CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "0.14"))
 
     def time_canary() -> float:
         best = float("inf")
@@ -113,6 +130,8 @@ def main() -> None:
     # (min-of-3 each — the solo protocol, now in-process): a full-suite
     # reading within ~30% of its floor is host band, not plan drift.
     floors: dict[str, float] = {}
+    floors_canary = None
+    floors_degraded = None
     if args.only:
         # Round-14 directive #3: in solo mode the measured min-of-N
         # values ARE floors — emit them in the field that exists to
@@ -120,6 +139,16 @@ def main() -> None:
         # to know the convention.
         floors = dict(timings)
     elif not args.no_floors:
+        # Round-15 directive #2: canary the floors pass itself —
+        # BENCH_r14's floors section landed degraded (qx67 "floor"
+        # 5.26 vs quiet solo 3.73) with nothing in-artifact to say so.
+        # One retry if the first reading is >1.5x floor (transient
+        # spikes), then record the verdict so a degraded floors
+        # section is flagged in the artifact, not adjudicated later.
+        floors_canary = time_canary()
+        if floors_canary > 1.5 * CANARY_FLOOR:
+            floors_canary = time_canary()
+        floors_degraded = floors_canary > 1.5 * CANARY_FLOOR
         tail = sorted(timings, key=timings.get, reverse=True)[:10]
         for name in tail:
             best = float("inf")
@@ -133,15 +162,19 @@ def main() -> None:
     # the suite-wide band estimate is the MEAN of the two canary
     # readings (start and end bracket the suite); ratio > 1 means the
     # host ran slower than the quiet floor and the normalized headline
-    # scales the raw total back down accordingly.
-    canary_mean = (canary_start + canary_end) / 2.0
-    band_normalized_total = round(total * (CANARY_FLOOR / canary_mean), 4)
+    # scales the raw total back down accordingly (clamped at the
+    # floor — see normalize_total).
+    band_normalized_total = normalize_total(
+        total, canary_start, canary_end, CANARY_FLOOR)
     canary = {
         "query": "q01_scan_project",
         "start": canary_start,
         "end": canary_end,
         "floor": CANARY_FLOOR,
     }
+    if floors_canary is not None:
+        canary["floors_pass"] = floors_canary
+        canary["floors_degraded"] = floors_degraded
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(

@@ -58,3 +58,26 @@ def test_driver_window_discipline():
     window = ks[:50]
     rows_only_in_window = set(window) - set(m.oracle_sql())
     assert rows_only_in_window == set(), rows_only_in_window
+
+
+def test_bench_normalize_total_clamps_below_floor():
+    """r15 directive #2: normalization only corrects DOWNWARD — a
+    canary reading below the quiet floor must not inflate the headline
+    (BENCH_r14's end canary 0.076 < floor 0.14 produced a normalized
+    total BELOW the raw reading on a degraded run)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # both readings below floor: clamp → normalized == raw
+    assert bench.normalize_total(100.0, 0.05, 0.07, 0.14) == 100.0
+    # degraded band (2x floor): corrected halfway down
+    assert bench.normalize_total(100.0, 0.28, 0.28, 0.14) == 50.0
+    # mixed: the below-floor reading clamps to the floor, the degraded
+    # one still corrects — normalized can never exceed raw
+    mixed = bench.normalize_total(100.0, 0.07, 0.28, 0.14)
+    assert mixed == round(100.0 * 0.14 / ((0.14 + 0.28) / 2), 4)
+    assert mixed <= 100.0

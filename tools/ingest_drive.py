@@ -29,10 +29,14 @@ composed chain too; the end checks add the ledger-row identity.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+# runnable bare from any cwd (r14 verdict: same fix as scale_drive)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F

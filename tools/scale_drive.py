@@ -25,10 +25,16 @@ Run: ``PYTHONPATH=/root/repo python tools/scale_drive.py [n_copies]``
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import time
+
+# runnable bare from any cwd: `python tools/scale_drive.py 4` (r14
+# verdict: the in-main import died ModuleNotFoundError without
+# PYTHONPATH after ~30 s of synth stages)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
