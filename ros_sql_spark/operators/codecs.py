@@ -3051,6 +3051,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f" predictor={pred} is invalid (bilevel only)"
         )
     t4_2d = bool(one(292, 0) & 1) if comp == 3 else False
+    if comp == 3 and one(292, 0) & 2:
+        # round-15 ADVICE: T4Options bit 1 = uncompressed mode ALLOWED.
+        # A 1-D coded line's uncompressed-mode entry code would
+        # otherwise die in the MH run decoder as ValueError('bad run
+        # code') instead of the registered named gate (the 2-D path
+        # already gates extension codes) — gate at parse time so
+        # compression-3 files declaring the mode raise honestly even
+        # before a line uses it.
+        raise NotImplementedError(
+            "CCITT 2-D extension code (uncompressed mode): T4Options "
+            "bit 1 set on compression-3"
+        )
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
     if pred == 2 and b0 not in (8, 16):

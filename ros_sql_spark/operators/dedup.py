@@ -809,8 +809,10 @@ def connected_components(
     ``nodes``: optionally the full node universe (isolated docs keep
     their own id as component; without it only endpoint nodes appear).
     If given, it must COVER the edge endpoints whose connectivity
-    matters — labels only propagate through listed nodes (the star
-    operator's universe semantics, shared contract).
+    matters — labels only propagate through listed nodes, on BOTH
+    paths: the loop by construction, the small-graph finisher via an
+    explicit listed-listed edge restriction (round-15 ADVICE — the
+    two previously diverged silently on non-covering universes).
 
     SMALL-GRAPH fast path (round-14): the symmetrized edge count rides
     the pinning job's Observation for free, and a graph at or under
@@ -846,17 +848,40 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_sym = ob_sym.get["n_sym"] or 0
+    nodes_supplied = nodes is not None
     if nodes is None:
         nodes = sym.select(F.col("a").alias(id_col)).distinct()
     if n_sym <= 2 * small_graph_edges:  # sym carries each edge twice
+        uv = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        if nodes_supplied and n_sym > 0:
+            # round-15 ADVICE: the loop relays labels only through
+            # LISTED nodes, so for a non-covering universe the finisher
+            # must not union through unlisted endpoints — restrict to
+            # listed-listed edges before union-find (identical labels
+            # for covering universes, the documented contract every
+            # in-repo caller satisfies).  sym is count-gated small:
+            # broadcast its endpoint set to semi-reduce nodes, then
+            # broadcast the touched listed ids back over both edge
+            # sides — two broadcast joins, never a corpus shuffle
+            # (the incremental-probe discipline).
+            ep = sym.select(F.col("a").alias("_e")).distinct()
+            listed = nodes.select(
+                F.col(id_col).cast("bigint").alias("_t")
+            ).join(F.broadcast(ep), F.col("_t") == F.col("_e"),
+                   "left_semi")
+            uv = uv.join(
+                F.broadcast(listed), F.col("u") == F.col("_t"),
+                "left_semi",
+            ).join(
+                F.broadcast(listed), F.col("v") == F.col("_t"),
+                "left_semi",
+            )
         # PINNED like the loop path's checkpointed labels frame:
         # components output is consumed across several separate
         # actions by the dedup/curate pipelines, and an un-pinned
         # finisher re-ran union-find per consumer (measured: qx26
         # regressed until this eager checkpoint landed)
-        lbl = _smallgraph_labels(
-            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        ).localCheckpoint(eager=True)
+        lbl = _smallgraph_labels(uv).localCheckpoint(eager=True)
         return nodes.select(
             F.col(id_col).cast("bigint").alias(id_col)
         ).join(lbl, F.col(id_col) == F.col("_n"), "left").select(

@@ -193,7 +193,14 @@ def profile_ingest_batch(
         .agg(F.count(F.lit(1)).alias("_d"))
         .localCheckpoint(eager=False)  # consumed by probe + merge
     )
-    joined = multiplicity_delta(pre, keyed, ["col", "v"])
+    # keyed_count: touched (col, v) pairs ≤ batch_rows × n_columns —
+    # an upper bound already in hand from the scalar-aggregate job
+    # above, so the delta probe skips its per-batch gating job
+    # (r15 directive #4: one fewer Spark job per micro-batch)
+    joined = multiplicity_delta(
+        pre, keyed, ["col", "v"],
+        keyed_count=int(row["_n"]) * len(columns),
+    )
     fresh = {
         r["col"]: int(r["_f"])
         for r in joined.filter(F.col("_old") == 0)
@@ -212,6 +219,20 @@ def profile_ingest_batch(
     # equals the from-scratch sketch exactly.  Rows enter once
     # (append stream + row-unique key; a redelivered batch no-ops at
     # the watermark above), so concatenation never duplicates a row.
+    if quantile_key is None and prev.get("_quantile_k") is not None:
+        # round-15 ADVICE: the mirror of the mid-stream ENABLE guard
+        # below.  Ingesting without quantile_key into a store that
+        # previously sampled would drop _quantile_k from the committed
+        # profile while each column's stale qsample is carried forward
+        # untouched — profile_quantiles_read would silently report
+        # samples missing this batch, violating the
+        # equals-from-scratch-sketch contract.  Fail loudly instead.
+        raise ValueError(
+            "store previously ingested with quantile_key (the running "
+            "bottom-k sample cannot skip a batch) — keep passing "
+            "quantile_key, or start a new store to profile without "
+            "quantiles"
+        )
     if quantile_key is not None:
         nums = [c for c, numeric in columns.items() if numeric]
         prev_k = prev.get("_quantile_k")

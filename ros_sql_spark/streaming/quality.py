@@ -136,7 +136,12 @@ def quality_ingest_batch(
         .agg(F.count(F.lit(1)).alias("_d"))
         .localCheckpoint(eager=False)  # consumed by probe + merge
     )
-    joined = multiplicity_delta(pre, keyed, key_cols)
+    # keyed_count: touched keys ≤ batch rows — the bound is already in
+    # hand from the scalar-aggregate job above, so the delta probe
+    # skips its per-batch gating job (r15 directive #4)
+    joined = multiplicity_delta(
+        pre, keyed, key_cols, keyed_count=int(row["_n_rows"])
+    )
     pos = lambda c: F.greatest(c, F.lit(0))  # noqa: E731
     delta_row = joined.agg(
         F.coalesce(

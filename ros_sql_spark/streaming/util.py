@@ -36,7 +36,12 @@ def start_foreach_batch(
 
 
 def multiplicity_delta(
-    pre, keyed, key_cols: list[str], broadcast_max_keys: int = 2_000_000
+    pre,
+    keyed,
+    key_cols: list[str],
+    broadcast_max_keys: int = 2_000_000,
+    broadcast_max_bytes: int = 64 << 20,
+    keyed_count: int | None = None,
 ):
     """Increment-probe join for KEYED-MULTIPLICITY state (round-13
     review: quality.py and profile.py carried line-for-line copies of
@@ -53,21 +58,60 @@ def multiplicity_delta(
     stats-less lazy frame can draw a sort-merge plan that shuffles
     the whole state every micro-batch).  The hint presumes a BOUNDED
     micro-batch; a backfill/bootstrap batch whose touched-key set
-    exceeds ``broadcast_max_keys`` (round-13 ADVICE: e.g. the
-    profiler touches every distinct (col, value) pair of the batch)
+    exceeds ``broadcast_max_keys`` ROWS or ``broadcast_max_bytes``
+    estimated key bytes (round-14 ADVICE: the row gate alone let ~2M
+    multi-column string keys build a multi-hundred-MB broadcast)
     falls back to the un-hinted semi-join — slower per batch, but it
     cannot blow the driver/broadcast memory limit the way a forced
-    multi-GB broadcast build would.  Eagerly checkpointed: every
-    caller consumes it in at least two SEPARATE actions (delta
-    statistics + the merge commit), the several-actions pin rule."""
+    multi-GB broadcast build would.
+
+    ``keyed_count``: an UPPER BOUND on the touched-key count, when the
+    caller already knows one (e.g. batch_rows × n_columns from a
+    scalar aggregate it collected anyway).  Supplying it skips the
+    bounded per-batch gating job this function otherwise runs
+    (``keyed.limit(N)`` + a 2-scalar agg — one extra Spark job per
+    micro-batch per monitor, r14 verdict #3); callers relying on that
+    gating job should keep ``keyed`` lazily checkpointed so the gate
+    and the probe share the materialization.  Eagerly checkpointed:
+    every caller consumes the result in at least two SEPARATE actions
+    (delta statistics + the merge commit), the several-actions pin
+    rule."""
     import pyspark.sql.functions as F
 
     if pre is not None:
         touched = keyed.select(*key_cols)
-        if keyed.limit(broadcast_max_keys).count() >= broadcast_max_keys:
-            old = pre.join(touched, key_cols, "left_semi")
+        if keyed_count is not None:
+            small = keyed_count < broadcast_max_keys
         else:
+            # bounded gating job: limit pushes down, so the probe never
+            # scans more than broadcast_max_keys rows; the byte gate is
+            # a lower bound when the limit truncates, but then the row
+            # gate already forces the fallback
+            width = sum(
+                (
+                    F.coalesce(
+                        F.octet_length(F.col(c).cast("string")), F.lit(0)
+                    )
+                    for c in key_cols
+                ),
+                F.lit(0),
+            )
+            probe = (
+                keyed.limit(broadcast_max_keys)
+                .agg(
+                    F.count(F.lit(1)).alias("_r"),
+                    F.coalesce(F.sum(width), F.lit(0)).alias("_b"),
+                )
+                .collect()[0]
+            )
+            small = (
+                int(probe["_r"]) < broadcast_max_keys
+                and int(probe["_b"]) < broadcast_max_bytes
+            )
+        if small:
             old = pre.join(F.broadcast(touched), key_cols, "left_semi")
+        else:
+            old = pre.join(touched, key_cols, "left_semi")
         joined = keyed.join(old, key_cols, "left").select(
             *key_cols,
             "_d",

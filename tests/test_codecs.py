@@ -2100,3 +2100,20 @@ def test_wav_format_roundtrip_matrix():
             got, _ = C.decode_wav(C.encode_wav(sig, 22050, fmt=fmt))
             want_lin = dec(enc(pcm.reshape(-1))).reshape(pcm.shape)
             assert np.array_equal(got * 32768.0, want_lin.astype(float)), fmt
+
+
+def test_t4options_uncompressed_mode_bit_gates_at_parse():
+    """Round-15 ADVICE: T4Options bit 1 (uncompressed mode ALLOWED) on
+    compression-3 must raise the registered tiff-g4-extension gate at
+    parse time — previously a 1-D line using the mode died in the MH
+    run decoder as ValueError('bad run code'), breaking the honest-gate
+    discipline (only the 2-D path gated extension codes)."""
+    import numpy as np
+    import pytest
+
+    from ros_sql_spark.operators import codecs as C
+
+    raw = C.encode_tiff(np.zeros((2, 8), np.uint8), "t4-2d", bits=1)
+    patched = _tiff_tag_patch(raw, 292, 3)  # bit 0 (2-D) + bit 1
+    with pytest.raises(NotImplementedError, match="uncompressed mode"):
+        C.decode_tiff(patched)

@@ -93,6 +93,33 @@ def test_connected_components_planted_clusters(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
 
 
+def test_components_noncovering_universe_finisher_matches_loop(spark):
+    """Round-15 ADVICE: for a NON-covering ``nodes`` universe the
+    small-graph finisher must agree with the propagation loop — labels
+    relay only through LISTED nodes, so the unlisted bridge node 2 must
+    NOT merge 1 and 3 (the finisher previously union-found over all
+    endpoints and the divergence was silent and size-dependent)."""
+    from ros_sql_spark.operators.dedup import connected_components
+
+    # path 1-2-3 with 2 unlisted: 1 and 3 stay separate; pair 10-11
+    # fully listed: merges as usual
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 3, 10, 11, 99]], "id long"
+    )
+    expect = {1: 1, 3: 3, 10: 10, 11: 10, 99: 99}
+    for sge in (200_000, 0):  # finisher path, then loop path
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                edges, nodes=nodes, id_col="id", small_graph_edges=sge
+            ).collect()
+        }
+        assert got == expect, (sge, got)
+
+
 def test_simhash_locality(spark, docs):
     """Near-duplicate docs land within a few SimHash bits; unrelated docs
     don't collide that closely (locality property, not exactness)."""

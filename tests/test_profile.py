@@ -436,3 +436,50 @@ def test_profile_quantiles_cannot_enable_mid_stream(spark, tmp_path):
             spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS,
             quantile_key="uid",
         )
+
+
+def test_profile_quantiles_cannot_disable_mid_stream(spark, tmp_path):
+    """Round-15 ADVICE (mirror of the enable guard): ingesting WITHOUT
+    quantile_key into a store that previously sampled would carry each
+    column's stale qsample forward while dropping _quantile_k — reads
+    would silently miss the new batch.  A named error instead."""
+    store = str(tmp_path / "p")
+    profile_ingest_batch(
+        spark.createDataFrame(Q0, _QSCHEMA), 0, store, _QCOLS,
+        quantile_key="uid",
+    )
+    with pytest.raises(ValueError, match="keep passing"):
+        profile_ingest_batch(
+            spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS
+        )
+
+
+def test_multiplicity_delta_byte_gate_and_caller_count(spark):
+    """Round-15: (a) the gating job also bounds estimated key BYTES —
+    few rows of very wide keys must take the fallback path (r14 ADVICE:
+    the row gate alone allowed multi-hundred-MB broadcasts); (b) a
+    caller-supplied keyed_count upper bound skips the gating job and
+    picks the path by rows alone — same results on every path."""
+    from ros_sql_spark.streaming.util import multiplicity_delta
+
+    pre = spark.createDataFrame(
+        [("a" * 100, 2), ("b", 1)], "k string, n bigint"
+    )
+    keyed = spark.createDataFrame(
+        [("a" * 100, 3), ("c" * 100, 1)], "k string, _d bigint"
+    )
+    want = {("a" * 100, 3, 2), ("c" * 100, 1, 0)}
+
+    def run(**kw):
+        return {
+            (r["k"], r["_d"], r["_old"])
+            for r in multiplicity_delta(pre, keyed, ["k"], **kw).collect()
+        }
+
+    # byte gate: 200 key bytes > 50-byte budget → fallback; same rows
+    assert run(broadcast_max_bytes=50) == want
+    # generous budgets → broadcast path; same rows
+    assert run() == want
+    # caller-supplied bound: small → broadcast, large → fallback
+    assert run(keyed_count=2) == want
+    assert run(keyed_count=10_000_000) == want
