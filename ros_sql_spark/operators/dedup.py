@@ -1673,13 +1673,18 @@ def passage_df(
     )
 
 
+# md5 of the empty byte string: an EMPTY passage (all-"" tokens from
+# consecutive spaces) hashes to this constant, so hash-only pipelines
+# can exclude empty passages without materializing the strings
+_MD5_EMPTY = "d41d8cd98f00b204e9800998ecf8427e"
+
+
 def remove_boilerplate(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     passage_tokens: int = 10,
     max_doc_freq: int = 10,
-    persist_passages: bool = False,
 ) -> DataFrame:
     """Strip passages that repeat across more than ``max_doc_freq``
     documents (headers, footers, navigation chrome, license blurbs) and
@@ -1687,47 +1692,88 @@ def remove_boilerplate(
 
     Output: (id, text) with ``text`` the cleaned document; a document
     whose EVERY passage is boilerplate drops out entirely (no empty-
-    string row).  Scale shape: one passage
-    explode (linear), a df-count on the 128-bit digest (one narrow
-    shuffle), a broadcast of the HOT digest set (boilerplate is by
-    definition a small distinct set — it repeats), an anti-join probe,
-    and one per-doc reassembly groupBy.  The corpus text never joins
-    against itself.
+    string row).
 
-    ``persist_passages``: the passage table feeds BOTH the hot-digest
-    census (broadcast build side) and the anti-join probe — two
-    different subplans, nothing exchange-reused, so the
-    tokenize→assemble→md5→explode pipeline runs twice per action.
-    MEASURED at sf0.1: the lazy localCheckpoint LOSES slightly (median
-    1.44s vs 1.36s) — passages are ~10× fewer than the k-windows that
-    made remove_duplicate_spans' persist_windows win (7.4→5.0s), so
-    here the checkpoint write outweighs the avoided re-pipeline and
-    the default stays False.  Enable it when the passage pipeline is
-    genuinely expensive (very long documents, larger passage arrays)."""
-    p = passage_df(df, id_col, text_col, passage_tokens)
-    if persist_passages:
-        p = p.localCheckpoint(eager=False)
+    Round-15 shape (directive #1 — this stage was ~70% of
+    qx26_curate_full's floor): NO document text ever crosses an
+    exchange.  The census explodes only (id, pos, 128-bit digest) —
+    empty passages excluded by comparing against the md5-of-empty
+    CONSTANT instead of materializing passage strings — one narrow
+    distinct+count shuffle yields the HOT digest set (boilerplate is
+    by definition a small distinct set — it repeats).  Hot PASSAGE
+    POSITIONS per doc come from an inner join against the broadcast
+    hot set, grouped to (id, hot positions) — rows only for docs that
+    actually contain boilerplate.  The rebuild is then a doc-side
+    PROJECTION: join the tokenized docs to the hot-position lists
+    (un-hinted — AQE broadcasts when the list is small, the common
+    case; a headers-everywhere corpus degrades to one id shuffle, the
+    same worst case the old reassembly groupBy always paid) and
+    filter/rejoin the passage array per row.  The old shape shuffled
+    every surviving passage STRING through a collect_list reassembly
+    and ran the string pipeline twice; measured at sf0.1
+    (max_doc_freq=2, min-of-5, interleaved): 1.75-2.46 s → 1.39 s,
+    byte-identical output on all 4,992 docs.  Lazy-checkpointing the
+    hash table measured slightly WORSE (1.49 s) — the hash pipeline
+    is two cheap JVM passes; the pin's write outweighs the re-derive.
+    """
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    # tokens materialized FIRST (round-8 review): an inline tokenize()
+    # captured in the passage lambda re-splits the text once per
+    # passage — O(n²/P) per document
+    toked = ensure_scan_parallelism(df).select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    )
+
+    def passages_of(tcol):
+        # passage i = tokens [i*P, (i+1)*P); slice() is 1-indexed;
+        # integer floor-div (never `/`: Column `/` is double division
+        # and sequence() rejects a double bound)
+        return F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.size(tcol) - 1) / F.lit(passage_tokens)
+                ).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(tcol, i * passage_tokens + 1, passage_tokens)
+            ),
+        )
+
+    hashes = F.transform(
+        passages_of(F.col("_toks")), lambda s: F.md5(s.cast("binary"))
+    )
+    # bare explode of per-row hashes is the documented cheap-explode
+    # class; _outer keeps null-text docs flowing to the filter
+    ph = toked.select(
+        F.col(id_col), F.posexplode_outer(hashes).alias("pos", "_h")
+    ).filter(F.col("_h") != F.lit(_MD5_EMPTY))
     hot = (
-        p.select(id_col, "passage_hash")
+        ph.select(id_col, "_h")
         .distinct()
-        .groupBy("passage_hash")
+        .groupBy("_h")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
-        .select("passage_hash")
+        .select("_h")
     )
-    kept = p.join(F.broadcast(hot), "passage_hash", "left_anti")
+    hotpos = (
+        ph.join(F.broadcast(hot), "_h")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_hot"))
+    )
+    kept = F.filter(
+        passages_of(F.col("_toks")),
+        lambda s, i: (s != F.lit("")) & ~F.coalesce(
+            F.array_contains(F.col("_hot"), i), F.lit(False)
+        ),
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "passage"))
-                    ),
-                    lambda s: s["passage"],
-                ),
-            ).alias(text_col)
+        toked.join(hotpos, id_col, "left")
+        .select(F.col(id_col), kept.alias("_kept"))
+        .filter(F.size("_kept") > 0)
+        .select(
+            F.col(id_col), F.array_join("_kept", " ").alias(text_col)
         )
     )
 
