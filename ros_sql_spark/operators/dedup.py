@@ -1749,11 +1749,13 @@ def remove_boilerplate(
     ph = toked.select(
         F.col(id_col), F.posexplode_outer(hashes).alias("pos", "_h")
     ).filter(F.col("_h") != F.lit(_MD5_EMPTY))
+    # ONE exchange: a single count_distinct plans as partial
+    # (digest, id) dedup map-side + a final dedup-and-count after one
+    # hash-partitioning on the digest — the old distinct().groupBy()
+    # paid a second exchange for the same census
     hot = (
-        ph.select(id_col, "_h")
-        .distinct()
-        .groupBy("_h")
-        .agg(F.count("*").alias("_df"))
+        ph.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
         .select("_h")
     )

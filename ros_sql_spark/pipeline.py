@@ -385,7 +385,18 @@ def curate(
     dropped["quality"] = feats.filter(~keep).select(id_col)
     cur = feats.filter(keep).select(id_col, text_col, *carry)
 
-    # 2. exact dedup — min id per 128-bit digest, one narrow shuffle
+    # 2. exact dedup — min id per 128-bit digest, one narrow shuffle.
+    # A round-15 draft replaced this with a window-min over
+    # partitionBy(digest) (3 exchanges → 1) and had to be REVERTED:
+    # _ob_e's CollectMetrics landed at the TOP of the stage-3 lazy
+    # checkpoint's plan (no exchange above it inside the checkpointed
+    # subtree), and under AQE the final result stage of a lazy-
+    # checkpoint materialization runs outside the original execution —
+    # the observation LATCHES ZERO (not "unfilled", so the fallback
+    # machinery cannot detect it; measured: metrics() reported 364
+    # exact-drops on a 500-doc corpus).  The semi-join shape keeps the
+    # observation below the join exchange, where AQE's completed query
+    # stages fill it reliably.
     h = F.md5(F.col(text_col).cast("binary"))
     _ob_e = Observation()
     exact_keep = (
