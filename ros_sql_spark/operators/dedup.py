@@ -1699,22 +1699,25 @@ def remove_boilerplate(
     exchange.  The census explodes only (id, pos, 128-bit digest) —
     empty passages excluded by comparing against the md5-of-empty
     CONSTANT instead of materializing passage strings — one narrow
-    distinct+count shuffle yields the HOT digest set (boilerplate is
-    by definition a small distinct set — it repeats).  Hot PASSAGE
-    POSITIONS per doc come from an inner join against the broadcast
-    hot set, grouped to (id, hot positions) — rows only for docs that
-    actually contain boilerplate.  The rebuild is then a doc-side
-    PROJECTION: join the tokenized docs to the hot-position lists
-    (un-hinted — AQE broadcasts when the list is small, the common
-    case; a headers-everywhere corpus degrades to one id shuffle, the
-    same worst case the old reassembly groupBy always paid) and
-    filter/rejoin the passage array per row.  The old shape shuffled
-    every surviving passage STRING through a collect_list reassembly
-    and ran the string pipeline twice; measured at sf0.1
-    (max_doc_freq=2, min-of-5, interleaved): 1.75-2.46 s → 1.39 s,
-    byte-identical output on all 4,992 docs.  Lazy-checkpointing the
-    hash table measured slightly WORSE (1.49 s) — the hash pipeline
-    is two cheap JVM passes; the pin's write outweighs the re-derive.
+    single-exchange count_distinct census yields the HOT digest set
+    (boilerplate is by definition a small distinct set — it repeats).
+    A second pass over the hash rows left-joins the broadcast hot set
+    and groups per doc to (hot positions, non-empty passage count) —
+    still only (id, pos, flag) rows through the exchange.  The
+    rebuild is then a doc-side PROJECTION: join the tokenized docs to
+    the per-doc frame (un-hinted — AQE picks the strategy) and
+    filter/rejoin the passage array per row, with the
+    everything-was-boilerplate drop decided by the CHEAP count
+    compare — a size(<rebuild>)>0 filter draft got the rebuild
+    expression INLINED into the pushed-down predicate and evaluated
+    twice per row (the suite's Generate/filter plan guard caught it).
+    The old shape shuffled every surviving passage STRING through a
+    collect_list reassembly and ran the string pipeline twice;
+    measured at sf0.1 (max_doc_freq=2, min-of-5, interleaved):
+    1.75-2.46 s → ~1.4 s, byte-identical output on all 4,992 docs.
+    Lazy-checkpointing the hash table measured slightly WORSE — the
+    hash pipeline is two cheap JVM passes; the pin's write outweighs
+    the re-derive.
     """
     from ros_sql_spark.functions.util import ensure_scan_parallelism
 
@@ -1759,10 +1762,28 @@ def remove_boilerplate(
         .filter(F.col("_df") > max_doc_freq)
         .select("_h")
     )
-    hotpos = (
-        ph.join(F.broadcast(hot), "_h")
+    # per-doc hot positions AND the non-empty passage count in ONE
+    # narrow groupBy (id, pos, flag rows — no strings): the count
+    # makes the all-passages-boilerplate drop a CHEAP column compare,
+    # so predicate pushdown cannot inline the expensive rebuild
+    # expression into the filter (the size(<rebuild>)>0 draft did
+    # exactly that — the suite's Generate/filter guard caught the
+    # rebuild evaluating twice per row)
+    perdoc = (
+        ph.join(
+            F.broadcast(hot.withColumn("_ishot", F.lit(True))),
+            "_h",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("_hot"))
+        .agg(
+            # when() without otherwise → null for non-hot rows, and
+            # collect_list skips nulls: exactly the hot positions
+            F.collect_list(
+                F.when(F.col("_ishot"), F.col("pos"))
+            ).alias("_hot"),
+            F.count(F.lit(1)).alias("_nne"),
+        )
     )
     kept = F.filter(
         passages_of(F.col("_toks")),
@@ -1771,11 +1792,10 @@ def remove_boilerplate(
         ),
     )
     return (
-        toked.join(hotpos, id_col, "left")
-        .select(F.col(id_col), kept.alias("_kept"))
-        .filter(F.size("_kept") > 0)
+        toked.join(perdoc, id_col)
+        .filter(F.col("_nne") > F.size("_hot"))
         .select(
-            F.col(id_col), F.array_join("_kept", " ").alias(text_col)
+            F.col(id_col), F.array_join(kept, " ").alias(text_col)
         )
     )
 

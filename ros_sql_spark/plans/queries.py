@@ -6007,6 +6007,116 @@ def qx76_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def qx77_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED logistic-regression scorer by IRLS (round-15 directive
+    #8 — the second supervised train/apply member after qx74's Naive
+    Bayes): predict P(lang = 'en') from quality features — scaled
+    token count (exact: integer/100.0) and the q21 rounded stopword
+    ratio — trained on the doc_id % 5 != 0 split, scored on the
+    held-out split.  (punct ratio is identically 0 in the synthetic
+    corpus — collinear with the intercept, singular normal matrix —
+    so token count is the second regressor.)
+
+    Oracle reproducibility (the qx61/qx74 discipline): a FIXED 4
+    iterations of IRLS from β = 0, each iteration ONE moment
+    aggregation (the 3×3 weighted normal matrix Σ w·xx' + gradient
+    Σ (y−p)·x, w = p(1−p), p = σ(xβ)) followed by a Cramer 3×3 solve
+    in fixed op order — the oracle replays the identical four
+    iterations as chained CTEs with the same expression text, so the
+    engines' βs agree to summation-order noise (~1e-12) and the
+    ROUNDED score grid is stable at round-6 (drift ≪ the quantum;
+    features are the bit-identical rounded q21 values, so feature
+    parity is exact).  No convergence test, no argmax — the held-out
+    (doc_id, y, score) grid is the output, qx74's
+    no-float-decision-crosses-the-boundary rule.
+
+    100 TB shape: training cost = 4 × (one scan + one tiny exchange
+    to a 1-row moment frame) — the sufficient-statistics shape of
+    qx61 iterated; the four 1-row collects are the documented bounded
+    driver reads (qx43 class); scoring is a pure projection over the
+    held-out scan.  No SinglePartition, no window, no join."""
+    from ros_sql_spark.functions.text import stopword_ratio, tokens
+
+    toks = tokens("text")
+    feats = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").cast("bigint").alias("y"),
+            (F.size(toks).cast("double") / F.lit(100.0)).alias("x1"),
+            F.round(stopword_ratio(toks, "en"), 6).alias("x2"),
+        )
+    )
+    tr = feats.filter(F.col("doc_id") % 5 != 0)
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        # textbook cofactor expansion — the qx61 fixed op order, and
+        # the same formula the oracle's SQL writes out
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    b0 = b1 = b2 = 0.0
+    for _ in range(4):
+        z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        r = F.col("y").cast("double") - p
+        x1, x2 = F.col("x1"), F.col("x2")
+        m = tr.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * x1).alias("swx1"),
+            F.sum(w * x2).alias("swx2"),
+            F.sum(w * x1 * x1).alias("swx11"),
+            F.sum(w * x1 * x2).alias("swx12"),
+            F.sum(w * x2 * x2).alias("swx22"),
+            F.sum(r).alias("sr"),
+            F.sum(r * x1).alias("srx1"),
+            F.sum(r * x2).alias("srx2"),
+        ).collect()[0]  # bounded: ONE row of nine doubles per iteration
+        det = det3(
+            m["sw"], m["swx1"], m["swx2"],
+            m["swx1"], m["swx11"], m["swx12"],
+            m["swx2"], m["swx12"], m["swx22"],
+        )
+        d0 = det3(
+            m["sr"], m["swx1"], m["swx2"],
+            m["srx1"], m["swx11"], m["swx12"],
+            m["srx2"], m["swx12"], m["swx22"],
+        )
+        d1 = det3(
+            m["sw"], m["sr"], m["swx2"],
+            m["swx1"], m["srx1"], m["swx12"],
+            m["swx2"], m["srx2"], m["swx22"],
+        )
+        d2 = det3(
+            m["sw"], m["swx1"], m["sr"],
+            m["swx1"], m["swx11"], m["srx1"],
+            m["swx2"], m["swx12"], m["srx2"],
+        )
+        b0 = b0 + d0 / det
+        b1 = b1 + d1 / det
+        b2 = b2 + d2 / det
+
+    zs = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    return (
+        feats.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            "y",
+            "x1",
+            "x2",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zs)), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_time_split": q02_time_split,
@@ -6189,4 +6299,5 @@ QUERIES = {
     "qx74_naive_bayes": qx74_naive_bayes,
     "qx75_mann_whitney": qx75_mann_whitney,
     "qx76_interval_coverage": qx76_interval_coverage,
+    "qx77_logreg_quality": qx77_logreg_quality,
 }

@@ -83,6 +83,7 @@ __all__ = [
     "profile_ingest_batch",
     "profile_report_read",
     "profile_quantiles_read",
+    "profile_quantiles_backfill",
     "profile_ingest_stream",
 ]
 
@@ -366,6 +367,126 @@ def profile_quantiles_read(
         f"{name} double" for name in ps
     )
     return spark.createDataFrame(rows, schema)
+
+
+def profile_quantiles_backfill(
+    corpus_df: DataFrame,
+    store: str,
+    columns: dict[str, bool],
+    quantile_key: str,
+    quantile_k: int = 128,
+) -> dict:
+    """ONE-TIME quantile enablement on a store that already ingested
+    without ``quantile_key`` (round-15 directive #7 — previously the
+    mid-stream-enable guard's only remedy was a full rebuild).
+
+    The state table stores value MULTIPLICITIES, not row keys, so the
+    bottom-k sample (ranked by the md5 of the row-unique key) cannot
+    be reconstructed from state alone — the caller must supply
+    ``corpus_df``: EVERYTHING ingested so far (profilers monitor a
+    stored table; its current snapshot is exactly this frame).  The
+    backfill VERIFIES the claim before committing — total rows and
+    per-column null counts must equal the running counters (one
+    aggregate job) — then computes the same bottom-k sketch the
+    ingest path maintains and commits it (plus ``_quantile_k``) in
+    one atomic meta-only manifest publish: zero state rows move,
+    ``last_batch`` carries forward, so the batch watermark and crash
+    recovery are untouched.  After the commit the store is
+    indistinguishable from one that sampled from birth (equality with
+    a from-scratch sketch asserted in tests); subsequent batches must
+    keep passing ``quantile_key`` (the disable guard).
+
+    Returns the committed profile.  Raises if quantiles are already
+    enabled, nothing was ingested, or the corpus does not reconcile
+    with the counters.
+    """
+    spark = corpus_df.sparkSession
+    _check_idents(list(columns) + [quantile_key])
+    table = f"{store}/{_T_VALUES}"
+    try:
+        meta = snapshot_meta(spark, table)
+    except FileNotFoundError:
+        meta = None
+    if meta is None or "profile" not in meta:
+        raise ValueError(
+            f"no profile state at {store!r} — nothing to backfill; "
+            "pass quantile_key to profile_ingest_batch from the start"
+        )
+    prof = dict(meta["profile"])
+    if prof.get("_quantile_k") is not None:
+        raise ValueError(
+            "quantiles already enabled on this store "
+            f"(_quantile_k={prof['_quantile_k']}) — nothing to backfill"
+        )
+    n_rows = int(prof.get("_n_rows", 0))
+    if n_rows <= 0:
+        raise ValueError(
+            "store has ingested no rows — enable quantiles by passing "
+            "quantile_key on the first batch instead of backfilling"
+        )
+
+    # reconcile the supplied corpus against the running counters: the
+    # equals-from-scratch contract holds only if corpus_df IS the
+    # union of everything ingested
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in columns:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).alias(f"_nn_{c}")
+        )
+    row = corpus_df.agg(*aggs).collect()[0]
+    if int(row["_n"]) != n_rows:
+        raise ValueError(
+            f"corpus_df has {int(row['_n'])} rows but the store "
+            f"ingested {n_rows} — the backfill corpus must be exactly "
+            "everything ingested"
+        )
+    for c in columns:
+        want = int(prof.get(c, {}).get("n_null", 0))
+        if int(row[f"_nn_{c}"]) != want:
+            raise ValueError(
+                f"corpus_df null count for {c!r} is {int(row[f'_nn_{c}'])} "
+                f"but the store recorded {want} — corpus mismatch"
+            )
+
+    prof["_quantile_k"] = quantile_k
+    nums = [c for c, numeric in columns.items() if numeric]
+    if nums:
+        from ros_sql_spark.operators.sketch import quantile_sketch
+
+        stack_q = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in nums)
+        melted = corpus_df.filter(
+            F.col(quantile_key).isNotNull()
+        ).selectExpr(
+            f"`{quantile_key}` AS _qk",
+            f"stack({len(nums)}, {stack_q}) AS (col, qv)",
+        )
+        sk = quantile_sketch(
+            melted, "col", "qv", "_qk", k=quantile_k
+        ).collect()  # bounded: ≤ |numeric cols| × k rows
+        by_col: dict[str, list] = {c: [] for c in nums}
+        for r in sk:
+            by_col[r["col"]].append((int(r["h"]), float(r["v"])))
+        for c in nums:
+            p = prof.setdefault(c, {})
+            p["qsample"] = [[h, v] for h, v in sorted(by_col[c])]
+
+    # meta-only atomic commit: append an EMPTY frame (zero-row part
+    # files are excluded from manifests, so no data file is added and
+    # no keyed-DML rewrite candidate is created) with the updated meta;
+    # last_batch carries forward so the watermark is untouched
+    from ros_sql_spark.sources.snapshot import snapshot_commit, snapshot_read
+
+    new_meta = dict(meta)
+    new_meta["profile"] = prof
+    snapshot_commit(
+        snapshot_read(spark, table).limit(0),
+        table,
+        mode="append",
+        meta=new_meta,
+    )
+    return prof
 
 
 def profile_ingest_stream(

@@ -483,3 +483,92 @@ def test_multiplicity_delta_byte_gate_and_caller_count(spark):
     # caller-supplied bound: small → broadcast, large → fallback
     assert run(keyed_count=2) == want
     assert run(keyed_count=10_000_000) == want
+
+
+def test_profile_quantiles_backfill_equals_from_scratch(spark, tmp_path):
+    """Round-15 directive #7: backfill on a store that ingested WITHOUT
+    quantiles makes it indistinguishable from one that sampled from
+    birth — the committed sample equals the from-scratch sketch, the
+    NEXT quantile-enabled batch continues the merge exactly, and the
+    batch watermark survives the meta-only commit (redelivery still
+    no-ops)."""
+    from ros_sql_spark.streaming.profile import profile_quantiles_backfill
+
+    store = str(tmp_path / "p")
+    k = 8
+    profile_ingest_batch(spark.createDataFrame(Q0, _QSCHEMA), 0, store, _QCOLS)
+    profile_ingest_batch(spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS)
+
+    corpus = spark.createDataFrame(Q0 + Q1, _QSCHEMA)
+    prof = profile_quantiles_backfill(corpus, store, _QCOLS, "uid", quantile_k=k)
+    want = _sample_of(_scratch_sketch(spark, Q0 + Q1, k))
+    for c in ("qty", "score"):
+        assert [tuple(x) for x in prof[c]["qsample"]] == want[c], c
+
+    # the next batch continues the running merge exactly
+    got = profile_ingest_batch(
+        spark.createDataFrame(Q2, _QSCHEMA), 2, store, _QCOLS,
+        quantile_key="uid", quantile_k=k,
+    )
+    want2 = _sample_of(_scratch_sketch(spark, Q0 + Q1 + Q2, k))
+    for c in ("qty", "score"):
+        assert [tuple(x) for x in got[c]["qsample"]] == want2[c], c
+    # watermark intact: batch 2 redelivery no-ops
+    again = profile_ingest_batch(
+        spark.createDataFrame(Q2, _QSCHEMA), 2, store, _QCOLS,
+        quantile_key="uid", quantile_k=k,
+    )
+    assert again["qty"]["qsample"] == got["qty"]["qsample"]
+    # disable guard now applies
+    with pytest.raises(ValueError, match="keep passing"):
+        profile_ingest_batch(
+            spark.createDataFrame(Q0, _QSCHEMA), 3, store, _QCOLS
+        )
+
+
+def test_profile_quantiles_backfill_guards(spark, tmp_path, monkeypatch):
+    """Backfill refuses: a mismatched corpus (rows or per-column null
+    counts), an already-enabled store, an empty store; and a crash in
+    the meta commit leaves the store un-backfilled (retry succeeds)."""
+    import ros_sql_spark.streaming.profile as pr
+    from ros_sql_spark.streaming.profile import profile_quantiles_backfill
+
+    store = str(tmp_path / "p")
+    with pytest.raises(ValueError, match="no profile state"):
+        profile_quantiles_backfill(
+            spark.createDataFrame(Q0, _QSCHEMA), store, _QCOLS, "uid")
+    profile_ingest_batch(spark.createDataFrame(Q0, _QSCHEMA), 0, store, _QCOLS)
+    profile_ingest_batch(spark.createDataFrame(Q1, _QSCHEMA), 1, store, _QCOLS)
+
+    # wrong corpus: row count off
+    with pytest.raises(ValueError, match="rows but the store"):
+        profile_quantiles_backfill(
+            spark.createDataFrame(Q0, _QSCHEMA), store, _QCOLS, "uid")
+    # wrong corpus: right row count, wrong null profile (swap a null in)
+    bad = Q0 + [(r[0], None, r[2], r[3]) for r in Q1]
+    with pytest.raises(ValueError, match="null count"):
+        profile_quantiles_backfill(
+            spark.createDataFrame(bad, _QSCHEMA), store, _QCOLS, "uid")
+
+    # crash in the commit: store stays un-backfilled, retry lands
+    corpus = spark.createDataFrame(Q0 + Q1, _QSCHEMA)
+    real = pr.snapshot_commit if hasattr(pr, "snapshot_commit") else None
+    import ros_sql_spark.sources.snapshot as sn
+    real_publish = sn._publish_manifest
+    state = {"crashed": False}
+
+    def crashing(*a, **kw):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash")
+        return real_publish(*a, **kw)
+
+    monkeypatch.setattr(sn, "_publish_manifest", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        profile_quantiles_backfill(corpus, store, _QCOLS, "uid", quantile_k=8)
+    monkeypatch.setattr(sn, "_publish_manifest", real_publish)
+    prof = profile_quantiles_backfill(corpus, store, _QCOLS, "uid", quantile_k=8)
+    assert prof.get("_quantile_k") == 8
+    # second backfill: already enabled
+    with pytest.raises(ValueError, match="already enabled"):
+        profile_quantiles_backfill(corpus, store, _QCOLS, "uid", quantile_k=8)

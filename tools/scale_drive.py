@@ -720,6 +720,16 @@ def main() -> int:
             # MORE probes at ring 1, so the slope should be sublinear
             # in copies; the plan check catches any cartesian fallback
             "qx72_spatial_knn_join",
+            # round-15 directive #6: the remaining round-14 queries —
+            # bbox containment (cell explode + containment verify),
+            # Mann-Whitney U (rank sums over the scaled facts), and
+            # sweep-line interval coverage (user-partitioned windows)
+            "qx73_spatial_bbox_join",
+            "qx75_mann_whitney",
+            "qx76_interval_coverage",
+            # round-15: IRLS logistic regression — 4 moment passes +
+            # a held-out projection; slope must stay linear in docs
+            "qx77_logreg_quality",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
