@@ -123,8 +123,9 @@ GATES = {
     "tiff-photometric": "TIFF photometric interpretations beyond 0-3",
     "tiff-spp": "TIFF samples-per-pixel other than 1/3",
     "tiff-compression": "TIFF compressions beyond none/LZW/Deflate/"
-                        "PackBits/CCITT (MH/G3/G4): JPEG-in-TIFF "
-                        "(old 6 / new 7), JBIG, JPEG2000",
+                        "PackBits/CCITT (MH/G3/G4)/JPEG-7: old-style "
+                        "JPEG 6, JBIG, JPEG2000; also compression-7 "
+                        "RGB-photometric-2 and planar-2 layouts",
     "tiff-fillorder": "TIFF FillOrder 2 (LSB-first bit packing)",
     "tiff-g4-extension": "CCITT 2-D extension codes (T.4/T.6 "
                          "uncompressed mode)",
@@ -164,6 +165,7 @@ CLOSED = (
     "wav-float",               # round-14 (IEEE float 32/64, tag 3)
     "wav-alaw",                # round-14 (G.711 A-law, tag 6)
     "wav-mulaw",               # round-14 (G.711 µ-law, tag 7)
+    "tiff-jpeg",               # round-15 (compression 7, JPEGTables 347)
 )
 
 
@@ -2316,11 +2318,15 @@ def _decode_noninterleaved(
 # predictor 2 at 8/16 bits) / Deflate (8 and legacy 32946 — zlib
 # segments) / PackBits (32773) / the CCITT bilevel family (2 = per-line
 # modified Huffman, 3 = T.4/G3 with EOLs in 1-D and 2-D T4Options
-# modes, 4 = T.6/G4 MMR — round-14) — all axes round-trip-tested.
-# The remaining exotic compressions (JPEG-in-TIFF, JBIG), depths outside
-# 1/4/8/16 and the residual combos raise NotImplementedError naming
-# the feature (the authoritative list is the GATES registry at the
-# top); structural corruption raises ValueError.
+# modes, 4 = T.6/G4 MMR — round-14) / NEW-STYLE JPEG (7, TIFF-EP /
+# Technical Note 2 — round-15: per-strip/tile abbreviated JPEG
+# streams through the in-house T.81 codec, shared DQT/DHT via the
+# JPEGTables tag 347, photometric 6 YCbCr and 1/0 grayscale) — all
+# axes round-trip-tested.  The remaining exotic compressions
+# (old-style JPEG 6, JBIG, JPEG2000), depths outside 1/4/8/16 and the
+# residual combos raise NotImplementedError naming the feature (the
+# authoritative list is the GATES registry at the top); structural
+# corruption raises ValueError.
 
 
 def _tiff_lzw_decode(data: bytes, expect: int) -> bytearray:
@@ -2487,7 +2493,7 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 
@@ -2990,7 +2996,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             vals = list(
                 struct.unpack_from(bo + f"{cnt}I", payload, voff)
             )
-        elif typ in (1, 2):
+        elif typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED (JPEGTables)
             vals = list(payload[voff : voff + cnt])
         else:  # RATIONAL — unused by this decoder
             vals = []
@@ -3026,19 +3032,48 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF {b0}-bit with {spp} samples per pixel"
         )
-    if photo not in (0, 1, 2, 3):
+    if photo not in (0, 1, 2, 3, 6):
         raise NotImplementedError(
             f"TIFF photometric interpretation {photo}"
+        )
+    if photo == 6 and comp != 7:
+        # raw YCbCr sample layout (subsampling tags, positioning) is
+        # only handled through the JPEG codec's own color machinery
+        raise NotImplementedError(
+            "TIFF photometric 6 (YCbCr) without JPEG compression"
         )
     if spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF with {spp} samples per pixel"
         )
-    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} (none/CCITT-MH/G3/G4/LZW/"
-            "Deflate/PackBits only)"
+            "Deflate/PackBits/JPEG-7 only)"
         )
+    if comp == 7:
+        # TIFF-EP / Technical Note 2 new-style JPEG (round-15): each
+        # strip/tile is a complete abbreviated JPEG stream; shared
+        # tables ride the JPEGTables tag 347 and are spliced in after
+        # each segment's SOI.  The JPEG codec owns color: photometric
+        # 6 means the usual YCbCr-coded stream (decode_jpeg outputs
+        # RGB), 1/0 a single-component stream.  RGB-kept-as-RGB
+        # (photometric 2) and per-plane JPEG (planar 2) stay under
+        # the tiff-compression gate; palette JPEG is invalid.
+        if photo == 2 or planar == 2:
+            raise NotImplementedError(
+                "TIFF JPEG (compression 7) with RGB photometric 2 or "
+                "PlanarConfiguration 2"
+            )
+        if photo == 3:
+            raise ValueError("TIFF palette with JPEG compression is invalid")
+        if b0 != 8 or pred != 1:
+            raise ValueError(
+                f"TIFF JPEG with bits={b0}, predictor={pred} is invalid "
+                "(8-bit, no predictor)"
+            )
+        if photo == 6 and spp != 3:
+            raise ValueError(f"TIFF YCbCr with spp={spp} is invalid")
     if one(266, 1) != 1:
         raise NotImplementedError(
             "TIFF FillOrder 2 (LSB-first bit packing)"
@@ -3125,6 +3160,42 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return out
         return _packbits_decode(chunk, expect)
 
+    jpeg_tables_body = None
+    if comp == 7 and 347 in tags:
+        jt = bytes(tags[347])
+        if (
+            len(jt) < 4
+            or jt[:2] != b"\xff\xd8"
+            or jt[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF JPEGTables not an SOI..EOI stream")
+        jpeg_tables_body = jt[2:-2]
+
+    def jseg(
+        so: int, sc: int, nrows: int, width: int, what: str
+    ) -> np.ndarray:
+        """One compression-7 segment → (nrows, width, spp) int64: the
+        segment's abbreviated JPEG stream with the shared JPEGTables
+        body spliced after its SOI (tables may also arrive in-stream;
+        later DQT/DHT simply override, T.81 semantics), decoded by the
+        in-house JPEG codec and cropped to the segment geometry
+        (tiles are padded to full size; edge strips may be too)."""
+        if so + sc > len(payload):
+            raise ValueError(f"TIFF {what} out of bounds")
+        chunk = bytes(payload[so : so + sc])
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError(f"TIFF JPEG {what} missing SOI")
+        if jpeg_tables_body is not None:
+            chunk = chunk[:2] + jpeg_tables_body + chunk[2:]
+        arr = decode_jpeg(chunk)  # (sh, sw, 3), grayscale replicated
+        if arr.shape[0] < nrows or arr.shape[1] < width:
+            raise ValueError(
+                f"TIFF JPEG {what} decodes {arr.shape[:2]}, needs "
+                f"{nrows}x{width}"
+            )
+        a = arr[:nrows, :width].astype(np.int64)
+        return a[:, :, :1] if spp == 1 else a
+
     def rb(width: int, nch: int) -> int:
         """Bytes per scanline of ``width`` px × ``nch`` channels at b0
         bits (TIFF rows pad to the byte boundary)."""
@@ -3185,10 +3256,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         for ti, (so, sc) in enumerate(zip(toffs, tcnts)):
             pi, cell = divmod(ti, ntx * nty)
             ty, tx = divmod(cell, ntx)
-            t = samples(
-                bytes(seg(so, sc, expect, f"tile {ti}", dims=(tl, tw))),
-                tl, tw, nch,
-            )
+            if comp == 7:
+                t = jseg(so, sc, tl, tw, f"tile {ti}")
+            else:
+                t = samples(
+                    bytes(seg(so, sc, expect, f"tile {ti}",
+                              dims=(tl, tw))),
+                    tl, tw, nch,
+                )
             y0, x0 = ty * tl, tx * tw
             tgt = a[y0 : y0 + tl, x0 : x0 + tw]
             crop = t[: min(tl, h - y0), : min(tw, w - x0)]
@@ -3236,13 +3311,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 nrows = min(rps, h - si * rps)
                 if nrows <= 0:
                     raise ValueError("TIFF more strips than rows")
-                blocks.append(
-                    samples(
-                        bytes(seg(so, sc, nrows * rb(w, spp),
-                                  f"strip {si}", dims=(nrows, w))),
-                        nrows, w, spp,
+                if comp == 7:
+                    blocks.append(jseg(so, sc, nrows, w, f"strip {si}"))
+                else:
+                    blocks.append(
+                        samples(
+                            bytes(seg(so, sc, nrows * rb(w, spp),
+                                      f"strip {si}", dims=(nrows, w))),
+                            nrows, w, spp,
+                        )
                     )
-                )
             a = np.vstack(blocks)
     if cmap is not None:
         return cmap[a[..., 0]]
@@ -3262,6 +3340,37 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return a
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into (table segments, abbreviated
+    stream): every DQT/DHT segment is extracted for the TIFF-EP
+    JPEGTables tag, the rest (SOI, SOF, SOS + entropy data, EOI) is
+    returned verbatim — T.81 B.2.4 abbreviated-format surgery."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    kept = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            kept += stream[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        segment = stream[pos : pos + 2 + ln]
+        if marker == 0xDA:
+            # SOS: entropy data follows until EOI — keep verbatim
+            kept += stream[pos:]
+            break
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += segment
+        else:
+            kept += segment
+        pos += 2 + ln
+    return bytes(tables), bytes(kept)
+
+
 def encode_tiff(
     pixels: np.ndarray,
     compression: str = "none",
@@ -3272,9 +3381,15 @@ def encode_tiff(
     bits: int = 8,
     palette: np.ndarray | None = None,
     planar: bool = False,
+    jpeg_tables: bool = True,
 ) -> bytes:
     """(H, W, 3) RGB — or (H, W) grayscale/index — → baseline TIFF
-    bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate";
+    bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate" /
+    the CCITT modes / "jpeg" (compression 7: one complete JPEG per
+    strip/tile at 4:4:4, photometric 6 for RGB; ``jpeg_tables=True``
+    hoists the shared DQT/DHT into tag 347 and abbreviates the
+    segments — the TIFF-EP layout; multi-strip needs rows_per_strip a
+    multiple of 8, the MCU row);
     ``predictor`` applies horizontal differencing (predictor 2, the
     LZW companion; bits 8/16 only); ``rows_per_strip`` defaults to
     whole-image; ``big_endian`` writes MM byte order.
@@ -3289,8 +3404,15 @@ def encode_tiff(
     strip sequences, or per-plane tile sequences with
     ``tile_size``; RGB only)."""
     if compression not in ("none", "lzw", "packbits", "deflate",
-                           "g4", "mh", "t4", "t4-2d"):
+                           "g4", "mh", "t4", "t4-2d", "jpeg"):
         raise ValueError(f"compression {compression!r}")
+    _jpeg = compression == "jpeg"
+    if _jpeg and (
+        bits != 8 or predictor or palette is not None or planar
+    ):
+        raise ValueError(
+            "jpeg compression: 8-bit chunky, no predictor, no palette"
+        )
     if bits not in (1, 4, 8, 16):
         raise ValueError(f"bits {bits}")
     dt = np.uint16 if bits == 16 else np.uint8
@@ -3318,6 +3440,12 @@ def encode_tiff(
         raise ValueError("planar=True: RGB at 8/16 bits only")
     bo = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    if _jpeg and tile_size is None and rps < h and rps % 8:
+        # spec: strip height must be an MCU-row multiple (8 at 4:4:4)
+        # so every strip is an independent full-MCU JPEG
+        raise ValueError(
+            f"jpeg strips need rows_per_strip % 8 == 0 (got {rps})"
+        )
 
     def _diff(block: np.ndarray) -> np.ndarray:
         wide = np.int32 if bits == 16 else np.int16
@@ -3343,8 +3471,12 @@ def encode_tiff(
     def _block(block: np.ndarray) -> bytes:
         """Serialize + compress one strip/tile block.  G4 codes the 2-D
         0/1 sample block directly (1 = black under the photometric-0
-        header this encoder writes for it); everything else serializes
-        to row bytes first."""
+        header this encoder writes for it); JPEG encodes the block as
+        one complete stream (abbreviated later if tables ride tag
+        347); everything else serializes to row bytes first."""
+        if _jpeg:
+            img = block[:, :, 0] if spp == 1 else block
+            return encode_jpeg(np.ascontiguousarray(img, np.uint8))
         if _ccitt:
             bl = block[:, :, 0].astype(np.uint8)
             if compression == "g4":
@@ -3400,8 +3532,22 @@ def encode_tiff(
             strips.append(_block(data[r0 : r0 + rps]))
     comp_code = {
         "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
-        "g4": 4, "mh": 2, "t4": 3, "t4-2d": 3,
+        "g4": 4, "mh": 2, "t4": 3, "t4-2d": 3, "jpeg": 7,
     }[compression]
+
+    jpeg_tables_blob = None
+    if _jpeg and jpeg_tables and strips:
+        # TIFF-EP shape: DQT/DHT hoisted ONCE into tag 347 (identical
+        # Annex-K tables in every segment by construction), segments
+        # abbreviated — the layout real camera/scanner files carry
+        abbr = []
+        tbl = b""
+        for s in strips:
+            t, a = _jpeg_split_tables(s)
+            tbl = tbl or t
+            abbr.append(a)
+        strips = abbr
+        jpeg_tables_blob = b"\xff\xd8" + tbl + b"\xff\xd9"
 
     out = bytearray()
     out += (b"MM" if big_endian else b"II")
@@ -3434,6 +3580,8 @@ def encode_tiff(
         ent(320, 3, list((pal.T.reshape(-1) * 257).astype(int)))
     elif _ccitt:
         ent(262, 3, [0])  # fax convention: 0 = white (WhiteIsZero)
+    elif _jpeg:
+        ent(262, 3, [1 if spp == 1 else 6])  # 6 = YCbCr-coded JPEG
     else:
         ent(262, 3, [1 if spp == 1 else 2])
     ent(277, 3, [spp])
@@ -3452,6 +3600,12 @@ def encode_tiff(
         ent(292, 4, [1])  # T4Options: bit 0 = 2-D coding
     if predictor:
         ent(317, 3, [2])
+    if jpeg_tables_blob is not None:
+        # type 7 = UNDEFINED, raw bytes (goes through the same
+        # inline-or-overflow layout as every packed entry)
+        entries.append(
+            (347, 7, len(jpeg_tables_blob), jpeg_tables_blob)
+        )
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
 
     # lay out: IFD, then overflow value area

@@ -1492,7 +1492,8 @@ def _gate_streams():
         ),
         "tiff-photometric": (C.decode_tiff, _tiff_tag_patch(tif, 262, 5)),
         "tiff-spp": (C.decode_tiff, _tiff_tag_patch(tif, 277, 2)),
-        "tiff-compression": (C.decode_tiff, _tiff_tag_patch(tif, 259, 7)),
+        # old-style JPEG (6) stays gated; new-style 7 closed in r15
+        "tiff-compression": (C.decode_tiff, _tiff_tag_patch(tif, 259, 6)),
         "tiff-predictor": (C.decode_tiff, _tiff_tag_patch(tifp, 317, 3)),
         # FillOrder 2: no encoder writes tag 266, so repurpose the
         # whole-image-strip encode's RowsPerStrip slot (decode defaults
@@ -1605,6 +1606,7 @@ def _closed_streams():
         "wav-float": (C.decode_wav, C.encode_wav(sig, fmt="float32")),
         "wav-alaw": (C.decode_wav, C.encode_wav(sig, fmt="alaw")),
         "wav-mulaw": (C.decode_wav, C.encode_wav(sig, fmt="mulaw")),
+        "tiff-jpeg": (C.decode_tiff, C.encode_tiff(px, "jpeg")),
     }
 
 
@@ -2117,3 +2119,101 @@ def test_t4options_uncompressed_mode_bit_gates_at_parse():
     patched = _tiff_tag_patch(raw, 292, 3)  # bit 0 (2-D) + bit 1
     with pytest.raises(NotImplementedError, match="uncompressed mode"):
         C.decode_tiff(patched)
+
+
+def test_tiff_jpeg_roundtrip_matrix():
+    """Round-15 directive #5: NEW-STYLE JPEG-in-TIFF (compression 7,
+    TIFF-EP).  Strips and tiles, gray and RGB, both byte orders, with
+    and without the JPEGTables-347 abbreviated layout — smooth content
+    survives above 30 dB at exact geometry; multi-strip output equals
+    the same strips decoded as standalone JPEGs (the wrapper adds no
+    loss of its own)."""
+    from ros_sql_spark.operators import codecs as C
+
+    img = _smooth(24, 40)
+    gray = img[..., 0]
+    for big in (False, True):
+        for jt in (True, False):
+            for kw in (
+                {},                             # single strip
+                {"rows_per_strip": 8},          # MCU-aligned strips
+                {"tile_size": (16, 16)},        # tile grid, edge crop
+            ):
+                raw = C.encode_tiff(
+                    img, "jpeg", big_endian=big, jpeg_tables=jt, **kw
+                )
+                out = C.decode_tiff(raw)
+                assert out.shape == img.shape, (big, jt, kw)
+                assert _psnr(img, out) > 30.0, (big, jt, kw)
+    # grayscale: photometric 1, single-component streams
+    g = C.decode_tiff(C.encode_tiff(gray, "jpeg", rows_per_strip=8))
+    assert g.shape == (24, 40, 3)
+    assert _psnr(np.repeat(gray[..., None], 3, 2), g) > 30.0
+
+
+def test_tiff_jpeg_constant_exact_and_strip_equivalence():
+    """Closed-form lossless class (the codec exactness discipline):
+    constant blocks have DC-only spectra that survive Annex-K
+    quantization exactly, so a constant image round-trips
+    BYTE-EXACTLY through compression 7; and the assembled multi-strip
+    decode equals decode_jpeg of each strip stream — the TIFF layer
+    is pure plumbing."""
+    from ros_sql_spark.operators import codecs as C
+
+    const = np.full((16, 24, 3), 128, np.uint8)
+    for kw in ({}, {"rows_per_strip": 8}, {"tile_size": (16, 16)}):
+        assert np.array_equal(
+            C.decode_tiff(C.encode_tiff(const, "jpeg", **kw)), const
+        ), kw
+    # strip equivalence on lossy content: pull each abbreviated strip
+    # back out of the file, splice the 347 tables, decode standalone
+    img = _smooth(16, 24)
+    raw = C.encode_tiff(img, "jpeg", rows_per_strip=8)
+    import struct as st
+
+    buf = raw
+    ifd = st.unpack_from("<I", buf, 4)[0]
+    n = st.unpack_from("<H", buf, ifd)[0]
+    tags = {}
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        tag, typ, cnt = st.unpack_from("<HHI", buf, off)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(typ, 1) * cnt
+        voff = off + 8 if size <= 4 else st.unpack_from("<I", buf, off + 8)[0]
+        if typ == 4:
+            tags[tag] = list(st.unpack_from(f"<{cnt}I", buf, voff))
+        elif typ == 3:
+            tags[tag] = list(st.unpack_from(f"<{cnt}H", buf, voff))
+        else:
+            tags[tag] = list(buf[voff:voff + cnt])
+    jt = bytes(tags[347])
+    body = jt[2:-2]
+    rows = []
+    for so, sc in zip(tags[273], tags[279]):
+        strip = buf[so:so + sc]
+        assert strip[:2] == b"\xff\xd8"
+        rows.append(C.decode_jpeg(strip[:2] + body + strip[2:]))
+    assert np.array_equal(C.decode_tiff(raw), np.vstack(rows))
+
+
+def test_tiff_jpeg_guards():
+    """Compression-7 honesty: photometric-2-under-7 and planar-2 raise
+    the registered gate; palette-JPEG and unaligned strips are
+    invalid; YCbCr (photo 6) WITHOUT JPEG stays gated."""
+    import pytest
+
+    from ros_sql_spark.operators import codecs as C
+
+    img = _smooth(16, 24)
+    raw = C.encode_tiff(img, "jpeg")
+    with pytest.raises(NotImplementedError, match="photometric 2"):
+        C.decode_tiff(_tiff_tag_patch(raw, 262, 2))
+    with pytest.raises(ValueError, match="palette"):
+        C.decode_tiff(_tiff_tag_patch(raw, 262, 3))
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        # photo 6 on an UNCOMPRESSED file: the non-JPEG YCbCr gate
+        C.decode_tiff(_tiff_tag_patch(C.encode_tiff(img), 262, 6))
+    with pytest.raises(ValueError, match="rows_per_strip"):
+        C.encode_tiff(img, "jpeg", rows_per_strip=10)
+    with pytest.raises(ValueError, match="predictor"):
+        C.encode_tiff(img, "jpeg", predictor=True)
