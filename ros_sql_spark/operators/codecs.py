@@ -126,7 +126,10 @@ GATES = {
                         "PackBits/CCITT (MH/G3/G4)/JPEG-7: old-style "
                         "JPEG 6, JBIG, JPEG2000; also compression-7 "
                         "RGB-photometric-2 and planar-2 layouts",
-    "tiff-fillorder": "TIFF FillOrder 2 (LSB-first bit packing)",
+    "tiff-fillorder": "TIFF FillOrder 2 (LSB-first) with "
+                      "byte-oriented codecs (LZW/Deflate/PackBits/"
+                      "JPEG) or non-bilevel data — the fax CCITT + "
+                      "uncompressed bilevel shapes closed in r15",
     "tiff-g4-extension": "CCITT 2-D extension codes (T.4/T.6 "
                          "uncompressed mode)",
     "tiff-predictor": "TIFF predictors other than 1/2",
@@ -166,6 +169,7 @@ CLOSED = (
     "wav-alaw",                # round-14 (G.711 A-law, tag 6)
     "wav-mulaw",               # round-14 (G.711 µ-law, tag 7)
     "tiff-jpeg",               # round-15 (compression 7, JPEGTables 347)
+    "tiff-fillorder-fax",      # round-15 (FillOrder 2, CCITT + raw bilevel)
 )
 
 
@@ -2495,6 +2499,11 @@ def _packbits_encode(data: bytes) -> bytes:
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
+#: per-byte bit reversal (FillOrder 2 ↔ 1 conversion)
+_BITREV = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8
+)
+
 
 
 # ----------------------------------------------------- TIFF CCITT G4
@@ -3074,9 +3083,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             )
         if photo == 6 and spp != 3:
             raise ValueError(f"TIFF YCbCr with spp={spp} is invalid")
-    if one(266, 1) != 1:
+    fill = one(266, 1)
+    if fill not in (1, 2):
+        raise ValueError(f"TIFF FillOrder {fill} is invalid")
+    if fill == 2 and not (comp in (1, 2, 3, 4) and b0 == 1):
+        # round-15: LSB-first closed for the shapes it occurs in (fax
+        # CCITT + uncompressed bilevel — reversing each byte restores
+        # MSB-first for both the CCITT bitstream and packed pixels);
+        # byte-oriented codecs stay gated
         raise NotImplementedError(
-            "TIFF FillOrder 2 (LSB-first bit packing)"
+            "TIFF FillOrder 2 (LSB-first) outside the CCITT/"
+            "uncompressed bilevel family"
         )
     if comp in (2, 3, 4) and (b0 != 1 or spp != 1 or pred != 1):
         # CCITT coding is DEFINED over bilevel data only — not a
@@ -3133,6 +3150,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if so + sc > len(payload):
             raise ValueError(f"TIFF {what} out of bounds")
         chunk = payload[so : so + sc]
+        if fill == 2:
+            chunk = bytes(_BITREV[np.frombuffer(chunk, np.uint8)])
         if comp in (2, 3, 4):
             assert dims is not None
             nr, wd = dims
@@ -3382,6 +3401,7 @@ def encode_tiff(
     palette: np.ndarray | None = None,
     planar: bool = False,
     jpeg_tables: bool = True,
+    fill_order: int = 1,
 ) -> bytes:
     """(H, W, 3) RGB — or (H, W) grayscale/index — → baseline TIFF
     bytes.  ``compression``: "none" / "lzw" / "packbits" / "deflate" /
@@ -3406,6 +3426,16 @@ def encode_tiff(
     if compression not in ("none", "lzw", "packbits", "deflate",
                            "g4", "mh", "t4", "t4-2d", "jpeg"):
         raise ValueError(f"compression {compression!r}")
+    if fill_order not in (1, 2):
+        raise ValueError(f"fill_order {fill_order}")
+    if fill_order == 2 and not (
+        compression in ("g4", "mh", "t4", "t4-2d")
+        or (compression == "none" and bits == 1)
+    ):
+        raise ValueError(
+            "fill_order 2 is written only for CCITT / uncompressed "
+            "bilevel (the shapes real fax files carry)"
+        )
     _jpeg = compression == "jpeg"
     if _jpeg and (
         bits != 8 or predictor or palette is not None or planar
@@ -3534,6 +3564,10 @@ def encode_tiff(
         "none": 1, "lzw": 5, "packbits": 32773, "deflate": 8,
         "g4": 4, "mh": 2, "t4": 3, "t4-2d": 3, "jpeg": 7,
     }[compression]
+    if fill_order == 2:
+        strips = [
+            bytes(_BITREV[np.frombuffer(st, np.uint8)]) for st in strips
+        ]
 
     jpeg_tables_blob = None
     if _jpeg and jpeg_tables and strips:
@@ -3596,6 +3630,8 @@ def encode_tiff(
         ent(273, 4, strip_offsets)
         ent(278, 4, [rps])
         ent(279, 4, [len(s) for s in strips])
+    if fill_order == 2:
+        ent(266, 3, [2])
     if compression == "t4-2d":
         ent(292, 4, [1])  # T4Options: bit 0 = 2-D coding
     if predictor:

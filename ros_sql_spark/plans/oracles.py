@@ -30,6 +30,153 @@ from __future__ import annotations
 
 __all__ = ["ORACLES"]
 
+# Shared IRLS CTE chain (qx77 trains, qx78 evaluates) — see the
+# qx77 queries.py docstring for the parity story.
+_LOGREG_CTES = """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(lang = 'en' AS BIGINT) AS y,
+                   CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+                   round(CAST(len(list_filter(toks, t -> list_contains(
+                         ['the','and','of','to','in','is','that','with','for','on'], t)))
+                         AS DOUBLE) / len(toks), 6) AS x2
+            FROM (SELECT doc_id, text, lang,
+                         string_split(lower(text), ' ') AS toks
+                  FROM documents)
+            WHERE lang IS NOT NULL
+        ),
+        tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+        be0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+        m1 AS (
+            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
+                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
+                   sum(w*x2*x2) AS swx22,
+                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
+            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
+                         CAST(y AS DOUBLE) - p AS r
+                  FROM (SELECT x1, x2, y,
+                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+                        FROM tr CROSS JOIN be0))
+        ),
+        be1 AS (
+            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
+                         - swx1*(srx1*swx22 - swx12*srx2)
+                         + swx2*(srx1*swx12 - swx11*srx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
+                   b1 + (sw*(srx1*swx22 - swx12*srx2)
+                         - sr*(swx1*swx22 - swx12*swx2)
+                         + swx2*(swx1*srx2 - srx1*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
+                   b2 + (sw*(swx11*srx2 - srx1*swx12)
+                         - swx1*(swx1*srx2 - srx1*swx2)
+                         + sr*(swx1*swx12 - swx11*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
+            FROM m1 CROSS JOIN be0
+        ),
+        m2 AS (
+            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
+                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
+                   sum(w*x2*x2) AS swx22,
+                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
+            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
+                         CAST(y AS DOUBLE) - p AS r
+                  FROM (SELECT x1, x2, y,
+                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+                        FROM tr CROSS JOIN be1))
+        ),
+        be2 AS (
+            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
+                         - swx1*(srx1*swx22 - swx12*srx2)
+                         + swx2*(srx1*swx12 - swx11*srx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
+                   b1 + (sw*(srx1*swx22 - swx12*srx2)
+                         - sr*(swx1*swx22 - swx12*swx2)
+                         + swx2*(swx1*srx2 - srx1*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
+                   b2 + (sw*(swx11*srx2 - srx1*swx12)
+                         - swx1*(swx1*srx2 - srx1*swx2)
+                         + sr*(swx1*swx12 - swx11*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
+            FROM m2 CROSS JOIN be1
+        ),
+        m3 AS (
+            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
+                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
+                   sum(w*x2*x2) AS swx22,
+                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
+            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
+                         CAST(y AS DOUBLE) - p AS r
+                  FROM (SELECT x1, x2, y,
+                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+                        FROM tr CROSS JOIN be2))
+        ),
+        be3 AS (
+            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
+                         - swx1*(srx1*swx22 - swx12*srx2)
+                         + swx2*(srx1*swx12 - swx11*srx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
+                   b1 + (sw*(srx1*swx22 - swx12*srx2)
+                         - sr*(swx1*swx22 - swx12*swx2)
+                         + swx2*(swx1*srx2 - srx1*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
+                   b2 + (sw*(swx11*srx2 - srx1*swx12)
+                         - swx1*(swx1*srx2 - srx1*swx2)
+                         + sr*(swx1*swx12 - swx11*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
+            FROM m3 CROSS JOIN be2
+        ),
+        m4 AS (
+            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
+                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
+                   sum(w*x2*x2) AS swx22,
+                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
+            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
+                         CAST(y AS DOUBLE) - p AS r
+                  FROM (SELECT x1, x2, y,
+                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
+                        FROM tr CROSS JOIN be3))
+        ),
+        be4 AS (
+            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
+                         - swx1*(srx1*swx22 - swx12*srx2)
+                         + swx2*(srx1*swx12 - swx11*srx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
+                   b1 + (sw*(srx1*swx22 - swx12*srx2)
+                         - sr*(swx1*swx22 - swx12*swx2)
+                         + swx2*(swx1*srx2 - srx1*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
+                   b2 + (sw*(swx11*srx2 - srx1*swx12)
+                         - swx1*(swx1*srx2 - srx1*swx2)
+                         + sr*(swx1*swx12 - swx11*swx2))
+                        / (sw*(swx11*swx22 - swx12*swx12)
+                           - swx1*(swx1*swx22 - swx12*swx2)
+                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
+            FROM m4 CROSS JOIN be3
+        )
+"""
+
 ORACLES: dict[str, str] = {
     "q01_scan_project": """
         SELECT event_id, user_id, event_type, value FROM events
@@ -3520,154 +3667,36 @@ ORACLES: dict[str, str] = {
     # expression text (sigmoid, weights, cofactor determinants, Cramer
     # update) to the Spark side, so the engines' betas agree to
     # summation-order noise and the round-6 score grid is stable.
-    "qx77_logreg_quality": """
-        WITH f AS (
-            SELECT doc_id,
-                   CAST(lang = 'en' AS BIGINT) AS y,
-                   CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
-                   round(CAST(len(list_filter(toks, t -> list_contains(
-                         ['the','and','of','to','in','is','that','with','for','on'], t)))
-                         AS DOUBLE) / len(toks), 6) AS x2
-            FROM (SELECT doc_id, text, lang,
-                         string_split(lower(text), ' ') AS toks
-                  FROM documents)
-            WHERE lang IS NOT NULL
-        ),
-        tr AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
-        be0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
-        m1 AS (
-            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
-                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
-                   sum(w*x2*x2) AS swx22,
-                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
-            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
-                         CAST(y AS DOUBLE) - p AS r
-                  FROM (SELECT x1, x2, y,
-                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
-                        FROM tr CROSS JOIN be0))
-        ),
-        be1 AS (
-            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
-                         - swx1*(srx1*swx22 - swx12*srx2)
-                         + swx2*(srx1*swx12 - swx11*srx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
-                   b1 + (sw*(srx1*swx22 - swx12*srx2)
-                         - sr*(swx1*swx22 - swx12*swx2)
-                         + swx2*(swx1*srx2 - srx1*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
-                   b2 + (sw*(swx11*srx2 - srx1*swx12)
-                         - swx1*(swx1*srx2 - srx1*swx2)
-                         + sr*(swx1*swx12 - swx11*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
-            FROM m1 CROSS JOIN be0
-        ),
-        m2 AS (
-            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
-                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
-                   sum(w*x2*x2) AS swx22,
-                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
-            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
-                         CAST(y AS DOUBLE) - p AS r
-                  FROM (SELECT x1, x2, y,
-                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
-                        FROM tr CROSS JOIN be1))
-        ),
-        be2 AS (
-            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
-                         - swx1*(srx1*swx22 - swx12*srx2)
-                         + swx2*(srx1*swx12 - swx11*srx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
-                   b1 + (sw*(srx1*swx22 - swx12*srx2)
-                         - sr*(swx1*swx22 - swx12*swx2)
-                         + swx2*(swx1*srx2 - srx1*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
-                   b2 + (sw*(swx11*srx2 - srx1*swx12)
-                         - swx1*(swx1*srx2 - srx1*swx2)
-                         + sr*(swx1*swx12 - swx11*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
-            FROM m2 CROSS JOIN be1
-        ),
-        m3 AS (
-            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
-                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
-                   sum(w*x2*x2) AS swx22,
-                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
-            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
-                         CAST(y AS DOUBLE) - p AS r
-                  FROM (SELECT x1, x2, y,
-                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
-                        FROM tr CROSS JOIN be2))
-        ),
-        be3 AS (
-            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
-                         - swx1*(srx1*swx22 - swx12*srx2)
-                         + swx2*(srx1*swx12 - swx11*srx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
-                   b1 + (sw*(srx1*swx22 - swx12*srx2)
-                         - sr*(swx1*swx22 - swx12*swx2)
-                         + swx2*(swx1*srx2 - srx1*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
-                   b2 + (sw*(swx11*srx2 - srx1*swx12)
-                         - swx1*(swx1*srx2 - srx1*swx2)
-                         + sr*(swx1*swx12 - swx11*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
-            FROM m3 CROSS JOIN be2
-        ),
-        m4 AS (
-            SELECT sum(w) AS sw, sum(w*x1) AS swx1, sum(w*x2) AS swx2,
-                   sum(w*x1*x1) AS swx11, sum(w*x1*x2) AS swx12,
-                   sum(w*x2*x2) AS swx22,
-                   sum(r) AS sr, sum(r*x1) AS srx1, sum(r*x2) AS srx2
-            FROM (SELECT x1, x2, p*(1.0 - p) AS w,
-                         CAST(y AS DOUBLE) - p AS r
-                  FROM (SELECT x1, x2, y,
-                               1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))) AS p
-                        FROM tr CROSS JOIN be3))
-        ),
-        be4 AS (
-            SELECT b0 + (sr*(swx11*swx22 - swx12*swx12)
-                         - swx1*(srx1*swx22 - swx12*srx2)
-                         + swx2*(srx1*swx12 - swx11*srx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b0,
-                   b1 + (sw*(srx1*swx22 - swx12*srx2)
-                         - sr*(swx1*swx22 - swx12*swx2)
-                         + swx2*(swx1*srx2 - srx1*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b1,
-                   b2 + (sw*(swx11*srx2 - srx1*swx12)
-                         - swx1*(swx1*srx2 - srx1*swx2)
-                         + sr*(swx1*swx12 - swx11*swx2))
-                        / (sw*(swx11*swx22 - swx12*swx12)
-                           - swx1*(swx1*swx22 - swx12*swx2)
-                           + swx2*(swx1*swx12 - swx11*swx2)) AS b2
-            FROM m4 CROSS JOIN be3
-        )
+    "qx77_logreg_quality": _LOGREG_CTES + """
         SELECT doc_id, y, x1, x2,
                round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))), 6) AS score
         FROM f CROSS JOIN be4
         WHERE doc_id % 5 = 0
         ORDER BY doc_id
+    """,
+    "qx78_model_auc": _LOGREG_CTES + """
+        , scored AS (
+            SELECT y,
+                   round(1.0/(1.0 + exp(-(b0 + b1*x1 + b2*x2))), 6) AS score
+            FROM f CROSS JOIN be4
+            WHERE doc_id % 5 = 0
+        ),
+        per AS (
+            SELECT score, sum(y) AS n1s, sum(1 - y) AS n0s
+            FROM scored GROUP BY score
+        ),
+        cum AS (
+            SELECT n1s, n0s,
+                   sum(n0s) OVER (ORDER BY score
+                                  ROWS UNBOUNDED PRECEDING) AS c0
+            FROM per
+        )
+        SELECT CAST(sum(n1s) AS BIGINT) AS n_pos,
+               CAST(sum(n0s) AS BIGINT) AS n_neg,
+               CAST(sum(n1s * (2*c0 - n0s)) AS BIGINT) AS u2,
+               round(CAST(sum(n1s * (2*c0 - n0s)) AS DOUBLE)
+                     / (2.0 * sum(n1s) * sum(n0s)), 6) AS auc
+        FROM cum
     """,
 }
 

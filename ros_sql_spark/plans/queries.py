@@ -6007,7 +6007,7 @@ def qx76_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-def qx77_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED logistic-regression scorer by IRLS (round-15 directive
     #8 — the second supervised train/apply member after qx74's Naive
     Bayes): predict P(lang = 'en') from quality features — scaled
@@ -6102,19 +6102,87 @@ def qx77_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2 = b2 + d2 / det
 
     zs = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
-    return (
-        feats.filter(F.col("doc_id") % 5 == 0)
-        .select(
-            "doc_id",
-            "y",
-            "x1",
-            "x2",
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zs)), 6).alias(
-                "score"
+    return feats.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        "y",
+        "x1",
+        "x2",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zs)), 6).alias("score"),
+    )
+
+
+def qx78_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the qx77 classifier on its held-out split
+    (round-15 — the model-EVALUATION member: training without a
+    measured quality number is half a pipeline).  Midrank/trapezoid
+    AUC via the Mann-Whitney identity, kept EXACT-INTEGER (the qx75
+    discipline): group the held-out rows by their ROUNDED score
+    (bit-identical across engines — qx77's parity), and with
+    n1(s)/n0(s) the positive/negative counts at score s and
+    N0≤(s) the running negative count through s,
+
+        2·U = Σ_s n1(s) · (2·N0≤(s) − n0(s))
+
+    counts every (pos, neg) pair twice: 2 per strictly-lower negative,
+    1 per tied negative — the ½-for-ties convention with no float
+    until the single final division.  ``u2`` is the exact integer
+    cross-checked by the driver hash; auc = u2 / (2·n1·n0), round(6).
+
+    100 TB shape: the prefix rides operators/ordered.py::
+    bucketed_running_sum over an affine score bin (floor(score·20) —
+    the monotone bucket lever, no SinglePartition window anywhere);
+    everything else is the qx77 training cost plus two tiny
+    aggregates."""
+    from ros_sql_spark.operators.ordered import bucketed_running_sum
+
+    sc = _logreg_scores(spark, sf_dir)
+    per = (
+        sc.groupBy("score")
+        .agg(
+            F.sum("y").alias("n1s"),
+            F.sum(F.lit(1) - F.col("y")).alias("n0s"),
+        )
+        .withColumn(
+            # coalesce makes the bucket provably NON-NULL, so the
+            # join inside bucketed_running_sum infers no isnotnull —
+            # an inferred null-filter on f(group key) pushes through
+            # the aggregate and re-evaluates the whole score pipeline
+            # per input row (the suite's Filter/size() guard caught
+            # the bare version)
+            "_bk",
+            F.coalesce(
+                F.floor(F.col("score") * F.lit(20.0)).cast("int"),
+                F.lit(0),
             ),
         )
-        .orderBy("doc_id")
     )
+    cum = bucketed_running_sum(
+        per, bucket_col="_bk", order_cols=["score"], value_col="n0s",
+        out="_c0",
+    )
+    term = F.col("n1s") * (
+        F.lit(2) * F.col("_c0") - F.col("n0s")
+    )
+    return cum.agg(
+        F.sum("n1s").cast("bigint").alias("n_pos"),
+        F.sum("n0s").cast("bigint").alias("n_neg"),
+        F.sum(term).cast("bigint").alias("u2"),
+        F.round(
+            F.sum(term).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum("n1s").cast("double")
+                * F.sum("n0s").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def qx77_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-scorer grid (see :func:`_logreg_scores` for the
+    full IRLS/parity story) in driver shape: deterministic order."""
+    return _logreg_scores(spark, sf_dir).orderBy("doc_id")
 
 
 QUERIES = {
@@ -6300,4 +6368,5 @@ QUERIES = {
     "qx75_mann_whitney": qx75_mann_whitney,
     "qx76_interval_coverage": qx76_interval_coverage,
     "qx77_logreg_quality": qx77_logreg_quality,
+    "qx78_model_auc": qx78_model_auc,
 }

@@ -1607,6 +1607,13 @@ def _closed_streams():
         "wav-alaw": (C.decode_wav, C.encode_wav(sig, fmt="alaw")),
         "wav-mulaw": (C.decode_wav, C.encode_wav(sig, fmt="mulaw")),
         "tiff-jpeg": (C.decode_tiff, C.encode_tiff(px, "jpeg")),
+        "tiff-fillorder-fax": (
+            C.decode_tiff,
+            C.encode_tiff(
+                (gray > 127).astype(np.uint8), "g4", bits=1,
+                fill_order=2,
+            ),
+        ),
     }
 
 
@@ -2217,3 +2224,40 @@ def test_tiff_jpeg_guards():
         C.encode_tiff(img, "jpeg", rows_per_strip=10)
     with pytest.raises(ValueError, match="predictor"):
         C.encode_tiff(img, "jpeg", predictor=True)
+
+
+def test_tiff_fillorder2_fax_roundtrips():
+    """Round-15: FillOrder 2 (LSB-first) closed for the shapes it
+    occurs in — CCITT fax and uncompressed bilevel round-trip
+    identically to their FillOrder-1 twins; byte-oriented codecs stay
+    gated; FillOrder 3 is invalid."""
+    import pytest
+
+    from ros_sql_spark.operators import codecs as C
+
+    bi = (_img(24, 40, seed=5)[..., 0] > 127).astype(np.uint8)
+    for compression in ("g4", "mh", "t4", "t4-2d", "none"):
+        kw = {"bits": 1}
+        a = C.decode_tiff(C.encode_tiff(bi, compression, **kw))
+        b = C.decode_tiff(
+            C.encode_tiff(bi, compression, fill_order=2, **kw)
+        )
+        assert np.array_equal(a, b), compression
+    raw8 = C.encode_tiff(_img(8, 8, seed=6), "lzw")
+    with pytest.raises(NotImplementedError, match="FillOrder 2"):
+        C.decode_tiff(_tiff_tag_rename_any(raw8))
+    with pytest.raises(ValueError, match="FillOrder 3"):
+        C.decode_tiff(
+            _tiff_tag_patch(
+                _tiff_tag_rename_any(raw8, value=3), 266, 3
+            )
+        )
+    with pytest.raises(ValueError, match="fill_order 2"):
+        C.encode_tiff(_img(8, 8, seed=6), "lzw", fill_order=2)
+
+
+def _tiff_tag_rename_any(raw: bytes, value: int = 2) -> bytes:
+    """Repurpose the RowsPerStrip tag slot as FillOrder=value (decode
+    defaults rps=h, so renaming 278 away is harmless — the existing
+    gate-constructor trick)."""
+    return _tiff_tag_patch(_tiff_tag_rename(raw, 278, 266), 266, value)

@@ -730,6 +730,9 @@ def main() -> int:
             # round-15: IRLS logistic regression — 4 moment passes +
             # a held-out projection; slope must stay linear in docs
             "qx77_logreg_quality",
+            # round-15: exact AUC rides the bucketed prefix machinery
+            # over the qx77 scores — same linear envelope
+            "qx78_model_auc",
         ]
         _SCALAR_COMBINE = _re.compile(
             r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
