@@ -134,8 +134,9 @@ GATES = {
                          "uncompressed mode)",
     "tiff-predictor": "TIFF predictors other than 1/2",
     "wav-format-tag": "WAVE format tags beyond integer PCM / IEEE "
-                      "float / G.711 A-law+µ-law (extensible 0xFFFE, "
-                      "ADPCM)",
+                      "float / G.711 A-law+µ-law and their "
+                      "extensible-GUID forms (ADPCM, non-standard "
+                      "extensible SubFormats, padded valid-bits)",
     "wav-depth": "WAVE integer PCM bit depths other than 8/16/32",
     "y4m-colorspace": "y4m colorspaces other than the C420 family / C444",
     "unknown-image-magic": "image payloads no native codec recognizes "
@@ -170,6 +171,7 @@ CLOSED = (
     "wav-mulaw",               # round-14 (G.711 µ-law, tag 7)
     "tiff-jpeg",               # round-15 (compression 7, JPEGTables 347)
     "tiff-fillorder-fax",      # round-15 (FillOrder 2, CCITT + raw bilevel)
+    "wav-extensible",          # round-15 (0xFFFE + standard SubFormat GUIDs)
 )
 
 
@@ -3731,7 +3733,9 @@ def encode_wav(
     canonical fmt-chunk layout from the public RIFF spec).  ``fmt``:
     "pcm16" (integer PCM, tag 1), "float32" (IEEE float, tag 3),
     "alaw"/"mulaw" (G.711 companded 8-bit, tags 6/7 — quantized to
-    int16 first, then companded; round-14).  The encode side exists so
+    int16 first, then companded; round-14); an "ext-" prefix (e.g.
+    "ext-pcm16") wraps the same data in WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE + SubFormat GUID — round-15).  The encode side exists so
     tests can synthesize REAL audio bytes to push through the Spark
     plumbing, mirroring encode_bmp/encode_ppm."""
     arr = np.asarray(samples, dtype=np.float64)
@@ -3740,6 +3744,9 @@ def encode_wav(
     if arr.ndim != 2:
         raise ValueError(f"expected (n,) or (n, ch), got {arr.shape}")
     ch = arr.shape[1]
+    extensible = fmt.startswith("ext-")
+    if extensible:
+        fmt = fmt[4:]
     if fmt == "pcm16":
         tag, bits = 1, 16
         data = np.clip(
@@ -3756,11 +3763,26 @@ def encode_wav(
         enc = _alaw_encode if fmt == "alaw" else _mulaw_encode
         data = enc(pcm.reshape(-1)).tobytes()
     else:
-        raise ValueError(f"fmt {fmt!r}: pcm16|float32|alaw|mulaw")
+        raise ValueError(
+            f"fmt {fmt!r}: pcm16|float32|alaw|mulaw (ext- prefix wraps "
+            "in WAVE_FORMAT_EXTENSIBLE)"
+        )
     block = ch * (bits // 8)
-    fmt = struct.pack(
-        "<HHIIHH", tag, ch, sample_rate, sample_rate * block, block, bits
-    )
+    if extensible:
+        # WAVE_FORMAT_EXTENSIBLE wrapper: cbSize 22, valid bits =
+        # container depth, channel mask 0 (unpositioned), SubFormat =
+        # classic tag over the standard media-subtype GUID suffix
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, sample_rate, sample_rate * block,
+            block, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + struct.pack(
+            "<H", tag
+        ) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, sample_rate * block, block,
+            bits,
+        )
     body = (
         b"WAVE"
         + b"fmt "
@@ -3783,9 +3805,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     chunks, including the spec's odd-size padding byte), supports
     integer PCM at 8/16/32 bits (tag 1), IEEE float at 32/64 bits
     (tag 3), and G.711 A-law/µ-law (tags 6/7 — exact integer
-    companding tables, scaled /32768 like 16-bit PCM; round-14) —
-    anything else (extensible 0xFFFE, ADPCM, ...) raises
-    NotImplementedError naming the tag, the same honest-gate
+    companding tables, scaled /32768 like 16-bit PCM; round-14), each
+    also in its WAVE_FORMAT_EXTENSIBLE form (tag 0xFFFE routed by the
+    standard SubFormat GUID; round-15) — anything else (ADPCM,
+    non-standard GUIDs, container-padded sample depths) raises
+    NotImplementedError naming the feature, the same honest-gate
     discipline as decode_image."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
@@ -3800,16 +3824,48 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_ext = body[16:]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise NotImplementedError("WAVE missing fmt/data chunk")
     tag, ch, rate, _, _, bits = fmt
+    if tag == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (round-15): the real format rides the
+        # 16-byte SubFormat GUID — the standard media-subtype GUIDs
+        # embed the classic tag in the first two bytes over a fixed
+        # suffix.  Known subtypes route to the existing decode paths;
+        # unknown GUIDs stay a named gate.  wValidBitsPerSample must
+        # equal the container depth (24-in-32 container padding is a
+        # different decode and stays gated with ADPCM).
+        if len(fmt_ext) < 24:
+            raise ValueError(
+                "WAVE extensible fmt chunk missing its extension"
+            )
+        (cb,) = struct.unpack("<H", fmt_ext[:2])
+        if cb < 22:
+            raise ValueError(f"WAVE extensible cbSize {cb} < 22")
+        (valid_bits,) = struct.unpack("<H", fmt_ext[2:4])
+        guid = fmt_ext[8:24]
+        if guid[2:] != (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        ):
+            raise NotImplementedError(
+                f"WAVE extensible SubFormat GUID {guid.hex()} "
+                "is not a standard media subtype"
+            )
+        (tag,) = struct.unpack("<H", guid[:2])
+        if valid_bits not in (0, bits):
+            raise NotImplementedError(
+                f"WAVE extensible valid bits {valid_bits} != container "
+                f"{bits} (sample padding)"
+            )
     if tag not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"WAVE format tag {tag} unsupported (integer PCM 1, "
-            "IEEE float 3, G.711 A-law 6 / µ-law 7 only)"
+            "IEEE float 3, G.711 A-law 6 / µ-law 7 only, plus their "
+            "extensible-GUID forms)"
         )
     if tag == 3:
         if bits == 32:

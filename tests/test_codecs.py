@@ -237,10 +237,14 @@ def test_wav_rejects_non_pcm_and_bad_magic():
     with pytest.raises(NotImplementedError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
     b = bytearray(encode_wav(_tone(100, n=10), 8000))
-    # round-14: tag 3 (IEEE float) is now CLOSED — the remaining gate
-    # is extensible (0xFFFE) and other exotic tags
+    # round-15: extensible (0xFFFE) is CLOSED; a classic fmt chunk
+    # merely relabeled 0xFFFE has no extension — structural error —
+    # and ADPCM (tag 2) is the remaining named gate
     _s.pack_into("<H", b, 20, 0xFFFE)
-    with pytest.raises(NotImplementedError, match="tag 65534"):
+    with pytest.raises(ValueError, match="extension"):
+        decode_wav(bytes(b))
+    _s.pack_into("<H", b, 20, 2)
+    with pytest.raises(NotImplementedError, match="tag 2"):
         decode_wav(bytes(b))
 
 
@@ -1513,7 +1517,8 @@ def _gate_streams():
                 C.encode_tiff(np.zeros((1, 8), np.uint8), "g4", bits=1)
             ),
         ),
-        "wav-format-tag": (C.decode_wav, _wav_patch(wav, 20, 0xFFFE)),
+        # ADPCM (2) stays gated; extensible 0xFFFE closed in r15
+        "wav-format-tag": (C.decode_wav, _wav_patch(wav, 20, 2)),
         "wav-depth": (C.decode_wav, _wav_patch(wav, 34, 24)),
         "y4m-colorspace": (
             C.decode_y4m,
@@ -1607,6 +1612,9 @@ def _closed_streams():
         "wav-alaw": (C.decode_wav, C.encode_wav(sig, fmt="alaw")),
         "wav-mulaw": (C.decode_wav, C.encode_wav(sig, fmt="mulaw")),
         "tiff-jpeg": (C.decode_tiff, C.encode_tiff(px, "jpeg")),
+        "wav-extensible": (
+            C.decode_wav, C.encode_wav(sig, fmt="ext-pcm16")
+        ),
         "tiff-fillorder-fax": (
             C.decode_tiff,
             C.encode_tiff(
@@ -2261,3 +2269,35 @@ def _tiff_tag_rename_any(raw: bytes, value: int = 2) -> bytes:
     defaults rps=h, so renaming 278 away is harmless — the existing
     gate-constructor trick)."""
     return _tiff_tag_patch(_tiff_tag_rename(raw, 278, 266), 266, value)
+
+
+def test_wav_extensible_routes_by_guid():
+    """Round-15: WAVE_FORMAT_EXTENSIBLE decodes identically to its
+    classic-tag twin for every supported subformat; non-standard
+    GUIDs, padded valid-bits, and a truncated extension raise."""
+    import pytest
+
+    from ros_sql_spark.operators import codecs as C
+
+    sig = np.sin(np.linspace(0, 20, 201)) * 0.5
+    for fmt in ("pcm16", "float32", "alaw", "mulaw"):
+        a, ra = C.decode_wav(C.encode_wav(sig, fmt=fmt))
+        b, rb = C.decode_wav(C.encode_wav(sig, fmt="ext-" + fmt))
+        assert ra == rb and np.array_equal(a, b), fmt
+    raw = C.encode_wav(sig, fmt="ext-pcm16")
+    # zap a GUID suffix byte -> non-standard subtype gate
+    bad = bytearray(raw)
+    guid_off = raw.index(b"\xaa\x00\x38\x9b\x71")
+    bad[guid_off] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        C.decode_wav(bytes(bad))
+    # padded valid bits (24-in-32 class) -> gate
+    vb = bytearray(raw)
+    vb_off = 12 + 8 + 18  # RIFF+WAVE, fmt header, cbSize -> valid bits
+    import struct as st
+    st.pack_into("<H", vb, vb_off, 8)
+    with pytest.raises(NotImplementedError, match="valid bits"):
+        C.decode_wav(bytes(vb))
+    # truncated extension -> structural error
+    with pytest.raises(ValueError, match="cbSize|extension"):
+        C.decode_wav(_wav_patch(C.encode_wav(sig), 20, 0xFFFE))
