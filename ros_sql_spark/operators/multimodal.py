@@ -382,7 +382,16 @@ def audio_roundtrip_stats(
     single pruned column, no shuffle, no state; the signal length is
     bounded (≤240 samples) so Arrow batches stay small.  Float-derived
     outputs (duration, RMS) are assembled OUTSIDE the UDF from the
-    exact integers in one fixed op order (the qx50 regime)."""
+    exact integers in one fixed op order (the qx50 regime).
+
+    The pruned id column rides ``ensure_scan_parallelism`` (round-15
+    measurement): a single-file documents table plans the whole scan
+    as ONE task, so every per-id codec round-trip serialized onto one
+    core while the rest idled — qx67 (the heaviest of the three
+    roundtrip twins) measured 4.05 → 1.11 s solo min-of-3 at sf0.1
+    after spreading the ids (the repartition moves 8 bytes/row; the
+    codec work is the whole cost).  At production file counts the
+    helper is a no-op."""
     out_schema = T.StructType(
         [
             T.StructField("_id", T.LongType(), False),
@@ -421,8 +430,12 @@ def audio_roundtrip_stats(
                 out["n_zero_cross"].append(int((neg[1:] != neg[:-1]).sum()))
             yield pd.DataFrame(out)
 
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
     return (
-        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        ensure_scan_parallelism(
+            df.select(F.col(id_col).cast("bigint").alias("_id"))
+        )
         .mapInPandas(gen, out_schema)
         .withColumnRenamed("_id", id_col)
     )
@@ -507,8 +520,12 @@ def video_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
     return (
-        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        ensure_scan_parallelism(
+            df.select(F.col(id_col).cast("bigint").alias("_id"))
+        )
         .mapInPandas(gen, out_schema)
         .withColumnRenamed("_id", id_col)
     )
@@ -596,8 +613,12 @@ def image_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["n_codecs_verified"].append(len(encoded))
             yield pd.DataFrame(out)
 
+    from ros_sql_spark.functions.util import ensure_scan_parallelism
+
     return (
-        df.select(F.col(id_col).cast("bigint").alias("_id"))
+        ensure_scan_parallelism(
+            df.select(F.col(id_col).cast("bigint").alias("_id"))
+        )
         .mapInPandas(gen, out_schema)
         .withColumnRenamed("_id", id_col)
     )

@@ -6047,6 +6047,16 @@ def _logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(toks).cast("double") / F.lit(100.0)).alias("x1"),
             F.round(stopword_ratio(toks, "en"), 6).alias("x2"),
         )
+        # round-15: the feature frame is consumed by FIVE separate
+        # actions (four IRLS moment collects + the caller's scoring
+        # action) — unpinned, each one re-ran the documents scan and
+        # re-tokenized the corpus (the several-separate-actions rule).
+        # Lazy pin: iteration 1's collect materializes the 4-column
+        # numeric frame once; iterations 2-4 and the scoring pass read
+        # it back.  Measured solo min-of-3 at sf0.1: qx77 1.31→0.92 s,
+        # qx78 1.62→1.41 s; values bit-identical (the pinned frame IS
+        # the same rounded feature grid).
+        .localCheckpoint(eager=False)
     )
     tr = feats.filter(F.col("doc_id") % 5 != 0)
 
