@@ -1685,6 +1685,7 @@ def remove_boilerplate(
     text_col: str = "text",
     passage_tokens: int = 10,
     max_doc_freq: int = 10,
+    tokens_out: str | None = None,
 ) -> DataFrame:
     """Strip passages that repeat across more than ``max_doc_freq``
     documents (headers, footers, navigation chrome, license blurbs) and
@@ -1692,7 +1693,12 @@ def remove_boilerplate(
 
     Output: (id, text) with ``text`` the cleaned document; a document
     whose EVERY passage is boilerplate drops out entirely (no empty-
-    string row).
+    string row).  ``tokens_out``: optionally also emit the cleaned
+    document's TOKEN array under this name — ``text`` is exactly
+    ``array_join(tokens, " ")``, so a caller that needs tokens next
+    (curate()'s quality gate) skips a full re-split of the rebuilt
+    text; tokenize(text) == the emitted array by construction
+    (whitespace split round-trips through a single-space join).
 
     Round-15 shape (directive #1 — this stage was ~70% of
     qx26_curate_full's floor): NO document text ever crosses an
@@ -1701,20 +1707,27 @@ def remove_boilerplate(
     CONSTANT instead of materializing passage strings — one narrow
     single-exchange count_distinct census yields the HOT digest set
     (boilerplate is by definition a small distinct set — it repeats).
+    (A round-15 draft replaced the per-passage md5 with token-hash
+    folds — an F.aggregate fold AND the fixed-width multi-arg
+    xxhash64 form were BOTH measured slower than the codegen'd
+    concat_ws+md5 on q85 solo A/B at sf0.1 (~1.39 → ~1.55 s min-of-5):
+    at 10-token stride the per-passage hashing is not the cost, the
+    lambda/get plumbing is.  The md5 census stays.)
     A second pass over the hash rows left-joins the broadcast hot set
     and groups per doc to (hot positions, non-empty passage count) —
     still only (id, pos, flag) rows through the exchange.  The
     rebuild is then a doc-side PROJECTION: join the tokenized docs to
-    the per-doc frame (un-hinted — AQE picks the strategy) and
-    filter/rejoin the passage array per row, with the
-    everything-was-boilerplate drop decided by the CHEAP count
+    the per-doc frame (un-hinted — AQE picks the strategy), filter
+    the passage INDEX list, and flatten the surviving token slices
+    into one array_join — no second passages_of pass, and the kept
+    TOKEN array is emittable for free (``tokens_out``), which is
+    where qx26's measured win lives (solo min-of-5 A/B at sf0.1:
+    5.74 → 4.95 s with curate()'s quality gate consuming the carried
+    tokens instead of re-splitting the rebuilt text).  The
+    everything-was-boilerplate drop is decided by the CHEAP count
     compare — a size(<rebuild>)>0 filter draft got the rebuild
     expression INLINED into the pushed-down predicate and evaluated
     twice per row (the suite's Generate/filter plan guard caught it).
-    The old shape shuffled every surviving passage STRING through a
-    collect_list reassembly and ran the string pipeline twice;
-    measured at sf0.1 (max_doc_freq=2, min-of-5, interleaved):
-    1.75-2.46 s → ~1.4 s, byte-identical output on all 4,992 docs.
     Lazy-checkpointing the hash table measured slightly WORSE — the
     hash pipeline is two cheap JVM passes; the pin's write outweighs
     the re-derive.
@@ -1727,25 +1740,32 @@ def remove_boilerplate(
     toked = ensure_scan_parallelism(df).select(
         F.col(id_col), tokenize(text_col).alias("_toks")
     )
+    n = F.size("_toks")
+    # passage i = tokens [i*P, (i+1)*P); slice() is 1-indexed; integer
+    # floor-div (never `/`: Column `/` is double division and
+    # sequence() rejects a double bound)
+    idxs = F.sequence(
+        F.lit(0),
+        F.floor((n - 1) / F.lit(passage_tokens)).cast("int"),
+    )
+    # passage i is the EMPTY STRING iff its token slice is the lone
+    # trailing "" token (concat_ws of any longer slice contains a
+    # separator): n − i·P == 1 and the last token is "" — pure
+    # arithmetic, used by the rebuild filter so no passage string is
+    # rebuilt just to compare against ""
+    last_empty = F.element_at("_toks", n) == F.lit("")
 
-    def passages_of(tcol):
-        # passage i = tokens [i*P, (i+1)*P); slice() is 1-indexed;
-        # integer floor-div (never `/`: Column `/` is double division
-        # and sequence() rejects a double bound)
-        return F.transform(
-            F.sequence(
-                F.lit(0),
-                F.floor(
-                    (F.size(tcol) - 1) / F.lit(passage_tokens)
-                ).cast("int"),
-            ),
-            lambda i: F.concat_ws(
-                " ", F.slice(tcol, i * passage_tokens + 1, passage_tokens)
-            ),
-        )
+    def _is_empty(i):
+        return (n - i * passage_tokens == F.lit(1)) & last_empty
 
     hashes = F.transform(
-        passages_of(F.col("_toks")), lambda s: F.md5(s.cast("binary"))
+        idxs,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * passage_tokens + 1,
+                             passage_tokens)
+            ).cast("binary")
+        ),
     )
     # bare explode of per-row hashes is the documented cheap-explode
     # class; _outer keeps null-text docs flowing to the filter
@@ -1785,18 +1805,30 @@ def remove_boilerplate(
             F.count(F.lit(1)).alias("_nne"),
         )
     )
-    kept = F.filter(
-        passages_of(F.col("_toks")),
-        lambda s, i: (s != F.lit("")) & ~F.coalesce(
-            F.array_contains(F.col("_hot"), i), F.lit(False)
-        ),
+    # rebuild: keep passage INDEXES first (hot/empty passages are never
+    # sliced at all), then flatten the surviving token slices — the
+    # document is all kept tokens joined by one space, which equals the
+    # old per-passage concat_ws + passage array_join byte-for-byte
+    keep_idx = F.filter(
+        idxs,
+        lambda i: ~_is_empty(i)
+        & ~F.coalesce(F.array_contains(F.col("_hot"), i), F.lit(False)),
     )
+    kept_toks = F.flatten(
+        F.transform(
+            keep_idx,
+            lambda i: F.slice(
+                F.col("_toks"), i * passage_tokens + 1, passage_tokens
+            ),
+        )
+    )
+    out_cols = [F.col(id_col), F.array_join(kept_toks, " ").alias(text_col)]
+    if tokens_out is not None:
+        out_cols.append(kept_toks.alias(tokens_out))
     return (
         toked.join(perdoc, id_col)
         .filter(F.col("_nne") > F.size("_hot"))
-        .select(
-            F.col(id_col), F.array_join(kept, " ").alias(text_col)
-        )
+        .select(*out_cols)
     )
 
 

@@ -292,6 +292,12 @@ def curate(
     # the mixture stage needs the source column to survive the pipeline
     carry = [budget_source_col] if budgets is not None else []
 
+    # the quality gate re-tokenizes whatever text reaches it UNLESS a
+    # prior stage already carries the equivalent token array (round-15:
+    # remove_boilerplate's rebuild IS a token join, so its tokens ride
+    # along for free and the gate skips a full re-split)
+    tok_carry: str | None = None
+
     # 0. optional boilerplate strip (q85) — BEFORE gating, so chrome
     #    neither poisons quality features nor fabricates near-dup edges
     if boilerplate_max_df is not None:
@@ -303,7 +309,9 @@ def curate(
             text_col=text_col,
             passage_tokens=boilerplate_passage_tokens,
             max_doc_freq=boilerplate_max_df,
+            tokens_out="_bp_toks",
         )
+        tok_carry = "_bp_toks"
         _ob_b = Observation()
         bp_dropped = (
             docs.select(id_col)
@@ -357,10 +365,20 @@ def curate(
         if carry:
             despanned = despanned.join(docs.select(id_col, *carry), id_col)
         docs = despanned
+        # span excision rebuilds text without a token carry
+        tok_carry = None
 
-    # 1. quality gate — pure projection, no shuffle
+    # 1. quality gate — pure projection, no shuffle; reuse a prior
+    # stage's carried token array when one exists (tokenize(text) ==
+    # the carried array by construction — see remove_boilerplate)
     feats = docs.select(
-        id_col, text_col, *carry, tokens(text_col).alias("_toks")
+        id_col,
+        text_col,
+        *carry,
+        (
+            F.col(tok_carry) if tok_carry is not None
+            else tokens(text_col)
+        ).alias("_toks"),
     ).select(
         id_col,
         text_col,
