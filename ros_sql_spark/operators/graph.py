@@ -143,8 +143,21 @@ def pagerank(
     if not assume_distinct:
         e = e.dropDuplicates(["src", "dst"])
     # pinned: consumed by the node-count action AND 2·n_iter join
-    # instances of the final action (module docstring measurement)
-    e = e.localCheckpoint(eager=False)
+    # instances of the final action (module docstring measurement).
+    # Repartitioned on src FIRST (round-15): the pinned LogicalRDD
+    # carries hash(src) outputPartitioning, so every iteration's
+    # src-keyed join and the deg aggregation read the checkpoint
+    # co-partitioned instead of re-exchanging the edge list per
+    # iteration.  The static plan still shows the exchanges (a lazy
+    # checkpoint's partitioning is unknown until it materializes);
+    # the elision is a runtime effect — measured solo min-of-3 at
+    # sf0.1 on the declared query's graph: 2.48 → 2.19 s, and at
+    # cluster scale it removes 2·n_iter full edge shuffles.  The
+    # repartition must land AFTER the cast projection: partitioning
+    # by the pre-cast attribute does not satisfy the join's
+    # requirement on the cast one (measured: no win when hashed
+    # before the cast).
+    e = e.repartition("src").localCheckpoint(eager=False)
     deg = (
         e.groupBy("src")
         .agg(F.count("*").alias("_deg"))

@@ -4228,7 +4228,12 @@ def qx48_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("c") * 2).alias("dst"),
             )
         )
-        # pinned: 3 hop joins, reuse never fires (docstring numbers)
+        # pinned: 3 hop joins, reuse never fires (docstring numbers).
+        # src-repartitioned BEFORE the pin (round-15, the pagerank
+        # precedent): the materialized checkpoint carries hash(src)
+        # partitioning, so each hop's edge side reads co-partitioned
+        # at runtime instead of re-exchanging per hop.
+        .repartition("src")
         .localCheckpoint(eager=False)
     )
     seeds = cust.filter(F.col("c_nationkey") == 1).select(
