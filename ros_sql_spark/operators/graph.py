@@ -168,6 +168,13 @@ def pagerank(
     # the score frame and its inbound edges' mass would be dropped by
     # the src join next iteration (round-10 review finding).  The check
     # rides the node-count action's cached deg, one extra tiny job.
+    # TWO setup actions, deliberately (round-15 measured): folding the
+    # dangling count and the node count into one crossJoin-of-aggs
+    # action regressed 2.59 → ~3.0 s solo — inside a single action the
+    # LAZY deg checkpoint is not yet materialized and its subplan
+    # embeds twice (the agg and the anti-join), so the whole degree
+    # pipeline ran twice.  Sequenced actions materialize the pin once
+    # and the second action reads it back.
     dangling = (
         e.select(F.col("dst").alias("src"))
         .dropDuplicates()
