@@ -403,29 +403,45 @@ def curate(
     dropped["quality"] = feats.filter(~keep).select(id_col)
     cur = feats.filter(keep).select(id_col, text_col, *carry)
 
-    # 2. exact dedup — min id per 128-bit digest, one narrow shuffle.
-    # A round-15 draft replaced this with a window-min over
-    # partitionBy(digest) (3 exchanges → 1) and had to be REVERTED:
-    # _ob_e's CollectMetrics landed at the TOP of the stage-3 lazy
-    # checkpoint's plan (no exchange above it inside the checkpointed
-    # subtree), and under AQE the final result stage of a lazy-
-    # checkpoint materialization runs outside the original execution —
-    # the observation LATCHES ZERO (not "unfilled", so the fallback
-    # machinery cannot detect it; measured: metrics() reported 364
-    # exact-drops on a 500-doc corpus).  The semi-join shape keeps the
-    # observation below the join exchange, where AQE's completed query
-    # stages fill it reliably.
+    # 2. exact dedup — one survivor (min id) per 128-bit digest, with
+    # ONE reference to `cur`: grouping the full row by the digest and
+    # taking min(struct(id, text, carry...)) replaces the round-1..15
+    # groupBy+left-semi pair, whose TWO references to `cur` re-ran the
+    # whole boilerplate→quality subtree per evaluation (qx06's static
+    # plan carried SIX documents scans; runtime AQE exchange reuse only
+    # dedups the exchange-topped census subtrees, so the tokenize/
+    # rebuild/quality projections still ran twice — r15 A/B: qx06 solo
+    # 2.02 → 1.38 s, qx26 4.40 → 3.86 s min-of-3).  Every text in a
+    # digest group is identical (the digest IS the text hash), so
+    # min(struct) with id leading == the min-id row exactly.  The
+    # digest exchange now carries text once — the old shape's SMJ
+    # probe shuffled (id, text) anyway, on top of the duplicate
+    # pipeline run.  OBSERVATION SAFETY (the window-min draft of this
+    # same fusion was reverted for latching _ob_e to zero): _ob_q now
+    # sits below the digest exchange, and _ob_e — which would land at
+    # the TOP of the stage-3 lazy checkpoint's plan — is protected by
+    # the repartition(id) exchange added at the checkpoint (below).
+    # When near_dup is off there is no checkpoint and a plain action
+    # fills final-stage metrics normally.
     h = F.md5(F.col(text_col).cast("binary"))
     _ob_e = Observation()
-    exact_keep = (
-        cur.select(ids, h.alias("_h"))
-        .groupBy("_h")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    pre_exact = cur
+    exact_out = (
+        cur.groupBy(h.alias("_h"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col(text_col), *map(F.col, carry))
+            ).alias("_s")
+        )
+        .select(
+            *[F.col(f"_s.{c}").alias(c) for c in (id_col, text_col, *carry)]
+        )
         .observe(_ob_e, F.count(F.lit(1)).alias("n_kept"))
     )
-    dropped["exact"] = cur.select(id_col).join(exact_keep, id_col, "left_anti")
-    cur = cur.join(exact_keep, id_col, "left_semi")
+    dropped["exact"] = pre_exact.select(id_col).join(
+        exact_out.select(id_col), id_col, "left_anti"
+    )
+    cur = exact_out
 
     # 3. near-dup: candidate pairs -> components -> keep-best argmax (q33)
     if setsim_base_index is not None and (
@@ -450,7 +466,16 @@ def curate(
         # on qx26 at sf0.1: 11.7→6.9s solo min-of-3).  Lazy, so the
         # first consumer materializes it; the upstream CollectMetrics
         # observations fire exactly once, at that materialization.
-        cur = cur.localCheckpoint(eager=False)
+        # repartition(id) BEFORE the pin is load-bearing twice over:
+        # (a) it is the exchange that keeps _ob_e's CollectMetrics off
+        # the TOP of the checkpointed plan (the latched-zero hazard —
+        # the r15 window-min draft was reverted for exactly this), and
+        # (b) the materialized LogicalRDD carries hash(id)
+        # partitioning, so the members/near_dropped/final-anti id-joins
+        # downstream read the pin co-partitioned at runtime
+        # (CLAUDE.md's pinned-repartition rule; id is the final
+        # attribute of the exact stage's struct extraction).
+        cur = cur.repartition(id_col).localCheckpoint(eager=False)
         if near_dup_method == "setsim":
             from ros_sql_spark.operators.dedup import (
                 setsim_join,
@@ -650,7 +675,7 @@ def curate(
             "n_kept": docs.count() - dropped["quality"].count(),
         },
     )
-    obs["exact"] = (_ob_e, lambda: {"n_kept": exact_keep.count()})
+    obs["exact"] = (_ob_e, lambda: {"n_kept": exact_out.count()})
     if _ob_n is not None:
         obs["near_dup"] = (
             _ob_n,
