@@ -1782,29 +1782,30 @@ def remove_boilerplate(
         .filter(F.col("_df") > max_doc_freq)
         .select("_h")
     )
-    # per-doc hot positions AND the non-empty passage count in ONE
-    # narrow groupBy (id, pos, flag rows — no strings): the count
-    # makes the all-passages-boilerplate drop a CHEAP column compare,
-    # so predicate pushdown cannot inline the expensive rebuild
-    # expression into the filter (the size(<rebuild>)>0 draft did
-    # exactly that — the suite's Generate/filter guard caught the
-    # rebuild evaluating twice per row)
+    # per-doc HOT positions only (round-15, second pass): the old
+    # left-join + groupBy aggregated EVERY (id, pos, flag) row just to
+    # carry the non-empty passage count alongside the hot positions —
+    # but that count is pure per-row arithmetic on the rebuild side
+    # (all passages are non-empty except the lone single-token
+    # trailing "" — the same closed form _is_empty uses), so the
+    # aggregate only needs the hot rows.  INNER join to the broadcast
+    # hot set first: only hot-passage instances cross the exchange and
+    # enter the ObjectHashAggregate (boilerplate instances ≪ all
+    # passages), and the rebuild-side build frame shrinks from
+    # every-doc to docs-with-chrome.  The cheap-count drop compare
+    # stays (predicate pushdown cannot inline the rebuild expression —
+    # the size(<rebuild>)>0 draft measured exactly that hazard).
     perdoc = (
-        ph.join(
-            F.broadcast(hot.withColumn("_ishot", F.lit(True))),
-            "_h",
-            "left",
-        )
+        ph.join(F.broadcast(hot), "_h")
         .groupBy(id_col)
-        .agg(
-            # when() without otherwise → null for non-hot rows, and
-            # collect_list skips nulls: exactly the hot positions
-            F.collect_list(
-                F.when(F.col("_ishot"), F.col("pos"))
-            ).alias("_hot"),
-            F.count(F.lit(1)).alias("_nne"),
-        )
+        .agg(F.collect_list(F.col("pos")).alias("_hot"))
     )
+    # non-empty passage count, computed where the tokens already are:
+    # every passage is non-empty except the single-token trailing ""
+    # (n − i·P == 1 forces i == ⌊(n−1)/P⌋ with (n−1) mod P == 0)
+    nne = F.size(idxs) - F.when(
+        ((n - 1) % passage_tokens == 0) & last_empty, F.lit(1)
+    ).otherwise(F.lit(0))
     # rebuild: keep passage INDEXES first (hot/empty passages are never
     # sliced at all), then flatten the surviving token slices — the
     # document is all kept tokens joined by one space, which equals the
@@ -1825,9 +1826,14 @@ def remove_boilerplate(
     out_cols = [F.col(id_col), F.array_join(kept_toks, " ").alias(text_col)]
     if tokens_out is not None:
         out_cols.append(kept_toks.alias(tokens_out))
+    # LEFT join: chrome-free docs have no perdoc row now (null _hot —
+    # keep_idx's coalesce already treats it as "no hot positions");
+    # the drop filter compares the arithmetic non-empty count against
+    # the hot-position count (null-text docs: nne is null → dropped,
+    # exactly the old inner join's behavior)
     return (
-        toked.join(perdoc, id_col)
-        .filter(F.col("_nne") > F.size("_hot"))
+        toked.join(perdoc, id_col, "left")
+        .filter(nne > F.coalesce(F.size("_hot"), F.lit(0)))
         .select(*out_cols)
     )
 
