@@ -157,7 +157,14 @@ def pagerank(
     # by the pre-cast attribute does not satisfy the join's
     # requirement on the cast one (measured: no win when hashed
     # before the cast).
-    e = e.repartition("src").localCheckpoint(eager=False)
+    # EAGER (round-15, second pass): the dangling-check action below
+    # references the edge pin TWICE (its probe side and through deg's
+    # child) — a lazy pin's child re-runs per reference until it
+    # materializes (CLAUDE.md double-embed rule), so the scan + dedup
+    # + repartition ran twice in the setup action.  The operator is
+    # already eager (it runs the dangling/count actions), so
+    # materializing the pin up front costs nothing extra.
+    e = e.repartition("src").localCheckpoint(eager=True)
     deg = (
         e.groupBy("src")
         .agg(F.count("*").alias("_deg"))
