@@ -1802,10 +1802,19 @@ def remove_boilerplate(
     )
     # non-empty passage count, computed where the tokens already are:
     # every passage is non-empty except the single-token trailing ""
-    # (n − i·P == 1 forces i == ⌊(n−1)/P⌋ with (n−1) mod P == 0)
-    nne = F.size(idxs) - F.when(
-        ((n - 1) % passage_tokens == 0) & last_empty, F.lit(1)
-    ).otherwise(F.lit(0))
+    # (n − i·P == 1 forces i == ⌊(n−1)/P⌋ with (n−1) mod P == 0).
+    # size(idxs) is written closed-form — ⌊(n−1)/P⌋+1 — instead of
+    # size(sequence(...)): sequence() would materialize an array per
+    # row just to measure it, and a nested-expression size() on a
+    # Filter line is exactly what the suite's Generate/filter plan
+    # lint rejects (null _toks → null count → dropped, unchanged)
+    nne = (
+        F.floor((n - 1) / F.lit(passage_tokens))
+        + 1
+        - F.when(
+            ((n - 1) % passage_tokens == 0) & last_empty, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
     # rebuild: keep passage INDEXES first (hot/empty passages are never
     # sliced at all), then flatten the surviving token slices — the
     # document is all kept tokens joined by one space, which equals the
