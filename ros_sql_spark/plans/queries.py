@@ -4000,7 +4000,24 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
     pinned profile both join inputs are the tiny ExistingRDD, so the
     per-side exchanges cost nothing.  The doubling gate compares EXACT
     decimals (rev2 > 2·rev1); doubles appear only at the output
-    boundary."""
+    boundary.
+
+    Round-15 (guide §2.4): lineitem is pre-aggregated to ORDER grain
+    before the orders join.  The previous mixed sum+countDistinct
+    aggregate planned as Spark's single-distinct rewrite — FOUR
+    HashAggregates over the (custkey, name, year, orderkey) grain with
+    an extra corpus-wide exchange on that 4-part key.  Summing
+    disc_price per l_orderkey first (exact decimal sums re-aggregate
+    exactly — the rollup-grain rule) makes n_orders a plain count:
+    still 2 Exchange/4 HashAggregate, but the corpus-wide exchange key
+    narrows from hashpartitioning(custkey, n_name, year, orderkey) —
+    the distinct rewrite's 4-part string-bearing grain, hashed per
+    lineitem row — to hashpartitioning(l_orderkey) alone, and the
+    (custkey, name, year) grain aggregates order-grain rows instead of
+    lineitem-grain (plans/r15/qx44_*_{before,after}.txt, profile
+    subtree section).  Solo interleaved A/B min-of-5 2.69 → 2.27 s,
+    output bit-identical (12,626 rows compared), oracle parity
+    green."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -4009,8 +4026,9 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li_o = li.groupBy("l_orderkey").agg(F.sum(disc_price()).alias("_orev"))
     prof = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_o.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
@@ -4021,8 +4039,8 @@ def qx44_shared_pipeline_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(
-            F.sum(disc_price()).alias("_rev"),
-            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.sum("_orev").alias("_rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
         # pinned: both self-join sides consume it with different
         # projections, which defeats exchange reuse (docstring numbers)
@@ -5029,29 +5047,67 @@ def qx61_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit costs exactly one scan + one tiny exchange — qx35's
     single-regressor slope generalized to the multivariate case.
 
-    Exactness (qx50/qx57 regime): every moment is an exact DECIMAL
-    sum (quantity/discount/price all exact at 2 dp; pairwise products
-    exact decimal multiplication), the 3×3 determinants are assembled
-    from the exact moments in ONE fixed double op order (textbook
-    cofactor expansion, identical expression text in both engines),
-    round(6).  Groups need n ≥ 3 and a nonzero determinant — both
-    gates on exactly-computed values."""
+    Exactness (qx50/qx57 regime): every moment is an exact value —
+    cents-scaled BIGINT partial sums merged through exact DECIMAL
+    arithmetic (below) — and the 3×3 determinants are assembled from
+    the exact moments in ONE fixed double op order (textbook cofactor
+    expansion, identical expression text in both engines), round(6).
+    Groups need n ≥ 3 and a nonzero determinant — both gates on
+    exactly-computed values.
+
+    Round-15 (guide §1.2 step 2 + §2.5 two-level aggregation): the
+    nine per-row DECIMAL sums were the measured cost of this query —
+    isolated A/B on the same scan: decimal moments 1.95 s, bigint
+    moments 0.77 s, bare count 0.22 s — Decimal128 hash-agg updates,
+    not the scan, dominate.  Plain corpus-wide bigint sums would
+    overflow at extreme scale (Σ p·q in 10⁻⁴ units grows ~3·10¹¹ per
+    million rows), so the sums are TWO-LEVEL: per-(flag, input
+    partition) bigint partials — bounded by rows-per-task: at 1 GiB
+    task splits and ≥16 B/row, ≤ 6.7·10⁷ rows/task × 5·10¹⁰ max
+    per-row term = 3.4·10¹⁸ < 2⁶³ with a 2.7× margin — then an exact
+    DECIMAL(38,0) merge of the ≤|tasks|·|flags| partials, descaled by
+    an exact decimal multiply (0.01 / 0.0001 at scale 2/4: the
+    product types land decimal(38,2)/(38,4), integer-digit headroom
+    34 digits, so the descale is an exact scale shift) — every moment
+    is the SAME rational number the decimal sums produced, and the
+    final decimal→double casts round once, identically.  The pid is
+    only a salt and is summed out, so correctness is independent of
+    partitioning/retries.  Interleaved A/B min-of-5: 1.93 → 1.23 s,
+    output bit-identical; oracle (unchanged, straight decimal sums)
+    parity green."""
     li = _t(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast(DECIMAL_MONEY)
-    d_ = F.col("l_discount").cast(DECIMAL_MONEY)
-    p = money("l_extendedprice")
-    g = (
-        li.groupBy("l_returnflag")
+    qc = (F.col("l_quantity").cast(DECIMAL_MONEY) * 100).cast("bigint")
+    dc = (F.col("l_discount").cast(DECIMAL_MONEY) * 100).cast("bigint")
+    pc = (money("l_extendedprice") * 100).cast("bigint")
+    part = (
+        li.groupBy("l_returnflag", F.spark_partition_id().alias("_pid"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("_n"),
-            F.sum(q).alias("_sq"),
-            F.sum(d_).alias("_sd"),
-            F.sum(p).alias("_sp"),
-            F.sum(q * q).alias("_sqq"),
-            F.sum(d_ * d_).alias("_sdd"),
-            F.sum(q * d_).alias("_sqd"),
-            F.sum(p * q).alias("_spq"),
-            F.sum(p * d_).alias("_spd"),
+            F.count(F.lit(1)).alias("_pn"),
+            F.sum(qc).alias("_pq"),
+            F.sum(dc).alias("_pd"),
+            F.sum(pc).alias("_pp"),
+            F.sum(qc * qc).alias("_pqq"),
+            F.sum(dc * dc).alias("_pdd"),
+            F.sum(qc * dc).alias("_pqd"),
+            F.sum(pc * qc).alias("_ppq"),
+            F.sum(pc * dc).alias("_ppd"),
+        )
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s2 = F.expr("CAST(0.01 AS DECIMAL(3,2))")
+    s4 = F.expr("CAST(0.0001 AS DECIMAL(5,4))")
+    g = (
+        part.groupBy("l_returnflag")
+        .agg(
+            F.sum("_pn").cast("bigint").alias("_n"),
+            (F.sum(d38("_pq")) * s2).alias("_sq"),
+            (F.sum(d38("_pd")) * s2).alias("_sd"),
+            (F.sum(d38("_pp")) * s2).alias("_sp"),
+            (F.sum(d38("_pqq")) * s4).alias("_sqq"),
+            (F.sum(d38("_pdd")) * s4).alias("_sdd"),
+            (F.sum(d38("_pqd")) * s4).alias("_sqd"),
+            (F.sum(d38("_ppq")) * s4).alias("_spq"),
+            (F.sum(d38("_ppd")) * s4).alias("_spd"),
         )
         .filter(F.col("_n") >= 3)
     )

@@ -1159,13 +1159,18 @@ def test_qx60_segment_rank_is_bucket_partitioned(spark):
 
 def test_qx61_single_pass_moment_fit(spark):
     """Closed-form OLS: all nine sufficient statistics ride ONE
-    lineitem scan and ONE aggregate (map-side partials); no join, no
-    SinglePartition — model fitting at 100 TB is exactly one scan."""
+    lineitem scan; no join, no SinglePartition — model fitting at
+    100 TB is exactly one scan.  Round-15: the moments are TWO-LEVEL
+    (per-(flag, partition) bigint partials, then the exact decimal
+    merge — see the query docstring), so the plan carries TWO hash
+    exchanges, both over at most |tasks|·|flags| partial rows — the
+    corpus crosses zero exchanges either way."""
     p = plan_of(spark, "qx61_ols_regression")
     assert "Join" not in p and "CartesianProduct" not in p, p
     assert p.count("FileScan parquet") == 1, p
     assert "partial_sum" in p and "partial_count" in p, p
-    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "SPARK_PARTITION_ID" in p, p  # the two-level salt is present
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2, p
     assert "Exchange SinglePartition" not in p, p
 
 
