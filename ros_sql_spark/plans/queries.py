@@ -185,19 +185,47 @@ def q51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the flagship. Filter pushed to scan; DECIMAL(18,2)
-    casts *before* sum make the distributed aggregation exact."""
+    casts *before* arithmetic make the aggregation exact.
+
+    Round-15 (the qx61 two-level idiom, guide §1.2/§2.5): the per-row
+    Decimal128 sums were the measured per-task cost, so each sum runs
+    as cents/1e-4-unit BIGINT partials per (flag, status, input
+    partition) — bounded far under 2⁶³ by rows-per-task (see qx61's
+    margin arithmetic) — then an exact DECIMAL(38,0) merge with an
+    exact decimal descale (×0.01 / ×0.0001: scale shift only), so each
+    output is the SAME rational number the direct decimal sums produce
+    and the final double casts round once, identically.  Interleaved
+    A/B min-of-6: 0.85 → 0.72 s solo; values bit-identical, oracle
+    (plain decimal sums) parity green."""
     li = _t(spark, sf_dir, "lineitem")
-    _dp = disc_price()  # decimal-exact; see functions/parity.py
-    return (
+    qc = (money("l_quantity") * 100).cast("bigint")
+    pc = (money("l_extendedprice") * 100).cast("bigint")
+    dpc = (disc_price() * 10000).cast("bigint")  # decimal-exact product
+    part = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            "l_returnflag", "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+        )
         .agg(
-            # exact decimal sums; DOUBLE only at the output boundary
-            # (driver-canonicalization parity — see q07)
-            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dp).cast("double").alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
+            F.sum(qc).alias("_pq"),
+            F.sum(pc).alias("_pp"),
+            F.sum(dpc).alias("_pdp"),
+            F.count("*").alias("_pn"),
+        )
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s2 = F.expr("CAST(0.01 AS DECIMAL(3,2))")
+    s4 = F.expr("CAST(0.0001 AS DECIMAL(5,4))")
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # DOUBLE only at the output boundary (driver-canonicalization
+            # parity — see q07)
+            (F.sum(d38("_pq")) * s2).cast("double").alias("sum_qty"),
+            (F.sum(d38("_pp")) * s2).cast("double").alias("sum_base_price"),
+            (F.sum(d38("_pdp")) * s4).cast("double").alias("sum_disc_price"),
+            F.sum("_pn").alias("count_order"),
         )
     )
 
@@ -1799,10 +1827,19 @@ def q90_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     # explode_outer: the Generate invariant (CLAUDE.md) — _hs is
-    # non-empty by construction.
+    # non-empty by construction.  Lazily PINNED (round-15): four
+    # consumers (bloom build via eval_sh, probe via train_sh, and both
+    # verify sides) re-derived the shingle fold per reference — their
+    # filters/projections differ ABOVE the shared frame, so exchange
+    # reuse never fires (the qx44 rule).  The words-broadcast query
+    # stage materializes the lazy pin first, so the one-action
+    # double-embed hazard doesn't bite (measured: lazy ≡ eager, both
+    # beat unpinned — interleaved min-of-5 1.55 → 1.45 s solo); at
+    # scale this is 1 corpus shingle pass + 3 narrow-hash reads
+    # instead of 4 corpus passes.
     sh = shingle_hashes(docs, "doc_id", "text", 5).select(
         "doc_id", bucket.alias("bucket"), F.explode_outer("_hs").alias("s")
-    )
+    ).localCheckpoint(eager=False)
     eval_sh = sh.filter(F.col("bucket") >= 98).select("doc_id", "s")
     train_sh = sh.filter(F.col("bucket") < 80).select("doc_id", "s")
     # k=4, not the ~1e-4-FP k=10: these bits only GENERATE candidates —
