@@ -199,23 +199,29 @@ def pagerank(
         return deg.select(
             F.col("src").alias("node"), F.lit(0.0).alias("p")
         )
-    p = deg.select("src", F.lit(1.0 / n).alias("p"))
+    # The rank frame CARRIES _deg (round-15, guide §2.4): the old loop
+    # joined e⋈p and then ⋈deg every iteration just to divide by the
+    # out-degree; keeping _deg as a column of the rank frame drops one
+    # |V|-table join per iteration (n_iter fewer joins total — the
+    # teleport rebuild below still reads deg, whose pin it shares).
+    # Same addend set, same per-edge p/_deg division — the float
+    # results are the identical sums (qx29 A/B: values identical,
+    # 4/5 interleaved pairs faster, min 4.01 → 3.65 s in a degraded
+    # band).
+    p = deg.select("src", "_deg", F.lit(1.0 / n).alias("p"))
     base = float((1.0 - damping) / n)
     for _ in range(n_iter):
-        contrib = (
-            e.join(p, "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("src"),
-                (F.col("p") / F.col("_deg")).alias("_c"),
-            )
+        contrib = e.join(p, "src").select(
+            F.col("dst").alias("src"),
+            (F.col("p") / F.col("_deg")).alias("_c"),
         )
         # total over the pinned node set: dst ⊆ deg (enforced above),
         # but deg may hold src-only nodes the dst-keyed aggregation
         # would drop — the left join restores them at teleport mass
         inbound = contrib.groupBy("src").agg(F.sum("_c").alias("_s"))
-        p = deg.select("src").join(inbound, "src", "left").select(
+        p = deg.join(inbound, "src", "left").select(
             "src",
+            "_deg",
             (
                 F.lit(base)
                 + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
