@@ -1567,7 +1567,19 @@ def setsim_join_incremental(
     heuristics.  Increment ids must be disjoint from the base's.
     """
     base_sets, base_prefix, base_freq = base_index
-    new_sets = _shingle_sets(new_docs, id_col, text_col, k)
+    # The increment's shingle sets feed FOUR differently-projected
+    # consumers (new_tok → batch_freq/ranked/prefix, and both verify
+    # sides through all_sets) whose subtrees are never canonically
+    # equal — exchange reuse cannot fire (the qx44 rule), so the
+    # shingle fold re-ran per reference.  Lazily pinned (round-15):
+    # qx07 interleaved A/B min-of-5, 2.65 → 2.44 s with every pair
+    # faster; base-side pinning alone re-measured a wash (consistent
+    # with setsim_index's standing no-pin verdict), the increment pin
+    # is what pays.  In the streaming ingest path new_docs is a
+    # micro-batch — the pin is batch-sized, never corpus-sized.
+    new_sets = _shingle_sets(new_docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     new_tok = new_sets.select(
         "_id", F.explode_outer("_ts").alias("_s")
     ).filter(F.col("_s").isNotNull())
