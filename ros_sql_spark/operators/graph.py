@@ -208,10 +208,20 @@ def pagerank(
     # results are the identical sums (qx29 A/B: values identical,
     # 4/5 interleaved pairs faster, min 4.01 → 3.65 s in a degraded
     # band).
+    # SHUFFLE_HASH hints on the node-sized sides (round-15, guide
+    # §3.1): sort-merge re-SORTED the edge-sized stream side every
+    # iteration even though the pinned edges arrive co-partitioned.
+    # Building a per-partition hash of the rank/inbound frame instead
+    # skips those sorts; the build side is |V|/numPartitions rows of
+    # (src, _deg, p) under a uniform node-id hash — the bounded-build
+    # case SHJ exists for, at any scale where shuffle partitions are
+    # sized to the data (AQE).  Join-type change only — same addend
+    # set, same float sums (qx29 A/B: values identical, 5/5
+    # interleaved pairs faster, min 3.58 → 3.42 s).
     p = deg.select("src", "_deg", F.lit(1.0 / n).alias("p"))
     base = float((1.0 - damping) / n)
     for _ in range(n_iter):
-        contrib = e.join(p, "src").select(
+        contrib = e.join(p.hint("shuffle_hash"), "src").select(
             F.col("dst").alias("src"),
             (F.col("p") / F.col("_deg")).alias("_c"),
         )
@@ -219,7 +229,7 @@ def pagerank(
         # but deg may hold src-only nodes the dst-keyed aggregation
         # would drop — the left join restores them at teleport mass
         inbound = contrib.groupBy("src").agg(F.sum("_c").alias("_s"))
-        p = deg.join(inbound, "src", "left").select(
+        p = deg.join(inbound.hint("shuffle_hash"), "src", "left").select(
             "src",
             "_deg",
             (
