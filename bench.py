@@ -32,6 +32,56 @@ from ros_sql_spark.plans.queries import QUERIES
 from ros_sql_spark.session import get_spark
 
 
+def build_final_line(
+    timings: dict, total: float, floors: dict, canary: dict,
+    band_normalized_total: float, sf_val, tail_budget: int = 1950,
+) -> str:
+    """The driver-parsed FINAL stdout line, guaranteed under the tail.
+
+    The driver keeps only a 2000-char stdout tail and parses the last
+    complete JSON line inside it (BENCH_r02 recorded "parsed": null when
+    the one full-map line outgrew it; BENCH_r12..r15 each captured
+    exactly 2000 chars).  Round-15 verdict directive #1 asks for the
+    full ``queries`` map here so PERF can adjudicate per-query — but 178
+    names at ~26 bytes each is ~4.6 KB even with compact separators,
+    which can NEVER parse from a 2000-char tail.  Compromise
+    (additions-only: n_queries/top10_slowest/floors all kept): emit the
+    slowest-K entries of ``queries`` that keep the line under budget,
+    plus ``queries_omitted`` so a reader knows the map is partial — the
+    omitted entries are the sub-noise tail; every floor-bearing and
+    regression-visible query is in the emitted prefix.  The COMPLETE
+    map is still printed on the (logged, non-driver-parsed) line above.
+    """
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    top10 = dict(by_cost[:10])
+
+    def line_for(k: int) -> str:
+        return json.dumps(
+            {
+                "metric": "declared_suite_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": {n: round(t, 2) for n, t in by_cost[:k]},
+                "queries_omitted": max(0, len(timings) - k),
+                "top10_slowest": top10,
+                "floors": floors,
+                "canary": canary,
+                "band_normalized_total": band_normalized_total,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    k = len(timings)
+    line = line_for(k)
+    while len(line) > tail_budget and k > 0:
+        # geometric shrink; a few dozen dumps at most
+        k = min(k - 1, int(k * 0.8))
+        line = line_for(k)
+    return line
+
+
 def normalize_total(total: float, canary_start: float, canary_end: float,
                     floor: float) -> float:
     """Band-normalized headline: scale the raw total by floor/canary.
@@ -192,28 +242,11 @@ def main() -> None:
             }
         )
     )
-    # The driver keeps only a stdout TAIL: with 80+ per-query timings the
-    # full line above outgrows the buffer and its head (including the
-    # total) is lost (BENCH_r02 recorded "parsed": null).  Repeat the
-    # headline as a short FINAL line so the total always survives —
-    # carrying the top-10 slowest queries so regressions anywhere in
-    # the suite (not just the tail-visible ~q31+) stay driver-visible.
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
+    # Final driver-parsed line: see build_final_line's docstring (the
+    # 2000-char tail constraint and the slowest-K `queries` compromise).
     print(
-        json.dumps(
-            {
-                "metric": "declared_suite_total",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "top10_slowest": top10,
-                "floors": floors,
-                "canary": canary,
-                "band_normalized_total": band_normalized_total,
-                "sf": sf_val,
-            }
+        build_final_line(
+            timings, total, floors, canary, band_normalized_total, sf_val
         )
     )
     spark.stop()

@@ -81,3 +81,49 @@ def test_bench_normalize_total_clamps_below_floor():
     mixed = bench.normalize_total(100.0, 0.07, 0.28, 0.14)
     assert mixed == round(100.0 * 0.14 / ((0.14 + 0.28) / 2), 4)
     assert mixed <= 100.0
+
+
+def test_bench_final_line_fits_driver_tail_and_carries_queries():
+    """r16 (r15 verdict directive #1): the driver keeps a 2000-char
+    stdout tail and parses the last JSON line in it, so the final bench
+    line must (a) stay under 2000 chars with 178 realistically-named
+    queries, (b) parse, and (c) carry a non-empty `queries` map (the
+    slowest-K prefix) so PERF_rNN.per_query populates."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from ros_sql_spark.plans.queries import QUERIES
+
+    timings = {n: 0.01 * (i + 1) for i, n in enumerate(sorted(QUERIES))}
+    floors = {n: round(t, 4) for n, t in
+              sorted(timings.items(), key=lambda kv: -kv[1])[:10]}
+    canary = {"query": "q01_scan_project", "start": 0.14, "end": 0.07,
+              "floor": 0.14, "floors_pass": 0.08, "floors_degraded": False}
+    line = bench.build_final_line(
+        timings, round(sum(timings.values()), 4), floors, canary,
+        111.27, 0.1)
+    assert len(line) <= 2000 - len("\n")
+    parsed = json.loads(line)
+    assert parsed["metric"] == "declared_suite_total"
+    assert parsed["n_queries"] == len(QUERIES)
+    # queries map present, non-trivially sized, and = the slowest prefix
+    q = parsed["queries"]
+    assert len(q) >= 15
+    assert parsed["queries_omitted"] == len(QUERIES) - len(q)
+    slowest = sorted(timings, key=timings.get, reverse=True)[: len(q)]
+    assert set(q) == set(slowest)
+    # existing driver-visible fields are all still present (additions-only)
+    for key in ("value", "top10_slowest", "floors", "canary",
+                "band_normalized_total", "sf"):
+        assert key in parsed
+    # tiny suites (--only mode) emit the complete map
+    small = bench.build_final_line(
+        {"q01_scan_project": 0.14, "q11_pricing_summary": 0.8},
+        0.94, {}, canary, 0.94, 0.1)
+    sp = json.loads(small)
+    assert sp["queries_omitted"] == 0 and len(sp["queries"]) == 2
