@@ -1441,6 +1441,16 @@ def setsim_join(
     shingle structs (``array_sort`` inside the row — no global sort),
     an equi-join on prefix shingles, and a verify join against the set
     arrays.  No cartesian, no windows.
+
+    NO sets pin (round-16 measured): ``sets`` feeds four differently-
+    projected subtrees of the one pairs action, so the shingle fold
+    does re-run per consumer — but an eager checkpoint of ``sets``
+    LOSES on the real pipelines anyway (qx02 shape 2.08→2.36 s
+    min-of-7 on a raw scan; full qx26 interleaved bench-protocol
+    5.05→5.11/5.35 s).  An isolated harness that pre-materializes the
+    input pin outside the timed region overstates the re-derivation
+    cost (warm checkpoint reads are cheap; the extra materialization
+    wave + pin write are not) — measure pins on the FULL query.
     """
     sets = _shingle_sets(df, id_col, text_col, k)
     tok = sets.select(
@@ -1555,6 +1565,7 @@ def setsim_join_incremental(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = 5,
+    pins_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold pairs for an INGEST INCREMENT against
     an indexed corpus: (new × base) ∪ (new × new), never base × base —
@@ -1587,10 +1598,15 @@ def setsim_join_incremental(
     # faster; base-side pinning alone re-measured a wash (consistent
     # with setsim_index's standing no-pin verdict), the increment pin
     # is what pays.  In the streaming ingest path new_docs is a
-    # micro-batch — the pin is batch-sized, never corpus-sized.
+    # micro-batch — the pin is batch-sized, never corpus-sized, and the
+    # caller can reclaim its storage after its consuming actions via
+    # ``pins_out`` + release_local_checkpoints (round-15 ADVICE: the
+    # per-batch pins otherwise wait on the ContextCleaner's GC cycle).
     new_sets = _shingle_sets(new_docs, id_col, text_col, k).localCheckpoint(
         eager=False
     )
+    if pins_out is not None:
+        pins_out.append(new_sets)
     new_tok = new_sets.select(
         "_id", F.explode_outer("_ts").alias("_s")
     ).filter(F.col("_s").isNotNull())
@@ -1756,6 +1772,20 @@ def remove_boilerplate(
     the re-derive.
     """
     from ros_sql_spark.functions.util import ensure_scan_parallelism
+
+    # the closed-form empty-passage test below (_is_empty / nne:
+    # "empty iff n − i·P == 1 and the last token is ''") is only valid
+    # for P >= 2: at P == 1 every slice has length 1, so mid-document
+    # "" tokens (consecutive spaces under split-on-space tokenize) form
+    # empty passages at non-final positions the arithmetic would keep —
+    # changing rebuilt text and the all-boilerplate drop decision
+    # (round-15 ADVICE).  Fail loudly instead of silently diverging.
+    if passage_tokens < 2:
+        raise ValueError(
+            "remove_boilerplate: passage_tokens must be >= 2 (the "
+            "closed-form empty-passage arithmetic assumes multi-token "
+            f"slices); got {passage_tokens}"
+        )
 
     # tokens materialized FIRST (round-8 review): an inline tokenize()
     # captured in the passage lambda re-splits the text once per

@@ -197,6 +197,12 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final double casts round once, identically.  Interleaved
     A/B min-of-6: 0.85 → 0.72 s solo; values bit-identical, oracle
     (plain decimal sums) parity green."""
+    from ros_sql_spark.functions.util import assert_bigint_partial_margin
+
+    # per-row max term: disc_price*1e4 < 2e9 (extendedprice < 1.1e5);
+    # the guard fails loudly if maxPartitionBytes drifts far enough to
+    # void the rows-per-task bound (round-15 ADVICE)
+    assert_bigint_partial_margin(spark, per_row_max=2 * 10**9, label="q11")
     li = _t(spark, sf_dir, "lineitem")
     qc = (money("l_quantity") * 100).cast("bigint")
     pc = (money("l_extendedprice") * 100).cast("bigint")
@@ -5121,6 +5127,12 @@ def qx61_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning/retries.  Interleaved A/B min-of-5: 1.93 → 1.23 s,
     output bit-identical; oracle (unchanged, straight decimal sums)
     parity green."""
+    from ros_sql_spark.functions.util import assert_bigint_partial_margin
+
+    # per-row max term: pc·qc ≤ 1.1e7 · 5e3 ≈ 5e10 (the docstring's
+    # margin arithmetic); fail loudly on maxPartitionBytes drift
+    # instead of silently wrapping a partial (round-15 ADVICE)
+    assert_bigint_partial_margin(spark, per_row_max=5 * 10**10, label="qx61")
     li = _t(spark, sf_dir, "lineitem")
     qc = (F.col("l_quantity").cast(DECIMAL_MONEY) * 100).cast("bigint")
     dc = (F.col("l_discount").cast(DECIMAL_MONEY) * 100).cast("bigint")

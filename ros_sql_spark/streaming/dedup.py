@@ -243,6 +243,7 @@ def setsim_ingest_batch(
     # empty-base batches run through the SAME incremental path: with no
     # stored freq the rank is the batch's own df, which is exactly the
     # batch-mode setsim_join order — one code path, identical output.
+    _batch_pins: list[DataFrame] = []
     pairs = setsim_join_incremental(
         batch,
         (base_sets, base_prefix, base_freq),
@@ -250,7 +251,9 @@ def setsim_ingest_batch(
         text_col=text_col,
         threshold=threshold,
         k=k,
+        pins_out=_batch_pins,
     ).select("id_a", "id_b").localCheckpoint(eager=False)
+    _batch_pins.append(pairs)
 
     comp = connected_components(pairs, id_col="cid")
     batch_ids = batch.select(F.col(id_col).alias("cid"))
@@ -372,6 +375,15 @@ def setsim_ingest_batch(
                 ),
             )
         committed.append(name)
+    # every consuming action (counts + commits) is done and nothing
+    # pinned escapes this function — reclaim the per-batch checkpoint
+    # storage NOW instead of waiting on the ContextCleaner's GC cycle
+    # (round-15 ADVICE: pins otherwise accumulate across micro-batches)
+    from ros_sql_spark.functions.util import release_local_checkpoints
+
+    release_local_checkpoints(
+        *_batch_pins, survivors, s_sets, ranked
+    )
     return {
         "n_batch": n_batch,
         "n_kept": n_kept,

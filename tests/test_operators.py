@@ -1476,3 +1476,82 @@ def test_topk_sketch_excludes_null_keys(spark):
             assert row.c_low <= c <= row.c_low + row.err
         else:
             assert c <= merr["A"], (kk, c, merr)
+
+
+# ---------------------------------------------------------------------------
+# round-16 ADVICE closures
+# ---------------------------------------------------------------------------
+
+
+def test_remove_boilerplate_rejects_single_token_passages(spark, docs):
+    """passage_tokens=1 voids the closed-form empty-passage arithmetic
+    (mid-document '' tokens would form keepable empty passages) — the
+    operator must fail loudly instead of silently diverging."""
+    from ros_sql_spark.operators.dedup import remove_boilerplate
+
+    with pytest.raises(ValueError, match="passage_tokens"):
+        remove_boilerplate(docs, passage_tokens=1, max_doc_freq=2)
+    # the supported regime is untouched
+    remove_boilerplate(docs, passage_tokens=2, max_doc_freq=2)
+
+
+def test_bigint_partial_margin_guard(spark):
+    """The q11/qx61 two-level BIGINT partials bound per-task sums by
+    rows-per-task x per-row-term < 2^63; a maxPartitionBytes drift that
+    voids the bound must fail at plan build, not wrap at runtime."""
+    from ros_sql_spark.functions.util import assert_bigint_partial_margin
+
+    # holds at the session default (128m-1g class splits)
+    assert_bigint_partial_margin(spark, per_row_max=5 * 10**10)
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "64g")
+        with pytest.raises(AssertionError, match="maxPartitionBytes"):
+            assert_bigint_partial_margin(spark, per_row_max=5 * 10**10)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_release_local_checkpoints_frees_storage(spark):
+    """release_local_checkpoints drops the checkpoint RDD's blocks (the
+    streaming per-batch reclaim) and no-ops harmlessly on plain frames."""
+    from ros_sql_spark.functions.util import release_local_checkpoints
+
+    df = (
+        spark.range(1000)
+        .selectExpr("id", "id * 2 AS y")
+        .localCheckpoint(eager=False)
+    )
+    assert df.count() == 1000  # materialize the pin
+    plan = df._jdf.queryExecution().analyzed()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    assert plan.rdd().getStorageLevel().useMemory()
+    release_local_checkpoints(df, spark.range(3))  # plain frame: no-op
+    lvl = plan.rdd().getStorageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk())
+
+
+def test_setsim_incremental_pins_out_release(spark, docs):
+    """pins_out hands the operator's per-batch checkpoint to the caller;
+    releasing it AFTER the consuming action is safe and the output is
+    unchanged (the streaming ingest reclaim path)."""
+    from ros_sql_spark.functions.util import release_local_checkpoints
+    from ros_sql_spark.operators.dedup import (
+        setsim_index,
+        setsim_join_incremental,
+    )
+
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = setsim_index(base, threshold=0.5, k=5)
+    expected = setsim_join_incremental(
+        new, idx, threshold=0.5, k=5
+    ).collect()
+    pins: list = []
+    got = setsim_join_incremental(
+        new, idx, threshold=0.5, k=5, pins_out=pins
+    ).collect()
+    assert len(pins) == 1
+    release_local_checkpoints(*pins)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
