@@ -15,7 +15,7 @@ from ros_sql_spark.operators.bpe import (
     bpe_train,
     bpe_train_reference,
 )
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, prop_examples
 
 
 def test_bpe_train_matches_reference_on_corpus(spark):
@@ -157,7 +157,7 @@ def test_bpe_fallback_batched_equals_reference_property(spark):
     from hypothesis import strategies as st
 
     @settings(
-        max_examples=12, deadline=None,
+        max_examples=prop_examples(12), deadline=None,
         suppress_health_check=list(HealthCheck),
     )
     @given(

@@ -9,6 +9,7 @@ semantics, not the plan."""
 from __future__ import annotations
 
 import pytest
+from tests.conftest import prop_examples
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,7 +29,7 @@ rows = st.lists(
 
 @given(data=rows)
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -61,7 +62,7 @@ points = st.lists(
 
 @given(data=points)
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -121,7 +122,7 @@ part_rows = st.lists(
 
 @given(data=part_rows)
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -156,7 +157,7 @@ sum_rows = st.lists(
 
 @given(data=sum_rows)
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -190,7 +191,7 @@ def test_bucketed_running_sum_equals_global_window(spark, data):
     min_size=1, max_size=30,
 ))
 @settings(
-    max_examples=12,
+    max_examples=prop_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -225,7 +226,7 @@ def test_partitioned_running_sum_equals_group_window(spark, data):
     min_size=1, max_size=25,
 ))
 @settings(
-    max_examples=12,
+    max_examples=prop_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

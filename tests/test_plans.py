@@ -13,9 +13,24 @@ from ros_sql_spark.plans.queries import QUERIES
 from tests.conftest import SF_SMALL
 
 
+_PLAN_CACHE: dict[tuple[str, str], str] = {}
+
+
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMALL)
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Formatted physical plan of a declared query at SF_SMALL.
+
+    Memoized per (name, autoBroadcastJoinThreshold): plan building is
+    deterministic for a fixed session conf, and the three suite-wide
+    gates each used to rebuild all ~178 plans (~225 s of the round-15
+    suite's 30 min — the verify-window regression, r16).  The threshold
+    is the only conf the module's tests flip around plan_of calls, so
+    it is part of the key; everything else reads the shared session."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    key = (name, thr)
+    if key not in _PLAN_CACHE:
+        df = QUERIES[name](spark, SF_SMALL)
+        _PLAN_CACHE[key] = df._jdf.queryExecution().executedPlan().toString()
+    return _PLAN_CACHE[key]
 
 
 def test_q01_scan_prunes_columns(spark):

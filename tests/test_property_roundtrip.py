@@ -13,7 +13,7 @@ from pyspark.sql import types as T
 from ros_sql_spark.api import paced_replay
 from ros_sql_spark.operators.normalize import denormalize, normalize
 from ros_sql_spark.sources.io import load_table
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, prop_examples
 
 SCHEMA = T.StructType(
     [
@@ -52,7 +52,7 @@ row = st.tuples(
 
 
 @settings(
-    max_examples=5,
+    max_examples=prop_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

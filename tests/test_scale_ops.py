@@ -19,7 +19,7 @@ from ros_sql_spark.sources.io import (
     read_events_partitioned,
     write_events_partitioned,
 )
-from tests.conftest import SF_MEDIUM, SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL, prop_examples
 
 
 def test_scalable_jaccard_equals_quadratic(spark):
@@ -243,7 +243,7 @@ def test_bucketed_layout_carries_aggregate_and_rejoin(spark):
 
 
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -816,7 +816,7 @@ def test_setsim_index_snapshot_roundtrip(spark, tmp_path):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -865,7 +865,7 @@ def test_incremental_setsim_property(spark, texts, thr, split_mod):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -915,7 +915,7 @@ def test_incremental_components_property(spark, edges, split):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -972,7 +972,7 @@ def test_incremental_components_delta_property(spark, edges, split):
 
 
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

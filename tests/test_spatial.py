@@ -6,6 +6,7 @@ r² exactly), co-located points, cell-edge coordinates, radius 1."""
 from __future__ import annotations
 
 import pytest
+from tests.conftest import TEST_FULL, prop_examples
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ros_sql_spark.operators.spatial import grid_radius_join
@@ -18,7 +19,7 @@ pts = st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
 
 @given(a=pts, b=pts, r=st.integers(1, 25))
 @settings(
-    max_examples=15,
+    max_examples=prop_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -65,7 +66,7 @@ def _naive_knn(a, b, k):
 
 @given(a=pts, b=pts, k=st.integers(1, 6), g=st.integers(1, 30))
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -100,8 +101,9 @@ def test_grid_knn_join_multi_ring_sparse(spark):
     import random
 
     rng = random.Random(77)
-    a = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(20)]
-    b = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(30)]
+    na, nb = (20, 30) if TEST_FULL else (10, 16)
+    a = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(na)]
+    b = [(rng.randrange(5000), rng.randrange(5000)) for _ in range(nb)]
     probe = spark.createDataFrame(
         [(i, x, y) for i, (x, y) in enumerate(a)],
         "p_id int, px int, py int",
@@ -143,7 +145,7 @@ def test_grid_knn_join_guards(spark):
     g=st.integers(1, 25),
 )
 @settings(
-    max_examples=10,
+    max_examples=prop_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
