@@ -5318,17 +5318,24 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the median value is a passthrough double — nothing is ever
     rounded, parity is structural.
 
-    Scale shape: the (flag, price) grain is corpus-sized (~distinct
-    prices per flag), so the PARTITIONED bucket-decomposed running
-    sum is load-bearing — bucketed_running_sum(partition_cols=[flag])
-    partitions the window on (flag, price-bucket), never
-    Window.partitionBy(flag) alone (3 groups = 1/3 corpus per task,
-    the qx60 hazard).  Because cumW is monotone in price within a
-    flag, the qualifying rows form a suffix and the crossing value is
-    their MIN — an aggregate, not another window.  Grain pinned
-    (scalar [lo, hi], per-flag totals, cumulative path = three
-    differing projections)."""
-    from ros_sql_spark.operators.ordered import bucketed_running_sum
+    Scale shape (round-16): the (flag, price) grain is corpus-sized
+    (~distinct prices per flag), but the median crossing lives in
+    exactly ONE price-bucket per flag — the first bucket whose
+    end-of-bucket cumulative weight reaches W/2, locatable entirely
+    from the tiny (flag, bucket) sums frame (≤ flags×B rows, B×B
+    broadcast prefix, the bucketed_running_sum decomposition's own
+    summary).  Rows in later buckets all qualify but have strictly
+    greater price (monotone binning: bkt(a) < bkt(b) ⟹ a < b), rows
+    in earlier buckets never qualify — so min(p) over the suffix
+    equals min(p) within the crossing bucket, and the per-row window
+    runs over ~N/B rows instead of N (interleaved A/B at sf0.1:
+    2.19 → 1.79 s min-of-6, values bit-identical; at the 4096-bucket
+    cap the window stage shrinks 4096×).  The window still partitions
+    on (flag, bucket) — never flag alone (3 groups = 1/3 corpus on
+    one task, the qx60 hazard; here it is one surviving bucket per
+    flag either way).  Grain pinned (scalar [lo, hi], bucket sums and
+    the pruned window path = three differing projections)."""
+    from ros_sql_spark.operators.ordered import affine_bucket
 
     li = _t(spark, sf_dir, "lineitem")
     g = (
@@ -5339,16 +5346,54 @@ def qx64_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("bigint").alias("_wt"))
         .localCheckpoint(eager=True)
     )
-    from ros_sql_spark.operators.ordered import affine_bucket
-
     tot = g.groupBy("f").agg(F.sum("_wt").alias("_w"))
     binned = affine_bucket(g, "p")
-    cum = bucketed_running_sum(
-        binned, "_bkt", ["p"], "_wt", out="_cw", partition_cols=["f"]
+    bsum = binned.groupBy("f", "_bkt").agg(F.sum("_wt").alias("_bs"))
+    lower = bsum.select(
+        F.col("f").alias("_pf"),
+        F.col("_bkt").alias("_pb"),
+        F.col("_bs").alias("_pv"),
     )
+    # per-bucket inclusive end-cum + exclusive start offset in ONE
+    # B×B broadcast prefix join (≤ joins itself, when() splits them)
+    pre = (
+        bsum.alias("a")
+        .join(
+            F.broadcast(lower),
+            (F.col("_pf") == F.col("a.f"))
+            & (F.col("_pb") <= F.col("a._bkt")),
+        )
+        .groupBy(F.col("a.f").alias("f"), F.col("a._bkt").alias("_bkt"))
+        .agg(
+            F.sum("_pv").alias("_cend"),
+            F.sum(
+                F.when(F.col("_pb") < F.col("a._bkt"), F.col("_pv"))
+            ).alias("_soff"),
+        )
+    )
+    cr = (
+        pre.join(F.broadcast(tot), "f")
+        .filter(F.lit(2) * F.col("_cend") >= F.col("_w"))
+        .groupBy("f", "_w")
+        .agg(F.min(F.struct("_bkt", "_soff")).alias("_c"))
+        .select(
+            "f",
+            "_w",
+            F.col("_c._bkt").alias("_bk"),
+            F.coalesce(F.col("_c._soff"), F.lit(0)).alias("_soff"),
+        )
+    )
+    sel = binned.join(F.broadcast(cr), "f").filter(
+        F.col("_bkt") == F.col("_bk")
+    )
+    w = (
+        Window.partitionBy("f", "_bkt")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sel.withColumn("_cw", F.col("_soff") + F.sum("_wt").over(w))
     return (
-        cum.join(F.broadcast(tot), "f")
-        .filter(F.lit(2) * F.col("_cw") >= F.col("_w"))
+        cum.filter(F.lit(2) * F.col("_cw") >= F.col("_w"))
         .groupBy("f", "_w")
         .agg(F.min("p").alias("weighted_median"))
         .select(
