@@ -17,8 +17,22 @@ from __future__ import annotations
 
 import pytest
 
-# ANN store churn soaks: slow tier by module (r11 duration profile)
-pytestmark = pytest.mark.slow
+from tests.conftest import TEST_FULL
+
+# ANN store churn soaks: slow tier by module (r11 duration profile).
+# Round-16 (verify-window budget): opt-in via ROSQL_TEST_FULL=1 — the
+# soaks compose hazards the default tier still proves ONE AT A TIME,
+# deterministically, in tests/test_ann_store.py (generation binding
+# mid-rebuild, append re-pin, optimize re-pin before vacuum); only the
+# stochastic thread-overlap composition moves to the opt-in tier.
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not TEST_FULL,
+        reason="churn soak: opt-in tier (ROSQL_TEST_FULL=1); hazards "
+        "covered one-at-a-time in test_ann_store.py",
+    ),
+]
 
 import threading
 import time

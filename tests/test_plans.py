@@ -1230,12 +1230,18 @@ def test_qx64_partitioned_cumulative_is_bucketed(spark):
     """Weighted median: the per-flag cumulative weight must partition
     its window on (flag, bucket) — 3 flags alone would put 1/3 of the
     corpus-sized price grain on one task; the crossing value is an
-    aggregate MIN over the qualifying suffix (no second window)."""
+    aggregate MIN over the qualifying suffix (no second window).
+    Round-16: the window's input must be PRUNED to the crossing bucket
+    (`_bkt = _bk` against the broadcast crossing frame) — over the full
+    grain it re-buffers the whole corpus for rows that can never hold
+    the min."""
     p = plan_of(spark, "qx64_weighted_median")
     assert "CartesianProduct" not in p, p
     assert "ExistingRDD" in p, p
     assert p.count("FileScan parquet") == 0, p
     assert re.search(r"windowspecdefinition\(f#\d+, _bkt#\d+,", p), p
+    # the `_bkt == _bk` prune folds into the broadcast join's keys
+    assert re.search(r"\[_bkt#\d+, f#\d+\], \[_bk#\d+, f#\d+\]", p), p
     assert not re.search(
         r"Sort \[[^\n]*\n[^\n]*Exchange SinglePartition", p
     ), p

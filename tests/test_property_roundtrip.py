@@ -122,7 +122,7 @@ def test_png_roundtrip_property(h, w, ch, data):
     salts=st.integers(1, 8),
     data=st.data(),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=prop_examples(25), deadline=None)
 @pytest.mark.slow  # >=10s in the r11 duration profile
 def test_kmv_bottom_k_property(spark, n, k, salts, data):
     """The two-phase salted bottom-k must equal the exact sorted-prefix

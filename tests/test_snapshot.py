@@ -6,6 +6,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from tests.conftest import TEST_FULL
+
 from ros_sql_spark.sources.snapshot import (
     SnapshotConflict,
     snapshot_commit,
@@ -1256,6 +1258,12 @@ spark.stop()
 
 
 @pytest.mark.slow  # >=10s in the r11 duration profile
+@pytest.mark.skipif(
+    not TEST_FULL,
+    reason="cross-process soak: opt-in tier (ROSQL_TEST_FULL=1); the "
+    "in-process OCC race (test_concurrent_append_retry_soak) and the "
+    "single-shot cross-process commit semantics stay default",
+)
 def test_cross_process_occ_soak(spark, tmp_path):
     """The r5 verdict's one untested claim: the rename-without-overwrite
     commit point must hold across SEPARATE JVMs, not just threads in
@@ -1391,6 +1399,12 @@ spark.stop()
 
 
 @pytest.mark.slow  # >=10s in the r11 duration profile
+@pytest.mark.skipif(
+    not TEST_FULL,
+    reason="cross-process soak: opt-in tier (ROSQL_TEST_FULL=1); the "
+    "in-process OCC race (test_concurrent_append_retry_soak) and the "
+    "single-shot cross-process commit semantics stay default",
+)
 def test_cross_process_keyed_dml_soak(spark, tmp_path):
     """r6 directive #5: the exact-file-candidacy REWRITE path (merge /
     delete_keys, expected_version-guarded, carry-by-reference for
