@@ -1043,15 +1043,23 @@ def test_qx49_qx50_qx51_round12_shapes(spark):
 
 
 def test_qx52_qx53_single_pass_shapes(spark):
-    """qx52: the whole per-column profile rides ONE lineitem scan and
-    ONE aggregate (the multi-count-distinct Expand is the documented
-    exactness cost); qx53: the 5-constraint report is ONE linear
+    """qx52 (round-16 shape): one two-level aggregate branch PER
+    profiled column, unioned — each branch's scan prunes to its own
+    single column (total bytes read equal the old single 4-column
+    scan), the value-grain pre-aggregate turns countDistinct into a
+    plain count, and NO Expand multiplies the fact rows anywhere
+    (the old one-aggregate form expanded every row ×5 before the
+    partial combine); qx53: the 5-constraint report is ONE linear
     pipeline — one lineitem scan, one orders scan, one join, no
     per-constraint re-scans."""
     p = plan_of(spark, "qx52_column_profile")
     assert "CartesianProduct" not in p and "Join" not in p, p
-    assert p.count("FileScan parquet") == 1, p
-    assert "Expand" in p, p
+    assert p.count("FileScan parquet") == 4, p
+    assert "Expand" not in p, p
+    assert "Union" in p, p
+    # each branch reads exactly its own column
+    for c in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"):
+        assert re.search(r"ReadSchema: struct<" + c + ":", p), (c, p)
 
     p = plan_of(spark, "qx53_data_quality")
     assert "CartesianProduct" not in p, p
