@@ -5990,7 +5990,15 @@ def qx74_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse (CLAUDE.md), and the LogicalRDD boundary makes the corpus
     aggregate run once; the test-side fan-out is |classes|-bounded via
     a broadcast nested-loop join (never a cartesian of two data-sized
-    frames); the score join shuffles on (lang, term)."""
+    frames); the score join shuffles on (lang, term).  Round-16: the
+    per-doc token count n_tok rides the GRID aggregate as a plain
+    count(1) — after the |classes| fan every (doc, lang) group holds
+    exactly the doc's term instances, so the count is the token count
+    EXACTLY and the old separate ntk aggregate (a second full
+    tokenize+explode pass over the test corpus plus a doc-keyed join)
+    disappears (plan: 6 → 5 document scans; local A/B a wash at sf0.1
+    — 0.506 → 0.499 min-of-6 — the win is the removed corpus pass at
+    scale; values bit-identical at sf0.001/0.01/0.1)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
@@ -6018,7 +6026,6 @@ def qx74_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode_outer(F.split(F.lower("text"), " ")).alias("term"),
     ).filter(F.col("term").isNotNull())
-    ntk = stok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     grid = (
         stok.crossJoin(F.broadcast(classes.select("lang")))
         .join(counts, ["lang", "term"], "left")
@@ -6026,12 +6033,14 @@ def qx74_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double"))
-            ).alias("_s")
+            ).alias("_s"),
+            # == the doc's token count: every (doc, lang) group carries
+            # exactly the doc's term instances (left join keeps all)
+            F.count(F.lit(1)).alias("n_tok"),
         )
     )
     return (
         grid.join(F.broadcast(classes), "lang")
-        .join(ntk, "doc_id")
         .select(
             "doc_id",
             "lang",
