@@ -1209,6 +1209,7 @@ def connected_components_incremental(
     component_col: str = "component",
     new_nodes: DataFrame | None = None,
     max_iter: int = 25,
+    semi_reduce_base: bool = False,
 ) -> DataFrame:
     """Updated (id, component) after ADDING ``new_edges`` to a graph
     whose components are already collapsed in ``base_labels`` (id →
@@ -1228,12 +1229,28 @@ def connected_components_incremental(
     result equals a full recompute over the union graph (asserted in
     tests, including chains that fuse base components THROUGH fresh
     nodes).  ``new_nodes``: optional extra node universe for the
-    increment (isolated fresh docs keep their own id)."""
+    increment (isolated fresh docs keep their own id).
+
+    ``semi_reduce_base``: apply the incremental-probe discipline
+    (CLAUDE.md) — semi-reduce the base map to increment-touched ids via
+    a broadcast before the endpoint lookups, and broadcast the
+    increment-sized relabeling ``sub`` so the base map is never
+    shuffled.  ON for per-batch streaming maintenance against a STORED
+    corpus-sized label table (O(touched) instead of O(corpus) shuffle
+    per batch); OFF by default — the extra broadcast-build waves
+    measured a 15% LOSS on the one-shot qx10 shape at sf0.1 (min-of-6
+    1.65 → 1.90 s), where the base map is batch-sized anyway."""
     lbl, fresh, sub = _components_contraction(
         new_edges, base_labels, id_col, src_col, dst_col,
-        component_col, new_nodes, max_iter,
+        component_col, new_nodes, max_iter, semi_reduce_base,
     )
     all_lbl = lbl.unionByName(fresh)
+    if semi_reduce_base:
+        # sub is increment-sized (≤ the contracted graph's
+        # representative set, bounded by 2·|new_edges| + |new_nodes|)
+        # — broadcast it so the corpus-sized output map is NEVER
+        # shuffled for the rewrite (probe side; one pass, no exchange)
+        sub = F.broadcast(sub)
     return all_lbl.join(
         sub, all_lbl._bc == sub._rep, "left"
     ).select(
@@ -1251,11 +1268,13 @@ def _components_contraction(
     component_col: str,
     new_nodes: DataFrame | None,
     max_iter: int,
+    semi_reduce_base: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of the incremental variants: (base labels as
     (_bid, _bc), fresh self-labeled nodes in the same shape, and the
     contracted-graph relabeling ``sub`` = (_rep, _newc) — which current
-    representatives move to which new min-label)."""
+    representatives move to which new min-label).
+    ``semi_reduce_base``: see :func:`connected_components_incremental`."""
     e = new_edges.select(
         F.col(src_col).cast("bigint").alias("a"),
         F.col(dst_col).cast("bigint").alias("b"),
@@ -1264,11 +1283,36 @@ def _components_contraction(
         F.col(id_col).cast("bigint").alias("_bid"),
         F.col(component_col).cast("bigint").alias("_bc"),
     )
-    ca = e.join(lbl, e.a == lbl._bid, "left").select(
+    new_ids = e.select(F.col("a").alias("_nid")).unionByName(
+        e.select(F.col("b").alias("_nid"))
+    )
+    if new_nodes is not None:
+        new_ids = new_ids.unionByName(
+            new_nodes.select(F.col(id_col).cast("bigint").alias("_nid"))
+        )
+    new_ids = new_ids.distinct()
+    # incremental-probe discipline (CLAUDE.md, the minhash/semantic-vec
+    # precedent), OPT-IN: every join below keys the base label table by
+    # an INCREMENT-derived key set (edge endpoints ∪ new nodes), so for
+    # a STORED corpus-sized map semi-reduce it to the touched ids via a
+    # broadcast FIRST — without this every ingest batch shuffles the
+    # whole base map for the two endpoint lookups and the fresh-node
+    # anti join (O(corpus) per batch instead of O(touched)).  The
+    # broadcast side is increment-sized by construction.  Join-match
+    # sets are unchanged: each consumer's keys are ⊆ new_ids, and lbl_t
+    # holds exactly the lbl rows whose _bid ∈ new_ids.  Default OFF:
+    # on one-shot batch-sized bases the broadcast-build waves measured
+    # a 15% loss (qx10 A/B — see the public docstring).
+    lbl_t = lbl
+    if semi_reduce_base:
+        lbl_t = lbl.join(
+            F.broadcast(new_ids), lbl._bid == F.col("_nid"), "left_semi"
+        )
+    ca = e.join(lbl_t, e.a == lbl_t._bid, "left").select(
         F.coalesce("_bc", "a").alias("ca"), "b"
     )
     contracted = (
-        ca.join(lbl, ca.b == lbl._bid, "left")
+        ca.join(lbl_t, ca.b == lbl_t._bid, "left")
         .select("ca", F.coalesce("_bc", "b").alias("cb"))
         .filter(F.col("ca") != F.col("cb"))
     )
@@ -1278,16 +1322,9 @@ def _components_contraction(
     ).select(
         F.col("rep").alias("_rep"), F.col("component").alias("_newc")
     )
-    new_ids = e.select(F.col("a").alias("_nid")).unionByName(
-        e.select(F.col("b").alias("_nid"))
-    )
-    if new_nodes is not None:
-        new_ids = new_ids.unionByName(
-            new_nodes.select(F.col(id_col).cast("bigint").alias("_nid"))
-        )
     fresh = (
-        new_ids.distinct()
-        .join(lbl, F.col("_nid") == lbl._bid, "left_anti")
+        new_ids
+        .join(lbl_t, F.col("_nid") == lbl_t._bid, "left_anti")
         .select(F.col("_nid").alias("_bid"), F.col("_nid").alias("_bc"))
     )
     return lbl, fresh, sub
@@ -1302,6 +1339,7 @@ def connected_components_incremental_delta(
     component_col: str = "component",
     new_nodes: DataFrame | None = None,
     max_iter: int = 25,
+    semi_reduce_base: bool = False,
 ) -> DataFrame:
     """The CHANGED-ROWS form of :func:`connected_components_incremental`
     — only (id, component) rows that are NEW (fresh increment nodes) or
@@ -1315,12 +1353,24 @@ def connected_components_incremental_delta(
     the members of the base components it touched — exactly what a
     keyed snapshot merge (sources/snapshot.py::snapshot_merge, file-
     pruned by key bounds) rewrites.  streaming/dedup.py maintains the
-    dedup-cluster labels table with this per micro-batch."""
+    dedup-cluster labels table with this per micro-batch —
+    ``semi_reduce_base=True`` there (the incremental-probe discipline:
+    the stored map is corpus-sized, so the endpoint lookups semi-reduce
+    it to touched ids via a broadcast and ``moved``/``sub`` broadcast so
+    the map never shuffles per batch; see
+    :func:`connected_components_incremental` for the measured default-
+    OFF rationale)."""
     lbl, fresh, sub = _components_contraction(
         new_edges, base_labels, id_col, src_col, dst_col,
-        component_col, new_nodes, max_iter,
+        component_col, new_nodes, max_iter, semi_reduce_base,
     )
     moved = sub.filter(F.col("_newc") != F.col("_rep"))
+    if semi_reduce_base:
+        # moved/sub are increment-sized — broadcast them so the
+        # corpus-sized base map and the fresh frame are pure probe
+        # sides (no per-batch shuffle of stored state)
+        moved = F.broadcast(moved)
+        sub = F.broadcast(sub)
     changed_base = lbl.join(moved, lbl._bc == moved._rep).select(
         F.col("_bid").alias(id_col),
         F.col("_newc").alias(component_col),

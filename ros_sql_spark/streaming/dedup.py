@@ -292,6 +292,11 @@ def setsim_ingest_batch(
         base_labels,
         id_col=id_col,
         new_nodes=batch.select(id_col),
+        # the stored label map is corpus-sized and this runs per
+        # micro-batch: semi-reduce it to increment-touched ids and
+        # broadcast the increment-sized relabeling — O(touched), never
+        # an O(corpus) shuffle per batch (incremental-probe discipline)
+        semi_reduce_base=True,
     )
 
     # index increments, all under the FROZEN rank used by this probe.

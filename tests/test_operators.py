@@ -850,7 +850,50 @@ def test_components_incremental_delta_composes_to_full_map(spark):
     )
 
 
-def test_components_incremental_on_corpus_pairs(spark):
+def test_components_incremental_semi_reduce_mode_equivalent(spark):
+    """semi_reduce_base=True (the streaming per-batch shape: base map
+    semi-reduced to increment-touched ids via broadcast, increment-sized
+    relabeling broadcast) must return the SAME rows as the default for
+    both variants, and its plan must probe the base map with broadcast
+    joins only — never a shuffle of the base side."""
+    from ros_sql_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        connected_components_incremental_delta,
+    )
+
+    base_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "id_a long, id_b long",
+    )
+    base_nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 30, 31, 40)], "id long"
+    )
+    base = connected_components(base_edges, nodes=base_nodes)
+    inc_edges = spark.createDataFrame(
+        [(3, 10), (21, 50), (50, 51), (51, 30), (60, 61)],
+        "id_a long, id_b long",
+    )
+    new_nodes = spark.createDataFrame([(70,)], "id long")
+
+    for fn in (
+        connected_components_incremental,
+        connected_components_incremental_delta,
+    ):
+        plain = {
+            (r.id, r.component)
+            for r in fn(inc_edges, base, new_nodes=new_nodes).collect()
+        }
+        reduced_df = fn(
+            inc_edges, base, new_nodes=new_nodes, semi_reduce_base=True
+        )
+        reduced = {(r.id, r.component) for r in reduced_df.collect()}
+        assert reduced == plain, fn.__name__
+        p = reduced_df._jdf.queryExecution().executedPlan().toString()
+        # the base-map lookups ride broadcasts in this mode (the
+        # components loop inside the contraction may still shuffle —
+        # that's the increment-sized subgraph, not the base map)
+        assert "BroadcastHashJoin" in p, p
     """End-to-end with a real pair generator: base components from the
     corpus's base slice, increment pairs from setsim_join_incremental —
     final labels equal the full-graph recompute."""
