@@ -46,12 +46,21 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     contributes h² wedges under id order, h ≤ √E under degree order).
     The closing edge check is one join back onto the oriented edge
     set.  All joins are key-equi (no cartesian), wedge apex is the
-    join key.  Everything lands in ONE action, so the shared
-    edge/orientation subtrees are deduped by runtime exchange reuse —
-    checkpoint-pinning them here measured 25% SLOWER (1.7 vs 1.3 s on
-    the declared query at sf0.1), the within-one-action side of the
-    several-separate-actions rule (contrast pagerank above, whose
-    node-count is a second action).
+    join key.
+
+    Both the deduped edge set ``und`` and the oriented edge set ``o``
+    are EAGERLY checkpoint-pinned (round-16).  The round-10 no-pin
+    verdict ("one action, runtime exchange reuse dedups the shared
+    subtrees — pin measured 25% slower") no longer holds under
+    adaptive execution: AQE replans per query stage and the reuse
+    never fires (the same finding as the qx48 loop-invariant edges in
+    CLAUDE.md), so the static plan's 18 embeddings of ``und`` — and
+    through it the caller's whole pair pipeline — all executed.
+    Measured on the declared qx33 (q32 n-gram pairs upstream), solo
+    min-of-5 at sf0.1: unpinned 0.74 s, und-pin 0.27 s, und+o pins
+    0.14 s, counts identical.  At scale the pins are edge-list-sized
+    (the pagerank edge-pin precedent) versus re-running the candidate
+    pair generator once per embedding.
     """
     und = (
         edges.select(
@@ -60,6 +69,7 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         )
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))
@@ -81,6 +91,7 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             .otherwise(F.struct(F.col("_da").alias("d"), F.col("a").alias("v")))
             .alias("dst"),
         )
+        .localCheckpoint(eager=True)
     )
     w1 = o.select(F.col("src"), F.col("dst").alias("x"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"))
