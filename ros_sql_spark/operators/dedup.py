@@ -882,9 +882,21 @@ def connected_components(
         # finisher re-ran union-find per consumer (measured: qx26
         # regressed until this eager checkpoint landed)
         lbl = _smallgraph_labels(uv).localCheckpoint(eager=True)
+        # SHUFFLE_HASH on the label side (round-16, the _hop precedent
+        # below): the finisher's label frame is gate-bounded (≤ the
+        # small-graph edge budget) while nodes is corpus-sized — SMJ
+        # sorted the corpus side just to attach labels; hashing the
+        # bounded side per partition skips that sort.  With the
+        # pipeline's near-dup-anti SHJ swap: qx26 strict interleaved
+        # A/B (stash-toggled, one session, construction timed) means
+        # 4.43 → 4.13 s, 5/6 pairs faster, mins a wash — the sort
+        # removal is the scale term (r15's 500k-edge _hop A/B), the
+        # local win is band-small.  Labels identical.
         return nodes.select(
             F.col(id_col).cast("bigint").alias(id_col)
-        ).join(lbl, F.col(id_col) == F.col("_n"), "left").select(
+        ).join(
+            lbl.hint("shuffle_hash"), F.col(id_col) == F.col("_n"), "left"
+        ).select(
             id_col, F.coalesce("_c", F.col(id_col)).alias("component")
         )
     # No initial checkpoint for labels: its lineage is just the nodes

@@ -544,7 +544,13 @@ def curate(
             .observe(_ob_n, F.count(F.lit(1)).alias("n_dropped"))
         )
         dropped["near_dup"] = near_dropped
-        cur = cur.join(near_dropped, id_col, "left_anti")
+        # SHUFFLE_HASH on the drop list (round-16): the anti's build
+        # side is the near-dup drops (≤ cluster members), the probe the
+        # pinned corpus — SMJ sorted the corpus side per consumer; the
+        # per-partition hash build skips it (AQE sizes partitions)
+        cur = cur.join(
+            near_dropped.hint("shuffle_hash"), id_col, "left_anti"
+        )
 
     # 4. optional embedding-cosine near-dup (paraphrase-level): LSH
     #    pairs over the survivors' vectors, same components + argmax
