@@ -245,10 +245,20 @@ def q54_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q55_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping sets: ROLLUP(lang, source) with subtotal NULLs."""
+    """Grouping sets: ROLLUP(lang, source) with subtotal NULLs.
+
+    Two-level (round-16, the qx42 rollup rule): aggregate to the FINE
+    (lang, source) grain first, then rollup the ≤|lang·source|-row
+    aggregate — Expand multiplies its input ×3, so it must never see
+    the raw corpus rows (counts and integer sums re-aggregate exactly;
+    coalesce keeps the count column non-nullable like count(*))."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.rollup("lang", "source").agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    fine = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("_n"), F.sum("n_chars").alias("_sc")
+    )
+    return fine.rollup("lang", "source").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum("_sc").alias("sum_chars"),
     )
 
 
@@ -713,10 +723,17 @@ def q42_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q74_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets over documents (rollup's sibling, q55)."""
+    """CUBE grouping sets over documents (rollup's sibling, q55).
+
+    Two-level like q55 (round-16): the cube's Expand is ×4, so it runs
+    over the fine-grain aggregate, never the raw corpus rows."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.cube("lang", "source").agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    fine = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("_n"), F.sum("n_chars").alias("_sc")
+    )
+    return fine.cube("lang", "source").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum("_sc").alias("sum_chars"),
     )
 
 
@@ -886,10 +903,14 @@ def q14_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q53_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with GROUPING(): disambiguates subtotal NULLs from data
-    NULLs (the correctness-critical companion to q55/q74)."""
+    NULLs (the correctness-critical companion to q55/q74).
+
+    Two-level like q55 (round-16): the rollup's Expand runs over the
+    fine-grain aggregate, never the raw corpus rows."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.rollup("lang", "source").agg(
-        F.count("*").alias("n"),
+    fine = docs.groupBy("lang", "source").agg(F.count("*").alias("_cnt"))
+    return fine.rollup("lang", "source").agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("n"),
         F.grouping("lang").cast("bigint").alias("g_lang"),
         F.grouping("source").cast("bigint").alias("g_source"),
     )
@@ -925,13 +946,19 @@ def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS ((lang), (source), ()) — the general form
     beyond ROLLUP (q55/q53) and CUBE (q74): per-lang totals, per-source
     totals, and a grand total in one pass (Spark expands the sets and
-    aggregates once; no multi-scan UNION ALL)."""
+    aggregates once; no multi-scan UNION ALL).
+
+    Two-level like q55 (round-16): the Expand (×3 here) runs over the
+    fine-grain aggregate, never the raw corpus rows."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupingSets(
+    fine = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("_cnt"), F.sum("n_chars").alias("_sc")
+    )
+    return fine.groupingSets(
         [["lang"], ["source"], []], "lang", "source"
     ).agg(
-        F.count("*").alias("n"),
-        F.sum("n_chars").alias("sum_chars"),
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum("_sc").alias("sum_chars"),
         F.grouping("lang").cast("bigint").alias("g_lang"),
         F.grouping("source").cast("bigint").alias("g_source"),
     )
